@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults chosen for the driver harness (local[32], single
+JVM); at cluster scale the same config keys are what you'd tune:
+AQE on (runtime re-plan, skew-join splitting, partition coalescing),
+shuffle partitions sized to cores, Arrow for any pandas exchange, and
+a pinned UTC session timezone so results are reproducible across
+environments (and comparable against the DuckDB oracle, whose
+timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_session(app_name: str = "nba_data_pipeline_spark", **extra_conf: str) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Any ``extra_conf`` key/value pairs override the defaults. The
+    builder reuses an existing session if one is alive (standard Spark
+    semantics), so tests share one JVM.
+    """
+    builder = (
+        SparkSession.builder.master(f"local[{DEFAULT_CPUS}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # testdata writes events.ts as TIMESTAMP(NANOS), which Spark's
+        # parquet reader rejects; read it as long and convert in the
+        # loader (core.data.load_table)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in extra_conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_session() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

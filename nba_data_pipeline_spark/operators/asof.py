@@ -1,0 +1,101 @@
+"""Range-membership and as-of joins.
+
+Spark has no native range/as-of join; this module provides the two
+standard scalable formulations (SURVEY.md J6 / O3-b):
+
+1. ``range_join`` — non-equi interval join. With a small interval side
+   it broadcasts (nested-loop over a broadcast build side: fine); with
+   two large sides, pass equi-key prefix columns so it becomes an
+   equi-join + residual filter (shuffle on the keys, no cartesian).
+2. ``asof_join`` — "latest right row at or before each left row" via a
+   tagged-union + window last_value sweep: one shuffle on the key, one
+   partition-local sort, no per-row probing. This is the classic
+   merge-asof reformulated relationally so Catalyst/AQE can plan it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def range_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    equi_keys: Sequence[str] = (),
+    how: str = "inner",
+    broadcast_intervals: bool = False,
+) -> DataFrame:
+    """Join each left row to interval rows with lo <= point < hi.
+
+    Reference analogue: "is event time inside any stint
+    [IN_TIME_REAL, OUT_TIME_REAL)" (etl/play_by_play_with_players.py:81-111).
+    """
+    cond = (left[point_col] >= intervals[lo_col]) & (left[point_col] < intervals[hi_col])
+    for k in equi_keys:
+        cond = (left[k] == intervals[k]) & cond
+    right = F.broadcast(intervals) if broadcast_intervals else intervals
+    return left.join(right, on=cond, how=how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: Sequence[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts <= left_ts`` (backward) sharing key ``on``.
+
+    Implementation: union both sides tagged on a common timeline,
+    carry right values forward with ``last_value(..., ignorenulls)``
+    over (key ORDER BY ts, side), then keep left rows. Right rows sort
+    before left rows at equal timestamps, so an exact tie matches
+    (merge_asof semantics). One shuffle; no correlated probing.
+    """
+    if direction != "backward":
+        raise NotImplementedError("only backward as-of supported")
+    lcols = left.columns
+    tagged_left = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*lcols).alias("_l"),
+        *[F.lit(None).cast(dict(right.dtypes)[v]).alias(f"_r_{v}") for v in right_vals],
+    )
+    tagged_right = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields) + ">"
+        ).alias("_l"),
+        *[F.col(v).alias(f"_r_{v}") for v in right_vals],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "_side",
+        "_l",
+        *[
+            F.last(F.col(f"_r_{v}"), ignorenulls=True).over(w).alias(f"_r_{v}")
+            for v in right_vals
+        ],
+    )
+    out = carried.filter(F.col("_side") == 1).select(
+        *[F.col(f"_l.{c}").alias(c) for c in lcols],
+        *[F.col(f"_r_{v}").alias(v) for v in right_vals],
+    )
+    return out

@@ -1,0 +1,258 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design: every variant avoids the O(n^2) all-pairs trap —
+candidate pairs only ever form inside a bucket (exact key, LSH band
+bucket, or caller-chosen blocking key), so the shuffle is
+groupBy-sized, and within-bucket pair joins are bounded by bucket
+width. All hashing is engine-side (``xxhash64``) or portable integer
+arithmetic; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens, word_shingles
+
+# 2^31-1: universal-hash field small enough that a*h stays < 2^62,
+# i.e. no 64-bit overflow under ANSI arithmetic.
+MERSENNE_PRIME = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep one canonical row (min id) per exact key; count copies.
+
+    Hash-aggregate on the key — the canonical "exact dedup at scale"
+    plan (map-side partial agg, one shuffle).
+    """
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("canonical_id"), F.count("*").alias("n_copies")
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep only the canonical (min-id) row per key, full row preserved."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, 0.0).otherwise(inter.cast("double") / union)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram Jaccard within blocking buckets.
+
+    ``block_cols`` bounds the candidate set (e.g. language + source, or
+    an LSH band from ``minhash_lsh_pairs`` for unblocked corpora); the
+    self-join is id<id restricted so each pair appears once.
+    """
+    shingled = df.select(
+        *block_cols, F.col(id_col).alias("doc_id"), word_shingles(text_col, n).alias("sh")
+    )
+    a = shingled.select(
+        *block_cols, F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    b = shingled.select(
+        *block_cols, F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    pairs = a.join(b, on=block_cols).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("jaccard_sim", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select(*block_cols, "id_a", "id_b", "jaccard_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) params for universal hashing h_i(x) = (a*x+b) mod p.
+    Generated with a fixed LCG so signatures are reproducible run-to-run."""
+    params = []
+    state = seed
+    for _ in range(num_perm):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (MERSENNE_PRIME - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % MERSENNE_PRIME
+        params.append((a, b))
+    return params
+
+
+def minhash_signature(
+    text: Column | str, num_perm: int = 32, shingle_n: int = 3, seed: int = 42
+) -> Column:
+    """MinHash signature (array<long>, length num_perm) over n-gram
+    shingles. Base hash is engine-side xxhash64; each permutation is
+    (a*h+b) mod 2^61-1 minimized across shingles — all inside one
+    projection, vectorized by codegen."""
+    sh = word_shingles(text, shingle_n)
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_PRIME)))
+    sigs = [
+        F.array_min(
+            F.transform(
+                base, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_PRIME))
+            )
+        )
+        for a, b in _perm_params(num_perm, seed)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash-LSH, verified by
+    exact shingle Jaccard.
+
+    Pipeline: signature -> slice into ``bands`` bands of
+    ``num_perm/bands`` rows -> hash each band -> explode -> bucket-join
+    on (band_idx, band_hash) -> id<id pairs -> dedup -> verify with
+    true Jaccard >= threshold. Shuffle volume is O(n * bands) rows of
+    (id, hash), never O(n^2).
+    """
+    rows_per_band = num_perm // bands
+    sig = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        minhash_signature(text_col, num_perm, shingle_n, seed).alias("_sig"),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",", *[F.element_at("_sig", i * rows_per_band + j + 1) for j in range(rows_per_band)]
+                    )
+                ).alias("bucket"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), word_shingles(text_col, shingle_n).alias("sh")
+    )
+    verified = (
+        cand.join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard_sim", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(text: Column | str, bits: int = 64) -> Column:
+    """SimHash fingerprint: per-token xxhash64; for each bit position,
+    sum +1/-1 votes across tokens; bit set iff the vote is positive.
+    Entirely higher-order array functions — one pass over the tokens,
+    no explode, no UDF."""
+    tok_hashes = F.transform(tokens(text), lambda t: F.xxhash64(t))
+    votes = F.aggregate(
+        tok_hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1)
+                    .otherwise(-1)
+                    .cast("long")
+                    for b in range(bits)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    # bit weights: 1<<b, with the sign bit expressed as long min
+    weights = [(1 << b) if b < 63 else -(1 << 63) for b in range(bits)]
+    result = F.lit(0).cast("long")
+    for b, w in enumerate(weights):
+        result = result.bitwiseXOR(
+            F.when(F.element_at(votes, b + 1) > 0, F.lit(w).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return result
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, band_bits: int = 16
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit
+    bands (a pair within Hamming distance 3 of a 64-bit hash must agree
+    exactly on at least one of the 4 bands — pigeonhole), so candidate
+    generation is a bucket join, not all-pairs."""
+    nbands = 64 // band_bits
+    h = df.select(F.col(id_col).alias("doc_id"), simhash(text_col).alias("sh"))
+    bands = h.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("sh"), i * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("bucket"),
+                    )
+                    for i in range(nbands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            F.col("x.sh").alias("sh_a"),
+            F.col("y.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,71 @@
+"""Incremental ("delta mode") and merge semantics as relational ops.
+
+The reference implements incrementality by listing existing keys into
+Python sets and subtracting (``etl/play_by_play.py:50-62,108-115`` and
+peers) and upsert by row-wise ``INSERT ... ON CONFLICT DO UPDATE``
+(``database/db_client.py:69-90``). Here both are single shuffle-stage
+relational ops that scale: ``left_anti`` joins and a MERGE-shaped
+union. At 100 TB the anti-join's build side (existing keys, projected
+to key columns only) is usually much smaller than the work list and is
+broadcast by AQE when under the threshold.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def delta_filter(work: DataFrame, existing: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Keep only work rows whose key tuple is absent from ``existing``.
+
+    Reference "delta mode": etl/play_by_play.py:108-115 (1-col key),
+    etl/shot_details.py:40-51 (4-col composite key). Projecting the
+    existing side to its key columns before the anti-join lets parquet
+    prune every other column and keeps the build side broadcastable.
+    """
+    keys = list(keys)
+    return work.join(existing.select(*keys).dropDuplicates(keys), on=keys, how="left_anti")
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, key: str | Sequence[str]) -> DataFrame:
+    """MERGE semantics on DataFrames: source rows win on key collision,
+    unmatched target rows are kept (reference upsert,
+    database/db_client.py:69-90: ON CONFLICT (id) DO UPDATE SET *).
+
+    Plan: one anti-join (target minus colliding keys) + union. The
+    sinks layer persists this; on a Delta-enabled cluster this maps
+    1:1 to ``MERGE INTO``.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    survivors = target.join(source.select(*keys).dropDuplicates(keys), on=keys, how="left_anti")
+    return survivors.unionByName(source.select(target.columns))
+
+
+def insert_ignore(target: DataFrame, source: DataFrame, key: str | Sequence[str]) -> DataFrame:
+    """ON CONFLICT DO NOTHING (reference database/db_client.py:87-88):
+    keep all target rows; add only source rows with new keys."""
+    keys = [key] if isinstance(key, str) else list(key)
+    fresh = source.join(target.select(*keys).dropDuplicates(keys), on=keys, how="left_anti")
+    return target.unionByName(fresh.select(target.columns))
+
+
+def duplicate_keys(df: DataFrame, keys: Sequence[str] | str) -> DataFrame:
+    """Key tuples appearing more than once, with their counts."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return df.groupBy(*keys).agg(F.count("*").alias("n")).filter(F.col("n") > 1)
+
+
+def assert_unique_key(df: DataFrame, keys: Sequence[str] | str) -> DataFrame:
+    """Raise if any key tuple duplicates (reference utils/utils.py:1-10).
+
+    Returns ``df`` unchanged so it composes inside pipelines. This is
+    an action (it runs a count) — call it at data-quality checkpoints,
+    not per-transform.
+    """
+    dupes = duplicate_keys(df, keys).limit(1).collect()
+    if dupes:
+        raise ValueError(f"duplicate key in dataframe: {dupes[0]}")
+    return df

@@ -1,0 +1,365 @@
+"""Lineup analytics: who is on the floor at every play-by-play event.
+
+Re-expresses the reference's derived-analytics centerpiece
+(``etl/play_by_play_with_players.py`` and
+``etl/players_on_court_at_start_of_period.py``) Spark-first:
+
+- home/away resolution (reference :49-79) -> relational
+  first-jump-ball + MATCHUP-parse with ``coalesce`` (O6);
+- starters-per-period (reference :73-122) -> window first-event +
+  role CASE (O2), no per-player loops;
+- lineup tracking (reference :113-165) -> two implementations:
+  (a) ``track_lineups``: exact-semantics per-game stateful scan via
+      cogrouped ``applyInPandas`` (games are independent ~500-row
+      groups — the ideal Arrow batch grain; parallelism = #games);
+  (b) ``lineups_via_range_join``: declarative explode-stints +
+      interval join + pivot — pure Catalyst, the 100-TB scale path.
+  (a) is the correctness anchor; tests cross-check (b) against it.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.timeops import clock_to_seconds, seconds_to_tenths
+from ..operators.rollup import explode_stints
+
+LINEUP_COLS = [f"TEAM1_PLAYER{i}" for i in range(1, 6)] + [
+    f"TEAM2_PLAYER{i}" for i in range(1, 6)
+]
+
+
+def derive_seconds_from_start(pbp: DataFrame) -> DataFrame:
+    """Attach SECONDS_FROM_START from (PERIOD, PCTIMESTRING) — pure
+    Column expr, replaces the reference's row-wise apply (:116)."""
+    return pbp.withColumn(
+        "SECONDS_FROM_START", clock_to_seconds("PERIOD", "PCTIMESTRING")
+    )
+
+
+def resolve_game_teams(pbp: DataFrame, team_game_log: DataFrame | None = None) -> DataFrame:
+    """Per-game (GAME_ID, TEAM1_ID home, TEAM2_ID away).
+
+    Primary: first opening-jump-ball row (EVENTMSGTYPE=10,
+    EVENTMSGACTIONTYPE=0): PLAYER1_TEAM_ID is home. Fallback:
+    team_game_log MATCHUP — 'vs' row is home, '@' row is away
+    (reference :49-79). Both paths are tiny per-game aggregates that
+    broadcast into the event join.
+    """
+    w = Window.partitionBy("GAME_ID").orderBy("PERIOD", "SECONDS_FROM_START", "EVENTNUM")
+    jump = (
+        pbp.filter((F.col("EVENTMSGTYPE") == 10) & (F.col("EVENTMSGACTIONTYPE") == 0))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "GAME_ID",
+            F.col("PLAYER1_TEAM_ID").alias("_jump_home"),
+            F.col("PLAYER2_TEAM_ID").alias("_jump_away"),
+        )
+    )
+    if team_game_log is None:
+        return jump.select(
+            "GAME_ID",
+            F.col("_jump_home").alias("TEAM1_ID"),
+            F.col("_jump_away").alias("TEAM2_ID"),
+        )
+    matchup = (
+        team_game_log.groupBy("GAME_ID").agg(
+            F.max(F.when(F.col("MATCHUP").contains("vs"), F.col("TEAM_ID"))).alias("_m_home"),
+            F.max(F.when(F.col("MATCHUP").contains("@"), F.col("TEAM_ID"))).alias("_m_away"),
+        )
+    )
+    games = pbp.select("GAME_ID").distinct()
+    return (
+        games.join(jump, "GAME_ID", "left")
+        .join(matchup, "GAME_ID", "left")
+        .select(
+            "GAME_ID",
+            F.coalesce("_jump_home", "_m_home").alias("TEAM1_ID"),
+            F.coalesce("_jump_away", "_m_away").alias("TEAM2_ID"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O2: players on court at the start of each period (pbp-only variant)
+# ---------------------------------------------------------------------------
+
+def starters_per_period(pbp: DataFrame) -> DataFrame:
+    """Period starters from substitution order alone (reference
+    ``get_starters_for_period_pbp``, :90-122), relationally:
+
+    candidates = distinct (player, team) seen in any PLAYERn slot in the
+    period (team != 0); a candidate started the period iff their first
+    substitution event in the period (ordered by time, event) has them
+    going OUT (PLAYER1 slot) — or they have no sub event at all.
+    One shuffle on (GAME_ID, PERIOD); the reference loops per player
+    per period with a DB round-trip each.
+    """
+    pbp = pbp if "SECONDS_FROM_START" in pbp.columns else derive_seconds_from_start(pbp)
+    cand = None
+    for n in (1, 2, 3):
+        proj = pbp.select(
+            "GAME_ID",
+            "PERIOD",
+            F.col(f"PLAYER{n}_ID").alias("PLAYER_ID"),
+            F.col(f"PLAYER{n}_TEAM_ID").alias("TEAM_ID"),
+        )
+        cand = proj if cand is None else cand.unionByName(proj)
+    cand = cand.filter(
+        F.col("TEAM_ID").isNotNull() & (F.col("TEAM_ID") != 0) & F.col("PLAYER_ID").isNotNull()
+    ).dropDuplicates(["GAME_ID", "PERIOD", "PLAYER_ID", "TEAM_ID"])
+
+    subs = pbp.filter(F.col("EVENTMSGTYPE") == 8)
+    roles = subs.select(
+        "GAME_ID", "PERIOD", "SECONDS_FROM_START", "EVENTNUM",
+        F.col("PLAYER1_ID").alias("PLAYER_ID"), F.lit("OUT").alias("ROLE"),
+    ).unionByName(
+        subs.select(
+            "GAME_ID", "PERIOD", "SECONDS_FROM_START", "EVENTNUM",
+            F.col("PLAYER2_ID").alias("PLAYER_ID"), F.lit("IN").alias("ROLE"),
+        )
+    )
+    w = Window.partitionBy("GAME_ID", "PERIOD", "PLAYER_ID").orderBy(
+        "SECONDS_FROM_START", "EVENTNUM"
+    )
+    first_role = (
+        roles.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("GAME_ID", "PERIOD", "PLAYER_ID", F.col("ROLE").alias("FIRST_ROLE"))
+    )
+    return (
+        cand.join(first_role, ["GAME_ID", "PERIOD", "PLAYER_ID"], "left")
+        .filter(F.col("FIRST_ROLE").isNull() | (F.col("FIRST_ROLE") == "OUT"))
+        .select("GAME_ID", "PERIOD", "PLAYER_ID", "TEAM_ID")
+    )
+
+
+def starters_from_rotations(rotations: DataFrame) -> DataFrame:
+    """Period starters from stint containment (the data source the
+    reference says supersedes the pbp algorithm, reference :9-11):
+    a player starts period p iff some stint covers p's start instant.
+    Periods are derived per game from the max stint end."""
+    from ..functions.timeops import period_start_seconds
+
+    stints = explode_stints(rotations)
+    periods = (
+        stints.groupBy("GAME_ID")
+        .agg(F.max("OUT_TIME_REAL").alias("_max_out"))
+        .select(
+            "GAME_ID",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.lit(4)
+                    + F.greatest(
+                        F.lit(0),
+                        F.ceil((F.col("_max_out") - 28800.0) / 3000.0).cast("int"),
+                    ),
+                )
+            ).alias("PERIOD"),
+        )
+    )
+    start_tenths = (period_start_seconds("PERIOD") * 10).cast("double")
+    on_court = (
+        stints.join(periods, "GAME_ID")
+        .filter(
+            (F.col("IN_TIME_REAL") <= start_tenths) & (start_tenths < F.col("OUT_TIME_REAL"))
+        )
+        .select("GAME_ID", "PERIOD", "PLAYER_ID", "TEAM_ID")
+        .dropDuplicates(["GAME_ID", "PERIOD", "PLAYER_ID"])
+    )
+    return on_court
+
+
+# ---------------------------------------------------------------------------
+# O3(a): exact-semantics per-game stateful scan (applyInPandas)
+# ---------------------------------------------------------------------------
+
+def _make_track_fn(event_cols: list[str]):
+    """Build the cogrouped per-game function. ``event_cols`` is the
+    full left-side column list; output appends the 10 lineup columns.
+    """
+
+    def track(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        out_cols = event_cols + LINEUP_COLS
+        if left.empty:
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in out_cols})
+        ev = left.sort_values(["PERIOD", "SECONDS_FROM_START", "EVENTNUM"]).reset_index(
+            drop=True
+        )
+        team1 = ev["TEAM1_ID"].iloc[0]
+        team2 = ev["TEAM2_ID"].iloc[0]
+        stints = right[right["KIND"] == "stint"]
+        fallback = right[right["KIND"] == "fallback"]
+
+        def stint_rows(team_id):
+            return stints[stints["TEAM_ID"] == team_id]
+
+        def initial(team_id):
+            rows = stint_rows(team_id)
+            return sorted(rows.loc[rows["IN_TIME_REAL"] == 0.0, "PLAYER_ID"].unique())
+
+        def boundary(team_id, tenths, col):
+            rows = stint_rows(team_id)
+            return set(rows.loc[rows[col] == tenths, "PLAYER_ID"])
+
+        def fallback_lineup(team_id, period):
+            rows = fallback[(fallback["TEAM_ID"] == team_id) & (fallback["PERIOD"] == period)]
+            if len(rows) == 0:
+                return None
+            return sorted(rows["PLAYER_ID"].unique())
+
+        lineups = {team1: initial(team1), team2: initial(team2)}
+        emitted: dict[str, list] = {c: [] for c in LINEUP_COLS}
+        for row in ev.itertuples(index=False):
+            etype = row.EVENTMSGTYPE
+            if etype == 8:  # substitution: PLAYER1 out, PLAYER2 in
+                t_team = row.PLAYER1_TEAM_ID
+                if t_team in lineups:
+                    cur = lineups[t_team]
+                    if row.PLAYER1_ID not in cur:
+                        raise ValueError(
+                            f"sub of absent player {row.PLAYER1_ID} at event "
+                            f"{row.EVENTNUM} (on court: {cur})"
+                        )
+                    cur.remove(row.PLAYER1_ID)
+                    cur.append(row.PLAYER2_ID)
+                    cur.sort()
+            elif etype == 12:  # period boundary: apply stint starts/ends
+                tenths = float(row.SECONDS_FROM_START * 10)
+                for team in (team1, team2):
+                    cur = [p for p in lineups[team] if p not in boundary(team, tenths, "OUT_TIME_REAL")]
+                    for pid in boundary(team, tenths, "IN_TIME_REAL"):
+                        if pid not in cur:
+                            cur.append(pid)
+                    if len(cur) != 5:
+                        fb = fallback_lineup(team, row.PERIOD)
+                        if fb is not None:
+                            cur = fb
+                    lineups[team] = sorted(cur)
+            for i in range(5):
+                emitted[f"TEAM1_PLAYER{i + 1}"].append(
+                    lineups[team1][i] if i < len(lineups[team1]) else None
+                )
+                emitted[f"TEAM2_PLAYER{i + 1}"].append(
+                    lineups[team2][i] if i < len(lineups[team2]) else None
+                )
+        for c in LINEUP_COLS:
+            ev[c] = pd.array(emitted[c], dtype="Int64")
+        return ev[out_cols]
+
+    return track
+
+
+def track_lineups(
+    pbp: DataFrame,
+    rotations: DataFrame,
+    team_game_log: DataFrame | None = None,
+    fallback_lineups: DataFrame | None = None,
+) -> DataFrame:
+    """play_by_play + rotations -> play_by_play_with_players.
+
+    Exact reference semantics (etl/play_by_play_with_players.py:113-165)
+    as a cogrouped ``applyInPandas`` over GAME_ID: events and exploded
+    stints meet in one shuffle each; the per-game scan runs where the
+    data lives (no driver loops, no mid-scan lookups — the reference's
+    fallback query at :147-149 is pre-joined via ``fallback_lineups``,
+    SURVEY.md §7.4 known-hard #2).
+    """
+    pbp = pbp if "SECONDS_FROM_START" in pbp.columns else derive_seconds_from_start(pbp)
+    teams = resolve_game_teams(pbp, team_game_log)
+    events = pbp.join(F.broadcast(teams), "GAME_ID", "inner")
+
+    stints = explode_stints(rotations.select("GAME_ID", "TEAM_ID", "PLAYER_ID", "STINTS"))
+    side = stints.select(
+        "GAME_ID",
+        "TEAM_ID",
+        "PLAYER_ID",
+        "IN_TIME_REAL",
+        "OUT_TIME_REAL",
+        F.lit("stint").alias("KIND"),
+        F.lit(None).cast("long").alias("PERIOD"),
+    )
+    if fallback_lineups is not None:
+        side = side.unionByName(
+            fallback_lineups.select(
+                "GAME_ID",
+                "TEAM_ID",
+                "PLAYER_ID",
+                F.lit(None).cast("double").alias("IN_TIME_REAL"),
+                F.lit(None).cast("double").alias("OUT_TIME_REAL"),
+                F.lit("fallback").alias("KIND"),
+                F.col("PERIOD").cast("long").alias("PERIOD"),
+            )
+        )
+
+    event_cols = events.columns
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in events.schema.fields]
+        + [f"{c} long" for c in LINEUP_COLS]
+    )
+    tracked = (
+        events.groupBy("GAME_ID")
+        .cogroup(side.groupBy("GAME_ID"))
+        .applyInPandas(_make_track_fn(event_cols), schema=out_schema)
+    )
+    return tracked.drop("TEAM1_ID", "TEAM2_ID")
+
+
+# ---------------------------------------------------------------------------
+# O3(b): declarative explode + range-join + pivot (the scale path)
+# ---------------------------------------------------------------------------
+
+def lineups_via_range_join(
+    pbp: DataFrame,
+    rotations: DataFrame,
+    team_game_log: DataFrame | None = None,
+) -> DataFrame:
+    """Lineups purely relationally: a player is on the floor at event
+    time t iff some stint satisfies IN <= t*10 < OUT. Collect the
+    five player ids per (event, team) with ``sort_array(collect_set)``
+    and pivot into the 10 fixed columns.
+
+    Equivalent to the stateful scan whenever at most one roster change
+    shares a clock second (the scan applies a substitution at its event
+    position; the interval predicate applies it at its timestamp).
+    Plan: one shuffle to join stints (broadcast when rotations are
+    small), one aggregation by event — no per-group Python at all.
+    """
+    pbp = pbp if "SECONDS_FROM_START" in pbp.columns else derive_seconds_from_start(pbp)
+    teams = resolve_game_teams(pbp, team_game_log)
+    events = pbp.join(F.broadcast(teams), "GAME_ID", "inner").withColumn(
+        "_tenths", seconds_to_tenths("SECONDS_FROM_START").cast("double")
+    )
+    stints = explode_stints(rotations.select("GAME_ID", "TEAM_ID", "PLAYER_ID", "STINTS"))
+
+    joined = events.join(stints, "GAME_ID").filter(
+        (F.col("IN_TIME_REAL") <= F.col("_tenths"))
+        & (F.col("_tenths") < F.col("OUT_TIME_REAL"))
+    )
+    per_event = (
+        joined.groupBy("GAME_ID", "EVENTNUM")
+        .agg(
+            F.sort_array(
+                F.collect_set(
+                    F.when(F.col("TEAM_ID") == F.col("TEAM1_ID"), F.col("PLAYER_ID"))
+                )
+            ).alias("_t1"),
+            F.sort_array(
+                F.collect_set(
+                    F.when(F.col("TEAM_ID") == F.col("TEAM2_ID"), F.col("PLAYER_ID"))
+                )
+            ).alias("_t2"),
+        )
+    )
+    out = events.join(per_event, ["GAME_ID", "EVENTNUM"], "left")
+    for i in range(5):
+        out = out.withColumn(f"TEAM1_PLAYER{i + 1}", F.col("_t1").getItem(i))
+        out = out.withColumn(f"TEAM2_PLAYER{i + 1}", F.col("_t2").getItem(i))
+    return out.drop("_t1", "_t2", "_tenths", "TEAM1_ID", "TEAM2_ID")

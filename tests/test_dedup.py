@@ -1,0 +1,50 @@
+from nba_data_pipeline_spark.operators.dedup import (
+    drop_exact_duplicates,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away into the green hills tonight"
+NEAR = BASE.replace("green", "blue")  # one token differs
+FAR = "completely different content about spark query engines and columnar execution at scale"
+
+
+def _docs(spark):
+    rows = [(1, BASE, "en"), (2, NEAR, "en"), (3, FAR, "en"), (4, BASE, "en")]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(spark):
+    df = _docs(spark)
+    agg = exact_dedup(df, ["text"], "doc_id")
+    copies = {r.canonical_id: r.n_copies for r in agg.collect()}
+    assert copies[1] == 2  # doc 4 is an exact copy of doc 1
+    kept = drop_exact_duplicates(df, ["text"], "doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2, 3]
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = ngram_jaccard_pairs(_docs(spark), "doc_id", "text", ["lang"], n=3, threshold=0.5)
+    got = {(r.id_a, r.id_b): r.jaccard_sim for r in pairs.collect()}
+    assert got[(1, 4)] == 1.0
+    assert (1, 2) in got and got[(1, 2)] >= 0.5  # near-dup found
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    pairs = minhash_lsh_pairs(
+        _docs(spark), "doc_id", "text", num_perm=32, bands=16, threshold=0.5
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 4) in got  # identical -> identical signatures -> same buckets
+    assert (1, 2) in got or (2, 4) in got  # near-dup collides in >=1 band
+    assert (1, 3) not in got
+
+
+def test_simhash_near_pairs(spark):
+    pairs = simhash_near_pairs(_docs(spark), "doc_id", "text", max_hamming=10)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got[(1, 4)] == 0  # identical text -> identical simhash
+    assert (1, 3) not in got  # far doc outside hamming radius

@@ -1,0 +1,42 @@
+import pytest
+
+from nba_data_pipeline_spark.operators.incremental import (
+    assert_unique_key,
+    delta_filter,
+    insert_ignore,
+    merge_upsert,
+)
+
+
+def test_delta_filter_single_and_composite_keys(spark):
+    work = spark.createDataFrame(
+        [("g1", 1, "a"), ("g2", 1, "b"), ("g2", 2, "c")], "g string, p long, v string"
+    )
+    existing = spark.createDataFrame([("g1", 1), ("g9", 9)], "g string, p long")
+    assert delta_filter(work, existing, ["g"]).count() == 2  # g2 rows survive
+    out = delta_filter(work, existing, ["g", "p"])
+    assert sorted(r.v for r in out.collect()) == ["b", "c"]
+
+
+def test_merge_upsert_source_wins_and_idempotent(spark):
+    target = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "id string, v double")
+    source = spark.createDataFrame([("b", 20.0), ("c", 3.0)], "id string, v double")
+    merged = merge_upsert(target, source, "id")
+    assert {r.id: r.v for r in merged.collect()} == {"a": 1.0, "b": 20.0, "c": 3.0}
+    again = merge_upsert(merged, source, "id")
+    assert {r.id: r.v for r in again.collect()} == {"a": 1.0, "b": 20.0, "c": 3.0}
+
+
+def test_insert_ignore_keeps_target(spark):
+    target = spark.createDataFrame([("a", 1.0)], "id string, v double")
+    source = spark.createDataFrame([("a", 99.0), ("b", 2.0)], "id string, v double")
+    out = insert_ignore(target, source, "id")
+    assert {r.id: r.v for r in out.collect()} == {"a": 1.0, "b": 2.0}
+
+
+def test_assert_unique_key(spark):
+    ok = spark.createDataFrame([("a",), ("b",)], "id string")
+    assert_unique_key(ok, "id")
+    bad = spark.createDataFrame([("a",), ("a",)], "id string")
+    with pytest.raises(ValueError, match="duplicate key"):
+        assert_unique_key(bad, "id")

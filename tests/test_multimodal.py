@@ -1,0 +1,42 @@
+import pytest
+from pyspark.sql import functions as F
+
+from nba_data_pipeline_spark.operators.multimodal import (
+    attach_media_meta,
+    extract_image_features,
+    sample_frames,
+)
+
+
+def _media(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "a" * 3000)], "doc_id long, text string")
+    return df.withColumn("payload", F.encode("text", "utf-8")).drop("text")
+
+
+def test_attach_media_meta(spark):
+    out = attach_media_meta(_media(spark), "payload", "image", "png")
+    rows = {r.doc_id: r.media_meta for r in out.collect()}
+    assert rows[1].byte_len == 3 and rows[1].media_type == "image"
+    assert rows[1].sha256 == "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"
+
+
+def test_extract_image_features_fake_decode_deterministic(spark):
+    out1 = extract_image_features(_media(spark), "doc_id", "payload").collect()
+    out2 = extract_image_features(_media(spark), "doc_id", "payload").collect()
+    assert sorted((r.doc_id, r.width, r.height) for r in out1) == sorted(
+        (r.doc_id, r.width, r.height) for r in out2
+    )
+    assert all(16 <= r.width <= 256 and 0 <= r.mean_luma <= 1 for r in out1)
+
+
+def test_extract_image_features_real_decode_is_stubbed(spark):
+    with pytest.raises(Exception):
+        extract_image_features(_media(spark), "doc_id", "payload", decode="real").collect()
+
+
+def test_sample_frames_fan_out(spark):
+    out = sample_frames(_media(spark), "doc_id", "payload", every_n_bytes=1024).collect()
+    per_doc = {}
+    for r in out:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + 1
+    assert per_doc == {1: 1, 2: 3}  # 3000 bytes -> 3 chunks of 1024

@@ -1,0 +1,49 @@
+from pyspark.sql import functions as F
+
+from nba_data_pipeline_spark.operators.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    language_id,
+    quality_features,
+    token_count,
+    word_shingles,
+)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("the cat sat on the mat",), ("hello",)], "text string")
+    rows = df.select(
+        token_count("text").alias("n"), bpe_ish_token_count("text").alias("b")
+    ).collect()
+    assert rows[0].n == 6 and rows[1].n == 1
+    assert rows[1].b == 2  # ceil(5/4)
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog is here",), ("der hund und die katze ist da",), ("zzz qqq",)],
+        "text string",
+    )
+    out = [r.pred_lang for r in language_id(df).collect()]
+    assert out == ["en", "de", "und"]
+
+
+def test_quality_features_ranges(spark):
+    df = spark.createDataFrame([("the quick brown fox jumps over the lazy dog",)], "text string")
+    r = quality_features(df).collect()[0]
+    assert r.n_tokens == 9 and r.n_stopwords == 2
+    assert 0.0 <= r.quality_score <= 1.0
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    rows = df.select(word_shingles("text", 3).alias("sh")).collect()
+    assert rows[0].sh == ["a b c", "b c d"]
+    assert rows[1].sh == []  # shorter than n
+
+
+def test_fingerprint_deterministic_and_order_sensitive(spark):
+    df = spark.createDataFrame([("alpha beta",), ("beta alpha",), ("alpha beta",)], "text string")
+    out = [r[0] for r in df.select(fingerprint("text")).collect()]
+    assert out[0] == out[2]
+    assert out[0] != out[1]
