@@ -1,0 +1,88 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs a representative slice of the registry (TPC-H classics, window/
+session analytics, rollup, as-of, dedup, similarity, text analysis,
+lineup tracking) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "left_anti_delta",
+    "merge_upsert",
+    "broadcast_dim_join",
+    "collect_roundtrip",
+    "first_event_per_user",
+    "sessionize",
+    "running_distinct",
+    "asof_join",
+    "range_join_buckets",
+    "tumbling_window",
+    "json_extract",
+    "token_stats",
+    "quality_scores",
+    "lang_id",
+    "doc_fingerprint",
+    "ngram_jaccard",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "cosine_topk",
+    "lsh_ann_topk",
+    "cosine_neardup",
+    "lineup_tracking",
+]
+
+
+def main() -> None:
+    from nba_data_pipeline_spark.core.session import get_session
+    from nba_data_pipeline_spark import harness
+
+    spark = get_session("bench")
+    qs = harness.queries()
+
+    # warm the JVM + parquet footers once so per-query numbers measure
+    # the plans, not session startup
+    qs["tpch_q6"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

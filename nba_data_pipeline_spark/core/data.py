@@ -38,7 +38,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANOS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) in ("bigint", "long"):
-            df = df.withColumn(col, F.timestamp_micros(F.floor(F.col(col) / 1000).cast("long")))
+            # integer `div`, not `/`: float division of epoch-nanos loses
+            # ulps and shifts some values by 1 microsecond
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return df
 
 

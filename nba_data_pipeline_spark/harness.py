@@ -1,0 +1,1107 @@
+"""Driver-facing query registry: Spark implementation + DuckDB oracle.
+
+Every operator family from SURVEY.md §2 (and the LLM-pipeline
+extension set) is exercised here against the driver's synthetic
+testdata (TESTDATA.md) with an ANSI-SQL oracle where SQL can express
+the semantics. Engine-portability rules that keep the value-hash
+comparison honest:
+
+- timestamps never leave as timestamps: compare ``unix_micros`` vs
+  DuckDB ``epoch_us`` (micros; ns truncation matches the loader);
+- double aggregates are rounded identically on both sides;
+- every computed column is aliased identically on both sides;
+- counts are cast to long (Spark ``size``/``count`` widths differ).
+
+Ops whose hashing isn't engine-portable (xxhash64-based MinHash /
+SimHash / hyperplane LSH) and the per-game stateful scans register
+WITHOUT an oracle -> the driver records its weaker rows-only check;
+tests/test_lineups.py cross-checks the two lineup implementations
+instead (SURVEY.md §7.4 #6).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .core.data import load_table
+from .functions.gameid import season_from_game_id, season_type_from_game_id
+from .functions.ids import add_id, fill_nulls, stamp
+from .functions.timeops import clock_to_seconds
+from .operators import windows as W
+from .operators.asof import asof_join, range_join
+from .operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from .operators.incremental import delta_filter, duplicate_keys, insert_ignore, merge_upsert
+from .operators.lineups import lineups_via_range_join, track_lineups
+from .operators.multimodal import attach_media_meta, extract_image_features, sample_frames
+from .operators.rollup import rollup_structs
+from .operators.similarity import brute_force_topk, cosine_pairs, lsh_topk
+from .operators.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    language_id,
+    quality_features,
+    token_count,
+    tokens,
+)
+from .sources.resultset import (
+    decode_result_sets,
+    payloads_from_json_strings,
+    result_set_df,
+    result_sets_to_payload,
+)
+from .streaming.windows import sliding_agg, tumbling_agg
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    fn: QueryFn
+    sql: str | None  # None -> rows-only check
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = Query(fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# §2.6 scalar functions / §2.2 shaping (F1-F6, P1-P3)
+# ===========================================================================
+
+@q(
+    "add_id",
+    """SELECT CAST(o_orderkey AS VARCHAR) || '-' || CAST(o_custkey AS VARCHAR) AS id,
+              o_orderkey, o_custkey
+       FROM orders""",
+)
+def q_add_id(spark, sf):
+    return add_id(_t(spark, sf, "orders"), ["o_orderkey", "o_custkey"]).select(
+        "id", "o_orderkey", "o_custkey"
+    )
+
+
+@q(
+    "fill_nulls",
+    """SELECT l_orderkey, l_linenumber,
+              ROUND(COALESCE(CASE WHEN l_discount < 0.02 THEN NULL ELSE l_discount END, 0.0), 2)
+                AS disc_filled
+       FROM lineitem""",
+)
+def q_fill_nulls(spark, sf):
+    df = _t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_discount") < 0.02, None)
+        .otherwise(F.col("l_discount"))
+        .alias("disc_filled"),
+    )
+    return fill_nulls(df).withColumn("disc_filled", F.round("disc_filled", 2))
+
+
+@q(
+    "stamp_literals",
+    "SELECT o_orderkey, '2024-25' AS season, 'Regular Season' AS season_type FROM orders",
+)
+def q_stamp(spark, sf):
+    return stamp(
+        _t(spark, sf, "orders").select("o_orderkey"),
+        {"season": "2024-25", "season_type": "Regular Season"},
+    )
+
+
+_GID_SQL = """
+    SELECT o_orderkey,
+           '00' || (CASE o_orderkey % 3 WHEN 0 THEN '1' WHEN 1 THEN '2' ELSE '4' END)
+                || lpad(CAST(o_orderkey % 26 AS VARCHAR), 2, '0')
+                || lpad(CAST(o_orderkey % 100000 AS VARCHAR), 5, '0') AS game_id
+    FROM orders
+"""
+
+@q(
+    "game_id_codec",
+    f"""SELECT o_orderkey, game_id,
+              '20' || substr(game_id, 4, 2) || '-' ||
+                lpad(CAST((CAST('20' || substr(game_id, 4, 2) AS INT) + 1) % 100 AS VARCHAR), 2, '0')
+                AS season,
+              CASE substr(game_id, 3, 1) WHEN '1' THEN 'Pre Season'
+                   WHEN '2' THEN 'Regular Season' WHEN '4' THEN 'Playoffs' END AS season_type
+       FROM ({_GID_SQL})""",
+)
+def q_game_id_codec(spark, sf):
+    okey = F.col("o_orderkey")
+    gid = F.concat(
+        F.lit("00"),
+        F.element_at(F.array(F.lit("1"), F.lit("2"), F.lit("4")), (okey % 3 + 1).cast("int")),
+        F.lpad((okey % 26).cast("string"), 2, "0"),
+        F.lpad((okey % 100000).cast("string"), 5, "0"),
+    )
+    return (
+        _t(spark, sf, "orders")
+        .select("o_orderkey", gid.alias("game_id"))
+        .withColumn("season", season_from_game_id("game_id"))
+        .withColumn("season_type", season_type_from_game_id("game_id"))
+    )
+
+
+@q(
+    "clock_to_seconds",
+    """SELECT event_id, p,
+              CASE WHEN p <= 4 THEN (p - 1) * 720 + (720 - (mm * 60 + ss))
+                   ELSE 2880 + (p - 5) * 300 + (300 - (mm * 60 + ss)) END AS secs
+       FROM (SELECT event_id, 1 + event_id % 6 AS p,
+                    CAST(floor(value) AS BIGINT) % 12 AS mm, event_id % 60 AS ss
+             FROM events)""",
+)
+def q_clock(spark, sf):
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        (1 + F.col("event_id") % 6).alias("p"),
+        (F.floor("value").cast("long") % 12).alias("mm"),
+        (F.col("event_id") % 60).alias("ss"),
+    )
+    clock = F.concat_ws(
+        ":", F.col("mm").cast("string"), F.lpad(F.col("ss").cast("string"), 2, "0")
+    )
+    return ev.select(
+        "event_id", "p", clock_to_seconds("p", clock).alias("secs")
+    )
+
+
+# ===========================================================================
+# §2.2 filters / predicates (P4-P10)
+# ===========================================================================
+
+@q("eq_filter", "SELECT event_id, user_id FROM events WHERE event_type = 'click'")
+def q_eq_filter(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id")
+    )
+
+
+@q(
+    "compound_predicate",
+    """SELECT l_orderkey, l_linenumber FROM lineitem
+       WHERE l_linenumber = 1 AND (l_returnflag = 'R' OR l_linestatus = 'F')""",
+)
+def q_compound(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_linenumber") == 1)
+        & ((F.col("l_returnflag") == "R") | (F.col("l_linestatus") == "F"))
+    ).select("l_orderkey", "l_linenumber")
+
+
+@q(
+    "notnull_filter",
+    """SELECT event_id FROM events
+       WHERE (CASE WHEN value < 100 THEN NULL ELSE value END) IS NOT NULL""",
+)
+def q_notnull(spark, sf):
+    ev = _t(spark, sf, "events").withColumn(
+        "v", F.when(F.col("value") < 100, None).otherwise(F.col("value"))
+    )
+    return ev.filter(F.col("v").isNotNull()).select("event_id")
+
+
+@q("string_contains", "SELECT doc_id FROM documents WHERE text LIKE '%window%'")
+def q_contains(spark, sf):
+    return (
+        _t(spark, sf, "documents").filter(F.col("text").contains("window")).select("doc_id")
+    )
+
+
+@q(
+    "in_filter",
+    """SELECT o_orderkey FROM orders
+       WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderstatus = 'F'""",
+)
+def q_in_filter(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & (F.col("o_orderstatus") == "F")
+    ).select("o_orderkey")
+
+
+@q(
+    "exists_probe",
+    "SELECT (count(*) > 0) AS found FROM orders WHERE o_orderkey = 42",
+)
+def q_exists(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") == 42)
+        .agg((F.count("*") > 0).alias("found"))
+    )
+
+
+# ===========================================================================
+# §2.3 joins & set ops (J1-J6)
+# ===========================================================================
+
+@q(
+    "left_anti_delta",
+    """SELECT l_orderkey, l_linenumber FROM lineitem
+       WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')""",
+)
+def q_left_anti(spark, sf):
+    work = _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber")
+    existing = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return delta_filter(work, existing, ["l_orderkey"])
+
+
+@q(
+    "driving_scan_distinct",
+    "SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'",
+)
+def q_driving_scan(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+        .distinct()
+    )
+
+
+@q(
+    "broadcast_dim_join",
+    """SELECT r_name, n_name, count(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS total_bal
+       FROM customer
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name, n_name""",
+)
+def q_broadcast_join(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = F.broadcast(_t(spark, sf, "nation"))
+    r = F.broadcast(_t(spark, sf, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_cust"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+    )
+
+
+@q(
+    "union_tagged",
+    """SELECT o_orderkey, 'high' AS side FROM orders WHERE o_totalprice >= 250000
+       UNION ALL
+       SELECT o_orderkey, 'low' AS side FROM orders WHERE o_totalprice < 250000""",
+)
+def q_union(spark, sf):
+    o = _t(spark, sf, "orders")
+    hi = o.filter(F.col("o_totalprice") >= 250000).select(
+        "o_orderkey", F.lit("high").alias("side")
+    )
+    lo = o.filter(F.col("o_totalprice") < 250000).select(
+        "o_orderkey", F.lit("low").alias("side")
+    )
+    return hi.unionByName(lo)
+
+
+@q(
+    "range_join_buckets",
+    """SELECT r_regionkey AS bucket, count(*) AS n, ROUND(SUM(value), 2) AS total
+       FROM events JOIN region
+         ON value >= r_regionkey * 100.0 AND value < (r_regionkey + 1) * 100.0
+       GROUP BY r_regionkey""",
+)
+def q_range_join(spark, sf):
+    ev = _t(spark, sf, "events")
+    intervals = _t(spark, sf, "region").select(
+        F.col("r_regionkey").alias("bucket"),
+        (F.col("r_regionkey") * 100.0).alias("lo"),
+        ((F.col("r_regionkey") + 1) * 100.0).alias("hi"),
+    )
+    joined = range_join(ev, intervals, "value", "lo", "hi", broadcast_intervals=True)
+    return joined.groupBy("bucket").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+
+
+@q(
+    "merge_upsert",
+    """SELECT o_orderkey,
+              ROUND(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+                         ELSE o_totalprice END, 2) AS totalprice
+       FROM orders""",
+)
+def q_merge_upsert(spark, sf):
+    o = _t(spark, sf, "orders")
+    target = o.select("o_orderkey", F.col("o_totalprice").alias("totalprice"))
+    source = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", (F.col("o_totalprice") * 2).alias("totalprice"))
+    )
+    return merge_upsert(target, source, "o_orderkey").withColumn(
+        "totalprice", F.round("totalprice", 2)
+    )
+
+
+@q(
+    "insert_ignore",
+    """SELECT o_orderkey,
+              ROUND(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice ELSE -1.0 END, 2) AS totalprice
+       FROM orders""",
+)
+def q_insert_ignore(spark, sf):
+    o = _t(spark, sf, "orders")
+    target = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", F.col("o_totalprice").alias("totalprice"))
+    )
+    source = o.select("o_orderkey", F.lit(-1.0).alias("totalprice"))
+    return insert_ignore(target, source, "o_orderkey").withColumn(
+        "totalprice", F.round("totalprice", 2)
+    )
+
+
+@q(
+    "asof_join",
+    """SELECT e.event_id, r.rv
+       FROM (SELECT event_id, user_id % 10 AS k, ts FROM events) e
+       ASOF LEFT JOIN (SELECT user_id % 10 AS k, ts, ROUND(value, 2) AS rv
+                       FROM events WHERE event_id % 50 = 0) r
+         ON e.k = r.k AND e.ts >= r.ts""",
+)
+def q_asof(spark, sf):
+    ev = _t(spark, sf, "events")
+    left = ev.select("event_id", (F.col("user_id") % 10).alias("k"), "ts")
+    right = ev.filter(F.col("event_id") % 50 == 0).select(
+        (F.col("user_id") % 10).alias("k"),
+        F.col("ts").alias("rts"),
+        F.round("value", 2).alias("rv"),
+    )
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts", right_vals=["rv"])
+    return out.select("event_id", "rv")
+
+
+# ===========================================================================
+# §2.4 aggregations (A1-A6) + TPC-H classics
+# ===========================================================================
+
+@q(
+    "tpch_q1",
+    """SELECT l_returnflag, l_linestatus,
+              ROUND(SUM(l_quantity), 2) AS sum_qty,
+              ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+              ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+              ROUND(AVG(l_quantity), 2) AS avg_qty,
+              ROUND(AVG(l_extendedprice), 2) AS avg_price,
+              ROUND(AVG(l_discount), 4) AS avg_disc,
+              count(*) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def q_tpch_q1(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@q(
+    "tpch_q3",
+    """SELECT l_orderkey,
+              ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              epoch_us(o_orderdate) AS orderdate_us
+       FROM customer JOIN orders ON c_custkey = o_custkey
+                     JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1998-01-01'
+         AND l_shipdate > TIMESTAMP '1998-01-01'
+       GROUP BY l_orderkey, o_orderdate
+       ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+)
+def q_tpch_q3(spark, sf):
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            # o_orderdate arrives as TIMESTAMP_NTZ; cast under the UTC
+            # session so unix_micros agrees with DuckDB epoch_us
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("orderdate_us"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "tpch_q5",
+    """SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1997-01-01'
+       GROUP BY n_name""",
+)
+def q_tpch_q5(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = F.broadcast(_t(spark, sf, "nation"))
+    r = F.broadcast(_t(spark, sf, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@q(
+    "tpch_q6",
+    """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+)
+def q_tpch_q6(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+@q(
+    "distinct_multi",
+    "SELECT DISTINCT l_returnflag, l_linestatus, l_linenumber FROM lineitem",
+)
+def q_distinct_multi(spark, sf):
+    return _t(spark, sf, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_linenumber"
+    ).distinct()
+
+
+@q("dedup_rows", "SELECT DISTINCT user_id, event_type FROM events")
+def q_dedup_rows(spark, sf):
+    return _t(spark, sf, "events").select("user_id", "event_type").dropDuplicates()
+
+
+@q(
+    "dup_key_check",
+    """SELECT count(*) AS n_dup FROM (
+         SELECT l_orderkey, l_linenumber FROM lineitem
+         GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)""",
+)
+def q_dup_key_check(spark, sf):
+    dupes = duplicate_keys(_t(spark, sf, "lineitem"), ["l_orderkey", "l_linenumber"])
+    return dupes.agg(F.count("*").alias("n_dup"))
+
+
+@q(
+    "collect_roundtrip",
+    "SELECT user_id, epoch_us(ts) AS ts_us, ROUND(value, 2) AS value FROM events",
+)
+def q_collect_roundtrip(spark, sf):
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), F.round("value", 2).alias("value")
+    )
+    rolled = rollup_structs(ev, ["user_id"], ["ts_us", "value"], "items")
+    return rolled.select("user_id", F.explode("items").alias("it")).select(
+        "user_id", F.col("it.ts_us").alias("ts_us"), F.col("it.value").alias("value")
+    )
+
+
+@q(
+    "stint_rollup_stats",
+    """SELECT user_id, count(*) AS n,
+              min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us,
+              ROUND(arg_min(value, ts), 2) AS first_value
+       FROM events GROUP BY user_id""",
+)
+def q_rollup_stats(spark, sf):
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), F.col("value")
+    )
+    rolled = rollup_structs(ev, ["user_id"], ["ts_us", "value"], "items")
+    return rolled.select(
+        "user_id",
+        F.size("items").cast("long").alias("n"),
+        F.element_at("items", 1).ts_us.alias("first_ts_us"),
+        F.element_at("items", -1).ts_us.alias("last_ts_us"),
+        F.round(F.element_at("items", 1).value, 2).alias("first_value"),
+    )
+
+
+@q(
+    "group_agg_suite",
+    """SELECT event_type, count(*) AS n, ROUND(SUM(value), 2) AS total,
+              ROUND(AVG(value), 2) AS mean, ROUND(MIN(value), 2) AS vmin,
+              ROUND(MAX(value), 2) AS vmax, count(DISTINCT user_id) AS n_users
+       FROM events GROUP BY event_type""",
+)
+def q_group_agg(spark, sf):
+    return _t(spark, sf, "events").groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+        F.round(F.avg("value"), 2).alias("mean"),
+        F.round(F.min("value"), 2).alias("vmin"),
+        F.round(F.max("value"), 2).alias("vmax"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# ===========================================================================
+# §2.5 ordered / windowed computation (O1-O6)
+# ===========================================================================
+
+@q(
+    "first_event_per_user",
+    """SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM (
+         SELECT user_id, event_id, ts,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         FROM events) WHERE rn = 1""",
+)
+def q_first_event(spark, sf):
+    ev = _t(spark, sf, "events")
+    first = W.first_row_per_group(ev, ["user_id"], ["ts", "event_id"])
+    return first.select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"))
+
+
+@q(
+    "rank_in_group",
+    """SELECT user_id, event_id,
+              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       FROM events""",
+)
+def q_rank(spark, sf):
+    ev = _t(spark, sf, "events")
+    return W.add_row_number(ev, ["user_id"], ["ts", "event_id"]).select(
+        "user_id", "event_id", "rn"
+    )
+
+
+@q(
+    "starter_detection",
+    """SELECT user_id, (first_type = 'signup') AS started_with_signup FROM (
+         SELECT user_id, arg_min(event_type, ts) AS first_type
+         FROM events GROUP BY user_id)""",
+)
+def q_starter(spark, sf):
+    ev = _t(spark, sf, "events")
+    first = W.first_row_per_group(ev, ["user_id"], ["ts", "event_id"])
+    return first.select(
+        "user_id", (F.col("event_type") == "signup").alias("started_with_signup")
+    )
+
+
+@q(
+    "topk_per_group",
+    """SELECT event_type, event_id, ROUND(value, 2) AS value, rnk FROM (
+         SELECT event_type, event_id, value,
+                row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk
+         FROM events) WHERE rnk <= 3""",
+)
+def q_topk(spark, sf):
+    ev = _t(spark, sf, "events")
+    top = W.top_k_per_group(ev, ["event_type"], [F.col("value").desc(), "event_id"], 3)
+    return top.select(
+        "event_type", "event_id", F.round("value", 2).alias("value"),
+        F.col("rank").alias("rnk"),
+    )
+
+
+@q(
+    "sessionize",
+    """SELECT user_id, event_id,
+              SUM(CASE WHEN gap_us IS NULL OR gap_us > 3600000000 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       FROM (SELECT user_id, event_id, ts,
+                    epoch_us(ts) - lag(epoch_us(ts))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+             FROM events)""",
+)
+def q_sessionize(spark, sf):
+    ev = _t(spark, sf, "events")
+    out = W.sessionize(ev, ["user_id"], "ts", 3600, order_by=["ts", "event_id"])
+    return out.select("user_id", "event_id", F.col("session_id").cast("long").alias("session_id"))
+
+
+@q(
+    "running_sum",
+    """SELECT user_id, event_id,
+              ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+       FROM events""",
+)
+def q_running_sum(spark, sf):
+    ev = _t(spark, sf, "events")
+    out = W.running_sum(ev, ["user_id"], ["ts", "event_id"], "value")
+    return out.select("user_id", "event_id", F.round("running", 2).alias("running"))
+
+
+@q(
+    "running_distinct",
+    """SELECT user_id, event_id,
+              SUM(first_flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_distinct_so_far
+       FROM (SELECT user_id, event_id, ts,
+                    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                                 ORDER BY ts, event_id) = 1
+                         THEN 1 ELSE 0 END AS first_flag
+             FROM events)""",
+)
+def q_running_distinct(spark, sf):
+    ev = _t(spark, sf, "events")
+    out = W.running_distinct_count(ev, ["user_id"], ["ts", "event_id"], "event_type")
+    return out.select(
+        "user_id", "event_id", F.col("n_distinct_so_far").cast("long").alias("n_distinct_so_far")
+    )
+
+
+# ===========================================================================
+# JSON / nested (S2, F7, U3)
+# ===========================================================================
+
+@q(
+    "json_extract",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events",
+)
+def q_json(spark, sf):
+    return _t(spark, sf, "events").select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k_val")
+    )
+
+
+# ===========================================================================
+# Event-time windows (streaming surface, batch-checked)
+# ===========================================================================
+
+@q(
+    "tumbling_window",
+    """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+              count(*) AS n, ROUND(SUM(value), 2) AS total
+       FROM events GROUP BY 1, 2""",
+)
+def q_tumbling(spark, sf):
+    ev = _t(spark, sf, "events")
+    out = tumbling_agg(
+        ev, "ts", "1 hour", ["event_type"], {"n": "count(*)", "total": "round(sum(value), 2)"}
+    )
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"), "event_type", "n", "total"
+    )
+
+
+@q(
+    "sliding_window",
+    """WITH starts AS (
+         SELECT (epoch_us(ts) // 1800000000) * 1800000000 AS s, event_type, value FROM events
+         UNION ALL
+         SELECT (epoch_us(ts) // 1800000000) * 1800000000 - 1800000000, event_type, value
+         FROM events)
+       SELECT s AS window_start_us, event_type, count(*) AS n, ROUND(SUM(value), 2) AS total
+       FROM starts GROUP BY s, event_type""",
+)
+def q_sliding(spark, sf):
+    ev = _t(spark, sf, "events")
+    out = sliding_agg(
+        ev, "ts", "1 hour", "30 minutes", ["event_type"],
+        {"n": "count(*)", "total": "round(sum(value), 2)"},
+    )
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"), "event_type", "n", "total"
+    )
+
+
+# ===========================================================================
+# Text analysis (extension set)
+# ===========================================================================
+
+@q(
+    "token_stats",
+    """SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+              CAST(list_sum(list_transform(string_split(text, ' '),
+                                           x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT)
+                AS n_bpe_ish
+       FROM documents""",
+)
+def q_token_stats(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        bpe_ish_token_count("text").cast("long").alias("n_bpe_ish"),
+    )
+
+
+@q(
+    "quality_scores",
+    # ratios compared as floor(x * 10000) integers: both engines compute
+    # bit-identical doubles, and integer floors sidestep their different
+    # decimal-tie ROUND policies
+    """SELECT doc_id, n_chars2 AS n_chars_calc, n_tokens, n_stop AS n_stopwords,
+              n_chars2 * 10000 // n_tokens AS avg_token_len_e4,
+              n_stop * 10000 // n_tokens AS stopword_ratio_e4,
+              CAST(floor((least(n_tokens / 64.0, 1.0) * 0.4
+                    + (CASE WHEN avg_tok >= 3.0 AND avg_tok <= 8.0 THEN 1.0 ELSE 0.0 END) * 0.3
+                    + least(stop_ratio * 4.0, 1.0) * 0.3) * 10000) AS BIGINT) AS quality_score_e4
+       FROM (SELECT doc_id, n_chars2, n_tokens, n_stop,
+                    CAST(n_chars2 AS DOUBLE) / n_tokens AS avg_tok,
+                    CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio
+             FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars2,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                          CAST(len(list_filter(string_split(text, ' '),
+                               x -> lower(x) IN ('the', 'and', 'of', 'is', 'a'))) AS BIGINT)
+                            AS n_stop
+                   FROM documents))""",
+)
+def q_quality(spark, sf):
+    out = quality_features(_t(spark, sf, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_chars_calc").cast("long"),
+        F.col("n_tokens").cast("long"),
+        F.col("n_stopwords").cast("long"),
+        F.expr("n_chars_calc * 10000 div n_tokens").alias("avg_token_len_e4"),
+        F.expr("n_stopwords * 10000 div n_tokens").alias("stopword_ratio_e4"),
+        F.floor(F.col("quality_score") * 10000).cast("long").alias("quality_score_e4"),
+    )
+
+
+@q(
+    "lang_id",
+    """SELECT doc_id,
+              CASE WHEN g = 0 THEN 'und'
+                   WHEN c_de = g THEN 'de' WHEN c_en = g THEN 'en'
+                   WHEN c_es = g THEN 'es' ELSE 'fr' END AS pred_lang
+       FROM (SELECT doc_id, c_de, c_en, c_es, c_fr, greatest(c_de, c_en, c_es, c_fr) AS g
+             FROM (SELECT doc_id,
+                          len(list_filter(string_split(text, ' '),
+                              x -> lower(x) IN ('der', 'die', 'das', 'und', 'ist'))) AS c_de,
+                          len(list_filter(string_split(text, ' '),
+                              x -> lower(x) IN ('the', 'and', 'of', 'is', 'a'))) AS c_en,
+                          len(list_filter(string_split(text, ' '),
+                              x -> lower(x) IN ('el', 'los', 'las', 'y', 'es'))) AS c_es,
+                          len(list_filter(string_split(text, ' '),
+                              x -> lower(x) IN ('le', 'la', 'les', 'et', 'est'))) AS c_fr
+                   FROM documents))""",
+)
+def q_lang_id(spark, sf):
+    return language_id(_t(spark, sf, "documents")).select("doc_id", "pred_lang")
+
+
+@q(
+    "doc_fingerprint",
+    """SELECT doc_id,
+              CAST(list_sum(list_transform(string_split(text, ' '),
+                   (x, i) -> i * (ascii(x) * 31 + length(x)))) % 2147483647 AS BIGINT) AS fp
+       FROM documents""",
+)
+def q_fingerprint(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+
+
+@q(
+    "prefix_dedup",
+    """SELECT array_to_string(string_split(text, ' ')[1:5], ' ') AS prefix_key,
+              min(doc_id) AS canonical_id, count(*) AS n_copies
+       FROM documents GROUP BY 1""",
+)
+def q_prefix_dedup(spark, sf):
+    docs = _t(spark, sf, "documents").withColumn(
+        "prefix_key", F.concat_ws(" ", F.slice(tokens("text"), 1, 5))
+    )
+    return exact_dedup(docs, ["prefix_key"], "doc_id")
+
+
+@q(
+    "ngram_jaccard",
+    # blocking on (lang, length band): near-dups have near-equal length,
+    # and unblocked same-lang pairs are O(n^2) — the band bounds the
+    # candidate set so the pair join stays linear-ish at scale
+    """WITH sh AS (
+         SELECT doc_id, lang, n_chars // 64 AS len_band,
+                list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                    i -> string_split(text, ' ')[i] || ' ' ||
+                         string_split(text, ' ')[i + 1] || ' ' ||
+                         string_split(text, ' ')[i + 2])) AS s
+         FROM documents)
+       SELECT a.lang, a.len_band, a.doc_id AS id_a, b.doc_id AS id_b,
+              ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / len(list_distinct(a.s || b.s)), 6) AS jaccard_sim
+       FROM sh a JOIN sh b ON a.lang = b.lang AND a.len_band = b.len_band
+                          AND a.doc_id < b.doc_id
+       WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(a.s || b.s)) >= 0.3""",
+)
+def q_ngram_jaccard(spark, sf):
+    docs = _t(spark, sf, "documents").withColumn("len_band", F.expr("n_chars div 64"))
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", ["lang", "len_band"], n=3, threshold=0.3
+    )
+
+
+@q(
+    "binary_meta",
+    """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len, sha256(text) AS sha
+       FROM documents""",
+)
+def q_binary_meta(spark, sf):
+    docs = _t(spark, sf, "documents").withColumn("payload", F.encode("text", "utf-8"))
+    out = attach_media_meta(docs, "payload", "text")
+    return out.select(
+        "doc_id",
+        F.col("media_meta.byte_len").alias("byte_len"),
+        F.col("media_meta.sha256").alias("sha"),
+    )
+
+
+# ===========================================================================
+# Embedding similarity (extension set)
+# ===========================================================================
+
+_COS_SQL = """
+    list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+    / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+       * sqrt(list_dot_product(q.qv, q.qv)))
+"""
+
+@q(
+    "cosine_topk",
+    f"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+       SELECT e.vec_id, ROUND({_COS_SQL}, 6) AS cos_sim
+       FROM embeddings e, q
+       ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+)
+def q_cosine_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return brute_force_topk(emb, "embedding", [float(x) for x in query], k=10)
+
+
+@q(
+    "cosine_neardup",
+    """SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+              ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                    6) AS cos_sim
+       FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+       WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                   6) >= 0.25""",
+)
+def q_cosine_neardup(spark, sf):
+    return cosine_pairs(
+        _t(spark, sf, "embeddings"), "embedding", "vec_id", ["label"], threshold=0.25
+    )
+
+
+# ===========================================================================
+# Rows-only entries (engine-specific hashing / per-game stateful scans)
+# ===========================================================================
+
+@q("minhash_lsh_pairs")  # xxhash64 signatures: not SQL-portable -> rows-only
+def q_minhash(spark, sf):
+    return minhash_lsh_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", num_perm=32, bands=16, threshold=0.3
+    )
+
+
+@q("simhash_pairs")
+def q_simhash(spark, sf):
+    return simhash_near_pairs(_t(spark, sf, "documents"), "doc_id", "text", max_hamming=12)
+
+
+@q("lsh_ann_topk")
+def q_lsh_ann(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return lsh_topk(emb, "embedding", [float(x) for x in query], k=10, n_planes=8)
+
+
+def _fixture_game(spark):
+    """Deterministic 1-game NBA fixture (mirrors tests/conftest.py)."""
+    home, away, gid = 100, 200, "0022400001"
+    pbp_rows = [
+        (gid, 1, 12, 0, 1, "12:00", 0, 0, 0, 0),
+        (gid, 2, 10, 0, 1, "12:00", 103, home, 203, away),
+        (gid, 10, 8, 0, 1, "7:00", 101, home, 106, home),
+        (gid, 20, 8, 0, 1, "3:40", 202, away, 206, away),
+        (gid, 100, 12, 0, 2, "12:00", 0, 0, 0, 0),
+        (gid, 110, 1, 0, 2, "6:30", 107, home, 0, 0),
+    ]
+    pbp = spark.createDataFrame(
+        pbp_rows,
+        "GAME_ID string, EVENTNUM long, EVENTMSGTYPE long, EVENTMSGACTIONTYPE long,"
+        "PERIOD long, PCTIMESTRING string, PLAYER1_ID long, PLAYER1_TEAM_ID long,"
+        "PLAYER2_ID long, PLAYER2_TEAM_ID long",
+    )
+    stints = {
+        (home, 101): [(0.0, 3000.0)], (home, 102): [(0.0, 7200.0)],
+        (home, 103): [(0.0, 14400.0)], (home, 104): [(0.0, 14400.0)],
+        (home, 105): [(0.0, 14400.0)], (home, 106): [(3000.0, 14400.0)],
+        (home, 107): [(7200.0, 14400.0)],
+        (away, 201): [(0.0, 14400.0)], (away, 202): [(0.0, 5000.0), (7200.0, 14400.0)],
+        (away, 203): [(0.0, 14400.0)], (away, 204): [(0.0, 14400.0)],
+        (away, 205): [(0.0, 14400.0)], (away, 206): [(5000.0, 7200.0)],
+    }
+    rot = spark.createDataFrame(
+        [(gid, t, p, s) for (t, p), s in stints.items()],
+        "GAME_ID string, TEAM_ID long, PLAYER_ID long,"
+        "STINTS array<struct<IN_TIME_REAL: double, OUT_TIME_REAL: double>>",
+    )
+    tgl = spark.createDataFrame(
+        [(gid, home, "A vs. B"), (gid, away, "B @ A")],
+        "GAME_ID string, TEAM_ID long, MATCHUP string",
+    )
+    return pbp, rot, tgl
+
+
+_LINEUP_OUT = ["GAME_ID", "EVENTNUM"] + [f"TEAM{t}_PLAYER{i}" for t in (1, 2) for i in range(1, 6)]
+
+
+@q("lineup_tracking")  # per-game stateful scan (applyInPandas): rows-only
+def q_lineup_tracking(spark, sf):
+    pbp, rot, tgl = _fixture_game(spark)
+    return track_lineups(pbp, rot, tgl).select(*_LINEUP_OUT)
+
+
+@q("lineups_declarative")  # the scale-path formulation of the same op
+def q_lineups_declarative(spark, sf):
+    pbp, rot, tgl = _fixture_game(spark)
+    return lineups_via_range_join(pbp, rot, tgl).select(*_LINEUP_OUT)
+
+
+@q("image_features")  # fake-decode dims derive from sha bytes: rows-only
+def q_image_features(spark, sf):
+    docs = _t(spark, sf, "documents").withColumn("payload", F.encode("text", "utf-8"))
+    return extract_image_features(docs, "doc_id", "payload")
+
+
+@q("frame_samples")
+def q_frame_samples(spark, sf):
+    docs = _t(spark, sf, "documents").withColumn("payload", F.encode("text", "utf-8"))
+    return sample_frames(docs, "doc_id", "payload", every_n_bytes=128)
+
+
+@q("resultset_decode")  # wire-format decoder on an inline fixture payload
+def q_resultset_decode(spark, sf):
+    from pyspark.sql import types as T
+
+    payload = result_sets_to_payload(
+        {
+            "PlayByPlay": (
+                ["GAME_ID", "EVENTNUM", "EVENTMSGTYPE", "PCTIMESTRING"],
+                [["0022400001", i, 12 if i == 1 else 1, "12:00"] for i in range(1, 6)],
+            )
+        }
+    )
+    decoded = decode_result_sets(payloads_from_json_strings(spark, [payload]))
+    schema = T.StructType(
+        [
+            T.StructField("GAME_ID", T.StringType()),
+            T.StructField("EVENTNUM", T.LongType()),
+            T.StructField("EVENTMSGTYPE", T.LongType()),
+            T.StructField("PCTIMESTRING", T.StringType()),
+        ]
+    )
+    return result_set_df(decoded, "PlayByPlay", schema)
+
+
+# ===========================================================================
+# Entry points consumed by __spark_entry__.py
+# ===========================================================================
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """team_game_log-shaped slice on TPC-H stand-ins (SURVEY.md §7.2 #3):
+    stamp + add_id + null-fill orders, broadcast-join the customer dim,
+    partition-prunable filter, aggregate."""
+    o = fill_nulls(
+        add_id(
+            stamp(_t(spark, sf_dir, "orders"), {"SEASON": "2024-25"}),
+            ["o_orderkey", "o_custkey"],
+        )
+    )
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    return (
+        o.filter(F.col("o_orderstatus") != "X")
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.sql for name, spec in REGISTRY.items() if spec.sql is not None}

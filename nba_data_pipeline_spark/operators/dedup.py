@@ -57,16 +57,26 @@ def ngram_jaccard_pairs(
     ``block_cols`` bounds the candidate set (e.g. language + source, or
     an LSH band from ``minhash_lsh_pairs`` for unblocked corpora); the
     self-join is id<id restricted so each pair appears once.
+
+    Shingles are hashed to longs and aggregated into per-doc sets
+    BEFORE the pair join: the aggregation materializes the sets through
+    its shuffle (no re-derivation per pair) and long-array intersections
+    are far cheaper than string-array ones. Jaccard over hashed distinct
+    shingles equals Jaccard over the shingles themselves w.h.p. (64-bit,
+    collision odds ~1e-16 per pair).
     """
-    shingled = df.select(
-        *block_cols, F.col(id_col).alias("doc_id"), word_shingles(text_col, n).alias("sh")
+    sets = (
+        df.select(
+            *block_cols,
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(text_col, n)).alias("_s"),
+        )
+        .select(*block_cols, "doc_id", F.xxhash64("_s").alias("_h"))
+        .groupBy(*block_cols, "doc_id")
+        .agg(F.collect_set("_h").alias("sh"))
     )
-    a = shingled.select(
-        *block_cols, F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")
-    )
-    b = shingled.select(
-        *block_cols, F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")
-    )
+    a = sets.select(*block_cols, F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(*block_cols, F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     pairs = a.join(b, on=block_cols).filter(F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn("jaccard_sim", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
@@ -96,10 +106,10 @@ def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
 def minhash_signature(
     text: Column | str, num_perm: int = 32, shingle_n: int = 3, seed: int = 42
 ) -> Column:
-    """MinHash signature (array<long>, length num_perm) over n-gram
-    shingles. Base hash is engine-side xxhash64; each permutation is
-    (a*h+b) mod 2^61-1 minimized across shingles — all inside one
-    projection, vectorized by codegen."""
+    """Single-expression MinHash signature (array<long>). NOTE: each of
+    the num_perm sub-expressions re-derives the shingle array — fine
+    for ad-hoc use on small frames; the scalable path used by
+    ``minhash_lsh_pairs`` is ``minhash_signatures`` (explode + agg)."""
     sh = word_shingles(text, shingle_n)
     base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_PRIME)))
     sigs = [
@@ -111,6 +121,31 @@ def minhash_signature(
         for a, b in _perm_params(num_perm, seed)
     ]
     return F.array(*sigs)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Scalable MinHash: explode shingles -> xxhash64 once per shingle ->
+    num_perm ``min`` aggregates (map-side partial agg, one shuffle on
+    doc id). Output: (doc_id, sig0..sig{n-1}). This is the plan shape
+    that survives 100 TB: hashing cost is O(total shingles), not
+    O(shingles * num_perm) re-derivations."""
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(word_shingles(text_col, shingle_n)).alias("_s")
+    ).select("doc_id", F.pmod(F.xxhash64("_s"), F.lit(MERSENNE_PRIME)).alias("_h"))
+    aggs = [
+        F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_PRIME))).alias(
+            f"sig{i}"
+        )
+        for i, (a, b) in enumerate(_perm_params(num_perm, seed))
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -133,18 +168,18 @@ def minhash_lsh_pairs(
     (id, hash), never O(n^2).
     """
     rows_per_band = num_perm // bands
-    sig = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("_text"),
-        minhash_signature(text_col, num_perm, shingle_n, seed).alias("_sig"),
-    )
+    sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_n, seed)
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band"),
                 F.xxhash64(
                     F.concat_ws(
-                        ",", *[F.element_at("_sig", i * rows_per_band + j + 1) for j in range(rows_per_band)]
+                        ",",
+                        *[
+                            F.col(f"sig{i * rows_per_band + j}").cast("string")
+                            for j in range(rows_per_band)
+                        ],
                     )
                 ).alias("bucket"),
             )
@@ -161,8 +196,13 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
         .distinct()
     )
-    sh = df.select(
-        F.col(id_col).alias("doc_id"), word_shingles(text_col, shingle_n).alias("sh")
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(text_col, shingle_n)).alias("_s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set(F.xxhash64("_s")).alias("sh"))
     )
     verified = (
         cand.join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
@@ -212,6 +252,35 @@ def simhash(text: Column | str, bits: int = 64) -> Column:
     return result
 
 
+def simhash_df(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """Scalable SimHash: explode tokens -> one xxhash64 per token ->
+    per-bit +1/-1 vote aggregates -> assemble the fingerprint. Same
+    result as the single-expression ``simhash`` but the token hash is
+    computed once and the 64 votes are partial-aggregated map-side.
+    Output: (doc_id, sh)."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("_t")
+    ).select("doc_id", F.xxhash64("_t").alias("_h"))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    weights = [(1 << b) if b < 63 else -(1 << 63) for b in range(bits)]
+    fp = F.lit(0).cast("long")
+    for b, w in enumerate(weights):
+        fp = fp.bitwiseXOR(
+            F.when(F.col(f"v{b}") > 0, F.lit(w).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("doc_id", fp.alias("sh"))
+
+
 def simhash_near_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, band_bits: int = 16
 ) -> DataFrame:
@@ -220,7 +289,7 @@ def simhash_near_pairs(
     exactly on at least one of the 4 bands — pigeonhole), so candidate
     generation is a bucket join, not all-pairs."""
     nbands = 64 // band_bits
-    h = df.select(F.col(id_col).alias("doc_id"), simhash(text_col).alias("sh"))
+    h = simhash_df(df, id_col, text_col)
     bands = h.select(
         "doc_id",
         "sh",

@@ -74,9 +74,11 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             "n_chars_calc": n_chars.cast("long"),
             "n_tokens": n_tokens.cast("long"),
             "n_stopwords": n_stop.cast("long"),
-            "avg_token_len": F.round(avg_tok, 4),
-            "stopword_ratio": F.round(stop_ratio, 4),
-            "quality_score": F.round(score, 4),
+            # raw doubles: rounding policy is the caller's (engines
+            # disagree on decimal-tie rounding, so don't bake one in)
+            "avg_token_len": avg_tok,
+            "stopword_ratio": stop_ratio,
+            "quality_score": score,
         }
     )
 
