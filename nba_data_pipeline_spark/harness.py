@@ -961,6 +961,194 @@ def q_cosine_neardup(spark, sf):
 
 
 # ===========================================================================
+# Relational breadth: projection/rename, pivot, cube, quantiles, regex,
+# string/date functions, semi joins, latest-per-key, posexplode
+# ===========================================================================
+
+@q(
+    "project_rename",
+    "SELECT o_orderkey AS order_id, ROUND(o_totalprice, 2) AS price FROM orders",
+)
+def q_project_rename(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .withColumnRenamed("o_orderkey", "order_id")
+        .withColumnRenamed("o_totalprice", "price")
+        .select("order_id", F.round("price", 2).alias("price"))
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+@q(
+    "pivot_counts",
+    """SELECT user_id,
+              count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+              count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+              count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+              count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+              count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+       FROM events GROUP BY user_id""",
+)
+def q_pivot(spark, sf):
+    out = (
+        _t(spark, sf, "events")
+        .groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return out.na.fill(0, _EVENT_TYPES)
+
+
+@q(
+    "cube_agg",
+    """SELECT l_returnflag, l_linestatus, count(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+       FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+)
+def q_cube(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+@q(
+    "exact_median",
+    """SELECT o_orderstatus, ROUND(median(o_totalprice), 2) AS med, count(*) AS n
+       FROM orders GROUP BY o_orderstatus""",
+)
+def q_median(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("med"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@q(
+    "regex_extract",
+    """SELECT o_orderkey, CAST(regexp_extract(o_orderpriority, '^[0-9]+') AS BIGINT) AS prio_num
+       FROM orders""",
+)
+def q_regex(spark, sf):
+    return _t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.regexp_extract("o_orderpriority", r"^[0-9]+", 0).cast("long").alias("prio_num"),
+    )
+
+
+@q(
+    "string_funcs",
+    """SELECT c_custkey, upper(c_name) AS uname, length(c_name) AS name_len,
+              substr(c_name, 1, 8) AS prefix, reverse(c_name) AS rname,
+              lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded
+       FROM customer""",
+)
+def q_string_funcs(spark, sf):
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.reverse("c_name").alias("rname"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded"),
+    )
+
+
+@q(
+    "monthly_order_stats",
+    """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+              count(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+       FROM orders GROUP BY 1, 2""",
+)
+def q_monthly(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("y"),
+            F.month("o_orderdate").cast("bigint").alias("m"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@q(
+    "semi_join",
+    """SELECT c_custkey FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""",
+)
+def q_semi_join(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+@q(
+    "latest_order_per_customer",
+    """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS orderdate_us FROM (
+         SELECT o_custkey, o_orderkey, o_orderdate,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+         FROM orders) WHERE rn = 1""",
+)
+def q_latest_order(spark, sf):
+    o = _t(spark, sf, "orders")
+    latest = W.first_row_per_group(
+        o, ["o_custkey"], [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()]
+    )
+    return latest.select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("orderdate_us"),
+    )
+
+
+@q(
+    "posexplode_tokens",
+    """SELECT doc_id, i, string_split(text, ' ')[i] AS tok
+       FROM documents CROSS JOIN range(1, 4) t(i)
+       WHERE i <= len(string_split(text, ' '))""",
+)
+def q_posexplode(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id", F.posexplode(F.slice(tokens("text"), 1, 3)).alias("pos", "tok")
+    ).select("doc_id", (F.col("pos") + 1).cast("long").alias("i"), "tok")
+
+
+@q(
+    "session_window_agg",
+    """SELECT user_id, min(epoch_us(ts)) AS session_start_us, count(*) AS n
+       FROM (SELECT user_id, ts,
+                    SUM(CASE WHEN gap_us IS NULL OR gap_us >= 3600000000 THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             FROM (SELECT user_id, ts,
+                          epoch_us(ts) - lag(epoch_us(ts))
+                            OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+                   FROM events))
+       GROUP BY user_id, session_id""",
+)
+def q_session_window(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "1 hour"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            "n",
+        )
+    )
+
+
+# ===========================================================================
 # Rows-only entries (engine-specific hashing / per-game stateful scans)
 # ===========================================================================
 
