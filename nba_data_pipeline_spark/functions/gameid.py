@@ -33,6 +33,17 @@ def season_from_game_id(game_id: Column | str) -> Column:
     return F.concat(start_year.cast("string"), F.lit("-"), end_two)
 
 
+def current_season(today: "datetime.date | None" = None) -> str:
+    """Driver-side default-season helper: month > August rolls into the
+    new season (reference ``api/smart.py:118-127``) — e.g. 2026-08 ->
+    '2025-26', 2026-09 -> '2026-27'."""
+    import datetime
+
+    d = today or datetime.date.today()
+    start = d.year if d.month > 8 else d.year - 1
+    return f"{start}-{(start + 1) % 100:02d}"
+
+
 def season_type_from_game_id(game_id: Column | str) -> Column:
     """0-based char 2: '1' -> Pre Season, '2' -> Regular Season, '4' -> Playoffs, else NULL."""
     digit = F.substring(_col(game_id), 3, 1)

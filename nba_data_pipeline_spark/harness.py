@@ -1149,6 +1149,76 @@ def q_session_window(spark, sf):
 
 
 # ===========================================================================
+# TF-IDF, scrubbing, batch ANN
+# ===========================================================================
+
+@q(
+    "tfidf_top_terms",
+    # rank by ROUNDED tfidf (libm ln may differ in the last ulp across
+    # engines; rounding before the window makes near-ties exact ties,
+    # resolved by the term tie-break identically on both sides)
+    """WITH postings AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM postings GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM postings GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (SELECT doc_id, t.term, tf, doc_freq,
+                           ROUND(tf * ln(CAST(n_docs AS DOUBLE) / doc_freq), 6) AS tfidf
+                    FROM tf t JOIN dfreq d ON t.term = d.term CROSS JOIN n)
+       SELECT doc_id, term, tf, doc_freq, tfidf FROM (
+         SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+         FROM scored) WHERE rn <= 3""",
+)
+def q_tfidf(spark, sf):
+    from .operators.text import tf_idf
+
+    scored = tf_idf(_t(spark, sf, "documents"), "doc_id", "text").withColumn(
+        "tfidf", F.round("tfidf", 6)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "doc_freq", "tfidf")
+    )
+
+
+@q(
+    "scrub_text",
+    """SELECT doc_id, md5(regexp_replace(text, 'a[a-z]*', '[X]', 'g')) AS h FROM documents""",
+)
+def q_scrub(spark, sf):
+    from .operators.text import scrub
+
+    return _t(spark, sf, "documents").select(
+        "doc_id", F.md5(scrub("text", "a[a-z]*", "[X]")).alias("h")
+    )
+
+
+@q(
+    "batch_ann",
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id < 3),
+         c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         scored AS (SELECT query_id, corpus_id,
+                           ROUND(list_dot_product(cv, qv)
+                                 / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))),
+                                 6) AS cos_sim
+                    FROM c, q)
+       SELECT query_id, corpus_id, cos_sim, rnk FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, corpus_id) AS rnk
+         FROM scored) WHERE rnk <= 3""",
+)
+def q_batch_ann(spark, sf):
+    from .operators.similarity import batch_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return batch_topk(
+        emb.filter(F.col("vec_id") < 3), emb, "embedding", "vec_id", "vec_id", k=3
+    )
+
+
+# ===========================================================================
 # Rows-only entries (engine-specific hashing / per-game stateful scans)
 # ===========================================================================
 
@@ -1169,6 +1239,16 @@ def q_lsh_ann(spark, sf):
     emb = _t(spark, sf, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return lsh_topk(emb, "embedding", [float(x) for x in query], k=10, n_planes=8)
+
+
+@q("ivf_ann_topk")  # KMeans centroids: deterministic in-Spark, not SQL-expressible
+def q_ivf_ann(spark, sf):
+    from .operators.similarity import ivf_index, ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    assigned, centers = ivf_index(emb, "embedding", n_lists=8, max_iter=5)
+    return ivf_topk(assigned, centers, "embedding", [float(x) for x in query], k=10, n_probe=3)
 
 
 def _fixture_game(spark):

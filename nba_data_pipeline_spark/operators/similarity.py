@@ -134,6 +134,78 @@ def lsh_topk(
     return brute_force_topk(cand, vec_col, query, k, id_col)
 
 
+def batch_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    query_id_col: str,
+    corpus_id_col: str,
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k corpus neighbors for EVERY query row in one plan:
+    broadcast the (small) query set against the corpus, score cosine,
+    rank per query with a window. The corpus side streams — this is
+    the shape for 'embed a batch, retrieve for each' at scale, where
+    the corpus never shuffles and the query table is the build side."""
+    qn = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    cn = corpus.select(
+        F.col(corpus_id_col).alias("corpus_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = cn.crossJoin(F.broadcast(qn)).withColumn(
+        "cos_sim", F.round(cosine(F.col("_cv"), F.col("_qv")), round_digits)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("corpus_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "cos_sim", "rnk")
+    )
+
+
+def ivf_index(
+    df: DataFrame, vec_col: str, n_lists: int = 16, seed: int = 42, max_iter: int = 10
+):
+    """IVF coarse quantizer: KMeans centroids over the corpus + cluster
+    assignment column. Returns (assigned_df, centers). At scale the
+    assigned corpus is written partitioned by _list so probes prune to
+    the probed lists' partitions."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    train = df.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="_features").fit(train)
+    assigned = model.transform(train).withColumnRenamed("prediction", "_list").drop("_features")
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centers
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centers: list[list[float]],
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF probe: rank centroids by cosine to the query driver-side,
+    scan only the top ``n_probe`` lists, exact-rank inside them."""
+    import math as _math
+
+    qnorm = _math.sqrt(sum(v * v for v in query)) or 1.0
+
+    def _cos(c):
+        cn = _math.sqrt(sum(v * v for v in c)) or 1.0
+        return sum(a * b for a, b in zip(c, query)) / (cn * qnorm)
+
+    probes = sorted(range(len(centers)), key=lambda i: -_cos(centers[i]))[:n_probe]
+    cand = assigned.filter(F.col("_list").isin(probes))
+    return brute_force_topk(cand, vec_col, query, k, id_col)
+
+
 def cosine_pairs(
     df: DataFrame,
     vec_col: str,

@@ -115,6 +115,38 @@ def fingerprint(text: Column | str, modulus: int = 2_147_483_647) -> Column:
     )
 
 
+def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Term frequency / inverse document frequency, fully relational:
+    explode tokens -> tf per (doc, term) -> df per term -> idf join.
+    Two aggregations + one broadcast-able join; at corpus scale the
+    term-df side is tiny relative to the postings and broadcasts.
+    Output: (doc_id, term, tf, doc_freq, tfidf) with tfidf = tf * ln(N/df).
+    """
+    n_docs = df.count()
+    postings = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = postings.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    docfreq = (
+        postings.dropDuplicates(["doc_id", "term"])
+        .groupBy("term")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    return tf.join(F.broadcast(docfreq), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "doc_freq",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq"))).alias("tfidf"),
+    )
+
+
+def scrub(text: Column | str, pattern: str, replacement: str = "[REDACTED]") -> Column:
+    """Regex scrubbing (global replace) — the PII/URL-removal shape for
+    training-data cleaning; keep patterns RE2-portable."""
+    return F.regexp_replace(_col(text), pattern, replacement)
+
+
 def word_shingles(text: Column | str, n: int = 3, sep: str = " ") -> Column:
     """Array of n-token shingles (distinct), the unit set for Jaccard /
     MinHash dedup. Built with sequence+transform — no UDF, no explode

@@ -1,0 +1,43 @@
+import random
+
+from nba_data_pipeline_spark.operators.similarity import (
+    batch_topk,
+    brute_force_topk,
+    ivf_index,
+    ivf_topk,
+)
+
+
+def _clustered(spark, n=120, dim=12, n_centers=6, seed=3):
+    rng = random.Random(seed)
+    centers = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_centers)]
+    rows = [
+        (i, [x + rng.uniform(-0.05, 0.05) for x in centers[i % n_centers]], i % n_centers)
+        for i in range(n)
+    ]
+    return rows, spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_batch_topk_each_query_finds_itself(spark):
+    rows, df = _clustered(spark)
+    queries = df.filter("vec_id < 4")
+    out = batch_topk(queries, df, "embedding", "vec_id", "vec_id", k=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.rnk, r.corpus_id))
+    assert set(got) == {0, 1, 2, 3}
+    for qid, hits in got.items():
+        assert sorted(hits)[0] == (1, qid)  # rank-1 hit is the query itself
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    rows, df = _clustered(spark)
+    query = rows[7][1]
+    assigned, centers = ivf_index(df, "embedding", n_lists=6, max_iter=8)
+    exact = {r.vec_id for r in brute_force_topk(df, "embedding", query, k=5).collect()}
+    approx = {
+        r.vec_id
+        for r in ivf_topk(assigned, centers, "embedding", query, k=5, n_probe=2).collect()
+    }
+    assert len(exact & approx) >= 4  # clustered data: probing 2/6 lists recovers top-5
+    assert 7 in approx

@@ -42,6 +42,28 @@ def test_word_shingles(spark):
     assert rows[1].sh == []  # shorter than n
 
 
+def test_tf_idf(spark):
+    from nba_data_pipeline_spark.operators.text import tf_idf
+
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry cherry date")],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.term): (r.tf, r.doc_freq) for r in tf_idf(df, "doc_id", "text").collect()}
+    assert out[(1, "apple")] == (2, 1)   # tf=2, only doc 1 has it
+    assert out[(1, "banana")] == (1, 2)  # banana in docs 1 and 2
+    assert out[(3, "cherry")] == (2, 2)
+
+
+def test_scrub(spark):
+    from pyspark.sql import functions as F
+    from nba_data_pipeline_spark.operators.text import scrub
+
+    df = spark.createDataFrame([("mail me at bob@x.com now",)], "text string")
+    out = df.select(scrub("text", r"[a-z0-9.]+@[a-z0-9.]+", "[EMAIL]").alias("t")).collect()
+    assert out[0].t == "mail me at [EMAIL] now"
+
+
 def test_fingerprint_deterministic_and_order_sensitive(spark):
     df = spark.createDataFrame([("alpha beta",), ("beta alpha",), ("alpha beta",)], "text string")
     out = [r[0] for r in df.select(fingerprint("text")).collect()]
