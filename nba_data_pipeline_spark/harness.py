@@ -1149,6 +1149,39 @@ def q_session_window(spark, sf):
 
 
 # ===========================================================================
+# Skew mitigation (results must be identical to the unsalted plans)
+# ===========================================================================
+
+@q(
+    "salted_agg",
+    """SELECT event_type, ROUND(SUM(value), 2) AS total, count(*) AS n
+       FROM events GROUP BY event_type""",
+)
+def q_salted_agg(spark, sf):
+    from .operators.skew import salted_sum_count
+
+    out = salted_sum_count(
+        _t(spark, sf, "events"), ["event_type"], "value", "event_id", buckets=16
+    )
+    return out.select("event_type", F.round("total", 2).alias("total"), "n")
+
+
+@q(
+    "salted_join",
+    """SELECT e.event_id, n.n_name FROM events e
+       JOIN nation n ON (e.user_id % 25) = n.n_nationkey""",
+)
+def q_salted_join(spark, sf):
+    from .operators.skew import salted_join
+
+    big = _t(spark, sf, "events").withColumn("nkey", (F.col("user_id") % 25).cast("int"))
+    small = _t(spark, sf, "nation").select(F.col("n_nationkey").alias("nkey"), "n_name")
+    return salted_join(big, small, "nkey", "event_id", buckets=8).select(
+        "event_id", "n_name"
+    )
+
+
+# ===========================================================================
 # TF-IDF, scrubbing, batch ANN
 # ===========================================================================
 
