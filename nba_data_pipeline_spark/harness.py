@@ -1148,6 +1148,53 @@ def q_session_window(spark, sf):
     )
 
 
+@q(
+    "scd2_intervals",
+    """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS valid_from_us,
+              epoch_us(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                               ORDER BY o_orderdate, o_orderkey))
+                AS valid_to_us
+       FROM orders""",
+)
+def q_scd2(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("valid_from_us"),
+        F.unix_micros(F.lead("o_orderdate").over(w).cast("timestamp")).alias("valid_to_us"),
+    )
+
+
+@q(
+    "lag_delta",
+    """SELECT user_id, event_id,
+              ROUND(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2)
+                AS delta
+       FROM events""",
+)
+def q_lag_delta(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id", F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta")
+    )
+
+
+@q(
+    "rollup_agg",
+    """SELECT l_returnflag, l_linestatus, count(*) AS n
+       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+)
+def q_rollup_agg(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 # ===========================================================================
 # Skew mitigation (results must be identical to the unsalted plans)
 # ===========================================================================

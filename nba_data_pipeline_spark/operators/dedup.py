@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import tokens, word_shingles
+from .text import exploded_shingles, tokens, word_shingles
 
 # 2^31-1: universal-hash field small enough that a*h stays < 2^62,
 # i.e. no 64-bit overflow under ANSI arithmetic.
@@ -66,12 +66,10 @@ def ngram_jaccard_pairs(
     collision odds ~1e-16 per pair).
     """
     sets = (
-        df.select(
-            *block_cols,
-            F.col(id_col).alias("doc_id"),
-            F.explode(word_shingles(text_col, n)).alias("_s"),
+        exploded_shingles(
+            df.withColumn("_did", F.col(id_col)), [*block_cols, "_did"], text_col, n, "_s"
         )
-        .select(*block_cols, "doc_id", F.xxhash64("_s").alias("_h"))
+        .select(*block_cols, F.col("_did").alias("doc_id"), F.xxhash64("_s").alias("_h"))
         .groupBy(*block_cols, "doc_id")
         .agg(F.collect_set("_h").alias("sh"))
     )
@@ -136,9 +134,10 @@ def minhash_signatures(
     doc id). Output: (doc_id, sig0..sig{n-1}). This is the plan shape
     that survives 100 TB: hashing cost is O(total shingles), not
     O(shingles * num_perm) re-derivations."""
-    exploded = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(word_shingles(text_col, shingle_n)).alias("_s")
-    ).select("doc_id", F.pmod(F.xxhash64("_s"), F.lit(MERSENNE_PRIME)).alias("_h"))
+    exploded = exploded_shingles(df, [id_col], text_col, shingle_n, "_s").select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(F.xxhash64("_s"), F.lit(MERSENNE_PRIME)).alias("_h"),
+    )
     aggs = [
         F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_PRIME))).alias(
             f"sig{i}"
@@ -197,12 +196,10 @@ def minhash_lsh_pairs(
         .distinct()
     )
     sh = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(word_shingles(text_col, shingle_n)).alias("_s"),
-        )
+        exploded_shingles(df, [id_col], text_col, shingle_n, "_s")
+        .select(F.col(id_col).alias("doc_id"), F.xxhash64("_s").alias("_h"))
         .groupBy("doc_id")
-        .agg(F.collect_set(F.xxhash64("_s")).alias("sh"))
+        .agg(F.collect_set("_h").alias("sh"))
     )
     verified = (
         cand.join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")

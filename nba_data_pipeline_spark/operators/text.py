@@ -147,16 +147,42 @@ def scrub(text: Column | str, pattern: str, replacement: str = "[REDACTED]") -> 
     return F.regexp_replace(_col(text), pattern, replacement)
 
 
-def word_shingles(text: Column | str, n: int = 3, sep: str = " ") -> Column:
-    """Array of n-token shingles (distinct), the unit set for Jaccard /
-    MinHash dedup. Built with sequence+transform — no UDF, no explode
-    until the caller needs one."""
-    toks = tokens(_col(text))
-    k = F.size(toks) - (n - 1)
+def shingles_of_tokens(tok_col: Column, n: int = 3, sep: str = " ") -> Column:
+    """n-token shingle array (distinct) from an ALREADY-MATERIALIZED
+    token array column. The expression references ``tok_col`` ~3n
+    times, so the input must be a real column (see ``with_shingles``) —
+    if it's an inline ``tokens(text)`` expression, Catalyst re-evaluates
+    the split per element_at and the plan goes O(tokens^2) (measured
+    21x slower at sf0.1)."""
+    k = F.size(tok_col) - (n - 1)
     idx = F.sequence(F.lit(0), k - 1)
     shingle_at = lambda i: F.concat_ws(  # noqa: E731
-        sep, *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        sep, *[F.element_at(tok_col, (i + j + 1).cast("int")) for j in range(n)]
     )
     return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
         F.array_distinct(F.transform(idx, shingle_at))
     )
+
+
+def exploded_shingles(
+    df: "DataFrame", keep_cols: "list[str]", text_col: str, n: int = 3,
+    out_col: str = "shingle",
+) -> "DataFrame":
+    """One row per (keep_cols..., shingle): tokenize into a materialized
+    column, then explode the shingle expression over it IN THE SAME
+    select. This exact shape keeps the token split at once-per-row —
+    measured 0.6s vs 10-17s for the inline / intermediate-array-column
+    shapes at sf0.1 (Catalyst re-inlines an aliased shingle array into
+    the generator, re-deriving the split per element)."""
+    toked = df.withColumn("_toks__", tokens(text_col))
+    return toked.select(
+        *keep_cols, F.explode(shingles_of_tokens(F.col("_toks__"), n)).alias(out_col)
+    )
+
+
+def word_shingles(text: Column | str, n: int = 3, sep: str = " ") -> Column:
+    """Single-expression shingle array. Convenient for small frames /
+    single use; for anything hot, use ``with_shingles`` (column-
+    materialized tokens) — this inline form re-derives the token split
+    per element access."""
+    return shingles_of_tokens(tokens(_col(text)), n, sep)
