@@ -1384,6 +1384,57 @@ def q_lineups_declarative(spark, sf):
     return lineups_via_range_join(pbp, rot, tgl).select(*_LINEUP_OUT)
 
 
+def _replicate_games(spark, n_games: int, events_mult: int = 1):
+    """Fan the fixture out to n_games distinct GAME_IDs, optionally
+    padding each game with (events_mult-1) filler type-1 events per
+    original event — real games run ~500 events, and a 6-event group
+    only measures per-group overhead, not scan throughput. Filler rows
+    share the clock second of their source row (EVENTNUM breaks the
+    tie) and never touch lineup state."""
+    pbp, rot, tgl = _fixture_game(spark)
+    games = spark.range(n_games).select(
+        F.concat(F.lit("00224"), F.lpad(F.col("id").cast("string"), 5, "0")).alias("_gid")
+    )
+    def fan(df):
+        return df.crossJoin(games).withColumn("GAME_ID", F.col("_gid")).drop("_gid")
+    if events_mult > 1:
+        reps = spark.range(events_mult).select(F.col("id").alias("_k"))
+        pbp = (
+            pbp.crossJoin(reps)
+            .withColumn("EVENTNUM", F.col("EVENTNUM") * events_mult + F.col("_k"))
+            .withColumn(
+                "EVENTMSGTYPE",
+                F.when(F.col("_k") == 0, F.col("EVENTMSGTYPE")).otherwise(F.lit(1)),
+            )
+            .withColumn(
+                "PLAYER1_ID", F.when(F.col("_k") == 0, F.col("PLAYER1_ID")).otherwise(F.lit(0))
+            )
+            .withColumn(
+                "PLAYER1_TEAM_ID",
+                F.when(F.col("_k") == 0, F.col("PLAYER1_TEAM_ID")).otherwise(F.lit(0)),
+            )
+            .drop("_k")
+        )
+    return fan(pbp), fan(rot), fan(tgl)
+
+
+@q("lineup_tracking_bulk")  # bench grain: 200 games x 300 events
+def q_lineup_tracking_bulk(spark, sf):
+    pbp, rot, tgl = _replicate_games(spark, 200, events_mult=50)
+    # checkpoint the synthetic input so the bench measures the operator,
+    # not repeated recomputation of the fixture fan-out lineage (real
+    # deployments read these tables from parquet)
+    pbp = pbp.localCheckpoint(eager=False)
+    return track_lineups(pbp, rot, tgl).select(*_LINEUP_OUT)
+
+
+@q("lineups_declarative_bulk")
+def q_lineups_declarative_bulk(spark, sf):
+    pbp, rot, tgl = _replicate_games(spark, 200, events_mult=50)
+    pbp = pbp.localCheckpoint(eager=False)
+    return lineups_via_range_join(pbp, rot, tgl).select(*_LINEUP_OUT)
+
+
 @q("image_features")  # fake-decode dims derive from sha bytes: rows-only
 def q_image_features(spark, sf):
     docs = _t(spark, sf, "documents").withColumn("payload", F.encode("text", "utf-8"))
