@@ -1,0 +1,46 @@
+from nba_data_pipeline_spark.sources.endpoint_schemas import (
+    GAME_ROTATION_SET,
+    fetch_typed,
+)
+from nba_data_pipeline_spark.sources.nba_api import ENDPOINTS, fixture_fetcher
+from nba_data_pipeline_spark.sources.resultset import result_sets_to_payload
+from nba_data_pipeline_spark.plans.nba_pipelines import rotations
+
+
+def _rotation_payload():
+    headers = [f.name for f in GAME_ROTATION_SET.fields]
+    home = [
+        ["0022400001", 100, "City", "Alphas", 101 + i, "F", "L", 0.0, 14400.0, 5.0, 1.0, 0.2]
+        for i in range(5)
+    ]
+    away = [
+        ["0022400001", 200, "City", "Betas", 201 + i, "F", "L", 0.0, 14400.0, 4.0, -1.0, 0.2]
+        for i in range(5)
+    ]
+    return result_sets_to_payload(
+        {"HomeTeam": (headers, home), "AwayTeam": (headers, away)}
+    )
+
+
+def test_fetch_typed_rotation_to_pipeline(spark):
+    fetcher = fixture_fetcher({ENDPOINTS["game_rotation"].path: _rotation_payload()})
+    games = spark.createDataFrame([("0022400001",)], "GAME_ID string")
+    home = fetch_typed(games, "game_rotation", fetcher, result_set="HomeTeam")
+    away = fetch_typed(games, "game_rotation", fetcher, result_set="AwayTeam")
+    raw = home.unionByName(away)
+    assert raw.schema == GAME_ROTATION_SET
+    assert raw.count() == 10
+    # feeds the rotations pipeline directly (reference etl/rotations.py flow)
+    rolled = rotations(raw, "2024-25", "Regular Season")
+    assert rolled.count() == 10
+    row = rolled.filter("PLAYER_ID = 101").collect()[0]
+    assert [tuple(s) for s in row.STINTS] == [(0.0, 14400.0)]
+
+
+def test_fetch_typed_requires_set_choice_when_ambiguous(spark):
+    import pytest
+
+    fetcher = fixture_fetcher({ENDPOINTS["game_rotation"].path: _rotation_payload()})
+    games = spark.createDataFrame([("0022400001",)], "GAME_ID string")
+    with pytest.raises(ValueError, match="pick one"):
+        fetch_typed(games, "game_rotation", fetcher)
