@@ -1149,6 +1149,43 @@ def q_session_window(spark, sf):
 
 
 @q(
+    "set_intersect",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+       INTERSECT
+       SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
+)
+def q_set_intersect(spark, sf):
+    o = _t(spark, sf, "orders")
+    f_side = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_side = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f_side.intersect(o_side)
+
+
+@q(
+    "set_except",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+       EXCEPT
+       SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
+)
+def q_set_except(spark, sf):
+    o = _t(spark, sf, "orders")
+    f_side = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_side = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    # subtract = EXCEPT DISTINCT (set semantics, matching SQL EXCEPT);
+    # exceptAll would be bag difference and keeps keys present on both sides
+    return f_side.subtract(o_side)
+
+
+@q("approx_aggregates")  # approximations are engine-specific: rows-only
+def q_approx(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    )
+
+
+@q(
     "scd2_intervals",
     """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS valid_from_us,
               epoch_us(lead(o_orderdate) OVER (PARTITION BY o_custkey
