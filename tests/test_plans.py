@@ -1,0 +1,59 @@
+"""Physical-plan assertions: the scale properties the engine promises
+(predicate pushdown, column pruning, broadcast joins, partial
+aggregation) locked in as tests so plan regressions are caught, not
+just slow."""
+
+import io
+import contextlib
+
+from pyspark.sql import functions as F
+
+from nba_data_pipeline_spark import harness
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_tpch_q1_pushdown_and_pruning(spark):
+    plan = _plan(harness.queries()["tpch_q1"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 7 needed columns reach the scan
+    assert "l_comment" not in plan
+    assert "ReadSchema" in plan and "l_returnflag" in plan
+
+
+def test_left_anti_delta_broadcasts_key_only_build_side(spark):
+    plan = _plan(harness.queries()["left_anti_delta"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # build side scans only the key + filter column
+    assert "o_totalprice" not in plan
+
+
+def test_broadcast_dim_join_has_no_sort_merge(spark):
+    plan = _plan(harness.queries()["broadcast_dim_join"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_group_agg_has_partial_aggregation(spark):
+    plan = _plan(harness.queries()["group_agg_suite"](spark, SF))
+    # map-side combine before the shuffle: partial then final agg
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_partition_filter_pruning(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", "2024-25", "Regular Season", 1.0), ("b", "2023-24", "Playoffs", 2.0)],
+        "id string, SEASON string, SEASON_TYPE string, v double",
+    )
+    path = str(tmp_path / "t")
+    df.write.partitionBy("SEASON", "SEASON_TYPE").parquet(path)
+    plan = _plan(spark.read.parquet(path).filter(F.col("SEASON") == "2024-25"))
+    assert "PartitionFilters" in plan and "SEASON" in plan
