@@ -1148,6 +1148,53 @@ def q_session_window(spark, sf):
     )
 
 
+_BKT = "((o_orderkey * 2654435761) % 4294967296) % 10000"
+
+@q(
+    "train_val_test_split",
+    f"""SELECT o_orderkey,
+              CASE WHEN {_BKT} < 8000 THEN 'train'
+                   WHEN {_BKT} < 9000 THEN 'val'
+                   ELSE 'test' END AS split
+       FROM orders""",
+)
+def q_split(spark, sf):
+    from .operators.sampling import split_assign
+
+    out = split_assign(
+        _t(spark, sf, "orders"),
+        "o_orderkey",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return out.select("o_orderkey", "split")
+
+
+@q(
+    "deterministic_sample",
+    """SELECT event_id FROM events
+       WHERE ((event_id * 2654435761) % 4294967296) % 10000 < 1000""",
+)
+def q_sample(spark, sf):
+    from .operators.sampling import deterministic_sample
+
+    return deterministic_sample(_t(spark, sf, "events"), "event_id", 0.1).select("event_id")
+
+
+@q(
+    "stratified_sample",
+    """SELECT doc_id, lang FROM documents
+       WHERE (lang = 'en' AND ((doc_id * 2654435761) % 4294967296) % 10000 < 2000)
+          OR (lang = 'de' AND ((doc_id * 2654435761) % 4294967296) % 10000 < 10000)""",
+)
+def q_stratified(spark, sf):
+    from .operators.sampling import stratified_sample
+
+    out = stratified_sample(
+        _t(spark, sf, "documents"), "doc_id", "lang", {"en": 0.2, "de": 1.0}
+    )
+    return out.select("doc_id", "lang")
+
+
 @q(
     "set_intersect",
     """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'

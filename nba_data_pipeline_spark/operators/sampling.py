@@ -1,0 +1,74 @@
+"""Deterministic sampling and dataset splits for training pipelines.
+
+Everything keys off a Knuth-multiplicative hash bucket of a row id —
+pure integer arithmetic (portable across engines and runs, unlike
+``rand()`` or engine hash functions), so splits are reproducible,
+join-stable (the same row lands in the same split everywhere), and
+retry-safe. At 100 TB a split is a filter — no shuffle, no sort, and
+it composes with partition pruning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+KNUTH = 2654435761  # 2^32 * golden ratio conjugate
+MOD = 1 << 32
+BUCKETS = 10_000
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def hash_bucket(id_col: Column | str, buckets: int = BUCKETS) -> Column:
+    """Deterministic bucket in [0, buckets) from an integer id.
+
+    NOTE: the multiply is exact only while id * KNUTH fits in int64
+    (|id| < ~3.5e9); for larger or non-integer keys, pre-hash with
+    ``xxhash64`` (engine-specific) or a string fold.
+    """
+    return F.pmod(F.pmod(_col(id_col) * F.lit(KNUTH), F.lit(MOD)), F.lit(buckets))
+
+
+def deterministic_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
+    """Keep ~fraction of rows, stable across runs/engines/retries."""
+    return df.filter(hash_bucket(id_col) < int(fraction * BUCKETS))
+
+
+def split_assign(
+    df: DataFrame, id_col: str, fractions: Mapping[str, float], out_col: str = "split"
+) -> DataFrame:
+    """Assign each row to a named split ('train'/'val'/'test'/...) by
+    cumulative bucket ranges. Fractions must sum to <= 1; remainder
+    rows get NULL (useful for holdout)."""
+    bucket = hash_bucket(id_col)
+    expr = F.lit(None).cast("string")
+    cum = 0.0
+    bounds = []
+    for name, frac in fractions.items():
+        lo = int(cum * BUCKETS)
+        cum += frac
+        hi = int(cum * BUCKETS)
+        bounds.append((name, lo, hi))
+    for name, lo, hi in reversed(bounds):
+        expr = F.when((bucket >= lo) & (bucket < hi), name).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame, id_col: str, stratum_col: str, fractions: Mapping[str, float]
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum keeps its own
+    fraction (e.g. downsample 'en' to 10%, keep 'mi' at 100%). Strata
+    missing from ``fractions`` are dropped."""
+    bucket = hash_bucket(id_col)
+    keep = F.lit(False)
+    for stratum, frac in fractions.items():
+        keep = keep | (
+            (_col(stratum_col) == stratum) & (bucket < int(frac * BUCKETS))
+        )
+    return df.filter(keep)
