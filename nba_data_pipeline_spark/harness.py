@@ -387,17 +387,20 @@ def q_insert_ignore(spark, sf):
     "asof_join",
     """SELECT e.event_id, r.rv
        FROM (SELECT event_id, user_id % 10 AS k, ts FROM events) e
-       ASOF LEFT JOIN (SELECT user_id % 10 AS k, ts, ROUND(value, 2) AS rv
-                       FROM events WHERE event_id % 50 = 0) r
+       ASOF LEFT JOIN (SELECT user_id % 10 AS k, ts, MAX(ROUND(value, 2)) AS rv
+                       FROM events WHERE event_id % 50 = 0
+                       GROUP BY 1, 2) r
          ON e.k = r.k AND e.ts >= r.ts""",
 )
 def q_asof(spark, sf):
+    # Right side deduped to one row per (k, ts) on both engines so the
+    # as-of tie behavior of either engine can't affect the comparison.
     ev = _t(spark, sf, "events")
     left = ev.select("event_id", (F.col("user_id") % 10).alias("k"), "ts")
-    right = ev.filter(F.col("event_id") % 50 == 0).select(
-        (F.col("user_id") % 10).alias("k"),
-        F.col("ts").alias("rts"),
-        F.round("value", 2).alias("rv"),
+    right = (
+        ev.filter(F.col("event_id") % 50 == 0)
+        .groupBy((F.col("user_id") % 10).alias("k"), F.col("ts").alias("rts"))
+        .agg(F.max(F.round("value", 2)).alias("rv"))
     )
     out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts", right_vals=["rv"])
     return out.select("event_id", "rv")
@@ -672,9 +675,9 @@ def q_topk(spark, sf):
 @q(
     "sessionize",
     """SELECT user_id, event_id,
-              SUM(CASE WHEN gap_us IS NULL OR gap_us > 3600000000 THEN 1 ELSE 0 END)
+              CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 3600000000 THEN 1 ELSE 0 END)
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
        FROM (SELECT user_id, event_id, ts,
                     epoch_us(ts) - lag(epoch_us(ts))
                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
@@ -702,8 +705,8 @@ def q_running_sum(spark, sf):
 @q(
     "running_distinct",
     """SELECT user_id, event_id,
-              SUM(first_flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_distinct_so_far
+              CAST(SUM(first_flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_distinct_so_far
        FROM (SELECT user_id, event_id, ts,
                     CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
                                                  ORDER BY ts, event_id) = 1

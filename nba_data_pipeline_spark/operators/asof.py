@@ -81,9 +81,12 @@ def asof_join(
         *[F.col(v).alias(f"_r_{v}") for v in right_vals],
     )
     unioned = tagged_left.unionByName(tagged_right)
+    # Tie-breaker: when multiple right rows share (key, ts), order by the
+    # value columns so the lexicographically-greatest row wins on every
+    # run/partitioning (otherwise last(..., ignorenulls) is nondeterministic).
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ts"), F.col("_side"))
+        .orderBy(F.col("_ts"), F.col("_side"), *[F.col(f"_r_{v}") for v in right_vals])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
