@@ -40,7 +40,12 @@ from .operators.dedup import (
     simhash_near_pairs,
 )
 from .operators.incremental import delta_filter, duplicate_keys, insert_ignore, merge_upsert
-from .operators.lineups import lineups_via_range_join, track_lineups
+from .operators.lineups import (
+    lineups_via_range_join,
+    starters_per_period_box_seeded,
+    starters_with_fallback,
+    track_lineups,
+)
 from .operators.multimodal import attach_media_meta, extract_image_features, sample_frames
 from .operators.rollup import rollup_structs
 from .operators.similarity import brute_force_topk, cosine_pairs, lsh_topk
@@ -654,6 +659,127 @@ def q_starter(spark, sf):
     return first.select(
         "user_id", (F.col("event_type") == "signup").alias("started_with_signup")
     )
+
+
+def _synth_pbp(ev):
+    """Deterministic pbp-shaped frame from the events table, mirrored
+    verbatim in the starters_* oracle SQL (same modular arithmetic)."""
+    return ev.select(
+        (F.col("user_id") % 20).alias("GAME_ID"),
+        (F.lit(1) + F.col("event_id") % 4).alias("PERIOD"),
+        F.col("event_id").alias("EVENTNUM"),
+        (F.col("event_id") % 720).cast("double").alias("SECONDS_FROM_START"),
+        F.when(F.col("event_id") % 211 == 0, F.lit(8)).otherwise(F.lit(1)).alias("EVENTMSGTYPE"),
+        (F.col("user_id") % 50).alias("PLAYER1_ID"),
+        (F.lit(100) + (F.col("user_id") % 50) % 2).alias("PLAYER1_TEAM_ID"),
+        ((F.col("user_id") + 7) % 50).alias("PLAYER2_ID"),
+        (F.lit(100) + ((F.col("user_id") + 7) % 50) % 2).alias("PLAYER2_TEAM_ID"),
+        F.lit(None).cast("long").alias("PLAYER3_ID"),
+        F.lit(None).cast("long").alias("PLAYER3_TEAM_ID"),
+    )
+
+
+def _synth_box(pbp):
+    """Box-score-shaped frame: every pbp participant, with MIN null for
+    player ids ending in 3 (they 'did not play' -> excluded candidates)."""
+    players = pbp.select("GAME_ID", "PERIOD", F.col("PLAYER1_ID").alias("PLAYER_ID")).unionByName(
+        pbp.select("GAME_ID", "PERIOD", F.col("PLAYER2_ID").alias("PLAYER_ID"))
+    )
+    return players.dropDuplicates().select(
+        "GAME_ID",
+        "PERIOD",
+        "PLAYER_ID",
+        (F.lit(100) + F.col("PLAYER_ID") % 2).alias("TEAM_ID"),
+        F.when(F.col("PLAYER_ID") % 10 != 3, F.lit("12:00")).alias("MIN"),
+    )
+
+
+_STARTERS_ORACLE_CTES = """
+       WITH pbp AS (
+         SELECT user_id % 20 AS GAME_ID,
+                1 + (event_id % 4) AS PERIOD,
+                event_id AS EVENTNUM,
+                event_id % 720 AS SECS,
+                CASE WHEN event_id % 211 = 0 THEN 8 ELSE 1 END AS EMT,
+                user_id % 50 AS P1,
+                100 + (user_id % 50) % 2 AS P1T,
+                (user_id + 7) % 50 AS P2,
+                100 + ((user_id + 7) % 50) % 2 AS P2T
+         FROM events),
+       box AS (
+         SELECT DISTINCT GAME_ID, PERIOD, P AS PLAYER_ID
+         FROM (SELECT GAME_ID, PERIOD, P1 AS P FROM pbp
+               UNION ALL SELECT GAME_ID, PERIOD, P2 FROM pbp)),
+       roles AS (
+         SELECT GAME_ID, PERIOD, PLAYER_ID, ROLE FROM (
+           SELECT GAME_ID, PERIOD, PLAYER_ID, ROLE,
+                  row_number() OVER (PARTITION BY GAME_ID, PERIOD, PLAYER_ID
+                                     ORDER BY SECS, EVENTNUM) AS rn
+           FROM (SELECT GAME_ID, PERIOD, SECS, EVENTNUM, P1 AS PLAYER_ID,
+                        'OUT' AS ROLE FROM pbp WHERE EMT = 8
+                 UNION ALL
+                 SELECT GAME_ID, PERIOD, SECS, EVENTNUM, P2, 'IN'
+                 FROM pbp WHERE EMT = 8))
+         WHERE rn = 1),
+       box_starters AS (
+         SELECT b.GAME_ID, b.PERIOD, b.PLAYER_ID,
+                100 + b.PLAYER_ID % 2 AS TEAM_ID
+         FROM box b LEFT JOIN roles r USING (GAME_ID, PERIOD, PLAYER_ID)
+         WHERE b.PLAYER_ID % 10 <> 3
+           AND (r.ROLE IS NULL OR r.ROLE = 'OUT'))
+"""
+
+
+@q(
+    "starters_box_seeded",
+    _STARTERS_ORACLE_CTES
+    + """SELECT GAME_ID, PERIOD, PLAYER_ID, TEAM_ID FROM box_starters""",
+)
+def q_starters_box_seeded(spark, sf):
+    """Reference get_starters_for_period
+    (etl/players_on_court_at_start_of_period.py:73-88) on a synthesized
+    pbp/box pair derived deterministically from the events table."""
+    ev = _t(spark, sf, "events")
+    pbp = _synth_pbp(ev)
+    box = _synth_box(pbp)
+    return starters_per_period_box_seeded(pbp, box)
+
+
+@q(
+    "starters_fallback",
+    _STARTERS_ORACLE_CTES
+    + """,
+       box_good AS (
+         SELECT GAME_ID, PERIOD, PLAYER_ID, TEAM_ID, 'box' AS SOURCE FROM (
+           SELECT *, COUNT(*) OVER (PARTITION BY GAME_ID, PERIOD) AS n
+           FROM box_starters)
+         WHERE n = 10),
+       cand AS (
+         SELECT DISTINCT GAME_ID, PERIOD, PLAYER_ID, TEAM_ID
+         FROM (SELECT GAME_ID, PERIOD, P1 AS PLAYER_ID, P1T AS TEAM_ID FROM pbp
+               UNION ALL SELECT GAME_ID, PERIOD, P2, P2T FROM pbp)
+         WHERE TEAM_ID IS NOT NULL AND TEAM_ID <> 0 AND PLAYER_ID IS NOT NULL),
+       pbp_starters AS (
+         SELECT c.GAME_ID, c.PERIOD, c.PLAYER_ID, c.TEAM_ID
+         FROM cand c LEFT JOIN roles r USING (GAME_ID, PERIOD, PLAYER_ID)
+         WHERE r.ROLE IS NULL OR r.ROLE = 'OUT'),
+       pbp_good AS (
+         SELECT GAME_ID, PERIOD, PLAYER_ID, TEAM_ID, 'pbp' AS SOURCE FROM (
+           SELECT *, COUNT(*) OVER (PARTITION BY GAME_ID, PERIOD) AS n
+           FROM pbp_starters) s
+         WHERE s.n = 10
+           AND NOT EXISTS (SELECT 1 FROM box_good g
+                           WHERE g.GAME_ID = s.GAME_ID AND g.PERIOD = s.PERIOD))
+       SELECT * FROM box_good UNION ALL SELECT * FROM pbp_good""",
+)
+def q_starters_fallback(spark, sf):
+    """Reference process_game control flow
+    (etl/players_on_court_at_start_of_period.py:125-161): box-seeded
+    primary, pbp fallback, exact-10 gate on both."""
+    ev = _t(spark, sf, "events")
+    pbp = _synth_pbp(ev)
+    box = _synth_box(pbp)
+    return starters_with_fallback(pbp, box)
 
 
 @q(

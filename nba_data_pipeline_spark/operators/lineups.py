@@ -90,6 +90,32 @@ def resolve_game_teams(pbp: DataFrame, team_game_log: DataFrame | None = None) -
 # O2: players on court at the start of each period (pbp-only variant)
 # ---------------------------------------------------------------------------
 
+def _first_sub_role(pbp: DataFrame) -> DataFrame:
+    """Per (GAME_ID, PERIOD, PLAYER_ID): role of the player's first
+    substitution event in the period — 'OUT' if they are PLAYER1 (subbed
+    out), 'IN' if PLAYER2 (subbed in). Ordered by (time, event) exactly
+    as the reference sorts subs (etl/players_on_court_at_start_of_period.py:67).
+    """
+    subs = pbp.filter(F.col("EVENTMSGTYPE") == 8)
+    roles = subs.select(
+        "GAME_ID", "PERIOD", "SECONDS_FROM_START", "EVENTNUM",
+        F.col("PLAYER1_ID").alias("PLAYER_ID"), F.lit("OUT").alias("ROLE"),
+    ).unionByName(
+        subs.select(
+            "GAME_ID", "PERIOD", "SECONDS_FROM_START", "EVENTNUM",
+            F.col("PLAYER2_ID").alias("PLAYER_ID"), F.lit("IN").alias("ROLE"),
+        )
+    )
+    w = Window.partitionBy("GAME_ID", "PERIOD", "PLAYER_ID").orderBy(
+        "SECONDS_FROM_START", "EVENTNUM"
+    )
+    return (
+        roles.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("GAME_ID", "PERIOD", "PLAYER_ID", F.col("ROLE").alias("FIRST_ROLE"))
+    )
+
+
 def starters_per_period(pbp: DataFrame) -> DataFrame:
     """Period starters from substitution order alone (reference
     ``get_starters_for_period_pbp``, :90-122), relationally:
@@ -115,29 +141,76 @@ def starters_per_period(pbp: DataFrame) -> DataFrame:
         F.col("TEAM_ID").isNotNull() & (F.col("TEAM_ID") != 0) & F.col("PLAYER_ID").isNotNull()
     ).dropDuplicates(["GAME_ID", "PERIOD", "PLAYER_ID", "TEAM_ID"])
 
-    subs = pbp.filter(F.col("EVENTMSGTYPE") == 8)
-    roles = subs.select(
-        "GAME_ID", "PERIOD", "SECONDS_FROM_START", "EVENTNUM",
-        F.col("PLAYER1_ID").alias("PLAYER_ID"), F.lit("OUT").alias("ROLE"),
-    ).unionByName(
-        subs.select(
-            "GAME_ID", "PERIOD", "SECONDS_FROM_START", "EVENTNUM",
-            F.col("PLAYER2_ID").alias("PLAYER_ID"), F.lit("IN").alias("ROLE"),
-        )
-    )
-    w = Window.partitionBy("GAME_ID", "PERIOD", "PLAYER_ID").orderBy(
-        "SECONDS_FROM_START", "EVENTNUM"
-    )
-    first_role = (
-        roles.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("GAME_ID", "PERIOD", "PLAYER_ID", F.col("ROLE").alias("FIRST_ROLE"))
-    )
+    first_role = _first_sub_role(pbp)
     return (
         cand.join(first_role, ["GAME_ID", "PERIOD", "PLAYER_ID"], "left")
         .filter(F.col("FIRST_ROLE").isNull() | (F.col("FIRST_ROLE") == "OUT"))
         .select("GAME_ID", "PERIOD", "PLAYER_ID", "TEAM_ID")
     )
+
+
+def starters_per_period_box_seeded(pbp: DataFrame, box: DataFrame) -> DataFrame:
+    """Period starters seeded from the per-period box score — the
+    reference's PRIMARY variant (``get_starters_for_period``,
+    etl/players_on_court_at_start_of_period.py:73-88):
+
+    candidates = box rows with ``MIN IS NOT NULL`` (played in the
+    period); a candidate started the period iff they have no sub event
+    in it, or their first sub (by time, event) is OUT. TEAM_ID comes
+    from the box score (reference :137), not pbp.
+
+    ``box`` needs (GAME_ID, PERIOD, PLAYER_ID, TEAM_ID, MIN). The box
+    side is typically tiny relative to pbp (≤ ~30 rows per game-period)
+    so the join broadcasts under AQE; the sub-role side shuffles once
+    on (GAME_ID, PERIOD, PLAYER_ID).
+    """
+    pbp = pbp if "SECONDS_FROM_START" in pbp.columns else derive_seconds_from_start(pbp)
+    cand = (
+        box.filter(F.col("MIN").isNotNull())
+        .select("GAME_ID", "PERIOD", "PLAYER_ID", "TEAM_ID")
+        .dropDuplicates(["GAME_ID", "PERIOD", "PLAYER_ID"])
+    )
+    first_role = _first_sub_role(pbp)
+    return (
+        cand.join(first_role, ["GAME_ID", "PERIOD", "PLAYER_ID"], "left")
+        .filter(F.col("FIRST_ROLE").isNull() | (F.col("FIRST_ROLE") == "OUT"))
+        .select("GAME_ID", "PERIOD", "PLAYER_ID", "TEAM_ID")
+    )
+
+
+def starters_with_fallback(pbp: DataFrame, box: DataFrame) -> DataFrame:
+    """Box-seeded starters with pbp fallback — the reference's
+    ``process_game`` control flow (etl/players_on_court_at_start_of_period.py:125-161):
+    use the box-seeded answer when it finds exactly 10 starters for the
+    period; otherwise fall back to the pbp-only algorithm, again
+    accepting only an exact-10 answer. Periods where neither variant
+    yields 10 are dropped (the reference raises and skips the game;
+    in a distributed batch we drop the period — callers can diff
+    against ``pbp.select('GAME_ID','PERIOD').distinct()`` to audit).
+
+    Emits a SOURCE column ('box' | 'pbp') so downstream can tell which
+    path produced each period. All counting is window-local per
+    (GAME_ID, PERIOD) — no driver round-trips, unlike the reference's
+    per-period API + DB calls.
+    """
+    wb = Window.partitionBy("GAME_ID", "PERIOD")
+    b = (
+        starters_per_period_box_seeded(pbp, box)
+        .withColumn("_n", F.count("*").over(wb))
+    )
+    good_box = b.filter(F.col("_n") == 10).drop("_n").withColumn("SOURCE", F.lit("box"))
+    box_ok_periods = good_box.select("GAME_ID", "PERIOD").dropDuplicates()
+    p = (
+        starters_per_period(pbp)
+        .withColumn("_n", F.count("*").over(wb))
+    )
+    good_pbp = (
+        p.filter(F.col("_n") == 10)
+        .drop("_n")
+        .join(box_ok_periods, ["GAME_ID", "PERIOD"], "left_anti")
+        .withColumn("SOURCE", F.lit("pbp"))
+    )
+    return good_box.unionByName(good_pbp)
 
 
 def starters_from_rotations(rotations: DataFrame) -> DataFrame:

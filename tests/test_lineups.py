@@ -85,3 +85,61 @@ def test_range_join_variant_matches_stateful_scan(
     declarative = lineups_via_range_join(pbp_df, rotations_df, team_game_log_df)
     got = _lineups([r.asDict() for r in declarative.collect()])
     assert got == EXPECTED
+
+
+# ---------------------------------------------------------------------------
+# O2 box-seeded variant (reference get_starters_for_period,
+# etl/players_on_court_at_start_of_period.py:73-88) + process_game fallback
+# ---------------------------------------------------------------------------
+
+def _box_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "GAME_ID string, PERIOD long, PLAYER_ID long, TEAM_ID long, MIN string"
+    )
+
+
+def _full_box(spark):
+    # Players with minutes per period, mirroring the fixture's stints:
+    # P1: 101-106 (101 out at 300s, 106 in) / 201-206; P2: the five on
+    # court all period per team. 107 listed with NULL MIN in P1 (DNP).
+    rows = [("0022400001", 1, p, HOME, "5:00") for p in (101, 102, 103, 104, 105, 106)]
+    rows += [("0022400001", 1, 107, HOME, None)]
+    rows += [("0022400001", 1, p, AWAY, "5:00") for p in (201, 202, 203, 204, 205, 206)]
+    rows += [("0022400001", 2, p, HOME, "12:00") for p in (103, 104, 105, 106, 107)]
+    rows += [("0022400001", 2, p, AWAY, "12:00") for p in (201, 202, 203, 204, 205)]
+    return _box_df(spark, rows)
+
+
+def test_starters_box_seeded_ten_per_period(spark, pbp_df):
+    from nba_data_pipeline_spark.operators.lineups import starters_per_period_box_seeded
+
+    out = starters_per_period_box_seeded(pbp_df, _full_box(spark))
+    by_period = {}
+    for r in out.collect():
+        by_period.setdefault((r.PERIOD, r.TEAM_ID), set()).add(r.PLAYER_ID)
+    # the reference's 10-starters invariant (:135): exactly 5 per team
+    assert by_period[(1, HOME)] == {101, 102, 103, 104, 105}  # 106 first-subbed IN
+    assert by_period[(1, AWAY)] == {201, 202, 203, 204, 205}  # 206 first-subbed IN
+    assert by_period[(2, HOME)] == {103, 104, 105, 106, 107}  # no P2 subs
+    assert by_period[(2, AWAY)] == {201, 202, 203, 204, 205}
+    counts = out.groupBy("GAME_ID", "PERIOD").count().collect()
+    assert all(r["count"] == 10 for r in counts)
+
+
+def test_starters_fallback_prefers_box_then_drops(spark, pbp_df):
+    from nba_data_pipeline_spark.operators.lineups import starters_with_fallback
+
+    # Healthy box: every period resolves via the box path.
+    out = starters_with_fallback(pbp_df, _full_box(spark))
+    assert set(r.SOURCE for r in out.collect()) == {"box"}
+    assert out.count() == 20
+
+    # Degrade P1 (drop player 105): box path finds 9 -> pbp fallback also
+    # can't reach 10 on this sparse fixture -> P1 dropped, P2 intact (box).
+    degraded = _full_box(spark).filter(
+        ~((F.col("PERIOD") == 1) & (F.col("PLAYER_ID") == 105))
+    )
+    out2 = starters_with_fallback(pbp_df, degraded)
+    rows = out2.collect()
+    assert all(r.PERIOD == 2 for r in rows)
+    assert len(rows) == 10 and set(r.SOURCE for r in rows) == {"box"}
