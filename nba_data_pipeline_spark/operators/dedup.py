@@ -84,6 +84,68 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Hot-bucket guard (shared by MinHash-LSH and SimHash banding)
+# ---------------------------------------------------------------------------
+
+def bucket_width_stats(banded: DataFrame, cap: int) -> DataFrame:
+    """Audit frame: (band, bucket, width) for buckets wider than ``cap``.
+    Run alongside the pair generation to quantify how much a skewed
+    corpus (boilerplate-heavy web text) is degrading to chain pairs."""
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("width"))
+        .filter(F.col("width") > cap)
+    )
+
+
+def _bucket_pairs(banded: DataFrame, cap: int | None) -> DataFrame:
+    """id_a < id_b candidate pairs within each (band, bucket).
+
+    Buckets at or under ``cap`` docs produce full pairwise candidates.
+    Hot buckets (width > cap — e.g. a boilerplate band bucket holding a
+    million near-identical pages) would produce O(k^2) pairs and blow up
+    the join; they degrade to consecutive-chain pairs over the
+    doc_id-sorted bucket: O(k) pairs that still connect every member of
+    the cluster transitively, so connected-components dedup downstream
+    loses nothing, while pairwise similarity reporting within hot
+    buckets is intentionally sparse. ``cap=None`` disables the guard.
+    """
+    if cap is None:
+        return (
+            banded.alias("x")
+            .join(banded.alias("y"), ["band", "bucket"])
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+            .distinct()
+        )
+    wb = Window.partitionBy("band", "bucket")
+    wr = wb.orderBy("doc_id")
+    sized = banded.withColumn("_bw", F.count("*").over(wb)).withColumn(
+        "_rn", F.row_number().over(wr)
+    )
+    small = sized.filter(F.col("_bw") <= cap).select("band", "bucket", "doc_id")
+    pairs_small = (
+        small.alias("x")
+        .join(small.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+    )
+    hot = sized.filter(F.col("_bw") > cap).select("band", "bucket", "doc_id", "_rn")
+    # chain link rank r -> r+1; bucket is doc_id-sorted so id_a < id_b holds
+    pairs_hot = (
+        hot.select("band", "bucket", F.col("doc_id").alias("id_a"), F.col("_rn").alias("_r"))
+        .join(
+            hot.select(
+                "band", "bucket", F.col("doc_id").alias("id_b"), (F.col("_rn") - 1).alias("_r")
+            ),
+            ["band", "bucket", "_r"],
+        )
+        .select("id_a", "id_b")
+    )
+    return pairs_small.unionByName(pairs_hot).distinct()
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
@@ -156,6 +218,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     seed: int = 42,
+    max_bucket_width: int | None = 1000,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash-LSH, verified by
     exact shingle Jaccard.
@@ -164,7 +227,9 @@ def minhash_lsh_pairs(
     ``num_perm/bands`` rows -> hash each band -> explode -> bucket-join
     on (band_idx, band_hash) -> id<id pairs -> dedup -> verify with
     true Jaccard >= threshold. Shuffle volume is O(n * bands) rows of
-    (id, hash), never O(n^2).
+    (id, hash), never O(n^2). Buckets wider than ``max_bucket_width``
+    degrade to doc_id-chain pairs (see ``_bucket_pairs``) so a skewed
+    corpus can't go quadratic; audit with ``bucket_width_stats``.
     """
     rows_per_band = num_perm // bands
     sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_n, seed)
@@ -188,13 +253,7 @@ def minhash_lsh_pairs(
     banded = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "bucket"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
-        .distinct()
-    )
+    cand = _bucket_pairs(banded, max_bucket_width)
     sh = (
         exploded_shingles(df, [id_col], text_col, shingle_n, "_s")
         .select(F.col(id_col).alias("doc_id"), F.xxhash64("_s").alias("_h"))
@@ -279,17 +338,23 @@ def simhash_df(
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, band_bits: int = 16
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    band_bits: int = 16,
+    max_bucket_width: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit
     bands (a pair within Hamming distance 3 of a 64-bit hash must agree
     exactly on at least one of the 4 bands — pigeonhole), so candidate
-    generation is a bucket join, not all-pairs."""
+    generation is a bucket join, not all-pairs. Buckets wider than
+    ``max_bucket_width`` degrade to doc_id-chain pairs (``_bucket_pairs``)
+    to stay linear on skewed corpora."""
     nbands = 64 // band_bits
     h = simhash_df(df, id_col, text_col)
     bands = h.select(
         "doc_id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -303,18 +368,12 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = _bucket_pairs(bands, max_bucket_width)
+    fp = h.withColumnRenamed("sh", "_fp")
     cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band", "bucket"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("id_a"),
-            F.col("y.doc_id").alias("id_b"),
-            F.col("x.sh").alias("sh_a"),
-            F.col("y.sh").alias("sh_b"),
-        )
-        .distinct()
+        cand.join(fp.select(F.col("doc_id").alias("id_a"), F.col("_fp").alias("sh_a")), "id_a")
+        .join(fp.select(F.col("doc_id").alias("id_b"), F.col("_fp").alias("sh_b")), "id_b")
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (

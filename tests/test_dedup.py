@@ -48,3 +48,65 @@ def test_simhash_near_pairs(spark):
     got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
     assert got[(1, 4)] == 0  # identical text -> identical simhash
     assert (1, 3) not in got  # far doc outside hamming radius
+
+
+def test_hot_bucket_guard_stays_linear_on_identical_corpus(spark):
+    """A degenerate corpus (many identical docs -> one mega-bucket per
+    band) must not produce the quadratic k*(k-1)/2 pair set: over-cap
+    buckets degrade to doc_id-chain pairs, which still connect every
+    member transitively for connected-components dedup."""
+    from nba_data_pipeline_spark.operators.dedup import (
+        bucket_width_stats,
+        minhash_lsh_pairs,
+        simhash_near_pairs,
+    )
+
+    n = 200
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(n)], "doc_id long, text string"
+    )
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.9, max_bucket_width=20
+    ).collect()
+    # chain, not clique: exactly n-1 distinct consecutive pairs
+    assert len(pairs) == n - 1
+    assert all(p.jaccard_sim == 1.0 for p in pairs)
+    # transitively connected: union-find over the emitted pairs -> 1 component
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for p in pairs:
+        parent[find(p.id_a)] = find(p.id_b)
+    assert len({find(i) for i in range(n)}) == 1
+
+    sim_pairs = simhash_near_pairs(docs, "doc_id", "text", max_bucket_width=20).collect()
+    assert len(sim_pairs) == n - 1
+    assert all(p.hamming == 0 for p in sim_pairs)
+
+    banded = spark.createDataFrame(
+        [(0, 7, i) for i in range(30)] + [(1, 9, 0), (1, 9, 1)],
+        "band int, bucket long, doc_id long",
+    )
+    hot = bucket_width_stats(banded, cap=20).collect()
+    assert [(r.band, r.bucket, r.width) for r in hot] == [(0, 7, 30)]
+
+
+def test_bucket_guard_disabled_matches_old_behavior(spark):
+    """cap=None keeps full pairwise candidates (clique on identical docs)."""
+    from nba_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    n = 12
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(n)],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.9, max_bucket_width=None
+    ).collect()
+    assert len(pairs) == n * (n - 1) // 2
