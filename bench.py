@@ -44,7 +44,6 @@ HEADLINE = [
     "cosine_topk",
     "lsh_ann_topk",
     "cosine_neardup",
-    "lineup_tracking_bulk",
     "lineups_declarative_bulk",
 ]
 

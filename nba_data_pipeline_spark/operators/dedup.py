@@ -118,11 +118,11 @@ def _bucket_pairs(banded: DataFrame, cap: int | None) -> DataFrame:
             .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
             .distinct()
         )
-    wb = Window.partitionBy("band", "bucket")
-    wr = wb.orderBy("doc_id")
-    sized = banded.withColumn("_bw", F.count("*").over(wb)).withColumn(
-        "_rn", F.row_number().over(wr)
-    )
+    # widths via groupBy (map-side partial agg), not a window — a window
+    # count would sort the whole banded frame; this aggregates it down to
+    # one row per bucket and joins back (AQE broadcasts when small).
+    widths = banded.groupBy("band", "bucket").agg(F.count("*").alias("_bw"))
+    sized = banded.join(widths, ["band", "bucket"])
     small = sized.filter(F.col("_bw") <= cap).select("band", "bucket", "doc_id")
     pairs_small = (
         small.alias("x")
@@ -130,7 +130,15 @@ def _bucket_pairs(banded: DataFrame, cap: int | None) -> DataFrame:
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
     )
-    hot = sized.filter(F.col("_bw") > cap).select("band", "bucket", "doc_id", "_rn")
+    # row_number only over the (rare) hot subset
+    hot = (
+        sized.filter(F.col("_bw") > cap)
+        .select("band", "bucket", "doc_id")
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("band", "bucket").orderBy("doc_id")),
+        )
+    )
     # chain link rank r -> r+1; bucket is doc_id-sorted so id_a < id_b holds
     pairs_hot = (
         hot.select("band", "bucket", F.col("doc_id").alias("id_a"), F.col("_rn").alias("_r"))

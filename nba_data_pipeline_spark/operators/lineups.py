@@ -330,11 +330,20 @@ def _make_track_fn(event_cols: list[str]):
     return track
 
 
+# Columns the per-game stateful scan actually reads; everything else is
+# payload that only inflates the Arrow transfer into Python.
+_SCAN_COLS = [
+    "GAME_ID", "EVENTNUM", "EVENTMSGTYPE", "PERIOD", "SECONDS_FROM_START",
+    "PLAYER1_ID", "PLAYER1_TEAM_ID", "PLAYER2_ID", "TEAM1_ID", "TEAM2_ID",
+]
+
+
 def track_lineups(
     pbp: DataFrame,
     rotations: DataFrame,
     team_game_log: DataFrame | None = None,
     fallback_lineups: DataFrame | None = None,
+    slim: bool = True,
 ) -> DataFrame:
     """play_by_play + rotations -> play_by_play_with_players.
 
@@ -344,11 +353,32 @@ def track_lineups(
     data lives (no driver loops, no mid-scan lookups — the reference's
     fallback query at :147-149 is pre-joined via ``fallback_lineups``,
     SURVEY.md §7.4 known-hard #2).
+
+    With ``slim`` (default), only the 10 columns the scan reads cross
+    the Arrow boundary; the wide event payload (descriptions, names,
+    scores) is joined back on (GAME_ID, EVENTNUM) afterwards — at scale
+    the Python transfer is the bottleneck, not the equi-join.
     """
     pbp = pbp if "SECONDS_FROM_START" in pbp.columns else derive_seconds_from_start(pbp)
     teams = resolve_game_teams(pbp, team_game_log)
     events = pbp.join(F.broadcast(teams), "GAME_ID", "inner")
+    wide_cols = [c for c in events.columns if c not in ("TEAM1_ID", "TEAM2_ID")]
+    if slim and set(wide_cols) - set(_SCAN_COLS):
+        slim_events = events.select(*_SCAN_COLS)
+        tracked = _track_on(slim_events, rotations, fallback_lineups)
+        lineup_only = tracked.select("GAME_ID", "EVENTNUM", *LINEUP_COLS)
+        return pbp.join(lineup_only, ["GAME_ID", "EVENTNUM"], "inner")
+    return _track_on(events, rotations, fallback_lineups).drop("TEAM1_ID", "TEAM2_ID")
 
+
+def _track_on(
+    events: DataFrame,
+    rotations: DataFrame,
+    fallback_lineups: DataFrame | None,
+) -> DataFrame:
+    """Cogrouped applyInPandas core: ``events`` must already carry
+    TEAM1_ID/TEAM2_ID and SECONDS_FROM_START; output = events columns +
+    the 10 lineup columns."""
     stints = explode_stints(rotations.select("GAME_ID", "TEAM_ID", "PLAYER_ID", "STINTS"))
     side = stints.select(
         "GAME_ID",
@@ -377,12 +407,11 @@ def track_lineups(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in events.schema.fields]
         + [f"{c} long" for c in LINEUP_COLS]
     )
-    tracked = (
+    return (
         events.groupBy("GAME_ID")
         .cogroup(side.groupBy("GAME_ID"))
         .applyInPandas(_make_track_fn(event_cols), schema=out_schema)
     )
-    return tracked.drop("TEAM1_ID", "TEAM2_ID")
 
 
 # ---------------------------------------------------------------------------
