@@ -71,6 +71,20 @@ BOX_PLAYER_STATS_SET = _s(
     ("REB", DBL), ("AST", DBL), ("PLUS_MINUS", DBL),
 )
 
+# playergamelogs -> PlayerGameLogs, Base-measure wire-order prefix
+# (reference api/smart.py:358-390 season box-score composites; extra
+# trailing wire columns are ignored by the positional pivot, same
+# assumption the reference's pandas decode makes)
+PLAYER_GAME_LOGS_SET = _s(
+    ("SEASON_YEAR", STR), ("PLAYER_ID", LONG), ("PLAYER_NAME", STR), ("NICKNAME", STR),
+    ("TEAM_ID", LONG), ("TEAM_ABBREVIATION", STR), ("TEAM_NAME", STR), ("GAME_ID", STR),
+    ("GAME_DATE", STR), ("MATCHUP", STR), ("WL", STR), ("MIN", DBL),
+    ("FGM", DBL), ("FGA", DBL), ("FG_PCT", DBL), ("FG3M", DBL), ("FG3A", DBL),
+    ("FG3_PCT", DBL), ("FTM", DBL), ("FTA", DBL), ("FT_PCT", DBL), ("OREB", DBL),
+    ("DREB", DBL), ("REB", DBL), ("AST", DBL), ("TOV", DBL), ("STL", DBL),
+    ("BLK", DBL), ("PTS", DBL), ("PLUS_MINUS", DBL),
+)
+
 RESULT_SET_SCHEMAS: dict[str, dict[str, T.StructType]] = {
     "play_by_play": {"PlayByPlay": PLAY_BY_PLAY_SET},
     "teams_game_log": {"LeagueGameLog": LEAGUE_GAME_LOG_SET},
@@ -82,7 +96,31 @@ RESULT_SET_SCHEMAS: dict[str, dict[str, T.StructType]] = {
     "shot_chart_detail": {"Shot_Chart_Detail": SHOT_CHART_SET},
     "foul_chart_detail": {"Shot_Chart_Detail": SHOT_CHART_SET},
     "box_score_traditional": {"PlayerStats": BOX_PLAYER_STATS_SET},
+    "season_box_scores": {"PlayerGameLogs": PLAYER_GAME_LOGS_SET},
 }
+
+
+def fetch_season_box_scores(
+    spark,
+    fetcher: Fetcher,
+    season: str,
+    season_type: str,
+    measure_type: str = "Base",
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Season-level box-score composite (reference api/smart.py:358-390
+    ``get_season_traditional_box_score`` / ``get_season_advanced_box_score``):
+    ONE playergamelogs call per (season, type, measure) — no game fan-out —
+    whose payload decodes distributedly into the declared frame.
+    Pass ``schema`` for non-Base measure types (their wire order differs).
+    """
+    from .nba_api import ENDPOINTS, season_box_score_params
+    from .resultset import payloads_from_json_strings
+
+    ep = ENDPOINTS["season_box_scores"]
+    payload = fetcher(ep.path, season_box_score_params(season, season_type, measure_type))
+    decoded = decode_result_sets(payloads_from_json_strings(spark, [payload]))
+    return result_set_df(decoded, "PlayerGameLogs", schema or PLAYER_GAME_LOGS_SET)
 
 
 def fetch_typed(

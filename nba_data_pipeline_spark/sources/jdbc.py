@@ -3,10 +3,10 @@
 
 The engine's storage is the parquet lakehouse; these exist for parity
 with the reference's Postgres surface and for cluster deployments that
-front existing RDBMS data. No JDBC driver jar ships in this
-environment, so calls fail fast with a clear message — the plan-side
-API (predicate pushdown via ``predicates``/``query``, parallel reads
-via partitionColumn) is the real content.
+front existing RDBMS data. Exercised end-to-end against the embedded
+Derby driver pyspark bundles (``tests/test_jdbc.py``: write ->
+4-partition range-bounded parallel read -> filter pushdown into the
+JDBC scan).
 """
 
 from __future__ import annotations

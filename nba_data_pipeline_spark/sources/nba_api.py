@@ -94,7 +94,32 @@ ENDPOINTS: dict[str, Endpoint] = {
                                   (("LeagueID", "00"), ("ContextMeasure", "FGA"))),
     "foul_chart_detail": Endpoint("shotchartdetail", "Shot_Chart_Detail",
                                   (("LeagueID", "00"), ("ContextMeasure", "PF"))),
+    # Season-level box-score composite (reference api/smart.py:358-390
+    # get_season_traditional/advanced_box_score -> one playergamelogs
+    # call per season, MeasureType selects the stat family).
+    "season_box_scores": Endpoint(
+        "playergamelogs", "PlayerGameLogs",
+        (("DateFrom", ""), ("DateTo", ""), ("GameSegment", ""), ("LastNGames", "0"),
+         ("LeagueID", "00"), ("Location", ""), ("MeasureType", "Base"), ("Month", "0"),
+         ("OpponentTeamID", "0"), ("Outcome", ""), ("PORound", "0"), ("PaceAdjust", "N"),
+         ("PerMode", "Totals"), ("Period", "0"), ("PlusMinus", "N"), ("Rank", "N"),
+         ("SeasonSegment", ""), ("ShotClockRange", ""), ("VsConference", ""),
+         ("VsDivision", "")),
+    ),
 }
+
+
+def season_box_score_params(
+    season: str, season_type: str, measure_type: str = "Base"
+) -> dict[str, str]:
+    """Full parameter set for the season box-score composite —
+    get_season_traditional_box_score uses measure_type='Base',
+    get_season_advanced_box_score 'Advanced' (api/smart.py:358-363)."""
+    if measure_type not in MEASURE_TYPES:
+        raise ValueError(f"measure_type must be one of {MEASURE_TYPES}")
+    return ENDPOINTS["season_box_scores"].params(
+        Season=season, SeasonType=season_type, MeasureType=measure_type
+    )
 
 Fetcher = Callable[[str, dict[str, str]], str]
 

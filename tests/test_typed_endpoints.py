@@ -44,3 +44,42 @@ def test_fetch_typed_requires_set_choice_when_ambiguous(spark):
     games = spark.createDataFrame([("0022400001",)], "GAME_ID string")
     with pytest.raises(ValueError, match="pick one"):
         fetch_typed(games, "game_rotation", fetcher)
+
+
+def test_fetch_season_box_scores_composite(spark):
+    """S3 gap closure: the season-level composite (reference
+    api/smart.py:358-390) — one playergamelogs call, typed decode."""
+    from nba_data_pipeline_spark.sources.endpoint_schemas import (
+        PLAYER_GAME_LOGS_SET,
+        fetch_season_box_scores,
+    )
+    from nba_data_pipeline_spark.sources.nba_api import season_box_score_params
+    from nba_data_pipeline_spark.sources.resultset import result_sets_to_payload
+
+    headers = [f.name for f in PLAYER_GAME_LOGS_SET.fields]
+    row = ["2024-25", 203999, "Star Player", "Star", 1610612743, "DEN", "Nuggets",
+           "0022400001", "2024-10-24", "DEN vs. OKC", "W", 36.5,
+           12, 20, 0.6, 2, 5, 0.4, 9, 10, 0.9, 3, 9, 12, 10, 3, 1, 1, 35, 8]
+    payload = result_sets_to_payload(
+        {"PlayerGameLogs": (headers, [[str(v) for v in row]])}
+    )
+    seen_params = {}
+
+    def fetcher(path, params):
+        seen_params.update({"path": path, **params})
+        return payload
+
+    df = fetch_season_box_scores(spark, fetcher, "2024-25", "Regular Season")
+    assert df.schema == PLAYER_GAME_LOGS_SET
+    got = df.collect()[0]
+    assert (got.PLAYER_ID, got.PTS, got.GAME_ID) == (203999, 35.0, "0022400001")
+    # the reference's exact parameterization (api/smart.py:364-388)
+    assert seen_params["path"] == "playergamelogs"
+    assert seen_params["Season"] == "2024-25"
+    assert seen_params["SeasonType"] == "Regular Season"
+    assert seen_params["MeasureType"] == "Base"
+    assert seen_params["PerMode"] == "Totals"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        season_box_score_params("2024-25", "Regular Season", measure_type="Bogus")

@@ -43,3 +43,60 @@ def test_insert_ignore_table(spark, tmp_path):
     )
     got = {r.id: r.v for r in read_table(spark, path).collect()}
     assert got == {"a": 1.0, "b": 2.0}
+
+
+def test_partition_scoped_upsert_touches_only_affected_dirs(spark, tmp_path):
+    """Partitioned upsert must rewrite ONLY partitions receiving source
+    rows (the dynamic-partition-overwrite shape the module docstring
+    promises) and be idempotent under re-runs."""
+    path = str(tmp_path / "ps")
+    base = spark.createDataFrame(
+        [("a-1", "2024-25", "Regular Season", 1.0),
+         ("a-2", "2024-25", "Regular Season", 2.0),
+         ("b-1", "2023-24", "Playoffs", 3.0)],
+        "id string, SEASON string, SEASON_TYPE string, v double",
+    )
+    upsert_table(spark, base, path, "id", partition_by=["SEASON", "SEASON_TYPE"])
+    untouched_dir = os.path.join(path, "SEASON=2023-24", "SEASON_TYPE=Playoffs")
+    before_files = sorted(os.listdir(untouched_dir))
+    before_mtimes = {f: os.path.getmtime(os.path.join(untouched_dir, f)) for f in before_files}
+
+    src = spark.createDataFrame(
+        [("a-2", "2024-25", "Regular Season", 20.0),   # update in-place
+         ("c-1", "2025-26", "Regular Season", 9.0)],   # brand-new partition
+        "id string, SEASON string, SEASON_TYPE string, v double",
+    )
+    upsert_table(spark, src, path, "id", partition_by=["SEASON", "SEASON_TYPE"])
+
+    back = read_table(spark, path)
+    got = {r.id: r.v for r in back.collect()}
+    assert got == {"a-1": 1.0, "a-2": 20.0, "b-1": 3.0, "c-1": 9.0}
+    # the 2023-24 partition's files are bit-untouched (same names, mtimes)
+    after_files = sorted(os.listdir(untouched_dir))
+    assert after_files == before_files
+    assert all(
+        os.path.getmtime(os.path.join(untouched_dir, f)) == before_mtimes[f]
+        for f in after_files
+    )
+
+    # idempotency: re-running the same merge changes nothing
+    upsert_table(spark, src, path, "id", partition_by=["SEASON", "SEASON_TYPE"])
+    again = {r.id: r.v for r in read_table(spark, path).collect()}
+    assert again == got
+
+
+def test_partition_scoped_insert_ignore(spark, tmp_path):
+    path = str(tmp_path / "pi")
+    base = spark.createDataFrame(
+        [("a-1", "2024-25", "Regular Season", 1.0)],
+        "id string, SEASON string, SEASON_TYPE string, v double",
+    )
+    insert_ignore_table(spark, base, path, "id", partition_by=["SEASON", "SEASON_TYPE"])
+    src = spark.createDataFrame(
+        [("a-1", "2024-25", "Regular Season", 99.0),  # conflict -> ignored
+         ("a-3", "2024-25", "Regular Season", 3.0)],  # new row
+        "id string, SEASON string, SEASON_TYPE string, v double",
+    )
+    insert_ignore_table(spark, src, path, "id", partition_by=["SEASON", "SEASON_TYPE"])
+    got = {r.id: r.v for r in read_table(spark, path).collect()}
+    assert got == {"a-1": 1.0, "a-3": 3.0}
