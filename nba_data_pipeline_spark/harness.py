@@ -34,6 +34,8 @@ from .functions.timeops import clock_to_seconds
 from .operators import windows as W
 from .operators.asof import asof_join, range_join
 from .operators.dedup import (
+    connected_components,
+    dedup_assign,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -1003,6 +1005,71 @@ def q_prefix_dedup(spark, sf):
         "prefix_key", F.concat_ws(" ", F.slice(tokens("text"), 1, 5))
     )
     return exact_dedup(docs, ["prefix_key"], "doc_id")
+
+
+@q(
+    "connected_components",
+    # doc_id <-> doc_id edges derived deterministically from events
+    # (bipartite: user vertex 0..149, item vertex 1000 + event_id % 211);
+    # oracle = transitive closure via recursive CTE, min label per vertex
+    """WITH RECURSIVE
+       edges0 AS (
+         SELECT DISTINCT user_id AS s, 1000 + (event_id % 211) AS d FROM events),
+       edges AS (SELECT s, d FROM edges0 UNION SELECT d, s FROM edges0),
+       walk(v, lab) AS (
+         SELECT s, s FROM (SELECT DISTINCT s FROM edges) t
+         UNION
+         SELECT e.d, w.lab FROM walk w JOIN edges e ON e.s = w.v)
+       SELECT v AS doc_id, CAST(MIN(lab) AS BIGINT) AS component_id
+       FROM walk GROUP BY v""",
+)
+def q_connected_components(spark, sf):
+    """Transitive dedup clustering (operators/dedup.py
+    connected_components): hash-min label propagation, checked against
+    DuckDB's recursive-CTE transitive closure."""
+    ev = _t(spark, sf, "events")
+    pairs = ev.select(
+        F.col("user_id").alias("id_a"),
+        (F.lit(1000) + F.col("event_id") % 211).alias("id_b"),
+    ).distinct()
+    out = connected_components(pairs)
+    return out.select("doc_id", F.col("component_id").cast("long").alias("component_id"))
+
+
+@q(
+    "dedup_assign",
+    """WITH RECURSIVE
+       edges0 AS (
+         SELECT DISTINCT user_id AS s, 1000 + (event_id % 211) AS d FROM events
+         WHERE user_id < 50),
+       edges AS (SELECT s, d FROM edges0 UNION SELECT d, s FROM edges0),
+       walk(v, lab) AS (
+         SELECT s, s FROM (SELECT DISTINCT s FROM edges) t
+         UNION
+         SELECT e.d, w.lab FROM walk w JOIN edges e ON e.s = w.v),
+       comp AS (SELECT v AS doc_id, MIN(lab) AS component_id FROM walk GROUP BY v)
+       SELECT d.doc_id,
+              CAST(COALESCE(c.component_id, d.doc_id) AS BIGINT) AS component_id,
+              (d.doc_id = COALESCE(c.component_id, d.doc_id)) AS is_canonical
+       FROM documents d LEFT JOIN comp c USING (doc_id)""",
+)
+def q_dedup_assign(spark, sf):
+    """Keep-one-per-cluster assignment over the documents table:
+    clustered docs get their component's min id, singletons themselves."""
+    ev = _t(spark, sf, "events")
+    docs = _t(spark, sf, "documents").select("doc_id")
+    pairs = (
+        ev.filter(F.col("user_id") < 50)
+        .select(
+            F.col("user_id").alias("id_a"),
+            (F.lit(1000) + F.col("event_id") % 211).alias("id_b"),
+        )
+        .distinct()
+    )
+    out = dedup_assign(docs, "doc_id", pairs)
+    return out.select(
+        "doc_id", F.col("component_id").cast("long").alias("component_id"), "is_canonical"
+    )
 
 
 @q(

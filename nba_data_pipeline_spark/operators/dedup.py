@@ -279,6 +279,81 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Connected components: pair list -> cluster ids (completes the dedup
+# story — MinHash/SimHash emit pairs; keeping one doc per cluster needs
+# the transitive closure)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Component ids for an undirected edge list via hash-min label
+    propagation: every vertex starts labeled with its own id; each round
+    takes the min of its label and its neighbors' labels; converged when
+    no label changes. Output: (doc_id, component_id) with component_id =
+    the minimum doc id in the component.
+
+    Scale shape: each round is one join + one groupBy-min (both shuffle
+    on doc id — co-partitioned, AQE-coalesced); rounds = graph diameter,
+    which for near-dup graphs (dense cliques, short chains) is small.
+    ``localCheckpoint`` truncates the growing lineage each round — the
+    standard Spark iterative-algorithm pattern. Convergence is detected
+    by an order-insensitive label-set hash, one tiny action per round.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iterations):
+        msgs = edges.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "component_id")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("component_id").alias("component_id"))
+            .localCheckpoint(eager=True)
+        )
+        sig = tuple(
+            new_labels.select(
+                F.count("*").alias("n"),
+                F.expr("bit_xor(xxhash64(doc_id, component_id))").alias("x"),
+            ).collect()[0]
+        )
+        labels = new_labels
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return labels
+
+
+def dedup_assign(
+    df: DataFrame, id_col: str, pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Attach ``component_id`` to every row of ``df``: docs appearing in
+    ``pairs`` get their component's min id, singletons their own id, and
+    ``is_canonical`` marks the one row to keep per component. This is the
+    keep-one-per-cluster step after MinHash/SimHash pair generation."""
+    comp = connected_components(pairs, id_a, id_b)
+    out = (
+        df.join(comp.withColumnRenamed("doc_id", id_col), id_col, "left")
+        .withColumn("component_id", F.coalesce("component_id", F.col(id_col)))
+    )
+    return out.withColumn("is_canonical", F.col(id_col) == F.col("component_id"))
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

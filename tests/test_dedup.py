@@ -110,3 +110,36 @@ def test_bucket_guard_disabled_matches_old_behavior(spark):
         docs, "doc_id", "text", threshold=0.9, max_bucket_width=None
     ).collect()
     assert len(pairs) == n * (n - 1) // 2
+
+
+def test_connected_components_chain_cycle_singleton(spark):
+    from nba_data_pipeline_spark.operators.dedup import connected_components, dedup_assign
+
+    # chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    # cycle 10-11-12-10, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comp = {r.doc_id: r.component_id for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    # dedup_assign: singleton doc 99 keeps itself and is canonical;
+    # exactly one canonical row per component
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]], "doc_id long")
+    out = dedup_assign(docs, "doc_id", pairs).collect()
+    canon = {r.doc_id for r in out if r.is_canonical}
+    assert canon == {1, 10, 20, 99}
+    assert all(r.component_id == comp.get(r.doc_id, r.doc_id) for r in out)
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Diameter-20 path exercises the iteration/convergence logic."""
+    from nba_data_pipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "id_a long, id_b long"
+    )
+    comp = connected_components(pairs).collect()
+    assert {r.component_id for r in comp} == {0}
+    assert len(comp) == 21
