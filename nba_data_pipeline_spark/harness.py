@@ -53,6 +53,7 @@ from .operators.rollup import rollup_structs
 from .operators.similarity import brute_force_topk, cosine_pairs, lsh_topk
 from .operators.text import (
     bpe_ish_token_count,
+    chunk_text,
     fingerprint,
     language_id,
     quality_features,
@@ -992,6 +993,32 @@ def q_fingerprint(spark, sf):
     return _t(spark, sf, "documents").select(
         "doc_id", fingerprint("text").alias("fp")
     )
+
+
+@q(
+    "chunk_text",
+    # chunk_tokens=16, overlap=4 -> stride 12; mirrors chunk_text()
+    """WITH t AS (
+         SELECT doc_id, string_split(text, ' ') AS tok,
+                len(string_split(text, ' ')) AS n
+         FROM documents),
+       c AS (
+         SELECT doc_id, tok,
+                unnest(range(0, CASE WHEN n <= 16 THEN 1
+                                     ELSE 1 + (n - 16 + 11) // 12 END)) AS chunk_idx
+         FROM t WHERE n > 0)
+       SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+              array_to_string(tok[(chunk_idx * 12 + 1):(chunk_idx * 12 + 16)], ' ')
+                AS chunk_text,
+              CAST(len(tok[(chunk_idx * 12 + 1):(chunk_idx * 12 + 16)]) AS BIGINT)
+                AS n_tokens
+       FROM c""",
+)
+def q_chunk_text(spark, sf):
+    """Token-window chunking (operators/text.py chunk_text) — the
+    embedding-pipeline work unit."""
+    docs = _t(spark, sf, "documents")
+    return chunk_text(docs, "doc_id", "text", chunk_tokens=16, overlap=4)
 
 
 @q(

@@ -186,3 +186,51 @@ def word_shingles(text: Column | str, n: int = 3, sep: str = " ") -> Column:
     materialized tokens) — this inline form re-derives the token split
     per element access."""
     return shingles_of_tokens(tokens(_col(text)), n, sep)
+
+
+def chunk_text(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> "DataFrame":
+    """Split documents into overlapping token-window chunks — the unit
+    of work for embedding / context-window-bounded training pipelines.
+
+    stride = chunk_tokens - overlap; chunk i covers tokens
+    [i*stride, i*stride + chunk_tokens); the final chunk may be short;
+    a doc with <= chunk_tokens tokens yields one chunk; an empty doc
+    yields none. Output: (id_col, chunk_idx, chunk_text, n_tokens).
+
+    Pure Column expressions: one tokenize per row (materialized column,
+    see ``shingles_of_tokens`` for why), chunk starts via ``sequence``,
+    slices via ``slice`` — the explode fans chunks across tasks, so a
+    100 TB corpus chunks with no Python and no skewed shuffle (the only
+    shuffle is whatever the caller does next).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toked = df.withColumn("_toks__", tokens(text_col))
+    n = F.size(F.col("_toks__"))
+    n_chunks = F.when(n <= 0, F.lit(0)).when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.lit(1) + F.floor((n - chunk_tokens + (stride - 1)) / F.lit(stride))
+    )
+    starts = F.sequence(F.lit(0).cast("long"), n_chunks.cast("long") - 1)
+    chunked = toked.select(
+        id_col,
+        F.explode(
+            F.when(n_chunks > 0, starts).otherwise(F.array().cast("array<long>"))
+        ).alias("chunk_idx"),
+        F.col("_toks__"),
+    )
+    piece = F.slice(
+        F.col("_toks__"), (F.col("chunk_idx") * stride + 1).cast("int"), chunk_tokens
+    )
+    return chunked.select(
+        id_col,
+        "chunk_idx",
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"),
+    )

@@ -69,3 +69,36 @@ def test_fingerprint_deterministic_and_order_sensitive(spark):
     out = [r[0] for r in df.select(fingerprint("text")).collect()]
     assert out[0] == out[2]
     assert out[0] != out[1]
+
+
+def test_chunk_text_windows_and_edges(spark):
+    from nba_data_pipeline_spark.operators.text import chunk_text
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(40))),  # 40 tokens -> 3 chunks
+         (2, "a b"),                                 # short -> 1 chunk
+         (3, "")],                                   # empty -> 0 chunks
+        "doc_id long, text string",
+    )
+    out = chunk_text(docs, "doc_id", "text", chunk_tokens=16, overlap=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 3 and 3 not in by_doc
+    c = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    # stride 12: starts at tokens 0, 12, 24; overlap carries 4 tokens over
+    assert c[0].chunk_text.split()[:2] == ["t0", "t1"]
+    assert c[1].chunk_text.split()[0] == "t12"
+    assert c[0].chunk_text.split()[-4:] == c[1].chunk_text.split()[:4]  # the overlap
+    assert c[2].n_tokens == 16 and c[2].chunk_text.split()[-1] == "t39"
+    assert by_doc[2][0].n_tokens == 2
+
+    # full coverage, no token lost: union of chunks covers every token
+    covered = set()
+    for r in by_doc[1]:
+        covered.update(r.chunk_text.split())
+    assert covered == {f"t{i}" for i in range(40)}
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        chunk_text(docs, "doc_id", "text", chunk_tokens=8, overlap=8)
