@@ -1,0 +1,70 @@
+"""Streaming dedup (bounded state) + stream-static enrichment."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F, types as T
+
+from nba_data_pipeline_spark.streaming.ops import (
+    enrich_stream,
+    run_stream_dedup,
+    stream_dedup,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("v", T.DoubleType()),
+    ]
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def test_stream_dedup_drops_redelivered_events(spark, tmp_path):
+    path = str(tmp_path / "dup_src")
+    base = [(i, T0 + dt.timedelta(minutes=i), float(i)) for i in range(10)]
+    # file 1: originals; file 2: re-delivery of 5 of them + 3 new
+    spark.createDataFrame(base, SCHEMA).write.mode("overwrite").parquet(path)
+    redelivered = base[3:8] + [(i, T0 + dt.timedelta(minutes=i), float(i)) for i in (10, 11, 12)]
+    spark.createDataFrame(redelivered, SCHEMA).write.mode("append").parquet(path)
+
+    out = run_stream_dedup(
+        spark, path, SCHEMA, "ts", "2 hours", ["event_id"], query_name="dedup_t1"
+    )
+    ids = sorted(r.event_id for r in out.collect())
+    assert ids == list(range(13))  # every id exactly once
+
+
+def test_stream_static_enrich_broadcasts_dim(spark, tmp_path):
+    path = str(tmp_path / "enrich_src")
+    rows = [(i, T0 + dt.timedelta(minutes=i), float(i)) for i in range(6)]
+    spark.createDataFrame(rows, SCHEMA).write.mode("overwrite").parquet(path)
+    dim = spark.createDataFrame(
+        [(i, f"name-{i % 2}") for i in range(6)], "event_id long, dim_name string"
+    )
+    stream = spark.readStream.schema(SCHEMA).parquet(path)
+    enriched = stream_dedup(stream, "ts", "1 hour", ["event_id"])
+    enriched = enrich_stream(enriched, dim, "event_id")
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_t1")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.event_id: r.dim_name for r in spark.sql("SELECT * FROM enrich_t1").collect()}
+    assert got == {i: f"name-{i % 2}" for i in range(6)}
+
+
+def test_enrich_stream_plan_is_broadcast(spark):
+    """Batch-mode plan check: the dim side must be a broadcast join."""
+    events = spark.range(100).select(
+        F.col("id").alias("event_id"), F.lit(1.0).alias("v")
+    )
+    dim = spark.createDataFrame([(i, "x") for i in range(10)], "event_id long, d string")
+    plan = enrich_stream(events, dim, "event_id")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
