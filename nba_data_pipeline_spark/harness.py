@@ -50,7 +50,14 @@ from .operators.lineups import (
 )
 from .operators.multimodal import attach_media_meta, extract_image_features, sample_frames
 from .operators.rollup import rollup_structs
-from .operators.similarity import brute_force_topk, cosine_pairs, lsh_topk
+from .operators.similarity import (
+    brute_force_topk,
+    cosine_pairs,
+    lsh_topk,
+    normalize_embeddings,
+    quantize_embeddings,
+)
+from .operators.similarity import norm as S_norm
 from .operators.text import (
     bpe_ish_token_count,
     chunk_text,
@@ -1162,6 +1169,65 @@ def q_cosine_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return brute_force_topk(emb, "embedding", [float(x) for x in query], k=10)
+
+
+@q(
+    "normalize_embeddings",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       n AS (SELECT vec_id, v,
+                    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+             FROM e)
+       SELECT vec_id, ROUND(v[1] / nrm, 6) AS c1, ROUND(v[2] / nrm, 6) AS c2,
+              ROUND(sqrt(list_sum(list_transform(
+                  list_transform(v, x -> x / nrm), x -> x * x))), 6) AS renorm
+       FROM n""",
+)
+def q_normalize_embeddings(spark, sf):
+    """L2 normalization (operators/similarity.py normalize_embeddings):
+    emitted as scalars (two components + re-norm == 1) so the hash
+    compare never touches float-array formatting."""
+    emb = _t(spark, sf, "embeddings")
+    out = normalize_embeddings(emb, "embedding", "nvec")
+    return out.select(
+        "vec_id",
+        F.round(F.element_at("nvec", 1), 6).alias("c1"),
+        F.round(F.element_at("nvec", 2), 6).alias("c2"),
+        F.round(S_norm("nvec"), 6).alias("renorm"),
+    )
+
+
+@q(
+    "quantize_embeddings",
+    # DuckDB list_transform's indexed lambda is 1-based; the Spark side
+    # uses (i + 1) to match
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       s AS (SELECT vec_id, v,
+                    list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc
+             FROM e)
+       SELECT vec_id, ROUND(sc, 9) AS qscale,
+              CAST(list_sum(list_transform(v, x -> round(x / sc))) AS BIGINT) AS qsum,
+              CAST(list_sum(list_transform(v, (x, i) -> i * round(x / sc))) AS BIGINT)
+                AS qchecksum
+       FROM s""",
+)
+def q_quantize_embeddings(spark, sf):
+    """Symmetric int8 quantization (operators/similarity.py
+    quantize_embeddings): compared via scale + plain and index-weighted
+    sums of the quantized vector."""
+    emb = _t(spark, sf, "embeddings")
+    out = quantize_embeddings(emb, "embedding")
+    return out.select(
+        "vec_id",
+        F.round("qscale", 9).alias("qscale"),
+        F.aggregate(
+            F.col("qvec"), F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+        ).alias("qsum"),
+        F.aggregate(
+            F.transform(F.col("qvec"), lambda x, i: (i + 1).cast("long") * x.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("qchecksum"),
+    )
 
 
 @q(

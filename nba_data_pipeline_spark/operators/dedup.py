@@ -72,10 +72,25 @@ def ngram_jaccard_pairs(
         .select(*block_cols, F.col("_did").alias("doc_id"), F.xxhash64("_s").alias("_h"))
         .groupBy(*block_cols, "doc_id")
         .agg(F.collect_set("_h").alias("sh"))
+        .withColumn("_sz", F.size("sh"))
     )
-    a = sets.select(*block_cols, F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sets.select(*block_cols, F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    pairs = a.join(b, on=block_cols).filter(F.col("id_a") < F.col("id_b"))
+    a = sets.select(
+        *block_cols, F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"),
+        F.col("_sz").alias("_sz_a"),
+    )
+    b = sets.select(
+        *block_cols, F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"),
+        F.col("_sz").alias("_sz_b"),
+    )
+    # size-ratio prune BEFORE the set intersection: J(A,B) >= t forces
+    # |A| >= t*|B| and |B| >= t*|A| (since J <= min/max of the sizes) —
+    # an integer comparison that skips the expensive intersect for most
+    # cross-size pairs in a block.
+    pairs = a.join(b, on=block_cols).filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.col("_sz_a") * F.lit(1.0) >= F.lit(threshold) * F.col("_sz_b"))
+        & (F.col("_sz_b") * F.lit(1.0) >= F.lit(threshold) * F.col("_sz_a"))
+    )
     return (
         pairs.withColumn("jaccard_sim", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
         .filter(F.col("jaccard_sim") >= threshold)

@@ -240,3 +240,58 @@ def cosine_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select(*block_cols, "id_a", "id_b", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding column maintenance: normalization + int8 quantization
+# ---------------------------------------------------------------------------
+
+def normalize_embeddings(df: DataFrame, vec_col: str, out_col: str | None = None) -> DataFrame:
+    """L2-normalize an embedding column (zero vectors -> NULL via
+    try_divide, never an ANSI error). Normalized corpora make cosine a
+    plain dot product — precompute once, skip the per-pair norms in
+    every downstream similarity join."""
+    out_col = out_col or vec_col
+    n = norm(vec_col)
+    return df.withColumn(
+        out_col,
+        F.transform(_col(vec_col), lambda x: F.try_divide(x.cast("double"), n)),
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str, out_col: str = "qvec", scale_col: str = "qscale"
+) -> DataFrame:
+    """Symmetric int8 quantization: scale = max(|x|)/127 per row;
+    q_i = round(x_i / scale). Cuts embedding storage/shuffle bytes 4x
+    (float32) to 8x (float64) for ANN candidate generation; keep the
+    full-precision column for the final re-rank. Zero vectors quantize
+    to all-zeros with scale NULL."""
+    absmax = F.aggregate(
+        F.transform(_col(vec_col), lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    scale = F.when(absmax > 0, absmax / F.lit(127.0))  # NULL for zero vectors
+    return df.withColumn(scale_col, scale).withColumn(
+        out_col,
+        F.transform(
+            _col(vec_col),
+            lambda x: F.coalesce(
+                F.round(F.try_divide(x.cast("double"), F.col(scale_col))), F.lit(0.0)
+            ).cast("tinyint"),
+        ),
+    )
+
+
+def dequantize_embeddings(
+    df: DataFrame, qvec_col: str = "qvec", scale_col: str = "qscale", out_col: str = "vec"
+) -> DataFrame:
+    """Inverse of ``quantize_embeddings`` (lossy: |err| <= scale/2 per
+    element)."""
+    return df.withColumn(
+        out_col,
+        F.transform(
+            _col(qvec_col), lambda q: q.cast("double") * F.coalesce(F.col(scale_col), F.lit(0.0))
+        ),
+    )

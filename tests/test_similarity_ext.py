@@ -41,3 +41,38 @@ def test_ivf_topk_recall_vs_exact(spark):
     }
     assert len(exact & approx) >= 4  # clustered data: probing 2/6 lists recovers top-5
     assert 7 in approx
+
+
+def test_normalize_and_quantize_embeddings(spark):
+    from nba_data_pipeline_spark.operators.similarity import (
+        dequantize_embeddings,
+        norm,
+        normalize_embeddings,
+        quantize_embeddings,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [-1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    nrm = normalize_embeddings(df, "embedding", "nvec")
+    rows = {r.vec_id: r.nvec for r in nrm.collect()}
+    assert rows[1] == [0.6, 0.8]
+    assert rows[2] == [None, None]  # zero vector -> NULLs, not a crash
+
+    q = quantize_embeddings(df, "embedding")
+    qr = {r.vec_id: (r.qscale, r.qvec) for r in q.collect()}
+    assert qr[1][1] == [95, 127]          # 3/ (4/127) = 95.25 -> 95
+    assert qr[2][0] is None and qr[2][1] == [0, 0]
+    assert qr[3][1] == [-64, 127]         # -1/(2/127) = -63.5 -> HALF_UP -> -64
+
+    deq = dequantize_embeddings(q, out_col="back")
+    err = deq.filter("vec_id = 1").select(
+        F.aggregate(
+            F.zip_with("embedding", "back", lambda a, b: F.abs(a - b)),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        ).alias("e")
+    ).collect()[0]["e"]
+    assert err <= (4.0 / 127.0) / 2 + 1e-12
