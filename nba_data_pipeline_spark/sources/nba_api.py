@@ -109,6 +109,41 @@ ENDPOINTS: dict[str, Endpoint] = {
 }
 
 
+def shot_chart_params(
+    player_id: int,
+    team_id: int,
+    context: str = "FGA",
+    game_id: str = "",
+    season: str | None = None,
+    season_type: str = "Regular Season",
+    league_id: str = "00",
+) -> dict[str, str]:
+    """Parameter set for the player+team-scoped shot/foul chart
+    (reference api/smart.py:481-546 ``get_shot_chart_detail_data``):
+    FGA context = shot chart, PF = foul chart; player and team ids are
+    required (the reference raises on both)."""
+    if player_id is None:
+        raise ValueError("Must provide a Player Id")
+    if team_id is None:
+        raise ValueError("Must provide a Team Id")
+    if context not in ("FGA", "PF"):
+        raise ValueError("context must be FGA (shots) or PF (fouls)")
+    if season is None:
+        from ..functions.gameid import current_season
+
+        season = current_season()
+    name = "shot_chart_detail" if context == "FGA" else "foul_chart_detail"
+    return ENDPOINTS[name].params(
+        LeagueID=league_id,
+        Season=season,
+        SeasonType=season_type,
+        TeamID=str(team_id),
+        PlayerID=str(player_id),
+        GameID=game_id,
+        ContextMeasure=context,
+    )
+
+
 def season_box_score_params(
     season: str, season_type: str, measure_type: str = "Base"
 ) -> dict[str, str]:

@@ -83,3 +83,20 @@ def test_fetch_season_box_scores_composite(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         season_box_score_params("2024-25", "Regular Season", measure_type="Bogus")
+
+
+def test_shot_chart_params_contract():
+    from nba_data_pipeline_spark.sources.nba_api import shot_chart_params
+    import pytest as _p
+
+    p = shot_chart_params(203999, 1610612743, season="2024-25")
+    assert p["ContextMeasure"] == "FGA" and p["PlayerID"] == "203999"
+    assert p["TeamID"] == "1610612743" and p["Season"] == "2024-25"
+    foul = shot_chart_params(203999, 1610612743, context="PF", season="2024-25")
+    assert foul["ContextMeasure"] == "PF"
+    with _p.raises(ValueError):
+        shot_chart_params(None, 1)
+    with _p.raises(ValueError):
+        shot_chart_params(1, None)
+    with _p.raises(ValueError):
+        shot_chart_params(1, 2, context="AST", season="2024-25")
