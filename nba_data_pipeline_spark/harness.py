@@ -531,6 +531,64 @@ def q_tpch_q5(spark, sf):
 
 
 @q(
+    "tpch_q14",
+    # promo revenue share for one ship month; part is the broadcast dim
+    """SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                     THEN l_extendedprice * (1 - l_discount)
+                                     ELSE 0 END)
+                    / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+         AND l_shipdate < TIMESTAMP '1996-04-01'""",
+)
+def q_tpch_q14(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    part = _t(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@q(
+    "tpch_q4",
+    # q4-shaped: priority counts for orders with >= 1 lineitem shipped in
+    # the quarter — EXISTS -> left-semi join, then a tiny group-by
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1996-04-01'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey
+                       AND l_shipdate >= TIMESTAMP '1996-01-01'
+                       AND l_shipdate < TIMESTAMP '1996-07-01')
+       GROUP BY o_orderpriority""",
+)
+def q_tpch_q4(spark, sf):
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
+    )
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@q(
     "tpch_q6",
     """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
        FROM lineitem

@@ -57,3 +57,21 @@ def test_partition_filter_pruning(spark, tmp_path):
     df.write.partitionBy("SEASON", "SEASON_TYPE").parquet(path)
     plan = _plan(spark.read.parquet(path).filter(F.col("SEASON") == "2024-25"))
     assert "PartitionFilters" in plan and "SEASON" in plan
+
+
+def test_tpch_q14_broadcasts_part_and_pushes_dates(spark):
+    plan = _plan(harness.queries()["tpch_q14"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_tpch_q4_is_semi_join(spark):
+    plan = _plan(harness.queries()["tpch_q4"](spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_chunk_text_has_no_shuffle(spark):
+    """Chunking is embarrassingly parallel: the plan must contain no
+    Exchange (the only shuffle is whatever the caller adds)."""
+    plan = _plan(harness.queries()["chunk_text"](spark, SF))
+    assert "Exchange" not in plan
