@@ -318,10 +318,14 @@ def connected_components(
     standard Spark iterative-algorithm pattern. Convergence is detected
     by an order-insensitive label-set hash, one tiny action per round.
     """
+    # Materialize the edge list once: without this, every iteration
+    # re-derives ``pairs`` from scratch — ruinous when pairs is the
+    # output of a MinHash/SimHash candidate pipeline.
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
