@@ -703,6 +703,66 @@ def q_first_event(spark, sf):
 
 
 @q(
+    "rank_family",
+    # the full ranking-function family in one window; value rounded so
+    # the ORDER BY key is identical on both engines
+    """SELECT user_id, event_id,
+              rank() OVER w AS rnk,
+              dense_rank() OVER w AS drnk,
+              CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+              ROUND(percent_rank() OVER w, 6) AS pct_rank,
+              ROUND(cume_dist() OVER w, 6) AS cume
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ROUND(value, 2), event_id)""",
+)
+def q_rank_family(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.round("value", 2), "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@q(
+    "array_funcs",
+    # higher-order array functions: build an array per row, then
+    # filter / transform / aggregate / zip — parity across engines
+    """SELECT event_id,
+              CAST(len(list_filter(a, x -> x % 2 = 0)) AS BIGINT) AS n_even,
+              CAST(list_sum(list_transform(a, x -> x * x)) AS BIGINT) AS sumsq,
+              CAST(a[1] * 1 + a[2] * 2 + a[3] * 3 AS BIGINT) AS dotab
+       FROM (SELECT event_id,
+                    [event_id % 7, event_id % 5, event_id % 3] AS a
+             FROM events)""",
+)
+def q_array_funcs(spark, sf):
+    ev = _t(spark, sf, "events")
+    a = F.array(
+        F.col("event_id") % 7, F.col("event_id") % 5, F.col("event_id") % 3
+    )
+    b = F.array(F.lit(1).cast("long"), F.lit(2).cast("long"), F.lit(3).cast("long"))
+    base = ev.select("event_id", a.alias("a"), b.alias("b"))
+    return base.select(
+        "event_id",
+        F.size(F.filter("a", lambda x: x % 2 == 0)).cast("long").alias("n_even"),
+        F.aggregate(
+            F.transform("a", lambda x: x * x), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("sumsq"),
+        F.aggregate(
+            F.zip_with("a", "b", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dotab"),
+    )
+
+
+@q(
     "rank_in_group",
     """SELECT user_id, event_id,
               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
