@@ -61,6 +61,7 @@ from .operators.similarity import norm as S_norm
 from .operators.text import (
     bpe_ish_token_count,
     chunk_text,
+    normalized_text,
     fingerprint,
     language_id,
     quality_features,
@@ -1144,6 +1145,38 @@ def q_chunk_text(spark, sf):
     embedding-pipeline work unit."""
     docs = _t(spark, sf, "documents")
     return chunk_text(docs, "doc_id", "text", chunk_tokens=16, overlap=4)
+
+
+@q(
+    "normalized_dedup",
+    """SELECT trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm_key,
+              min(doc_id) AS canonical_id, count(*) AS n_copies
+       FROM documents GROUP BY 1""",
+)
+def q_normalized_dedup(spark, sf):
+    """Fuzzy-exact dedup: case/punctuation/whitespace-normalized key,
+    then the one-shuffle hash-aggregate (operators/text.py
+    normalized_text + operators/dedup.py exact_dedup)."""
+    docs = _t(spark, sf, "documents").withColumn("norm_key", normalized_text("text"))
+    return exact_dedup(docs, ["norm_key"], "doc_id")
+
+
+@q(
+    "source_quality_summary",
+    """SELECT source, lang, COUNT(*) AS n_docs,
+              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+              ROUND(AVG(n_chars), 2) AS avg_chars
+       FROM documents GROUP BY source, lang""",
+)
+def q_source_quality_summary(spark, sf):
+    """Corpus-curation rollup per (source, lang) — the dashboard query
+    a training-data pipeline runs after every ingest."""
+    docs = _t(spark, sf, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens("text"))).cast("long").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
 
 
 @q(

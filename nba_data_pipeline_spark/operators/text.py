@@ -234,3 +234,11 @@ def chunk_text(
         F.concat_ws(" ", piece).alias("chunk_text"),
         F.size(piece).cast("long").alias("n_tokens"),
     )
+
+
+def normalized_text(text: Column | str) -> Column:
+    """Canonical text form for fuzzy-exact dedup (the cheap tier before
+    MinHash): lowercase, non-alphanumeric runs collapsed to single
+    spaces, trimmed. Catches case/punctuation/whitespace variants with
+    one hash-aggregate instead of a pair join."""
+    return F.trim(F.regexp_replace(F.lower(_col(text)), "[^a-z0-9]+", " "))
