@@ -42,6 +42,7 @@ from .operators.dedup import (
     simhash_near_pairs,
 )
 from .operators.incremental import delta_filter, duplicate_keys, insert_ignore, merge_upsert
+from .operators.quality import validate
 from .operators.lineups import (
     lineups_via_range_join,
     starters_per_period_box_seeded,
@@ -528,6 +529,40 @@ def q_tpch_q5(spark, sf):
                 "revenue"
             )
         )
+    )
+
+
+@q(
+    "data_quality_suite",
+    # one row per expectation, all computed in a single scan
+    """WITH agg AS (
+         SELECT COUNT(*) AS n,
+                SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS v_price,
+                SUM(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS v_cust,
+                SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 0 ELSE 1 END) AS v_status,
+                SUM(CASE WHEN o_orderdate >= TIMESTAMP '1990-01-01' THEN 0 ELSE 1 END) AS v_date
+         FROM orders)
+       SELECT 'positive_price' AS check_name, CAST(v_price AS BIGINT) AS n_violations,
+              CAST(n AS BIGINT) AS n_rows, v_price = 0 AS passed FROM agg
+       UNION ALL
+       SELECT 'custkey_not_null', CAST(v_cust AS BIGINT), CAST(n AS BIGINT), v_cust = 0 FROM agg
+       UNION ALL
+       SELECT 'status_in_set', CAST(v_status AS BIGINT), CAST(n AS BIGINT), v_status = 0 FROM agg
+       UNION ALL
+       SELECT 'date_sane', CAST(v_date AS BIGINT), CAST(n AS BIGINT), v_date = 0 FROM agg""",
+)
+def q_data_quality_suite(spark, sf):
+    """Single-pass expectation suite (operators/quality.py validate):
+    N checks, one scan, conditional aggregates."""
+    orders = _t(spark, sf, "orders")
+    return validate(
+        orders,
+        {
+            "positive_price": F.col("o_totalprice") > 0,
+            "custkey_not_null": F.col("o_custkey").isNotNull(),
+            "status_in_set": F.col("o_orderstatus").isin("O", "F", "P"),
+            "date_sane": F.col("o_orderdate") >= "1990-01-01",
+        },
     )
 
 

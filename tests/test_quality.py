@@ -1,0 +1,53 @@
+import pytest
+from pyspark.sql import functions as F
+
+from nba_data_pipeline_spark.operators.quality import assert_valid, validate
+
+
+def test_validate_single_pass_counts(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "O"), (2, -5.0, "O"), (3, 7.0, "X"), (4, None, "F")],
+        "id long, price double, status string",
+    )
+    out = validate(
+        df,
+        {
+            "positive_price": F.col("price") > 0,        # rows 2 and 4 (NULL) fail
+            "status_in_set": F.col("status").isin("O", "F"),
+            "id_not_null": F.col("id").isNotNull(),
+        },
+    )
+    got = {r.check_name: (r.n_violations, r.n_rows, r.passed) for r in out.collect()}
+    assert got == {
+        "positive_price": (2, 4, False),  # NULL price counts as a violation
+        "status_in_set": (1, 4, False),
+        "id_not_null": (0, 4, True),
+    }
+
+
+def test_validate_is_one_scan(spark, tmp_path):
+    path = str(tmp_path / "scan_probe")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id long, v double"
+    ).write.parquet(path)
+    out = validate(
+        spark.read.parquet(path),
+        {"a": F.col("v") >= 0, "b": F.col("id") < 100, "c": F.col("id").isNotNull()},
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # all checks fold into one aggregate over EXACTLY one scan — the
+    # union-per-check shape would scan once per check
+    assert plan.count("Scan parquet") == 1
+
+
+def test_assert_valid_raises_with_names(spark):
+    df = spark.createDataFrame([(1, -1.0)], "id long, v double")
+    assert_valid(df, {"ok": F.col("id") > 0})  # passes silently
+    with pytest.raises(ValueError, match="neg_check"):
+        assert_valid(df, {"neg_check": F.col("v") > 0})
+
+
+def test_validate_requires_checks(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError):
+        validate(df, {})
