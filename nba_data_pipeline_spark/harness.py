@@ -1025,6 +1025,43 @@ def q_json(spark, sf):
     )
 
 
+@q(
+    "json_quarantine",
+    # corruption planted deterministically (truncate every 97th payload);
+    # valid rows parse, corrupt rows flag — no job failure, no data loss
+    """SELECT event_id,
+              CASE WHEN json_valid(p) THEN CAST(json_extract_string(p, '$.k') AS BIGINT)
+                   END AS k_val,
+              NOT json_valid(p) AS is_corrupt
+       FROM (SELECT event_id,
+                    CASE WHEN event_id % 97 = 0 THEN substr(props, 1, 4) ELSE props END AS p
+             FROM events)""",
+)
+def q_json_quarantine(spark, sf):
+    """Malformed-JSON quarantine: from_json in PERMISSIVE mode yields a
+    NULL struct for broken payloads; rows are flagged, not dropped and
+    not job-failing — the ingest-robustness contract at scale."""
+    ev = _t(spark, sf, "events").withColumn(
+        "p",
+        F.when(F.col("event_id") % 97 == 0, F.substring("props", 1, 4)).otherwise(
+            F.col("props")
+        ),
+    )
+    parsed = ev.withColumn(
+        "_j",
+        F.from_json(
+            "p",
+            "k long, _corrupt string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("_j.k").alias("k_val"),
+        F.col("_j._corrupt").isNotNull().alias("is_corrupt"),
+    )
+
+
 # ===========================================================================
 # Event-time windows (streaming surface, batch-checked)
 # ===========================================================================
