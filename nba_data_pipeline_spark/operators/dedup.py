@@ -273,8 +273,15 @@ def minhash_lsh_pairs(
             for i in range(bands)
         ]
     )
-    banded = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    # Materialize the banded frame and shingle sets once: each feeds
+    # multiple plan branches (width agg + join + self-join; id_a + id_b
+    # sides) and Catalyst does not dedupe common subplans — without
+    # this the signature pipeline recomputes per branch (10 scans
+    # observed in the un-checkpointed plan).
+    banded = (
+        sig.select("doc_id", F.explode(band_structs).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .localCheckpoint(eager=False)
     )
     cand = _bucket_pairs(banded, max_bucket_width)
     sh = (
@@ -282,6 +289,7 @@ def minhash_lsh_pairs(
         .select(F.col(id_col).alias("doc_id"), F.xxhash64("_s").alias("_h"))
         .groupBy("doc_id")
         .agg(F.collect_set("_h").alias("sh"))
+        .localCheckpoint(eager=False)
     )
     verified = (
         cand.join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
@@ -454,7 +462,9 @@ def simhash_near_pairs(
     ``max_bucket_width`` degrade to doc_id-chain pairs (``_bucket_pairs``)
     to stay linear on skewed corpora."""
     nbands = 64 // band_bits
-    h = simhash_df(df, id_col, text_col)
+    # one materialization of the fingerprints feeds banding (4 plan
+    # branches in _bucket_pairs) and the two fingerprint re-joins
+    h = simhash_df(df, id_col, text_col).localCheckpoint(eager=False)
     bands = h.select(
         "doc_id",
         F.explode(
