@@ -91,8 +91,15 @@ def ngram_jaccard_pairs(
         & (F.col("_sz_a") * F.lit(1.0) >= F.lit(threshold) * F.col("_sz_b"))
         & (F.col("_sz_b") * F.lit(1.0) >= F.lit(threshold) * F.col("_sz_a"))
     )
+    # |A u B| = |A| + |B| - |A n B| for distinct sets: one array_intersect
+    # per pair instead of intersect + a materialized array_union
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.col("_sz_a") + F.col("_sz_b") - inter
+    sim = F.round(
+        F.when(union == 0, 0.0).otherwise(inter.cast("double") / union), 6
+    )
     return (
-        pairs.withColumn("jaccard_sim", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        pairs.withColumn("jaccard_sim", sim)
         .filter(F.col("jaccard_sim") >= threshold)
         .select(*block_cols, "id_a", "id_b", "jaccard_sim")
     )
@@ -291,10 +298,13 @@ def minhash_lsh_pairs(
         .agg(F.collect_set("_h").alias("sh"))
         .localCheckpoint(eager=False)
     )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    sim = F.round(F.when(union == 0, 0.0).otherwise(inter.cast("double") / union), 6)
     verified = (
         cand.join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-        .withColumn("jaccard_sim", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .withColumn("jaccard_sim", sim)
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
     )
