@@ -42,6 +42,7 @@ from .operators.dedup import (
     simhash_near_pairs,
 )
 from .operators.incremental import delta_filter, duplicate_keys, insert_ignore, merge_upsert
+from .operators.layout import zorder_key
 from .operators.quality import validate
 from .operators.lineups import (
     lineups_via_range_join,
@@ -529,6 +530,29 @@ def q_tpch_q5(spark, sf):
                 "revenue"
             )
         )
+    )
+
+
+@q(
+    "zorder_key",
+    # Morton interleave via the classic shift-mask spread, step by step
+    """WITH base AS (SELECT event_id, user_id & 65535 AS xa, event_id & 65535 AS xb FROM events),
+       s1 AS (SELECT event_id, (xa | (xa << 8)) & 16711935 AS xa,
+                               (xb | (xb << 8)) & 16711935 AS xb FROM base),
+       s2 AS (SELECT event_id, (xa | (xa << 4)) & 252645135 AS xa,
+                               (xb | (xb << 4)) & 252645135 AS xb FROM s1),
+       s3 AS (SELECT event_id, (xa | (xa << 2)) & 858993459 AS xa,
+                               (xb | (xb << 2)) & 858993459 AS xb FROM s2),
+       s4 AS (SELECT event_id, (xa | (xa << 1)) & 1431655765 AS xa,
+                               (xb | (xb << 1)) & 1431655765 AS xb FROM s3)
+       SELECT event_id, CAST(xa | (xb << 1) AS BIGINT) AS zkey FROM s4""",
+)
+def q_zorder_key(spark, sf):
+    """Morton key (operators/layout.py zorder_key) — the clustering
+    expression behind z-ordered writes."""
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id", zorder_key(F.col("user_id"), F.col("event_id")).alias("zkey")
     )
 
 

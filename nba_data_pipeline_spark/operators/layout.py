@@ -1,0 +1,71 @@
+"""Z-order (Morton) clustered layout for multi-column pruning.
+
+The reference's secondary indexes (SURVEY.md S9) map to partition
+layout + parquet row-group min/max stats. Partitioning handles the
+first filter column; a SECOND frequently-filtered column only prunes
+if rows are physically clustered on it too. A space-filling curve
+interleaves the bits of both keys so sorting by the curve keeps rows
+close in BOTH dimensions — each parquet row group then spans a small
+rectangle of (a, b) space and min/max stats prune on either column.
+
+Pure Column bit arithmetic (the classic shift-mask bit spread), no UDF;
+the write is one range repartition + partition-local sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SPREAD_MASKS = [
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+]
+
+
+def _spread_bits(x: Column) -> Column:
+    """Interleave-ready form of a 16-bit value: bit i moves to bit 2i."""
+    out = x.bitwiseAND(F.lit(0xFFFF))
+    for shift, mask in _SPREAD_MASKS:
+        out = out.bitwiseOR(F.shiftleft(out, shift)).bitwiseAND(F.lit(mask))
+    return out
+
+
+def zorder_key(a: Column | str, b: Column | str, bits: int = 16) -> Column:
+    """Morton interleave of the low ``bits`` of two non-negative integer
+    expressions (caller buckets/clamps wider domains first, e.g.
+    ``F.pmod(col, 1 << 16)``). Even bit positions carry ``a``, odd carry
+    ``b``."""
+    if bits > 16:
+        raise ValueError("zorder_key interleaves at most 16 bits per column")
+    mask = (1 << bits) - 1
+    ca = _spread_bits((F.col(a) if isinstance(a, str) else a).bitwiseAND(F.lit(mask)))
+    cb = _spread_bits((F.col(b) if isinstance(b, str) else b).bitwiseAND(F.lit(mask)))
+    return ca.bitwiseOR(F.shiftleft(cb, 1)).cast("long")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: Sequence[str],
+    num_files: int = 32,
+    partition_by: Sequence[str] = (),
+) -> None:
+    """Write parquet clustered on the Morton curve of two columns:
+    range-repartition by the z-key (balanced files that own contiguous
+    curve segments), sort within partitions, drop the key. Filters on
+    EITHER column then prune row groups via min/max stats — the 100 TB
+    substitute for the reference's multiple B-tree indexes."""
+    if len(zorder_cols) != 2:
+        raise ValueError("z-ordering interleaves exactly two columns")
+    a, b = zorder_cols
+    keyed = df.withColumn("_zkey", zorder_key(a, b))
+    arranged = keyed.repartitionByRange(num_files, "_zkey").sortWithinPartitions("_zkey")
+    writer = arranged.drop("_zkey").write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
