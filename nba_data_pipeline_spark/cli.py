@@ -1,0 +1,140 @@
+"""Command-line surface mirroring the reference's ETL scripts.
+
+The reference is driven as ``python -m etl.<pipeline> --season 2024-25
+--season_type "Regular Season" [--delta] [--game_id ...]``
+(``utils/arg_parser.py``); a user switching engines keeps the same
+invocation shape here::
+
+    python -m nba_data_pipeline_spark.cli <pipeline> \
+        --season 2024-25 --season_type "Regular Season" \
+        --input raw.parquet --output /lake/table [--delta] [--game_id ...]
+
+Differences by design: inputs are parquet paths (pre-fetched payloads
+or lakehouse tables) instead of live HTTP + Postgres, the output is a
+partitioned parquet upsert, and --delta is the anti-join filter rather
+than per-game key subtraction. Argument validation mirrors the
+reference (comma-separated season lists, game_id XOR season+type,
+etl/players_on_court_at_start_of_period.py:205-211).
+"""
+
+from __future__ import annotations
+
+import argparse
+from collections.abc import Sequence
+
+from pyspark.sql import SparkSession
+
+PIPELINES = (
+    "team_game_log",
+    "play_by_play",
+    "rotations",
+    "players_on_court_at_start_of_period",
+    "play_by_play_with_players",
+    "shot_details",
+)
+
+SEASON_TYPES = ("Regular Season", "Playoffs", "Pre Season", "IST")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="nba_data_pipeline_spark",
+        description="Run a reference pipeline against the lakehouse.",
+    )
+    p.add_argument("pipeline", choices=PIPELINES)
+    p.add_argument("--season", help="comma-separated list, e.g. 2023-24,2024-25")
+    p.add_argument("--season_type", choices=SEASON_TYPES)
+    p.add_argument("--game_id", help="single game id (XOR with --season/--season_type)")
+    p.add_argument("--delta", action="store_true", help="skip already-loaded keys")
+    p.add_argument("--player_id", type=int)
+    p.add_argument("--team_id", type=int)
+    p.add_argument("--input", required=True, help="input parquet path(s), comma-separated")
+    p.add_argument("--output", required=True, help="output table path")
+    return p
+
+
+def parse_args(argv: Sequence[str]) -> argparse.Namespace:
+    args = build_parser().parse_args(list(argv))
+    has_game = args.game_id is not None
+    has_season = args.season is not None and args.season_type is not None
+    # reference contract: exactly one of game_id / (season AND season_type)
+    if has_game and has_season:
+        raise SystemExit(
+            "provide either --game_id or both --season and --season_type, not both"
+        )
+    if not has_game and not has_season:
+        raise SystemExit("provide either --game_id or both --season and --season_type")
+    if args.pipeline == "shot_details" and (args.player_id is None or args.team_id is None):
+        raise SystemExit("shot_details requires --player_id and --team_id")
+    args.seasons = (
+        [s.strip() for s in args.season.split(",") if s.strip()] if args.season else []
+    )
+    return args
+
+
+def run(argv: Sequence[str], spark: SparkSession | None = None) -> None:
+    from .functions.gameid import season_from_game_id, season_type_from_game_id  # noqa: F401
+    from .operators.incremental import delta_filter
+    from .plans import nba_pipelines as P
+    from .sinks.writer import upsert_table
+
+    args = parse_args(argv)
+    if spark is None:
+        from .core.session import get_session
+
+        spark = get_session(f"cli-{args.pipeline}")
+    inputs = [spark.read.parquet(p) for p in args.input.split(",")]
+    seasons = args.seasons or [None]
+
+    for season in seasons:
+        stype = args.season_type
+        primary = inputs[0]
+        # season-stamping pipelines must be fed season-scoped rows (the
+        # reference's API inputs are inherently per-season); scope by the
+        # GAME_ID-derived season so a multi-season input file is safe
+        if season is not None and "GAME_ID" in primary.columns and args.pipeline in (
+            "team_game_log", "rotations", "shot_details",
+        ):
+            from pyspark.sql import functions as F
+
+            primary = primary.filter(season_from_game_id(F.col("GAME_ID")) == season)
+        if args.pipeline == "team_game_log":
+            out = P.team_game_log(primary, season, stype)
+        elif args.pipeline == "play_by_play":
+            out = P.play_by_play(primary)
+        elif args.pipeline == "rotations":
+            out = P.rotations(primary, season, stype)
+        elif args.pipeline == "players_on_court_at_start_of_period":
+            out = P.players_on_court_at_start_of_period(primary)
+        elif args.pipeline == "play_by_play_with_players":
+            out = P.play_by_play_with_players(*inputs[:3])
+        else:
+            out = P.shot_details(primary, args.player_id, args.team_id, season, stype)
+        if args.game_id:
+            out = out.filter(out["GAME_ID"] == args.game_id)
+        elif season and "SEASON" in out.columns:
+            out = out.filter(out["SEASON"] == season)
+        if args.delta:
+            try:
+                existing = spark.read.parquet(args.output)
+                out = delta_filter(out, existing, ["GAME_ID"])
+            except Exception:
+                pass  # first load: nothing to subtract
+        partition = ("SEASON", "SEASON_TYPE") if "SEASON" in out.columns else ()
+        upsert_table(
+            spark,
+            out,
+            args.output,
+            key="id" if "id" in out.columns else "GAME_ID",
+            partition_by=partition,
+        )
+
+
+def main() -> None:  # pragma: no cover - thin wrapper
+    import sys
+
+    run(sys.argv[1:])
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

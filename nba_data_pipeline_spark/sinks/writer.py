@@ -72,8 +72,10 @@ def _rewrite_partitions(
     depth = len(partition_by)
     tmp = tempfile.mkdtemp(prefix="upsert_", dir=os.path.dirname(path.rstrip("/")) or ".")
     try:
+        # the write is itself the materializing action; an empty merged
+        # frame (e.g. a delta re-run with nothing new) produces zero
+        # partition dirs and the loop below swaps nothing
         write_table(merged, tmp, partition_by, mode="overwrite")
-        read_table(spark, tmp).count()  # materialize before swapping
         # walk HIVE-style partition dirs exactly `depth` levels deep
         leaves: list[str] = []
 

@@ -1,0 +1,72 @@
+"""CLI surface parity: the reference's arg contract + an end-to-end run."""
+
+import pytest
+
+from nba_data_pipeline_spark.cli import parse_args, run
+
+
+def test_arg_contract_mirrors_reference():
+    # exactly one of game_id / (season AND season_type)
+    with pytest.raises(SystemExit):
+        parse_args(["team_game_log", "--input", "i", "--output", "o"])
+    with pytest.raises(SystemExit):
+        parse_args(
+            ["team_game_log", "--season", "2024-25", "--season_type", "Regular Season",
+             "--game_id", "0022400001", "--input", "i", "--output", "o"]
+        )
+    with pytest.raises(SystemExit):
+        parse_args(
+            ["shot_details", "--season", "2024-25", "--season_type", "Regular Season",
+             "--input", "i", "--output", "o"]  # missing player/team ids
+        )
+    args = parse_args(
+        ["team_game_log", "--season", "2023-24, 2024-25", "--season_type",
+         "Regular Season", "--input", "i", "--output", "o"]
+    )
+    assert args.seasons == ["2023-24", "2024-25"]
+
+
+def test_cli_team_game_log_end_to_end(spark, tmp_path, team_game_log_df):
+    raw = str(tmp_path / "raw")
+    out = str(tmp_path / "out")
+    team_game_log_df.write.parquet(raw)
+    run(
+        ["team_game_log", "--season", "2024-25", "--season_type", "Regular Season",
+         "--input", raw, "--output", out],
+        spark=spark,
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+    assert {"SEASON", "SEASON_TYPE", "id"} <= set(back.columns)
+    # delta re-run loads nothing new and changes nothing
+    run(
+        ["team_game_log", "--season", "2024-25", "--season_type", "Regular Season",
+         "--input", raw, "--output", out, "--delta"],
+        spark=spark,
+    )
+    assert spark.read.parquet(out).count() == 2
+
+
+def test_cli_multi_season_input_scopes_by_game_id(spark, tmp_path):
+    """A file holding two seasons must not double-load: each season pass
+    scopes rows via the GAME_ID-derived season before stamping."""
+    rows = []
+    for gid0 in ("0022300", "0022400"):
+        for g in range(3):
+            for t in (100, 200):
+                rows.append((f"{gid0}00{g}", t, "AAA", "Alphas", "2024-10-25",
+                             "AAA vs. BBB", "W", 100.0, 5.0))
+    raw = str(tmp_path / "raw2")
+    out = str(tmp_path / "out2")
+    spark.createDataFrame(rows,
+        "GAME_ID string, TEAM_ID long, TEAM_ABBREVIATION string, TEAM_NAME string,"
+        "GAME_DATE string, MATCHUP string, WL string, PTS double, PLUS_MINUS double"
+    ).write.parquet(raw)
+    run(["team_game_log", "--season", "2023-24,2024-25", "--season_type",
+         "Regular Season", "--input", raw, "--output", out], spark=spark)
+    back = spark.read.parquet(out)
+    assert back.count() == 12
+    per_season = {r.SEASON: r.n for r in back.groupBy("SEASON").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert per_season == {"2023-24": 6, "2024-25": 6}
