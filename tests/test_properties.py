@@ -102,3 +102,87 @@ def test_minhash_jaccard_estimate_tracks_true_jaccard(spark):
         return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
     j = len(sh(base) & sh(variant)) / len(sh(base) | sh(variant))
     assert abs(agree - j) < 0.2  # 64 perms: estimator within ~0.2 w.h.p.
+
+
+def test_chunk_text_covers_every_token_exactly(spark):
+    """Property over 200 random docs: concatenating each doc's chunks
+    with the overlap removed reproduces the document exactly (no token
+    lost or duplicated), and every chunk except the last has exactly
+    chunk_tokens tokens."""
+    from nba_data_pipeline_spark.operators.text import chunk_text
+
+    chunk, overlap = 16, 4
+    stride = chunk - overlap
+    docs = []
+    for i in range(200):
+        n = RNG.randint(0, 100)
+        docs.append((i, " ".join(f"w{i}_{j}" for j in range(n)), n))
+    df = spark.createDataFrame(docs, "doc_id long, text string, n long")
+    out = chunk_text(df, "doc_id", "text", chunk_tokens=chunk, overlap=overlap)
+    rows = sorted(
+        ((r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens) for r in out.collect())
+    )
+    by_doc = {}
+    for doc_id, idx, text, ntok in rows:
+        by_doc.setdefault(doc_id, []).append((idx, text, ntok))
+    for doc_id, text, n in docs:
+        chunks = by_doc.get(doc_id, [])
+        if n == 0:
+            assert chunks == []
+            continue
+        rebuilt = []
+        for k, (idx, ctext, ntok) in enumerate(chunks):
+            assert idx == k
+            toks = ctext.split()
+            assert len(toks) == ntok
+            if k < len(chunks) - 1:
+                assert ntok == chunk
+            rebuilt.extend(toks if k == 0 else toks[overlap:] if k * stride + overlap <= n else [])
+        # chunks overlap by `overlap`; strip the overlap from every
+        # non-first chunk to rebuild the doc
+        assert rebuilt == text.split(), (doc_id, n)
+
+
+def test_zorder_key_preserves_per_dimension_order_on_boxes(spark):
+    """Morton keys of points inside a dyadic box are contiguous: all
+    points of box (a>>8, b>>8) share the high bits of z — the property
+    row-group pruning relies on. Checked for 500 random points."""
+    from nba_data_pipeline_spark.operators.layout import zorder_key
+
+    pts = [(i, RNG.randint(0, 65535), RNG.randint(0, 65535)) for i in range(500)]
+    df = spark.createDataFrame(pts, "i long, a long, b long")
+    got = {r.i: r.z for r in df.select("i", zorder_key("a", "b").alias("z")).collect()}
+
+    def spread(x):
+        out = 0
+        for bit in range(16):
+            out |= ((x >> bit) & 1) << (2 * bit)
+        return out
+
+    for i, a, b in pts:
+        assert got[i] == spread(a) | (spread(b) << 1)
+
+
+def test_quantize_error_bound_property(spark):
+    """|dequantized - original| <= scale/2 element-wise for random vectors."""
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    rows = [
+        (i, [RNG.uniform(-10, 10) for _ in range(16)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    rt = dequantize_embeddings(quantize_embeddings(df, "embedding"), out_col="back")
+    bad = rt.select(
+        F.aggregate(
+            F.zip_with("embedding", "back", lambda x, y: F.abs(x - y)),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        ).alias("maxerr"),
+        (F.col("qscale") / 2 + 1e-12).alias("bound"),
+    ).filter(F.col("maxerr") > F.col("bound")).count()
+    assert bad == 0
