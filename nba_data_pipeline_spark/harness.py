@@ -1732,6 +1732,29 @@ def q_stratified(spark, sf):
 
 
 @q(
+    "weighted_sample",
+    # Efraimidis-Spirakis with hash-derived u; weight = doc length
+    """SELECT doc_id, wkey FROM (
+         SELECT doc_id,
+                ROUND(ln(((doc_id * 2654435761) % 4294967296 + 1) / 4294967297.0)
+                      / (n_chars / 1000.0), 8) AS wkey
+         FROM documents WHERE n_chars > 0)
+       ORDER BY wkey DESC, doc_id LIMIT 50""",
+)
+def q_weighted_sample(spark, sf):
+    """Deterministic weighted sampling (operators/sampling.py
+    weighted_sample): longer docs proportionally likelier; TakeOrdered
+    plan, no global sort."""
+    from .operators.sampling import weighted_sample
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "w", F.col("n_chars").cast("double") / 1000.0
+    )
+    out = weighted_sample(docs, "doc_id", "w", 50)
+    return out.select("doc_id", F.col("_wkey").alias("wkey"))
+
+
+@q(
     "set_intersect",
     """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
        INTERSECT

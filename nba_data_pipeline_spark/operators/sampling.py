@@ -72,3 +72,28 @@ def stratified_sample(
             (_col(stratum_col) == stratum) & (bucket < int(frac * BUCKETS))
         )
     return df.filter(keep)
+
+
+def weighted_sample(df: DataFrame, id_col: str, weight_col: str, k: int) -> DataFrame:
+    """Top-k weighted sampling without replacement (Efraimidis-Spirakis):
+    each row gets key u^(1/w) with u uniform in (0,1); the k largest keys
+    are a weighted sample. u derives from the Knuth hash of the id, so
+    the sample is deterministic, join-stable, and retry-safe — the
+    quality-weighted data-selection step of a training pipeline.
+
+    Compared as log-keys ln(u)/w rounded to 8 decimals (engine-portable;
+    the exp is monotone so ordering is identical). Rows with w <= 0 are
+    excluded. orderBy+limit plans as TakeOrdered: per-partition heaps and
+    a k-row driver merge, never a global sort.
+    """
+    u = (
+        ((_col(id_col) * F.lit(KNUTH)) % F.lit(MOD) + 1).cast("double")
+        / F.lit(float(MOD + 1))
+    )
+    key = F.round(F.log(u) / _col(weight_col), 8)
+    return (
+        df.filter(_col(weight_col) > 0)
+        .withColumn("_wkey", key)
+        .orderBy(F.desc("_wkey"), _col(id_col))
+        .limit(k)
+    )

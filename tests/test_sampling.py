@@ -44,3 +44,28 @@ def test_stratified_sample(spark):
     full = {r.lang: r["count"] for r in df.groupBy("lang").count().collect()}
     assert counts["0"] == full["0"]  # stratum kept whole
     assert abs(counts["1"] / full["1"] - 0.1) < 0.05
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    """Statistical property: with weights 100 vs 1, heavy rows dominate
+    the sample; determinism: two runs agree exactly; plan: TakeOrdered."""
+    from nba_data_pipeline_spark.operators.sampling import weighted_sample
+    from pyspark.sql import functions as F
+
+    rows = [(i, 100.0 if i % 10 == 0 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = weighted_sample(df, "doc_id", "w", 50)
+    picked = [r.doc_id for r in out.collect()]
+    heavy = sum(1 for d in picked if d % 10 == 0)
+    # 100 heavy rows with weight 100 vs 900 light with weight 1:
+    # heavy rows should take well over half the sample
+    assert heavy >= 30, heavy
+    # deterministic across runs
+    again = [r.doc_id for r in weighted_sample(df, "doc_id", "w", 50).collect()]
+    assert picked == again
+    # zero/negative weights excluded
+    with_zero = df.withColumn("w", F.when(F.col("doc_id") < 990, F.col("w")).otherwise(0.0))
+    out2 = [r.doc_id for r in weighted_sample(with_zero, "doc_id", "w", 1000).collect()]
+    assert all(d < 990 for d in out2)
+    plan = weighted_sample(df, "doc_id", "w", 50)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
