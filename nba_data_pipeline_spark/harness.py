@@ -2090,6 +2090,14 @@ def q_frame_samples(spark, sf):
     return sample_frames(docs, "doc_id", "payload", every_n_bytes=128)
 
 
+@q("audio_windows")  # fake-decode kernel semantics: rows-only
+def q_audio_windows(spark, sf):
+    from .operators.multimodal import extract_audio_windows
+
+    docs = _t(spark, sf, "documents").withColumn("payload", F.encode("text", "utf-8"))
+    return extract_audio_windows(docs, "doc_id", "payload", window_samples=256)
+
+
 @q("resultset_decode")  # wire-format decoder on an inline fixture payload
 def q_resultset_decode(spark, sf):
     from pyspark.sql import types as T

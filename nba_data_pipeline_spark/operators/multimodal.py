@@ -132,3 +132,53 @@ def sample_frames(
             )
 
     return df.select(id_col, payload_col).mapInPandas(kernel, schema=schema)
+
+
+AUDIO_WINDOWS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("window_idx", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_audio_windows(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    window_samples: int = 1024,
+    decode: str = "fake",
+) -> DataFrame:
+    """Windowed audio features (stub decode): 1->N fan-out of each
+    payload into fixed-width sample windows with per-window RMS — the
+    shape a torchaudio/ffmpeg feature extractor uses (decode to PCM,
+    window, reduce). ``decode='fake'`` interprets payload bytes as
+    signed 8-bit PCM (deterministic, no codec); ``decode='real'``
+    raises at the exact call site a codec would occupy. Arrow-batched
+    ``mapInPandas``; payload bytes never hit the driver."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode == "real":
+                raise NotImplementedError(
+                    "audio codec not available; plug torchaudio/ffmpeg here"
+                )
+            ids, idxs, ns, rms = [], [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                pcm = np.frombuffer(bytes(payload), dtype=np.int8).astype(np.float64)
+                if pcm.size == 0:
+                    continue
+                for i in range(0, pcm.size, window_samples):
+                    w = pcm[i : i + window_samples]
+                    ids.append(int(rid))
+                    idxs.append(i // window_samples)
+                    ns.append(int(w.size))
+                    rms.append(float(np.sqrt(np.mean(w * w))))
+            yield pd.DataFrame(
+                {"doc_id": ids, "window_idx": idxs, "n_samples": ns, "rms": rms}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema=AUDIO_WINDOWS_SCHEMA)

@@ -40,3 +40,27 @@ def test_sample_frames_fan_out(spark):
     for r in out:
         per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + 1
     assert per_doc == {1: 1, 2: 3}  # 3000 bytes -> 3 chunks of 1024
+
+
+def test_extract_audio_windows_fake_decode(spark):
+    import math
+
+    from nba_data_pipeline_spark.operators.multimodal import extract_audio_windows
+    from pyspark.sql import functions as F
+
+    payload = bytes(range(256)) * 5  # 1280 "samples"
+    df = spark.createDataFrame([(1, bytearray(payload)), (2, bytearray(b""))],
+                               "doc_id long, payload binary")
+    out = extract_audio_windows(df, "doc_id", "payload", window_samples=512).collect()
+    rows = sorted((r.doc_id, r.window_idx, r.n_samples) for r in out)
+    # doc 1: 1280 samples -> windows of 512, 512, 256; doc 2 empty -> none
+    assert rows == [(1, 0, 512), (1, 1, 512), (1, 2, 256)]
+    # RMS deterministic: recompute window 0 in pure python (int8 view)
+    pcm = [b if b < 128 else b - 256 for b in payload[:512]]
+    expect = math.sqrt(sum(x * x for x in pcm) / len(pcm))
+    got = [r.rms for r in out if r.window_idx == 0][0]
+    assert abs(got - expect) < 1e-9
+
+    import pytest
+    with pytest.raises(Exception, match="codec"):
+        extract_audio_windows(df, "doc_id", "payload", decode="real").collect()
