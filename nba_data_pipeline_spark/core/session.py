@@ -40,6 +40,9 @@ def get_session(app_name: str = "nba_data_pipeline_spark", **extra_conf: str) ->
         # parquet reader rejects; read it as long and convert in the
         # loader (core.data.load_table)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # runtime bloom filters prune the probe side of large joins
+        # before the shuffle (explicit: the 100 TB join-pruning lever)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
