@@ -271,22 +271,33 @@ def _make_track_fn(event_cols: list[str]):
         stints = right[right["KIND"] == "stint"]
         fallback = right[right["KIND"] == "fallback"]
 
-        def stint_rows(team_id):
-            return stints[stints["TEAM_ID"] == team_id]
+        # index the stint boundaries once per game: the event loop then
+        # does O(1) dict lookups instead of a pandas filter per period
+        # boundary (x4 filters per boundary x periods x games)
+        in_map: dict[tuple, set] = {}
+        out_map: dict[tuple, set] = {}
+        for team_id, pid, t_in, t_out in zip(
+            stints["TEAM_ID"], stints["PLAYER_ID"],
+            stints["IN_TIME_REAL"], stints["OUT_TIME_REAL"],
+        ):
+            in_map.setdefault((team_id, t_in), set()).add(pid)
+            out_map.setdefault((team_id, t_out), set()).add(pid)
+        fb_map: dict[tuple, set] = {}
+        for team_id, period, pid in zip(
+            fallback["TEAM_ID"], fallback["PERIOD"], fallback["PLAYER_ID"]
+        ):
+            fb_map.setdefault((team_id, period), set()).add(pid)
 
         def initial(team_id):
-            rows = stint_rows(team_id)
-            return sorted(rows.loc[rows["IN_TIME_REAL"] == 0.0, "PLAYER_ID"].unique())
+            return sorted(in_map.get((team_id, 0.0), ()))
 
         def boundary(team_id, tenths, col):
-            rows = stint_rows(team_id)
-            return set(rows.loc[rows[col] == tenths, "PLAYER_ID"])
+            m = out_map if col == "OUT_TIME_REAL" else in_map
+            return m.get((team_id, tenths), set())
 
         def fallback_lineup(team_id, period):
-            rows = fallback[(fallback["TEAM_ID"] == team_id) & (fallback["PERIOD"] == period)]
-            if len(rows) == 0:
-                return None
-            return sorted(rows["PLAYER_ID"].unique())
+            pids = fb_map.get((team_id, period))
+            return sorted(pids) if pids else None
 
         lineups = {team1: initial(team1), team2: initial(team2)}
         emitted: dict[str, list] = {c: [] for c in LINEUP_COLS}
