@@ -591,6 +591,47 @@ def q_data_quality_suite(spark, sf):
 
 
 @q(
+    "tpch_q10",
+    # returned-item customer ranking (q10 shape over available columns):
+    # big fact joins shuffle on keys, nation broadcasts, TakeOrdered top-20
+    """SELECT c.c_custkey, c.c_name, ROUND(c.c_acctbal, 2) AS acctbal, n.n_name,
+              CAST(FLOOR(SUM(l.l_extendedprice * (1 - l.l_discount))) AS BIGINT) AS revenue
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o.o_orderdate < TIMESTAMP '1996-07-01'
+         AND l.l_returnflag = 'R'
+       GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+       ORDER BY revenue DESC, c.c_custkey LIMIT 20""",
+)
+def q_tpch_q10(spark, sf):
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        # floored-integer revenue: accumulated float sums can differ in
+        # the last cent across engines' addition orders
+        .agg(F.floor(F.sum(rev)).cast("long").alias("revenue"))
+        .select(
+            "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name", "revenue",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@q(
     "tpch_q14",
     # promo revenue share for one ship month; part is the broadcast dim
     """SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
