@@ -632,6 +632,38 @@ def q_tpch_q10(spark, sf):
 
 
 @q(
+    "tpch_q18",
+    # large-volume customers: HAVING on the fact aggregate, then joins —
+    # the aggregate-then-join ordering keeps the big side small early
+    """WITH big AS (
+         SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+         FROM lineitem GROUP BY l_orderkey
+         HAVING ROUND(SUM(l_quantity), 2) > 250)
+       SELECT c.c_name, c.c_custkey, o.o_orderkey, b.total_qty
+       FROM big b
+       JOIN orders o ON o.o_orderkey = b.l_orderkey
+       JOIN customer c ON c.c_custkey = o.o_custkey
+       ORDER BY b.total_qty DESC, o.o_orderkey LIMIT 100""",
+)
+def q_tpch_q18(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "total_qty")
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@q(
     "tpch_q14",
     # promo revenue share for one ship month; part is the broadcast dim
     """SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
