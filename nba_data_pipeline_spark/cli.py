@@ -20,6 +20,7 @@ etl/players_on_court_at_start_of_period.py:205-211).
 from __future__ import annotations
 
 import argparse
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import SparkSession
@@ -115,11 +116,13 @@ def run(argv: Sequence[str], spark: SparkSession | None = None) -> None:
         elif season and "SEASON" in out.columns:
             out = out.filter(out["SEASON"] == season)
         if args.delta:
-            try:
+            # first load: nothing to subtract. Existence-checked (same
+            # test upsert_table uses) rather than a broad except — a
+            # corrupt/unreadable existing table must fail loudly, not
+            # silently disable delta filtering and re-merge everything.
+            if os.path.exists(args.output):
                 existing = spark.read.parquet(args.output)
                 out = delta_filter(out, existing, ["GAME_ID"])
-            except Exception:
-                pass  # first load: nothing to subtract
         partition = ("SEASON", "SEASON_TYPE") if "SEASON" in out.columns else ()
         upsert_table(
             spark,

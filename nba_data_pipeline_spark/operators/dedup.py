@@ -120,30 +120,52 @@ def bucket_width_stats(banded: DataFrame, cap: int) -> DataFrame:
     )
 
 
+def _all_pairs(banded: DataFrame) -> DataFrame:
+    """Full pairwise id_a < id_b candidates within each (band, bucket)."""
+    return (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
 def _bucket_pairs(banded: DataFrame, cap: int | None) -> DataFrame:
     """id_a < id_b candidate pairs within each (band, bucket).
 
     Buckets at or under ``cap`` docs produce full pairwise candidates.
     Hot buckets (width > cap — e.g. a boilerplate band bucket holding a
     million near-identical pages) would produce O(k^2) pairs and blow up
-    the join; they degrade to consecutive-chain pairs over the
-    doc_id-sorted bucket: O(k) pairs that still connect every member of
-    the cluster transitively, so connected-components dedup downstream
-    loses nothing, while pairwise similarity reporting within hot
-    buckets is intentionally sparse. ``cap=None`` disables the guard.
+    the join; they degrade to STAR pairs — the bucket's min doc_id paired
+    with every other member: O(k) pairs, and the induced subgraph has
+    diameter 2, so connected-components dedup converges in a couple of
+    label-propagation rounds regardless of bucket size (a chain shape
+    would make the diameter equal the bucket width). Downstream
+    verification (Jaccard / Hamming threshold) can still disconnect a
+    hot-bucket cluster if the hub document is a borderline near-dup of
+    some members — a full pairwise candidate set might have connected
+    them through another pair. Exact parity with unguarded candidate
+    generation therefore requires ``cap=None``; the guard trades that
+    edge case for linear behavior on skewed corpora. Audit hot buckets
+    with ``bucket_width_stats``.
+
+    When no bucket exceeds ``cap`` (the common case on natural corpora),
+    one cheap max-width aggregate detects it and the widths join-back is
+    skipped entirely.
     """
     if cap is None:
-        return (
-            banded.alias("x")
-            .join(banded.alias("y"), ["band", "bucket"])
-            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-            .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
-            .distinct()
-        )
+        return _all_pairs(banded)
     # widths via groupBy (map-side partial agg), not a window — a window
     # count would sort the whole banded frame; this aggregates it down to
-    # one row per bucket and joins back (AQE broadcasts when small).
+    # one row per bucket.
     widths = banded.groupBy("band", "bucket").agg(F.count("*").alias("_bw"))
+    # Short-circuit: one tiny aggregate action. If nothing is hot, the
+    # guard costs only this agg (which also materializes ``banded``'s
+    # lazy checkpoint for the branches that follow).
+    max_w = widths.agg(F.max("_bw").alias("m")).collect()[0]["m"]
+    if max_w is None or max_w <= cap:
+        return _all_pairs(banded)
     sized = banded.join(widths, ["band", "bucket"])
     small = sized.filter(F.col("_bw") <= cap).select("band", "bucket", "doc_id")
     pairs_small = (
@@ -152,25 +174,14 @@ def _bucket_pairs(banded: DataFrame, cap: int | None) -> DataFrame:
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
     )
-    # row_number only over the (rare) hot subset
-    hot = (
-        sized.filter(F.col("_bw") > cap)
-        .select("band", "bucket", "doc_id")
-        .withColumn(
-            "_rn",
-            F.row_number().over(Window.partitionBy("band", "bucket").orderBy("doc_id")),
-        )
-    )
-    # chain link rank r -> r+1; bucket is doc_id-sorted so id_a < id_b holds
+    # star pairs only over the (rare) hot subset: hub = min doc_id,
+    # one pair hub->member; hub < member holds by construction
+    hot = sized.filter(F.col("_bw") > cap).select("band", "bucket", "doc_id")
+    hubs = hot.groupBy("band", "bucket").agg(F.min("doc_id").alias("id_a"))
     pairs_hot = (
-        hot.select("band", "bucket", F.col("doc_id").alias("id_a"), F.col("_rn").alias("_r"))
-        .join(
-            hot.select(
-                "band", "bucket", F.col("doc_id").alias("id_b"), (F.col("_rn") - 1).alias("_r")
-            ),
-            ["band", "bucket", "_r"],
-        )
-        .select("id_a", "id_b")
+        hot.join(hubs, ["band", "bucket"])
+        .filter(F.col("doc_id") > F.col("id_a"))
+        .select("id_a", F.col("doc_id").alias("id_b"))
     )
     return pairs_small.unionByName(pairs_hot).distinct()
 
@@ -322,19 +333,28 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 30,
+    strict: bool = True,
 ) -> DataFrame:
     """Component ids for an undirected edge list via hash-min label
-    propagation: every vertex starts labeled with its own id; each round
-    takes the min of its label and its neighbors' labels; converged when
-    no label changes. Output: (doc_id, component_id) with component_id =
-    the minimum doc id in the component.
+    propagation with pointer jumping: every vertex starts labeled with
+    its own id; each round takes the min of its label and its neighbors'
+    labels, then replaces its label with its label's label (path
+    compression — labels are always real vertex ids, so the jump is a
+    self-join). Converged when no label changes. Output:
+    (doc_id, component_id) with component_id = the minimum doc id in the
+    component.
 
-    Scale shape: each round is one join + one groupBy-min (both shuffle
-    on doc id — co-partitioned, AQE-coalesced); rounds = graph diameter,
-    which for near-dup graphs (dense cliques, short chains) is small.
+    Scale shape: each round is two joins + one groupBy-min (all shuffle
+    on doc id — co-partitioned, AQE-coalesced); the pointer jump makes
+    rounds O(log diameter) rather than O(diameter), so even a
+    pathological million-link chain converges within ~20 rounds.
     ``localCheckpoint`` truncates the growing lineage each round — the
     standard Spark iterative-algorithm pattern. Convergence is detected
     by an order-insensitive label-set hash, one tiny action per round.
+    If the loop exhausts ``max_iterations`` without converging, the
+    result would silently contain split components — ``strict=True``
+    (default) raises instead; ``strict=False`` returns the partial
+    labels for callers that inspect convergence themselves.
     """
     # Materialize the edge list once: without this, every iteration
     # re-derives ``pairs`` from scratch — ruinous when pairs is the
@@ -352,14 +372,30 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sig = None
+    converged = False
     for _ in range(max_iterations):
         msgs = edges.join(
             labels.withColumnRenamed("doc_id", "src"), "src"
         ).select(F.col("dst").alias("doc_id"), "component_id")
-        new_labels = (
+        merged = (
             labels.unionByName(msgs)
             .groupBy("doc_id")
             .agg(F.min("component_id").alias("component_id"))
+        )
+        # pointer jump: component_id is itself a vertex id, so look up
+        # ITS current label and adopt the smaller — halves the distance
+        # to the component minimum every round (O(log diameter) rounds).
+        jump = labels.select(
+            F.col("doc_id").alias("component_id"), F.col("component_id").alias("_cc")
+        )
+        new_labels = (
+            merged.join(jump, "component_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("component_id"), F.coalesce("_cc", "component_id")).alias(
+                    "component_id"
+                ),
+            )
             .localCheckpoint(eager=True)
         )
         sig = tuple(
@@ -370,8 +406,15 @@ def connected_components(
         )
         labels = new_labels
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged and strict:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations — labels would be silently split. Raise max_iterations "
+            "or pass strict=False to accept partial labels."
+        )
     return labels
 
 

@@ -43,8 +43,14 @@ def zorder_key(a: Column | str, b: Column | str, bits: int = 16) -> Column:
     if bits > 16:
         raise ValueError("zorder_key interleaves at most 16 bits per column")
     mask = (1 << bits) - 1
-    ca = _spread_bits((F.col(a) if isinstance(a, str) else a).bitwiseAND(F.lit(mask)))
-    cb = _spread_bits((F.col(b) if isinstance(b, str) else b).bitwiseAND(F.lit(mask)))
+    # cast to long BEFORE spreading: with IntegerType inputs the whole
+    # expression would stay 32-bit and shiftleft(cb, 1) pushes b's bit 15
+    # into the int32 sign bit, producing negative z-keys that sort first
+    # and break Morton clustering
+    col_a = (F.col(a) if isinstance(a, str) else a).cast("long")
+    col_b = (F.col(b) if isinstance(b, str) else b).cast("long")
+    ca = _spread_bits(col_a.bitwiseAND(F.lit(mask)))
+    cb = _spread_bits(col_b.bitwiseAND(F.lit(mask)))
     return ca.bitwiseOR(F.shiftleft(cb, 1)).cast("long")
 
 

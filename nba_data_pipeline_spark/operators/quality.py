@@ -26,13 +26,16 @@ def validate(df: DataFrame, checks: Mapping[str, Column]) -> DataFrame:
     every valid row (NULL counts as a violation — an unknown is not a
     pass). Output: one row per check, (check_name, n_violations, n_rows,
     passed), computed with a single scan regardless of check count.
+    An EMPTY input vacuously passes every check (0 violations, 0 rows) —
+    SUM over zero rows is NULL, so each violation count is coalesced to
+    0; without that an empty delta re-run would spuriously fail the gate.
     """
     if not checks:
         raise ValueError("at least one check required")
     aggs = [F.count(F.lit(1)).alias("_n")]
     for name, pred in checks.items():
         aggs.append(
-            F.sum(F.when(pred, 0).otherwise(1)).alias(f"_v_{name}")
+            F.coalesce(F.sum(F.when(pred, 0).otherwise(1)), F.lit(0)).alias(f"_v_{name}")
         )
     row = df.agg(*aggs)
     # pivot the single agg row into one row per check with explode —

@@ -70,3 +70,17 @@ def test_cli_multi_season_input_scopes_by_game_id(spark, tmp_path):
         __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
     ).collect()}
     assert per_season == {"2023-24": 6, "2024-25": 6}
+
+
+def test_cli_delta_unreadable_existing_table_fails_loudly(spark, tmp_path, team_game_log_df):
+    """--delta with an existing-but-corrupt output must raise, not
+    silently disable delta filtering (ADVICE r2)."""
+    raw = str(tmp_path / "raw3")
+    out = tmp_path / "out3"
+    team_game_log_df.write.parquet(raw)
+    out.mkdir()
+    (out / "part-00000.parquet").write_text("not parquet at all")
+    with pytest.raises(Exception):
+        run(["team_game_log", "--season", "2024-25", "--season_type",
+             "Regular Season", "--input", raw, "--output", str(out), "--delta"],
+            spark=spark)

@@ -53,8 +53,10 @@ def test_simhash_near_pairs(spark):
 def test_hot_bucket_guard_stays_linear_on_identical_corpus(spark):
     """A degenerate corpus (many identical docs -> one mega-bucket per
     band) must not produce the quadratic k*(k-1)/2 pair set: over-cap
-    buckets degrade to doc_id-chain pairs, which still connect every
-    member transitively for connected-components dedup."""
+    buckets degrade to star pairs (min doc_id paired with every other
+    member) — O(k) pairs with a diameter-2 induced subgraph, so
+    connected-components dedup still sees one cluster and converges in
+    a couple of rounds."""
     from nba_data_pipeline_spark.operators.dedup import (
         bucket_width_stats,
         minhash_lsh_pairs,
@@ -69,8 +71,9 @@ def test_hot_bucket_guard_stays_linear_on_identical_corpus(spark):
     pairs = minhash_lsh_pairs(
         docs, "doc_id", "text", threshold=0.9, max_bucket_width=20
     ).collect()
-    # chain, not clique: exactly n-1 distinct consecutive pairs
+    # star, not clique: exactly n-1 pairs, all anchored at the hub (min id)
     assert len(pairs) == n - 1
+    assert all(p.id_a == 0 for p in pairs)
     assert all(p.jaccard_sim == 1.0 for p in pairs)
     # transitively connected: union-find over the emitted pairs -> 1 component
     parent = list(range(n))
@@ -134,12 +137,31 @@ def test_connected_components_chain_cycle_singleton(spark):
 
 
 def test_connected_components_long_chain_converges(spark):
-    """Diameter-20 path exercises the iteration/convergence logic."""
+    """Diameter-80 path: pointer jumping must converge in O(log d)
+    rounds — far below the default max_iterations=30 (one-hop
+    propagation alone would need 80 rounds and raise)."""
     from nba_data_pipeline_spark.operators.dedup import connected_components
 
     pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(20)], "id_a long, id_b long"
+        [(i, i + 1) for i in range(80)], "id_a long, id_b long"
     )
     comp = connected_components(pairs).collect()
     assert {r.component_id for r in comp} == {0}
-    assert len(comp) == 21
+    assert len(comp) == 81
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Exhausting max_iterations without convergence must not silently
+    return split labels (ADVICE r2): strict mode raises, strict=False
+    returns the partial frame."""
+    import pytest
+
+    from nba_data_pipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=1)
+    partial = connected_components(pairs, max_iterations=1, strict=False)
+    assert partial.count() == 11

@@ -46,3 +46,16 @@ def test_write_zordered_arg_contract(spark, tmp_path):
         write_zordered(df, str(tmp_path / "x"), ["a"])
     with pytest.raises(ValueError):
         zorder_key("a", "b", bits=20)
+
+
+def test_zorder_key_int32_inputs_no_sign_overflow(spark):
+    """IntegerType inputs with b >= 32768 must not overflow into the
+    int32 sign bit (ADVICE r2): the key is computed in 64-bit and equals
+    the LongType-input key."""
+    rows = [(0, 32768), (65535, 65535), (12345, 54321)]
+    ints = spark.createDataFrame(rows, "a int, b int")
+    longs = spark.createDataFrame(rows, "a long, b long")
+    zi = [r.z for r in ints.select(zorder_key("a", "b").alias("z")).collect()]
+    zl = [r.z for r in longs.select(zorder_key("a", "b").alias("z")).collect()]
+    assert zi == zl
+    assert all(z >= 0 for z in zi)

@@ -51,3 +51,16 @@ def test_validate_requires_checks(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError):
         validate(df, {})
+
+
+def test_validate_empty_input_vacuously_passes(spark):
+    """Zero rows satisfy every expectation (ADVICE r2): an empty delta
+    re-run must report 0 violations / passed=true, not NULLs that
+    assert_valid misreads as failures."""
+    df = spark.createDataFrame([], "id long, v long").filter(F.col("id") > 0)
+    out = {r.check_name: r for r in validate(
+        df, {"pos": F.col("v") > 0, "id_set": F.col("id").isNotNull()}
+    ).collect()}
+    assert all(r.passed for r in out.values())
+    assert all(r.n_violations == 0 and r.n_rows == 0 for r in out.values())
+    assert_valid(df, {"pos": F.col("v") > 0})  # no raise
