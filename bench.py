@@ -58,6 +58,9 @@ def main() -> None:
     # warm the JVM + parquet footers once so per-query numbers measure
     # the plans, not session startup
     qs["tpch_q6"](spark, SF_DIR).collect()
+    # materialize the synthetic bulk-lineup fixture before any timer:
+    # the lineup rows should time the operator, not the fixture fan-out
+    harness._replicated_fixture(spark, 200, events_mult=50)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -434,28 +434,143 @@ def lineups_via_range_join(
     rotations: DataFrame,
     team_game_log: DataFrame | None = None,
 ) -> DataFrame:
-    """Lineups purely relationally: a player is on the floor at event
-    time t iff some stint satisfies IN <= t*10 < OUT. Collect the
-    five player ids per (event, team) with ``sort_array(collect_set)``
-    and pivot into the 10 fixed columns.
+    """Lineups purely relationally, with EVENT-ORDER interval bounds.
 
-    Equivalent to the stateful scan whenever at most one roster change
-    shares a clock second (the scan applies a substitution at its event
-    position; the interval predicate applies it at its timestamp).
-    Plan: one shuffle to join stints (broadcast when rotations are
-    small), one aggregation by event — no per-group Python at all.
+    The stateful scan (and the reference,
+    etl/play_by_play_with_players.py:118) applies a roster change at its
+    *event position* in (PERIOD, SECONDS_FROM_START, EVENTNUM) order —
+    not at its timestamp. A timestamp interval predicate diverges
+    whenever an event shares a clock second with a roster change (the
+    common multi-sub timeout). So each stint bound is first ANCHORED to
+    the position of the event that applies it:
+
+    - a mid-period bound anchors to the substitution event (type 8)
+      whose (team, player, time) matches it — the scan applies subs at
+      their event (reference :131-141);
+    - a period-boundary bound anchors to the first period-start event
+      (type 12) at that exact time — the scan applies stint starts/ends
+      there (reference :142-152);
+    - when both exist, the earlier position wins (the scan's second
+      application is an idempotent no-op);
+    - an unanchored bound (inconsistent pbp/rotations data) falls back
+      to the timestamp comparison, except a game-ending OUT (== the
+      game's max stint end, which the scan never removes) stays on
+      court through the final event.
+
+    A player is then on the floor at event e iff
+    in_anchor <= pos(e) < out_anchor. Collect the five player ids per
+    (event, team) with ``sort_array(collect_set)`` and pivot into the 10
+    fixed columns. Event-by-event equal to ``track_lineups`` on
+    consistent data, including multiple roster changes inside one clock
+    second (property-tested in tests/test_lineup_property.py).
+
+    Plan shape: one per-game window for positions (its exchange is
+    reused by the GAME_ID joins), three stint-sized anchor joins, one
+    events-to-stints join, one aggregation by event — no per-group
+    Python at all. This is the 100-TB path.
     """
     pbp = pbp if "SECONDS_FROM_START" in pbp.columns else derive_seconds_from_start(pbp)
     teams = resolve_game_teams(pbp, team_game_log)
-    events = pbp.join(F.broadcast(teams), "GAME_ID", "inner").withColumn(
-        "_tenths", seconds_to_tenths("SECONDS_FROM_START").cast("double")
+    wpos = Window.partitionBy("GAME_ID").orderBy("PERIOD", "SECONDS_FROM_START", "EVENTNUM")
+    # slim position-keyed event frame: feeds the sub/period anchors and
+    # the stint join (3 plan branches — checkpoint so the window isn't
+    # recomputed per branch; only 11 narrow columns cross it)
+    keyed = (
+        pbp.select(
+            "GAME_ID", "EVENTNUM", "EVENTMSGTYPE", "PERIOD", "SECONDS_FROM_START",
+            "PLAYER1_ID", "PLAYER1_TEAM_ID", "PLAYER2_ID",
+        )
+        .join(F.broadcast(teams), "GAME_ID", "inner")
+        .withColumn("_tenths", seconds_to_tenths("SECONDS_FROM_START").cast("double"))
+        .withColumn("_pos", F.row_number().over(wpos))
+        .localCheckpoint(eager=False)
     )
     stints = explode_stints(rotations.select("GAME_ID", "TEAM_ID", "PLAYER_ID", "STINTS"))
 
-    joined = events.join(stints, "GAME_ID").filter(
-        (F.col("IN_TIME_REAL") <= F.col("_tenths"))
-        & (F.col("_tenths") < F.col("OUT_TIME_REAL"))
+    subs = keyed.filter(F.col("EVENTMSGTYPE") == 8)
+    # Rank-match sub events to stint bounds: when a player has several
+    # same-(team, player, time) bounds (in-out-in within one second),
+    # the k-th sub event in position order pairs with the k-th stint in
+    # chronological order. With unique bounds every rank is 1 and this
+    # is a plain equi-join. The scan applies both sides of a sub to
+    # PLAYER1_TEAM_ID's lineup.
+    sub_out = subs.select(
+        "GAME_ID",
+        F.col("PLAYER1_TEAM_ID").alias("TEAM_ID"),
+        F.col("PLAYER1_ID").alias("PLAYER_ID"),
+        F.col("_tenths").alias("OUT_TIME_REAL"),
+        F.col("_pos").alias("_out_sub"),
+    ).withColumn(
+        "_out_rk",
+        F.row_number().over(
+            Window.partitionBy("GAME_ID", "TEAM_ID", "PLAYER_ID", "OUT_TIME_REAL")
+            .orderBy("_out_sub")
+        ),
     )
+    sub_in = subs.select(
+        "GAME_ID",
+        F.col("PLAYER1_TEAM_ID").alias("TEAM_ID"),
+        F.col("PLAYER2_ID").alias("PLAYER_ID"),
+        F.col("_tenths").alias("IN_TIME_REAL"),
+        F.col("_pos").alias("_in_sub"),
+    ).withColumn(
+        "_in_rk",
+        F.row_number().over(
+            Window.partitionBy("GAME_ID", "TEAM_ID", "PLAYER_ID", "IN_TIME_REAL")
+            .orderBy("_in_sub")
+        ),
+    )
+    pb = (
+        keyed.filter(F.col("EVENTMSGTYPE") == 12)
+        .groupBy("GAME_ID", "_tenths")
+        .agg(F.min("_pos").alias("_pb"))
+    )
+    game_end = stints.groupBy("GAME_ID").agg(F.max("OUT_TIME_REAL").alias("_game_end"))
+    stints_ranked = stints.withColumn(
+        "_in_rk",
+        F.row_number().over(
+            Window.partitionBy("GAME_ID", "TEAM_ID", "PLAYER_ID", "IN_TIME_REAL")
+            .orderBy("OUT_TIME_REAL")
+        ),
+    ).withColumn(
+        "_out_rk",
+        F.row_number().over(
+            Window.partitionBy("GAME_ID", "TEAM_ID", "PLAYER_ID", "OUT_TIME_REAL")
+            .orderBy("IN_TIME_REAL")
+        ),
+    )
+    anchored = (
+        stints_ranked.join(
+            sub_in, ["GAME_ID", "TEAM_ID", "PLAYER_ID", "IN_TIME_REAL", "_in_rk"], "left"
+        )
+        .join(
+            sub_out, ["GAME_ID", "TEAM_ID", "PLAYER_ID", "OUT_TIME_REAL", "_out_rk"], "left"
+        )
+        .join(
+            pb.withColumnRenamed("_tenths", "IN_TIME_REAL").withColumnRenamed("_pb", "_in_pb"),
+            ["GAME_ID", "IN_TIME_REAL"],
+            "left",
+        )
+        .join(
+            pb.withColumnRenamed("_tenths", "OUT_TIME_REAL").withColumnRenamed("_pb", "_out_pb"),
+            ["GAME_ID", "OUT_TIME_REAL"],
+            "left",
+        )
+        .join(game_end, "GAME_ID", "left")
+        .withColumn("_in_anchor", F.least("_in_sub", "_in_pb"))
+        .withColumn("_out_anchor", F.least("_out_sub", "_out_pb"))
+    )
+
+    open_ok = F.when(
+        F.col("_in_anchor").isNotNull(), F.col("_pos") >= F.col("_in_anchor")
+    ).otherwise(F.col("IN_TIME_REAL") <= F.col("_tenths"))
+    close_ok = F.when(
+        F.col("_out_anchor").isNotNull(), F.col("_pos") < F.col("_out_anchor")
+    ).otherwise(
+        (F.col("_tenths") < F.col("OUT_TIME_REAL"))
+        | (F.col("OUT_TIME_REAL") >= F.col("_game_end"))
+    )
+    joined = keyed.join(anchored, "GAME_ID").filter(open_ok & close_ok)
     per_event = (
         joined.groupBy("GAME_ID", "EVENTNUM")
         .agg(
@@ -471,8 +586,8 @@ def lineups_via_range_join(
             ).alias("_t2"),
         )
     )
-    out = events.join(per_event, ["GAME_ID", "EVENTNUM"], "left")
+    out = pbp.join(per_event, ["GAME_ID", "EVENTNUM"], "left")
     for i in range(5):
         out = out.withColumn(f"TEAM1_PLAYER{i + 1}", F.col("_t1").getItem(i))
         out = out.withColumn(f"TEAM2_PLAYER{i + 1}", F.col("_t2").getItem(i))
-    return out.drop("_t1", "_t2", "_tenths", "TEAM1_ID", "TEAM2_ID")
+    return out.drop("_t1", "_t2")

@@ -5,8 +5,17 @@ schedules with matching stint intervals — and asserts the exact
 stateful scan (track_lineups) and the declarative range-join
 formulation agree event-by-event. This is the dual-implementation
 fidelity check for the operator the DuckDB oracle can't express
-(SURVEY.md §7.4 #6). Sub times are kept distinct per game so the two
-formulations' same-second tie semantics can't diverge.
+(SURVEY.md §7.4 #6).
+
+The generator deliberately produces the tie cases that broke the
+timestamp-interval formulation (VERDICT r2 #1):
+- 2-3 substitutions inside ONE clock second (multi-sub timeouts);
+- non-sub events in the same second as a sub, both BEFORE the sub in
+  event order (must still see the old lineup) and after it;
+- a player subbed in and back out within the same second (zero-width
+  stint — on court only for the events between the two subs);
+- an end-of-game event at the exact final-whistle second (game-ending
+  stints are never closed by the scan).
 """
 
 import random
@@ -22,26 +31,15 @@ END_T = GAME_SECONDS * 10
 
 
 def simulate_game(rng: random.Random, gid: str):
-    """Random but consistent game: 8 players a side, random in-period
-    subs at distinct seconds, plus a possible roster swap at the period
-    break. Returns (pbp_rows, stint_rows)."""
-    pbp = [
-        # period starts + opening jump
-        (gid, 1, 12, 0, 1, "12:00", 0, 0, 0, 0),
-        (gid, 2, 10, 0, 1, "12:00", HOME + 1, HOME, AWAY + 1, AWAY),
-        (gid, 5000, 12, 0, 2, "12:00", 0, 0, 0, 0),
-    ]
+    """Random but consistent game: 8 players a side; substitution
+    moments at random seconds, each moment holding 1-3 subs that all
+    share the clock second, with optional non-sub events interleaved
+    before/between/after them in event order. Returns
+    (pbp_rows, stint_rows)."""
     stints = {}  # (team, pid) -> list[[in, out]]
-    eventnum = 10
-    sub_seconds = rng.sample(range(30, 690), 6) + [
-        720 + s for s in rng.sample(range(30, 690), 6)
-    ]
-    sub_iter = iter(sorted(sub_seconds))
-
     for team in (HOME, AWAY):
         for i in range(5):
             stints[(team, team + 1 + i)] = [[0.0, float(END_T)]]
-
     on_court = {
         HOME: [HOME + 1 + i for i in range(5)],
         AWAY: [AWAY + 1 + i for i in range(5)],
@@ -56,29 +54,77 @@ def simulate_game(rng: random.Random, gid: str):
         rem = (720 if period == 1 else 1440) - sec
         return period, f"{rem // 60}:{rem % 60:02d}"
 
-    for sec in sorted(sub_seconds):
-        team = rng.choice([HOME, AWAY])
-        out_p = rng.choice(on_court[team])
-        in_p = rng.choice(bench[team])
-        period, pc = clock(sec)
-        nonlocal_t = float(sec * 10)
-        # close the outgoing player's open stint, open the incoming one's
-        stints[(team, out_p)][-1][1] = nonlocal_t
-        stints.setdefault((team, in_p), []).append([nonlocal_t, float(END_T)])
+    def do_sub(sec, team, moved):
+        # out_p may be a player subbed IN earlier this same second
+        # (prob ~0.3 when possible) — that creates a zero-width stint
+        # [t, t] the anchor resolution must pair correctly; in_p is
+        # always a not-yet-moved bench player so no player enters twice
+        # in one second (the one pairing that is genuinely ambiguous)
+        re_out = [p for p in on_court[team] if p in moved]
+        fresh_out = [p for p in on_court[team] if p not in moved]
+        if re_out and fresh_out:
+            out_p = rng.choice(re_out) if rng.random() < 0.3 else rng.choice(fresh_out)
+        else:
+            out_p = rng.choice(re_out or fresh_out)
+        in_p = rng.choice([p for p in bench[team] if p not in moved])
+        moved.update((out_p, in_p))
+        t = float(sec * 10)
+        stints[(team, out_p)][-1][1] = t
+        stints.setdefault((team, in_p), []).append([t, float(END_T)])
         on_court[team].remove(out_p)
         on_court[team].append(in_p)
         bench[team].remove(in_p)
         bench[team].append(out_p)
-        pbp.append((gid, eventnum, 8, 0, period, pc, out_p, team, in_p, team))
-        eventnum += 10
-        _ = sub_iter  # noqa: B018
+        return out_p, in_p
 
-    # filler non-sub events at distinct times
-    used = set(sub_seconds)
-    for sec in rng.sample([s for s in range(1, 1439) if s not in used], 20):
-        period, pc = clock(sec)
-        pbp.append((gid, eventnum, 1, 0, period, pc, 0, 0, 0, 0))
-        eventnum += 10
+    # timeline of (sec, kind) built in event order; eventnums assigned
+    # sequentially afterwards so ties-in-time are broken by EVENTNUM
+    # exactly as the scan sorts them
+    moment_seconds = sorted(
+        rng.sample(range(30, 690), 3) + [720 + s for s in rng.sample(range(30, 690), 3)]
+    )
+    timeline = [("start1", 0), ("jump", 0)]
+    filler_budget = [s for s in range(1, 1439) if s not in set(moment_seconds) and s != 720]
+    for sec in moment_seconds:
+        if rng.random() < 0.7:
+            timeline.append(("filler", sec))  # same second, BEFORE the sub(s)
+        n_subs = rng.choice([1, 2, 2, 3])
+        moved = set()
+        for k in range(n_subs):
+            period, _ = clock(sec)
+            team = rng.choice([HOME, AWAY])
+            out_p, in_p = do_sub(sec, team, moved)
+            timeline.append(("sub", sec, team, out_p, in_p))
+            if k < n_subs - 1 and rng.random() < 0.5:
+                timeline.append(("filler", sec))  # between two same-second subs
+        if rng.random() < 0.7:
+            timeline.append(("filler", sec))  # same second, after the sub(s)
+    for sec in rng.sample(filler_budget, 12):
+        timeline.append(("filler", sec))
+    timeline.append(("start2", 720))
+    timeline.append(("end", 1440))  # final whistle at the exact game-end second
+    # order: by second, then period starts before same-second play (the
+    # start2 row belongs to period 2 whose events all have sec >= 720),
+    # then original insertion order (stable sort keeps sub sequences)
+    timeline.sort(key=lambda e: (e[1], 0 if e[0] in ("start1", "start2") else 1))
+
+    pbp = []
+    eventnum = 0
+    for ev in timeline:
+        kind, sec = ev[0], ev[1]
+        eventnum += rng.choice([1, 2, 5])
+        period, pc = clock(sec) if kind not in ("start1", "jump") else (1, "12:00")
+        if kind in ("start1", "start2"):
+            pbp.append((gid, eventnum, 12, 0, period, pc, 0, 0, 0, 0))
+        elif kind == "jump":
+            pbp.append((gid, eventnum, 10, 0, 1, "12:00", HOME + 1, HOME, AWAY + 1, AWAY))
+        elif kind == "sub":
+            _, _, team, out_p, in_p = ev
+            pbp.append((gid, eventnum, 8, 0, period, pc, out_p, team, in_p, team))
+        elif kind == "end":
+            pbp.append((gid, eventnum, 13, 0, 2, "0:00", 0, 0, 0, 0))
+        else:
+            pbp.append((gid, eventnum, 1, 0, period, pc, 0, 0, 0, 0))
 
     stint_rows = [
         (gid, team, pid, [(lo, hi) for lo, hi in ss])
