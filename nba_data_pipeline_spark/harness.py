@@ -1454,6 +1454,45 @@ def q_ngram_jaccard(spark, sf):
 
 
 @q(
+    "ngram_jaccard_pruned",
+    # stop-shingle (document-frequency) pruning: shingles in > 50% of a
+    # block's docs are dropped from BOTH sides before Jaccard — the
+    # standard boilerplate guard; a hot shingle in k docs costs
+    # k*(k-1)/2 postings-join rows, quadratic in k, at corpus scale
+    """WITH sh AS (
+         SELECT doc_id, lang, n_chars // 64 AS len_band,
+                list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                    i -> string_split(text, ' ')[i] || ' ' ||
+                         string_split(text, ' ')[i + 1] || ' ' ||
+                         string_split(text, ' ')[i + 2])) AS s
+         FROM documents),
+       ex AS (SELECT doc_id, lang, len_band, unnest(s) AS g FROM sh),
+       bs AS (SELECT lang, len_band, COUNT(DISTINCT doc_id) AS n_docs FROM sh GROUP BY 1, 2),
+       dfr AS (SELECT lang, len_band, g, COUNT(DISTINCT doc_id) AS dfreq FROM ex GROUP BY 1, 2, 3),
+       keep AS (SELECT dfr.lang, dfr.len_band, dfr.g
+                FROM dfr JOIN bs USING (lang, len_band)
+                WHERE dfreq <= 0.5 * n_docs),
+       ps AS (SELECT e.doc_id, e.lang, e.len_band, list(e.g) AS s
+              FROM ex e JOIN keep k
+                ON e.lang = k.lang AND e.len_band = k.len_band AND e.g = k.g
+              GROUP BY 1, 2, 3)
+       SELECT a.lang, a.len_band, a.doc_id AS id_a, b.doc_id AS id_b,
+              ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard_sim
+       FROM ps a JOIN ps b ON a.lang = b.lang AND a.len_band = b.len_band
+                          AND a.doc_id < b.doc_id
+       WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3""",
+)
+def q_ngram_jaccard_pruned(spark, sf):
+    docs = _t(spark, sf, "documents").withColumn("len_band", F.expr("n_chars div 64"))
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", ["lang", "len_band"], n=3, threshold=0.3,
+        max_df_ratio=0.5,
+    )
+
+
+@q(
     "binary_meta",
     """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len, sha256(text) AS sha
        FROM documents""",
@@ -2098,6 +2137,18 @@ def q_lineup_tracking(spark, sf):
 def q_lineups_declarative(spark, sf):
     pbp, rot, tgl = _fixture_game(spark)
     return lineups_via_range_join(pbp, rot, tgl).select(*_LINEUP_OUT)
+
+
+@q("lineup_validation")  # reference hard invariant as a one-scan gate: rows-only
+def q_lineup_validation(spark, sf):
+    """Five non-null, pairwise-distinct players per team on every
+    tracked event (reference etl/play_by_play_with_players.py:146-149),
+    via operators.quality.validate conditional aggregates."""
+    from .operators.lineups import lineup_expectations
+
+    pbp, rot, tgl = _fixture_game(spark)
+    out = lineups_via_range_join(pbp, rot, tgl)
+    return validate(out, lineup_expectations()).orderBy("check_name")
 
 
 def _replicate_games(spark, n_games: int, events_mult: int = 1):

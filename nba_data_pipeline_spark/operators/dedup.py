@@ -51,52 +51,75 @@ def ngram_jaccard_pairs(
     block_cols: list[str],
     n: int = 3,
     threshold: float = 0.8,
+    max_df_ratio: float | None = None,
 ) -> DataFrame:
-    """Near-duplicate pairs by n-gram Jaccard within blocking buckets.
+    """Near-duplicate pairs by n-gram Jaccard within blocking buckets,
+    as an inverted-index (postings-list) set-similarity join.
 
     ``block_cols`` bounds the candidate set (e.g. language + source, or
-    an LSH band from ``minhash_lsh_pairs`` for unblocked corpora); the
-    self-join is id<id restricted so each pair appears once.
+    an LSH band from ``minhash_lsh_pairs`` for unblocked corpora).
+    Shingles are hashed to longs (Jaccard over hashed distinct shingles
+    equals Jaccard over the shingles themselves w.h.p.); candidate
+    pairs form ONLY where a shingle co-occurs — the postings self-join
+    on (block, shingle) — and the intersection size is a count
+    aggregate, so zero-overlap doc pairs inside a block never
+    materialize and no per-pair array intersection runs at all.
+    The size-ratio prune (J >= t forces t*|B| <= |A| <= |B|/t) is
+    applied before the division.
 
-    Shingles are hashed to longs and aggregated into per-doc sets
-    BEFORE the pair join: the aggregation materializes the sets through
-    its shuffle (no re-derivation per pair) and long-array intersections
-    are far cheaper than string-array ones. Jaccard over hashed distinct
-    shingles equals Jaccard over the shingles themselves w.h.p. (64-bit,
-    collision odds ~1e-16 per pair).
+    A shingle appearing in k docs of a block contributes k*(k-1)/2
+    postings-join rows — quadratic in document frequency. On
+    boilerplate-heavy corpora set ``max_df_ratio`` to drop shingles
+    present in more than that fraction of a block's docs before the
+    join (the standard stop-shingle prune): near-dup decisions then
+    rest on the discriminative shingles, and Jaccard is computed over
+    the pruned sets on BOTH sides (sizes and intersections), so the
+    measure stays a true Jaccard of the reduced universe.
     """
-    sets = (
+    ex = (
         exploded_shingles(
             df.withColumn("_did", F.col(id_col)), [*block_cols, "_did"], text_col, n, "_s"
         )
         .select(*block_cols, F.col("_did").alias("doc_id"), F.xxhash64("_s").alias("_h"))
-        .groupBy(*block_cols, "doc_id")
-        .agg(F.collect_set("_h").alias("sh"))
-        .withColumn("_sz", F.size("sh"))
+        .dropDuplicates([*block_cols, "doc_id", "_h"])
     )
-    a = sets.select(
-        *block_cols, F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"),
-        F.col("_sz").alias("_sz_a"),
+    if max_df_ratio is not None:
+        n_docs = df.groupBy(*block_cols).agg(F.countDistinct(id_col).alias("_nd"))
+        dfreq = ex.groupBy(*block_cols, "_h").agg(F.count("*").alias("_df"))
+        stop = (
+            dfreq.join(n_docs, list(block_cols))
+            .filter(F.col("_df") > F.lit(max_df_ratio) * F.col("_nd"))
+            .select(*block_cols, "_h")
+        )
+        # stop-list is tiny (only over-threshold shingles) -> AQE
+        # broadcasts the anti join
+        ex = ex.join(stop, [*block_cols, "_h"], "left_anti")
+    ex = ex.localCheckpoint(eager=False)  # feeds sizes + both join sides
+    sizes = ex.groupBy(*block_cols, "doc_id").agg(F.count("*").alias("_sz"))
+    inter = (
+        ex.select(*block_cols, F.col("doc_id").alias("id_a"), "_h")
+        .join(ex.select(*block_cols, F.col("doc_id").alias("id_b"), "_h"), [*block_cols, "_h"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy(*block_cols, "id_a", "id_b")
+        .agg(F.count("*").alias("_inter"))
     )
-    b = sets.select(
-        *block_cols, F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"),
-        F.col("_sz").alias("_sz_b"),
+    pairs = (
+        inter.join(
+            sizes.select(*block_cols, F.col("doc_id").alias("id_a"), F.col("_sz").alias("_sz_a")),
+            [*block_cols, "id_a"],
+        )
+        .join(
+            sizes.select(*block_cols, F.col("doc_id").alias("id_b"), F.col("_sz").alias("_sz_b")),
+            [*block_cols, "id_b"],
+        )
+        .filter(
+            (F.col("_sz_a") * F.lit(1.0) >= F.lit(threshold) * F.col("_sz_b"))
+            & (F.col("_sz_b") * F.lit(1.0) >= F.lit(threshold) * F.col("_sz_a"))
+        )
     )
-    # size-ratio prune BEFORE the set intersection: J(A,B) >= t forces
-    # |A| >= t*|B| and |B| >= t*|A| (since J <= min/max of the sizes) —
-    # an integer comparison that skips the expensive intersect for most
-    # cross-size pairs in a block.
-    pairs = a.join(b, on=block_cols).filter(
-        (F.col("id_a") < F.col("id_b"))
-        & (F.col("_sz_a") * F.lit(1.0) >= F.lit(threshold) * F.col("_sz_b"))
-        & (F.col("_sz_b") * F.lit(1.0) >= F.lit(threshold) * F.col("_sz_a"))
-    )
-    # |A u B| = |A| + |B| - |A n B| for distinct sets: one array_intersect
-    # per pair instead of intersect + a materialized array_union
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.col("_sz_a") + F.col("_sz_b") - inter
+    union = F.col("_sz_a") + F.col("_sz_b") - F.col("_inter")
     sim = F.round(
-        F.when(union == 0, 0.0).otherwise(inter.cast("double") / union), 6
+        F.when(union == 0, 0.0).otherwise(F.col("_inter").cast("double") / union), 6
     )
     return (
         pairs.withColumn("jaccard_sim", sim)

@@ -34,6 +34,25 @@ LINEUP_COLS = [f"TEAM1_PLAYER{i}" for i in range(1, 6)] + [
 ]
 
 
+def lineup_expectations() -> dict:
+    """The reference's hard lineup invariant
+    (etl/play_by_play_with_players.py:146-149 raises unless every event
+    carries exactly five players per team) as ``quality.validate``
+    expectations — one conditional-aggregate scan instead of a per-game
+    raise. ``five_per_team``: all ten lineup slots non-null (a missing
+    stint or failed fallback leaves trailing slots null).
+    ``ten_distinct_players``: the ten ids are pairwise distinct (a
+    duplicated or team-crossed id means corrupt stints). Run them on
+    the tracked frame BEFORE null-filling."""
+    all_set = F.lit(True)
+    for c in LINEUP_COLS:
+        all_set = all_set & F.col(c).isNotNull()
+    distinct10 = (
+        F.size(F.array_distinct(F.array(*[F.col(c) for c in LINEUP_COLS]))) == 10
+    )
+    return {"five_per_team": all_set, "ten_distinct_players": distinct10}
+
+
 def derive_seconds_from_start(pbp: DataFrame) -> DataFrame:
     """Attach SECONDS_FROM_START from (PERIOD, PCTIMESTRING) — pure
     Column expr, replaces the reference's row-wise apply (:116)."""

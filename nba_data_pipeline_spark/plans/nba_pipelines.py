@@ -76,11 +76,24 @@ def play_by_play_with_players(
     rotations_df: DataFrame,
     team_game_log_df: DataFrame | None = None,
     fallback_lineups: DataFrame | None = None,
+    validate_lineups: bool = False,
 ) -> DataFrame:
     """Reference etl/play_by_play_with_players.py:113-165 as one lazy
     plan (SURVEY.md §3.3): cogrouped applyInPandas lineup scan, then
-    null-fill + id + (caller-side) duplicate assertion."""
+    null-fill + id + (caller-side) duplicate assertion.
+
+    ``validate_lineups`` enforces the reference's hard invariant
+    (:146-149 — exactly five players per team on every event) via the
+    one-scan ``quality.assert_valid`` gate, BEFORE null-filling can
+    mask missing slots. It is an eager action (one extra pass over the
+    tracked frame), so it is opt-in — the reference equivalent raises
+    per game inside its loop."""
     tracked = track_lineups(pbp, rotations_df, team_game_log_df, fallback_lineups)
+    if validate_lineups:
+        from ..operators.lineups import lineup_expectations
+        from ..operators.quality import assert_valid
+
+        assert_valid(tracked, lineup_expectations())
     tracked = add_id(tracked, ["GAME_ID", "EVENTNUM"])
     return fill_nulls(tracked)
 

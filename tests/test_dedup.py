@@ -165,3 +165,39 @@ def test_connected_components_nonconvergence_raises(spark):
         connected_components(pairs, max_iterations=1)
     partial = connected_components(pairs, max_iterations=1, strict=False)
     assert partial.count() == 11
+
+
+def test_ngram_jaccard_df_pruning_drops_boilerplate(spark):
+    """max_df_ratio drops shingles present in > ratio of a block's docs
+    before Jaccard: docs similar ONLY through shared boilerplate stop
+    pairing, while genuinely near-duplicate docs still pair."""
+    from nba_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved terms of service apply to this page"
+    rows = [
+        (1, f"alpha beta gamma delta epsilon zeta eta theta {boiler}", "en"),
+        (2, f"alpha beta gamma delta epsilon zeta eta iota {boiler}", "en"),   # near-dup of 1
+        (3, f"completely different words about distributed query engines {boiler}", "en"),
+        (4, f"yet another unrelated document on columnar storage formats {boiler}", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    unpruned = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", ["lang"], n=3, threshold=0.3
+        ).collect()
+    }
+    # boilerplate alone pushes unrelated docs over the threshold
+    assert (3, 4) in unpruned
+
+    pruned = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", ["lang"], n=3, threshold=0.3, max_df_ratio=0.5
+        ).collect()
+    }
+    assert (3, 4) not in pruned          # boilerplate-only pair gone
+    assert (1, 2) in pruned              # true near-dup survives
+    # and its similarity now reflects only discriminative shingles
+    assert 0.3 <= pruned[(1, 2)] < 1.0

@@ -143,3 +143,26 @@ def test_starters_fallback_prefers_box_then_drops(spark, pbp_df):
     rows = out2.collect()
     assert all(r.PERIOD == 2 for r in rows)
     assert len(rows) == 10 and set(r.SOURCE for r in rows) == {"box"}
+
+
+def test_lineup_invariant_gate_trips_on_corrupt_stints(
+    spark, pbp_df, rotations_df, team_game_log_df
+):
+    """VERDICT r2 #6: the reference's exactly-5-per-team invariant
+    (etl/play_by_play_with_players.py:146-149) as a pipeline gate —
+    healthy stints pass; a stint frame missing a starter leaves a null
+    slot and must raise BEFORE null-filling can mask it."""
+    import pytest
+
+    from nba_data_pipeline_spark.plans.nba_pipelines import play_by_play_with_players
+
+    healthy = play_by_play_with_players(
+        pbp_df, rotations_df, team_game_log_df, validate_lineups=True
+    )
+    assert healthy.count() == 10  # gate passes silently
+
+    corrupted = rotations_df.filter(F.col("PLAYER_ID") != 105)  # drop a starter
+    with pytest.raises(ValueError, match="five_per_team"):
+        play_by_play_with_players(
+            pbp_df, corrupted, team_game_log_df, validate_lineups=True
+        )
