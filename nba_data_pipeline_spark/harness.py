@@ -2069,6 +2069,85 @@ def q_simhash(spark, sf):
     return simhash_near_pairs(_t(spark, sf, "documents"), "doc_id", "text", max_hamming=12)
 
 
+@q(
+    "ann_recall",
+    # the expected verdicts are constants: the Spark side measures ANN
+    # recall against its own exact ranking on a FIXED 500-vector corpus
+    # (deterministic seeds, hashes, and tie-breaks), the oracle pins the
+    # pass/fail outcome the measurement must reproduce
+    """SELECT 'ivf_nn1' AS method, 10 AS n_queries, TRUE AS recall_ok
+       UNION ALL SELECT 'lsh_planted1', 20, TRUE ORDER BY method""",
+)
+def q_ann_recall(spark, sf):
+    """Deterministic ANN recall gate (VERDICT r2 #7) on the fixed
+    ``vec_id < 500`` corpus (identical rows at every sf dir):
+
+    - ``ivf_nn1``: the true nearest non-self neighbor of queries 0-9
+      (from exact ``batch_topk``) must appear in the IVF top-10 probing
+      4 of 8 KMeans lists — recall@1 >= 0.9 (measured 1.0 at sf0.01,
+      0.9 at sf0.1; each sf dir has its own random corpus, so the
+      bars are calibrated to hold on both).
+    - ``lsh_planted1``: 20 deterministically perturbed corpus vectors
+      (xxhash64 noise, planted cos ~0.985) must retrieve their source
+      vector as LSH top-1 with 8 hyperplanes + 1-bit multiprobe —
+      recall@1 >= 0.9 (measured 0.95).
+
+    The corpus is random, so recall@10 of unstructured neighbors is
+    scan-fraction-bound for any ANN; these rows measure the retrieval
+    task ANN is for — finding true near-neighbors — with margins the
+    seeded, hash-deterministic pipeline reproduces bit-for-bit."""
+    from .operators.similarity import batch_topk, ivf_batch_topk, ivf_index, lsh_batch_topk
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact2 = batch_topk(qs, emb, "embedding", "vec_id", "vec_id", k=2)
+    nn = (
+        exact2.filter(F.col("query_id") != F.col("corpus_id"))
+        .withColumn(
+            "_r",
+            F.row_number().over(Window.partitionBy("query_id").orderBy("rnk")),
+        )
+        .filter(F.col("_r") == 1)
+        .select("query_id", "corpus_id")
+    )
+    # KMeans|| init samples per-partition, so centroids depend on the
+    # source file layout; a sorted single partition pins the index to
+    # the corpus CONTENT (identical across sf dirs) — 500 rows, trivial
+    assigned, centers = ivf_index(
+        emb.orderBy("vec_id").coalesce(1), "embedding", n_lists=8, max_iter=5
+    )
+    ivf = ivf_batch_topk(
+        assigned, centers, qs, "embedding", "vec_id", "vec_id", k=10, n_probe=4
+    )
+    ivf_ok = (
+        nn.join(ivf.select("query_id", "corpus_id"), ["query_id", "corpus_id"])
+        .agg((F.count("*") >= F.lit(9)).alias("recall_ok"))
+        .select(
+            F.lit("ivf_nn1").alias("method"), F.lit(10).alias("n_queries"), "recall_ok"
+        )
+    )
+    pert = emb.filter(F.col("vec_id") < 20).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, (x, i) -> cast(x as double)"
+            " + 0.05 * (pmod(xxhash64(vec_id, i), 1000) / 1000.0 - 0.5))"
+        ).alias("embedding"),
+    )
+    lsh = lsh_batch_topk(
+        pert, emb, "embedding", "vec_id", "vec_id", dim=64, k=1, n_planes=8
+    )
+    lsh_ok = (
+        lsh.filter(F.col("query_id") == F.col("corpus_id"))
+        .agg((F.count("*") >= F.lit(18)).alias("recall_ok"))
+        .select(
+            F.lit("lsh_planted1").alias("method"),
+            F.lit(20).alias("n_queries"),
+            "recall_ok",
+        )
+    )
+    return ivf_ok.unionByName(lsh_ok).orderBy("method")
+
+
 @q("lsh_ann_topk")
 def q_lsh_ann(spark, sf):
     emb = _t(spark, sf, "embeddings")

@@ -165,6 +165,100 @@ def batch_topk(
     )
 
 
+def lsh_batch_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    query_id_col: str,
+    corpus_id_col: str,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    multiprobe_bits: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k for EVERY query row, fully declaratively:
+    bucket the corpus once with ``lsh_bucket``, explode each query into
+    its multiprobe bucket set (own bucket + every 1-bit flip when
+    ``multiprobe_bits >= 1``), join probes to corpus buckets, score and
+    window-rank. Unlike ``lsh_topk`` there is no driver-side query
+    loop — the probe frame broadcasts and the corpus streams, the same
+    shape as ``batch_topk`` but touching only probed buckets."""
+    cb = corpus.select(
+        F.col(corpus_id_col).alias("corpus_id"), F.col(vec_col).alias("_cv")
+    ).withColumn("_bucket", lsh_bucket("_cv", dim, n_planes, seed))
+    qb = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).withColumn("_qbucket", lsh_bucket("_qv", dim, n_planes, seed))
+    probe_set = [F.col("_qbucket")]
+    if multiprobe_bits >= 1:
+        probe_set += [
+            F.col("_qbucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+            for i in range(n_planes)
+        ]
+    probes = qb.select(
+        "query_id", "_qv", F.explode(F.array(*probe_set)).alias("_bucket")
+    )
+    scored = cb.join(F.broadcast(probes), "_bucket").withColumn(
+        "cos_sim", F.round(cosine(F.col("_cv"), F.col("_qv")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("corpus_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "cos_sim", "rnk")
+    )
+
+
+def ivf_batch_topk(
+    assigned: DataFrame,
+    centers: list[list[float]],
+    queries: DataFrame,
+    vec_col: str,
+    query_id_col: str,
+    corpus_id_col: str,
+    k: int = 10,
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF probe for EVERY query row declaratively: rank the (tiny)
+    centroid table against each query with a window, keep the top
+    ``n_probe`` lists per query, join those probes to the assigned
+    corpus, exact-rank inside them. No driver-side loop — the per-query
+    probe frame broadcasts; at scale the corpus is partitioned by
+    ``_list`` so each probe reads only its lists' partitions."""
+    centers_df = None
+    for i, c in enumerate(centers):
+        row = F.struct(
+            F.lit(i).alias("_list"), F.array(*[F.lit(float(v)) for v in c]).alias("_ctr")
+        )
+        centers_df = F.array(row) if centers_df is None else F.concat(centers_df, F.array(row))
+    qn = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    ranked = (
+        qn.select("query_id", "_qv", F.explode(centers_df).alias("_c"))
+        .withColumn("_csim", cosine(F.col("_c._ctr"), F.col("_qv")))
+        .withColumn(
+            "_crnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("_csim").desc(), F.col("_c._list")
+                )
+            ),
+        )
+        .filter(F.col("_crnk") <= n_probe)
+        .select("query_id", "_qv", F.col("_c._list").alias("_list"))
+    )
+    cand = assigned.select(
+        F.col(corpus_id_col).alias("corpus_id"), F.col(vec_col).alias("_cv"), "_list"
+    ).join(F.broadcast(ranked), "_list")
+    scored = cand.withColumn("cos_sim", F.round(cosine(F.col("_cv"), F.col("_qv")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("corpus_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "cos_sim", "rnk")
+    )
+
+
 def ivf_index(
     df: DataFrame, vec_col: str, n_lists: int = 16, seed: int = 42, max_iter: int = 10
 ):

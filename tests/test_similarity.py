@@ -52,3 +52,50 @@ def test_cosine_pairs_blocked(spark):
     pairs = cosine_pairs(df, "embedding", "vec_id", ["label"], threshold=0.95)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert got == {(1, 2)}
+
+
+def test_lsh_batch_topk_matches_per_query_lsh(spark):
+    """The declarative batch LSH (no driver loop) returns the same
+    candidates+ranking as the single-query path for every query row."""
+    from nba_data_pipeline_spark.operators.similarity import lsh_batch_topk
+
+    rows, df = _embeddings(spark)
+    qids = [3, 17, 42]
+    queries = df.filter(df.vec_id.isin(qids))
+    batch = lsh_batch_topk(
+        queries, df, "embedding", "vec_id", "vec_id", dim=16, k=5, n_planes=6
+    ).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r.query_id, []).append((r.rnk, r.corpus_id, r.cos_sim))
+    for qid in qids:
+        single = lsh_topk(df, "embedding", rows[qid][1], k=5, n_planes=6).collect()
+        want = [(i + 1, r.vec_id, r.cos_sim) for i, r in enumerate(single)]
+        assert sorted(got[qid]) == want, f"query {qid}"
+
+
+def test_ivf_batch_topk_matches_per_query_ivf(spark):
+    """Declarative batch IVF probe == the single-query probe for every
+    query (same index, same centers, same n_probe)."""
+    from nba_data_pipeline_spark.operators.similarity import (
+        ivf_batch_topk,
+        ivf_index,
+        ivf_topk,
+    )
+
+    rows, df = _embeddings(spark)
+    assigned, centers = ivf_index(df.orderBy("vec_id").coalesce(1), "embedding", n_lists=4, max_iter=5)
+    qids = [0, 9, 33]
+    queries = df.filter(df.vec_id.isin(qids))
+    batch = ivf_batch_topk(
+        assigned, centers, queries, "embedding", "vec_id", "vec_id", k=5, n_probe=2
+    ).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r.query_id, []).append((r.rnk, r.corpus_id, r.cos_sim))
+    for qid in qids:
+        single = ivf_topk(
+            assigned, centers, "embedding", rows[qid][1], k=5, n_probe=2
+        ).collect()
+        want = [(i + 1, r.vec_id, r.cos_sim) for i, r in enumerate(single)]
+        assert sorted(got[qid]) == want, f"query {qid}"
