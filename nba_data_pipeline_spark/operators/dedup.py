@@ -296,7 +296,24 @@ def minhash_lsh_pairs(
     corpus can't go quadratic; audit with ``bucket_width_stats``.
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_n, seed)
+    # ONE explode+hash pass feeds both the signature aggregation and
+    # the verification shingle sets (they only differ by a pmod) —
+    # without the shared checkpoint each branch re-derives the full
+    # exploded frame from the source scan
+    ex = (
+        exploded_shingles(df, [id_col], text_col, shingle_n, "_s")
+        .select(F.col(id_col).alias("doc_id"), F.xxhash64("_s").alias("_h"))
+        .localCheckpoint(eager=False)
+    )
+    aggs = [
+        F.min(
+            F.pmod(F.col("_hp") * F.lit(a) + F.lit(b), F.lit(MERSENNE_PRIME))
+        ).alias(f"sig{i}")
+        for i, (a, b) in enumerate(_perm_params(num_perm, seed))
+    ]
+    sig = ex.withColumn("_hp", F.pmod(F.col("_h"), F.lit(MERSENNE_PRIME))).groupBy(
+        "doc_id"
+    ).agg(*aggs)
     band_structs = F.array(
         *[
             F.struct(
@@ -326,9 +343,7 @@ def minhash_lsh_pairs(
     )
     cand = _bucket_pairs(banded, max_bucket_width)
     sh = (
-        exploded_shingles(df, [id_col], text_col, shingle_n, "_s")
-        .select(F.col(id_col).alias("doc_id"), F.xxhash64("_s").alias("_h"))
-        .groupBy("doc_id")
+        ex.groupBy("doc_id")
         .agg(F.collect_set("_h").alias("sh"))
         .localCheckpoint(eager=False)
     )
