@@ -520,20 +520,23 @@ def simhash_df(
     tok = df.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("_t")
     ).select("doc_id", F.xxhash64("_t").alias("_h"))
+    # the +1/-1 vote sum equals 2*(set-bit count) - n_tokens, so
+    # aggregate the plain bit sums (cheap shift-and expressions, no
+    # conditional) plus one count: vote > 0  <=>  2*c_b > n
     votes = tok.groupBy("doc_id").agg(
+        F.count("*").alias("_n"),
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"v{b}")
+            F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(f"c{b}")
             for b in range(bits)
-        ]
+        ],
     )
     weights = [(1 << b) if b < 63 else -(1 << 63) for b in range(bits)]
     fp = F.lit(0).cast("long")
     for b, w in enumerate(weights):
         fp = fp.bitwiseXOR(
-            F.when(F.col(f"v{b}") > 0, F.lit(w).cast("long")).otherwise(F.lit(0).cast("long"))
+            F.when(F.col(f"c{b}") * 2 > F.col("_n"), F.lit(w).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
         )
     return votes.select("doc_id", fp.alias("sh"))
 
