@@ -259,7 +259,10 @@ def minhash_signatures(
     num_perm ``min`` aggregates (map-side partial agg, one shuffle on
     doc id). Output: (doc_id, sig0..sig{n-1}). This is the plan shape
     that survives 100 TB: hashing cost is O(total shingles), not
-    O(shingles * num_perm) re-derivations."""
+    O(shingles * num_perm) re-derivations. ``minhash_lsh_pairs`` inlines
+    the same aggregation over a checkpointed explode it shares with its
+    verification sets; this standalone form serves signature
+    materialization (e.g. persisting a signature table)."""
     exploded = exploded_shingles(df, [id_col], text_col, shingle_n, "_s").select(
         F.col(id_col).alias("doc_id"),
         F.pmod(F.xxhash64("_s"), F.lit(MERSENNE_PRIME)).alias("_h"),
