@@ -1867,6 +1867,109 @@ def q_weighted_sample(spark, sf):
 
 
 @q(
+    "repetition_metrics",
+    # Gopher-style repetition filters; empty docs guard to NULL ratios
+    """WITH t AS (
+         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+         FROM documents)
+       SELECT doc_id,
+              CAST(len(l) AS BIGINT) AS n_tokens,
+              CASE WHEN len(l) = 0 THEN NULL ELSE
+                ROUND(CAST(len(list_distinct(l)) AS DOUBLE) / len(l), 6) END
+                AS distinct_token_ratio,
+              CASE WHEN len(l) = 0 THEN NULL ELSE
+                ROUND(CAST(list_max(list_transform(list_distinct(l),
+                      d -> len(list_filter(l, t -> t = d)))) AS DOUBLE) / len(l), 6) END
+                AS top_token_ratio,
+              CASE WHEN len(l) < 2 THEN 0.0 ELSE
+                ROUND(1.0 - CAST(len(list_distinct(list_transform(range(1, len(l)),
+                      i -> l[i] || ' ' || l[i + 1]))) AS DOUBLE) / (len(l) - 1), 6) END
+                AS dup_bigram_ratio
+       FROM t""",
+)
+def q_repetition_metrics(spark, sf):
+    """Repetition quality metrics (operators/text.py
+    repetition_features): pure higher-order Column exprs, no shuffle."""
+    from .operators.text import repetition_features
+
+    out = repetition_features(_t(spark, sf, "documents"))
+    return out.select(
+        "doc_id", "n_tokens", "distinct_token_ratio", "top_token_ratio",
+        "dup_bigram_ratio",
+    )
+
+
+@q(
+    "decontaminate",
+    # benchmark = every 97th doc; corpus = the rest; 5-gram overlap.
+    # Mirrors GPT-3 appendix-C decontamination at a doc-friendly n.
+    """WITH toks AS (
+         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+         FROM documents),
+       sh AS (
+         SELECT doc_id, list_distinct(list_transform(range(1, len(l) - 3),
+             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
+                  l[i+3] || ' ' || l[i+4])) AS s
+         FROM toks WHERE len(l) >= 5),
+       bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+       corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0)
+       SELECT c.doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_shingles,
+              CAST(COALESCE(SUM(CASE WHEN b.g IS NOT NULL THEN 1 END), 0) AS BIGINT)
+                AS n_hits,
+              ROUND(CAST(COALESCE(SUM(CASE WHEN b.g IS NOT NULL THEN 1 END), 0)
+                    AS DOUBLE) / COUNT(*), 6) AS hit_ratio,
+              COALESCE(SUM(CASE WHEN b.g IS NOT NULL THEN 1 END), 0) > 0
+                AS contaminated
+       FROM corpus c LEFT JOIN bench b ON c.g = b.g
+       GROUP BY c.doc_id""",
+)
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination (operators/text.py
+    contamination_report): benchmark n-gram set broadcasts; corpus side
+    is one explode + one hash aggregate."""
+    from .operators.text import contamination_report
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_report(corpus, bench, "doc_id", "text", n=5)
+
+
+@q(
+    "pack_sequences",
+    # concat-and-chunk packing: Knuth-hash shard, running-sum offsets
+    """WITH t AS (
+         SELECT doc_id,
+                CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                     AS BIGINT) AS n_tokens,
+                CAST(((doc_id * 2654435761) % 4294967296) % 16 AS BIGINT) AS shard
+         FROM documents),
+       s AS (
+         SELECT doc_id, shard, n_tokens,
+                CAST(COALESCE(SUM(n_tokens) OVER (
+                  PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                  AS start_offset
+         FROM t)
+       SELECT doc_id, shard, n_tokens, start_offset,
+              CAST(FLOOR(start_offset / 256.0) AS BIGINT) AS pack_id
+       FROM s""",
+)
+def q_pack_sequences(spark, sf):
+    """Sequence packing (operators/sampling.py pack_sequences): one
+    shuffle on shard + a per-shard running-sum window."""
+    from .operators.sampling import pack_sequences
+    from .operators.text import token_count
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "n_tokens", token_count("text").cast("long")
+    )
+    out = pack_sequences(docs, "doc_id", "n_tokens", capacity=256, num_shards=16)
+    return out.select("doc_id", "shard", "n_tokens", "start_offset", "pack_id")
+
+
+@q(
     "set_intersect",
     """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
        INTERSECT

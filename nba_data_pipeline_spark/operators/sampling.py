@@ -74,6 +74,50 @@ def stratified_sample(
     return df.filter(keep)
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    capacity: int,
+    num_shards: int = 16,
+    out_shard: str = "shard",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay documents end-to-end in a
+    deterministic stream order and cut the stream into fixed
+    ``capacity``-token context windows (the GPT-style packing used to
+    build training batches without padding waste).
+
+    Each doc gets: its ``shard`` (Knuth hash bucket of the id — the
+    stream is sharded so packing parallelizes), its ``start_offset``
+    (tokens preceding it in the shard's stream, docs ordered by id),
+    and ``pack_id`` = floor(start_offset / capacity) — the window its
+    first token lands in (long docs simply span into following packs,
+    as concat-and-chunk does).
+
+    Deterministic, join-stable, retry-safe: same doc -> same shard /
+    offset / pack on every engine and run. At 100 TB this is ONE
+    shuffle (hash on shard) + a per-shard running-sum window; shards
+    bound window-state size, so parallelism is num_shards — size it to
+    the cluster, not the data.
+    """
+    from pyspark.sql import Window
+
+    shard = hash_bucket(id_col, num_shards)
+    w = (
+        Window.partitionBy(out_shard)
+        .orderBy(_col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(_col(token_count_col)).over(w), F.lit(0)).cast("long")
+    return (
+        df.withColumn(out_shard, shard.cast("long"))
+        .withColumn("start_offset", start)
+        .withColumn(
+            "pack_id", F.floor(F.col("start_offset") / F.lit(capacity)).cast("long")
+        )
+    )
+
+
 def weighted_sample(df: DataFrame, id_col: str, weight_col: str, k: int) -> DataFrame:
     """Top-k weighted sampling without replacement (Efraimidis-Spirakis):
     each row gets key u^(1/w) with u uniform in (0,1); the k largest keys

@@ -236,6 +236,103 @@ def chunk_text(
     )
 
 
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals, one pass per document:
+
+    - ``distinct_token_ratio``: |unique tokens| / |tokens|
+    - ``top_token_ratio``: occurrences of the most frequent token / |tokens|
+    - ``dup_bigram_ratio``: 1 - |unique bigrams| / |bigrams|
+
+    Highly repetitive machine-generated text scores low/low/high; these
+    are the standard cheap filters run before any pair-wise dedup.
+
+    All higher-order Column expressions over a materialized token array
+    (one tokenize per row — see ``shingles_of_tokens`` for why the
+    array must be a real column). Per-row cost is O(distinct * tokens)
+    for the top-token scan — document-bounded, no shuffle, runs inside
+    whole-stage codegen on the scan output at any corpus size.
+    """
+    toked = df.withColumn("_toks__", tokens(text_col))
+    toks = F.col("_toks__")
+    n = F.size(toks)
+    dist = F.array_distinct(toks)
+    top = F.array_max(
+        F.transform(dist, lambda d: F.size(F.filter(toks, lambda t: t == d)))
+    )
+    # sequence(1, n-1) is DESCENDING for n < 2 (and element_at then
+    # probes an empty array), so gate the construction itself
+    bigrams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i.cast("int")),
+                F.element_at(toks, (i + 1).cast("int")),
+            ),
+        )
+    )
+    n_bg = F.size(bigrams)
+    safe = lambda c: F.when(n > 0, c)  # noqa: E731  -- empty doc -> NULL ratios
+    out = toked.withColumns(
+        {
+            "n_tokens": n.cast("long"),
+            "distinct_token_ratio": safe(
+                F.round(F.size(dist).cast("double") / n, 6)
+            ),
+            "top_token_ratio": safe(F.round(top.cast("double") / n, 6)),
+            "dup_bigram_ratio": F.when(n_bg <= 0, F.lit(0.0)).otherwise(
+                F.round(
+                    F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / n_bg,
+                    6,
+                )
+            ),
+        }
+    )
+    return out.drop("_toks__")
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many of its
+    distinct word n-grams also occur anywhere in ``benchmark`` (the
+    eval set). The standard pretraining hygiene step (13-gram overlap
+    in GPT-3's appendix; n is a knob here because the synthetic docs
+    are short).
+
+    Output: (id_col, n_shingles, n_hits, hit_ratio, contaminated) —
+    one row per corpus doc, ``contaminated`` iff any n-gram collides.
+
+    Scale shape: the benchmark's distinct n-gram set is tiny relative
+    to a 100 TB corpus (eval suites are MBs), so it BROADCASTS; the
+    corpus side is one shingle explode -> broadcast left join -> one
+    hash aggregate keyed on doc id with map-side partials. No
+    corpus-vs-corpus pair join anywhere.
+    """
+    bench_grams = (
+        exploded_shingles(benchmark, [], text_col, n, "_g")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    corpus_grams = exploded_shingles(corpus, [id_col], text_col, n, "_g")
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "_g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .withColumn(
+            "hit_ratio", F.round(F.col("n_hits") / F.col("n_shingles"), 6)
+        )
+        .withColumn("contaminated", F.col("n_hits") > 0)
+    )
+
+
 def normalized_text(text: Column | str) -> Column:
     """Canonical text form for fuzzy-exact dedup (the cheap tier before
     MinHash): lowercase, non-alphanumeric runs collapsed to single

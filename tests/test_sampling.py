@@ -69,3 +69,30 @@ def test_weighted_sample_biases_toward_heavy_rows(spark):
     assert all(d < 990 for d in out2)
     plan = weighted_sample(df, "doc_id", "w", 50)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pack_sequences_contiguous(spark):
+    from nba_data_pipeline_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 60) for i in range(20)], "doc_id long, n_tokens long"
+    )
+    out = pack_sequences(df, "doc_id", "n_tokens", capacity=100, num_shards=4)
+    rows = sorted(out.collect(), key=lambda r: (r.shard, r.doc_id))
+    # within each shard: offsets are the running sum in doc_id order,
+    # pack_id is the window holding the doc's first token
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r.shard].append(r)
+    assert len(by_shard) > 1  # knuth bucket actually spreads
+    for shard_rows in by_shard.values():
+        expect = 0
+        for r in shard_rows:
+            assert r.start_offset == expect
+            assert r.pack_id == expect // 100
+            expect += r.n_tokens
+    # deterministic across invocations
+    again = pack_sequences(df, "doc_id", "n_tokens", capacity=100, num_shards=4)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))

@@ -102,3 +102,53 @@ def test_chunk_text_windows_and_edges(spark):
     import pytest as _p
     with _p.raises(ValueError):
         chunk_text(docs, "doc_id", "text", chunk_tokens=8, overlap=8)
+
+
+def test_repetition_features(spark):
+    from nba_data_pipeline_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # maximal repetition
+            (2, "w x y z"),          # all distinct
+            (3, "one"),              # single token: no bigrams
+            (4, ""),                 # empty doc
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_features(df).collect()}
+    r1, r2, r3, r4 = rows[1], rows[2], rows[3], rows[4]
+    assert r1.n_tokens == 4 and r1.distinct_token_ratio == 0.25
+    assert r1.top_token_ratio == 1.0
+    # bigrams of "a a a a" = ["a a"]*3 -> 1 distinct of 3
+    assert abs(r1.dup_bigram_ratio - (1 - 1 / 3)) < 1e-6
+    assert r2.distinct_token_ratio == 1.0 and r2.dup_bigram_ratio == 0.0
+    assert r2.top_token_ratio == 0.25
+    assert r3.n_tokens == 1 and r3.dup_bigram_ratio == 0.0
+    assert r4.n_tokens == 0 and r4.distinct_token_ratio is None
+    assert r4.top_token_ratio is None and r4.dup_bigram_ratio == 0.0
+
+
+def test_contamination_report(spark):
+    from nba_data_pipeline_spark.operators.text import contamination_report
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the exam answer is forty two exactly"),  # contains bench 5-gram
+            (2, "completely unrelated text about cats and dogs"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the exam answer is forty two")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in contamination_report(corpus, bench, n=5).collect()}
+    # doc 1: 3 distinct 5-grams, 2 shared with bench ("the exam answer is forty",
+    # "exam answer is forty two")
+    assert rows[1].n_shingles == 3 and rows[1].n_hits == 2
+    assert rows[1].contaminated is True
+    assert abs(rows[1].hit_ratio - 2 / 3) < 1e-5
+    assert rows[2].n_hits == 0 and rows[2].contaminated is False
+    # short/empty corpus docs (<n tokens) produce no shingles -> absent
+    tiny = spark.createDataFrame([(9, "too short")], "doc_id long, text string")
+    assert contamination_report(tiny, bench, n=5).count() == 0
