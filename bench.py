@@ -44,6 +44,8 @@ HEADLINE = [
     "cosine_topk",
     "lsh_ann_topk",
     "cosine_neardup",
+    "decontaminate",
+    "pack_sequences",
     "lineups_declarative_bulk",
 ]
 
