@@ -1970,6 +1970,55 @@ def q_pack_sequences(spark, sf):
 
 
 @q(
+    "leakage_safe_split",
+    # split on the duplicate-CLUSTER id, not the row id: every member
+    # of a near-dup cluster lands in the same train/val/test split
+    """WITH RECURSIVE
+       edges0 AS (
+         SELECT DISTINCT user_id AS s, 1000 + (event_id % 211) AS d FROM events
+         WHERE user_id < 50),
+       edges AS (SELECT s, d FROM edges0 UNION SELECT d, s FROM edges0),
+       walk(v, lab) AS (
+         SELECT s, s FROM (SELECT DISTINCT s FROM edges) t
+         UNION
+         SELECT e.d, w.lab FROM walk w JOIN edges e ON e.s = w.v),
+       comp AS (SELECT v AS doc_id, MIN(lab) AS component_id FROM walk GROUP BY v),
+       asg AS (
+         SELECT d.doc_id,
+                CAST(COALESCE(c.component_id, d.doc_id) AS BIGINT) AS component_id
+         FROM documents d LEFT JOIN comp c USING (doc_id))
+       SELECT doc_id, component_id,
+              CASE WHEN ((component_id * 2654435761) % 4294967296) % 10000 < 8000
+                     THEN 'train'
+                   WHEN ((component_id * 2654435761) % 4294967296) % 10000 < 9000
+                     THEN 'val'
+                   ELSE 'test' END AS split
+       FROM asg""",
+)
+def q_leakage_safe_split(spark, sf):
+    """Leakage-safe splits (operators/sampling.py leakage_safe_split):
+    cluster by the dup-pair graph, Knuth-bucket the cluster id."""
+    from .operators.sampling import leakage_safe_split
+
+    ev = _t(spark, sf, "events")
+    docs = _t(spark, sf, "documents").select("doc_id")
+    pairs = (
+        ev.filter(F.col("user_id") < 50)
+        .select(
+            F.col("user_id").alias("id_a"),
+            (F.lit(1000) + F.col("event_id") % 211).alias("id_b"),
+        )
+        .distinct()
+    )
+    out = leakage_safe_split(
+        docs, "doc_id", pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.select(
+        "doc_id", F.col("component_id").cast("long").alias("component_id"), "split"
+    )
+
+
+@q(
     "set_intersect",
     """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
        INTERSECT

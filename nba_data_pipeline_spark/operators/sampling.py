@@ -74,6 +74,30 @@ def stratified_sample(
     return df.filter(keep)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    dup_pairs: DataFrame,
+    fractions: Mapping[str, float],
+    out_col: str = "split",
+) -> DataFrame:
+    """Split assignment that cannot leak near-duplicates across splits:
+    rows are first clustered by the duplicate-pair graph
+    (``dedup.dedup_assign``), then the Knuth bucket is taken on the
+    CLUSTER id, so every member of a duplicate cluster lands in the
+    same split — the train/test-contamination guard a pretraining
+    pipeline needs after near-dedup.
+
+    ``dup_pairs`` is an (id_a, id_b) edge frame (e.g. from
+    ``minhash_lsh_pairs``). Cost over a plain split: the dedup
+    clustering itself; the split remains a filter-shaped expression.
+    """
+    from .dedup import dedup_assign
+
+    assigned = dedup_assign(df, id_col, dup_pairs)
+    return split_assign(assigned, "component_id", fractions, out_col)
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

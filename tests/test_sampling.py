@@ -96,3 +96,25 @@ def test_pack_sequences_contiguous(spark):
     # deterministic across invocations
     again = pack_sequences(df, "doc_id", "n_tokens", capacity=100, num_shards=4)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_leakage_safe_split_clusters_stay_together(spark):
+    from nba_data_pipeline_spark.operators.sampling import leakage_safe_split
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    # three clusters: {0,1,2}, {10,11}, {20,21,22,23}; rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    out = leakage_safe_split(
+        df, "doc_id", pairs, {"train": 0.6, "val": 0.2, "test": 0.2}
+    ).collect()
+    split_of = {r.doc_id: r.split for r in out}
+    comp_of = {r.doc_id: r.component_id for r in out}
+    for cluster in ([0, 1, 2], [10, 11], [20, 21, 22, 23]):
+        assert len({split_of[d] for d in cluster}) == 1
+        assert {comp_of[d] for d in cluster} == {cluster[0]}
+    # singletons keep their own id as component and all rows got a split
+    assert comp_of[50] == 50
+    assert all(s in ("train", "val", "test") for s in split_of.values())
