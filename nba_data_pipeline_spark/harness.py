@@ -2019,6 +2019,44 @@ def q_leakage_safe_split(spark, sf):
 
 
 @q(
+    "incremental_neardup",
+    # new batch = every 5th doc; old corpus = the rest. Pairs are
+    # new-vs-old (either id order) and new-vs-new (a < b); old-vs-old
+    # never forms — prior runs already resolved it.
+    """WITH sh AS (
+         SELECT doc_id, lang, n_chars // 64 AS len_band,
+                CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS is_new,
+                list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                    i -> string_split(text, ' ')[i] || ' ' ||
+                         string_split(text, ' ')[i + 1] || ' ' ||
+                         string_split(text, ' ')[i + 2])) AS s
+         FROM documents)
+       SELECT a.lang, a.len_band, a.doc_id AS id_new, b.doc_id AS id_other,
+              b.is_new = 1 AS other_is_new,
+              ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+                AS jaccard_sim
+       FROM sh a JOIN sh b
+         ON a.lang = b.lang AND a.len_band = b.len_band
+        AND a.is_new = 1 AND a.doc_id <> b.doc_id
+        AND (b.is_new = 0 OR a.doc_id < b.doc_id)
+       WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3""",
+)
+def q_incremental_neardup(spark, sf):
+    """Incremental near-dedup (operators/dedup.py
+    incremental_ngram_pairs): new-batch postings drive the join."""
+    from .operators.dedup import incremental_ngram_pairs
+
+    docs = _t(spark, sf, "documents").withColumn("len_band", F.expr("n_chars div 64"))
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    return incremental_ngram_pairs(
+        new, old, "doc_id", "text", ["lang", "len_band"], n=3, threshold=0.3
+    )
+
+
+@q(
     "set_intersect",
     """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
        INTERSECT

@@ -128,6 +128,93 @@ def ngram_jaccard_pairs(
     )
 
 
+def incremental_ngram_pairs(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental near-dedup: n-gram Jaccard pairs of a NEW ingest
+    batch against the already-deduped corpus plus itself — the
+    continuous-crawl shape. Emits (block..., id_new, id_other,
+    other_is_new, jaccard_sim); old-vs-old pairs (already resolved in
+    prior runs) are never generated, so the postings join's driving
+    side is only the new batch.
+
+    Same inverted-index join as ``ngram_jaccard_pairs``: candidates
+    form only where a hashed shingle co-occurs, intersections are count
+    aggregates, and the size-ratio prune runs before any division. At
+    100 TB the asymmetry is the point: a daily batch's postings are
+    tiny relative to the corpus, so the per-shingle join fans out from
+    the batch side only, and corpus postings can come from a persisted
+    signature table instead of re-shingling.
+    """
+    keep = [*block_cols, id_col, text_col]
+    tagged = (
+        new_df.select(*keep).withColumn("_new", F.lit(1))
+        .unionByName(old_df.select(*keep).withColumn("_new", F.lit(0)))
+    )
+    ex = (
+        exploded_shingles(
+            tagged.withColumn("_did", F.col(id_col)),
+            [*block_cols, "_did", "_new"], text_col, n, "_s",
+        )
+        .select(
+            *block_cols, F.col("_did").alias("doc_id"), "_new",
+            F.xxhash64("_s").alias("_h"),
+        )
+        .dropDuplicates([*block_cols, "doc_id", "_h"])
+        .localCheckpoint(eager=False)  # feeds sizes + both join sides
+    )
+    sizes = ex.groupBy(*block_cols, "doc_id").agg(F.count("*").alias("_sz"))
+    left = ex.filter(F.col("_new") == 1).select(
+        *block_cols, F.col("doc_id").alias("id_new"), "_h"
+    )
+    right = ex.select(
+        *block_cols, F.col("doc_id").alias("id_other"),
+        F.col("_new").alias("_new_b"), "_h",
+    )
+    inter = (
+        left.join(right, [*block_cols, "_h"])
+        # old partners in either id order; new-new partners once (a < b)
+        .filter(
+            (F.col("_new_b") == 0) | (F.col("id_new") < F.col("id_other"))
+        )
+        .filter(F.col("id_new") != F.col("id_other"))
+        .groupBy(*block_cols, "id_new", "id_other", "_new_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    pairs = (
+        inter.join(
+            sizes.select(*block_cols, F.col("doc_id").alias("id_new"), F.col("_sz").alias("_sz_a")),
+            [*block_cols, "id_new"],
+        )
+        .join(
+            sizes.select(*block_cols, F.col("doc_id").alias("id_other"), F.col("_sz").alias("_sz_b")),
+            [*block_cols, "id_other"],
+        )
+        .filter(
+            (F.col("_sz_a") * F.lit(1.0) >= F.lit(threshold) * F.col("_sz_b"))
+            & (F.col("_sz_b") * F.lit(1.0) >= F.lit(threshold) * F.col("_sz_a"))
+        )
+    )
+    union = F.col("_sz_a") + F.col("_sz_b") - F.col("_inter")
+    sim = F.round(
+        F.when(union == 0, 0.0).otherwise(F.col("_inter").cast("double") / union), 6
+    )
+    return (
+        pairs.withColumn("jaccard_sim", sim)
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select(
+            *block_cols, "id_new", "id_other",
+            (F.col("_new_b") == 1).alias("other_is_new"), "jaccard_sim",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Hot-bucket guard (shared by MinHash-LSH and SimHash banding)
 # ---------------------------------------------------------------------------

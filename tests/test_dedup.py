@@ -201,3 +201,29 @@ def test_ngram_jaccard_df_pruning_drops_boilerplate(spark):
     assert (1, 2) in pruned              # true near-dup survives
     # and its similarity now reflects only discriminative shingles
     assert 0.3 <= pruned[(1, 2)] < 1.0
+
+
+def test_incremental_ngram_pairs(spark):
+    from nba_data_pipeline_spark.operators.dedup import incremental_ngram_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base, "en"),                      # old
+        (2, base + " tail", "en"),            # old near-dup of 1 (must NOT pair)
+        (10, base, "en"),                     # new: dup of old 1 and 2, and of new 11
+        (11, base, "en"),                     # new: dup of 10
+        (12, "completely different words here nothing shared at all ok", "en"),  # new, clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    new = df.filter("doc_id >= 10")
+    old = df.filter("doc_id < 10")
+    out = incremental_ngram_pairs(new, old, "doc_id", "text", ["lang"], n=3, threshold=0.3)
+    got = {(r.id_new, r.id_other, r.other_is_new) for r in out.collect()}
+    assert (10, 1, False) in got and (10, 2, False) in got
+    assert (11, 1, False) in got and (11, 2, False) in got
+    assert (10, 11, True) in got          # new-new once, a < b
+    assert (11, 10, True) not in got
+    assert not any(a in (1, 2) for a, _, _ in got)   # old never drives
+    assert not any(b == 12 or a == 12 for a, b, _ in got)
+    sims = {(r.id_new, r.id_other): r.jaccard_sim for r in out.collect()}
+    assert sims[(10, 11)] == 1.0
