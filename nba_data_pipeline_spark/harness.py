@@ -2260,6 +2260,134 @@ def q_simhash(spark, sf):
 
 
 @q(
+    "approx_error_gate",
+    # constant-verdict oracle (ann_recall pattern): Spark measures its
+    # approximate aggregates against its own exact aggregates; the
+    # oracle pins the pass/fail outcome. Measured error: HLL distinct
+    # ~2.7% (bound 10%), approx median ~0.02% (bound 1%) at both sfs.
+    """SELECT 'count_distinct' AS metric, TRUE AS within_bound
+       UNION ALL SELECT 'median', TRUE ORDER BY metric""",
+)
+def q_approx_error_gate(spark, sf):
+    """Error-bound gate for the approximate aggregates: converts the
+    rows-only `approx_aggregates` into a driver-checkable verdict."""
+    li = _t(spark, sf, "lineitem")
+    per = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("apx"),
+        F.countDistinct("l_partkey").alias("ext"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("apx_med"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("ext_med"),
+    )
+    cd = per.agg(
+        (F.max(F.abs(F.col("apx") - F.col("ext")) / F.col("ext")) <= 0.10).alias(
+            "within_bound"
+        )
+    ).select(F.lit("count_distinct").alias("metric"), "within_bound")
+    med = per.agg(
+        (
+            F.max(F.abs(F.col("apx_med") - F.col("ext_med")) / F.col("ext_med"))
+            <= 0.01
+        ).alias("within_bound")
+    ).select(F.lit("median").alias("metric"), "within_bound")
+    return cd.unionByName(med).orderBy("metric")
+
+
+@q(
+    "lsh_quality_gate",
+    # constant-verdict oracle: MinHash-LSH measured against the exact
+    # postings-join n-gram Jaccard pairs (independent implementation).
+    # recall_hi: every exact pair with J >= 0.5 must be found by LSH
+    # (16 bands x 2 rows: capture prob >= 0.994 at J=0.5; measured
+    # recall 1.0 at sf0.01 and sf0.1, gate at 0.9). consistency: every
+    # LSH pair whose docs share a (lang, len_band) block must appear in
+    # the exact pair set at the same 0.3 threshold (measured 0 missing).
+    """SELECT 'recall_hi' AS metric, TRUE AS ok
+       UNION ALL SELECT 'sameblock_consistency', TRUE ORDER BY metric""",
+)
+def q_lsh_quality_gate(spark, sf):
+    """Cross-implementation gate: banded MinHash-LSH vs the exact
+    inverted-index Jaccard join (operators/dedup.py)."""
+    docs = _t(spark, sf, "documents").withColumn("len_band", F.expr("n_chars div 64"))
+    mh = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_perm=32, bands=16, threshold=0.3
+    ).select("id_a", "id_b")
+    ex = ngram_jaccard_pairs(
+        docs, "doc_id", "text", ["lang", "len_band"], n=3, threshold=0.3
+    ).select("id_a", "id_b", "jaccard_sim")
+    truth = ex.filter(F.col("jaccard_sim") >= 0.5).select("id_a", "id_b")
+    recall = (
+        truth.join(mh.withColumn("_f", F.lit(1)), ["id_a", "id_b"], "left")
+        .agg(
+            (
+                F.coalesce(F.sum("_f"), F.lit(0))
+                >= F.lit(0.9) * F.count("*")
+            ).alias("ok")
+        )
+        .select(F.lit("recall_hi").alias("metric"), "ok")
+    )
+    blocks = docs.select("doc_id", "lang", "len_band")
+    sameblock = (
+        mh.join(
+            blocks.select(
+                F.col("doc_id").alias("id_a"), F.col("lang").alias("_la"),
+                F.col("len_band").alias("_ba"),
+            ),
+            "id_a",
+        )
+        .join(
+            blocks.select(
+                F.col("doc_id").alias("id_b"), F.col("lang").alias("_lb"),
+                F.col("len_band").alias("_bb"),
+            ),
+            "id_b",
+        )
+        .filter((F.col("_la") == F.col("_lb")) & (F.col("_ba") == F.col("_bb")))
+        .select("id_a", "id_b")
+    )
+    consistency = (
+        sameblock.join(ex.withColumn("_f", F.lit(1)), ["id_a", "id_b"], "left")
+        .agg((F.coalesce(F.sum(F.when(F.col("_f").isNull(), 1)), F.lit(0)) == 0).alias("ok"))
+        .select(F.lit("sameblock_consistency").alias("metric"), "ok")
+    )
+    return recall.unionByName(consistency).orderBy("metric")
+
+
+@q(
+    "simhash_quality_gate",
+    # constant-verdict oracle: every exact near-dup pair (postings-join
+    # n-gram Jaccard >= 0.7) should be re-found by the banded SimHash
+    # pipeline at max_hamming=12. SimHash banding is probabilistic (the
+    # 16-bit pigeonhole bands only guarantee collisions at small
+    # radii), so the bound is 0.8: measured recall 1.0 at sf0.01,
+    # 0.843 at sf0.1.
+    """SELECT 'simhash_recall_hi' AS metric, TRUE AS ok""",
+)
+def q_simhash_quality_gate(spark, sf):
+    """Cross-implementation gate: banded SimHash near-pairs must
+    recover the exact high-Jaccard pairs (operators/dedup.py)."""
+    docs = _t(spark, sf, "documents").withColumn("len_band", F.expr("n_chars div 64"))
+    sh = simhash_near_pairs(docs, "doc_id", "text", max_hamming=12).select(
+        "id_a", "id_b"
+    )
+    truth = (
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", ["lang", "len_band"], n=3, threshold=0.3
+        )
+        .filter(F.col("jaccard_sim") >= 0.7)
+        .select("id_a", "id_b")
+    )
+    return (
+        truth.join(sh.withColumn("_f", F.lit(1)), ["id_a", "id_b"], "left")
+        .agg(
+            (
+                F.coalesce(F.sum("_f"), F.lit(0)) >= F.lit(0.8) * F.count("*")
+            ).alias("ok")
+        )
+        .select(F.lit("simhash_recall_hi").alias("metric"), "ok")
+    )
+
+
+@q(
     "ann_recall",
     # the expected verdicts are constants: the Spark side measures ANN
     # recall against its own exact ranking on a FIXED 500-vector corpus
