@@ -186,3 +186,65 @@ def test_quantize_error_bound_property(spark):
         (F.col("qscale") / 2 + 1e-12).alias("bound"),
     ).filter(F.col("maxerr") > F.col("bound")).count()
     assert bad == 0
+
+
+def test_repetition_features_match_python_reference(spark):
+    from nba_data_pipeline_spark.operators.text import repetition_features
+
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    cases = []
+    for i in range(300):
+        n = RNG.randint(0, 30)
+        toks = [RNG.choice(vocab) for _ in range(n)]
+        text = " ".join(toks)
+        if n == 0:
+            exp = (0, None, None, 0.0)
+        else:
+            dist = len(set(toks)) / n
+            top = max(toks.count(t) for t in set(toks)) / n
+            if n < 2:
+                dbg = 0.0
+            else:
+                bgs = [f"{toks[j]} {toks[j+1]}" for j in range(n - 1)]
+                dbg = 1.0 - len(set(bgs)) / len(bgs)
+            exp = (n, round(dist, 6), round(top, 6), round(dbg, 6))
+        cases.append((i, text, *exp))
+    df = spark.createDataFrame(
+        cases,
+        "i long, text string, e_n long, e_dist double, e_top double, e_dbg double",
+    )
+    out = repetition_features(df)
+    bad = out.filter(
+        (F.col("n_tokens") != F.col("e_n"))
+        | ~(
+            F.col("distinct_token_ratio").eqNullSafe(F.col("e_dist"))
+            & F.col("top_token_ratio").eqNullSafe(F.col("e_top"))
+            & (F.abs(F.col("dup_bigram_ratio") - F.col("e_dbg")) < 1e-9)
+        )
+    ).collect()
+    assert not bad, bad[:5]
+
+
+def test_pack_sequences_accounts_every_token_once(spark):
+    from nba_data_pipeline_spark.operators.sampling import pack_sequences
+
+    rows = [(i, RNG.randint(1, 400)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, "doc_id", "n_tokens", capacity=512, num_shards=8).collect()
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for r in out:
+        by_shard[r.shard].append(r)
+    assert sum(len(v) for v in by_shard.values()) == 1000
+    for rs in by_shard.values():
+        rs.sort(key=lambda r: r.doc_id)
+        # offsets tile the stream exactly: no token counted twice or dropped
+        expect = 0
+        for r in rs:
+            assert r.start_offset == expect
+            expect += r.n_tokens
+        # pack ids are monotone and every pack index up to the last is hit
+        # by at least one doc start or covered by a long doc spanning it
+        packs = [r.pack_id for r in rs]
+        assert packs == sorted(packs)
