@@ -2254,6 +2254,28 @@ def q_minhash(spark, sf):
     )
 
 
+@q("incremental_minhash")  # xxhash64 signatures: not SQL-portable -> rows-only
+def q_incremental_minhash(spark, sf):
+    """Persisted-signature incremental LSH (operators/dedup.py
+    incremental_minhash_pairs): the new batch is every 5th doc; the
+    corpus signature table is built once and reused — no corpus
+    re-shingling. est_jaccard is the signature-agreement estimate."""
+    from .operators.dedup import incremental_minhash_pairs, minhash_signatures
+
+    docs = _t(spark, sf, "documents")
+    # materialize once: stands in for the PERSISTED signature table the
+    # incremental path reads in production (each side feeds multiple
+    # plan branches; Catalyst does not dedupe the common subplan)
+    sigs = minhash_signatures(docs, "doc_id", "text", num_perm=32).localCheckpoint(
+        eager=False
+    )
+    new_sigs = sigs.filter(F.col("doc_id") % 5 == 0)
+    old_sigs = sigs.filter(F.col("doc_id") % 5 != 0)
+    return incremental_minhash_pairs(
+        new_sigs, old_sigs, num_perm=32, bands=16, threshold=0.3
+    )
+
+
 @q("simhash_pairs")
 def q_simhash(spark, sf):
     return simhash_near_pairs(_t(spark, sf, "documents"), "doc_id", "text", max_hamming=12)

@@ -363,6 +363,111 @@ def minhash_signatures(
     return exploded.groupBy("doc_id").agg(*aggs)
 
 
+def band_buckets(sig_df: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(doc_id, band, bucket) from a signature frame (doc_id,
+    sig0..sig{num_perm-1}): slice the signature into ``bands`` bands of
+    ``num_perm/bands`` components and hash each band to a bucket.
+    Shared by the self-join LSH (``minhash_lsh_pairs``) and the
+    signature-table incremental path (``incremental_minhash_pairs``)."""
+    rows_per_band = num_perm // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"sig{i * rows_per_band + j}").cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for i in range(bands)
+        ]
+    )
+    return sig_df.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def incremental_minhash_pairs(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental MinHash-LSH over PERSISTED signature tables: candidate
+    pairs of a new batch against the corpus without re-shingling the
+    corpus — the 100 TB continuous-ingest path (``minhash_signatures``
+    materializes the table once; each batch only shingles itself).
+
+    Both inputs are (doc_id, sig0..sig{num_perm-1}). Candidates form
+    where a band bucket collides, with the NEW side driving: new-vs-old
+    pairs in either id order, new-vs-new once, old-vs-old never.
+    Verification is the signature-agreement estimate of Jaccard (the
+    only verifier available without text — unbiased, sd =
+    sqrt(J(1-J)/num_perm)); callers needing exact similarity join text
+    back on the surviving pairs only. Output: (id_new, id_other,
+    other_is_new, est_jaccard).
+
+    Hot buckets are driven by the batch side, so the pair fan-out per
+    bucket is O(batch_width * corpus_width), not O(corpus_width^2);
+    cap skew by pre-filtering pathological buckets from the corpus
+    banded frame if a corpus audit (``bucket_width_stats``) shows them.
+    """
+    new_b = band_buckets(new_sigs, num_perm, bands).localCheckpoint(eager=False)
+    old_b = band_buckets(corpus_sigs, num_perm, bands)
+    all_b = new_b.withColumn("_new", F.lit(1)).unionByName(
+        old_b.withColumn("_new", F.lit(0))
+    )
+    cand = (
+        new_b.select(F.col("doc_id").alias("id_new"), "band", "bucket")
+        .join(
+            all_b.select(
+                F.col("doc_id").alias("id_other"), F.col("_new").alias("_new_b"),
+                "band", "bucket",
+            ),
+            ["band", "bucket"],
+        )
+        .filter((F.col("_new_b") == 0) | (F.col("id_new") < F.col("id_other")))
+        .filter(F.col("id_new") != F.col("id_other"))
+        .select("id_new", "id_other", "_new_b")
+        .distinct()
+    )
+    sig_cols = [f"sig{i}" for i in range(num_perm)]
+    a_side = new_sigs.select(
+        F.col("doc_id").alias("id_new"),
+        *[F.col(c).alias(f"_a{i}") for i, c in enumerate(sig_cols)],
+    )
+    b_side = (
+        new_sigs.withColumn("_new", F.lit(1))
+        .unionByName(corpus_sigs.withColumn("_new", F.lit(0)))
+        .select(
+            F.col("doc_id").alias("id_other"),
+            *[F.col(c).alias(f"_b{i}") for i, c in enumerate(sig_cols)],
+        )
+    )
+    agree = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        for i in range(num_perm)
+    )
+    return (
+        cand.join(a_side, "id_new")
+        .join(b_side, "id_other")
+        .withColumn(
+            "est_jaccard", F.round(agree.cast("double") / F.lit(num_perm), 6)
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(
+            "id_new", "id_other",
+            (F.col("_new_b") == 1).alias("other_is_new"), "est_jaccard",
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -385,7 +490,6 @@ def minhash_lsh_pairs(
     degrade to doc_id-chain pairs (see ``_bucket_pairs``) so a skewed
     corpus can't go quadratic; audit with ``bucket_width_stats``.
     """
-    rows_per_band = num_perm // bands
     # ONE explode+hash pass feeds both the signature aggregation and
     # the verification shingle sets (they only differ by a pmod) —
     # without the shared checkpoint each branch re-derives the full
@@ -404,33 +508,12 @@ def minhash_lsh_pairs(
     sig = ex.withColumn("_hp", F.pmod(F.col("_h"), F.lit(MERSENNE_PRIME))).groupBy(
         "doc_id"
     ).agg(*aggs)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"sig{i * rows_per_band + j}").cast("string")
-                            for j in range(rows_per_band)
-                        ],
-                    )
-                ).alias("bucket"),
-            )
-            for i in range(bands)
-        ]
-    )
     # Materialize the banded frame and shingle sets once: each feeds
     # multiple plan branches (width agg + join + self-join; id_a + id_b
     # sides) and Catalyst does not dedupe common subplans — without
     # this the signature pipeline recomputes per branch (10 scans
     # observed in the un-checkpointed plan).
-    banded = (
-        sig.select("doc_id", F.explode(band_structs).alias("bb"))
-        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-        .localCheckpoint(eager=False)
-    )
+    banded = band_buckets(sig, num_perm, bands).localCheckpoint(eager=False)
     cand = _bucket_pairs(banded, max_bucket_width)
     sh = (
         ex.groupBy("doc_id")

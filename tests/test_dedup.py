@@ -227,3 +227,36 @@ def test_incremental_ngram_pairs(spark):
     assert not any(b == 12 or a == 12 for a, b, _ in got)
     sims = {(r.id_new, r.id_other): r.jaccard_sim for r in out.collect()}
     assert sims[(10, 11)] == 1.0
+
+
+def test_incremental_minhash_pairs_signature_path(spark):
+    from nba_data_pipeline_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_signatures,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [
+        (1, base),                              # old
+        (10, base),                             # new: exact dup of old 1
+        (11, base.replace("kappa", "lambda")),  # new: near-dup of 1/10
+        (12, "totally different content with none of those words present"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df, "doc_id", "text", num_perm=32)
+    new_sigs = sigs.filter("doc_id >= 10")
+    old_sigs = sigs.filter("doc_id < 10")
+    out = incremental_minhash_pairs(new_sigs, old_sigs, num_perm=32, bands=16, threshold=0.3)
+    got = {(r.id_new, r.id_other): r for r in out.collect()}
+    assert (10, 1) in got and got[(10, 1)].est_jaccard == 1.0   # identical sigs
+    assert got[(10, 1)].other_is_new is False
+    assert (10, 11) in got and got[(10, 11)].other_is_new is True
+    assert (11, 10) not in got                                  # new-new once
+    assert not any(k[0] == 1 for k in got)                      # old never drives
+    assert not any(12 in k for k in got)
+    # signature path agrees with the text path on the shared pair set
+    from nba_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
+    full = minhash_lsh_pairs(df, "doc_id", "text", num_perm=32, bands=16, threshold=0.3)
+    full_pairs = {(r.id_a, r.id_b) for r in full.collect()}
+    for (a, b) in got:
+        assert (min(a, b), max(a, b)) in full_pairs
