@@ -2254,6 +2254,24 @@ def q_minhash(spark, sf):
     )
 
 
+@q("corpus_pipeline")  # composes LSH (engine-hash) stages -> rows-only
+def q_corpus_pipeline(spark, sf):
+    """Full pretraining-corpus pipeline (plans/corpus_pipeline.py):
+    quality filter -> exact + near dedup -> decontaminate ->
+    leakage-safe split -> pack. Stage operators are individually
+    oracle-checked; this runs the composition end-to-end."""
+    from .plans.corpus_pipeline import corpus_pipeline
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    out = corpus_pipeline(corpus, bench, min_quality=0.1, near_dup_threshold=0.5)
+    return out.select(
+        "doc_id", "component_id", "split", "shard", "n_tokens",
+        "start_offset", "pack_id",
+    )
+
+
 @q("incremental_minhash")  # xxhash64 signatures: not SQL-portable -> rows-only
 def q_incremental_minhash(spark, sf):
     """Persisted-signature incremental LSH (operators/dedup.py

@@ -1,0 +1,56 @@
+from pyspark.sql import functions as F
+
+from nba_data_pipeline_spark.plans.corpus_pipeline import corpus_pipeline, corpus_summary
+
+
+def _docs(spark):
+    good = (
+        "the quick brown fox jumps over the lazy dog while the keen red "
+        "hen walks under a tall green tree near the old stone wall today"
+    )
+    rows = [
+        (1, good),                                   # survives
+        (2, good.upper()),                           # exact dup of 1 after normalize
+        (3, good + " extra tail words here"),        # near dup of 1 -> same cluster
+        (4, "spam spam spam spam spam spam spam spam spam spam"),  # repetitive junk
+        (5, "x"),                                    # too short / low quality
+        (6, "an entirely different and quite long document about the sea "
+            "and the ships that sail upon it every single morning in june"),
+        (7, "the secret exam answer is forty two exactly as was written "
+            "in the margin of the famous old book by the brilliant author"),  # contaminated
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _bench(spark):
+    return spark.createDataFrame(
+        [(100, "the secret exam answer is forty two")], "doc_id long, text string"
+    )
+
+
+def test_corpus_pipeline_end_to_end(spark):
+    out = corpus_pipeline(
+        _docs(spark), _bench(spark), min_quality=0.25,
+        near_dup_threshold=0.5, pack_capacity=64, num_shards=4,
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    # doc 1 survives as the canonical of {1, 2(exact), 3(near)}
+    assert 1 in rows and 2 not in rows and 3 not in rows
+    # junk and low-quality are gone before any join
+    assert 4 not in rows and 5 not in rows
+    # clean long doc survives; contaminated doc is dropped
+    assert 6 in rows and 7 not in rows
+    for r in rows.values():
+        assert r.split in ("train", "val", "test")
+        assert r.pack_id == r.start_offset // 64
+        assert r.n_tokens > 0
+
+
+def test_corpus_summary_shape(spark):
+    out = corpus_pipeline(
+        _docs(spark), _bench(spark), pack_capacity=64, num_shards=4
+    )
+    summ = corpus_summary(out).collect()
+    assert sum(r.n_docs for r in summ) == out.count()
+    for r in summ:
+        assert r.n_tokens > 0 and r.n_packs >= 1
