@@ -534,6 +534,260 @@ def q_tpch_q5(spark, sf):
 
 
 @q(
+    "tpch_q7",
+    # volume shipping between two nations by ship year (q7 shape on
+    # the available columns)
+    """SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+       FROM (
+         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+                l_extendedprice * (1 - l_discount) AS volume
+         FROM supplier
+         JOIN lineitem ON s_suppkey = l_suppkey
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+           AND l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01')
+       GROUP BY supp_nation, cust_nation, l_year""",
+)
+def q_tpch_q7(spark, sf):
+    """q7-shaped bi-national volume: both nation dims broadcast; the
+    nation filters reach the joins before the fact-fact shuffle."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("_ck"), F.col("n_name").alias("cust_nation")))
+    joined = (
+        s.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("_sk"))
+        .join(n2, F.col("c_nationkey") == F.col("_ck"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+    )
+
+
+@q(
+    "tpch_q8",
+    # national market share inside a region for one part type (q8 shape)
+    """SELECT o_year,
+              ROUND(SUM(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END)
+                    / SUM(volume), 6) AS mkt_share
+       FROM (
+         SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                l_extendedprice * (1 - l_discount) AS volume,
+                n2.n_name AS nation
+         FROM part
+         JOIN lineitem ON p_partkey = l_partkey
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         JOIN region ON n1.n_regionkey = r_regionkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01')
+       GROUP BY o_year""",
+)
+def q_tpch_q8(spark, sf):
+    """q8-shaped market share: conditional-sum ratio per year; part,
+    nation, and region dims broadcast."""
+    p = F.broadcast(_t(spark, sf, "part").filter(F.col("p_type") == "ECONOMY"))
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("_ck"), "n_regionkey"))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("nation")))
+    r = F.broadcast(_t(spark, sf, "region").filter(F.col("r_name") == "ASIA"))
+    vol = (
+        p.join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("c_nationkey") == F.col("_ck"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(n2, F.col("s_nationkey") == F.col("_sk"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "nation",
+        )
+    )
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("nation") == "NATION_1", F.col("volume")).otherwise(0.0))
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@q(
+    "tpch_q13",
+    # customer order-count distribution (q13 shape; priority filter in
+    # the JOIN condition stands in for the original comment filter)
+    """SELECT c_count, COUNT(*) AS custdist
+       FROM (
+         SELECT c_custkey, COUNT(o_orderkey) AS c_count
+         FROM customer LEFT JOIN orders
+           ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+         GROUP BY c_custkey)
+       GROUP BY c_count""",
+)
+def q_tpch_q13(spark, sf):
+    """q13-shaped distribution: left join with a predicate INSIDE the
+    join condition (customers with zero qualifying orders count 0),
+    then a two-level aggregation."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@q(
+    "tpch_q17",
+    # small-quantity revenue for one brand (q17 shape): the correlated
+    # "0.2 * avg quantity of this part" subquery decorrelates to a
+    # per-part window average
+    """SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE p_brand = 'Brand#1'
+         AND l_quantity < (
+           SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+           WHERE l2.l_partkey = lineitem.l_partkey)""",
+)
+def q_tpch_q17(spark, sf):
+    """q17-shaped: the correlated scalar subquery becomes a window
+    average over l_partkey — one shuffle, no self-join."""
+    li = _t(spark, sf, "lineitem")
+    p = F.broadcast(_t(spark, sf, "part").filter(F.col("p_brand") == "Brand#1"))
+    w = Window.partitionBy("l_partkey")
+    flagged = li.withColumn("_avg_qty", F.avg("l_quantity").over(w))
+    return (
+        flagged.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@q(
+    "tpch_q19",
+    # OR-of-ANDs bracket predicate over a dim join (q19 shape)
+    """SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+              AND l_quantity BETWEEN 1 AND 11)
+          OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+              AND l_quantity BETWEEN 10 AND 20)
+          OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+              AND l_quantity BETWEEN 20 AND 30)""",
+)
+def q_tpch_q19(spark, sf):
+    """q19-shaped bracket predicate: the p_brand IN / p_size <= 15
+    envelope pushes into the broadcast dim scan; the per-bracket
+    conjunctions run post-join."""
+    li = _t(spark, sf, "lineitem")
+    p = F.broadcast(
+        _t(spark, sf, "part").filter(
+            F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+            & (F.col("p_size") >= 1)
+        )
+    )
+    bracket = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(bracket)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@q(
+    "tpch_q22",
+    # q22 shape on the available columns: high-balance customers with
+    # no URGENT order (every synthetic customer has SOME order, so the
+    # anti-join targets the filtered order set), grouped by a
+    # nation-derived country code
+    """SELECT cntrycode, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+       FROM (
+         SELECT c_nationkey % 10 AS cntrycode, c_acctbal
+         FROM customer
+         WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT'))
+       GROUP BY cntrycode""",
+)
+def q_tpch_q22(spark, sf):
+    """q22-shaped: scalar-aggregate threshold (broadcast single row via
+    cross join) + left-anti against the urgent-order keys."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_thr")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    rich = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_thr"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        rich.select((F.col("c_nationkey") % 10).alias("cntrycode"), "c_acctbal")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@q(
     "zorder_key",
     # Morton interleave via the classic shift-mask spread, step by step
     """WITH base AS (SELECT event_id, user_id & 65535 AS xa, event_id & 65535 AS xb FROM events),
