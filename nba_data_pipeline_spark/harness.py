@@ -748,6 +748,46 @@ def q_tpch_q19(spark, sf):
 
 
 @q(
+    "tpch_q15",
+    # top-supplier by quarterly revenue (q15 shape): agg -> scalar max
+    # -> equality join back
+    """WITH revenue AS (
+         SELECT l_suppkey AS supplier_no,
+                ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1996-04-01'
+         GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, total_revenue
+       FROM supplier JOIN revenue ON s_suppkey = supplier_no
+       WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)""",
+)
+def q_tpch_q15(spark, sf):
+    """q15-shaped top supplier: revenue aggregate reused for both the
+    scalar max (broadcast single row) and the final equality filter."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = _t(spark, sf, "supplier")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+        .localCheckpoint(eager=False)  # feeds the max and the join
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        s.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@q(
     "tpch_q22",
     # q22 shape on the available columns: high-balance customers with
     # no URGENT order (every synthetic customer has SOME order, so the
