@@ -2351,6 +2351,38 @@ def q_incremental_neardup(spark, sf):
 
 
 @q(
+    "mixture_sample",
+    # domain mixing to a 0.5/0.3/0.2 target over three sources; the
+    # arithmetic (and floor) mirrors the operator expression order so
+    # IEEE doubles agree bit-for-bit across engines
+    """WITH t AS (
+         SELECT source, COUNT(*) * 1.0 AS total FROM documents
+         WHERE source IN ('src0', 'src1', 'src2') GROUP BY source),
+       w AS (
+         SELECT source, total,
+                CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                     ELSE 0.2 END AS w
+         FROM t),
+       k AS (SELECT MIN(total / w) AS kmin FROM w),
+       thr AS (SELECT source, CAST(FLOOR(10000.0 * kmin * w / total) AS BIGINT)
+                 AS cut FROM w, k)
+       SELECT d.doc_id, d.source FROM documents d
+       JOIN thr ON d.source = thr.source
+       WHERE ((d.doc_id * 2654435761) % 4294967296) % 10000 < cut""",
+)
+def q_mixture_sample(spark, sf):
+    """Domain mixing (operators/sampling.py mixture_sample): per-source
+    keep fractions from the binding source, Knuth-bucket selection."""
+    from .operators.sampling import mixture_sample
+
+    out = mixture_sample(
+        _t(spark, sf, "documents"), "doc_id", "source",
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+    )
+    return out.select("doc_id", "source")
+
+
+@q(
     "set_intersect",
     """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
        INTERSECT

@@ -98,6 +98,53 @@ def leakage_safe_split(
     return split_assign(assigned, "component_id", fractions, out_col)
 
 
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    target_weights: Mapping[str, float],
+) -> DataFrame:
+    """Domain mixing: deterministically downsample sources to hit a
+    target mixture WITHOUT upsampling — the data-mixing step that sets
+    a pretraining corpus's domain proportions.
+
+    The achievable scale is K = min_s(total_s / w_s); each source keeps
+    floor-fraction K * w_s / total_s of its rows (the binding source
+    keeps everything), selected by the Knuth hash bucket of the id —
+    reproducible, join-stable, and a pure filter after one tiny
+    per-source count aggregate (broadcast both ways). Sources absent
+    from ``target_weights`` are dropped.
+    """
+    cases = F.lit(None).cast("double")
+    for src, w in sorted(target_weights.items(), reverse=True):
+        cases = F.when(_col(source_col) == src, float(w)).otherwise(cases)
+    totals = (
+        df.filter(_col(source_col).isin(*target_weights))
+        .groupBy(source_col)
+        .agg((F.count("*") * F.lit(1.0)).alias("_total"))
+        .withColumn("_w", cases)
+    )
+    kmin = totals.agg(F.min(F.col("_total") / F.col("_w")).alias("_kmin"))
+    # expression order mirrors the documented SQL equivalent exactly so
+    # the IEEE double arithmetic (and the floor) is bit-identical
+    # across engines
+    cuts = (
+        totals.crossJoin(F.broadcast(kmin))
+        .withColumn(
+            "_cut",
+            F.floor(
+                F.lit(10000.0) * F.col("_kmin") * F.col("_w") / F.col("_total")
+            ).cast("long"),
+        )
+        .select(source_col, "_cut")
+    )
+    return (
+        df.join(F.broadcast(cuts), source_col)
+        .filter(hash_bucket(id_col, BUCKETS) < F.col("_cut"))
+        .drop("_cut")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

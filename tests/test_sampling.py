@@ -118,3 +118,24 @@ def test_leakage_safe_split_clusters_stay_together(spark):
     # singletons keep their own id as component and all rows got a split
     assert comp_of[50] == 50
     assert all(s in ("train", "val", "test") for s in split_of.values())
+
+
+def test_mixture_sample_hits_target_proportions(spark):
+    from nba_data_pipeline_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "a" if i < 4000 else ("b" if i < 6000 else "c")) for i in range(8000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # totals a=4000 b=2000 c=2000; targets .5/.25/.25 -> K=8000,
+    # every source keeps everything
+    full = mixture_sample(df, "doc_id", "source", {"a": 0.5, "b": 0.25, "c": 0.25})
+    assert full.count() == 8000
+    # targets .25/.5/.25 -> binding source is b (2000/.5=4000=K):
+    # keep a: 1000/4000, b: all 2000, c: 1000/2000
+    mixed = mixture_sample(df, "doc_id", "source", {"a": 0.25, "b": 0.5, "c": 0.25})
+    counts = {r.source: r["count"] for r in mixed.groupBy("source").count().collect()}
+    assert counts["b"] == 2000
+    assert abs(counts["a"] - 1000) < 100 and abs(counts["c"] - 1000) < 80
+    # unknown sources dropped; deterministic
+    assert mixed.filter("source = 'zzz'").count() == 0
+    again = mixture_sample(df, "doc_id", "source", {"a": 0.25, "b": 0.5, "c": 0.25})
+    assert sorted(map(tuple, mixed.collect())) == sorted(map(tuple, again.collect()))
