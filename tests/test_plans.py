@@ -75,3 +75,47 @@ def test_chunk_text_has_no_shuffle(spark):
     Exchange (the only shuffle is whatever the caller adds)."""
     plan = _plan(harness.queries()["chunk_text"](spark, SF))
     assert "Exchange" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The eval-set gram table must broadcast; the corpus side is one
+    explode + hash aggregate with map-side partials."""
+    plan = _plan(harness.queries()["decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final on doc_id
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Packing = one hash shuffle on the shard key + one window."""
+    import re
+
+    plan = _plan(harness.queries()["pack_sequences"](spark, SF))
+    # formatted explain numbers each operator once in the detail section
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Window" in plan
+
+
+def test_repetition_metrics_no_shuffle(spark):
+    plan = _plan(harness.queries()["repetition_metrics"](spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_mixture_sample_broadcasts_cuts(spark):
+    """The per-source cut table broadcasts back onto the corpus; the
+    corpus scan itself is never hash-shuffled."""
+    plan = _plan(harness.queries()["mixture_sample"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q17_uses_window_not_self_join(spark):
+    """The correlated avg-quantity subquery must decorrelate to a
+    window aggregate, not a lineitem self-join."""
+    plan = _plan(harness.queries()["tpch_q17"](spark, SF))
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q22_anti_join(spark):
+    plan = _plan(harness.queries()["tpch_q22"](spark, SF))
+    assert "LeftAnti" in plan
