@@ -260,3 +260,24 @@ def test_incremental_minhash_pairs_signature_path(spark):
     full_pairs = {(r.id_a, r.id_b) for r in full.collect()}
     for (a, b) in got:
         assert (min(a, b), max(a, b)) in full_pairs
+
+
+def test_incremental_minhash_over_persisted_signatures(spark, tmp_path):
+    """The production shape: signatures written once, read back as a
+    plain parquet table, new batch joined against them."""
+    from nba_data_pipeline_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_signatures,
+    )
+
+    base = "one two three four five six seven eight nine ten " * 4
+    old = spark.createDataFrame([(1, base), (2, "other words entirely here now")],
+                                "doc_id long, text string")
+    path = str(tmp_path / "sigs")
+    minhash_signatures(old, "doc_id", "text", num_perm=32).write.parquet(path)
+    corpus_sigs = spark.read.parquet(path)
+    new = spark.createDataFrame([(10, base)], "doc_id long, text string")
+    new_sigs = minhash_signatures(new, "doc_id", "text", num_perm=32)
+    out = incremental_minhash_pairs(new_sigs, corpus_sigs, num_perm=32, bands=16,
+                                    threshold=0.3).collect()
+    assert {(r.id_new, r.id_other, r.est_jaccard) for r in out} == {(10, 1, 1.0)}
