@@ -2754,6 +2754,39 @@ def q_simhash_quality_gate(spark, sf):
 
 
 @q(
+    "hll_sketch_gate",
+    # constant-verdict oracle: per-(type, day) HLL sketch rows merged
+    # up to per-type totals must land within 5% of the exact distinct
+    # count (measured 0% at sf0.01, 0.8% at sf0.1). This is the
+    # persisted-sketch-table pattern: history is never rescanned.
+    """SELECT 'merged_distinct' AS metric, TRUE AS within_bound""",
+)
+def q_hll_sketch_gate(spark, sf):
+    """Mergeable-sketch gate (operators/sketches.py): build daily
+    sketches, union to per-type estimates, compare vs exact."""
+    from .operators.sketches import merge_distinct, sketch_distinct
+
+    ev = _t(spark, sf, "events")
+    daily = sketch_distinct(
+        ev.withColumn("day", F.to_date("ts")), ["event_type", "day"], "user_id"
+    )
+    per_type = merge_distinct(daily, ["event_type"])
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("_exact"))
+    return (
+        per_type.join(exact, "event_type")
+        .agg(
+            (
+                F.max(
+                    F.abs(F.col("approx_distinct") - F.col("_exact")) / F.col("_exact")
+                )
+                <= 0.05
+            ).alias("within_bound")
+        )
+        .select(F.lit("merged_distinct").alias("metric"), "within_bound")
+    )
+
+
+@q(
     "ann_recall",
     # the expected verdicts are constants: the Spark side measures ANN
     # recall against its own exact ranking on a FIXED 500-vector corpus
