@@ -2206,17 +2206,23 @@ def q_repetition_metrics(spark, sf):
                   l[i+3] || ' ' || l[i+4])) AS s
          FROM toks WHERE len(l) >= 5),
        bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
-       corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0)
-       SELECT c.doc_id,
-              CAST(COUNT(*) AS BIGINT) AS n_shingles,
-              CAST(COALESCE(SUM(CASE WHEN b.g IS NOT NULL THEN 1 END), 0) AS BIGINT)
-                AS n_hits,
-              ROUND(CAST(COALESCE(SUM(CASE WHEN b.g IS NOT NULL THEN 1 END), 0)
-                    AS DOUBLE) / COUNT(*), 6) AS hit_ratio,
-              COALESCE(SUM(CASE WHEN b.g IS NOT NULL THEN 1 END), 0) > 0
-                AS contaminated
-       FROM corpus c LEFT JOIN bench b ON c.g = b.g
-       GROUP BY c.doc_id""",
+       corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0),
+       counted AS (
+         SELECT c.doc_id,
+                CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                CAST(COALESCE(SUM(CASE WHEN b.g IS NOT NULL THEN 1 END), 0)
+                     AS BIGINT) AS n_hits
+         FROM corpus c LEFT JOIN bench b ON c.g = b.g
+         GROUP BY c.doc_id)
+       SELECT d.doc_id,
+              COALESCE(n_shingles, 0) AS n_shingles,
+              COALESCE(n_hits, 0) AS n_hits,
+              CASE WHEN COALESCE(n_shingles, 0) = 0 THEN 0.0
+                   ELSE ROUND(CAST(n_hits AS DOUBLE) / n_shingles, 6) END
+                AS hit_ratio,
+              COALESCE(n_hits, 0) > 0 AS contaminated
+       FROM documents d LEFT JOIN counted ON d.doc_id = counted.doc_id
+       WHERE d.doc_id % 97 <> 0""",
 )
 def q_decontaminate(spark, sf):
     """Benchmark decontamination (operators/text.py
@@ -2364,8 +2370,10 @@ def q_incremental_neardup(spark, sf):
                      ELSE 0.2 END AS w
          FROM t),
        k AS (SELECT MIN(total / w) AS kmin FROM w),
-       thr AS (SELECT source, CAST(FLOOR(10000.0 * kmin * w / total) AS BIGINT)
-                 AS cut FROM w, k)
+       thr AS (SELECT source,
+                      CAST(FLOOR(10000.0 * kmin * w / total + 0.000000001)
+                           AS BIGINT) AS cut
+               FROM w, k)
        SELECT d.doc_id, d.source FROM documents d
        JOIN thr ON d.source = thr.source
        WHERE ((d.doc_id * 2654435761) % 4294967296) % 10000 < cut""",
@@ -2944,7 +2952,7 @@ def q_lineup_validation(spark, sf):
 
     pbp, rot, tgl = _fixture_game(spark)
     out = lineups_via_range_join(pbp, rot, tgl)
-    return validate(out, lineup_expectations()).orderBy("check_name")
+    return validate(out, lineup_expectations(counts=True)).orderBy("check_name")
 
 
 def _replicate_games(spark, n_games: int, events_mult: int = 1):

@@ -44,6 +44,42 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union == 0, 0.0).otherwise(inter.cast("double") / union)
 
 
+def _sized_jaccard(
+    inter: DataFrame,
+    sizes: DataFrame,
+    block_cols: list[str],
+    a_col: str,
+    b_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Shared tail of the postings-join similarity paths: join per-doc
+    set sizes onto intersection counts, apply the size-ratio prune
+    (J >= t forces t*|B| <= |A| <= |B|/t) BEFORE any division, and
+    compute union-free Jaccard (|A|+|B|-|A∩B|) >= threshold. Extra
+    columns on ``inter`` (e.g. a new/old tag) pass through."""
+    pairs = (
+        inter.join(
+            sizes.select(*block_cols, F.col("doc_id").alias(a_col), F.col("_sz").alias("_sz_a")),
+            [*block_cols, a_col],
+        )
+        .join(
+            sizes.select(*block_cols, F.col("doc_id").alias(b_col), F.col("_sz").alias("_sz_b")),
+            [*block_cols, b_col],
+        )
+        .filter(
+            (F.col("_sz_a") * F.lit(1.0) >= F.lit(threshold) * F.col("_sz_b"))
+            & (F.col("_sz_b") * F.lit(1.0) >= F.lit(threshold) * F.col("_sz_a"))
+        )
+    )
+    union = F.col("_sz_a") + F.col("_sz_b") - F.col("_inter")
+    sim = F.round(
+        F.when(union == 0, 0.0).otherwise(F.col("_inter").cast("double") / union), 6
+    )
+    return pairs.withColumn("jaccard_sim", sim).filter(
+        F.col("jaccard_sim") >= threshold
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -103,28 +139,8 @@ def ngram_jaccard_pairs(
         .groupBy(*block_cols, "id_a", "id_b")
         .agg(F.count("*").alias("_inter"))
     )
-    pairs = (
-        inter.join(
-            sizes.select(*block_cols, F.col("doc_id").alias("id_a"), F.col("_sz").alias("_sz_a")),
-            [*block_cols, "id_a"],
-        )
-        .join(
-            sizes.select(*block_cols, F.col("doc_id").alias("id_b"), F.col("_sz").alias("_sz_b")),
-            [*block_cols, "id_b"],
-        )
-        .filter(
-            (F.col("_sz_a") * F.lit(1.0) >= F.lit(threshold) * F.col("_sz_b"))
-            & (F.col("_sz_b") * F.lit(1.0) >= F.lit(threshold) * F.col("_sz_a"))
-        )
-    )
-    union = F.col("_sz_a") + F.col("_sz_b") - F.col("_inter")
-    sim = F.round(
-        F.when(union == 0, 0.0).otherwise(F.col("_inter").cast("double") / union), 6
-    )
-    return (
-        pairs.withColumn("jaccard_sim", sim)
-        .filter(F.col("jaccard_sim") >= threshold)
-        .select(*block_cols, "id_a", "id_b", "jaccard_sim")
+    return _sized_jaccard(inter, sizes, block_cols, "id_a", "id_b", threshold).select(
+        *block_cols, "id_a", "id_b", "jaccard_sim"
     )
 
 
@@ -151,11 +167,16 @@ def incremental_ngram_pairs(
     tiny relative to the corpus, so the per-shingle join fans out from
     the batch side only, and corpus postings can come from a persisted
     signature table instead of re-shingling.
+
+    An id present in BOTH inputs (a re-ingested document) is treated as
+    new: the corpus copy is dropped first, so each doc carries exactly
+    one new/old tag and pairs are emitted once.
     """
     keep = [*block_cols, id_col, text_col]
+    old_only = old_df.join(new_df.select(id_col), id_col, "left_anti")
     tagged = (
         new_df.select(*keep).withColumn("_new", F.lit(1))
-        .unionByName(old_df.select(*keep).withColumn("_new", F.lit(0)))
+        .unionByName(old_only.select(*keep).withColumn("_new", F.lit(0)))
     )
     ex = (
         exploded_shingles(
@@ -187,31 +208,11 @@ def incremental_ngram_pairs(
         .groupBy(*block_cols, "id_new", "id_other", "_new_b")
         .agg(F.count("*").alias("_inter"))
     )
-    pairs = (
-        inter.join(
-            sizes.select(*block_cols, F.col("doc_id").alias("id_new"), F.col("_sz").alias("_sz_a")),
-            [*block_cols, "id_new"],
-        )
-        .join(
-            sizes.select(*block_cols, F.col("doc_id").alias("id_other"), F.col("_sz").alias("_sz_b")),
-            [*block_cols, "id_other"],
-        )
-        .filter(
-            (F.col("_sz_a") * F.lit(1.0) >= F.lit(threshold) * F.col("_sz_b"))
-            & (F.col("_sz_b") * F.lit(1.0) >= F.lit(threshold) * F.col("_sz_a"))
-        )
-    )
-    union = F.col("_sz_a") + F.col("_sz_b") - F.col("_inter")
-    sim = F.round(
-        F.when(union == 0, 0.0).otherwise(F.col("_inter").cast("double") / union), 6
-    )
-    return (
-        pairs.withColumn("jaccard_sim", sim)
-        .filter(F.col("jaccard_sim") >= threshold)
-        .select(
-            *block_cols, "id_new", "id_other",
-            (F.col("_new_b") == 1).alias("other_is_new"), "jaccard_sim",
-        )
+    return _sized_jaccard(
+        inter, sizes, block_cols, "id_new", "id_other", threshold
+    ).select(
+        *block_cols, "id_new", "id_other",
+        (F.col("_new_b") == 1).alias("other_is_new"), "jaccard_sim",
     )
 
 
@@ -222,7 +223,7 @@ def incremental_ngram_pairs(
 def bucket_width_stats(banded: DataFrame, cap: int) -> DataFrame:
     """Audit frame: (band, bucket, width) for buckets wider than ``cap``.
     Run alongside the pair generation to quantify how much a skewed
-    corpus (boilerplate-heavy web text) is degrading to chain pairs."""
+    corpus (boilerplate-heavy web text) is degrading to star pairs."""
     return (
         banded.groupBy("band", "bucket")
         .agg(F.count("*").alias("width"))
@@ -241,7 +242,9 @@ def _all_pairs(banded: DataFrame) -> DataFrame:
     )
 
 
-def _bucket_pairs(banded: DataFrame, cap: int | None) -> DataFrame:
+def _bucket_pairs(
+    banded: DataFrame, cap: int | None, eager_probe: bool = True
+) -> DataFrame:
     """id_a < id_b candidate pairs within each (band, bucket).
 
     Buckets at or under ``cap`` docs produce full pairwise candidates.
@@ -270,12 +273,16 @@ def _bucket_pairs(banded: DataFrame, cap: int | None) -> DataFrame:
     # count would sort the whole banded frame; this aggregates it down to
     # one row per bucket.
     widths = banded.groupBy("band", "bucket").agg(F.count("*").alias("_bw"))
-    # Short-circuit: one tiny aggregate action. If nothing is hot, the
-    # guard costs only this agg (which also materializes ``banded``'s
-    # lazy checkpoint for the branches that follow).
-    max_w = widths.agg(F.max("_bw").alias("m")).collect()[0]["m"]
-    if max_w is None or max_w <= cap:
-        return _all_pairs(banded)
+    if eager_probe:
+        # Short-circuit: one tiny aggregate ACTION at plan-build time
+        # (it runs the upstream pipeline up to ``banded``, which its
+        # lazy checkpoint would materialize at first action anyway).
+        # If nothing is hot, the guard then costs nothing downstream.
+        # Callers composing lazy plans pass eager_probe=False and take
+        # the widths join-back unconditionally instead.
+        max_w = widths.agg(F.max("_bw").alias("m")).collect()[0]["m"]
+        if max_w is None or max_w <= cap:
+            return _all_pairs(banded)
     sized = banded.join(widths, ["band", "bucket"])
     small = sized.filter(F.col("_bw") <= cap).select("band", "bucket", "doc_id")
     pairs_small = (
@@ -417,9 +424,14 @@ def incremental_minhash_pairs(
     bucket is O(batch_width * corpus_width), not O(corpus_width^2);
     cap skew by pre-filtering pathological buckets from the corpus
     banded frame if a corpus audit (``bucket_width_stats``) shows them.
+
+    An id present in BOTH signature tables (a re-ingested document) is
+    treated as new: the corpus row is dropped first, so each doc
+    appears once and pairs carry a single, consistent other_is_new.
     """
+    corpus_only = corpus_sigs.join(new_sigs.select("doc_id"), "doc_id", "left_anti")
     new_b = band_buckets(new_sigs, num_perm, bands).localCheckpoint(eager=False)
-    old_b = band_buckets(corpus_sigs, num_perm, bands)
+    old_b = band_buckets(corpus_only, num_perm, bands)
     all_b = new_b.withColumn("_new", F.lit(1)).unionByName(
         old_b.withColumn("_new", F.lit(0))
     )
@@ -442,13 +454,9 @@ def incremental_minhash_pairs(
         F.col("doc_id").alias("id_new"),
         *[F.col(c).alias(f"_a{i}") for i, c in enumerate(sig_cols)],
     )
-    b_side = (
-        new_sigs.withColumn("_new", F.lit(1))
-        .unionByName(corpus_sigs.withColumn("_new", F.lit(0)))
-        .select(
-            F.col("doc_id").alias("id_other"),
-            *[F.col(c).alias(f"_b{i}") for i, c in enumerate(sig_cols)],
-        )
+    b_side = new_sigs.unionByName(corpus_only).select(
+        F.col("doc_id").alias("id_other"),
+        *[F.col(c).alias(f"_b{i}") for i, c in enumerate(sig_cols)],
     )
     agree = sum(
         F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
@@ -478,6 +486,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     max_bucket_width: int | None = 1000,
+    eager_probe: bool = True,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash-LSH, verified by
     exact shingle Jaccard.
@@ -487,8 +496,9 @@ def minhash_lsh_pairs(
     on (band_idx, band_hash) -> id<id pairs -> dedup -> verify with
     true Jaccard >= threshold. Shuffle volume is O(n * bands) rows of
     (id, hash), never O(n^2). Buckets wider than ``max_bucket_width``
-    degrade to doc_id-chain pairs (see ``_bucket_pairs``) so a skewed
-    corpus can't go quadratic; audit with ``bucket_width_stats``.
+    degrade to star pairs around the bucket's min doc id (see
+    ``_bucket_pairs``) so a skewed corpus can't go quadratic; audit
+    with ``bucket_width_stats``.
     """
     # ONE explode+hash pass feeds both the signature aggregation and
     # the verification shingle sets (they only differ by a pmod) —
@@ -514,7 +524,7 @@ def minhash_lsh_pairs(
     # this the signature pipeline recomputes per branch (10 scans
     # observed in the un-checkpointed plan).
     banded = band_buckets(sig, num_perm, bands).localCheckpoint(eager=False)
-    cand = _bucket_pairs(banded, max_bucket_width)
+    cand = _bucket_pairs(banded, max_bucket_width, eager_probe)
     sh = (
         ex.groupBy("doc_id")
         .agg(F.collect_set("_h").alias("sh"))
@@ -721,13 +731,14 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     band_bits: int = 16,
     max_bucket_width: int | None = 1000,
+    eager_probe: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit
     bands (a pair within Hamming distance 3 of a 64-bit hash must agree
     exactly on at least one of the 4 bands — pigeonhole), so candidate
     generation is a bucket join, not all-pairs. Buckets wider than
-    ``max_bucket_width`` degrade to doc_id-chain pairs (``_bucket_pairs``)
-    to stay linear on skewed corpora."""
+    ``max_bucket_width`` degrade to star pairs around the bucket's min
+    doc id (``_bucket_pairs``) to stay linear on skewed corpora."""
     nbands = 64 // band_bits
     # one materialization of the fingerprints feeds banding (4 plan
     # branches in _bucket_pairs) and the two fingerprint re-joins
@@ -748,7 +759,7 @@ def simhash_near_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    cand = _bucket_pairs(bands, max_bucket_width)
+    cand = _bucket_pairs(bands, max_bucket_width, eager_probe)
     fp = h.withColumnRenamed("sh", "_fp")
     cand = (
         cand.join(fp.select(F.col("doc_id").alias("id_a"), F.col("_fp").alias("sh_a")), "id_a")

@@ -34,7 +34,7 @@ LINEUP_COLS = [f"TEAM1_PLAYER{i}" for i in range(1, 6)] + [
 ]
 
 
-def lineup_expectations() -> dict:
+def lineup_expectations(counts: bool = False) -> dict:
     """The reference's hard lineup invariant
     (etl/play_by_play_with_players.py:146-149 raises unless every event
     carries exactly five players per team) as ``quality.validate``
@@ -43,14 +43,25 @@ def lineup_expectations() -> dict:
     stint or failed fallback leaves trailing slots null).
     ``ten_distinct_players``: the ten ids are pairwise distinct (a
     duplicated or team-crossed id means corrupt stints). Run them on
-    the tracked frame BEFORE null-filling."""
+    the tracked frame BEFORE null-filling.
+
+    The five slot columns cannot express an OVER-full floor: the pivot
+    truncates a 6th on-court player, so the slots alone look healthy.
+    ``lineups_via_range_join`` therefore carries the pre-pivot set
+    sizes as TEAM1_ON_COURT / TEAM2_ON_COURT; pass ``counts=True`` on
+    frames that have them to also assert ``exactly_five_on_court``."""
     all_set = F.lit(True)
     for c in LINEUP_COLS:
         all_set = all_set & F.col(c).isNotNull()
     distinct10 = (
         F.size(F.array_distinct(F.array(*[F.col(c) for c in LINEUP_COLS]))) == 10
     )
-    return {"five_per_team": all_set, "ten_distinct_players": distinct10}
+    exps = {"five_per_team": all_set, "ten_distinct_players": distinct10}
+    if counts:
+        exps["exactly_five_on_court"] = (F.col("TEAM1_ON_COURT") == 5) & (
+            F.col("TEAM2_ON_COURT") == 5
+        )
+    return exps
 
 
 def derive_seconds_from_start(pbp: DataFrame) -> DataFrame:
@@ -609,4 +620,10 @@ def lineups_via_range_join(
     for i in range(5):
         out = out.withColumn(f"TEAM1_PLAYER{i + 1}", F.col("_t1").getItem(i))
         out = out.withColumn(f"TEAM2_PLAYER{i + 1}", F.col("_t2").getItem(i))
+    # pre-pivot set sizes: the five slots silently truncate a 6th
+    # on-court player (corrupt stints), so the counts are the only
+    # place over-full floors remain visible — see lineup_expectations
+    out = out.withColumn("TEAM1_ON_COURT", F.size("_t1")).withColumn(
+        "TEAM2_ON_COURT", F.size("_t2")
+    )
     return out.drop("_t1", "_t2")

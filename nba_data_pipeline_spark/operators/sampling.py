@@ -131,9 +131,13 @@ def mixture_sample(
     cuts = (
         totals.crossJoin(F.broadcast(kmin))
         .withColumn(
+            # +1e-9 before the floor: the binding source's exact value
+            # is 10000 but the double chain can land epsilon below it,
+            # which would silently drop its last bucket
             "_cut",
             F.floor(
                 F.lit(10000.0) * F.col("_kmin") * F.col("_w") / F.col("_total")
+                + F.lit(1e-9)
             ).cast("long"),
         )
         .select(source_col, "_cut")

@@ -179,23 +179,34 @@ def lsh_batch_topk(
 ) -> DataFrame:
     """Approximate top-k for EVERY query row, fully declaratively:
     bucket the corpus once with ``lsh_bucket``, explode each query into
-    its multiprobe bucket set (own bucket + every 1-bit flip when
-    ``multiprobe_bits >= 1``), join probes to corpus buckets, score and
-    window-rank. Unlike ``lsh_topk`` there is no driver-side query
-    loop — the probe frame broadcasts and the corpus streams, the same
-    shape as ``batch_topk`` but touching only probed buckets."""
+    its multiprobe bucket set (own bucket + every bucket within
+    ``multiprobe_bits`` bit flips — 1 + C(n,1) + C(n,2) + ... probes),
+    join probes to corpus buckets, score and window-rank. Unlike
+    ``lsh_topk`` there is no driver-side query loop — the probe frame
+    broadcasts and the corpus streams, the same shape as ``batch_topk``
+    but touching only probed buckets. Probe count grows
+    combinatorially; values above 2 are refused rather than silently
+    clamped."""
+    if multiprobe_bits < 0 or multiprobe_bits > 2:
+        raise ValueError("multiprobe_bits must be 0, 1, or 2")
     cb = corpus.select(
         F.col(corpus_id_col).alias("corpus_id"), F.col(vec_col).alias("_cv")
     ).withColumn("_bucket", lsh_bucket("_cv", dim, n_planes, seed))
     qb = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     ).withColumn("_qbucket", lsh_bucket("_qv", dim, n_planes, seed))
-    probe_set = [F.col("_qbucket")]
+    masks = [0]
     if multiprobe_bits >= 1:
-        probe_set += [
-            F.col("_qbucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+        masks += [1 << i for i in range(n_planes)]
+    if multiprobe_bits >= 2:
+        masks += [
+            (1 << i) | (1 << j)
             for i in range(n_planes)
+            for j in range(i + 1, n_planes)
         ]
+    probe_set = [
+        F.col("_qbucket").bitwiseXOR(F.lit(m).cast("long")) for m in masks
+    ]
     probes = qb.select(
         "query_id", "_qv", F.explode(F.array(*probe_set)).alias("_bucket")
     )

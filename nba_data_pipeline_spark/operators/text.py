@@ -319,15 +319,30 @@ def contamination_report(
         .withColumn("_hit", F.lit(1))
     )
     corpus_grams = exploded_shingles(corpus, [id_col], text_col, n, "_g")
-    return (
+    counted = (
         corpus_grams.join(F.broadcast(bench_grams), "_g", "left")
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_shingles"),
             F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hits"),
         )
+    )
+    # docs shorter than n tokens produce no shingles and vanish from
+    # the aggregate — join back so the contract (one row per corpus
+    # doc) holds, with 0 shingles / 0 hits / ratio 0 / not contaminated
+    return (
+        corpus.select(id_col)
+        .join(counted, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        )
         .withColumn(
-            "hit_ratio", F.round(F.col("n_hits") / F.col("n_shingles"), 6)
+            "hit_ratio",
+            F.when(F.col("n_shingles") == 0, F.lit(0.0)).otherwise(
+                F.round(F.col("n_hits") / F.col("n_shingles"), 6)
+            ),
         )
         .withColumn("contaminated", F.col("n_hits") > 0)
     )

@@ -28,7 +28,6 @@ from ..operators.text import (
     normalized_text,
     quality_features,
     repetition_features,
-    token_count,
 )
 
 
@@ -89,7 +88,11 @@ def corpus_pipeline(
 
     # 3. near-dedup cluster + keep-one
     pairs = minhash_lsh_pairs(
-        kept, id_col, text_col, num_perm=32, bands=16, threshold=near_dup_threshold
+        kept, id_col, text_col, num_perm=32, bands=16,
+        threshold=near_dup_threshold,
+        # keep plan construction action-free: take the unconditional
+        # widths join-back instead of the eager max-width probe
+        eager_probe=False,
     )
     assigned = dedup_assign(kept, id_col, pairs)
     # second fan-out point: survivors feed both the decontamination
@@ -107,8 +110,8 @@ def corpus_pipeline(
     # 5. leakage-safe split: bucket on the cluster id
     split = split_assign(clean, "component_id", fractions)
 
-    # 6. pack into fixed token windows
-    split = split.withColumn("n_tokens", token_count(text_col).cast("long"))
+    # 6. pack into fixed token windows (n_tokens already computed by
+    # repetition_features — no third tokenize pass)
     return pack_sequences(split, id_col, "n_tokens", pack_capacity, num_shards)
 
 

@@ -166,3 +166,32 @@ def test_lineup_invariant_gate_trips_on_corrupt_stints(
         play_by_play_with_players(
             pbp_df, corrupted, team_game_log_df, validate_lineups=True
         )
+
+
+def test_overfull_floor_detected_by_count_expectation(
+    spark, pbp_df, rotations_df, team_game_log_df
+):
+    """The five slot columns silently truncate a 6th on-court player,
+    so only the pre-pivot counts can catch an over-full floor: a stint
+    that never closes must trip exactly_five_on_court while the slot
+    checks (five_per_team / ten_distinct_players) still pass."""
+    from nba_data_pipeline_spark.operators.lineups import lineup_expectations
+    from nba_data_pipeline_spark.operators.quality import validate
+
+    extra = spark.createDataFrame(
+        [("0022400001", 100, "Team", 999, "Extra", "Player",
+          [{"IN_TIME_REAL": 0.0, "OUT_TIME_REAL": 14400.0}])],
+        rotations_df.schema,
+    )
+    corrupted = rotations_df.unionByName(extra)  # 6 players on HOME floor
+    out = lineups_via_range_join(pbp_df, corrupted, team_game_log_df)
+    assert out.filter(F.col("TEAM1_ON_COURT") > 5).count() > 0
+    checks = {r.check_name: r.passed for r in
+              validate(out, lineup_expectations(counts=True)).collect()}
+    assert checks["exactly_five_on_court"] is False   # the count sees it
+    assert checks["five_per_team"] is True            # ...the slots do not
+    # healthy frame passes all three
+    healthy = lineups_via_range_join(pbp_df, rotations_df, team_game_log_df)
+    ok = {r.check_name: r.passed for r in
+          validate(healthy, lineup_expectations(counts=True)).collect()}
+    assert all(ok.values())

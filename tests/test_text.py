@@ -149,6 +149,9 @@ def test_contamination_report(spark):
     assert rows[1].contaminated is True
     assert abs(rows[1].hit_ratio - 2 / 3) < 1e-5
     assert rows[2].n_hits == 0 and rows[2].contaminated is False
-    # short/empty corpus docs (<n tokens) produce no shingles -> absent
+    # short corpus docs (<n tokens) still get a row: 0 shingles,
+    # ratio 0, not contaminated
     tiny = spark.createDataFrame([(9, "too short")], "doc_id long, text string")
-    assert contamination_report(tiny, bench, n=5).count() == 0
+    t = contamination_report(tiny, bench, n=5).collect()
+    assert len(t) == 1 and t[0].n_shingles == 0
+    assert t[0].hit_ratio == 0.0 and t[0].contaminated is False
