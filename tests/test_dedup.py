@@ -281,3 +281,49 @@ def test_incremental_minhash_over_persisted_signatures(spark, tmp_path):
     out = incremental_minhash_pairs(new_sigs, corpus_sigs, num_perm=32, bands=16,
                                     threshold=0.3).collect()
     assert {(r.id_new, r.id_other, r.est_jaccard) for r in out} == {(10, 1, 1.0)}
+
+
+def test_incremental_ngram_matches_full_restriction_random(spark):
+    """On a random corpus, the incremental pair set must equal the full
+    pair join restricted to pairs touching the new batch (canonicalized
+    to new-side-first ordering)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.operators.dedup import (
+        incremental_ngram_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rng = random.Random(7)
+    vocab = ["red", "blue", "green", "fast", "slow", "cat", "dog", "sun", "moon"]
+    base_docs = [
+        " ".join(rng.choice(vocab) for _ in range(20)) for _ in range(30)
+    ]
+    rows = []
+    for i, text in enumerate(base_docs):
+        rows.append((i, text))
+        if rng.random() < 0.4:  # plant near-dups across the new/old split
+            mut = text.split()
+            mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            rows.append((100 + i, " ".join(mut)))
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("x")
+    )
+    new = df.filter(F.col("doc_id") % 3 == 0)
+    old = df.filter(F.col("doc_id") % 3 != 0)
+    inc = incremental_ngram_pairs(new, old, "doc_id", "text", ["lang"], n=3,
+                                  threshold=0.3)
+    got = {(r.id_new, r.id_other) for r in inc.collect()}
+    full = ngram_jaccard_pairs(df, "doc_id", "text", ["lang"], n=3, threshold=0.3)
+    want = set()
+    for r in full.collect():
+        a_new, b_new = r.id_a % 3 == 0, r.id_b % 3 == 0
+        if a_new and b_new:
+            want.add((min(r.id_a, r.id_b), max(r.id_a, r.id_b)))
+        elif a_new:
+            want.add((r.id_a, r.id_b))
+        elif b_new:
+            want.add((r.id_b, r.id_a))
+    assert got == want and len(want) > 0
