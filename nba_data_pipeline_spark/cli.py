@@ -32,6 +32,9 @@ PIPELINES = (
     "players_on_court_at_start_of_period",
     "play_by_play_with_players",
     "shot_details",
+    # training-data extension: quality -> dedup -> decontaminate ->
+    # split -> pack (plans/corpus_pipeline.py); no season semantics
+    "corpus",
 )
 
 SEASON_TYPES = ("Regular Season", "Playoffs", "Pre Season", "IST")
@@ -51,11 +54,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--team_id", type=int)
     p.add_argument("--input", required=True, help="input parquet path(s), comma-separated")
     p.add_argument("--output", required=True, help="output table path")
+    p.add_argument("--benchmark", help="corpus: eval-set parquet for decontamination")
+    p.add_argument("--min_quality", type=float, default=0.25)
+    p.add_argument("--pack_capacity", type=int, default=2048)
+    p.add_argument("--shards", type=int, default=256)
     return p
 
 
 def parse_args(argv: Sequence[str]) -> argparse.Namespace:
     args = build_parser().parse_args(list(argv))
+    if args.pipeline == "corpus":
+        if args.benchmark is None:
+            raise SystemExit("corpus requires --benchmark")
+        args.seasons = []
+        return args
     has_game = args.game_id is not None
     has_season = args.season is not None and args.season_type is not None
     # reference contract: exactly one of game_id / (season AND season_type)
@@ -84,6 +96,18 @@ def run(argv: Sequence[str], spark: SparkSession | None = None) -> None:
         from .core.session import get_session
 
         spark = get_session(f"cli-{args.pipeline}")
+    if args.pipeline == "corpus":
+        from .plans.corpus_pipeline import corpus_pipeline
+
+        out = corpus_pipeline(
+            spark.read.parquet(args.input),
+            spark.read.parquet(args.benchmark),
+            min_quality=args.min_quality,
+            pack_capacity=args.pack_capacity,
+            num_shards=args.shards,
+        )
+        upsert_table(spark, out, args.output, key="doc_id", partition_by=("split",))
+        return
     inputs = [spark.read.parquet(p) for p in args.input.split(",")]
     seasons = args.seasons or [None]
 

@@ -84,3 +84,34 @@ def test_cli_delta_unreadable_existing_table_fails_loudly(spark, tmp_path, team_
         run(["team_game_log", "--season", "2024-25", "--season_type",
              "Regular Season", "--input", raw, "--output", str(out), "--delta"],
             spark=spark)
+
+
+def test_cli_corpus_pipeline_end_to_end(spark, tmp_path):
+    from nba_data_pipeline_spark import cli
+
+    good = ("the quick brown fox jumps over the lazy dog while the keen red "
+            "hen walks under a tall green tree near the old stone wall today")
+    docs = spark.createDataFrame(
+        [(1, good),
+         (2, "an entirely different and quite long document about the sea "
+             "and the ships that sail upon it every single morning in june")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "completely unrelated benchmark prompt")], "doc_id long, text string"
+    )
+    docs_p, bench_p, out_p = (str(tmp_path / n) for n in ("docs", "bench", "out"))
+    docs.write.parquet(docs_p)
+    bench.write.parquet(bench_p)
+    argv = ["corpus", "--input", docs_p, "--benchmark", bench_p,
+            "--output", out_p, "--pack_capacity", "64", "--shards", "4"]
+    cli.run(argv, spark)
+    got = spark.read.parquet(out_p)
+    assert got.count() == 2
+    assert {"split", "pack_id", "start_offset"} <= set(got.columns)
+    cli.run(argv, spark)  # idempotent re-run (upsert on doc_id)
+    assert spark.read.parquet(out_p).count() == 2
+    # --benchmark is mandatory for corpus
+    import pytest
+    with pytest.raises(SystemExit, match="benchmark"):
+        cli.parse_args(["corpus", "--input", docs_p, "--output", out_p])
