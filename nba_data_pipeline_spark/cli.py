@@ -66,6 +66,13 @@ def parse_args(argv: Sequence[str]) -> argparse.Namespace:
     if args.pipeline == "corpus":
         if args.benchmark is None:
             raise SystemExit("corpus requires --benchmark")
+        for flag in ("season", "season_type", "game_id", "player_id", "team_id"):
+            if getattr(args, flag) is not None:
+                raise SystemExit(f"--{flag} does not apply to the corpus pipeline")
+        if args.delta:
+            raise SystemExit(
+                "--delta does not apply to corpus (the upsert is already keyed)"
+            )
         args.seasons = []
         return args
     has_game = args.game_id is not None
@@ -100,13 +107,19 @@ def run(argv: Sequence[str], spark: SparkSession | None = None) -> None:
         from .plans.corpus_pipeline import corpus_pipeline
 
         out = corpus_pipeline(
-            spark.read.parquet(args.input),
+            spark.read.parquet(*args.input.split(",")),
             spark.read.parquet(args.benchmark),
             min_quality=args.min_quality,
             pack_capacity=args.pack_capacity,
             num_shards=args.shards,
         )
-        upsert_table(spark, out, args.output, key="doc_id", partition_by=("split",))
+        # partition by shard, NOT split: the upsert only rewrites
+        # partitions that receive source rows, so partition columns
+        # must be stable per key. shard is the Knuth bucket of doc_id
+        # (immutable); split derives from the dup-cluster id, which can
+        # change when the corpus changes — partitioning on it could
+        # strand a stale copy of a doc in its old split.
+        upsert_table(spark, out, args.output, key="doc_id", partition_by=("shard",))
         return
     inputs = [spark.read.parquet(p) for p in args.input.split(",")]
     seasons = args.seasons or [None]

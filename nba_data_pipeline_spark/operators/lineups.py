@@ -357,6 +357,18 @@ def _make_track_fn(event_cols: list[str]):
                         if fb is not None:
                             cur = fb
                     lineups[team] = sorted(cur)
+            # reference hard invariant (play_by_play_with_players.py:
+            # 146-149): an OVER-full floor would be silently truncated
+            # by the 5-slot emission below, so it must raise here;
+            # under-full floors emit trailing nulls that the
+            # five_per_team validation gate catches downstream.
+            for tm in (team1, team2):
+                cur_tm = lineups[tm]
+                if cur_tm is not None and len(cur_tm) > 5:
+                    raise ValueError(
+                        f"{len(cur_tm)} players on court for team {tm} at "
+                        f"event {row.EVENTNUM} (reference invariant: 5)"
+                    )
             for i in range(5):
                 emitted[f"TEAM1_PLAYER{i + 1}"].append(
                     lineups[team1][i] if i < len(lineups[team1]) else None

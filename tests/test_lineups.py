@@ -195,3 +195,21 @@ def test_overfull_floor_detected_by_count_expectation(
     ok = {r.check_name: r.passed for r in
           validate(healthy, lineup_expectations(counts=True)).collect()}
     assert all(ok.values())
+
+
+def test_exact_scan_raises_on_overfull_floor(
+    spark, pbp_df, rotations_df, team_game_log_df
+):
+    """The exact per-game scan must RAISE on a 6th on-court player
+    (reference play_by_play_with_players.py:146-149) rather than let
+    the 5-slot emission silently truncate it."""
+    import pytest
+
+    extra = spark.createDataFrame(
+        [("0022400001", 100, "Team", 999, "Extra", "Player",
+          [{"IN_TIME_REAL": 0.0, "OUT_TIME_REAL": 14400.0}])],
+        rotations_df.schema,
+    )
+    corrupted = rotations_df.unionByName(extra)
+    with pytest.raises(Exception, match="players on court"):
+        track_lineups(pbp_df, corrupted, team_game_log_df).collect()
