@@ -54,3 +54,16 @@ def test_corpus_summary_shape(spark):
     assert sum(r.n_docs for r in summ) == out.count()
     for r in summ:
         assert r.n_tokens > 0 and r.n_packs >= 1
+
+
+def test_corpus_pipeline_is_deterministic(spark):
+    """Retry-safety at cluster scale: two independent invocations over
+    the same input must produce identical rows (all stages are
+    hash-deterministic — no rand(), no partition-order dependence)."""
+    a = corpus_pipeline(_docs(spark), _bench(spark), pack_capacity=64, num_shards=4)
+    b = corpus_pipeline(_docs(spark), _bench(spark), pack_capacity=64, num_shards=4)
+    cols = ["doc_id", "component_id", "split", "shard", "n_tokens",
+            "start_offset", "pack_id"]
+    ra = sorted(map(tuple, a.select(*cols).collect()))
+    rb = sorted(map(tuple, b.select(*cols).collect()))
+    assert ra == rb and len(ra) > 0
