@@ -2462,6 +2462,25 @@ def q_lag_delta(spark, sf):
 
 
 @q(
+    "grouping_sets",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+)
+def q_grouping_sets(spark, sf):
+    """Explicit GROUPING SETS through the spark.sql surface — the one
+    registry entry exercising the SQL entry path end-to-end (view
+    registration + ANSI SQL text), same Catalyst plan as the
+    DataFrame Expand-based cube/rollup variants."""
+    _t(spark, sf, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+           FROM lineitem_gs
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+    )
+
+
+@q(
     "rollup_agg",
     """SELECT l_returnflag, l_linestatus, count(*) AS n
        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
