@@ -126,6 +126,19 @@ def run(argv: Sequence[str], spark: SparkSession | None = None) -> None:
 
     for season in seasons:
         stype = args.season_type
+        if args.game_id and season is None:
+            # --game_id path: derive season/type from the id itself
+            # (reference utils/utils.py:66-69 positional decode) —
+            # stamping NULLs would create VOID-typed columns that the
+            # (SEASON, SEASON_TYPE)-partitioned write rejects, and a
+            # later --season run would re-upsert the same key into a
+            # different partition.
+            gid = args.game_id
+            start = int("20" + gid[3:5])
+            season = f"{start}-{str(start + 1)[-2:]}"
+            stype = {
+                "1": "Pre Season", "2": "Regular Season", "4": "Playoffs"
+            }.get(gid[2], "Regular Season")
         primary = inputs[0]
         # season-stamping pipelines must be fed season-scoped rows (the
         # reference's API inputs are inherently per-season); scope by the

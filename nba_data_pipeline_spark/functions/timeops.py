@@ -45,7 +45,13 @@ def clock_to_seconds(period: Column | str, clock: Column | str) -> Column:
     periods<=4: (p-1)*720 + (720 - (mm*60+ss)); OT: 2880 + (p-5)*300 + (300 - ...).
     """
     parts = F.split(_col(clock), ":")
-    remaining = parts.getItem(0).cast("long") * 60 + parts.getItem(1).cast("long")
+    # F.get + try_cast, not getItem + cast: ANSI mode raises on a
+    # malformed clock ('12', '', '7:xx'); null-tolerant access makes
+    # one bad row a NULL seconds value instead of a job-wide crash
+    # (the reference's per-row loop failed only the offending game)
+    remaining = (
+        F.get(parts, 0).try_cast("long") * 60 + F.get(parts, 1).try_cast("long")
+    )
     return (period_start_seconds(period) + period_length_seconds(period) - remaining).cast("long")
 
 

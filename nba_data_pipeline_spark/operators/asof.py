@@ -64,12 +64,20 @@ def asof_join(
     if direction != "backward":
         raise NotImplementedError("only backward as-of supported")
     lcols = left.columns
+    rtypes = dict(right.dtypes)
+    # Carry the matched right row as ONE struct, not per-column
+    # last(): independent per-column carries would blend values from
+    # different right rows whenever a right row holds a NULL in one
+    # value column — merge_asof attaches the matched row as-is.
+    r_struct_type = (
+        "struct<" + ",".join(f"{v}:{rtypes[v]}" for v in right_vals) + ">"
+    )
     tagged_left = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.struct(*lcols).alias("_l"),
-        *[F.lit(None).cast(dict(right.dtypes)[v]).alias(f"_r_{v}") for v in right_vals],
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
     tagged_right = right.select(
         F.col(on).alias("_k"),
@@ -78,27 +86,25 @@ def asof_join(
         F.lit(None).cast(
             "struct<" + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields) + ">"
         ).alias("_l"),
-        *[F.col(v).alias(f"_r_{v}") for v in right_vals],
+        F.struct(*[F.col(v) for v in right_vals]).alias("_r"),
     )
     unioned = tagged_left.unionByName(tagged_right)
     # Tie-breaker: when multiple right rows share (key, ts), order by the
-    # value columns so the lexicographically-greatest row wins on every
-    # run/partitioning (otherwise last(..., ignorenulls) is nondeterministic).
+    # value struct (field-wise lexicographic) so the greatest row wins on
+    # every run/partitioning (otherwise last(..., ignorenulls) is
+    # nondeterministic).
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ts"), F.col("_side"), *[F.col(f"_r_{v}") for v in right_vals])
+        .orderBy(F.col("_ts"), F.col("_side"), F.col("_r"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
         "_side",
         "_l",
-        *[
-            F.last(F.col(f"_r_{v}"), ignorenulls=True).over(w).alias(f"_r_{v}")
-            for v in right_vals
-        ],
+        F.last(F.col("_r"), ignorenulls=True).over(w).alias("_r"),
     )
     out = carried.filter(F.col("_side") == 1).select(
         *[F.col(f"_l.{c}").alias(c) for c in lcols],
-        *[F.col(f"_r_{v}").alias(v) for v in right_vals],
+        *[F.col(f"_r.{v}").alias(v) for v in right_vals],
     )
     return out

@@ -721,7 +721,16 @@ def simhash_df(
                 F.lit(0).cast("long")
             )
         )
-    return votes.select("doc_id", fp.alias("sh"))
+    fingerprints = votes.select("doc_id", fp.alias("sh"))
+    # zero-token docs emit no exploded rows and would vanish from the
+    # aggregate; join back with fingerprint 0 so the contract matches
+    # the single-expression ``simhash`` (empty text -> sh = 0) and
+    # empty docs still dedup against each other
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(fingerprints, "doc_id", "left")
+        .select("doc_id", F.coalesce("sh", F.lit(0).cast("long")).alias("sh"))
+    )
 
 
 def simhash_near_pairs(

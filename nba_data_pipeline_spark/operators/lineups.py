@@ -630,8 +630,11 @@ def lineups_via_range_join(
     )
     out = pbp.join(per_event, ["GAME_ID", "EVENTNUM"], "left")
     for i in range(5):
-        out = out.withColumn(f"TEAM1_PLAYER{i + 1}", F.col("_t1").getItem(i))
-        out = out.withColumn(f"TEAM2_PLAYER{i + 1}", F.col("_t2").getItem(i))
+        # F.get, not getItem: under Spark 4's default ANSI mode getItem
+        # raises on an under-full array, which would make the documented
+        # trailing-null + five_per_team validation path unreachable
+        out = out.withColumn(f"TEAM1_PLAYER{i + 1}", F.get("_t1", i))
+        out = out.withColumn(f"TEAM2_PLAYER{i + 1}", F.get("_t2", i))
     # pre-pivot set sizes: the five slots silently truncate a 6th
     # on-court player (corrupt stints), so the counts are the only
     # place over-full floors remain visible — see lineup_expectations

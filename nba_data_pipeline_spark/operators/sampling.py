@@ -205,8 +205,12 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col: str, k: int) -> Data
     excluded. orderBy+limit plans as TakeOrdered: per-partition heaps and
     a k-row driver merge, never a global sort.
     """
+    # pmod, not %: the signed remainder is negative for negative ids,
+    # making u <= 0 and ln(u) NULL — those rows would be silently
+    # unsampleable. pmod matches hash_bucket and is identical for the
+    # non-negative ids the oracle fixtures use.
     u = (
-        ((_col(id_col) * F.lit(KNUTH)) % F.lit(MOD) + 1).cast("double")
+        (F.pmod(_col(id_col) * F.lit(KNUTH), F.lit(MOD)) + 1).cast("double")
         / F.lit(float(MOD + 1))
     )
     key = F.round(F.log(u) / _col(weight_col), 8)

@@ -114,12 +114,16 @@ def lsh_topk(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: score only rows whose LSH bucket is within
-    ``multiprobe_bits`` Hamming distance of the query's bucket.
+    ``multiprobe_bits`` Hamming distance of the query's bucket
+    (0, 1, or 2 — values above 2 are refused, matching
+    ``lsh_batch_topk``; probe count grows combinatorially).
 
     At corpus scale the bucket column is precomputed & partitioned-by,
     so a probe prunes to ~(1+n_planes)/2^n_planes of the data before
     any distance math. Falls back to exact ranking inside candidates.
     """
+    if multiprobe_bits < 0 or multiprobe_bits > 2:
+        raise ValueError("multiprobe_bits must be 0, 1, or 2")
     dim = len(query)
     planes = _hyperplanes(dim, n_planes, seed)
     qbucket = 0
@@ -129,6 +133,12 @@ def lsh_topk(
     probes = [qbucket]
     if multiprobe_bits >= 1:
         probes += [qbucket ^ (1 << i) for i in range(n_planes)]
+    if multiprobe_bits >= 2:
+        probes += [
+            qbucket ^ ((1 << i) | (1 << j))
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
     bucketed = df.withColumn("_bucket", lsh_bucket(vec_col, dim, n_planes, seed))
     cand = bucketed.filter(F.col("_bucket").isin(probes))
     return brute_force_topk(cand, vec_col, query, k, id_col)

@@ -70,8 +70,11 @@ def result_set_df(
     reference makes the same positional assumption)."""
     passthrough = passthrough or []
     rows = decoded.filter(F.col("set_name") == set_name)
+    # F.get (0-based, null-tolerant), not element_at: ANSI mode makes
+    # element_at raise on a ragged wire row, aborting the whole decode;
+    # a short row should yield NULL trailing columns (flag, don't fail)
     cols = [
-        F.element_at("row", i + 1).cast(f.dataType).alias(f.name)
+        F.get("row", i).cast(f.dataType).alias(f.name)
         for i, f in enumerate(schema.fields)
     ]
     return rows.select(*passthrough, *cols)

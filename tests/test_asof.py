@@ -30,3 +30,17 @@ def test_asof_join_backward(spark):
     got = {r.eid: r.rv for r in out.collect()}
     # eid1 t=10 -> rt=7; eid2 t=20 -> rt=15; eid3 t=5 -> nothing; eid4 t=7 -> exact tie matches
     assert got == {1: 700.0, 2: 1500.0, 3: None, 4: 700.0}
+
+
+def test_asof_join_attaches_matched_row_as_unit(spark):
+    """A NULL in one right value column must NOT blend values from an
+    older right row — merge_asof attaches the matched row as-is."""
+    from nba_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 3)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 1, 1.0, 7.0), (1, 2, 5.0, None)],
+        "k long, ts long, price double, qty double",
+    )
+    r = asof_join(left, right, "k", "ts", "ts", ["price", "qty"]).collect()[0]
+    assert r.price == 5.0 and r.qty is None  # the ts=2 row, as-is

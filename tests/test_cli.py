@@ -115,3 +115,25 @@ def test_cli_corpus_pipeline_end_to_end(spark, tmp_path):
     import pytest
     with pytest.raises(SystemExit, match="benchmark"):
         cli.parse_args(["corpus", "--input", docs_p, "--output", out_p])
+
+
+def test_cli_game_id_path_decodes_season_for_partitioning(
+    spark, tmp_path, team_game_log_df
+):
+    """--game_id (no --season) must stamp the GAME_ID-decoded season and
+    type, not NULLs — VOID-typed partition columns are rejected by the
+    (SEASON, SEASON_TYPE)-partitioned write, and a NULL stamp would
+    also strand the key in a different partition than a later --season
+    run."""
+    raw = str(tmp_path / "raw")
+    out = str(tmp_path / "out")
+    team_game_log_df.write.parquet(raw)
+    run(
+        ["team_game_log", "--game_id", "0022400001", "--input", raw, "--output", out],
+        spark=spark,
+    )
+    back = spark.read.parquet(out)
+    rows = back.collect()
+    assert len(rows) == 2
+    assert all(r.SEASON == "2024-25" for r in rows)
+    assert all(r.SEASON_TYPE == "Regular Season" for r in rows)

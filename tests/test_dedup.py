@@ -327,3 +327,14 @@ def test_incremental_ngram_matches_full_restriction_random(spark):
         elif b_new:
             want.add((r.id_b, r.id_a))
     assert got == want and len(want) > 0
+
+
+def test_simhash_df_keeps_empty_docs(spark):
+    from nba_data_pipeline_spark.operators.dedup import simhash_df
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real words here")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r.sh for r in simhash_df(df, "doc_id", "text").collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1] == 0 and rows[2] == 0 and rows[3] != 0

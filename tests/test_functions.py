@@ -49,3 +49,18 @@ def test_add_id_and_fill_nulls_and_stamp(spark):
     assert rows["0022400061-7"].v == 0.0  # numeric null -> 0.0
     assert rows["0022400061-8"].s is None  # string null stays null
     assert rows["0022400061-7"].SEASON == "2024-25"
+
+
+def test_clock_to_seconds_malformed_clock_yields_null(spark):
+    """ANSI-safety: a colon-less PCTIMESTRING must yield NULL seconds,
+    not crash the job (F.get, not getItem)."""
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.functions.timeops import clock_to_seconds
+
+    df = spark.createDataFrame(
+        [(1, "7:30"), (1, "12"), (1, "")], "period long, clock string"
+    )
+    rows = df.select(clock_to_seconds("period", "clock").alias("s")).collect()
+    assert rows[0].s == 720 - 450
+    assert rows[1].s is None and rows[2].s is None

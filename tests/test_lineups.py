@@ -213,3 +213,16 @@ def test_exact_scan_raises_on_overfull_floor(
     corrupted = rotations_df.unionByName(extra)
     with pytest.raises(Exception, match="players on court"):
         track_lineups(pbp_df, corrupted, team_game_log_df).collect()
+
+
+def test_declarative_underfull_floor_yields_nulls_not_crash(
+    spark, pbp_df, rotations_df, team_game_log_df
+):
+    """ANSI-safety: a missing stint leaves trailing NULL slots (for the
+    five_per_team gate) instead of an array-index crash (F.get)."""
+    degraded = rotations_df.filter(F.col("PLAYER_ID") != 105)  # drop a starter
+    out = lineups_via_range_join(pbp_df, degraded, team_game_log_df)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert any(r.TEAM1_PLAYER5 is None for r in rows)
+    assert all(r.TEAM1_ON_COURT <= 5 for r in rows)
