@@ -28,7 +28,13 @@ def season_from_game_id(game_id: Column | str) -> Column:
     """'0022400061' -> '2024-25': '20' + chars[3:5] + '-' + (year+1) % 100."""
     gid = _col(game_id)
     yy = F.substring(gid, 4, 2)  # 1-based substring: chars 3:5 of the 0-based spec
-    start_year = F.concat(F.lit("20"), yy).cast("int")
+    # digit guard + try_cast: a malformed GAME_ID ('', too-short,
+    # non-digits) must decode to a NULL season — not raise
+    # CAST_INVALID_INPUT under ANSI mode ('20bc'), and not alias the
+    # empty string to year 20 ('20' + '' casts fine)
+    start_year = F.when(
+        yy.rlike("^[0-9]{2}$"), F.concat(F.lit("20"), yy).try_cast("int")
+    )
     end_two = F.lpad(((start_year + 1) % 100).cast("string"), 2, "0")
     return F.concat(start_year.cast("string"), F.lit("-"), end_two)
 

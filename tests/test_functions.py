@@ -64,3 +64,16 @@ def test_clock_to_seconds_malformed_clock_yields_null(spark):
     rows = df.select(clock_to_seconds("period", "clock").alias("s")).collect()
     assert rows[0].s == 720 - 450
     assert rows[1].s is None and rows[2].s is None
+
+
+def test_season_decode_malformed_game_id_yields_null(spark):
+    """ANSI-safety: non-numeric GAME_IDs decode to NULL season instead
+    of raising CAST_INVALID_INPUT (try_cast)."""
+    from nba_data_pipeline_spark.functions.gameid import season_from_game_id
+
+    df = spark.createDataFrame(
+        [("0022400061",), ("00xyz00001",), ("",)], "GAME_ID string"
+    )
+    rows = df.select(season_from_game_id("GAME_ID").alias("s")).collect()
+    assert rows[0].s == "2024-25"
+    assert rows[1].s is None and rows[2].s is None
