@@ -111,7 +111,16 @@ def ngram_jaccard_pairs(
     rest on the discriminative shingles, and Jaccard is computed over
     the pruned sets on BOTH sides (sizes and intersections), so the
     measure stays a true Jaccard of the reduced universe.
+
+    ``threshold`` must be > 0: the postings join only materializes
+    pairs sharing at least one shingle, so zero-overlap same-block
+    pairs (jaccard_sim = 0.0) are structurally never emitted.
     """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(
+            f"threshold must be in (0, 1], got {threshold}: the postings "
+            "join cannot emit zero-overlap pairs"
+        )
     ex = (
         exploded_shingles(
             df.withColumn("_did", F.col(id_col)), [*block_cols, "_did"], text_col, n, "_s"
@@ -171,7 +180,15 @@ def incremental_ngram_pairs(
     An id present in BOTH inputs (a re-ingested document) is treated as
     new: the corpus copy is dropped first, so each doc carries exactly
     one new/old tag and pairs are emitted once.
+
+    ``threshold`` must be > 0 (same postings-join constraint as
+    ``ngram_jaccard_pairs``: zero-overlap pairs never materialize).
     """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(
+            f"threshold must be in (0, 1], got {threshold}: the postings "
+            "join cannot emit zero-overlap pairs"
+        )
     keep = [*block_cols, id_col, text_col]
     old_only = old_df.join(new_df.select(id_col), id_col, "left_anti")
     tagged = (
@@ -499,6 +516,12 @@ def minhash_lsh_pairs(
     degrade to star pairs around the bucket's min doc id (see
     ``_bucket_pairs``) so a skewed corpus can't go quadratic; audit
     with ``bucket_width_stats``.
+
+    NOTE: with ``eager_probe=True`` (default) plan CONSTRUCTION runs one
+    small aggregate action (max bucket width) so the hot-bucket
+    join-back can be skipped on natural corpora — this call is not
+    fully lazy. Pass ``eager_probe=False`` when composing a larger lazy
+    plan; the guard then joins widths back unconditionally.
     """
     # ONE explode+hash pass feeds both the signature aggregation and
     # the verification shingle sets (they only differ by a pmod) —
@@ -747,7 +770,13 @@ def simhash_near_pairs(
     exactly on at least one of the 4 bands — pigeonhole), so candidate
     generation is a bucket join, not all-pairs. Buckets wider than
     ``max_bucket_width`` degrade to star pairs around the bucket's min
-    doc id (``_bucket_pairs``) to stay linear on skewed corpora."""
+    doc id (``_bucket_pairs``) to stay linear on skewed corpora.
+
+    NOTE: with ``eager_probe=True`` (default) plan CONSTRUCTION runs one
+    small aggregate action (max bucket width) so the hot-bucket
+    join-back can be skipped on natural corpora — this call is not
+    fully lazy. Pass ``eager_probe=False`` when composing a larger lazy
+    plan; the guard then joins widths back unconditionally."""
     nbands = 64 // band_bits
     # one materialization of the fingerprints feeds banding (4 plan
     # branches in _bucket_pairs) and the two fingerprint re-joins

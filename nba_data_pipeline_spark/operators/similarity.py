@@ -152,19 +152,26 @@ def batch_topk(
     corpus_id_col: str,
     k: int = 10,
     round_digits: int = 6,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Top-k corpus neighbors for EVERY query row in one plan:
     broadcast the (small) query set against the corpus, score cosine,
     rank per query with a window. The corpus side streams — this is
     the shape for 'embed a batch, retrieve for each' at scale, where
-    the corpus never shuffles and the query table is the build side."""
+    the corpus never shuffles and the query table is the build side.
+
+    The explicit broadcast hint bypasses the autoBroadcast size
+    threshold, so it assumes the query batch fits on the driver and
+    every executor (thousands of rows, not millions). For a query
+    batch of corpus-like size pass ``broadcast_queries=False`` and let
+    the planner pick the join strategy."""
     qn = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
     cn = corpus.select(
         F.col(corpus_id_col).alias("corpus_id"), F.col(vec_col).alias("_cv")
     )
-    scored = cn.crossJoin(F.broadcast(qn)).withColumn(
+    scored = cn.crossJoin(F.broadcast(qn) if broadcast_queries else qn).withColumn(
         "cos_sim", F.round(cosine(F.col("_cv"), F.col("_qv")), round_digits)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("corpus_id"))
@@ -186,6 +193,7 @@ def lsh_batch_topk(
     n_planes: int = 12,
     multiprobe_bits: int = 1,
     seed: int = 42,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k for EVERY query row, fully declaratively:
     bucket the corpus once with ``lsh_bucket``, explode each query into
@@ -196,7 +204,14 @@ def lsh_batch_topk(
     broadcasts and the corpus streams, the same shape as ``batch_topk``
     but touching only probed buckets. Probe count grows
     combinatorially; values above 2 are refused rather than silently
-    clamped."""
+    clamped.
+
+    The probe frame is queries × (1 + n + C(n,2)) rows (79 per query
+    at n_planes=12, multiprobe_bits=2); the explicit broadcast hint
+    bypasses the autoBroadcast threshold and assumes that frame fits
+    on every executor. For a corpus-sized query batch pass
+    ``broadcast_queries=False`` — the probe join is an equi-join on
+    ``_bucket``, so the planner falls back to a shuffle hash join."""
     if multiprobe_bits < 0 or multiprobe_bits > 2:
         raise ValueError("multiprobe_bits must be 0, 1, or 2")
     cb = corpus.select(
@@ -220,7 +235,7 @@ def lsh_batch_topk(
     probes = qb.select(
         "query_id", "_qv", F.explode(F.array(*probe_set)).alias("_bucket")
     )
-    scored = cb.join(F.broadcast(probes), "_bucket").withColumn(
+    scored = cb.join(F.broadcast(probes) if broadcast_queries else probes, "_bucket").withColumn(
         "cos_sim", F.round(cosine(F.col("_cv"), F.col("_qv")), 6)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("corpus_id"))
@@ -240,13 +255,20 @@ def ivf_batch_topk(
     corpus_id_col: str,
     k: int = 10,
     n_probe: int = 3,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF probe for EVERY query row declaratively: rank the (tiny)
     centroid table against each query with a window, keep the top
     ``n_probe`` lists per query, join those probes to the assigned
     corpus, exact-rank inside them. No driver-side loop — the per-query
     probe frame broadcasts; at scale the corpus is partitioned by
-    ``_list`` so each probe reads only its lists' partitions."""
+    ``_list`` so each probe reads only its lists' partitions.
+
+    The probe frame is queries × n_probe rows; the explicit broadcast
+    hint bypasses the autoBroadcast threshold and assumes it fits on
+    every executor. For a corpus-sized query batch pass
+    ``broadcast_queries=False`` — the probe join is an equi-join on
+    ``_list``, so the planner falls back to a shuffle hash join."""
     centers_df = None
     for i, c in enumerate(centers):
         row = F.struct(
@@ -270,7 +292,7 @@ def ivf_batch_topk(
     )
     cand = assigned.select(
         F.col(corpus_id_col).alias("corpus_id"), F.col(vec_col).alias("_cv"), "_list"
-    ).join(F.broadcast(ranked), "_list")
+    ).join(F.broadcast(ranked) if broadcast_queries else ranked, "_list")
     scored = cand.withColumn("cos_sim", F.round(cosine(F.col("_cv"), F.col("_qv")), 6))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("corpus_id"))
     return (

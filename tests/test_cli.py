@@ -137,3 +137,18 @@ def test_cli_game_id_path_decodes_season_for_partitioning(
     assert len(rows) == 2
     assert all(r.SEASON == "2024-25" for r in rows)
     assert all(r.SEASON_TYPE == "Regular Season" for r in rows)
+
+
+def test_cli_game_id_rejects_malformed_and_unknown_type(spark, tmp_path, team_game_log_df):
+    """A short/non-numeric id or a season-type digit outside {1,2,4}
+    (All-Star '3', Play-In '5', IST) must fail loudly: a silently
+    defaulted 'Regular Season' would upsert into the wrong partition."""
+    raw = str(tmp_path / "raw")
+    out = str(tmp_path / "out")
+    team_game_log_df.write.parquet(raw)
+    for bad in ("00224001", "002240000x", "0052400001"):
+        with pytest.raises(SystemExit, match="game_id"):
+            run(
+                ["team_game_log", "--game_id", bad, "--input", raw, "--output", out],
+                spark=spark,
+            )

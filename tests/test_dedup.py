@@ -338,3 +338,20 @@ def test_simhash_df_keeps_empty_docs(spark):
     rows = {r.doc_id: r.sh for r in simhash_df(df, "doc_id", "text").collect()}
     assert set(rows) == {1, 2, 3}
     assert rows[1] == 0 and rows[2] == 0 and rows[3] != 0
+
+
+def test_ngram_threshold_zero_rejected(spark):
+    """The postings join cannot emit zero-overlap pairs, so threshold=0
+    (which used to mean 'all same-block pairs') is refused loudly."""
+    import pytest
+
+    from nba_data_pipeline_spark.operators.dedup import (
+        incremental_ngram_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    df = _docs(spark)
+    with pytest.raises(ValueError, match="zero-overlap"):
+        ngram_jaccard_pairs(df, "doc_id", "text", ["lang"], threshold=0.0)
+    with pytest.raises(ValueError, match="zero-overlap"):
+        incremental_ngram_pairs(df, df, "doc_id", "text", ["lang"], threshold=-0.5)

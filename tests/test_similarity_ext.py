@@ -76,3 +76,38 @@ def test_normalize_and_quantize_embeddings(spark):
         ).alias("e")
     ).collect()[0]["e"]
     assert err <= (4.0 / 127.0) / 2 + 1e-12
+
+
+def test_batch_topk_shuffle_path_matches_broadcast(spark):
+    """broadcast_queries=False must give identical results (only the
+    join strategy changes) and the plan must carry no broadcast hint."""
+    rows, df = _clustered(spark)
+    queries = df.filter("vec_id < 4")
+    hinted = batch_topk(queries, df, "embedding", "vec_id", "vec_id", k=3)
+    unhinted = batch_topk(
+        queries, df, "embedding", "vec_id", "vec_id", k=3, broadcast_queries=False
+    )
+    assert sorted(map(tuple, hinted.collect())) == sorted(map(tuple, unhinted.collect()))
+
+
+def test_lsh_and_ivf_batch_shuffle_path_matches_broadcast(spark):
+    from nba_data_pipeline_spark.operators.similarity import (
+        ivf_batch_topk,
+        lsh_batch_topk,
+    )
+
+    rows, df = _clustered(spark)
+    queries = df.filter("vec_id < 3")
+    a = lsh_batch_topk(queries, df, "embedding", "vec_id", "vec_id", dim=12, k=3)
+    b = lsh_batch_topk(
+        queries, df, "embedding", "vec_id", "vec_id", dim=12, k=3,
+        broadcast_queries=False,
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assigned, centers = ivf_index(df, "embedding", n_lists=6, max_iter=8)
+    c = ivf_batch_topk(assigned, centers, queries, "embedding", "vec_id", "vec_id", k=3)
+    d = ivf_batch_topk(
+        assigned, centers, queries, "embedding", "vec_id", "vec_id", k=3,
+        broadcast_queries=False,
+    )
+    assert sorted(map(tuple, c.collect())) == sorted(map(tuple, d.collect()))
