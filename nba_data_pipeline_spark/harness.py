@@ -36,9 +36,11 @@ from .operators.asof import asof_join, range_join
 from .operators.dedup import (
     connected_components,
     dedup_assign,
+    dedup_lines,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    remove_repeated_spans,
     simhash_near_pairs,
 )
 from .operators.incremental import delta_filter, duplicate_keys, insert_ignore, merge_upsert
@@ -1653,6 +1655,99 @@ def q_prefix_dedup(spark, sf):
         "prefix_key", F.concat_ws(" ", F.slice(tokens("text"), 1, 5))
     )
     return exact_dedup(docs, ["prefix_key"], "doc_id")
+
+
+@q(
+    "line_dedup",
+    # segment each doc into 6-token lines (documents.parquet text is a
+    # single line), then C4-rule global line dedup: first occurrence
+    # by (doc_id, position) survives, all later copies drop
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok,
+                         len(string_split(text, ' ')) AS ntok
+                  FROM documents),
+       seg AS (SELECT doc_id,
+                      array_to_string(
+                        list_transform(range(0, (ntok + 5) // 6),
+                          i -> array_to_string(tok[(i*6+1):(i*6+6)], ' ')),
+                        chr(10)) AS text
+               FROM t),
+       l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM seg),
+       l1 AS (SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos, ls FROM l0),
+       lines AS (SELECT doc_id, pos, ls[pos] AS line FROM l1),
+       ranked AS (SELECT doc_id, pos, line,
+                         row_number() OVER (PARTITION BY line
+                                            ORDER BY doc_id, pos) AS rn
+                  FROM lines),
+       kept AS (SELECT doc_id, pos, line FROM ranked WHERE rn = 1),
+       agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+                      count(*) AS n_kept
+               FROM kept GROUP BY doc_id),
+       tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+       SELECT tot.doc_id, coalesce(agg.text, '') AS text,
+              CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+              CAST(tot.n_lines - coalesce(agg.n_kept, 0) AS BIGINT) AS n_dropped
+       FROM tot LEFT JOIN agg USING (doc_id)""",
+)
+def q_line_dedup(spark, sf):
+    """C4-style global line-level exact dedup (operators/dedup.py
+    dedup_lines): one content-keyed shuffle for first-occurrence
+    ranking, one groupBy(doc) to reassemble."""
+    docs = _t(spark, sf, "documents")
+    tok = F.split(F.col("text"), " ")
+    seg = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                # ceil(ntok/6) segments; split() never yields an empty
+                # array so the upper bound is always >= 0
+                F.sequence(
+                    F.lit(0), F.floor((F.size(tok) + 5) / 6).cast("int") - 1
+                ),
+                lambda i: F.concat_ws(" ", F.slice(tok, i * 6 + 1, 6)),
+            ),
+        ).alias("text"),
+    )
+    return dedup_lines(seg, "doc_id", "text")
+
+
+@q(
+    "repeated_spans",
+    # token positions covered by any 5-gram occurring >= 3 times
+    # corpus-wide are removed; docs reassembled from survivors
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+       g AS (SELECT doc_id, unnest(range(0, greatest(len(tok) - 4, 0))) AS s, tok
+             FROM t),
+       grams AS (SELECT doc_id, s,
+                        array_to_string(tok[(s+1):(s+5)], ' ') AS gram
+                 FROM g),
+       hot AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 3),
+       cov AS (SELECT DISTINCT doc_id, pos
+               FROM (SELECT doc_id, unnest(range(s, s + 5)) AS pos
+                     FROM grams JOIN hot USING (gram))),
+       p0 AS (SELECT doc_id, unnest(range(1, len(tok) + 1)) AS i, tok FROM t),
+       pos AS (SELECT doc_id, i - 1 AS pos, tok[i] AS tk FROM p0),
+       surv AS (SELECT pos.doc_id, pos.pos, pos.tk
+                FROM pos LEFT JOIN cov
+                  ON pos.doc_id = cov.doc_id AND pos.pos = cov.pos
+                WHERE cov.doc_id IS NULL),
+       agg AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS text,
+                      count(*) AS n_kept
+               FROM surv GROUP BY doc_id),
+       tot AS (SELECT doc_id, count(*) AS n_tok FROM pos GROUP BY doc_id)
+       SELECT tot.doc_id, coalesce(agg.text, '') AS text,
+              CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+              CAST(tot.n_tok - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
+       FROM tot LEFT JOIN agg USING (doc_id)""",
+)
+def q_repeated_spans(spark, sf):
+    """Exact-substring boilerplate removal at 5-gram granularity
+    (operators/dedup.py remove_repeated_spans): array-side gram
+    construction, one hash-agg shuffle on the gram, coverage explode
+    only for flagged starts."""
+    return remove_repeated_spans(
+        _t(spark, sf, "documents"), "doc_id", "text", n=5, min_repeat=3
+    )
 
 
 @q(

@@ -809,3 +809,149 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sub-document exact dedup: lines and token spans
+# ---------------------------------------------------------------------------
+
+def dedup_lines(
+    df: DataFrame, id_col: str, text_col: str, sep: str = "\n"
+) -> DataFrame:
+    """Corpus-global line-level exact dedup (the C4 rule): every line
+    keeps exactly its FIRST occurrence — ordered by (doc id, position
+    in doc) — and later copies anywhere in the corpus are dropped;
+    documents are reassembled from their surviving lines in original
+    order. Boilerplate (nav bars, license headers, cookie banners)
+    disappears from all but one document while unique prose is
+    untouched.
+
+    Plan shape at scale: posexplode lines, ONE shuffle keyed on the
+    line content for the first-occurrence window (partitionBy line —
+    Spark hash-partitions on the string, so the exchange is
+    hash-bucketed exactly like a groupBy), then one groupBy(doc) to
+    reassemble via sort_array(collect_list(struct(pos, line))). No
+    pair joins, no windows over the whole corpus — both exchanges are
+    key-local. Ties inside one document (a line repeated within the
+    doc) resolve by position, so exactly one copy survives there too.
+
+    Returns (id, text, n_kept, n_dropped); a document whose every line
+    was dropped elsewhere comes back with empty text, not a missing
+    row.
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line"),
+    )
+    w = Window.partitionBy("_line").orderBy("_id", "_pos")
+    kept = (
+        lines.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .groupBy("_id")
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("_pos", "_line"))),
+                    lambda s: s["_line"],
+                ),
+            ).alias("_text"),
+            F.count("*").alias("_n_kept"),
+        )
+    )
+    totals = lines.groupBy("_id").agg(F.count("*").alias("_n_lines"))
+    return (
+        totals.join(kept, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("_text", F.lit("")).alias(text_col),
+            F.coalesce("_n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("_n_lines") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_repeat: int = 2,
+) -> DataFrame:
+    """Exact-substring boilerplate removal at token n-gram granularity
+    (the scalable relaxation of suffix-array substring dedup, Lee et
+    al. 2022 "Deduplicating Training Data Makes Language Models
+    Better"): any token covered by an n-token sequence whose exact
+    text occurs at least ``min_repeat`` times across the corpus
+    (counting every occurrence, same-document repeats included) is
+    removed, and each document is reassembled from its surviving
+    tokens in order. Unlike document- or line-level dedup this
+    catches duplicated passages embedded mid-document with unique
+    text around them.
+
+    Plan shape at scale: n-gram starts are built ARRAY-SIDE
+    (transform over sequence + slice — no self-join of token rows),
+    counted with one hash-aggregate shuffle on the gram, and only
+    flagged starts explode into covered positions (n rows per flagged
+    start, nothing for clean text). The rebuild is one groupBy(doc).
+    Suffix arrays find variable-length repeats; this fixed-n form is
+    one shuffle and catches every repeat of length >= n, at the cost
+    of missing shorter ones — n IS the "minimum match length" knob.
+
+    Returns (id, text, n_kept, n_removed).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_tok")
+    )
+    # start positions are 0-based; doc with < n tokens has no grams
+    grams = toks.select(
+        "_id",
+        F.posexplode(
+            F.when(
+                F.size("_tok") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_tok") - n),
+                    lambda i: F.concat_ws(" ", F.slice("_tok", i + 1, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_start", "_gram"),
+    )
+    hot = (
+        grams.groupBy("_gram")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= min_repeat)
+        .select("_gram")
+    )
+    covered = (
+        grams.join(hot, "_gram")
+        .select("_id", F.explode(F.sequence("_start", F.col("_start") + n - 1)).alias("_pos"))
+        .distinct()
+    )
+    positions = toks.select("_id", F.posexplode("_tok").alias("_pos", "_t"))
+    survivors = positions.join(covered, ["_id", "_pos"], "left_anti")
+    rebuilt = survivors.groupBy("_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "_t"))),
+                lambda s: s["_t"],
+            ),
+        ).alias("_text"),
+        F.count("*").alias("_n_kept"),
+    )
+    totals = positions.groupBy("_id").agg(F.count("*").alias("_n_tok"))
+    return (
+        totals.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("_text", F.lit("")).alias(text_col),
+            F.coalesce("_n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("_n_tok") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -355,3 +355,58 @@ def test_ngram_threshold_zero_rejected(spark):
         ngram_jaccard_pairs(df, "doc_id", "text", ["lang"], threshold=0.0)
     with pytest.raises(ValueError, match="zero-overlap"):
         incremental_ngram_pairs(df, df, "doc_id", "text", ["lang"], threshold=-0.5)
+
+
+def test_dedup_lines_c4_rule(spark):
+    """First occurrence (by doc_id, position) survives; later copies —
+    including within-doc repeats — drop; a fully-boilerplate doc comes
+    back with empty text, not a missing row."""
+    from nba_data_pipeline_spark.operators.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "unique alpha\nCOOKIE BANNER\nCOOKIE BANNER\nmore text"),
+            (2, "COOKIE BANNER\nother words"),
+            (3, "COOKIE BANNER"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.text, r.n_kept, r.n_dropped) for r in dedup_lines(
+        df, "doc_id", "text").collect()}
+    assert got[1] == ("unique alpha\nCOOKIE BANNER\nmore text", 3, 1)
+    assert got[2] == ("other words", 1, 1)
+    assert got[3] == ("", 0, 1)
+
+
+def test_remove_repeated_spans(spark):
+    """Tokens covered by a corpus-repeated 5-gram vanish from EVERY
+    occurrence (boilerplate stripping); short docs (< n tokens) and
+    unique text pass through untouched."""
+    from nba_data_pipeline_spark.operators.dedup import remove_repeated_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e unique tail here"),
+            (2, "prefix stuff a b c d e suffix"),
+            (3, "totally fresh words nothing shared"),
+            (4, "x y"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.text, r.n_kept, r.n_removed) for r in remove_repeated_spans(
+        df, "doc_id", "text", n=5, min_repeat=2).collect()}
+    assert got[1] == ("unique tail here", 3, 5)
+    assert got[2] == ("prefix stuff suffix", 3, 5)
+    assert got[3] == ("totally fresh words nothing shared", 5, 0)
+    assert got[4] == ("x y", 2, 0)
+    # overlapping repeats: doc repeated inside ONE doc also strips
+    solo = spark.createDataFrame(
+        [(9, "p q r s t p q r s t")], "doc_id long, text string"
+    )
+    r = remove_repeated_spans(solo, "doc_id", "text", n=5, min_repeat=2).first()
+    assert (r.text, r.n_kept, r.n_removed) == ("", 0, 10)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n must be"):
+        remove_repeated_spans(df, "doc_id", "text", n=0)
