@@ -36,6 +36,7 @@ from .operators.asof import asof_join, range_join
 from .operators.dedup import (
     connected_components,
     dedup_assign,
+    dedup_assign_best,
     dedup_lines,
     exact_dedup,
     minhash_lsh_pairs,
@@ -1645,6 +1646,65 @@ def q_source_quality_summary(spark, sf):
 
 
 @q(
+    "budget_sample",
+    # Knuth-bucket priority order mirrored exactly: ((id*2654435761)
+    # % 2^32) % 10000 — pure int64 arithmetic on both engines
+    """SELECT doc_id, source, lang, n_chars FROM (
+         SELECT doc_id, source, lang, n_chars,
+                CAST(SUM(n_chars) OVER (
+                  PARTITION BY source, lang
+                  ORDER BY ((doc_id * 2654435761) % 4294967296) % 10000, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         FROM documents)
+       WHERE cum <= 2000""",
+)
+def q_budget_sample(spark, sf):
+    """Per-(source, lang) token-budget cap (operators/sampling.py
+    budget_sample) — the 'N tokens per domain' step of a pretraining
+    mixture."""
+    from .operators.sampling import budget_sample
+
+    docs = _t(spark, sf, "documents")
+    return budget_sample(docs, "doc_id", ["source", "lang"], "n_chars", 2000).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
+@q(
+    "length_percentiles",
+    # discrete percentiles via integer rank arithmetic (value at rank
+    # ceil(q*n)) — no interpolation, no FP, engine-portable by
+    # construction unlike percentile_cont/quantile_cont
+    """WITH r AS (SELECT source, n_chars,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY n_chars, doc_id) AS rn,
+                         count(*) OVER (PARTITION BY source) AS n
+                  FROM documents)
+       SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+              max(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS p50,
+              max(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END) AS p90,
+              max(CASE WHEN rn = (99 * n + 99) // 100 THEN n_chars END) AS p99
+       FROM r GROUP BY source""",
+)
+def q_length_percentiles(spark, sf):
+    """Exact distributed percentile_disc per source (corpus length
+    dashboard): one window shuffle on the group key, values picked at
+    integer ranks ceil(q*n) so parity is exact by construction."""
+    docs = _t(spark, sf, "documents")
+    wr = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wp = Window.partitionBy("source")
+    ranked = docs.withColumn("_rn", F.row_number().over(wr)).withColumn(
+        "_n", F.count("*").over(wp)
+    )
+    return ranked.groupBy("source").agg(
+        F.max("_n").cast("long").alias("n_docs"),
+        F.max(F.when(F.col("_rn") == F.expr("(_n + 1) div 2"), F.col("n_chars"))).alias("p50"),
+        F.max(F.when(F.col("_rn") == F.expr("(9 * _n + 9) div 10"), F.col("n_chars"))).alias("p90"),
+        F.max(F.when(F.col("_rn") == F.expr("(99 * _n + 99) div 100"), F.col("n_chars"))).alias("p99"),
+    )
+
+
+@q(
     "prefix_dedup",
     """SELECT array_to_string(string_split(text, ' ')[1:5], ' ') AS prefix_key,
               min(doc_id) AS canonical_id, count(*) AS n_copies
@@ -1810,6 +1870,49 @@ def q_dedup_assign(spark, sf):
         .distinct()
     )
     out = dedup_assign(docs, "doc_id", pairs)
+    return out.select(
+        "doc_id", F.col("component_id").cast("long").alias("component_id"), "is_canonical"
+    )
+
+
+@q(
+    "dedup_keep_best",
+    # same edge construction as dedup_assign, but the cluster survivor
+    # is the highest-quality member (n_chars desc, id tiebreak), not
+    # the min id — component_id stays the min id as a stable key
+    """WITH RECURSIVE
+       edges0 AS (
+         SELECT DISTINCT user_id AS s, 1000 + (event_id % 211) AS d FROM events
+         WHERE user_id < 50),
+       edges AS (SELECT s, d FROM edges0 UNION SELECT d, s FROM edges0),
+       walk(v, lab) AS (
+         SELECT s, s FROM (SELECT DISTINCT s FROM edges) t
+         UNION
+         SELECT e.d, w.lab FROM walk w JOIN edges e ON e.s = w.v),
+       comp AS (SELECT v AS doc_id, MIN(lab) AS component_id FROM walk GROUP BY v),
+       j AS (SELECT d.doc_id, d.n_chars,
+                    CAST(COALESCE(c.component_id, d.doc_id) AS BIGINT) AS component_id
+             FROM documents d LEFT JOIN comp c USING (doc_id))
+       SELECT doc_id, component_id,
+              (row_number() OVER (PARTITION BY component_id
+                                  ORDER BY n_chars DESC, doc_id) = 1) AS is_canonical
+       FROM j""",
+)
+def q_dedup_keep_best(spark, sf):
+    """Quality-priority cluster survivor (operators/dedup.py
+    dedup_assign_best): RefinedWeb keeps the best copy, not the
+    lowest-id one."""
+    ev = _t(spark, sf, "events")
+    docs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    pairs = (
+        ev.filter(F.col("user_id") < 50)
+        .select(
+            F.col("user_id").alias("id_a"),
+            (F.lit(1000) + F.col("event_id") % 211).alias("id_b"),
+        )
+        .distinct()
+    )
+    out = dedup_assign_best(docs, "doc_id", pairs, "n_chars")
     return out.select(
         "doc_id", F.col("component_id").cast("long").alias("component_id"), "is_canonical"
     )

@@ -677,6 +677,41 @@ def dedup_assign(
     return out.withColumn("is_canonical", F.col(id_col) == F.col("component_id"))
 
 
+def dedup_assign_best(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    priority_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """``dedup_assign`` with a QUALITY-priority canonical: within each
+    duplicate cluster the surviving row is the one with the highest
+    ``priority_col`` (quality score, length, recency — RefinedWeb keeps
+    the longest copy, not the lowest id), ties broken by min id.
+    ``component_id`` stays the cluster's min id (a stable cluster key
+    independent of which member wins), so downstream leakage-safe
+    splits keyed on it are unaffected by priority changes.
+
+    Cost over ``dedup_assign``: one extra window shuffle keyed on
+    component_id — clusters are tiny relative to the corpus, so the
+    exchange is dominated by the label-propagation join it follows.
+    """
+    comp = connected_components(pairs, id_a, id_b)
+    out = (
+        df.join(comp.withColumnRenamed("doc_id", id_col), id_col, "left")
+        .withColumn("component_id", F.coalesce("component_id", F.col(id_col)))
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col(priority_col).desc(), F.col(id_col)
+    )
+    return (
+        out.withColumn("_rk", F.row_number().over(w))
+        .withColumn("is_canonical", F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

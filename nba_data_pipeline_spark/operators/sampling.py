@@ -193,6 +193,42 @@ def pack_sequences(
     )
 
 
+def budget_sample(
+    df: DataFrame,
+    id_col: str,
+    group_cols: list[str],
+    cost_col: str,
+    budget: int,
+) -> DataFrame:
+    """Per-group token-budget selection: within each group (source,
+    language, domain...) keep rows — in the deterministic Knuth-bucket
+    priority order, ties by id — while the group's cumulative
+    ``cost_col`` stays within ``budget``. The "N billion tokens per
+    domain" cap of a pretraining mixture, without rand() and without a
+    driver-side loop.
+
+    The cumulative sum INCLUDES the current row, so the first row that
+    would cross the budget is excluded (a group whose single first doc
+    exceeds the budget contributes nothing — a cap, not a floor).
+    Deterministic, join-stable, retry-safe. One shuffle keyed on the
+    group for the running-sum window; group cardinality bounds window
+    state exactly like ``pack_sequences`` shards.
+    """
+    from pyspark.sql import Window
+
+    prio = hash_bucket(id_col)
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(prio, _col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("_cum", F.sum(_col(cost_col)).over(w).cast("long"))
+        .filter(F.col("_cum") <= budget)
+        .drop("_cum")
+    )
+
+
 def weighted_sample(df: DataFrame, id_col: str, weight_col: str, k: int) -> DataFrame:
     """Top-k weighted sampling without replacement (Efraimidis-Spirakis):
     each row gets key u^(1/w) with u uniform in (0,1); the k largest keys

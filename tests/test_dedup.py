@@ -410,3 +410,21 @@ def test_remove_repeated_spans(spark):
 
     with pytest.raises(ValueError, match="n must be"):
         remove_repeated_spans(df, "doc_id", "text", n=0)
+
+
+def test_dedup_assign_best_priority_survivor(spark):
+    """Cluster survivor is the highest-priority member (tie -> min id);
+    component_id stays the min id so split keys are priority-stable."""
+    from nba_data_pipeline_spark.operators.dedup import dedup_assign_best
+
+    docs = spark.createDataFrame(
+        [(1, 10.0), (2, 99.0), (3, 50.0), (7, 5.0), (8, 5.0)],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: (r.component_id, r.is_canonical) for r in dedup_assign_best(
+        docs, "doc_id", pairs, "quality").collect()}
+    assert got[2] == (1, True) and got[1] == (1, False) and got[3] == (1, False)
+    assert got[7] == (7, True) and got[8] == (7, False)  # tie -> min id

@@ -139,3 +139,28 @@ def test_mixture_sample_hits_target_proportions(spark):
     assert mixed.filter("source = 'zzz'").count() == 0
     again = mixture_sample(df, "doc_id", "source", {"a": 0.25, "b": 0.5, "c": 0.25})
     assert sorted(map(tuple, mixed.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_budget_sample_caps_each_group(spark):
+    """Cumulative cost in Knuth-bucket priority order stays <= budget
+    per group; the first row that would cross is excluded, and an
+    over-budget first doc yields an empty group (cap, not floor)."""
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.operators.sampling import budget_sample, hash_bucket
+
+    rows = [(i, "a" if i < 20 else "b", 30) for i in range(40)]
+    rows.append((100, "c", 999))  # single huge doc: group must be empty
+    df = spark.createDataFrame(rows, "doc_id long, src string, cost int")
+    out = budget_sample(df, "doc_id", ["src"], "cost", 100)
+    got = out.groupBy("src").agg(F.sum("cost").alias("s"), F.count("*").alias("n")).collect()
+    by_src = {r.src: (r.s, r.n) for r in got}
+    assert by_src.get("a") == (90, 3) and by_src.get("b") == (90, 3)
+    assert "c" not in by_src
+    # selection follows the deterministic bucket priority, not doc_id
+    picked = {r.doc_id for r in out.filter("src = 'a'").collect()}
+    order = sorted(
+        range(20),
+        key=lambda i: (((i * 2654435761) % (1 << 32)) % 10000, i),
+    )
+    assert picked == set(order[:3])
