@@ -161,6 +161,81 @@ def insert_ignore_table(
     _rewrite(spark, merged, path, partition_by)
 
 
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int,
+    partition_by: Sequence[str] = (),
+    min_files: int = 2,
+) -> dict[str, int]:
+    """Small-file compaction (the OPTIMIZE step of a lakehouse table):
+    rewrite fragmented partitions so each holds ~ceil(rows / target)
+    parquet files. Streaming upserts and per-batch appends fragment a
+    table into thousands of KB-sized files; at 100 TB that turns every
+    scan into an open()-bound crawl, so compaction is a first-class
+    maintenance operation, not a nicety.
+
+    Shape: one stats aggregate over (partition cols, input_file_name)
+    — tiny result, one row per table partition — then ONE distributed
+    rewrite of only the fragmented partitions (file count >
+    max(needed, min_files - 1)); healthy partitions are never read
+    again or touched on disk. Within the rewrite, rows are bucketed by
+    a deterministic hash into ceil(rows/target) buckets per partition
+    and shuffled on (partition cols, bucket), so output file count
+    tracks the target (hash collisions can merge buckets into fewer,
+    larger files — compaction is a floor on file size, not an exact
+    count). Returns {'partitions_compacted': n, 'files_before': f}.
+
+    Unpartitioned tables compact wholesale via the temp-swap rewrite.
+    """
+    import math
+
+    df = read_table(spark, path)
+    # non-deterministic exprs can't sit inside an aggregate (ANSI
+    # analyzer rule) — project the file name into a column first
+    fdf = df.withColumn("_fn", F.input_file_name())
+    if not partition_by:
+        stats = fdf.agg(
+            F.count("*").alias("_rows"),
+            F.countDistinct("_fn").alias("_files"),
+        ).collect()[0]
+        needed = max(1, math.ceil(stats["_rows"] / target_rows_per_file))
+        if stats["_files"] <= max(needed, min_files - 1):
+            return {"partitions_compacted": 0, "files_before": stats["_files"]}
+        _rewrite(spark, df.repartition(needed), path, ())
+        return {"partitions_compacted": 1, "files_before": stats["_files"]}
+    pcols = list(partition_by)
+    stats = (
+        fdf.groupBy(*pcols)
+        .agg(
+            F.count("*").alias("_rows"),
+            F.countDistinct("_fn").alias("_files"),
+        )
+        .withColumn(
+            "_nf", F.greatest(F.ceil(F.col("_rows") / target_rows_per_file), F.lit(1))
+        )
+        .filter(F.col("_files") > F.greatest(F.col("_nf"), F.lit(min_files - 1)))
+        .select(*pcols, "_nf", "_files")
+    )
+    frag = stats.collect()  # one row per FRAGMENTED partition — tiny
+    if not frag:
+        return {"partitions_compacted": 0, "files_before": 0}
+    sized = df.join(F.broadcast(stats), pcols)
+    bucketed = sized.withColumn(
+        "_f",
+        F.pmod(F.xxhash64(*[c for c in df.columns if c not in pcols]), F.col("_nf")),
+    )
+    total_files = int(sum(r["_nf"] for r in frag))
+    merged = (
+        bucketed.repartition(total_files, *pcols, F.col("_f")).drop("_nf", "_files", "_f")
+    )
+    _rewrite_partitions(spark, merged, path, pcols)
+    return {
+        "partitions_compacted": len(frag),
+        "files_before": int(sum(r["_files"] for r in frag)),
+    }
+
+
 def write_csv_golden(df: DataFrame, path: str) -> None:
     """Golden-sample CSV sink (reference test.py:15 writes
     game_rotation.csv). Single file for diffability."""

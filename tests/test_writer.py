@@ -100,3 +100,53 @@ def test_partition_scoped_insert_ignore(spark, tmp_path):
     insert_ignore_table(spark, src, path, "id", partition_by=["SEASON", "SEASON_TYPE"])
     got = {r.id: r.v for r in read_table(spark, path).collect()}
     assert got == {"a-1": 1.0, "a-3": 3.0}
+
+
+def test_compact_table_partitioned(spark, tmp_path):
+    """Fragmented partitions collapse to ~ceil(rows/target) files;
+    healthy partitions are not rewritten (same file listing); data
+    survives byte-identically."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.sinks.writer import compact_table, write_table
+
+    path = str(tmp_path / "tbl")
+    frag = spark.range(200).withColumn("part", F.lit("a")).repartition(25)
+    healthy = spark.range(200, 250).withColumn("part", F.lit("b")).coalesce(1)
+    write_table(frag, path, ["part"])
+    healthy.write.mode("append").partitionBy("part").parquet(path)
+
+    def files_in(part):
+        d = os.path.join(path, f"part={part}")
+        return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+    before_b = files_in("b")
+    assert len(files_in("a")) == 25
+    res = compact_table(spark, path, target_rows_per_file=100, partition_by=["part"])
+    assert res["partitions_compacted"] == 1 and res["files_before"] == 25
+    assert len(files_in("a")) <= 4  # ceil(200/100)=2 buckets, shuffle-task granularity
+    assert files_in("b") == before_b  # untouched on disk
+    back = spark.read.parquet(path)
+    assert back.count() == 250
+    assert back.agg(F.sum("id")).collect()[0][0] == sum(range(250))
+    # second run is a no-op
+    res2 = compact_table(spark, path, target_rows_per_file=100, partition_by=["part"])
+    assert res2["partitions_compacted"] == 0
+
+
+def test_compact_table_unpartitioned(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.sinks.writer import compact_table
+
+    path = str(tmp_path / "flat")
+    spark.range(300).repartition(30).write.parquet(path)
+    res = compact_table(spark, path, target_rows_per_file=150)
+    assert res == {"partitions_compacted": 1, "files_before": 30}
+    n_files = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_files == 2
+    assert spark.read.parquet(path).agg(F.sum("id")).collect()[0][0] == sum(range(300))
