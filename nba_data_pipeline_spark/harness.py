@@ -2850,6 +2850,22 @@ def q_simhash(spark, sf):
     return simhash_near_pairs(_t(spark, sf, "documents"), "doc_id", "text", max_hamming=12)
 
 
+@q("incremental_simhash")  # xxhash64 fingerprints: not SQL-portable -> rows-only
+def q_incremental_simhash(spark, sf):
+    """Persisted-fingerprint incremental SimHash (operators/dedup.py
+    incremental_simhash_pairs): new batch = every 5th doc, corpus
+    fingerprints reused without re-hashing; exact-Hamming verify."""
+    from .operators.dedup import incremental_simhash_pairs, simhash_df
+
+    docs = _t(spark, sf, "documents")
+    fps = simhash_df(docs, "doc_id", "text").localCheckpoint(eager=False)
+    return incremental_simhash_pairs(
+        fps.filter(F.col("doc_id") % 5 == 0),
+        fps.filter(F.col("doc_id") % 5 != 0),
+        max_hamming=12,
+    )
+
+
 @q(
     "approx_error_gate",
     # constant-verdict oracle (ann_recall pattern): Spark measures its

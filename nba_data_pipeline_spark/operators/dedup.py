@@ -812,11 +812,87 @@ def simhash_near_pairs(
     join-back can be skipped on natural corpora — this call is not
     fully lazy. Pass ``eager_probe=False`` when composing a larger lazy
     plan; the guard then joins widths back unconditionally."""
-    nbands = 64 // band_bits
     # one materialization of the fingerprints feeds banding (4 plan
     # branches in _bucket_pairs) and the two fingerprint re-joins
     h = simhash_df(df, id_col, text_col).localCheckpoint(eager=False)
-    bands = h.select(
+    bands = _simhash_bands(h, band_bits)
+    cand = _bucket_pairs(bands, max_bucket_width, eager_probe)
+    fp = h.withColumnRenamed("sh", "_fp")
+    cand = (
+        cand.join(fp.select(F.col("doc_id").alias("id_a"), F.col("_fp").alias("sh_a")), "id_a")
+        .join(fp.select(F.col("doc_id").alias("id_b"), F.col("_fp").alias("sh_b")), "id_b")
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def incremental_simhash_pairs(
+    new_fps: DataFrame,
+    corpus_fps: DataFrame,
+    max_hamming: int = 3,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Incremental SimHash over PERSISTED fingerprint tables — the
+    third leg of the continuous-ingest family (``incremental_ngram_pairs``
+    re-shingles text, ``incremental_minhash_pairs`` joins signature
+    tables; this joins (doc_id, sh) fingerprint tables). Candidates
+    form where a band bucket collides, driven by the NEW side:
+    new-vs-old pairs in either id order, new-vs-new once, old-vs-old
+    never — so per-bucket fan-out is O(batch_width * corpus_width).
+    Verification is exact (Hamming distance of the full 64-bit
+    fingerprints on candidates only).
+
+    An id present in BOTH tables (a re-ingested document) is treated
+    as new: the corpus row is dropped first, so each doc appears once
+    and pairs carry a single, consistent other_is_new. Output:
+    (id_new, id_other, other_is_new, hamming).
+    """
+    corpus_only = corpus_fps.join(new_fps.select("doc_id"), "doc_id", "left_anti")
+    new_b = _simhash_bands(new_fps, band_bits).localCheckpoint(eager=False)
+    all_b = new_b.withColumn("_new", F.lit(1)).unionByName(
+        _simhash_bands(corpus_only, band_bits).withColumn("_new", F.lit(0))
+    )
+    cand = (
+        new_b.select(F.col("doc_id").alias("id_new"), "band", "bucket")
+        .join(
+            all_b.select(
+                F.col("doc_id").alias("id_other"), F.col("_new").alias("_new_b"),
+                "band", "bucket",
+            ),
+            ["band", "bucket"],
+        )
+        .filter((F.col("_new_b") == 0) | (F.col("id_new") < F.col("id_other")))
+        .filter(F.col("id_new") != F.col("id_other"))
+        .select("id_new", "id_other", "_new_b")
+        .distinct()
+    )
+    a_fp = new_fps.select(F.col("doc_id").alias("id_new"), F.col("sh").alias("_fa"))
+    b_fp = new_fps.unionByName(corpus_only).select(
+        F.col("doc_id").alias("id_other"), F.col("sh").alias("_fb")
+    )
+    return (
+        cand.join(a_fp, "id_new")
+        .join(b_fp, "id_other")
+        .withColumn("hamming", F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            "id_new", "id_other",
+            (F.col("_new_b") == 1).alias("other_is_new"), "hamming",
+        )
+    )
+
+
+def _simhash_bands(fps: DataFrame, band_bits: int) -> DataFrame:
+    """(doc_id, sh) -> (doc_id, band, bucket): slice the 64-bit
+    fingerprint into 64/band_bits exact-match bands (pigeonhole: a
+    pair within Hamming distance (64/band_bits - 1) must agree on at
+    least one band)."""
+    nbands = 64 // band_bits
+    return fps.select(
         "doc_id",
         F.explode(
             F.array(
@@ -832,18 +908,6 @@ def simhash_near_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    cand = _bucket_pairs(bands, max_bucket_width, eager_probe)
-    fp = h.withColumnRenamed("sh", "_fp")
-    cand = (
-        cand.join(fp.select(F.col("doc_id").alias("id_a"), F.col("_fp").alias("sh_a")), "id_a")
-        .join(fp.select(F.col("doc_id").alias("id_b"), F.col("_fp").alias("sh_b")), "id_b")
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
 
 
 # ---------------------------------------------------------------------------

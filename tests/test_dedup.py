@@ -428,3 +428,103 @@ def test_dedup_assign_best_priority_survivor(spark):
         docs, "doc_id", pairs, "quality").collect()}
     assert got[2] == (1, True) and got[1] == (1, False) and got[3] == (1, False)
     assert got[7] == (7, True) and got[8] == (7, False)  # tie -> min id
+
+
+def test_subdoc_dedup_random_crosscheck(spark):
+    """dedup_lines and remove_repeated_spans vs a brute-force Python
+    model on a randomized corpus with planted boilerplate."""
+    import random
+
+    rng = random.Random(31)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    banner = "xx yy zz"
+    docs = []
+    for i in range(25):
+        words = [rng.choice(vocab) for _ in range(rng.randrange(1, 12))]
+        lines = [" ".join(words[j:j + 3]) for j in range(0, len(words), 3)]
+        if rng.random() < 0.5:
+            lines.insert(rng.randrange(len(lines) + 1), banner)
+        docs.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # ---- dedup_lines model: first (doc_id, pos) occurrence survives
+    from nba_data_pipeline_spark.operators.dedup import dedup_lines, remove_repeated_spans
+
+    seen: set[str] = set()
+    expect = {}
+    for i, text in docs:
+        kept = []
+        dropped = 0
+        for line in text.split("\n"):
+            if line in seen:
+                dropped += 1
+            else:
+                seen.add(line)
+                kept.append(line)
+        expect[i] = ("\n".join(kept), len(kept), dropped)
+    got = {r.doc_id: (r.text, r.n_kept, r.n_dropped)
+           for r in dedup_lines(df, "doc_id", "text").collect()}
+    assert got == expect
+
+    # ---- remove_repeated_spans model: n=3, min_repeat=2 over ALL grams
+    n = 3
+    from collections import Counter
+
+    counts: Counter = Counter()
+    toks = {i: text.replace("\n", " ").split(" ") for i, text in docs}
+    df2 = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in toks.items()], "doc_id long, text string"
+    )
+    for t in toks.values():
+        for s in range(len(t) - n + 1):
+            counts[" ".join(t[s:s + n])] += 1
+    expect2 = {}
+    for i, t in toks.items():
+        cover = set()
+        for s in range(len(t) - n + 1):
+            if counts[" ".join(t[s:s + n])] >= 2:
+                cover.update(range(s, s + n))
+        kept = [w for p, w in enumerate(t) if p not in cover]
+        expect2[i] = (" ".join(kept), len(kept), len(t) - len(kept))
+    got2 = {r.doc_id: (r.text, r.n_kept, r.n_removed)
+            for r in remove_repeated_spans(df2, "doc_id", "text", n=n, min_repeat=2).collect()}
+    assert got2 == expect2
+
+
+def test_incremental_simhash_pairs_fingerprint_path(spark):
+    """Incremental SimHash over persisted fingerprints: new side
+    drives, re-ingested ids count as new, exact-Hamming verify agrees
+    with the full-corpus path on the shared pair set."""
+    from nba_data_pipeline_spark.operators.dedup import (
+        incremental_simhash_pairs,
+        simhash_df,
+        simhash_near_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [
+        (1, base),                              # old
+        (10, base),                             # new: exact dup of old 1
+        (11, base.replace("kappa", "lambda")),  # new: near-dup of 1/10
+        (12, "totally different content with none of those words present"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = simhash_df(df, "doc_id", "text")
+    out = incremental_simhash_pairs(
+        fps.filter("doc_id >= 10"), fps.filter("doc_id < 10"), max_hamming=6
+    )
+    got = {(r.id_new, r.id_other): r for r in out.collect()}
+    assert (10, 1) in got and got[(10, 1)].hamming == 0
+    assert got[(10, 1)].other_is_new is False
+    assert (11, 10) not in got or (10, 11) in got  # new-new emitted once
+    assert not any(k[0] == 1 for k in got)         # old never drives
+    assert not any(12 in k for k in got)
+    full = simhash_near_pairs(df, "doc_id", "text", max_hamming=6)
+    full_pairs = {(r.id_a, r.id_b): r.hamming for r in full.collect()}
+    for (a, b), r in got.items():
+        assert full_pairs[(min(a, b), max(a, b))] == r.hamming
+    # re-ingested id: old copy dropped, treated as new
+    out2 = incremental_simhash_pairs(
+        fps.filter("doc_id in (1, 10)"), fps, max_hamming=6
+    )
+    assert all(r.id_new in (1, 10) for r in out2.collect())
