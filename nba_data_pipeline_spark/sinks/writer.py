@@ -26,6 +26,35 @@ from pyspark.sql import functions as F
 from ..operators.incremental import insert_ignore, merge_upsert
 
 
+def _align_schemas(target: DataFrame, source: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Schema evolution for merges: a column present on only one side
+    is added to the other as typed NULLs (ADD COLUMN semantics — new
+    source columns backfill NULL into history; columns the source
+    stopped sending survive as NULL on new rows). A column present on
+    BOTH sides with different types raises — silent cast-on-merge is
+    how a lakehouse table rots. Returns both frames with identical
+    column order (source's order first, then target-only columns)."""
+    s_types = dict(zip(source.columns, [f.dataType for f in source.schema.fields]))
+    t_types = dict(zip(target.columns, [f.dataType for f in target.schema.fields]))
+    conflicts = {
+        c: (t_types[c], s_types[c])
+        for c in s_types
+        if c in t_types and t_types[c] != s_types[c]
+    }
+    if conflicts:
+        raise ValueError(
+            f"upsert schema conflict (column: table type vs source type): {conflicts}"
+        )
+    for c, dt in s_types.items():
+        if c not in t_types:
+            target = target.withColumn(c, F.lit(None).cast(dt))
+    for c, dt in t_types.items():
+        if c not in s_types:
+            source = source.withColumn(c, F.lit(None).cast(dt))
+    cols = list(source.columns)  # source order + appended target-only cols
+    return target.select(cols), source.select(cols)
+
+
 def write_table(
     df: DataFrame,
     path: str,
@@ -38,8 +67,17 @@ def write_table(
     writer.parquet(path)
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def read_table(spark: SparkSession, path: str, merge_schema: bool = False) -> DataFrame:
+    """``merge_schema=True`` unions column sets across all files —
+    REQUIRED when reading a table whose partitions may carry evolved
+    (heterogeneous) schemas: the default reader takes one file's
+    schema, which would hide an evolved column and silently drop its
+    values on the next partition rewrite. All merge paths read with
+    it; ad-hoc readers can skip the footer sweep."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", True)
+    return reader.parquet(path)
 
 
 def _rewrite(spark: SparkSession, merged: DataFrame, path: str, partition_by: Sequence[str]) -> None:
@@ -114,7 +152,14 @@ def _merge_partitioned(
     Invariant: partition columns must be stable for a given key (true for
     the reference layout — SEASON/SEASON_TYPE derive from GAME_ID). A key
     whose partition changed would leave its old copy untouched."""
-    target = read_table(spark, path).select(source.columns)
+    target = read_table(spark, path, merge_schema=True)
+    for c in partition_by:
+        # Hive-style partition dirs store values as strings and the
+        # reader re-infers their type (season=2024 comes back as int);
+        # the source's declared type is authoritative — the cast is
+        # the inference round-trip undone, not a data change
+        target = target.withColumn(c, F.col(c).cast(source.schema[c].dataType))
+    target, source = _align_schemas(target, source)
     src_parts = source.select(*partition_by).distinct()
     affected = target.join(F.broadcast(src_parts), list(partition_by), "left_semi")
     merged = combine(affected, source, key)
@@ -137,7 +182,7 @@ def upsert_table(
     if partition_by:
         _merge_partitioned(spark, source, path, key, partition_by, merge_upsert)
         return
-    target = read_table(spark, path).select(source.columns)  # align column order
+    target, source = _align_schemas(read_table(spark, path, merge_schema=True), source)
     merged = merge_upsert(target, source, key)
     _rewrite(spark, merged, path, partition_by)
 
@@ -156,7 +201,7 @@ def insert_ignore_table(
     if partition_by:
         _merge_partitioned(spark, source, path, key, partition_by, insert_ignore)
         return
-    target = read_table(spark, path).select(source.columns)
+    target, source = _align_schemas(read_table(spark, path, merge_schema=True), source)
     merged = insert_ignore(target, source, key)
     _rewrite(spark, merged, path, partition_by)
 

@@ -150,3 +150,52 @@ def test_compact_table_unpartitioned(spark, tmp_path):
     n_files = len([f for f in os.listdir(path) if f.endswith(".parquet")])
     assert n_files == 2
     assert spark.read.parquet(path).agg(F.sum("id")).collect()[0][0] == sum(range(300))
+
+
+def test_upsert_schema_evolution(spark, tmp_path):
+    """New source column -> ADD COLUMN with NULL backfill; dropped
+    source column -> NULL on new rows; type conflict -> loud error."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.sinks.writer import upsert_table
+
+    path = str(tmp_path / "evolve")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    upsert_table(spark, v1, path, key="id")
+    # source gains a column
+    v2 = spark.createDataFrame([(2, "B", 9.5), (3, "c", 7.0)],
+                               "id long, name string, score double")
+    upsert_table(spark, v2, path, key="id")
+    back = {r.id: (r.name, r.score) for r in spark.read.parquet(path).collect()}
+    assert back == {1: ("a", None), 2: ("B", 9.5), 3: ("c", 7.0)}
+    # source drops a column: existing values survive, new rows get NULL
+    v3 = spark.createDataFrame([(4, "d")], "id long, name string")
+    upsert_table(spark, v3, path, key="id")
+    back = {r.id: (r.name, r.score) for r in spark.read.parquet(path).collect()}
+    assert back[4] == ("d", None) and back[2] == ("B", 9.5)
+    # type conflict is refused, not silently cast
+    bad = spark.createDataFrame([(5, "e", "high")],
+                                "id long, name string, score string")
+    with pytest.raises(ValueError, match="schema conflict"):
+        upsert_table(spark, bad, path, key="id")
+
+
+def test_upsert_schema_evolution_partitioned(spark, tmp_path):
+    from nba_data_pipeline_spark.sinks.writer import upsert_table
+
+    path = str(tmp_path / "evolvep")
+    v1 = spark.createDataFrame(
+        [(1, "x", "2024"), (2, "y", "2024"), (3, "z", "2025")],
+        "id long, v string, season string",
+    )
+    upsert_table(spark, v1, path, key="id", partition_by=("season",))
+    v2 = spark.createDataFrame(
+        [(2, "Y", "2024", 42)], "id long, v string, season string, extra int"
+    )
+    upsert_table(spark, v2, path, key="id", partition_by=("season",))
+    back = {r.id: (r.v, r.extra) for r in spark.read.parquet(path).collect()}
+    # 2024 partition rewritten with the evolved schema; 2025 untouched
+    # on disk, so mergeSchema read surfaces extra=NULL there
+    assert back[2] == ("Y", 42) and back[1] == ("x", None)
+    assert back[3] == ("z", None)
