@@ -39,12 +39,6 @@ PIPELINES = (
 
 SEASON_TYPES = ("Regular Season", "Playoffs", "Pre Season", "IST")
 
-# GAME_ID positional decode (reference utils/utils.py:66-69): the 3rd
-# digit encodes season type. Only these are decodable from the id; the
-# other digits (3 All-Star, 5 Play-In, 6/7 IST knockouts) need an
-# explicit --season/--season_type.
-GAME_ID_TYPE_NAMES = {"1": "Pre Season", "2": "Regular Season", "4": "Playoffs"}
-
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
@@ -95,18 +89,24 @@ def parse_args(argv: Sequence[str]) -> argparse.Namespace:
     if has_game:
         # Fail loudly BEFORE any Spark work: a mis-decoded SEASON_TYPE
         # would upsert the game into the wrong (SEASON, SEASON_TYPE)
-        # partition.
+        # partition. The decode table is the canonical one used for
+        # Column-level stamping (functions/gameid.py) — a second copy
+        # here could drift and disagree with partition stamping.
+        from .functions.gameid import SEASON_TYPE_BY_DIGIT
+
         gid = args.game_id
         if len(gid) != 10 or not gid.isdigit():
             raise SystemExit(
                 f"--game_id must be a 10-digit NBA game id, got {gid!r}"
             )
-        if gid[2] not in GAME_ID_TYPE_NAMES:
+        if gid[2] not in SEASON_TYPE_BY_DIGIT:
             raise SystemExit(
                 f"--game_id {gid!r} has season-type digit {gid[2]!r}; only "
-                f"{sorted(GAME_ID_TYPE_NAMES)} (Pre Season / Regular Season "
-                "/ Playoffs) are supported — pass --season/--season_type "
-                "explicitly for All-Star, Play-In, or IST games"
+                f"{sorted(SEASON_TYPE_BY_DIGIT)} (Pre Season / Regular "
+                "Season / Playoffs) games can be loaded per-game — "
+                "All-Star, Play-In, and IST-knockout ids are outside this "
+                "pipeline's season-type contract (same as the reference "
+                "decode, utils/utils.py:72-79)"
             )
     args.seasons = (
         [s.strip() for s in args.season.split(",") if s.strip()] if args.season else []
@@ -155,10 +155,12 @@ def run(argv: Sequence[str], spark: SparkSession | None = None) -> None:
             # (SEASON, SEASON_TYPE)-partitioned write rejects, and a
             # later --season run would re-upsert the same key into a
             # different partition.
+            from .functions.gameid import SEASON_TYPE_BY_DIGIT
+
             gid = args.game_id  # format validated in parse_args
             start = int("20" + gid[3:5])
             season = f"{start}-{str(start + 1)[-2:]}"
-            stype = GAME_ID_TYPE_NAMES[gid[2]]
+            stype = SEASON_TYPE_BY_DIGIT[gid[2]]
         primary = inputs[0]
         # season-stamping pipelines must be fed season-scoped rows (the
         # reference's API inputs are inherently per-season); scope by the

@@ -835,6 +835,7 @@ def incremental_simhash_pairs(
     corpus_fps: DataFrame,
     max_hamming: int = 3,
     band_bits: int = 16,
+    max_bucket_width: int | None = 1000,
 ) -> DataFrame:
     """Incremental SimHash over PERSISTED fingerprint tables — the
     third leg of the continuous-ingest family (``incremental_ngram_pairs``
@@ -846,28 +847,77 @@ def incremental_simhash_pairs(
     Verification is exact (Hamming distance of the full 64-bit
     fingerprints on candidates only).
 
+    Buckets wider than ``max_bucket_width`` (across batch + corpus —
+    e.g. every empty doc fingerprints to sh=0 and shares all bands)
+    degrade to STAR candidates around the bucket's min doc id, the
+    same linear-cost guard as ``_bucket_pairs``: fan-out O(width), a
+    diameter-2 subgraph for downstream component dedup, at the cost of
+    exact parity with unguarded candidates (``None`` disables). Unlike
+    the batch operators there is no eager width probe — this composes
+    into continuous-ingest plans, so the widths join is unconditional
+    and the plan stays fully lazy.
+
     An id present in BOTH tables (a re-ingested document) is treated
     as new: the corpus row is dropped first, so each doc appears once
     and pairs carry a single, consistent other_is_new. Output:
     (id_new, id_other, other_is_new, hamming).
     """
     corpus_only = corpus_fps.join(new_fps.select("doc_id"), "doc_id", "left_anti")
-    new_b = _simhash_bands(new_fps, band_bits).localCheckpoint(eager=False)
-    all_b = new_b.withColumn("_new", F.lit(1)).unionByName(
-        _simhash_bands(corpus_only, band_bits).withColumn("_new", F.lit(0))
+    all_b = (
+        _simhash_bands(new_fps, band_bits).withColumn("_new", F.lit(1))
+        .unionByName(
+            _simhash_bands(corpus_only, band_bits).withColumn("_new", F.lit(0))
+        )
+        .localCheckpoint(eager=False)  # feeds widths + both join sides
     )
-    cand = (
-        new_b.select(F.col("doc_id").alias("id_new"), "band", "bucket")
+    if max_bucket_width is None:
+        sized = all_b.withColumn("_bw", F.lit(0))
+        cap = 0  # everything "cold"
+    else:
+        widths = all_b.groupBy("band", "bucket").agg(F.count("*").alias("_bw"))
+        sized = all_b.join(widths, ["band", "bucket"])
+        cap = max_bucket_width
+    sized = sized.localCheckpoint(eager=False)  # cold pair sides + hot star branch
+    cold = sized.filter(F.col("_bw") <= cap)
+    cand_cold = (
+        cold.filter(F.col("_new") == 1)
+        .select(F.col("doc_id").alias("id_new"), "band", "bucket")
         .join(
-            all_b.select(
+            cold.select(
                 F.col("doc_id").alias("id_other"), F.col("_new").alias("_new_b"),
                 "band", "bucket",
             ),
             ["band", "bucket"],
         )
+        .select("id_new", "id_other", "_new_b")
+    )
+    # hot buckets: star pairs hub<->member; the NEW side must drive, so
+    # a pair is emitted iff hub or member is new, ordered hub-first
+    # when the hub is new (hub = min id, so new-new pairs emit once)
+    hot = sized.filter(F.col("_bw") > cap)
+    hubs = hot.groupBy("band", "bucket").agg(F.min("doc_id").alias("_hub"))
+    hub_tag = (
+        hot.join(hubs, ["band", "bucket"])
+        .filter(F.col("doc_id") == F.col("_hub"))
+        .select("band", "bucket", "_hub", F.col("_new").alias("_hub_new"))
+    )
+    cand_hot = (
+        hot.join(hub_tag, ["band", "bucket"])
+        .filter(F.col("doc_id") != F.col("_hub"))
+        .filter((F.col("_new") == 1) | (F.col("_hub_new") == 1))
+        .select(
+            F.when(F.col("_hub_new") == 1, F.col("_hub"))
+            .otherwise(F.col("doc_id")).alias("id_new"),
+            F.when(F.col("_hub_new") == 1, F.col("doc_id"))
+            .otherwise(F.col("_hub")).alias("id_other"),
+            F.when(F.col("_hub_new") == 1, F.col("_new"))
+            .otherwise(F.col("_hub_new")).alias("_new_b"),
+        )
+    )
+    cand = (
+        cand_cold.unionByName(cand_hot)
         .filter((F.col("_new_b") == 0) | (F.col("id_new") < F.col("id_other")))
         .filter(F.col("id_new") != F.col("id_other"))
-        .select("id_new", "id_other", "_new_b")
         .distinct()
     )
     a_fp = new_fps.select(F.col("doc_id").alias("id_new"), F.col("sh").alias("_fa"))
@@ -935,12 +985,18 @@ def dedup_lines(
     doc) resolve by position, so exactly one copy survives there too.
 
     Returns (id, text, n_kept, n_dropped); a document whose every line
-    was dropped elsewhere comes back with empty text, not a missing
-    row.
+    was dropped elsewhere — or whose text is NULL — comes back with
+    empty text, not a missing row.
     """
     lines = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line"),
+        # coalesce: split(NULL) is NULL and posexplode(NULL) emits no
+        # rows, which would silently drop the document. \Q...\E quotes
+        # the separator — split() takes a REGEX, and reassembly below
+        # uses the separator literally.
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\\Q" + sep + "\\E")
+        ).alias("_pos", "_line"),
     )
     w = Window.partitionBy("_line").orderBy("_id", "_pos")
     kept = (
@@ -1004,7 +1060,10 @@ def remove_repeated_spans(
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     toks = df.select(
-        F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_tok")
+        F.col(id_col).alias("_id"),
+        # coalesce: a NULL text must yield a row with empty text, not
+        # a silently-missing document (posexplode of NULL emits none)
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("_tok"),
     )
     # start positions are 0-based; doc with < n tokens has no grams
     grams = toks.select(

@@ -36,10 +36,13 @@ def _align_schemas(target: DataFrame, source: DataFrame) -> tuple[DataFrame, Dat
     column order (source's order first, then target-only columns)."""
     s_types = dict(zip(source.columns, [f.dataType for f in source.schema.fields]))
     t_types = dict(zip(target.columns, [f.dataType for f in target.schema.fields]))
+    # compare via simpleString: parquet read-back marks nested struct
+    # fields nullable, so strict DataType equality would flag a merge
+    # of the logically-identical type as a conflict
     conflicts = {
         c: (t_types[c], s_types[c])
         for c in s_types
-        if c in t_types and t_types[c] != s_types[c]
+        if c in t_types and t_types[c].simpleString() != s_types[c].simpleString()
     }
     if conflicts:
         raise ValueError(
@@ -235,7 +238,11 @@ def compact_table(
     """
     import math
 
-    df = read_table(spark, path)
+    # merge_schema: compaction REWRITES partitions, and after a schema
+    # evolution untouched partitions still carry the old file schema —
+    # a single-footer read here would rewrite them without the evolved
+    # column, deleting its values from disk
+    df = read_table(spark, path, merge_schema=True)
     # non-deterministic exprs can't sit inside an aggregate (ANSI
     # analyzer rule) — project the file name into a column first
     fdf = df.withColumn("_fn", F.input_file_name())
@@ -265,7 +272,11 @@ def compact_table(
     frag = stats.collect()  # one row per FRAGMENTED partition — tiny
     if not frag:
         return {"partitions_compacted": 0, "files_before": 0}
-    sized = df.join(F.broadcast(stats), pcols)
+    # rebuild the broadcast side from the ALREADY-COLLECTED rows —
+    # reusing `stats` would embed its full-table aggregate subplan in
+    # the rewrite and scan the table a second time at write
+    frag_df = spark.createDataFrame(frag, schema=stats.schema)
+    sized = df.join(F.broadcast(frag_df), pcols)
     bucketed = sized.withColumn(
         "_f",
         F.pmod(F.xxhash64(*[c for c in df.columns if c not in pcols]), F.col("_nf")),

@@ -528,3 +528,47 @@ def test_incremental_simhash_pairs_fingerprint_path(spark):
         fps.filter("doc_id in (1, 10)"), fps, max_hamming=6
     )
     assert all(r.id_new in (1, 10) for r in out2.collect())
+
+
+def test_subdoc_dedup_null_text_and_regex_sep(spark):
+    """NULL text yields an empty-text row, never a missing doc; a
+    regex-metacharacter separator is treated literally."""
+    from nba_data_pipeline_spark.operators.dedup import dedup_lines, remove_repeated_spans
+
+    df = spark.createDataFrame(
+        [(1, "a|b|a"), (2, None), (3, "b|c")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.text, r.n_kept) for r in dedup_lines(
+        df, "doc_id", "text", sep="|").collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1] == ("a|b", 2)          # within-doc dup 'a' dropped
+    assert got[3] == ("c", 1)            # 'b' first seen in doc 1
+    assert got[2][0] in ("", None) or got[2][0] == ""
+    got2 = {r.doc_id for r in remove_repeated_spans(
+        df, "doc_id", "text", n=2, min_repeat=2).collect()}
+    assert got2 == {1, 2, 3}
+
+
+def test_incremental_simhash_hot_bucket_star(spark):
+    """A degenerate bucket (identical fingerprints beyond the cap)
+    degrades to O(width) star pairs around the min id instead of a
+    quadratic bucket join; the new side still drives every pair."""
+    from nba_data_pipeline_spark.operators.dedup import (
+        incremental_simhash_pairs,
+        simhash_df,
+    )
+
+    text = "same words every time " * 3
+    rows = [(i, text) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = simhash_df(df, "doc_id", "text")
+    new = fps.filter("doc_id >= 20")
+    old = fps.filter("doc_id < 20")
+    out = incremental_simhash_pairs(new, old, max_hamming=0, max_bucket_width=5)
+    pairs = {(r.id_new, r.id_other) for r in out.collect()}
+    # star: hub is min id 0 (old) -> every NEW doc pairs with the hub only
+    assert pairs == {(i, 0) for i in range(20, 30)}
+    # cap disabled -> full new-driven fan-out (new x all, new-new once)
+    full = incremental_simhash_pairs(new, old, max_hamming=0, max_bucket_width=None)
+    n_full = full.count()
+    assert n_full == 10 * 20 + (10 * 9) // 2

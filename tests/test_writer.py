@@ -194,8 +194,40 @@ def test_upsert_schema_evolution_partitioned(spark, tmp_path):
         [(2, "Y", "2024", 42)], "id long, v string, season string, extra int"
     )
     upsert_table(spark, v2, path, key="id", partition_by=("season",))
-    back = {r.id: (r.v, r.extra) for r in spark.read.parquet(path).collect()}
-    # 2024 partition rewritten with the evolved schema; 2025 untouched
-    # on disk, so mergeSchema read surfaces extra=NULL there
+    # heterogeneous table: 2025 partition still has the old file
+    # schema, so the read-back NEEDS mergeSchema (a plain read infers
+    # from one arbitrary footer and may not see 'extra' at all)
+    back = {
+        r.id: (r.v, r.extra)
+        for r in spark.read.option("mergeSchema", True).parquet(path).collect()
+    }
     assert back[2] == ("Y", 42) and back[1] == ("x", None)
     assert back[3] == ("z", None)
+
+
+def test_compact_preserves_evolved_schema(spark, tmp_path):
+    """Compacting a schema-evolved table must not drop the evolved
+    column from rewritten partitions (mergeSchema read inside
+    compact_table)."""
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.sinks.writer import compact_table, upsert_table
+
+    path = str(tmp_path / "evc")
+    v1 = spark.createDataFrame(
+        [(i, "x", "a") for i in range(100)] + [(i, "y", "b") for i in range(100, 200)],
+        "id long, v string, part string",
+    )
+    upsert_table(spark, v1, path, key="id", partition_by=("part",))
+    # evolve partition a with an extra column, fragmenting it
+    v2 = spark.createDataFrame(
+        [(i, "x2", "a", i * 1.0) for i in range(50)],
+        "id long, v string, part string, score double",
+    )
+    upsert_table(spark, v2, path, key="id", partition_by=("part",))
+    frag = spark.read.option("mergeSchema", True).parquet(path)
+    assert frag.filter("score is not null").count() == 50
+    compact_table(spark, path, target_rows_per_file=1000, partition_by=["part"])
+    back = spark.read.option("mergeSchema", True).parquet(path)
+    assert back.count() == 200
+    assert back.filter("score is not null").count() == 50
