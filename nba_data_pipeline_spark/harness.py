@@ -1671,6 +1671,30 @@ def q_budget_sample(spark, sf):
 
 
 @q(
+    "quality_prune",
+    # keep top 80% per (source, lang) by n_chars; cutoff rank in exact
+    # integer arithmetic: ceil(0.8 * n) = (8000n + 9999) // 10000
+    """SELECT doc_id, source, lang, n_chars FROM (
+         SELECT doc_id, source, lang, n_chars,
+                row_number() OVER (PARTITION BY source, lang
+                                   ORDER BY n_chars DESC, doc_id) AS rn,
+                count(*) OVER (PARTITION BY source, lang) AS n
+         FROM documents)
+       WHERE rn <= (n * 8000 + 9999) // 10000""",
+)
+def q_quality_prune(spark, sf):
+    """Relative quality pruning (operators/sampling.py
+    top_fraction_per_group): best 80% per domain — the complement to
+    corpus_pipeline's absolute min_quality threshold."""
+    from .operators.sampling import top_fraction_per_group
+
+    docs = _t(spark, sf, "documents")
+    return top_fraction_per_group(
+        docs, "doc_id", ["source", "lang"], "n_chars", 0.8
+    ).select("doc_id", "source", "lang", "n_chars")
+
+
+@q(
     "length_percentiles",
     # discrete percentiles via integer rank arithmetic (value at rank
     # ceil(q*n)) — no interpolation, no FP, engine-portable by

@@ -229,6 +229,43 @@ def budget_sample(
     )
 
 
+def top_fraction_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_cols: list[str],
+    score_col: str,
+    keep_frac: float,
+) -> DataFrame:
+    """RELATIVE quality pruning: keep the top ``keep_frac`` of each
+    group by score (ties by id for determinism) — 'best 80% per
+    domain', the standard complement to an absolute quality threshold
+    when domains have different score distributions.
+
+    Cutoff rank is integer arithmetic (ceil(frac * n) via
+    (num * n + den - 1) // den on a rational frac) — no FP percentile,
+    so results are engine-portable and stable. One window shuffle on
+    the group key; every group keeps at least one row while
+    keep_frac > 0.
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    from pyspark.sql import Window
+
+    # rational form with denominator 10000 keeps ceil() in exact
+    # integer arithmetic for any keep_frac the caller can express
+    num = int(round(keep_frac * 10000))
+    w = Window.partitionBy(*group_cols).orderBy(
+        _col(score_col).desc(), _col(id_col)
+    )
+    wn = Window.partitionBy(*group_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wn))
+        .filter(F.col("_rn") <= F.expr(f"(_n * {num} + 9999) div 10000"))
+        .drop("_rn", "_n")
+    )
+
+
 def weighted_sample(df: DataFrame, id_col: str, weight_col: str, k: int) -> DataFrame:
     """Top-k weighted sampling without replacement (Efraimidis-Spirakis):
     each row gets key u^(1/w) with u uniform in (0,1); the k largest keys

@@ -164,3 +164,23 @@ def test_budget_sample_caps_each_group(spark):
         key=lambda i: (((i * 2654435761) % (1 << 32)) % 10000, i),
     )
     assert picked == set(order[:3])
+
+
+def test_top_fraction_per_group(spark):
+    """ceil(frac*n) rows survive per group, highest scores first with
+    id tiebreak; every non-empty group keeps at least one row."""
+    import pytest
+
+    from nba_data_pipeline_spark.operators.sampling import top_fraction_per_group
+
+    rows = [(i, "a", float(i)) for i in range(10)] + [(100, "b", 1.0), (101, "b", 1.0)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, score double")
+    out = top_fraction_per_group(df, "doc_id", ["src"], "score", 0.5)
+    got = {r.src: sorted(r2.doc_id for r2 in out.filter(out.src == r.src).collect())
+           for r in out.select("src").distinct().collect()}
+    assert got["a"] == [5, 6, 7, 8, 9]          # top 5 of 10 by score
+    assert got["b"] == [100]                    # ceil(0.5*2)=1, tie -> min id
+    tiny = top_fraction_per_group(df.filter("src='b'"), "doc_id", ["src"], "score", 0.01)
+    assert tiny.count() == 1                    # floor of one row per group
+    with pytest.raises(ValueError, match="keep_frac"):
+        top_fraction_per_group(df, "doc_id", ["src"], "score", 0.0)
