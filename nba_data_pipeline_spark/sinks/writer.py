@@ -70,6 +70,20 @@ def write_table(
     writer.parquet(path)
 
 
+def table_exists(path: str) -> bool:
+    """True iff ``path`` holds at least one parquet data file. A bare
+    directory (e.g. an aborted or EMPTY first write — Spark writes only
+    _SUCCESS for a zero-row frame) is NOT a table: reading it fails
+    schema inference, so merge paths must treat it as absent and take
+    the create-on-first-write branch."""
+    if not os.path.exists(path):
+        return False
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def read_table(spark: SparkSession, path: str, merge_schema: bool = False) -> DataFrame:
     """``merge_schema=True`` unions column sets across all files —
     REQUIRED when reading a table whose partitions may carry evolved
@@ -179,7 +193,7 @@ def upsert_table(
     """MERGE: source rows win on key collision; first write creates the
     table (reference create-on-first-write, db_client.py:43-54).
     Partitioned tables rewrite only the partitions receiving source rows."""
-    if not os.path.exists(path):
+    if not table_exists(path):
         write_table(source, path, partition_by)
         return
     if partition_by:
@@ -198,7 +212,7 @@ def insert_ignore_table(
     partition_by: Sequence[str] = (),
 ) -> None:
     """ON CONFLICT DO NOTHING (reference db_client.py:87-88)."""
-    if not os.path.exists(path):
+    if not table_exists(path):
         write_table(source, path, partition_by)
         return
     if partition_by:

@@ -66,3 +66,85 @@ def run_stream_dedup(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def near_dedup_batch(
+    batch_df: DataFrame,
+    signature_path: str,
+    pairs_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> None:
+    """One continuous-ingest near-dedup step (the foreachBatch body of
+    ``stream_near_dedup``, exposed for cron-style batch ingest and for
+    redelivery testing):
+
+    1. signatures for the batch only (the corpus is never re-shingled),
+    2. ``incremental_minhash_pairs`` against the PERSISTED signature
+       table (new-vs-old both orders, new-vs-new once, old-vs-old never),
+    3. pairs CANONICALIZED to (id_a, id_b) = (min, max) and MERGEd on
+       that key — so replays (redelivered micro-batch, fresh-checkpoint
+       reprocess where old docs count as new again) upsert the same
+       rows whichever side drove the pair,
+    4. batch signatures MERGEd on the id (same idempotency argument).
+
+    State lives in the two parquet tables, not in streaming memory, so
+    a restart is cold with zero state rebuild.
+    """
+    from ..operators.dedup import incremental_minhash_pairs, minhash_signatures
+    from ..sinks.writer import table_exists, upsert_table
+
+    spark = batch_df.sparkSession
+    sigs = minhash_signatures(
+        batch_df, id_col, text_col, num_perm=num_perm
+    ).localCheckpoint()  # eager: feeds the pair join AND the table merge
+    if table_exists(signature_path):
+        corpus = spark.read.parquet(signature_path)
+    else:  # first batch: empty corpus, new-vs-new pairs still form
+        corpus = spark.createDataFrame([], sigs.schema)
+    pairs = incremental_minhash_pairs(
+        sigs, corpus, num_perm=num_perm, bands=bands, threshold=threshold
+    ).select(
+        F.least("id_new", "id_other").alias("id_a"),
+        F.greatest("id_new", "id_other").alias("id_b"),
+        "est_jaccard",
+    )
+    upsert_table(spark, pairs, pairs_path, key=("id_a", "id_b"))
+    upsert_table(spark, sigs, signature_path, key=id_col)
+
+
+def stream_near_dedup(
+    stream_df: DataFrame,
+    signature_path: str,
+    pairs_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    query_name: str = "stream_near_dedup",
+):
+    """Continuous-ingest NEAR-dedup as a Structured Streaming query:
+    ``near_dedup_batch`` per micro-batch via foreachBatch. At 100 TB
+    the per-batch cost is O(batch) shingling + one banded join against
+    the signature table; ``available_now=True`` drains what's pending
+    and stops (cron-style incremental ingest, like the reference CLI).
+    """
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        near_dedup_batch(
+            batch_df, signature_path, pairs_path, id_col, text_col,
+            num_perm, bands, threshold,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process).queryName(query_name)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -68,3 +68,67 @@ def test_enrich_stream_plan_is_broadcast(spark):
     dim = spark.createDataFrame([(i, "x") for i in range(10)], "event_id long, d string")
     plan = enrich_stream(events, dim, "event_id")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_stream_near_dedup_two_batches(spark, tmp_path):
+    """Continuous-ingest near-dedup: batch 2 finds its near-dups against
+    batch 1's PERSISTED signatures without re-shingling them; pairs are
+    canonicalized (id_a < id_b) so any replay upserts the same rows."""
+    from pyspark.sql import types as T
+
+    from nba_data_pipeline_spark.streaming.ops import near_dedup_batch, stream_near_dedup
+
+    src = str(tmp_path / "src")
+    sig_p = str(tmp_path / "sigs")
+    pair_p = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+
+    def run_pass():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = stream_near_dedup(
+            stream, sig_p, pair_p, num_perm=32, bands=16, threshold=0.3,
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination()
+
+    # batch 1: two docs, near-dups of each other
+    spark.createDataFrame(
+        [(1, base), (2, base.replace("kappa", "lambda"))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_pass()
+    pairs1 = {(r.id_a, r.id_b) for r in spark.read.parquet(pair_p).collect()}
+    assert pairs1 == {(1, 2)}  # new-new emitted once on the first batch
+    assert spark.read.parquet(sig_p).count() == 2
+
+    # batch 2: one dup of batch 1, one unrelated doc
+    spark.createDataFrame(
+        [(10, base), (11, "wholly different words that share nothing at all")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_pass()
+    pairs2 = {(r.id_a, r.id_b) for r in spark.read.parquet(pair_p).collect()}
+    assert pairs2 == {(1, 2), (1, 10), (2, 10)}
+    assert spark.read.parquet(sig_p).count() == 4
+
+    # direct redelivery of batch 2 (crash-replay of one micro-batch):
+    # same tables afterwards, no duplicate pairs or signatures
+    batch2 = spark.createDataFrame([(10, base), (11, "unrelated")], schema)
+    near_dedup_batch(batch2, sig_p, pair_p, num_perm=32, bands=16, threshold=0.3)
+    pairs3 = {(r.id_a, r.id_b) for r in spark.read.parquet(pair_p).collect()}
+    assert pairs3 == pairs2
+    assert spark.read.parquet(sig_p).count() == 4
+
+    # fresh-checkpoint full reprocess (disaster recovery): every doc
+    # counts as new again, yet the canonical sink converges to the
+    # same pair set
+    import shutil
+
+    shutil.rmtree(ckpt)
+    run_pass()
+    pairs4 = {(r.id_a, r.id_b) for r in spark.read.parquet(pair_p).collect()}
+    assert pairs4 == pairs2
+    assert spark.read.parquet(sig_p).count() == 4
