@@ -25,6 +25,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import SparkSession
 
+from .functions.gameid import SEASON_TYPE_BY_DIGIT
+
 PIPELINES = (
     "team_game_log",
     "play_by_play",
@@ -92,8 +94,6 @@ def parse_args(argv: Sequence[str]) -> argparse.Namespace:
         # partition. The decode table is the canonical one used for
         # Column-level stamping (functions/gameid.py) — a second copy
         # here could drift and disagree with partition stamping.
-        from .functions.gameid import SEASON_TYPE_BY_DIGIT
-
         gid = args.game_id
         if len(gid) != 10 or not gid.isdigit():
             raise SystemExit(
@@ -155,8 +155,6 @@ def run(argv: Sequence[str], spark: SparkSession | None = None) -> None:
             # (SEASON, SEASON_TYPE)-partitioned write rejects, and a
             # later --season run would re-upsert the same key into a
             # different partition.
-            from .functions.gameid import SEASON_TYPE_BY_DIGIT
-
             gid = args.game_id  # format validated in parse_args
             start = int("20" + gid[3:5])
             season = f"{start}-{str(start + 1)[-2:]}"
@@ -189,10 +187,14 @@ def run(argv: Sequence[str], spark: SparkSession | None = None) -> None:
             out = out.filter(out["SEASON"] == season)
         if args.delta:
             # first load: nothing to subtract. Existence-checked (same
-            # test upsert_table uses) rather than a broad except — a
-            # corrupt/unreadable existing table must fail loudly, not
-            # silently disable delta filtering and re-merge everything.
-            if os.path.exists(args.output):
+            # test upsert_table uses — a dir with no parquet data files,
+            # e.g. after a zero-row first write, counts as absent)
+            # rather than a broad except — a corrupt/unreadable existing
+            # table must fail loudly, not silently disable delta
+            # filtering and re-merge everything.
+            from .sinks.writer import table_exists
+
+            if table_exists(args.output):
                 existing = spark.read.parquet(args.output)
                 out = delta_filter(out, existing, ["GAME_ID"])
         partition = ("SEASON", "SEASON_TYPE") if "SEASON" in out.columns else ()

@@ -850,12 +850,17 @@ def incremental_simhash_pairs(
     Buckets wider than ``max_bucket_width`` (across batch + corpus —
     e.g. every empty doc fingerprints to sh=0 and shares all bands)
     degrade to STAR candidates around the bucket's min doc id, the
-    same linear-cost guard as ``_bucket_pairs``: fan-out O(width), a
-    diameter-2 subgraph for downstream component dedup, at the cost of
-    exact parity with unguarded candidates (``None`` disables). Unlike
-    the batch operators there is no eager width probe — this composes
-    into continuous-ingest plans, so the widths join is unconditional
-    and the plan stays fully lazy.
+    same linear-cost guard as ``_bucket_pairs``: fan-out O(width) and
+    a diameter-2 subgraph for downstream component dedup — PROVIDED
+    the hub survives the Hamming verify against its members. As with
+    the batch guard (see ``_bucket_pairs``), a hub that is far from
+    two members which are close to each other loses that pair: exact
+    parity with unguarded candidates requires ``None``; the default
+    cap trades that edge for linear behavior on degenerate corpora.
+    Audit wide buckets with ``bucket_width_stats`` over
+    ``_simhash_bands`` output. Unlike the batch operators there is no
+    eager width probe — this composes into continuous-ingest plans,
+    so the widths join is unconditional and the plan stays fully lazy.
 
     An id present in BOTH tables (a re-ingested document) is treated
     as new: the corpus row is dropped first, so each doc appears once
@@ -993,9 +998,14 @@ def dedup_lines(
         # coalesce: split(NULL) is NULL and posexplode(NULL) emits no
         # rows, which would silently drop the document. \Q...\E quotes
         # the separator — split() takes a REGEX, and reassembly below
-        # uses the separator literally.
+        # uses the separator literally. An embedded \E would terminate
+        # the quote early, so it is re-escaped the way
+        # java.util.regex.Pattern.quote does.
         F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), "\\Q" + sep + "\\E")
+            F.split(
+                F.coalesce(F.col(text_col), F.lit("")),
+                "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E",
+            )
         ).alias("_pos", "_line"),
     )
     w = Window.partitionBy("_line").orderBy("_id", "_pos")

@@ -252,8 +252,10 @@ def top_fraction_per_group(
     from pyspark.sql import Window
 
     # rational form with denominator 10000 keeps ceil() in exact
-    # integer arithmetic for any keep_frac the caller can express
-    num = int(round(keep_frac * 10000))
+    # integer arithmetic for any keep_frac the caller can express;
+    # the max(1,...) floor keeps the documented at-least-one-row
+    # guarantee for keep_frac below the 1/10000 resolution
+    num = max(1, int(round(keep_frac * 10000)))
     w = Window.partitionBy(*group_cols).orderBy(
         _col(score_col).desc(), _col(id_col)
     )

@@ -77,6 +77,7 @@ def near_dedup_batch(
     num_perm: int = 32,
     bands: int = 16,
     threshold: float = 0.5,
+    shingle_n: int = 3,
 ) -> None:
     """One continuous-ingest near-dedup step (the foreachBatch body of
     ``stream_near_dedup``, exposed for cron-style batch ingest and for
@@ -93,13 +94,19 @@ def near_dedup_batch(
 
     State lives in the two parquet tables, not in streaming memory, so
     a restart is cold with zero state rebuild.
+
+    CAVEAT: a document with fewer than ``shingle_n`` tokens produces
+    zero shingles, hence NO signature row — it never enters the
+    signature table and never near-dedups. Route short documents
+    through exact dedup (they are cheap to hash whole) or lower
+    ``shingle_n``.
     """
     from ..operators.dedup import incremental_minhash_pairs, minhash_signatures
     from ..sinks.writer import table_exists, upsert_table
 
     spark = batch_df.sparkSession
     sigs = minhash_signatures(
-        batch_df, id_col, text_col, num_perm=num_perm
+        batch_df, id_col, text_col, num_perm=num_perm, shingle_n=shingle_n
     ).localCheckpoint()  # eager: feeds the pair join AND the table merge
     if table_exists(signature_path):
         corpus = spark.read.parquet(signature_path)
@@ -113,7 +120,10 @@ def near_dedup_batch(
         "est_jaccard",
     )
     upsert_table(spark, pairs, pairs_path, key=("id_a", "id_b"))
-    upsert_table(spark, sigs, signature_path, key=id_col)
+    # minhash_signatures aliases the id column to doc_id, so the
+    # signature-table merge key is the literal "doc_id" regardless of
+    # the caller's id_col
+    upsert_table(spark, sigs, signature_path, key="doc_id")
 
 
 def stream_near_dedup(
@@ -125,6 +135,7 @@ def stream_near_dedup(
     num_perm: int = 32,
     bands: int = 16,
     threshold: float = 0.5,
+    shingle_n: int = 3,
     checkpoint_dir: str | None = None,
     available_now: bool = True,
     query_name: str = "stream_near_dedup",
@@ -139,7 +150,7 @@ def stream_near_dedup(
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         near_dedup_batch(
             batch_df, signature_path, pairs_path, id_col, text_col,
-            num_perm, bands, threshold,
+            num_perm, bands, threshold, shingle_n,
         )
 
     writer = stream_df.writeStream.foreachBatch(process).queryName(query_name)

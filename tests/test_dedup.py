@@ -572,3 +572,19 @@ def test_incremental_simhash_hot_bucket_star(spark):
     full = incremental_simhash_pairs(new, old, max_hamming=0, max_bucket_width=None)
     n_full = full.count()
     assert n_full == 10 * 20 + (10 * 9) // 2
+
+
+def test_dedup_lines_separator_with_embedded_quote_end(spark):
+    r"""A separator containing \E must not terminate the regex quote
+    early (Pattern.quote-style re-escaping)."""
+    from nba_data_pipeline_spark.operators.dedup import dedup_lines
+
+    sep = "\\E|"
+    df = spark.createDataFrame(
+        [(1, f"aaa{sep}bbb{sep}aaa"), (2, f"bbb{sep}ccc")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.text, r.n_kept, r.n_dropped) for r in dedup_lines(
+        df, "doc_id", "text", sep=sep).collect()}
+    assert got[1] == (f"aaa{sep}bbb", 2, 1)
+    assert got[2] == ("ccc", 1, 1)

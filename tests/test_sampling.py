@@ -184,3 +184,13 @@ def test_top_fraction_per_group(spark):
     assert tiny.count() == 1                    # floor of one row per group
     with pytest.raises(ValueError, match="keep_frac"):
         top_fraction_per_group(df, "doc_id", ["src"], "score", 0.0)
+
+
+def test_top_fraction_tiny_frac_keeps_one_row(spark):
+    from nba_data_pipeline_spark.operators.sampling import top_fraction_per_group
+
+    df = spark.createDataFrame(
+        [(i, "a", float(i)) for i in range(5)], "doc_id long, src string, score double"
+    )
+    out = top_fraction_per_group(df, "doc_id", ["src"], "score", 0.00001)
+    assert [r.doc_id for r in out.collect()] == [4]  # top scorer survives
