@@ -41,17 +41,19 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _ensure_nanos_conf(spark: SparkSession) -> None:
-    """events.parquet stores TIMESTAMP(NANOS); the reader needs the
-    legacy nanosAsLong conf (set in our session factory, but the
-    driver may pass its own session)."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
-    try:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-    except Exception:
-        pass
+    """events.parquet has stored ts as TIMESTAMP(NANOS) or as
+    timestamp[us] NTZ depending on testdata generation; make a
+    driver-supplied session read it as plain TIMESTAMP either way
+    (our own session factory sets the same confs)."""
+    for key, val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(key, val)
+        except Exception:
+            pass
 
 
 def _with_conf(fn):

@@ -58,11 +58,19 @@ def main() -> None:
     qs = harness.queries()
 
     # warm the JVM + parquet footers once so per-query numbers measure
-    # the plans, not session startup
-    qs["tpch_q6"](spark, SF_DIR).collect()
-    # materialize the synthetic bulk-lineup fixture before any timer:
-    # the lineup rows should time the operator, not the fixture fan-out
-    harness._replicated_fixture(spark, 200, events_mult=50)
+    # the plans, not session startup (fault-isolated like everything
+    # else: a broken warmup query must not kill the whole run)
+    try:
+        qs["tpch_q6"](spark, SF_DIR).collect()
+    except Exception as exc:  # noqa: BLE001
+        print(f"# warmup failed: {exc}", file=sys.stderr)
+    try:
+        # materialize the synthetic bulk-lineup fixture before any
+        # timer: the lineup rows should time the operator, not the
+        # fixture fan-out
+        harness._replicated_fixture(spark, 200, events_mult=50)
+    except Exception as exc:  # noqa: BLE001
+        print(f"# fixture warmup failed: {exc}", file=sys.stderr)
 
     # Per-query minimum of two back-to-back runs: single-shot numbers
     # on this host swing ~40% with phantom load (same commit measured
@@ -71,15 +79,24 @@ def main() -> None:
     # transparently via runs_per_query.
     RUNS = 2
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs[name]
         best, n = None, 0
-        for _ in range(RUNS):
-            t0 = time.time()
-            df = fn(spark, SF_DIR)
-            n = df.count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+        # per-query fault isolation: one broken query records an error
+        # entry and the run keeps timing the rest (round-4 lesson — a
+        # single AnalysisException must never zero the whole bench)
+        try:
+            for _ in range(RUNS):
+                t0 = time.time()
+                df = fn(spark, SF_DIR)
+                n = df.count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]}s (min of {RUNS})", file=sys.stderr)
 
@@ -93,6 +110,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "runs_per_query": RUNS,
                 "sf": sf,
             }
@@ -101,4 +119,21 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # noqa: BLE001
+        # catastrophic failure (session bootstrap, registry import):
+        # still emit the one parseable JSON line the driver expects
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total",
+                    "value": None,
+                    "unit": "sec",
+                    "queries": {},
+                    "errors": {"__fatal__": f"{type(exc).__name__}: {exc}"[:500]},
+                    "sf": None,
+                }
+            )
+        )
+        raise SystemExit(1)

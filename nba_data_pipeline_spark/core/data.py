@@ -1,18 +1,29 @@
 """Testdata loaders: typed parquet reads with timestamp normalization.
 
-The driver's synthetic tables (TESTDATA.md) are plain parquet; one
-quirk: ``events.ts`` is written as TIMESTAMP(NANOS), which Spark reads
-only as a nanosecond long (``spark.sql.legacy.parquet.nanosAsLong``).
-``load_table`` converts any such column to a true TimestampType at
-microsecond precision (floor division — identical to DuckDB's ns->us
-truncation, so oracle comparisons agree).
+The driver's synthetic tables (TESTDATA.md) are plain parquet; the one
+quirk is ``events.ts``, whose physical type has drifted across testdata
+generations:
+
+- TIMESTAMP(NANOS): Spark can read it only as a nanosecond long
+  (``spark.sql.legacy.parquet.nanosAsLong``); we floor-divide to
+  microseconds (identical to DuckDB's ns->us truncation).
+- timestamp[us] with isAdjustedToUTC=false: Spark 4 infers
+  ``TIMESTAMP_NTZ``, which ``unix_micros``/``window()`` reject. Under
+  the pinned UTC session timezone, a cast to ``timestamp`` preserves
+  the wall-clock instant and agrees with DuckDB ``epoch_us``.
+
+``load_table`` normalizes every known event-time column to a true
+session-zone TimestampType so downstream operators never see the
+storage type. All engine code MUST read testdata through here (or use
+:func:`ts_micros` on externally-supplied frames) — never call
+``unix_micros`` on a raw parquet column.
 """
 
 from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 TABLES = (
@@ -28,19 +39,38 @@ TABLES = (
     "embeddings",
 )
 
-# columns stored as TIMESTAMP(NANOS) in the testdata parquet
-_NANOS_COLS = {"events": ("ts",)}
+# event-time columns whose parquet storage type must be normalized
+_TS_COLS = {"events": ("ts",)}
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_ts(df: DataFrame, col: str) -> DataFrame:
+    """Return ``df`` with ``col`` as a session-zone TimestampType,
+    whatever the storage type was (nanos-as-long, TIMESTAMP_NTZ, or
+    already TIMESTAMP)."""
+    dtype = dict(df.dtypes).get(col)
+    if dtype in ("bigint", "long"):
+        # integer `div`, not `/`: float division of epoch-nanos loses
+        # ulps and shifts some values by 1 microsecond
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    elif dtype == "timestamp_ntz":
+        # UTC session => wall-clock == instant; matches DuckDB epoch_us
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def ts_micros(col: str | Column) -> Column:
+    """Epoch-microseconds of an event-time column, tolerant of
+    TIMESTAMP_NTZ / DATE inputs (cast is a no-op on TIMESTAMP)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for col in _NANOS_COLS.get(name, ()):
-        if dict(df.dtypes).get(col) in ("bigint", "long"):
-            # integer `div`, not `/`: float division of epoch-nanos loses
-            # ulps and shifts some values by 1 microsecond
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    for col in _TS_COLS.get(name, ()):
+        df = normalize_ts(df, col)
     return df
 
 

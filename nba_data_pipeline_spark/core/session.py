@@ -40,6 +40,11 @@ def get_session(app_name: str = "nba_data_pipeline_spark", **extra_conf: str) ->
         # parquet reader rejects; read it as long and convert in the
         # loader (core.data.load_table)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # newer testdata stores events.ts as timestamp[us] NTZ; read it
+        # as session-zone TIMESTAMP (UTC session => same instant) so
+        # unix_micros/window() accept it (core.data.normalize_ts is the
+        # belt-and-suspenders cast for driver-supplied sessions)
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # runtime bloom filters prune the probe side of large joins
         # before the shuffle (explicit: the 100 TB join-pruning lever)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")

@@ -27,7 +27,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .core.data import load_table
+from .core.data import load_table, ts_micros
 from .functions.gameid import season_from_game_id, season_type_from_game_id
 from .functions.ids import add_id, fill_nulls, stamp
 from .functions.timeops import clock_to_seconds
@@ -1068,7 +1068,7 @@ def q_dup_key_check(spark, sf):
 )
 def q_collect_roundtrip(spark, sf):
     ev = _t(spark, sf, "events").select(
-        "user_id", F.unix_micros("ts").alias("ts_us"), F.round("value", 2).alias("value")
+        "user_id", ts_micros("ts").alias("ts_us"), F.round("value", 2).alias("value")
     )
     rolled = rollup_structs(ev, ["user_id"], ["ts_us", "value"], "items")
     return rolled.select("user_id", F.explode("items").alias("it")).select(
@@ -1085,7 +1085,7 @@ def q_collect_roundtrip(spark, sf):
 )
 def q_rollup_stats(spark, sf):
     ev = _t(spark, sf, "events").select(
-        "user_id", F.unix_micros("ts").alias("ts_us"), F.col("value")
+        "user_id", ts_micros("ts").alias("ts_us"), F.col("value")
     )
     rolled = rollup_structs(ev, ["user_id"], ["ts_us", "value"], "items")
     return rolled.select(
@@ -1129,7 +1129,7 @@ def q_group_agg(spark, sf):
 def q_first_event(spark, sf):
     ev = _t(spark, sf, "events")
     first = W.first_row_per_group(ev, ["user_id"], ["ts", "event_id"])
-    return first.select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"))
+    return first.select("user_id", "event_id", ts_micros("ts").alias("ts_us"))
 
 
 @q(

@@ -260,7 +260,7 @@ def _all_pairs(banded: DataFrame) -> DataFrame:
 
 
 def _bucket_pairs(
-    banded: DataFrame, cap: int | None, eager_probe: bool = True
+    banded: DataFrame, cap: int | None, eager_probe: bool = False
 ) -> DataFrame:
     """id_a < id_b candidate pairs within each (band, bucket).
 
@@ -503,7 +503,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     max_bucket_width: int | None = 1000,
-    eager_probe: bool = True,
+    eager_probe: bool = False,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash-LSH, verified by
     exact shingle Jaccard.
@@ -517,11 +517,11 @@ def minhash_lsh_pairs(
     ``_bucket_pairs``) so a skewed corpus can't go quadratic; audit
     with ``bucket_width_stats``.
 
-    NOTE: with ``eager_probe=True`` (default) plan CONSTRUCTION runs one
-    small aggregate action (max bucket width) so the hot-bucket
-    join-back can be skipped on natural corpora — this call is not
-    fully lazy. Pass ``eager_probe=False`` when composing a larger lazy
-    plan; the guard then joins widths back unconditionally.
+    Fully lazy by default. Pass ``eager_probe=True`` to run one small
+    aggregate action (max bucket width) at plan-construction time so
+    the hot-bucket join-back can be skipped entirely on natural
+    corpora; with the lazy default the guard joins widths back
+    unconditionally (one extra tiny aggregate + join in the plan).
     """
     # ONE explode+hash pass feeds both the signature aggregation and
     # the verification shingle sets (they only differ by a pmod) —
@@ -798,7 +798,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     band_bits: int = 16,
     max_bucket_width: int | None = 1000,
-    eager_probe: bool = True,
+    eager_probe: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit
     bands (a pair within Hamming distance 3 of a 64-bit hash must agree
@@ -807,11 +807,11 @@ def simhash_near_pairs(
     ``max_bucket_width`` degrade to star pairs around the bucket's min
     doc id (``_bucket_pairs``) to stay linear on skewed corpora.
 
-    NOTE: with ``eager_probe=True`` (default) plan CONSTRUCTION runs one
-    small aggregate action (max bucket width) so the hot-bucket
-    join-back can be skipped on natural corpora — this call is not
-    fully lazy. Pass ``eager_probe=False`` when composing a larger lazy
-    plan; the guard then joins widths back unconditionally."""
+    Fully lazy by default. Pass ``eager_probe=True`` to run one small
+    aggregate action (max bucket width) at plan-construction time so
+    the hot-bucket join-back can be skipped entirely on natural
+    corpora; with the lazy default the guard joins widths back
+    unconditionally (one extra tiny aggregate + join in the plan)."""
     # one materialization of the fingerprints feeds banding (4 plan
     # branches in _bucket_pairs) and the two fingerprint re-joins
     h = simhash_df(df, id_col, text_col).localCheckpoint(eager=False)

@@ -22,6 +22,32 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+# explicit-broadcast cap for auto mode: matches the session factory's
+# autoBroadcastJoinThreshold (core/session.py) — a probe/query frame
+# estimated above this must not be forced onto every executor
+_BROADCAST_CAP_BYTES = 64 * 1024 * 1024
+
+
+def _maybe_broadcast(df: DataFrame, flag: bool | None) -> DataFrame:
+    """Size-gated broadcast hint. ``flag=True``/``False`` force the
+    choice; ``None`` (auto) consults Catalyst's optimized-plan size
+    estimate and hints only when the frame is provably small — an
+    unconditional hint on a corpus-sized query batch would ship the
+    whole batch to every executor and OOM the build side at scale."""
+    if flag is True:
+        return F.broadcast(df)
+    if flag is False:
+        return df
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        size = int(str(stats.sizeInBytes()))
+    except Exception:
+        # stats unavailable (e.g. Connect): leave the choice to the
+        # planner's own autoBroadcast threshold
+        return df
+    return F.broadcast(df) if size <= _BROADCAST_CAP_BYTES else df
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     return F.aggregate(
         F.zip_with(_col(a), _col(b), lambda x, y: x.cast("double") * y.cast("double")),
@@ -152,7 +178,7 @@ def batch_topk(
     corpus_id_col: str,
     k: int = 10,
     round_digits: int = 6,
-    broadcast_queries: bool = True,
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """Top-k corpus neighbors for EVERY query row in one plan:
     broadcast the (small) query set against the corpus, score cosine,
@@ -160,18 +186,17 @@ def batch_topk(
     the shape for 'embed a batch, retrieve for each' at scale, where
     the corpus never shuffles and the query table is the build side.
 
-    The explicit broadcast hint bypasses the autoBroadcast size
-    threshold, so it assumes the query batch fits on the driver and
-    every executor (thousands of rows, not millions). For a query
-    batch of corpus-like size pass ``broadcast_queries=False`` and let
-    the planner pick the join strategy."""
+    ``broadcast_queries=None`` (default) size-gates the broadcast hint
+    on Catalyst's estimate (see ``_maybe_broadcast``) so a corpus-sized
+    query batch is never forced onto every executor; ``True``/``False``
+    force the choice."""
     qn = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
     cn = corpus.select(
         F.col(corpus_id_col).alias("corpus_id"), F.col(vec_col).alias("_cv")
     )
-    scored = cn.crossJoin(F.broadcast(qn) if broadcast_queries else qn).withColumn(
+    scored = cn.crossJoin(_maybe_broadcast(qn, broadcast_queries)).withColumn(
         "cos_sim", F.round(cosine(F.col("_cv"), F.col("_qv")), round_digits)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("corpus_id"))
@@ -193,7 +218,7 @@ def lsh_batch_topk(
     n_planes: int = 12,
     multiprobe_bits: int = 1,
     seed: int = 42,
-    broadcast_queries: bool = True,
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """Approximate top-k for EVERY query row, fully declaratively:
     bucket the corpus once with ``lsh_bucket``, explode each query into
@@ -207,11 +232,11 @@ def lsh_batch_topk(
     clamped.
 
     The probe frame is queries × (1 + n + C(n,2)) rows (79 per query
-    at n_planes=12, multiprobe_bits=2); the explicit broadcast hint
-    bypasses the autoBroadcast threshold and assumes that frame fits
-    on every executor. For a corpus-sized query batch pass
-    ``broadcast_queries=False`` — the probe join is an equi-join on
-    ``_bucket``, so the planner falls back to a shuffle hash join."""
+    at n_planes=12, multiprobe_bits=2). ``broadcast_queries=None``
+    (default) size-gates the broadcast hint on Catalyst's estimate
+    (``_maybe_broadcast``); for a corpus-sized batch the probe join is
+    an equi-join on ``_bucket``, so the planner falls back to a
+    shuffle hash join."""
     if multiprobe_bits < 0 or multiprobe_bits > 2:
         raise ValueError("multiprobe_bits must be 0, 1, or 2")
     cb = corpus.select(
@@ -235,7 +260,7 @@ def lsh_batch_topk(
     probes = qb.select(
         "query_id", "_qv", F.explode(F.array(*probe_set)).alias("_bucket")
     )
-    scored = cb.join(F.broadcast(probes) if broadcast_queries else probes, "_bucket").withColumn(
+    scored = cb.join(_maybe_broadcast(probes, broadcast_queries), "_bucket").withColumn(
         "cos_sim", F.round(cosine(F.col("_cv"), F.col("_qv")), 6)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("corpus_id"))
@@ -255,7 +280,7 @@ def ivf_batch_topk(
     corpus_id_col: str,
     k: int = 10,
     n_probe: int = 3,
-    broadcast_queries: bool = True,
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """IVF probe for EVERY query row declaratively: rank the (tiny)
     centroid table against each query with a window, keep the top
@@ -264,11 +289,11 @@ def ivf_batch_topk(
     probe frame broadcasts; at scale the corpus is partitioned by
     ``_list`` so each probe reads only its lists' partitions.
 
-    The probe frame is queries × n_probe rows; the explicit broadcast
-    hint bypasses the autoBroadcast threshold and assumes it fits on
-    every executor. For a corpus-sized query batch pass
-    ``broadcast_queries=False`` — the probe join is an equi-join on
-    ``_list``, so the planner falls back to a shuffle hash join."""
+    The probe frame is queries × n_probe rows. ``broadcast_queries=
+    None`` (default) size-gates the broadcast hint on Catalyst's
+    estimate (``_maybe_broadcast``); for a corpus-sized query batch
+    the probe join is an equi-join on ``_list``, so the planner falls
+    back to a shuffle hash join."""
     centers_df = None
     for i, c in enumerate(centers):
         row = F.struct(
@@ -292,7 +317,7 @@ def ivf_batch_topk(
     )
     cand = assigned.select(
         F.col(corpus_id_col).alias("corpus_id"), F.col(vec_col).alias("_cv"), "_list"
-    ).join(F.broadcast(ranked) if broadcast_queries else ranked, "_list")
+    ).join(_maybe_broadcast(ranked, broadcast_queries), "_list")
     scored = cand.withColumn("cos_sim", F.round(cosine(F.col("_cv"), F.col("_qv")), 6))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("corpus_id"))
     return (

@@ -14,6 +14,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..core.data import ts_micros
+
 
 def _order_cols(order_by: Sequence[str | Column]) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in order_by]
@@ -79,7 +81,7 @@ def sessionize(
     """
     order = _order_cols(order_by) if order_by else [F.col(ts_col)]
     w = Window.partitionBy(*partition_by).orderBy(*order)
-    micros = F.unix_micros(F.col(ts_col))
+    micros = ts_micros(ts_col)
     gap = micros - F.lag(micros).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0)
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
