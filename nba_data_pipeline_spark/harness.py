@@ -2824,9 +2824,72 @@ def q_batch_ann(spark, sf):
 
 @q("minhash_lsh_pairs")  # xxhash64 signatures: not SQL-portable -> rows-only
 def q_minhash(spark, sf):
+    # standalone query (nothing composes on top): opt into the eager
+    # hot-bucket probe — one tiny plan-time action skips the bucket
+    # guard entirely on this corpus (~25% faster than the lazy guard)
     return minhash_lsh_pairs(
-        _t(spark, sf, "documents"), "doc_id", "text", num_perm=32, bands=16, threshold=0.3
+        _t(spark, sf, "documents"), "doc_id", "text", num_perm=32, bands=16,
+        threshold=0.3, eager_probe=True,
     )
+
+
+@q("streaming_replay_parity")  # engine-hash signatures -> rows-only
+def q_streaming_replay_parity(spark, sf):
+    """Replay-equivalence gate for the continuous-ingest near-dedup
+    (streaming/ops.py near_dedup_batch, the foreachBatch body of
+    stream_near_dedup): ingest a document subset in 3 micro-batches
+    WITH one batch redelivered, against a single-shot ingest of the
+    same subset. Signatures are seeded (deterministic), so the two
+    pair tables must agree row-for-row — every output row carries
+    in_replayed AND in_single_shot true, and the row count equals the
+    single-shot pair count. A replay bug (double-counted pairs,
+    order-dependent candidates) surfaces as a row with either flag
+    false, changing the count/hash the driver records.
+    """
+    import shutil
+    import tempfile
+
+    from .streaming.ops import near_dedup_batch
+
+    docs = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 600)
+        .select("doc_id", "text")
+    )
+    root = tempfile.mkdtemp(prefix="replay_parity_")
+    try:
+        s_multi, p_multi = f"{root}/sig_multi", f"{root}/pairs_multi"
+        s_one, p_one = f"{root}/sig_one", f"{root}/pairs_one"
+        batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+        kw = dict(num_perm=32, bands=16, threshold=0.3)
+        near_dedup_batch(batches[0], s_multi, p_multi, **kw)
+        near_dedup_batch(batches[1], s_multi, p_multi, **kw)
+        # redelivered micro-batch: must upsert the same keys, not dupe
+        near_dedup_batch(batches[1], s_multi, p_multi, **kw)
+        near_dedup_batch(batches[2], s_multi, p_multi, **kw)
+        near_dedup_batch(docs, s_one, p_one, **kw)
+        multi = spark.read.parquet(p_multi).select("id_a", "id_b", "est_jaccard")
+        single = spark.read.parquet(p_one).select("id_a", "id_b", "est_jaccard")
+        out = (
+            multi.withColumn("in_replayed", F.lit(True))
+            .join(
+                single.withColumn("in_single_shot", F.lit(True)),
+                ["id_a", "id_b", "est_jaccard"],
+                "full",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                "est_jaccard",
+                F.coalesce("in_replayed", F.lit(False)).alias("in_replayed"),
+                F.coalesce("in_single_shot", F.lit(False)).alias("in_single_shot"),
+            )
+        )
+        # materialize before the temp tables are deleted — the returned
+        # frame must survive the rmtree below
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 @q("corpus_pipeline")  # composes LSH (engine-hash) stages -> rows-only
@@ -2871,7 +2934,10 @@ def q_incremental_minhash(spark, sf):
 
 @q("simhash_pairs")
 def q_simhash(spark, sf):
-    return simhash_near_pairs(_t(spark, sf, "documents"), "doc_id", "text", max_hamming=12)
+    # standalone query: eager hot-bucket probe (see q_minhash)
+    return simhash_near_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", max_hamming=12, eager_probe=True
+    )
 
 
 @q("incremental_simhash")  # xxhash64 fingerprints: not SQL-portable -> rows-only

@@ -286,20 +286,48 @@ def _bucket_pairs(
     """
     if cap is None:
         return _all_pairs(banded)
-    # widths via groupBy (map-side partial agg), not a window — a window
-    # count would sort the whole banded frame; this aggregates it down to
-    # one row per bucket.
+    if not eager_probe:
+        # Fully-lazy path: ONE aggregation per (band, bucket) — collect
+        # the sorted member list, generate pairs array-side, explode.
+        # One shuffle (the groupBy) versus three on the join path
+        # (widths groupBy + join-back + bucketed self-join); id_a <
+        # id_b holds because the list is sorted. Peak per-row memory is
+        # C(cap, 2) pair structs for a bucket at the cap (~8 MB at the
+        # default 1000) — transient inside one task, and the star
+        # degrade keeps hot buckets linear.
+        grouped = banded.groupBy("band", "bucket").agg(
+            F.sort_array(F.collect_list("doc_id")).alias("_ids")
+        )
+        n = F.size("_ids")
+        pairwise = F.flatten(
+            F.transform(
+                "_ids",
+                lambda x, i: F.transform(
+                    F.slice("_ids", i + F.lit(2), n),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+        star = F.transform(
+            F.slice("_ids", 2, n - 1),
+            lambda y: F.struct(
+                F.element_at("_ids", 1).alias("id_a"), y.alias("id_b")
+            ),
+        )
+        pairs = F.when(n <= F.lit(cap), pairwise).otherwise(star)
+        return (
+            grouped.select(F.explode(pairs).alias("_p"))
+            .select("_p.id_a", "_p.id_b")
+            .distinct()
+        )
+    # eager path: one tiny aggregate ACTION at plan-build time (it runs
+    # the upstream pipeline up to ``banded``, which its lazy checkpoint
+    # would materialize at first action anyway). If nothing is hot the
+    # whole guard is skipped downstream.
     widths = banded.groupBy("band", "bucket").agg(F.count("*").alias("_bw"))
-    if eager_probe:
-        # Short-circuit: one tiny aggregate ACTION at plan-build time
-        # (it runs the upstream pipeline up to ``banded``, which its
-        # lazy checkpoint would materialize at first action anyway).
-        # If nothing is hot, the guard then costs nothing downstream.
-        # Callers composing lazy plans pass eager_probe=False and take
-        # the widths join-back unconditionally instead.
-        max_w = widths.agg(F.max("_bw").alias("m")).collect()[0]["m"]
-        if max_w is None or max_w <= cap:
-            return _all_pairs(banded)
+    max_w = widths.agg(F.max("_bw").alias("m")).collect()[0]["m"]
+    if max_w is None or max_w <= cap:
+        return _all_pairs(banded)
     sized = banded.join(widths, ["band", "bucket"])
     small = sized.filter(F.col("_bw") <= cap).select("band", "bucket", "doc_id")
     pairs_small = (

@@ -183,6 +183,41 @@ def _merge_partitioned(
     _rewrite_partitions(spark, merged, path, partition_by)
 
 
+def _try_delta_merge(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    key: str | Sequence[str],
+    update_matched: bool,
+) -> bool:
+    """Transactional MERGE INTO when the table at ``path`` is a Delta
+    table and the ``delta`` package is importable (reference upsert
+    semantics, db_client.py:69-90, with real concurrent-writer
+    atomicity). Returns False — caller falls back to the anti-join
+    partition rewrite — when delta is absent or the path is plain
+    parquet; the fallback has identical merge semantics, minus
+    multi-writer isolation."""
+    try:
+        from delta.tables import DeltaTable  # noqa: PLC0415
+    except ImportError:
+        return False
+    try:
+        if not DeltaTable.isDeltaTable(spark, path):
+            return False
+        target = DeltaTable.forPath(spark, path)
+    except Exception:
+        return False
+    keys = [key] if isinstance(key, str) else list(key)
+    # null-safe equality: NULL key components must collide, matching
+    # merge_upsert's anti-join semantics
+    cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
+    merge = target.alias("t").merge(source.alias("s"), cond)
+    if update_matched:
+        merge = merge.whenMatchedUpdateAll()
+    merge.whenNotMatchedInsertAll().execute()
+    return True
+
+
 def upsert_table(
     spark: SparkSession,
     source: DataFrame,
@@ -192,9 +227,12 @@ def upsert_table(
 ) -> None:
     """MERGE: source rows win on key collision; first write creates the
     table (reference create-on-first-write, db_client.py:43-54).
-    Partitioned tables rewrite only the partitions receiving source rows."""
+    Delta tables MERGE transactionally (``_try_delta_merge``); plain
+    parquet rewrites only the partitions receiving source rows."""
     if not table_exists(path):
         write_table(source, path, partition_by)
+        return
+    if _try_delta_merge(spark, source, path, key, update_matched=True):
         return
     if partition_by:
         _merge_partitioned(spark, source, path, key, partition_by, merge_upsert)
@@ -214,6 +252,8 @@ def insert_ignore_table(
     """ON CONFLICT DO NOTHING (reference db_client.py:87-88)."""
     if not table_exists(path):
         write_table(source, path, partition_by)
+        return
+    if _try_delta_merge(spark, source, path, key, update_matched=False):
         return
     if partition_by:
         _merge_partitioned(spark, source, path, key, partition_by, insert_ignore)

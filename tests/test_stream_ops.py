@@ -132,3 +132,22 @@ def test_stream_near_dedup_two_batches(spark, tmp_path):
     pairs4 = {(r.id_a, r.id_b) for r in spark.read.parquet(pair_p).collect()}
     assert pairs4 == pairs2
     assert spark.read.parquet(sig_p).count() == 4
+
+
+def test_streaming_replay_parity_flags(spark):
+    """The replay-parity harness query must show every pair present in
+    BOTH the redelivered multi-batch ingest and the single-shot ingest
+    (full-outer join flags all true) — replay bugs surface as a row
+    with a false flag."""
+    import os
+
+    import pytest as _pytest
+
+    if not os.path.isdir("/root/testdata/sf0.001"):
+        _pytest.skip("driver testdata not present")
+    from nba_data_pipeline_spark import harness
+
+    rows = harness.queries()["streaming_replay_parity"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert all(r.in_replayed and r.in_single_shot for r in rows)
