@@ -427,6 +427,63 @@ def q_asof(spark, sf):
     return out.select("event_id", "rv")
 
 
+@q(
+    "asof_join_forward",
+    # DuckDB ASOF with <= matches the LEAST right ts at-or-after each
+    # left row — the forward direction
+    """SELECT e.event_id, r.rv
+       FROM (SELECT event_id, user_id % 10 AS k, ts FROM events) e
+       ASOF LEFT JOIN (SELECT user_id % 10 AS k, ts, MAX(ROUND(value, 2)) AS rv
+                       FROM events WHERE event_id % 50 = 0
+                       GROUP BY 1, 2) r
+         ON e.k = r.k AND e.ts <= r.ts""",
+)
+def q_asof_forward(spark, sf):
+    ev = _t(spark, sf, "events")
+    left = ev.select("event_id", (F.col("user_id") % 10).alias("k"), "ts")
+    right = (
+        ev.filter(F.col("event_id") % 50 == 0)
+        .groupBy((F.col("user_id") % 10).alias("k"), F.col("ts").alias("rts"))
+        .agg(F.max(F.round("value", 2)).alias("rv"))
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        right_vals=["rv"], direction="forward",
+    )
+    return out.select("event_id", "rv")
+
+
+@q(
+    "asof_join_nearest",
+    # no native nearest in DuckDB ASOF: rank all same-key right rows by
+    # absolute distance, tie -> backward (r.ts <= e.ts sorts first)
+    """SELECT event_id, rv FROM (
+         SELECT e.event_id, r.rv,
+                ROW_NUMBER() OVER (
+                  PARTITION BY e.event_id
+                  ORDER BY ABS(epoch_us(e.ts) - epoch_us(r.ts)),
+                           (r.ts > e.ts)) AS _rn
+         FROM (SELECT event_id, user_id % 10 AS k, ts FROM events) e
+         LEFT JOIN (SELECT user_id % 10 AS k, ts, MAX(ROUND(value, 2)) AS rv
+                    FROM events WHERE event_id % 50 = 0
+                    GROUP BY 1, 2) r ON e.k = r.k
+       ) WHERE _rn = 1""",
+)
+def q_asof_nearest(spark, sf):
+    ev = _t(spark, sf, "events")
+    left = ev.select("event_id", (F.col("user_id") % 10).alias("k"), "ts")
+    right = (
+        ev.filter(F.col("event_id") % 50 == 0)
+        .groupBy((F.col("user_id") % 10).alias("k"), F.col("ts").alias("rts"))
+        .agg(F.max(F.round("value", 2)).alias("rv"))
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        right_vals=["rv"], direction="nearest",
+    )
+    return out.select("event_id", "rv")
+
+
 # ===========================================================================
 # §2.4 aggregations (A1-A6) + TPC-H classics
 # ===========================================================================
@@ -1015,6 +1072,109 @@ def q_tpch_q4(spark, sf):
         orders.join(li, orders["o_orderkey"] == li["l_orderkey"], "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
+    )
+
+
+@q(
+    "tpch_q12",
+    # q12-shaped: shipping-window join + conditional aggregation; the
+    # testdata lineitem has no l_shipmode/l_commitdate, so the group is
+    # l_returnflag and "late" is the ship window itself
+    """SELECT l_returnflag,
+              SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS high_line_count,
+              SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS low_line_count
+       FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1997-01-01'
+       GROUP BY l_returnflag""",
+)
+def q_tpch_q12(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@q(
+    "tpch_q21",
+    # q21-shaped (suppliers who kept orders waiting): EXISTS another
+    # supplier in the order, NOT EXISTS another LATE supplier. The
+    # testdata has no l_commitdate/l_receiptdate, so "late" is shipping
+    # more than 100 days after the order date.
+    """SELECT s_name, COUNT(*) AS numwait
+       FROM supplier
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+       JOIN orders ON o_orderkey = l1.l_orderkey
+       WHERE o_orderstatus = 'F'
+         AND n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+         AND l1.l_shipdate > o_orderdate + INTERVAL 100 DAY
+         AND EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                         WHERE l3.l_orderkey = l1.l_orderkey
+                           AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.l_shipdate > o_orderdate + INTERVAL 100 DAY)
+       GROUP BY s_name""",
+)
+def q_tpch_q21(spark, sf):
+    """The correlated EXISTS / NOT EXISTS pair reformulates to two
+    per-order aggregates (distinct supplier count, distinct LATE
+    supplier count): a candidate late lineitem survives iff its order
+    has another supplier (n_supp > 1) and no other late supplier
+    (n_late == 1, the candidate itself). Aggregate-then-join keeps
+    every step a shuffle on l_orderkey — no correlated probing."""
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    # ONE lineitem+orders join feeds both the per-order stats and the
+    # candidate rows (checkpointed: Catalyst doesn't dedupe the common
+    # subplan, and lineitem is the table you least want to scan twice)
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .withColumn(
+            "_late",
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 100 DAYS"),
+        )
+        .select("l_orderkey", "l_suppkey", "_late")
+        .localCheckpoint(eager=False)
+    )
+    stats = joined.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_n_late"),
+    )
+    cand = (
+        joined.filter(F.col("_late"))
+        .join(stats, "l_orderkey")
+        .filter((F.col("_n_supp") > 1) & (F.col("_n_late") == 1))
+    )
+    nations = _t(spark, sf, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11")
+    )
+    supp = (
+        _t(spark, sf, "supplier")
+        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        cand.join(F.broadcast(supp), cand["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
     )
 
 

@@ -7,10 +7,10 @@ standard scalable formulations (SURVEY.md J6 / O3-b):
    it broadcasts (nested-loop over a broadcast build side: fine); with
    two large sides, pass equi-key prefix columns so it becomes an
    equi-join + residual filter (shuffle on the keys, no cartesian).
-2. ``asof_join`` — "latest right row at or before each left row" via a
-   tagged-union + window last_value sweep: one shuffle on the key, one
-   partition-local sort, no per-row probing. This is the classic
-   merge-asof reformulated relationally so Catalyst/AQE can plan it.
+2. ``asof_join`` — backward / forward / nearest as-of match via a
+   tagged-union + window sweep: one shuffle on the key, partition-local
+   sorts, no per-row probing. This is the classic merge-asof
+   reformulated relationally so Catalyst/AQE can plan it.
 """
 
 from __future__ import annotations
@@ -52,25 +52,38 @@ def asof_join(
     right_vals: Sequence[str],
     direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the right row with the greatest
-    ``right_ts <= left_ts`` (backward) sharing key ``on``.
+    """For each left row, attach one right row sharing key ``on``:
 
-    Implementation: union both sides tagged on a common timeline,
-    carry right values forward with ``last_value(..., ignorenulls)``
-    over (key ORDER BY ts, side), then keep left rows. Right rows sort
-    before left rows at equal timestamps, so an exact tie matches
-    (merge_asof semantics). One shuffle; no correlated probing.
+    - ``backward`` — greatest ``right_ts <= left_ts`` (default),
+    - ``forward`` — least ``right_ts >= left_ts``,
+    - ``nearest`` — whichever of the two is closer in time
+      (merge_asof semantics; an exact tie in distance takes the
+      backward match).
+
+    Implementation: union both sides tagged on a common timeline and
+    sweep with a window — backward carries the latest right row seen so
+    far (``last(..., ignorenulls)`` over an unbounded-preceding frame),
+    forward mirrors it with ``first`` over an unbounded-following
+    frame. Right rows sort at-or-before left rows at equal timestamps,
+    so an exact timestamp tie matches in every direction. One shuffle
+    on the key, partition-local sorts, no per-row probing — the classic
+    merge-asof reformulated relationally so Catalyst/AQE can plan it.
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of supported")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
+    if "_mts" in right_vals:
+        raise ValueError("right_vals may not contain the reserved name '_mts'")
     lcols = left.columns
     rtypes = dict(right.dtypes)
     # Carry the matched right row as ONE struct, not per-column
     # last(): independent per-column carries would blend values from
     # different right rows whenever a right row holds a NULL in one
-    # value column — merge_asof attaches the matched row as-is.
+    # value column — merge_asof attaches the matched row as-is. The
+    # struct leads with the matched timestamp (_mts) so `nearest` can
+    # compare distances.
     r_struct_type = (
-        "struct<" + ",".join(f"{v}:{rtypes[v]}" for v in right_vals) + ">"
+        "struct<_mts:" + rtypes[right_ts] + ","
+        + ",".join(f"{v}:{rtypes[v]}" for v in right_vals) + ">"
     )
     tagged_left = left.select(
         F.col(on).alias("_k"),
@@ -86,23 +99,42 @@ def asof_join(
         F.lit(None).cast(
             "struct<" + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields) + ">"
         ).alias("_l"),
-        F.struct(*[F.col(v) for v in right_vals]).alias("_r"),
+        F.struct(F.col(right_ts).alias("_mts"), *[F.col(v) for v in right_vals]).alias("_r"),
     )
     unioned = tagged_left.unionByName(tagged_right)
     # Tie-breaker: when multiple right rows share (key, ts), order by the
     # value struct (field-wise lexicographic) so the greatest row wins on
-    # every run/partitioning (otherwise last(..., ignorenulls) is
-    # nondeterministic).
-    w = (
+    # every run/partitioning (otherwise last/first(..., ignorenulls) is
+    # nondeterministic). Both sweeps pick the greatest struct: backward
+    # takes the LAST non-null over ascending struct order; forward scans
+    # forward over descending struct order, so its FIRST non-null is
+    # likewise the greatest.
+    w_back = (
         Window.partitionBy("_k")
         .orderBy(F.col("_ts"), F.col("_side"), F.col("_r"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        "_side",
-        "_l",
-        F.last(F.col("_r"), ignorenulls=True).over(w).alias("_r"),
+    w_fwd = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts"), F.col("_side").desc(), F.col("_r").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+    if direction == "backward":
+        matched = F.last(F.col("_r"), ignorenulls=True).over(w_back)
+    elif direction == "forward":
+        matched = F.first(F.col("_r"), ignorenulls=True).over(w_fwd)
+    else:
+        b = F.last(F.col("_r"), ignorenulls=True).over(w_back)
+        fw = F.first(F.col("_r"), ignorenulls=True).over(w_fwd)
+        # distances are non-negative by construction; ts-typed columns
+        # compare as day-time intervals, numeric ones as numbers
+        matched = (
+            F.when(b.isNull(), fw)
+            .when(fw.isNull(), b)
+            .when((F.col("_ts") - b["_mts"]) <= (fw["_mts"] - F.col("_ts")), b)
+            .otherwise(fw)
+        )
+    carried = unioned.select("_side", "_l", matched.alias("_r"))
     out = carried.filter(F.col("_side") == 1).select(
         *[F.col(f"_l.{c}").alias(c) for c in lcols],
         *[F.col(f"_r.{v}").alias(v) for v in right_vals],

@@ -44,3 +44,52 @@ def test_asof_join_attaches_matched_row_as_unit(spark):
     )
     r = asof_join(left, right, "k", "ts", "ts", ["price", "qty"]).collect()[0]
     assert r.price == 5.0 and r.qty is None  # the ts=2 row, as-is
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "k1"), (2, 20, "k1"), (3, 5, "k2"), (4, 7, "k1")],
+        "eid long, t long, k string",
+    )
+    right = spark.createDataFrame(
+        [("k1", 7, 700.0), ("k1", 15, 1500.0), ("k2", 2, 200.0)],
+        "k string, rt long, rv double",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="t", right_ts="rt",
+        right_vals=["rv"], direction="forward",
+    )
+    got = {r.eid: r.rv for r in out.collect()}
+    # eid1 t=10 -> rt=15; eid2 t=20 -> nothing ahead; eid3 t=5 -> nothing
+    # ahead on k2; eid4 t=7 -> exact tie matches forward too
+    assert got == {1: 1500.0, 2: None, 3: None, 4: 700.0}
+
+
+def test_asof_join_nearest(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "k1"), (2, 11, "k1"), (3, 30, "k1"), (4, 1, "k1")],
+        "eid long, t long, k string",
+    )
+    right = spark.createDataFrame(
+        [("k1", 7, 700.0), ("k1", 13, 1300.0)],
+        "k string, rt long, rv double",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="t", right_ts="rt",
+        right_vals=["rv"], direction="nearest",
+    )
+    got = {r.eid: r.rv for r in out.collect()}
+    # eid1 t=10: dist 3 both ways -> tie takes backward (rt=7);
+    # eid2 t=11: rt=13 closer; eid3 t=30: only backward exists;
+    # eid4 t=1: only forward exists
+    assert got == {1: 700.0, 2: 1300.0, 3: 1300.0, 4: 700.0}
+
+
+def test_asof_join_bad_direction(spark):
+    import pytest as _pytest
+
+    left = spark.createDataFrame([(1, 1, "k")], "eid long, t long, k string")
+    right = spark.createDataFrame([("k", 1, 1.0)], "k string, rt long, rv double")
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on="k", left_ts="t", right_ts="rt",
+                  right_vals=["rv"], direction="sideways")
