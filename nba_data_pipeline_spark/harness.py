@@ -548,7 +548,7 @@ def q_tpch_q3(spark, sf):
             "revenue",
             # o_orderdate arrives as TIMESTAMP_NTZ; cast under the UTC
             # session so unix_micros agrees with DuckDB epoch_us
-            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("orderdate_us"),
+            ts_micros("o_orderdate").alias("orderdate_us"),
         )
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
@@ -2429,7 +2429,7 @@ def q_latest_order(spark, sf):
     return latest.select(
         "o_custkey",
         "o_orderkey",
-        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("orderdate_us"),
+        ts_micros("o_orderdate").alias("orderdate_us"),
     )
 
 
@@ -2823,8 +2823,8 @@ def q_scd2(spark, sf):
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("valid_from_us"),
-        F.unix_micros(F.lead("o_orderdate").over(w).cast("timestamp")).alias("valid_to_us"),
+        ts_micros("o_orderdate").alias("valid_from_us"),
+        F.unix_micros(F.lead(F.col("o_orderdate").cast("timestamp")).over(w)).alias("valid_to_us"),
     )
 
 
