@@ -3278,6 +3278,44 @@ def q_hll_sketch_gate(spark, sf):
 
 
 @q(
+    "kll_quantile_gate",
+    # constant-verdict oracle: per-(type, day) KLL value sketches merged
+    # to per-type sketches must place the EXACT p50/p95 within the
+    # sketch's rank-error bound (k=200 => ~1.1%; gate at 3%). Same
+    # persisted-sketch-table pattern as hll_sketch_gate, for quantiles.
+    """SELECT 'merged_quantile_rank' AS metric, TRUE AS within_bound""",
+)
+def q_kll_quantile_gate(spark, sf):
+    """Mergeable quantile-sketch gate (operators/sketches.py): build
+    daily KLL sketches of `value`, merge per event_type, read p50/p95
+    estimates, and check the EXACT rank of each estimate (fraction of
+    true values at or below it) sits within the sketch's rank-error
+    bound. The rank is checked exact-side because
+    kll_sketch_get_rank only accepts foldable literals."""
+    from .operators.sketches import merge_quantiles, sketch_quantiles
+
+    ev = _t(spark, sf, "events")
+    daily = sketch_quantiles(
+        ev.withColumn("day", F.to_date("ts")), ["event_type", "day"], "value"
+    )
+    est = merge_quantiles(daily, ["event_type"], [0.5, 0.95])
+    ranks = (
+        ev.select("event_type", "value")
+        .join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.avg((F.col("value") <= F.col("q50")).cast("double")).alias("_r50"),
+            F.avg((F.col("value") <= F.col("q95")).cast("double")).alias("_r95"),
+        )
+    )
+    return ranks.agg(
+        F.every(
+            (F.abs(F.col("_r50") - 0.5) <= 0.03) & (F.abs(F.col("_r95") - 0.95) <= 0.03)
+        ).alias("within_bound")
+    ).select(F.lit("merged_quantile_rank").alias("metric"), "within_bound")
+
+
+@q(
     "ann_recall",
     # the expected verdicts are constants: the Spark side measures ANN
     # recall against its own exact ranking on a FIXED 500-vector corpus

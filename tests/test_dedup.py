@@ -588,3 +588,30 @@ def test_dedup_lines_separator_with_embedded_quote_end(spark):
         df, "doc_id", "text", sep=sep).collect()}
     assert got[1] == (f"aaa{sep}bbb", 2, 1)
     assert got[2] == ("ccc", 1, 1)
+
+
+def test_bucket_pairs_lazy_eager_equivalence_randomized(spark):
+    """The lazy (array-side) and eager (join-side) hot-bucket guards
+    must emit identical pair sets on random bucket layouts — mixed
+    small/hot buckets, singletons, cross-band duplicates."""
+    import random
+
+    from nba_data_pipeline_spark.operators.dedup import _bucket_pairs
+
+    rng = random.Random(11)
+    rows = []
+    for band in range(4):
+        for bucket in range(6):
+            width = rng.choice([0, 1, 2, 3, 5, 9, 15])
+            members = rng.sample(range(100), width)
+            rows += [(band, bucket, m) for m in members]
+    banded = spark.createDataFrame(rows, "band int, bucket long, doc_id long")
+    for cap in (4, 8, 1000):
+        lazy = {(r.id_a, r.id_b) for r in _bucket_pairs(banded, cap, eager_probe=False).collect()}
+        eager = {(r.id_a, r.id_b) for r in _bucket_pairs(banded, cap, eager_probe=True).collect()}
+        assert lazy == eager, f"cap={cap}: lazy != eager"
+        assert all(a < b for a, b in lazy)
+    # cap above every width == unguarded all-pairs
+    unguarded = {(r.id_a, r.id_b) for r in _bucket_pairs(banded, None, eager_probe=False).collect()}
+    capped = {(r.id_a, r.id_b) for r in _bucket_pairs(banded, 1000, eager_probe=False).collect()}
+    assert unguarded == capped

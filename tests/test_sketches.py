@@ -33,3 +33,37 @@ def test_sketch_table_persists(spark, tmp_path):
     assert abs(out - 5000) / 5000 < 0.05
     one = back.limit(1).select(estimate("sketch").alias("e")).collect()[0].e
     assert abs(one - 500) / 500 < 0.05
+
+
+def test_kll_quantile_sketch_merge(spark):
+    """Daily KLL sketches merged across days must estimate quantiles
+    within rank-error of the exact distribution, and merging must
+    equal sketching the union directly (mergeability)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.operators.sketches import (
+        merge_quantiles,
+        quantile_rank,
+        sketch_quantiles,
+    )
+
+    rng = random.Random(3)
+    rows = [(f"d{i % 5}", rng.gauss(100.0, 15.0)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "day string, v double")
+    daily = sketch_quantiles(df, ["day"], "v")
+    assert daily.count() == 5
+    overall = merge_quantiles(daily, [], [0.5, 0.9])
+    row = overall.collect()[0]
+    # gaussian(100, 15): p50 ~ 100, p90 ~ 119.2; rank error ~1% at
+    # k=200 maps to ~±1 value unit around the median here
+    assert abs(row.q50 - 100.0) < 3.0
+    assert abs(row.q90 - 119.2) < 4.0
+    # rank gate: exact median must sit within 3% rank of 0.5
+    merged = daily.groupBy().agg(F.kll_merge_agg_double("qsketch").alias("_m"))
+    exact_p50 = df.agg(F.percentile("v", F.lit(0.5)).alias("p")).collect()[0].p
+    rank = merged.select(
+        quantile_rank(F.col("_m"), F.lit(exact_p50)).alias("r")
+    ).collect()[0].r
+    assert abs(rank - 0.5) <= 0.03
