@@ -100,7 +100,10 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]}s (min of {RUNS})", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    # a partial run must not report a smaller total that reads as a
+    # speedup: any error voids the headline number (per-query timings
+    # stay available for the queries that did run)
+    total = round(sum(timings.values()), 3) if not errors else None
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
     print(
@@ -132,6 +135,7 @@ if __name__ == "__main__":
                     "unit": "sec",
                     "queries": {},
                     "errors": {"__fatal__": f"{type(exc).__name__}: {exc}"[:500]},
+                    "runs_per_query": 0,
                     "sf": None,
                 }
             )

@@ -62,9 +62,28 @@ def normalize_ts(df: DataFrame, col: str) -> DataFrame:
 
 def ts_micros(col: str | Column) -> Column:
     """Epoch-microseconds of an event-time column, tolerant of
-    TIMESTAMP_NTZ / DATE inputs (cast is a no-op on TIMESTAMP)."""
+    TIMESTAMP_NTZ / DATE inputs (cast is a no-op on TIMESTAMP).
+
+    ONLY for temporal-typed columns: an integer column cast to
+    timestamp is read as epoch-SECONDS and silently saturates for
+    epoch-nanos values — operators with DataFrame access must reject
+    or normalize integer event-time columns first (``normalize_ts`` /
+    ``require_temporal``)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.unix_micros(c.cast("timestamp"))
+
+
+def require_temporal(df: DataFrame, col: str) -> None:
+    """Fail loudly when ``col`` is not a temporal type — the guard
+    operators call before ``ts_micros`` so a raw epoch-long column
+    (e.g. nanos-as-long events.ts read outside ``load_table``) raises
+    instead of silently saturating through a seconds-cast."""
+    dtype = dict(df.dtypes).get(col)
+    if dtype not in ("timestamp", "timestamp_ntz", "date"):
+        raise ValueError(
+            f"column {col!r} has type {dtype!r}; expected a temporal type — "
+            "normalize integer epoch columns first (core.data.normalize_ts)"
+        )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -18,6 +18,11 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# single source of truth for "small enough to force-broadcast": the
+# session's autoBroadcastJoinThreshold AND the explicit-hint size gates
+# (e.g. operators/similarity._maybe_broadcast) both read this
+AUTO_BROADCAST_BYTES = 64 * 1024 * 1024
+
 
 def get_session(app_name: str = "nba_data_pipeline_spark", **extra_conf: str) -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults.
@@ -35,7 +40,7 @@ def get_session(app_name: str = "nba_data_pipeline_spark", **extra_conf: str) ->
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(AUTO_BROADCAST_BYTES))
         # testdata writes events.ts as TIMESTAMP(NANOS), which Spark's
         # parquet reader rejects; read it as long and convert in the
         # loader (core.data.load_table)

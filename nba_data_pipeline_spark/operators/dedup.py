@@ -295,8 +295,11 @@ def _bucket_pairs(
         # C(cap, 2) pair structs for a bucket at the cap (~8 MB at the
         # default 1000) — transient inside one task, and the star
         # degrade keeps hot buckets linear.
+        # collect_SET, not list: duplicate (doc_id, band, bucket) rows
+        # must not produce self-pairs or double-pair the hub — the join
+        # path excludes them via doc_id < doc_id plus the final distinct
         grouped = banded.groupBy("band", "bucket").agg(
-            F.sort_array(F.collect_list("doc_id")).alias("_ids")
+            F.sort_array(F.collect_set("doc_id")).alias("_ids")
         )
         n = F.size("_ids")
         pairwise = F.flatten(

@@ -22,10 +22,11 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
-# explicit-broadcast cap for auto mode: matches the session factory's
-# autoBroadcastJoinThreshold (core/session.py) — a probe/query frame
-# estimated above this must not be forced onto every executor
-_BROADCAST_CAP_BYTES = 64 * 1024 * 1024
+# explicit-broadcast cap for auto mode: shared with the session
+# factory's autoBroadcastJoinThreshold (one constant, can't drift) — a
+# probe/query frame estimated above it must not be forced onto every
+# executor
+from ..core.session import AUTO_BROADCAST_BYTES as _BROADCAST_CAP_BYTES
 
 
 def _maybe_broadcast(df: DataFrame, flag: bool | None) -> DataFrame:

@@ -14,7 +14,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..core.data import ts_micros
+from ..core.data import require_temporal, ts_micros
 
 
 def _order_cols(order_by: Sequence[str | Column]) -> list[Column]:
@@ -79,6 +79,7 @@ def sessionize(
     to the previous event exceeds ``gap_seconds``. Batch analogue of
     streaming ``session_window``; one shuffle on the partition key.
     """
+    require_temporal(df, ts_col)
     order = _order_cols(order_by) if order_by else [F.col(ts_col)]
     w = Window.partitionBy(*partition_by).orderBy(*order)
     micros = ts_micros(ts_col)

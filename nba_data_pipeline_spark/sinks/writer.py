@@ -195,8 +195,15 @@ def _try_delta_merge(
     semantics, db_client.py:69-90, with real concurrent-writer
     atomicity). Returns False — caller falls back to the anti-join
     partition rewrite — when delta is absent or the path is plain
-    parquet; the fallback has identical merge semantics, minus
-    multi-writer isolation."""
+    parquet.
+
+    Parity with the fallback: schema evolution is handled by enabling
+    Delta's merge autoMerge for the statement (new source columns
+    backfill NULL, target-only columns survive — the same ADD COLUMN
+    semantics ``_align_schemas`` gives the parquet path). One DECLARED
+    divergence: a source with duplicate keys raises Delta's
+    multiple-source-rows-matched error here, while the rewrite path
+    keeps all copies — dedup the source first if that matters."""
     try:
         from delta.tables import DeltaTable  # noqa: PLC0415
     except ImportError:
@@ -214,7 +221,22 @@ def _try_delta_merge(
     merge = target.alias("t").merge(source.alias("s"), cond)
     if update_matched:
         merge = merge.whenMatchedUpdateAll()
-    merge.whenNotMatchedInsertAll().execute()
+    automerge_key = "spark.databricks.delta.schema.autoMerge.enabled"
+    try:
+        prev = spark.conf.get(automerge_key, None)
+    except Exception:
+        prev = None
+    try:
+        spark.conf.set(automerge_key, "true")
+        merge.whenNotMatchedInsertAll().execute()
+    finally:
+        try:
+            if prev is None:
+                spark.conf.unset(automerge_key)
+            else:
+                spark.conf.set(automerge_key, prev)
+        except Exception:
+            pass
     return True
 
 

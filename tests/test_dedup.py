@@ -605,6 +605,10 @@ def test_bucket_pairs_lazy_eager_equivalence_randomized(spark):
             width = rng.choice([0, 1, 2, 3, 5, 9, 15])
             members = rng.sample(range(100), width)
             rows += [(band, bucket, m) for m in members]
+            if members and width > 2:
+                # duplicate (doc_id, band, bucket) rows: neither path
+                # may emit self-pairs or double-pair the hub
+                rows.append((band, bucket, members[0]))
     banded = spark.createDataFrame(rows, "band int, bucket long, doc_id long")
     for cap in (4, 8, 1000):
         lazy = {(r.id_a, r.id_b) for r in _bucket_pairs(banded, cap, eager_probe=False).collect()}

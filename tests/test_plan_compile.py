@@ -2,11 +2,17 @@
 
 Round-4 lesson: 191 unit tests stayed green while 7 shipped queries
 crashed, because every test ran on in-memory fixtures and never read
-``/root/testdata``. This test analyzes (``.schema`` — Catalyst analysis
-only, no job execution) EVERY registered ``queries()`` plan against the
-smallest real testdata snapshot, so any storage-type drift in the
-parquet (e.g. the TIMESTAMP_NTZ events.ts regression) fails the suite
-instantly instead of surfacing in the driver's correctness gate.
+``/root/testdata``. This test builds EVERY registered ``queries()``
+plan against the smallest real testdata snapshot and touches
+``.schema``, so any storage-type drift in the parquet (e.g. the
+TIMESTAMP_NTZ events.ts regression) fails the suite instantly instead
+of surfacing in the driver's correctness gate.
+
+For most entries this is Catalyst analysis only (no job); a handful of
+registry entries intentionally run real work during plan construction
+(``streaming_replay_parity``'s ingest steps, the ``eager_probe=True``
+LSH probes, fixture materialization) — for those this test is a cheap
+end-to-end run at sf0.001, which is still exactly the tripwire we want.
 """
 
 from __future__ import annotations

@@ -44,3 +44,19 @@ def test_running_distinct_count(spark):
     out = running_distinct_count(df, ["user_id"], ["ts", "event_id"], "k")
     got = {r.event_id: r.n_distinct_so_far for r in out.collect()}
     assert got == {1: 1, 2: 2, 3: 2, 4: 2}
+
+
+def test_sessionize_rejects_integer_ts(spark):
+    """A raw epoch-long ts column must raise, not silently saturate
+    through a seconds-cast (an int cast to timestamp is read as epoch
+    SECONDS — epoch-nanos values would collapse every gap to zero)."""
+    import pytest as _pytest
+
+    from nba_data_pipeline_spark.operators.windows import sessionize
+
+    df = spark.createDataFrame(
+        [(1, 1_700_000_000_000_000_000), (1, 1_700_000_100_000_000_000)],
+        "user_id long, ts long",
+    )
+    with _pytest.raises(ValueError, match="temporal"):
+        sessionize(df, ["user_id"], "ts", gap_seconds=30)
