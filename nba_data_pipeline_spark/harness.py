@@ -3278,6 +3278,37 @@ def q_hll_sketch_gate(spark, sf):
 
 
 @q(
+    "theta_overlap_gate",
+    # constant-verdict oracle: per-type Theta sketches of user_id must
+    # estimate the click∩purchase user overlap within 5% of the exact
+    # distinct-join count (measured 0% at sf0.01 and sf0.1 — the
+    # sketches are exact below their retention capacity). This is the
+    # set-operation analytics HLL can't answer from persisted rows.
+    """SELECT 'theta_intersection' AS metric, TRUE AS within_bound""",
+)
+def q_theta_overlap_gate(spark, sf):
+    """Theta-sketch set-ops gate (operators/sketches.py): users who did
+    BOTH click and purchase, from two persisted sketch rows vs the
+    exact distinct semi-join."""
+    from .operators.sketches import sketch_theta, theta_set_estimate
+
+    ev = _t(spark, sf, "events")
+    two = ev.filter(F.col("event_type").isin("click", "purchase"))
+    sk = sketch_theta(two, ["event_type"], "user_id")
+    approx = theta_set_estimate(sk, [], "intersection")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact = clicks.join(buys, "user_id").agg(F.count("*").alias("_exact"))
+    return approx.crossJoin(exact).select(
+        F.lit("theta_intersection").alias("metric"),
+        (
+            F.abs(F.col("approx_distinct") - F.col("_exact"))
+            <= 0.05 * F.col("_exact")
+        ).alias("within_bound"),
+    )
+
+
+@q(
     "kll_quantile_gate",
     # constant-verdict oracle: per-(type, day) KLL value sketches merged
     # to per-type sketches must place the EXACT p50/p95 within the

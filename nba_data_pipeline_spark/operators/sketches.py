@@ -106,3 +106,47 @@ def quantile_rank(sketch: Column | str, value: Column) -> Column:
     harness ``kll_quantile_gate``)."""
     c = F.col(sketch) if isinstance(sketch, str) else sketch
     return F.kll_sketch_get_rank_double(c, value.cast("double"))
+
+
+def sketch_theta(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "tsketch",
+    lg_k: int = 12,
+) -> DataFrame:
+    """One Theta sketch row per group. Theta sketches estimate the same
+    distinct counts as HLL but additionally support INTERSECTION and
+    DIFFERENCE between sketches — 'users who did A and B' / 'users who
+    did A but not B' over persisted per-segment sketch rows, without
+    ever joining the raw history."""
+    return df.groupBy(*group_cols).agg(
+        F.theta_sketch_agg(value_col, F.lit(lg_k)).alias(out_col)
+    )
+
+
+def theta_set_estimate(
+    sketches: DataFrame,
+    group_cols: list[str],
+    op: str = "union",
+    sketch_col: str = "tsketch",
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Combine theta sketch rows to a coarser grouping with a set
+    operation and estimate the result: ``union`` = distinct across the
+    merged groups, ``intersection`` = distinct present in EVERY merged
+    group. ``group_cols`` may be any subset of the build grouping
+    (empty = combine all rows)."""
+    if op == "union":
+        agg = F.theta_union_agg(sketch_col, F.lit(12))
+    elif op == "intersection":
+        agg = F.theta_intersection_agg(sketch_col)
+    else:
+        raise ValueError(f"op must be union|intersection, got {op!r}")
+    grouped = (
+        sketches.groupBy(*group_cols) if group_cols else sketches.groupBy()
+    )
+    merged = grouped.agg(agg.alias("_m"))
+    return merged.withColumn(
+        out_col, F.theta_sketch_estimate("_m").cast("long")
+    ).drop("_m")

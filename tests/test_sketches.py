@@ -67,3 +67,31 @@ def test_kll_quantile_sketch_merge(spark):
         quantile_rank(F.col("_m"), F.lit(exact_p50)).alias("r")
     ).collect()[0].r
     assert abs(rank - 0.5) <= 0.03
+
+
+def test_theta_sketch_set_ops(spark):
+    """Theta sketches must answer union AND intersection distinct
+    counts from per-segment sketch rows (the op HLL cannot do)."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.operators.sketches import (
+        sketch_theta,
+        theta_set_estimate,
+    )
+
+    # segment A: users 0..599; segment B: users 400..999 -> overlap 200
+    rows = [("A", u) for u in range(600)] + [("B", u) for u in range(400, 1000)]
+    df = spark.createDataFrame(rows, "seg string, user long")
+    sk = sketch_theta(df, ["seg"], "user")
+    union = theta_set_estimate(sk, [], "union").collect()[0].approx_distinct
+    inter = theta_set_estimate(sk, [], "intersection").collect()[0].approx_distinct
+    assert abs(union - 1000) / 1000 < 0.05
+    assert abs(inter - 200) / 200 < 0.05
+    with _pytest.raises(ValueError, match="op must be"):
+        theta_set_estimate(sk, [], "difference_typo")
+    # rollup to the original grouping is the identity
+    per_seg = theta_set_estimate(sk, ["seg"], "union")
+    got = {r.seg: r.approx_distinct for r in per_seg.collect()}
+    assert abs(got["A"] - 600) / 600 < 0.05 and abs(got["B"] - 600) / 600 < 0.05
