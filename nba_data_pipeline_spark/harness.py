@@ -3290,12 +3290,25 @@ def q_theta_overlap_gate(spark, sf):
     """Theta-sketch set-ops gate (operators/sketches.py): users who did
     BOTH click and purchase, from two persisted sketch rows vs the
     exact distinct semi-join."""
-    from .operators.sketches import sketch_theta, theta_set_estimate
+    from .operators.sketches import sketch_theta
 
     ev = _t(spark, sf, "events")
     two = ev.filter(F.col("event_type").isin("click", "purchase"))
     sk = sketch_theta(two, ["event_type"], "user_id")
-    approx = theta_set_estimate(sk, [], "intersection")
+    # intersect only when BOTH segment rows exist: theta_intersection_agg
+    # over a single sketch returns that sketch (a plain distinct count),
+    # which would mis-compare against the exact overlap of 0 if one
+    # event_type were ever absent from a testdata generation
+    approx = sk.agg(
+        F.count("*").alias("_n"),
+        F.theta_intersection_agg("tsketch").alias("_m"),
+    ).select(
+        F.when(
+            F.col("_n") == 2, F.theta_sketch_estimate("_m").cast("long")
+        )
+        .otherwise(F.lit(0))
+        .alias("approx_distinct")
+    )
     clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
     buys = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
     exact = clicks.join(buys, "user_id").agg(F.count("*").alias("_exact"))

@@ -116,10 +116,11 @@ def sketch_theta(
     lg_k: int = 12,
 ) -> DataFrame:
     """One Theta sketch row per group. Theta sketches estimate the same
-    distinct counts as HLL but additionally support INTERSECTION and
-    DIFFERENCE between sketches — 'users who did A and B' / 'users who
-    did A but not B' over persisted per-segment sketch rows, without
-    ever joining the raw history."""
+    distinct counts as HLL but additionally support set operations
+    between sketches — 'users who did A and B'
+    (``theta_set_estimate(op='intersection')``) and 'users who did A
+    but not B' (``theta_difference_estimate``) over persisted
+    per-segment sketch rows, without ever joining the raw history."""
     return df.groupBy(*group_cols).agg(
         F.theta_sketch_agg(value_col, F.lit(lg_k)).alias(out_col)
     )
@@ -138,7 +139,10 @@ def theta_set_estimate(
     group. ``group_cols`` may be any subset of the build grouping
     (empty = combine all rows)."""
     if op == "union":
-        agg = F.theta_union_agg(sketch_col, F.lit(12))
+        # no explicit lgNomEntries: forcing one would silently downsample
+        # sketches built with a higher lg_k (same reason merge_distinct
+        # lets hll_union_agg default)
+        agg = F.theta_union_agg(sketch_col)
     elif op == "intersection":
         agg = F.theta_intersection_agg(sketch_col)
     else:
@@ -150,3 +154,13 @@ def theta_set_estimate(
     return merged.withColumn(
         out_col, F.theta_sketch_estimate("_m").cast("long")
     ).drop("_m")
+
+
+def theta_difference_estimate(sketch_a: Column | str, sketch_b: Column | str) -> Column:
+    """Estimated distinct count of A \\ B from two theta sketch columns
+    ('users who did A but not B'). Two-operand column expression — pivot
+    per-segment sketch rows side-by-side first (e.g. a self-join or
+    conditional-agg pivot on the segment key)."""
+    a = F.col(sketch_a) if isinstance(sketch_a, str) else sketch_a
+    b = F.col(sketch_b) if isinstance(sketch_b, str) else sketch_b
+    return F.theta_sketch_estimate(F.theta_difference(a, b)).cast("long")

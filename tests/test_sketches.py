@@ -70,14 +70,15 @@ def test_kll_quantile_sketch_merge(spark):
 
 
 def test_theta_sketch_set_ops(spark):
-    """Theta sketches must answer union AND intersection distinct
-    counts from per-segment sketch rows (the op HLL cannot do)."""
-    import pytest as _pytest
+    """Theta sketches must answer union, intersection, AND difference
+    distinct counts from per-segment sketch rows (ops HLL cannot do)."""
+    import pytest
 
     from pyspark.sql import functions as F
 
     from nba_data_pipeline_spark.operators.sketches import (
         sketch_theta,
+        theta_difference_estimate,
         theta_set_estimate,
     )
 
@@ -89,9 +90,18 @@ def test_theta_sketch_set_ops(spark):
     inter = theta_set_estimate(sk, [], "intersection").collect()[0].approx_distinct
     assert abs(union - 1000) / 1000 < 0.05
     assert abs(inter - 200) / 200 < 0.05
-    with _pytest.raises(ValueError, match="op must be"):
+    with pytest.raises(ValueError, match="op must be"):
         theta_set_estimate(sk, [], "difference_typo")
     # rollup to the original grouping is the identity
     per_seg = theta_set_estimate(sk, ["seg"], "union")
     got = {r.seg: r.approx_distinct for r in per_seg.collect()}
     assert abs(got["A"] - 600) / 600 < 0.05 and abs(got["B"] - 600) / 600 < 0.05
+    # difference: A \ B = users 0..399
+    wide = (
+        sk.groupBy()
+        .pivot("seg", ["A", "B"])
+        .agg(F.first("tsketch"))
+        .select(theta_difference_estimate("A", "B").alias("d"))
+    )
+    diff = wide.collect()[0].d
+    assert abs(diff - 400) / 400 < 0.05
