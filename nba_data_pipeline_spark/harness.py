@@ -56,11 +56,13 @@ from .operators.lineups import (
 from .operators.multimodal import attach_media_meta, extract_image_features, sample_frames
 from .operators.rollup import rollup_structs
 from .operators.similarity import (
+    batch_topk,
     brute_force_topk,
     cosine_pairs,
     lsh_topk,
     normalize_embeddings,
     quantize_embeddings,
+    rerank_topk,
 )
 from .operators.similarity import norm as S_norm
 from .operators.text import (
@@ -2192,6 +2194,50 @@ _COS_SQL = """
     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
        * sqrt(list_dot_product(q.qv, q.qv)))
 """
+
+@q(
+    "rerank_topk",
+    # retrieve->rerank: top-20 cosine candidates per query, rescored by
+    # a deterministic weighted feature sum (the fake stand-in for a
+    # cross-encoder — same arithmetic reproduced here in SQL), top-5 kept
+    f"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id IN (0, 1, 2)),
+       cand AS (
+         SELECT q.query_id, e.vec_id AS corpus_id,
+                ROUND({_COS_SQL}, 6) AS cos_sim,
+                SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[]))) AS cnorm,
+                ROW_NUMBER() OVER (
+                  PARTITION BY q.query_id
+                  ORDER BY ROUND({_COS_SQL}, 6) DESC, e.vec_id) AS _crnk
+         FROM embeddings e, q),
+       scored AS (
+         SELECT query_id, corpus_id,
+                ROUND(1.0 * cos_sim + 0.01 * cnorm, 6) AS rerank_score
+         FROM cand WHERE _crnk <= 20)
+       SELECT query_id, corpus_id, rerank_score,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY rerank_score DESC, corpus_id) AS rnk
+       FROM scored QUALIFY rnk <= 5""",
+)
+def q_rerank_topk(spark, sf):
+    """Retrieve->rerank pipeline (operators/similarity.py rerank_topk):
+    first-stage batch_topk candidates, second-stage Arrow-batched
+    mapInPandas scorer, per-query window rank. The fake scorer's
+    weighted sum is SQL-reproducible, so the whole pandas-UDF pipeline
+    is oracle-checked end-to-end."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    cand = batch_topk(queries, emb, "embedding", "vec_id", "vec_id", k=20)
+    cnorm = emb.select(
+        F.col("vec_id").alias("corpus_id"), S_norm("embedding").alias("cnorm")
+    )
+    cand = cand.join(cnorm, "corpus_id")
+    return rerank_topk(
+        cand, "query_id", "corpus_id",
+        [("cos_sim", 1.0), ("cnorm", 0.01)], k=5,
+    )
+
 
 @q(
     "cosine_topk",

@@ -458,3 +458,67 @@ def dequantize_embeddings(
             _col(qvec_col), lambda q: q.cast("double") * F.coalesce(F.col(scale_col), F.lit(0.0))
         ),
     )
+
+
+def rerank_topk(
+    candidates: DataFrame,
+    query_id_col: str,
+    corpus_id_col: str,
+    features: "Sequence[tuple[str, float]]",
+    k: int = 10,
+    scorer: str = "fake",
+    out_col: str = "rerank_score",
+) -> DataFrame:
+    """Second-stage RERANK over first-stage retrieval candidates — the
+    standard retrieve->rerank pipeline: a cheap ANN/BM25 stage produces
+    ~10-100 candidates per query, an expensive model rescores only
+    those. The scorer runs in Arrow-batched ``mapInPandas`` (the shape
+    a real cross-encoder needs: batched rows in, one score column out);
+    ranking stays a per-query window.
+
+    ``scorer="fake"``: deterministic weighted sum of ``features``
+    [(column, weight), ...] computed in pandas — exercises the real
+    batching/schema plumbing and is reproducible for oracles.
+    ``scorer="real"``: declared plug-point for a model runtime
+    (not available in this environment) -> NotImplementedError.
+    Output: (query_id, corpus_id, rerank_score, rnk) with rnk <= k.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    if scorer == "real":
+        raise NotImplementedError(
+            "plug a cross-encoder here: replace _score with a model "
+            "forward pass over the batched feature frame"
+        )
+    if scorer != "fake":
+        raise ValueError(f"scorer must be fake|real, got {scorer!r}")
+    cols = [(c, float(w)) for c, w in features]
+    slim = candidates.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(corpus_id_col).alias("corpus_id"),
+        *[F.col(c).cast("double").alias(c) for c, _ in cols],
+    )
+    schema = "query_id {}, corpus_id {}, {} double".format(
+        dict(slim.dtypes)["query_id"], dict(slim.dtypes)["corpus_id"], out_col
+    )
+
+    def _score(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            score = sum(w * pdf[c] for c, w in cols)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "corpus_id": pdf["corpus_id"],
+                    out_col: score.round(6),
+                }
+            )
+
+    scored = slim.mapInPandas(_score, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(F.col(out_col).desc(), F.col("corpus_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", out_col, "rnk")
+    )

@@ -111,3 +111,33 @@ def test_lsh_and_ivf_batch_shuffle_path_matches_broadcast(spark):
         broadcast_queries=False,
     )
     assert sorted(map(tuple, c.collect())) == sorted(map(tuple, d.collect()))
+
+
+def test_rerank_topk_fake_scorer(spark):
+    """Weighted-sum rerank over candidates: scores, ordering, ties, k."""
+    import pytest
+
+    from nba_data_pipeline_spark.operators.similarity import rerank_topk
+
+    cand = spark.createDataFrame(
+        [
+            (1, 10, 0.9, 2.0),
+            (1, 11, 0.8, 20.0),   # big second feature wins with weight
+            (1, 12, 0.9, 2.0),    # exact tie with corpus 10 -> id order
+            (2, 10, 0.5, 1.0),
+        ],
+        "query_id long, corpus_id long, cos_sim double, aux double",
+    )
+    out = rerank_topk(
+        cand, "query_id", "corpus_id", [("cos_sim", 1.0), ("aux", 0.1)], k=2
+    ).collect()
+    got = {(r.query_id, r.rnk): (r.corpus_id, r.rerank_score) for r in out}
+    assert got[(1, 1)] == (11, 2.8)   # 0.8 + 2.0
+    assert got[(1, 2)] == (10, 1.1)   # tie 1.1 with 12; lower id wins
+    assert got[(2, 1)] == (10, 0.6)
+    assert len(out) == 3  # k=2 cap on query 1, one row on query 2
+
+    with pytest.raises(NotImplementedError, match="cross-encoder"):
+        rerank_topk(cand, "query_id", "corpus_id", [("cos_sim", 1.0)], scorer="real")
+    with pytest.raises(ValueError, match="scorer"):
+        rerank_topk(cand, "query_id", "corpus_id", [("cos_sim", 1.0)], scorer="bogus")
