@@ -1082,11 +1082,14 @@ def q_tpch_q4(spark, sf):
     # q12-shaped: shipping-window join + conditional aggregation; the
     # testdata lineitem has no l_shipmode/l_commitdate, so the group is
     # l_returnflag and "late" is the ship window itself
+    # CAST both flag-sums: DuckDB SUM(INTEGER) widens to HUGEINT, which
+    # arrives as a different Python type than Spark's BIGINT at the
+    # driver's hash boundary (harness rule: counts are cast to long)
     """SELECT l_returnflag,
-              SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                       THEN 1 ELSE 0 END) AS high_line_count,
-              SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                       THEN 1 ELSE 0 END) AS low_line_count
+              CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
          AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -1102,8 +1105,8 @@ def q_tpch_q12(spark, sf):
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .groupBy("l_returnflag")
         .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
         )
     )
 

@@ -43,6 +43,60 @@ def table_hash(rows, cols):
     return h.hexdigest()
 
 
+def _duck_family(t):
+    t = str(t).upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT", "USMALLINT",
+             "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "DOUBLE"):
+        return "float"
+    if t.startswith("DECIMAL") or t == "HUGEINT":
+        # fetchall() happens to return Python ints/Decimals that may
+        # still hash equal locally, but the driver's fetch path (pandas/
+        # arrow) maps these to float64/decimal128 — not engine-portable.
+        return "NONPORTABLE:" + t
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "VARCHAR":
+        return "str"
+    if t.startswith("TIMESTAMP") or t == "DATE":
+        return "NONPORTABLE:" + t  # harness rule: timestamps leave as unix micros
+    return t.lower()
+
+
+def _spark_family(dt):
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if s in ("float", "double"):
+        return "float"
+    if s.startswith("decimal"):
+        return "NONPORTABLE:" + s
+    if s == "boolean":
+        return "bool"
+    if s == "string":
+        return "str"
+    if s.startswith("timestamp") or s == "date":
+        return "NONPORTABLE:" + s
+    return s
+
+
+def type_parity_problems(sdf, rel):
+    """Driver-parity gate: the driver's hash normalization is unknown, so
+    the only safe contract is bit-identical Python types on both sides.
+    Flags (a) any DuckDB/Spark type-family divergence per column and
+    (b) families whose Python representation depends on the fetch path
+    (HUGEINT, DECIMAL, raw timestamps)."""
+    sfam = {f.name: _spark_family(f.dataType) for f in sdf.schema.fields}
+    dfam = dict(zip(rel.columns, (_duck_family(t) for t in rel.types)))
+    problems = []
+    for col in sorted(set(sfam) & set(dfam)):
+        a, b = sfam[col], dfam[col]
+        if a != b or a.startswith("NONPORTABLE") or b.startswith("NONPORTABLE"):
+            problems.append(f"type[{col}] spark={a} duck={b}")
+    return problems
+
+
 def main():
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
@@ -81,7 +135,7 @@ def main():
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {str(exc)[:300]}")
             continue
-        problems = []
+        problems = type_parity_problems(sdf, rel)
         if len(srows) != len(drows):
             problems.append(f"rowcount {len(srows)} vs {len(drows)}")
         if sorted(scols) != sorted(dcols):
