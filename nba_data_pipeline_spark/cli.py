@@ -53,7 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--game_id", help="single game id (XOR with --season/--season_type)")
     p.add_argument("--delta", action="store_true", help="skip already-loaded keys")
     p.add_argument("--player_id", type=int)
-    p.add_argument("--team_id", type=int)
+    p.add_argument(
+        "--team_id",
+        help="stats.nba.com team id or franchise name (e.g. GoldenStateWarriors)",
+    )
     p.add_argument("--input", required=True, help="input parquet path(s), comma-separated")
     p.add_argument("--output", required=True, help="output table path")
     p.add_argument("--benchmark", help="corpus: eval-set parquet for decontamination")
@@ -88,6 +91,14 @@ def parse_args(argv: Sequence[str]) -> argparse.Namespace:
         raise SystemExit("provide either --game_id or both --season and --season_type")
     if args.pipeline == "shot_details" and (args.player_id is None or args.team_id is None):
         raise SystemExit("shot_details requires --player_id and --team_id")
+    if args.team_id is not None:
+        # names resolve pre-Spark so a typo'd franchise fails loudly
+        from .sources.nba_api import resolve_team_id
+
+        try:
+            args.team_id = resolve_team_id(args.team_id)
+        except ValueError as exc:
+            raise SystemExit(str(exc)) from None
     if has_game:
         # Fail loudly BEFORE any Spark work: a mis-decoded SEASON_TYPE
         # would upsert the game into the wrong (SEASON, SEASON_TYPE)

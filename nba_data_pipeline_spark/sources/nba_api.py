@@ -42,6 +42,61 @@ DEFAULT_HEADERS = {
     "Accept": "application/json",
 }
 
+# Franchise name -> stats.nba.com team id (reference api/smart.py:11-46
+# ``NBATeams``). Ints here; parameter builders stringify at the HTTP
+# boundary like every other id.
+NBA_TEAMS: dict[str, int] = {
+    "AtlantaHawks": 1610612737,
+    "BostonCeltics": 1610612738,
+    "BrooklynNets": 1610612751,
+    "CharlotteHornets": 1610612766,
+    "ChicagoBulls": 1610612741,
+    "ClevelandCavaliers": 1610612739,
+    "DallasMavericks": 1610612742,
+    "DenverNuggets": 1610612743,
+    "DetroitPistons": 1610612765,
+    "GoldenStateWarriors": 1610612744,
+    "HoustonRockets": 1610612745,
+    "IndianaPacers": 1610612754,
+    "LosAngelesClippers": 1610612746,
+    "LosAngelesLakers": 1610612747,
+    "MemphisGrizzlies": 1610612763,
+    "MiamiHeat": 1610612748,
+    "MilwaukeeBucks": 1610612749,
+    "MinnesotaTimberwolves": 1610612750,
+    "NewOrleansPelicans": 1610612740,
+    "NewYorkKnicks": 1610612752,
+    "OklahomaCityThunder": 1610612760,
+    "OrlandoMagic": 1610612753,
+    "Philadelphia76ers": 1610612755,
+    "PhoenixSuns": 1610612756,
+    "PortlandTrailBlazers": 1610612757,
+    "SacramentoKings": 1610612758,
+    "SanAntonioSpurs": 1610612759,
+    "TorontoRaptors": 1610612761,
+    "UtahJazz": 1610612762,
+    "WashingtonWizards": 1610612764,
+}
+
+_TEAMS_NORMALIZED = {name.lower(): tid for name, tid in NBA_TEAMS.items()}
+
+
+def resolve_team_id(team: int | str) -> int:
+    """Accept a raw stats.nba.com team id (int or digit string) or a
+    franchise name in any spacing/casing ('GoldenStateWarriors',
+    'golden state warriors', 'Golden_State_Warriors')."""
+    if isinstance(team, int):
+        return team
+    s = str(team).strip()
+    if s.isdigit():
+        return int(s)
+    key = s.replace(" ", "").replace("_", "").replace("-", "").lower()
+    if key in _TEAMS_NORMALIZED:
+        return _TEAMS_NORMALIZED[key]
+    raise ValueError(
+        f"unknown team {team!r}; expected a team id or one of {sorted(NBA_TEAMS)}"
+    )
+
 
 @dataclass(frozen=True)
 class Endpoint:
@@ -111,7 +166,7 @@ ENDPOINTS: dict[str, Endpoint] = {
 
 def shot_chart_params(
     player_id: int,
-    team_id: int,
+    team_id: int | str,
     context: str = "FGA",
     game_id: str = "",
     season: str | None = None,
@@ -126,6 +181,7 @@ def shot_chart_params(
         raise ValueError("Must provide a Player Id")
     if team_id is None:
         raise ValueError("Must provide a Team Id")
+    team_id = resolve_team_id(team_id)
     if context not in ("FGA", "PF"):
         raise ValueError("context must be FGA (shots) or PF (fouls)")
     if season is None:

@@ -152,3 +152,26 @@ def test_cli_game_id_rejects_malformed_and_unknown_type(spark, tmp_path, team_ga
                 ["team_game_log", "--game_id", bad, "--input", raw, "--output", out],
                 spark=spark,
             )
+
+
+def test_cli_team_name_resolves_to_reference_id():
+    """--team_id accepts a franchise name (reference NBATeams constants,
+    api/smart.py:11-46) and resolves it before any Spark work."""
+    args = parse_args(
+        ["shot_details", "--season", "2024-25", "--season_type", "Regular Season",
+         "--player_id", "203999", "--team_id", "Denver Nuggets",
+         "--input", "i", "--output", "o"]
+    )
+    assert args.team_id == 1610612743
+    args = parse_args(
+        ["shot_details", "--season", "2024-25", "--season_type", "Regular Season",
+         "--player_id", "203999", "--team_id", "1610612744",
+         "--input", "i", "--output", "o"]
+    )
+    assert args.team_id == 1610612744
+    with pytest.raises(SystemExit, match="unknown team"):
+        parse_args(
+            ["shot_details", "--season", "2024-25", "--season_type",
+             "Regular Season", "--player_id", "203999", "--team_id",
+             "Seattle SuperSonics", "--input", "i", "--output", "o"]
+        )

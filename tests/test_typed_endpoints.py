@@ -100,3 +100,46 @@ def test_shot_chart_params_contract():
         shot_chart_params(1, None)
     with _p.raises(ValueError):
         shot_chart_params(1, 2, context="AST", season="2024-25")
+
+
+def test_nba_teams_match_reference_ids():
+    """All 30 franchise ids equal the reference constants
+    (api/smart.py:11-46 NBATeams)."""
+    from nba_data_pipeline_spark.sources.nba_api import NBA_TEAMS, resolve_team_id
+
+    expected = {
+        "AtlantaHawks": 1610612737, "BostonCeltics": 1610612738,
+        "BrooklynNets": 1610612751, "CharlotteHornets": 1610612766,
+        "ChicagoBulls": 1610612741, "ClevelandCavaliers": 1610612739,
+        "DallasMavericks": 1610612742, "DenverNuggets": 1610612743,
+        "DetroitPistons": 1610612765, "GoldenStateWarriors": 1610612744,
+        "HoustonRockets": 1610612745, "IndianaPacers": 1610612754,
+        "LosAngelesClippers": 1610612746, "LosAngelesLakers": 1610612747,
+        "MemphisGrizzlies": 1610612763, "MiamiHeat": 1610612748,
+        "MilwaukeeBucks": 1610612749, "MinnesotaTimberwolves": 1610612750,
+        "NewOrleansPelicans": 1610612740, "NewYorkKnicks": 1610612752,
+        "OklahomaCityThunder": 1610612760, "OrlandoMagic": 1610612753,
+        "Philadelphia76ers": 1610612755, "PhoenixSuns": 1610612756,
+        "PortlandTrailBlazers": 1610612757, "SacramentoKings": 1610612758,
+        "SanAntonioSpurs": 1610612759, "TorontoRaptors": 1610612761,
+        "UtahJazz": 1610612762, "WashingtonWizards": 1610612764,
+    }
+    assert NBA_TEAMS == expected
+    assert len({*NBA_TEAMS.values()}) == 30
+    # resolution accepts ids, digit strings, and spaced/cased names
+    assert resolve_team_id(1610612744) == 1610612744
+    assert resolve_team_id("1610612744") == 1610612744
+    assert resolve_team_id("GoldenStateWarriors") == 1610612744
+    assert resolve_team_id("golden state warriors") == 1610612744
+    assert resolve_team_id("Philadelphia_76ers") == 1610612755
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown team"):
+        resolve_team_id("Seattle SuperSonics")
+
+
+def test_shot_chart_params_accepts_team_name():
+    from nba_data_pipeline_spark.sources.nba_api import shot_chart_params
+
+    p = shot_chart_params(203999, "DenverNuggets", season="2024-25")
+    assert p["TeamID"] == "1610612743"
