@@ -72,12 +72,15 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"# fixture warmup failed: {exc}", file=sys.stderr)
 
-    # Per-query minimum of two back-to-back runs: single-shot numbers
+    # Per-query minimum of three back-to-back runs: single-shot numbers
     # on this host swing ~40% with phantom load (same commit measured
     # 28.5s and 36.6s hours apart), and the min is the standard way to
-    # measure the plan rather than the scheduler jitter. Reported
-    # transparently via runs_per_query.
-    RUNS = 2
+    # measure the plan rather than the scheduler jitter. Two runs
+    # proved insufficient: round 5 reported +11%/+12% "regressions" on
+    # minhash_lsh_pairs/ngram_jaccard that a min-of-4 re-measure showed
+    # were pure jitter (both at or below their round-3 minima).
+    # Reported transparently via runs_per_query.
+    RUNS = 3
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
