@@ -47,6 +47,10 @@ HEADLINE = [
     "decontaminate",
     "pack_sequences",
     "lineups_declarative_bulk",
+    # same 200-game x 300-event grain through the applyInPandas scan,
+    # so the Python/Arrow transfer tax vs the declarative range-join
+    # is a first-class bench datum (see COVERAGE.md crossover note)
+    "lineup_tracking_bulk",
 ]
 
 
