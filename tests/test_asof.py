@@ -142,3 +142,78 @@ def test_asof_join_randomized_vs_pandas(spark):
         for eid in exp:
             g, e = got[eid], exp[eid]
             assert (g is None and pd.isna(e)) or g == e, (direction, eid, g, e)
+
+
+def test_asof_nearest_exact_tie_takes_backward_on_timestamps(spark):
+    """Constructed equal-distance ties on timestamp keys: merge_asof
+    semantics take the backward match. Exercises the interval-typed
+    branch of the nearest comparison (ts - ts yields day-time
+    intervals, not numbers)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    us = dt.timedelta(microseconds=1)
+    left = spark.createDataFrame(
+        [(0, 1, base), (1, 1, base + 500 * us)], "eid long, k long, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, base - 5 * us, 1.0), (1, base + 5 * us, 2.0),      # tie around eid 0
+            (1, base + 400 * us, 3.0), (1, base + 600 * us, 4.0),  # 100us tie, eid 1
+        ],
+        "k long, rt timestamp, rv double",
+    )
+    got = {
+        r.eid: r.rv
+        for r in asof_join(
+            left, right, on="k", left_ts="t", right_ts="rt",
+            right_vals=["rv"], direction="nearest",
+        ).collect()
+    }
+    assert got == {0: 1.0, 1: 3.0}
+
+
+def test_asof_randomized_vs_pandas_on_timestamps(spark):
+    """All three directions vs pandas merge_asof on timestamp-typed
+    keys drawn from a coarse 10s grid, so equal-distance ties around
+    left points occur constantly — the case the interval-comparison
+    branch must get right."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    base = pd.Timestamp("2024-01-01")
+    left_pd = pd.DataFrame(
+        {
+            "eid": np.arange(400),
+            "k": rng.integers(0, 4, 400).astype("int64"),
+            "t": base + pd.to_timedelta(rng.integers(0, 50, 400) * 10, unit="s"),
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 200).astype("int64"),
+            "rt": base + pd.to_timedelta(rng.integers(0, 50, 200) * 10, unit="s"),
+            "rv": np.round(rng.random(200), 3),
+        }
+    )
+    right_pd = right_pd.groupby(["k", "rt"], as_index=False)["rv"].max()
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(right_pd)
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r.eid: r.rv
+            for r in asof_join(
+                left, right, on="k", left_ts="t", right_ts="rt",
+                right_vals=["rv"], direction=direction,
+            ).collect()
+        }
+        exp_df = pd.merge_asof(
+            left_pd.sort_values("t"),
+            right_pd.sort_values("rt"),
+            left_on="t", right_on="rt", by="k", direction=direction,
+        )
+        exp = dict(zip(exp_df["eid"], exp_df["rv"]))
+        for eid in exp:
+            g, e = got[eid], exp[eid]
+            assert (g is None and pd.isna(e)) or g == e, (direction, eid, g, e)
