@@ -29,19 +29,33 @@ def _col(c: Column | str) -> Column:
 from ..core.session import AUTO_BROADCAST_BYTES as _BROADCAST_CAP_BYTES
 
 
-def _maybe_broadcast(df: DataFrame, flag: bool | None) -> DataFrame:
+def _maybe_broadcast(
+    df: DataFrame,
+    flag: bool | None,
+    estimate_from: DataFrame | None = None,
+    fanout: int = 1,
+) -> DataFrame:
     """Size-gated broadcast hint. ``flag=True``/``False`` force the
     choice; ``None`` (auto) consults Catalyst's optimized-plan size
     estimate and hints only when the frame is provably small — an
     unconditional hint on a corpus-sized query batch would ship the
-    whole batch to every executor and OOM the build side at scale."""
+    whole batch to every executor and OOM the build side at scale.
+
+    Catalyst's stats do NOT scale ``Generate`` (explode) row fan-out,
+    so a post-explode frame can be estimated at its pre-explode size
+    and a just-under-cap estimate would broadcast a frame ``fanout``
+    times larger than believed. Callers gating an exploded frame pass
+    the PRE-explode frame as ``estimate_from`` and the known
+    multiplier (probe-set size, n_probe) as ``fanout``; the gate then
+    compares estimate x fanout against the cap."""
     if flag is True:
         return F.broadcast(df)
     if flag is False:
         return df
+    probe = estimate_from if estimate_from is not None else df
     try:
-        stats = df._jdf.queryExecution().optimizedPlan().stats()
-        size = int(str(stats.sizeInBytes()))
+        stats = probe._jdf.queryExecution().optimizedPlan().stats()
+        size = int(str(stats.sizeInBytes())) * max(fanout, 1)
     except Exception:
         # stats unavailable (e.g. Connect): leave the choice to the
         # planner's own autoBroadcast threshold
@@ -261,7 +275,12 @@ def lsh_batch_topk(
     probes = qb.select(
         "query_id", "_qv", F.explode(F.array(*probe_set)).alias("_bucket")
     )
-    scored = cb.join(_maybe_broadcast(probes, broadcast_queries), "_bucket").withColumn(
+    scored = cb.join(
+        # gate on the pre-explode query frame x probe count: the probe
+        # frame is post-Generate and Catalyst won't scale its estimate
+        _maybe_broadcast(probes, broadcast_queries, estimate_from=qb, fanout=len(masks)),
+        "_bucket",
+    ).withColumn(
         "cos_sim", F.round(cosine(F.col("_cv"), F.col("_qv")), 6)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("corpus_id"))
@@ -318,7 +337,12 @@ def ivf_batch_topk(
     )
     cand = assigned.select(
         F.col(corpus_id_col).alias("corpus_id"), F.col(vec_col).alias("_cv"), "_list"
-    ).join(_maybe_broadcast(ranked, broadcast_queries), "_list")
+    ).join(
+        # ranked is queries x n_probe post-explode rows; estimate from
+        # the un-exploded query frame scaled by the probe fan-out
+        _maybe_broadcast(ranked, broadcast_queries, estimate_from=qn, fanout=n_probe),
+        "_list",
+    )
     scored = cand.withColumn("cos_sim", F.round(cosine(F.col("_cv"), F.col("_qv")), 6))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("corpus_id"))
     return (
@@ -495,6 +519,17 @@ def rerank_topk(
     if scorer != "fake":
         raise ValueError(f"scorer must be fake|real, got {scorer!r}")
     cols = [(c, float(w)) for c, w in features]
+    # fail at plan-build, not inside an opaque Python worker: an empty
+    # feature list makes sum() the int 0 (no .round), and a feature
+    # column named like an id alias would silently shadow it in slim
+    if not cols:
+        raise ValueError("features must be non-empty")
+    clash = [c for c, _ in cols if c in ("query_id", "corpus_id")]
+    if clash:
+        raise ValueError(
+            f"feature columns {clash} collide with the query_id/corpus_id "
+            "output aliases; rename them in the candidate frame first"
+        )
     slim = candidates.select(
         F.col(query_id_col).alias("query_id"),
         F.col(corpus_id_col).alias("corpus_id"),

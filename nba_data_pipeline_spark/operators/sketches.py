@@ -84,16 +84,28 @@ def merge_quantiles(
 ) -> DataFrame:
     """Roll sketch rows up to a coarser grouping and read quantile
     estimates; ``group_cols`` may be any subset of the build grouping
-    (empty = grand total). Output columns: ``q50`` for 0.5 etc."""
+    (empty = grand total). Output columns carry the full percent
+    precision — ``q50`` for 0.5, ``q99_9`` for 0.999, ``q100`` for 1.0
+    — so nearby quantiles (0.999 vs 1.0) can't silently collide into
+    one duplicated name; generated duplicates raise."""
     grouped = (
         sketches.groupBy(*group_cols) if group_cols else sketches.groupBy()
     )
     merged = grouped.agg(F.kll_merge_agg_double(sketch_col).alias("_m"))
+
+    def _qname(q: float) -> str:
+        # 0.5 -> q50, 0.999 -> q999, 1.0 -> q100: percent scaled, with
+        # any sub-percent digits appended (trailing zeros stripped)
+        s = f"{q * 100:.6f}".rstrip("0").rstrip(".").replace(".", "_")
+        return f"{prefix}{s}"
+
+    names = [_qname(float(q)) for q in quantiles]
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        raise ValueError(f"quantiles {quantiles} produce duplicate columns {sorted(dupes)}")
     outs = [
-        F.kll_sketch_get_quantile_double(F.col("_m"), F.lit(float(q))).alias(
-            f"{prefix}{int(round(q * 100))}"
-        )
-        for q in quantiles
+        F.kll_sketch_get_quantile_double(F.col("_m"), F.lit(float(q))).alias(n)
+        for q, n in zip(quantiles, names)
     ]
     return merged.select(*group_cols, *outs)
 

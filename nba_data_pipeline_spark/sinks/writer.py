@@ -197,13 +197,17 @@ def _try_delta_merge(
     partition rewrite — when delta is absent or the path is plain
     parquet.
 
-    Parity with the fallback: schema evolution is handled by enabling
-    Delta's merge autoMerge for the statement (new source columns
-    backfill NULL, target-only columns survive — the same ADD COLUMN
-    semantics ``_align_schemas`` gives the parquet path). One DECLARED
-    divergence: a source with duplicate keys raises Delta's
-    multiple-source-rows-matched error here, while the rewrite path
-    keeps all copies — dedup the source first if that matters."""
+    Parity with the fallback: schema evolution is EXPLICIT, mirroring
+    ``_align_schemas`` — genuinely new source columns become an ALTER
+    TABLE ADD COLUMNS on the Delta table (NULL backfill into history),
+    target-only columns are padded into the source as typed NULLs, and
+    a same-name/different-type column raises. No session conf is
+    touched: the earlier approach of flipping delta's autoMerge conf
+    around execute() was a read-modify-write race for any concurrent
+    writer sharing the SparkSession. One DECLARED divergence: a source
+    with duplicate keys raises Delta's multiple-source-rows-matched
+    error here, while the rewrite path keeps all copies — dedup the
+    source first if that matters."""
     try:
         from delta.tables import DeltaTable  # noqa: PLC0415
     except ImportError:
@@ -214,6 +218,27 @@ def _try_delta_merge(
         target = DeltaTable.forPath(spark, path)
     except Exception:
         return False
+    t_fields = {f.name: f.dataType for f in target.toDF().schema.fields}
+    s_fields = {f.name: f.dataType for f in source.schema.fields}
+    conflicts = {
+        c: (t_fields[c], s_fields[c])
+        for c in s_fields
+        if c in t_fields and t_fields[c].simpleString() != s_fields[c].simpleString()
+    }
+    if conflicts:
+        raise ValueError(
+            f"upsert schema conflict (column: table type vs source type): {conflicts}"
+        )
+    new_cols = [
+        (c, dt.simpleString()) for c, dt in s_fields.items() if c not in t_fields
+    ]
+    if new_cols:
+        ddl = ", ".join(f"`{c}` {t}" for c, t in new_cols)
+        spark.sql(f"ALTER TABLE delta.`{path}` ADD COLUMNS ({ddl})")
+        target = DeltaTable.forPath(spark, path)  # re-resolve post-DDL
+    for c, dt in t_fields.items():
+        if c not in s_fields:
+            source = source.withColumn(c, F.lit(None).cast(dt))
     keys = [key] if isinstance(key, str) else list(key)
     # null-safe equality: NULL key components must collide, matching
     # merge_upsert's anti-join semantics
@@ -221,22 +246,7 @@ def _try_delta_merge(
     merge = target.alias("t").merge(source.alias("s"), cond)
     if update_matched:
         merge = merge.whenMatchedUpdateAll()
-    automerge_key = "spark.databricks.delta.schema.autoMerge.enabled"
-    try:
-        prev = spark.conf.get(automerge_key, None)
-    except Exception:
-        prev = None
-    try:
-        spark.conf.set(automerge_key, "true")
-        merge.whenNotMatchedInsertAll().execute()
-    finally:
-        try:
-            if prev is None:
-                spark.conf.unset(automerge_key)
-            else:
-                spark.conf.set(automerge_key, prev)
-        except Exception:
-            pass
+    merge.whenNotMatchedInsertAll().execute()
     return True
 
 
