@@ -3557,7 +3557,18 @@ def q_lineups_declarative(spark, sf):
     return lineups_via_range_join(pbp, rot, tgl).select(*_LINEUP_OUT)
 
 
-@q("lineup_validation")  # reference hard invariant as a one-scan gate: rows-only
+@q(
+    "lineup_validation",
+    # constant-verdict oracle (approx_error_gate pattern): the input is
+    # the deterministic fixture game, so the full expectation table is
+    # pinned — any lineup-tracking regression flips a value or count
+    """SELECT 'exactly_five_on_court' AS check_name,
+              CAST(0 AS BIGINT) AS n_violations,
+              CAST(6 AS BIGINT) AS n_rows, TRUE AS passed
+       UNION ALL SELECT 'five_per_team', 0, 6, TRUE
+       UNION ALL SELECT 'ten_distinct_players', 0, 6, TRUE
+       ORDER BY check_name""",
+)
 def q_lineup_validation(spark, sf):
     """Five non-null, pairwise-distinct players per team on every
     tracked event (reference etl/play_by_play_with_players.py:146-149),

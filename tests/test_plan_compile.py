@@ -50,3 +50,31 @@ def test_entry_smoke(spark):
 
     df = entrymod.entry(spark)
     assert df.schema.fields
+
+
+def test_oracle_type_parity(spark):
+    """Round-5 lesson (tpch_q12): rows+schema matched but the driver's
+    value hash diverged because DuckDB widened SUM(INTEGER) to HUGEINT
+    while Spark produced BIGINT — a type-family divergence invisible to
+    schema-name comparison. The driver's hash normalization is unknown,
+    so the only safe contract is identical type families on both sides
+    and no fetch-path-dependent families (HUGEINT/DECIMAL/raw
+    timestamps) at all. Schema-only: DuckDB plans the oracle, Spark
+    analyzes the query; neither executes."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools.check_oracle import type_parity_problems
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    problems = {}
+    for name, sql in oracles.items():
+        probs = type_parity_problems(qs[name](spark, SF_DIR), con.sql(sql))
+        if probs:
+            problems[name] = probs
+    assert not problems, problems
