@@ -45,7 +45,7 @@ from .operators.dedup import (
     simhash_near_pairs,
 )
 from .operators.incremental import delta_filter, duplicate_keys, insert_ignore, merge_upsert
-from .operators.layout import zorder_key
+from .operators.layout import assign_ordinals, zorder_key
 from .operators.quality import validate
 from .operators.lineups import (
     lineups_via_range_join,
@@ -910,6 +910,22 @@ def q_zorder_key(spark, sf):
     return ev.select(
         "event_id", zorder_key(F.col("user_id"), F.col("event_id")).alias("zkey")
     )
+
+
+@q(
+    "global_ordinals",
+    """SELECT doc_id, lang,
+              CAST(ROW_NUMBER() OVER (ORDER BY lang, doc_id) - 1 AS BIGINT)
+                AS ordinal
+       FROM documents""",
+)
+def q_global_ordinals(spark, sf):
+    """Dense global ordinals without a single-partition global sort
+    (operators/layout.py assign_ordinals): range repartition + per-
+    partition offsets + partition-local row_number. The (lang, doc_id)
+    order is total (doc_id is unique), so ordinals are deterministic."""
+    docs = _t(spark, sf, "documents").select("doc_id", "lang")
+    return assign_ordinals(docs, ["lang", "doc_id"], num_partitions=8)
 
 
 @q(
@@ -2784,6 +2800,43 @@ def q_incremental_neardup(spark, sf):
     old = docs.filter(F.col("doc_id") % 5 != 0)
     return incremental_ngram_pairs(
         new, old, "doc_id", "text", ["lang", "len_band"], n=3, threshold=0.3
+    )
+
+
+@q(
+    "temperature_mixture",
+    # alpha-tempered mixture (w_s ~ chars_s^0.5, size-weighted because
+    # the testdata's per-source ROW counts are exactly uniform) then the
+    # mixture_sample arithmetic; products for non-binding sources are
+    # generic irrationals, so the floor boundary is epsilon-safe, and
+    # the binding source's exact-10000 case has the +1e-9 guard
+    """WITH t AS (
+         SELECT source, COUNT(*) * 1.0 AS total,
+                SUM(n_chars) * 1.0 AS sz
+         FROM documents GROUP BY source),
+       p AS (SELECT source, total, POWER(sz, 0.5) AS pw FROM t),
+       z AS (SELECT SUM(pw) AS z FROM p),
+       w AS (SELECT source, total, pw / z AS w FROM p, z),
+       k AS (SELECT MIN(total / w) AS kmin FROM w),
+       thr AS (SELECT source,
+                      CAST(FLOOR(10000.0 * kmin * w / total + 0.000000001)
+                           AS BIGINT) AS cut
+               FROM w, k)
+       SELECT d.doc_id, d.source FROM documents d
+       JOIN thr ON d.source = thr.source
+       WHERE ((d.doc_id * 2654435761) % 4294967296) % 10000 < cut""",
+)
+def q_temperature_mixture(spark, sf):
+    """Temperature-sampled domain mixture (operators/sampling.py
+    temperature_weights -> mixture_sample): per-source weights from the
+    observed total chars at alpha=0.5, then deterministic
+    downsampling."""
+    from .operators.sampling import mixture_sample, temperature_weights
+
+    docs = _t(spark, sf, "documents")
+    weights = temperature_weights(docs, "source", alpha=0.5, size_col="n_chars")
+    return mixture_sample(docs, "doc_id", "source", weights).select(
+        "doc_id", "source"
     )
 
 

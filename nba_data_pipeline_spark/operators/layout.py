@@ -75,3 +75,65 @@ def write_zordered(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def assign_ordinals(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    out_col: str = "ordinal",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense global row ordinals (0..n-1) in ``order_cols`` order
+    WITHOUT the single-partition ``row_number() OVER (ORDER BY ...)``
+    chokepoint — the distributed zipWithIndex pattern, needed wherever
+    a corpus wants stable document ordinals (shard-stable sampling,
+    resumable iteration, deterministic interleaving).
+
+    Plan: range-repartition on the order keys (each partition owns a
+    contiguous key range), count rows per partition (tiny aggregate —
+    one row per partition), turn counts into cumulative start offsets
+    with a window over that partition-count frame (driver-scale, not
+    data-scale), broadcast-join the offsets back, and add a
+    partition-LOCAL row_number. Every sort is partition-local; the
+    only full shuffle is the range repartition that any total order
+    needs.
+
+    ``order_cols`` must be a TOTAL order (include a unique tiebreaker
+    such as the primary key): with duplicate sort keys the ordinal of
+    tied rows would depend on partition-internal placement.
+    """
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(*order_cols)
+    )
+    keyed = ranged.withColumn("_pid", F.spark_partition_id())
+    # localCheckpoint pins the partitioning: _pid must mean the same
+    # physical partition in the counts aggregate and the final window,
+    # and the range shuffle must not replay twice
+    keyed = keyed.localCheckpoint(eager=False)
+    counts = keyed.groupBy("_pid").agg(F.count("*").alias("_n"))
+    offsets = counts.withColumn(
+        "_start",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("_pid", "_start")
+    # offsets has one row per partition — broadcast unconditionally
+    local_rn = F.row_number().over(
+        Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    )
+    return (
+        keyed.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_start") + local_rn - 1).cast("long"))
+        .drop("_pid", "_start")
+    )

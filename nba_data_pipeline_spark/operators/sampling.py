@@ -295,3 +295,34 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col: str, k: int) -> Data
         .orderBy(F.desc("_wkey"), _col(id_col))
         .limit(k)
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    source_col: str,
+    alpha: float = 0.7,
+    size_col: str | None = None,
+) -> dict[str, float]:
+    """Alpha-tempered target mixture from the observed per-source sizes
+    — the multilingual/multi-domain temperature-sampling rule
+    (w_s proportional to n_s^alpha): alpha=1 keeps natural proportions,
+    alpha->0 approaches uniform, 0.5-0.7 is the usual band that keeps
+    small sources from drowning. Feed the result to ``mixture_sample``.
+
+    ``size_col`` weighs sources by a size column (token counts) instead
+    of row counts. The aggregate collapses to one row per source before
+    the collect — driver-side data is O(#sources), never O(rows).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    agg = (
+        F.sum(_col(size_col)) if size_col is not None else F.count("*")
+    ).cast("double").alias("_n")
+    rows = df.groupBy(source_col).agg(agg).collect()
+    powed = {r[source_col]: float(r["_n"]) ** alpha for r in rows if r["_n"]}
+    # sum in sorted-key order: collect order varies run to run, and a
+    # different FP summation order would perturb every weight
+    z = sum(powed[s] for s in sorted(powed))
+    if z == 0.0:
+        raise ValueError("no rows to weigh")
+    return {s: v / z for s, v in powed.items()}

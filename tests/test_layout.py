@@ -59,3 +59,31 @@ def test_zorder_key_int32_inputs_no_sign_overflow(spark):
     zl = [r.z for r in longs.select(zorder_key("a", "b").alias("z")).collect()]
     assert zi == zl
     assert all(z >= 0 for z in zi)
+
+
+def test_assign_ordinals_matches_global_sort(spark):
+    """Distributed zipWithIndex == the single-partition row_number
+    ground truth, on a shuffled input with several range partitions."""
+    import random
+
+    from nba_data_pipeline_spark.operators.layout import assign_ordinals
+
+    rows = [(i, f"g{i % 7}") for i in range(500)]
+    random.Random(3).shuffle(rows)
+    df = spark.createDataFrame(rows, "pk long, grp string").repartition(13)
+    out = assign_ordinals(df, ["grp", "pk"], num_partitions=6)
+    got = {(r.grp, r.pk): r.ordinal for r in out.collect()}
+    expected_order = sorted(rows, key=lambda t: (t[1], t[0]))
+    for ordinal, (pk, grp) in enumerate(expected_order):
+        assert got[(grp, pk)] == ordinal
+    # dense 0..n-1, no gaps or dupes
+    assert sorted(got.values()) == list(range(500))
+
+
+def test_assign_ordinals_requires_order_cols(spark):
+    import pytest
+
+    from nba_data_pipeline_spark.operators.layout import assign_ordinals
+
+    with pytest.raises(ValueError, match="non-empty"):
+        assign_ordinals(spark.range(3), [])

@@ -194,3 +194,32 @@ def test_top_fraction_tiny_frac_keeps_one_row(spark):
     )
     out = top_fraction_per_group(df, "doc_id", ["src"], "score", 0.00001)
     assert [r.doc_id for r in out.collect()] == [4]  # top scorer survives
+
+
+def test_temperature_weights_flatten_distribution(spark):
+    from nba_data_pipeline_spark.operators.sampling import temperature_weights
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    natural = temperature_weights(df, "source", alpha=1.0)
+    assert abs(natural["big"] - 0.9) < 1e-9
+    tempered = temperature_weights(df, "source", alpha=0.5)
+    # flattening: the big source's share shrinks toward uniform but
+    # stays above it
+    assert 0.5 < tempered["big"] < 0.9
+    assert abs(sum(tempered.values()) - 1.0) < 1e-9
+    import pytest
+
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_weights(df, "source", alpha=0.0)
+
+
+def test_temperature_weights_size_col(spark):
+    from nba_data_pipeline_spark.operators.sampling import temperature_weights
+
+    df = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 300), (3, "b", 400)],
+        "doc_id long, source string, n_tokens long",
+    )
+    w = temperature_weights(df, "source", alpha=1.0, size_col="n_tokens")
+    assert abs(w["a"] - 0.5) < 1e-9 and abs(w["b"] - 0.5) < 1e-9
