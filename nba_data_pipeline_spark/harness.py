@@ -2016,6 +2016,50 @@ def q_repeated_spans(spark, sf):
 
 
 @q(
+    "decontaminate_spans",
+    # span-level decontamination: benchmark = every 97th doc; corpus
+    # tokens covered by any benchmark 5-gram are removed and docs
+    # reassembled (vs the document-drop policy of `decontaminate`)
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+       g AS (SELECT doc_id, unnest(range(0, greatest(len(tok) - 4, 0))) AS s, tok
+             FROM t),
+       grams AS (SELECT doc_id, s,
+                        array_to_string(tok[(s+1):(s+5)], ' ') AS gram
+                 FROM g),
+       bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+       cg AS (SELECT doc_id, s, gram FROM grams WHERE doc_id % 97 <> 0),
+       cov AS (SELECT DISTINCT doc_id, pos
+               FROM (SELECT doc_id, unnest(range(s, s + 5)) AS pos
+                     FROM cg JOIN bench USING (gram))),
+       p0 AS (SELECT doc_id, unnest(range(1, len(tok) + 1)) AS i, tok
+              FROM t WHERE doc_id % 97 <> 0),
+       pos AS (SELECT doc_id, i - 1 AS pos, tok[i] AS tk FROM p0),
+       surv AS (SELECT pos.doc_id, pos.pos, pos.tk
+                FROM pos LEFT JOIN cov
+                  ON pos.doc_id = cov.doc_id AND pos.pos = cov.pos
+                WHERE cov.doc_id IS NULL),
+       agg AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS text,
+                      count(*) AS n_kept
+               FROM surv GROUP BY doc_id),
+       tot AS (SELECT doc_id, count(*) AS n_tok FROM pos GROUP BY doc_id)
+       SELECT tot.doc_id, coalesce(agg.text, '') AS text,
+              CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+              CAST(tot.n_tok - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
+       FROM tot LEFT JOIN agg USING (doc_id)""",
+)
+def q_decontaminate_spans(spark, sf):
+    """Span-level benchmark decontamination (operators/text.py
+    remove_contaminated_spans): broadcast benchmark gram table,
+    coverage explode for flagged starts only, one-group-by rebuild."""
+    from .operators.text import remove_contaminated_spans
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return remove_contaminated_spans(corpus, bench, "doc_id", "text", n=5)
+
+
+@q(
     "connected_components",
     # doc_id <-> doc_id edges derived deterministically from events
     # (bipartite: user vertex 0..149, item vertex 1000 + event_id % 211);

@@ -348,6 +348,103 @@ def contamination_report(
     )
 
 
+def remove_contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Span-level benchmark decontamination: instead of dropping every
+    document that shares an n-gram with the eval set
+    (``contamination_report`` + anti-join — the document-level policy),
+    remove only the overlapping token spans and keep the rest of the
+    document. This is the open-weights-pipeline middle ground: a long
+    document quoting one benchmark question keeps its other 99%.
+
+    A token is removed iff it is covered by an n-token window whose
+    exact text occurs anywhere in ``benchmark``; documents are
+    reassembled from surviving tokens in order (same mechanics as
+    ``dedup.remove_repeated_spans``, with the flag set coming from the
+    broadcast benchmark gram table instead of corpus frequencies).
+
+    Scale shape: the benchmark's distinct gram set is tiny (eval
+    suites are MBs against a 100 TB corpus) so it BROADCASTS; corpus
+    grams are built array-side (no token self-join), flagged starts
+    come from one broadcast semi join, only flagged starts explode
+    into covered positions, and the rebuild is one groupBy(doc).
+
+    Returns (id, text, n_kept, n_removed).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("_tok"),
+    )
+    grams = toks.select(
+        "_id",
+        F.posexplode(
+            F.when(
+                F.size("_tok") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_tok") - n),
+                    lambda i: F.concat_ws(" ", F.slice("_tok", i + 1, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_start", "_gram"),
+    )
+    bench_toks = benchmark.select(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("_tok")
+    )
+    bench_grams = (
+        bench_toks.select(
+            F.explode(
+                F.when(
+                    F.size("_tok") >= n,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("_tok") - n),
+                        lambda i: F.concat_ws(" ", F.slice("_tok", i + 1, n)),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("_gram")
+        )
+        .distinct()
+    )
+    covered = (
+        grams.join(F.broadcast(bench_grams), "_gram")
+        .select(
+            "_id",
+            F.explode(F.sequence("_start", F.col("_start") + n - 1)).alias("_pos"),
+        )
+        .distinct()
+    )
+    positions = toks.select("_id", F.posexplode("_tok").alias("_pos", "_t"))
+    survivors = positions.join(covered, ["_id", "_pos"], "left_anti")
+    rebuilt = survivors.groupBy("_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "_t"))),
+                lambda s: s["_t"],
+            ),
+        ).alias("_text"),
+        F.count("*").alias("_n_kept"),
+    )
+    totals = positions.groupBy("_id").agg(F.count("*").alias("_n_tok"))
+    return (
+        totals.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("_text", F.lit("")).alias(text_col),
+            F.coalesce("_n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("_n_tok") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
 def normalized_text(text: Column | str) -> Column:
     """Canonical text form for fuzzy-exact dedup (the cheap tier before
     MinHash): lowercase, non-alphanumeric runs collapsed to single

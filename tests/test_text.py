@@ -155,3 +155,47 @@ def test_contamination_report(spark):
     t = contamination_report(tiny, bench, n=5).collect()
     assert len(t) == 1 and t[0].n_shingles == 0
     assert t[0].hit_ratio == 0.0 and t[0].contaminated is False
+
+
+def test_remove_contaminated_spans(spark):
+    from nba_data_pipeline_spark.operators.text import remove_contaminated_spans
+
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark 3-gram "what is love" mid-document
+            (1, "prefix words here what is love suffix words after"),
+            (2, "totally clean document with no overlap at all"),
+            (3, "what is love"),       # entire doc is the benchmark gram
+            (4, "too short"),          # < n tokens: untouched
+            (5, None),                 # NULL text: survives as empty
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([("what is love baby",)], "text string")
+    out = {
+        r.doc_id: r
+        for r in remove_contaminated_spans(corpus, bench, n=3).collect()
+    }
+    assert out[1].text == "prefix words here suffix words after"
+    assert out[1].n_removed == 3
+    assert out[2].text == "totally clean document with no overlap at all"
+    assert out[2].n_removed == 0
+    assert out[3].text == "" and out[3].n_removed == 3 and out[3].n_kept == 0
+    assert out[4].text == "too short" and out[4].n_removed == 0
+    assert out[5].n_kept == 1  # split('') -> one empty token, untouched
+    assert len(out) == 5
+
+
+def test_remove_contaminated_spans_overlapping_windows(spark):
+    """Overlapping contaminated windows union their coverage, not
+    double-count it."""
+    from nba_data_pipeline_spark.operators.text import remove_contaminated_spans
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e tail")], "doc_id long, text string"
+    )
+    # benchmark contains "a b c" and "b c d": coverage = positions 0-3
+    bench = spark.createDataFrame([("a b c d",)], "text string")
+    row = remove_contaminated_spans(corpus, bench, n=3).collect()[0]
+    assert row.text == "e tail"
+    assert row.n_removed == 4 and row.n_kept == 2
