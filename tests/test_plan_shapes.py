@@ -86,3 +86,30 @@ def test_no_cartesian_products_in_join_headliners(spark):
     for name in ("tpch_q3", "tpch_q21", "asof_join", "range_join_buckets"):
         plan = _executed_plan(spark, name)
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_decontaminate_spans_broadcasts_benchmark_grams(spark):
+    """The benchmark gram table must be the broadcast build side — the
+    whole 100-TB story for span decontamination is that the eval set
+    ships to executors while the corpus streams."""
+    plan = _executed_plan(spark, "decontaminate_spans")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_global_ordinals_window_is_partition_local(spark):
+    """assign_ordinals' row_number window must partition by _pid (the
+    range-shuffled partition id), never run over a single global
+    partition — the row_number-over-everything anti-pattern would
+    serialize the corpus through one task. (The range repartition
+    itself hides behind the pinning localCheckpoint as a Scan
+    ExistingRDD; the tiny offsets frame's SinglePartition exchange is
+    one row per partition and fine.)"""
+    plan = _executed_plan(spark, "global_ordinals")
+    data_window = plan.split("windowspecdefinition", 1)[0] + plan.split(
+        "windowspecdefinition", 1
+    )[1][:200]
+    assert "row_number() windowspecdefinition(_pid" in plan, plan[:2000]
+    # the data-scale window's required distribution is hash on _pid
+    assert "Exchange hashpartitioning(_pid" in plan, data_window
+    # the offsets join must be broadcast (one row per partition)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
