@@ -1756,6 +1756,62 @@ def q_lang_id(spark, sf):
 
 
 @q(
+    "lang_id_trigram",
+    # Cavnar-Trenkle trigram profiles fitted on the labeled corpus,
+    # then self-classification. logp and scores round to 6dp BEFORE
+    # the argmax on both engines so FP summation order can't flip a
+    # rank; padded normalized text matches text.char_trigrams exactly.
+    """WITH norm AS (
+         SELECT doc_id, lang,
+                ' ' || trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+                    || ' ' AS t
+         FROM documents),
+       g AS (SELECT doc_id, lang,
+                    unnest(range(1, greatest(len(t) - 1, 1))) AS i, t
+             FROM norm),
+       grams AS (SELECT doc_id, lang, substr(t, i, 3) AS gram FROM g),
+       counts AS (SELECT lang, gram, COUNT(*) AS n
+                  FROM grams GROUP BY lang, gram),
+       topk AS (SELECT lang, gram, n FROM (
+                  SELECT lang, gram, n,
+                         ROW_NUMBER() OVER (PARTITION BY lang
+                                            ORDER BY n DESC, gram) AS rk
+                  FROM counts) WHERE rk <= 200),
+       prof AS (SELECT t.lang, t.gram,
+                       ROUND(LN(t.n * 1.0 / s.tot), 6) AS logp
+                FROM topk t JOIN (SELECT lang, SUM(n) AS tot
+                                  FROM topk GROUP BY lang) s
+                  ON t.lang = s.lang),
+       ng AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+       scored AS (SELECT g.doc_id, p.lang,
+                         ROUND(SUM(p.logp)
+                               + (MAX(ng.n_grams) - COUNT(*)) * -20.0, 6) AS score
+                  FROM grams g
+                  JOIN prof p ON g.gram = p.gram
+                  JOIN ng ON g.doc_id = ng.doc_id
+                  GROUP BY g.doc_id, p.lang),
+       best AS (SELECT doc_id, lang FROM (
+                  SELECT doc_id, lang,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY score DESC, lang) AS rk
+                  FROM scored) WHERE rk = 1)
+       SELECT d.doc_id, COALESCE(b.lang, 'und') AS pred_lang
+       FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id""",
+)
+def q_lang_id_trigram(spark, sf):
+    """Fitted n-gram language ID (operators/text.py
+    fit_language_profiles + language_id_trigram): per-language trigram
+    log-frequency profiles (broadcast material), explode + broadcast
+    join + per-doc argmax — the scalable replacement for the
+    marker-token heuristic."""
+    from .operators.text import fit_language_profiles, language_id_trigram
+
+    docs = _t(spark, sf, "documents")
+    profiles = fit_language_profiles(docs, "text", "lang", top_k=200)
+    return language_id_trigram(docs, profiles).select("doc_id", "pred_lang")
+
+
+@q(
     "doc_fingerprint",
     """SELECT doc_id,
               CAST(list_sum(list_transform(string_split(text, ' '),

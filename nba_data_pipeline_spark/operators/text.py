@@ -9,7 +9,7 @@ scan output with full predicate/column pruning.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language marker vocabularies for the n-gram/stopword
@@ -97,6 +97,101 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang
     cols = {f"n_{lang}": counts[lang].cast("long") for lang in langs}
     cols[out_col] = pred
     return df.withColumns(cols)
+
+
+def char_trigrams(text: Column | str) -> Column:
+    """Character trigrams of the space-padded normalized text, built
+    array-side (sequence + substr — no token self-join). The padding
+    makes word-boundary grams (' th', 'he ') first-class signal, as in
+    the classic n-gram language identifier."""
+    t = F.concat(F.lit(" "), normalized_text(text), F.lit(" "))
+    return F.when(
+        F.length(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - 2),
+            lambda i: t.substr(i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def fit_language_profiles(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    top_k: int = 200,
+) -> DataFrame:
+    """Per-language character-trigram log-frequency profiles from
+    labeled text — the Cavnar-Trenkle (1994) n-gram identifier's fit
+    step as two hash aggregates plus a per-language top-k window.
+    Output: (lang, gram, logp) with logp = ln(n / total) rounded to
+    6 dp (cross-engine-stable), O(languages x top_k) rows — broadcast
+    material. At 100 TB the fit runs on a labeled sample; the profile
+    table stays tiny regardless of corpus size."""
+    grams = df.select(
+        F.col(lang_col).alias("lang"), F.explode(char_trigrams(text_col)).alias("gram")
+    )
+    counts = grams.groupBy("lang", "gram").agg(F.count("*").alias("_n"))
+    w = Window.partitionBy("lang").orderBy(F.col("_n").desc(), F.col("gram"))
+    topk = counts.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= top_k
+    )
+    totals = topk.groupBy("lang").agg(F.sum("_n").alias("_tot"))
+    return topk.join(totals, "lang").select(
+        "lang", "gram", F.round(F.log(F.col("_n") / F.col("_tot")), 6).alias("logp")
+    )
+
+
+def language_id_trigram(
+    df: DataFrame,
+    profiles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "pred_lang",
+    unseen_logp: float = -20.0,
+) -> DataFrame:
+    """Classify with fitted trigram profiles: explode document
+    trigrams, broadcast-join the profile table, and score each
+    (doc, language) as a naive-Bayes log-likelihood over ALL of the
+    document's grams — matched grams contribute their profile logp,
+    unmatched grams the ``unseen_logp`` floor. Summing only matched
+    grams would be backwards (every logp is negative, so the language
+    matching FEWEST grams would win); with the floor, each matched
+    gram improves a language's score by (logp - floor) > 0.
+    ``unseen_logp`` must sit below every profile logp (-20 ~= 2e-9
+    probability; lower it if a fit's top-k total count approaches
+    e^20). Scores round to 6 dp before ranking so FP summation order
+    can't flip cross-engine ties; exact ties break to the first
+    language code. Documents matching no profile gram predict 'und'.
+
+    Languages with zero matched grams never need scoring: their score
+    n_grams * floor is strictly below any matched language's. At scale
+    this is one explode + broadcast join + shuffles on (doc, lang) and
+    doc only."""
+    docs = df.select(F.col(id_col), F.explode(char_trigrams(text_col)).alias("gram"))
+    n_grams = docs.groupBy(id_col).agg(F.count("*").alias("_ng"))
+    scored = (
+        docs.join(F.broadcast(profiles), "gram")
+        .groupBy(id_col, "lang")
+        .agg(F.sum("logp").alias("_sum"), F.count("*").alias("_k"))
+        .join(n_grams, id_col)
+        .withColumn(
+            "_score",
+            F.round(
+                F.col("_sum") + (F.col("_ng") - F.col("_k")) * F.lit(unseen_logp), 6
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_score").desc(), F.col("lang"))
+    best = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, F.col("lang").alias(out_col))
+    )
+    return (
+        df.select(id_col)
+        .join(best, id_col, "left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("und")))
+    )
 
 
 def fingerprint(text: Column | str, modulus: int = 2_147_483_647) -> Column:

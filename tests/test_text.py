@@ -199,3 +199,49 @@ def test_remove_contaminated_spans_overlapping_windows(spark):
     row = remove_contaminated_spans(corpus, bench, n=3).collect()[0]
     assert row.text == "e tail"
     assert row.n_removed == 4 and row.n_kept == 2
+
+
+def test_trigram_language_id_recovers_distinct_languages(spark):
+    """Fit + classify on three vocab-distinct languages: perfect
+    self-recovery. (The driver's synthetic documents carry RANDOM lang
+    labels over one shared vocabulary, so the oracle query
+    `lang_id_trigram` proves value-parity, not accuracy — this fixture
+    is where accuracy is provable.)"""
+    from nba_data_pipeline_spark.operators.text import (
+        fit_language_profiles,
+        language_id_trigram,
+    )
+
+    vocab = {
+        "aa": "the quick brown fox jumps over lazy dogs with vigor",
+        "bb": "der schnelle braune fuchs springt ueber faule hunde",
+        "cc": "le renard brun rapide saute par dessus les chiens",
+    }
+    rows = [
+        (lang * 100 + i, f"{words} {words.split()[i % 5]}", lang_code)
+        for lang, lang_code in ((1, "aa"), (2, "bb"), (3, "cc"))
+        for i, words in ((j, vocab[lang_code]) for j in range(10))
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    prof = fit_language_profiles(docs, "text", "lang", top_k=50)
+    out = language_id_trigram(docs, prof)
+    got = {r.doc_id: r.pred_lang for r in out.collect()}
+    for doc_id, _, lang_code in rows:
+        assert got[doc_id] == lang_code, (doc_id, got[doc_id], lang_code)
+
+
+def test_trigram_language_id_und_without_matching_grams(spark):
+    from nba_data_pipeline_spark.operators.text import (
+        fit_language_profiles,
+        language_id_trigram,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "xx")], "doc_id long, text string, lang string"
+    )
+    prof = fit_language_profiles(train, "text", "lang")
+    target = spark.createDataFrame(
+        [(9, "0123456789"), (10, None)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.pred_lang for r in language_id_trigram(target, prof).collect()}
+    assert got == {9: "und", 10: "und"}
