@@ -1812,6 +1812,135 @@ def q_lang_id_trigram(spark, sf):
 
 
 @q(
+    "lm_perplexity",
+    # CCNet-style trigram-LM surprise, integer-exact: logp is fixed to
+    # e6 BIGINT at fit time, so every engine sums the same integers in
+    # any order; the per-doc average is integer division (both engines
+    # floor/truncate identically on positive operands).
+    """WITH norm AS (
+         SELECT doc_id,
+                ' ' || trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+                    || ' ' AS t
+         FROM documents),
+       g AS (SELECT doc_id, unnest(range(1, greatest(len(t) - 1, 1))) AS i, t
+             FROM norm),
+       grams AS (SELECT doc_id, substr(t, i, 3) AS gram FROM g),
+       counts AS (SELECT gram, COUNT(*) AS n FROM grams GROUP BY gram),
+       topk AS (SELECT gram, n FROM (
+                  SELECT gram, n,
+                         ROW_NUMBER() OVER (ORDER BY n DESC, gram) AS rk
+                  FROM counts) WHERE rk <= 2000),
+       lm AS (SELECT gram,
+                     CAST(ROUND(LN(n * 1.0 / (SELECT SUM(n) FROM topk)) * 1e6)
+                          AS BIGINT) AS logp_e6
+              FROM topk),
+       ng AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+              FROM grams GROUP BY doc_id),
+       m AS (SELECT g.doc_id, SUM(l.logp_e6) AS sum_e6,
+                    CAST(COUNT(*) AS BIGINT) AS k
+             FROM grams g JOIN lm l ON g.gram = l.gram
+             GROUP BY g.doc_id),
+       s AS (SELECT ng.doc_id, ng.n_grams,
+                    (-(COALESCE(m.sum_e6, 0) + (ng.n_grams - COALESCE(m.k, 0))
+                       * -20000000)) // ng.n_grams AS avg_nll_e6
+             FROM ng LEFT JOIN m ON ng.doc_id = m.doc_id)
+       SELECT d.doc_id, COALESCE(s.n_grams, 0) AS n_grams,
+              CAST(s.avg_nll_e6 AS BIGINT) AS avg_nll_e6
+       FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""",
+)
+def q_lm_perplexity(spark, sf):
+    """CCNet-style perplexity scoring (operators/text.py
+    fit_trigram_lm + trigram_lm_scores): fit a bounded trigram LM on
+    the corpus, score every document's average negative log-likelihood
+    in exact fixed-point integer arithmetic. Extension op — the
+    reference has no LM-quality stage; this is the Wenzek et al. 2020
+    filter re-expressed as two hash aggregates + a broadcast join."""
+    from .operators.text import fit_trigram_lm, trigram_lm_scores
+
+    docs = _t(spark, sf, "documents")
+    lm = fit_trigram_lm(docs, "text", top_k=2000)
+    return trigram_lm_scores(docs, lm).select(
+        "doc_id",
+        F.col("n_grams").cast("long"),
+        F.col("avg_nll_e6").cast("long"),
+    )
+
+
+@q(
+    "ppl_buckets",
+    # head/middle/tail terciles per language over the integer surprise
+    # score; ntile + explicit NULLS LAST matches Spark asc_nulls_last.
+    # Emits sums/counts only — no division, fully integer-exact.
+    """WITH norm AS (
+         SELECT doc_id, lang,
+                ' ' || trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+                    || ' ' AS t
+         FROM documents),
+       g AS (SELECT doc_id, unnest(range(1, greatest(len(t) - 1, 1))) AS i, t
+             FROM norm),
+       grams AS (SELECT doc_id, substr(t, i, 3) AS gram FROM g),
+       counts AS (SELECT gram, COUNT(*) AS n FROM grams GROUP BY gram),
+       topk AS (SELECT gram, n FROM (
+                  SELECT gram, n,
+                         ROW_NUMBER() OVER (ORDER BY n DESC, gram) AS rk
+                  FROM counts) WHERE rk <= 2000),
+       lm AS (SELECT gram,
+                     CAST(ROUND(LN(n * 1.0 / (SELECT SUM(n) FROM topk)) * 1e6)
+                          AS BIGINT) AS logp_e6
+              FROM topk),
+       ng AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+              FROM grams GROUP BY doc_id),
+       m AS (SELECT g.doc_id, SUM(l.logp_e6) AS sum_e6,
+                    CAST(COUNT(*) AS BIGINT) AS k
+             FROM grams g JOIN lm l ON g.gram = l.gram
+             GROUP BY g.doc_id),
+       s AS (SELECT ng.doc_id, ng.n_grams,
+                    (-(COALESCE(m.sum_e6, 0) + (ng.n_grams - COALESCE(m.k, 0))
+                       * -20000000)) // ng.n_grams AS avg_nll_e6
+             FROM ng LEFT JOIN m ON ng.doc_id = m.doc_id),
+       b AS (SELECT d.doc_id, d.lang, s.avg_nll_e6,
+                    NTILE(3) OVER (PARTITION BY d.lang
+                                   ORDER BY s.avg_nll_e6 ASC NULLS LAST,
+                                            d.doc_id) AS ppl_bucket
+             FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id)
+       SELECT lang, ppl_bucket,
+              CASE ppl_bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS ppl_band,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(avg_nll_e6) AS BIGINT) AS sum_nll_e6,
+              CAST(MIN(avg_nll_e6) AS BIGINT) AS min_nll_e6,
+              CAST(MAX(avg_nll_e6) AS BIGINT) AS max_nll_e6
+       FROM b GROUP BY lang, ppl_bucket""",
+)
+def q_ppl_buckets(spark, sf):
+    """CCNet head/middle/tail bucketing (operators/text.py
+    perplexity_buckets): per-language ntile terciles of the LM
+    surprise score, aggregated to bucket statistics. The keep/drop
+    decision surface of a perplexity-filtered pretraining corpus."""
+    from .operators.text import (
+        fit_trigram_lm,
+        perplexity_buckets,
+        trigram_lm_scores,
+    )
+
+    docs = _t(spark, sf, "documents")
+    lm = fit_trigram_lm(docs, "text", top_k=2000)
+    scored = trigram_lm_scores(docs, lm).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return (
+        perplexity_buckets(scored, "lang")
+        .groupBy("lang", "ppl_bucket", "ppl_band")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("avg_nll_e6").cast("long").alias("sum_nll_e6"),
+            F.min("avg_nll_e6").cast("long").alias("min_nll_e6"),
+            F.max("avg_nll_e6").cast("long").alias("max_nll_e6"),
+        )
+    )
+
+
+@q(
     "doc_fingerprint",
     """SELECT doc_id,
               CAST(list_sum(list_transform(string_split(text, ' '),
@@ -3883,7 +4012,7 @@ _DRIVER_WINDOW = [
     "string_contains", "in_filter", "exists_probe", "left_anti_delta",
     "driving_scan_distinct", "broadcast_dim_join", "union_tagged",
     "range_join_buckets", "merge_upsert", "insert_ignore",
-    "asof_join", "asof_join_forward", "asof_join_nearest",
+    "asof_join", "asof_join_nearest",
     # TPC-H representatives, one per shape family (the remaining 13
     # stay registered + locally swept, just outside the window)
     "tpch_q1",   # scan + wide aggregate
@@ -3894,8 +4023,9 @@ _DRIVER_WINDOW = [
     "zorder_key", "data_quality_suite", "distinct_multi", "dedup_rows",
     "dup_key_check", "collect_roundtrip", "stint_rollup_stats",
     "group_agg_suite", "first_event_per_user", "rank_family",
-    "array_funcs", "rank_in_group",
+    "rank_in_group",
     # LLM-pipeline extension ops (the brief's training-data surface)
+    "lm_perplexity", "ppl_buckets",
     "ngram_jaccard", "dedup_assign", "connected_components", "line_dedup",
     "decontaminate", "pack_sequences", "leakage_safe_split", "ann_recall",
     "lsh_quality_gate", "rerank_topk", "cosine_neardup", "corpus_pipeline",

@@ -194,6 +194,108 @@ def language_id_trigram(
     )
 
 
+def fit_trigram_lm(df: DataFrame, text_col: str = "text", top_k: int = 2000) -> DataFrame:
+    """Character-trigram language model fitted on a reference corpus —
+    the fit step of CCNet-style perplexity filtering (Wenzek et al.
+    2020 train a Kneser-Ney LM on Wikipedia; the trigram analogue here
+    keeps the whole pipeline inside two hash aggregates). Output:
+    (gram, logp_e6) where logp_e6 = round(ln(n / total) * 1e6) as
+    BIGINT — fixed-point so every downstream sum is an exact integer
+    aggregate, immune to FP summation-order divergence across engines.
+
+    Scale shape: the normalized alphabet is [a-z0-9 ], so the distinct
+    trigram universe is bounded (~50k rows) regardless of corpus size;
+    the global top-k window runs on that bounded aggregate, and the
+    result is broadcast material."""
+    grams = df.select(F.explode(char_trigrams(text_col)).alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count("*").alias("_n"))
+    w = Window.orderBy(F.col("_n").desc(), F.col("gram"))
+    topk = counts.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= top_k)
+    totals = topk.agg(F.sum("_n").alias("_tot"))
+    return topk.crossJoin(F.broadcast(totals)).select(
+        "gram",
+        F.round(F.log(F.col("_n") / F.col("_tot")) * 1e6, 0)
+        .cast("long")
+        .alias("logp_e6"),
+    )
+
+
+def trigram_lm_scores(
+    df: DataFrame,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unseen_logp_e6: int = -20_000_000,
+) -> DataFrame:
+    """Per-document LM surprise under a fitted ``fit_trigram_lm`` model
+    — the scoring step of CCNet-style quality filtering: documents that
+    look like the reference corpus score a LOW average negative
+    log-likelihood ("head"), gibberish and boilerplate score high
+    ("tail"). Output: (id, n_grams, avg_nll_e6) where avg_nll_e6 =
+    -(sum matched logp_e6 + unseen_count * floor) div n_grams — all
+    integer arithmetic (exact, order-independent), positive, in
+    micro-nats per gram; perplexity = exp(avg_nll_e6 / 1e6). Documents
+    with no grams (text shorter than a trigram) get NULL.
+
+    Scale shape: one explode, one broadcast join against the bounded LM
+    table, two hash aggregates keyed on the doc id — the same plan
+    family as ``language_id_trigram``."""
+    docs = df.select(F.col(id_col), F.explode(char_trigrams(text_col)).alias("gram"))
+    ng = docs.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    matched = (
+        docs.join(F.broadcast(lm), "gram")
+        .groupBy(id_col)
+        .agg(F.sum("logp_e6").alias("_sum_e6"), F.count("*").alias("_k"))
+    )
+    scored = (
+        ng.join(matched, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.expr(
+                f"(-(coalesce(_sum_e6, 0L) + (n_grams - coalesce(_k, 0L))"
+                f" * {unseen_logp_e6}L)) div n_grams"
+            ).alias("avg_nll_e6"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            "avg_nll_e6",
+        )
+    )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    by_col: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet head/middle/tail assignment: per-``by_col`` (typically
+    language) equal-count buckets of ``avg_nll_e6``, lowest surprise
+    first — bucket 1 is "head" (keep), the last is "tail" (drop or
+    down-sample). Ties break on the id so the assignment is
+    deterministic. ntile is a per-group window (one shuffle keyed on
+    ``by_col``); no global sort. NULL-scored rows (gram-less docs)
+    sort last per SQL default and land in the tail bucket — the
+    conservative choice for unjudgeable documents."""
+    w = Window.partitionBy(by_col).orderBy(
+        F.col("avg_nll_e6").asc_nulls_last(), F.col(id_col)
+    )
+    labels = ["head", "middle", "tail"]
+    out = scored.withColumn("ppl_bucket", F.ntile(n_buckets).over(w))
+    if n_buckets == 3:
+        out = out.withColumn(
+            "ppl_band",
+            F.element_at(F.array(*[F.lit(x) for x in labels]), F.col("ppl_bucket")),
+        )
+    return out
+
+
 def fingerprint(text: Column | str, modulus: int = 2_147_483_647) -> Column:
     """Deterministic position-weighted rolling fingerprint over tokens:
     sum_i (i+1) * (31 * first_char_code(tok_i) + len(tok_i)) mod M.

@@ -245,3 +245,47 @@ def test_trigram_language_id_und_without_matching_grams(spark):
     )
     got = {r.doc_id: r.pred_lang for r in language_id_trigram(target, prof).collect()}
     assert got == {9: "und", 10: "und"}
+
+
+def test_trigram_lm_perplexity_orders_fluent_before_gibberish(spark):
+    from nba_data_pipeline_spark.operators.text import (
+        fit_trigram_lm,
+        trigram_lm_scores,
+    )
+
+    fluent = "the quick brown fox jumps over the lazy dog near the river bank"
+    ref = spark.createDataFrame(
+        [(i, fluent) for i in range(20)], "doc_id long, text string"
+    )
+    lm = fit_trigram_lm(ref, "text", top_k=500)
+    target = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the dog"),  # in-domain
+            (2, "zxq vvk jjw qqp zzx mmk wwj"),  # gibberish
+            (3, ".."),  # no grams after normalization
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in trigram_lm_scores(target, lm).collect()}
+    assert got[1].avg_nll_e6 < got[2].avg_nll_e6
+    assert got[3].n_grams == 0 and got[3].avg_nll_e6 is None
+    # integer fixed-point: exact, positive micro-nats
+    assert isinstance(got[1].avg_nll_e6, int) and got[1].avg_nll_e6 > 0
+
+
+def test_perplexity_buckets_terciles_deterministic(spark):
+    from nba_data_pipeline_spark.operators.text import perplexity_buckets
+
+    scored = spark.createDataFrame(
+        [(i, "en", (i * 37) % 9 + 1) for i in range(9)]
+        + [(100, "en", None)],  # gram-less doc -> tail
+        "doc_id long, lang string, avg_nll_e6 long",
+    )
+    out = perplexity_buckets(scored, "lang")
+    rows = {r.doc_id: (r.ppl_bucket, r.ppl_band) for r in out.collect()}
+    from collections import Counter
+
+    counts = Counter(b for b, _ in rows.values())
+    assert counts == {1: 4, 2: 3, 3: 3}  # ntile spreads 10 rows 4/3/3
+    assert rows[100] == (3, "tail")  # NULL sorts last
+    assert {b for _, b in rows.values()} == {"head", "middle", "tail"}
