@@ -1940,6 +1940,101 @@ def q_ppl_buckets(spark, sf):
     )
 
 
+_DSIR_ORACLE_CTES = """
+       toks AS (SELECT doc_id, lang,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x != '') AS tk
+                FROM documents),
+       bi AS (SELECT doc_id, lang,
+                     unnest(range(1, greatest(len(tk), 1))) AS i, tk
+              FROM toks),
+       grams AS (SELECT doc_id, lang,
+                        list_extract(tk, i) || ' ' || list_extract(tk, i + 1)
+                          AS gram
+                 FROM bi),
+       bkt AS (SELECT doc_id, lang,
+                      CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % 4096
+                        AS bucket
+               FROM grams),
+       spine AS (SELECT unnest(range(0, 4096)) AS bucket),
+       tc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS target_n
+              FROM bkt WHERE lang = 'en' GROUP BY bucket),
+       sc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS source_n
+              FROM bkt GROUP BY bucket),
+       ratios AS (
+         SELECT s.bucket,
+                COALESCE(tc.target_n, 0) AS target_n,
+                COALESCE(sc.source_n, 0) AS source_n,
+                CAST(ROUND((LN((COALESCE(tc.target_n, 0) + 1) * 1.0
+                               / ((SELECT SUM(target_n) FROM tc) + 4096))
+                            - LN((COALESCE(sc.source_n, 0) + 1) * 1.0
+                                 / ((SELECT SUM(source_n) FROM sc) + 4096)))
+                           * 1e6) AS BIGINT) AS log_ratio_e6
+         FROM spine s LEFT JOIN tc ON s.bucket = tc.bucket
+                      LEFT JOIN sc ON s.bucket = sc.bucket)"""
+
+
+@q(
+    "dsir_ratios",
+    # DSIR fit: hashed-bigram multinomials (md5-prefix bucket hash —
+    # portable arithmetic, collisions are the hashing trick), Laplace
+    # smoothing over the full bucket spine, fixed-point e6 log ratios.
+    "WITH" + _DSIR_ORACLE_CTES + """
+       SELECT bucket, target_n, source_n, log_ratio_e6
+       FROM ratios WHERE target_n + source_n > 0""",
+)
+def q_dsir_ratios(spark, sf):
+    """DSIR importance-weight fit (operators/sampling.py
+    dsir_log_ratios): target = English documents, source = the full
+    pool. Extension op from Xie et al. 2023 (Data Selection via
+    Importance Resampling) — no reference counterpart."""
+    from .operators.sampling import dsir_log_ratios
+
+    docs = _t(spark, sf, "documents")
+    return dsir_log_ratios(docs.filter(F.col("lang") == "en"), docs).filter(
+        (F.col("target_n") + F.col("source_n")) > 0
+    )
+
+
+@q(
+    "dsir_select",
+    # DSIR score + hard top-k selection: exact integer log-weight sums,
+    # then the existing integer-rank top-fraction per source.
+    "WITH" + _DSIR_ORACLE_CTES + """,
+       doc_sc AS (SELECT b.doc_id,
+                         CAST(COUNT(*) AS BIGINT) AS n_grams,
+                         CAST(SUM(r.log_ratio_e6) AS BIGINT) AS log_w_e6
+                  FROM bkt b JOIN ratios r ON b.bucket = r.bucket
+                  GROUP BY b.doc_id),
+       scored AS (SELECT d.doc_id, d.source,
+                         COALESCE(sc2.n_grams, 0) AS n_grams, sc2.log_w_e6
+                  FROM documents d
+                  LEFT JOIN doc_sc sc2 ON d.doc_id = sc2.doc_id),
+       ranked AS (SELECT doc_id, source, n_grams, log_w_e6,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY log_w_e6 DESC, doc_id)
+                           AS rn,
+                         count(*) OVER (PARTITION BY source) AS n
+                  FROM scored)
+       SELECT doc_id, source, n_grams, log_w_e6
+       FROM ranked WHERE rn <= (n * 2500 + 9999) // 10000""",
+)
+def q_dsir_select(spark, sf):
+    """DSIR hard selection (operators/sampling.py dsir_scores +
+    top_fraction_per_group): keep the top 25% most-target-like
+    documents per source shard."""
+    from .operators.sampling import dsir_log_ratios, dsir_scores, top_fraction_per_group
+
+    docs = _t(spark, sf, "documents")
+    ratios = dsir_log_ratios(docs.filter(F.col("lang") == "en"), docs)
+    scored = dsir_scores(docs, ratios).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return top_fraction_per_group(
+        scored, "doc_id", ["source"], "log_w_e6", 0.25
+    ).select("doc_id", "source", "n_grams", "log_w_e6")
+
+
 @q(
     "doc_fingerprint",
     """SELECT doc_id,
@@ -4018,14 +4113,13 @@ _DRIVER_WINDOW = [
     "tpch_q1",   # scan + wide aggregate
     "tpch_q5",   # multi-join with broadcast dims
     "tpch_q12",  # join + conditional aggregation (round-5 red row)
-    "tpch_q21",  # EXISTS/NOT-EXISTS decorrelation
     # §2 layout/quality/agg/window (S9, A*, O*)
     "zorder_key", "data_quality_suite", "distinct_multi", "dedup_rows",
     "dup_key_check", "collect_roundtrip", "stint_rollup_stats",
     "group_agg_suite", "first_event_per_user", "rank_family",
     "rank_in_group",
     # LLM-pipeline extension ops (the brief's training-data surface)
-    "lm_perplexity", "ppl_buckets",
+    "lm_perplexity", "ppl_buckets", "dsir_select",
     "ngram_jaccard", "dedup_assign", "connected_components", "line_dedup",
     "decontaminate", "pack_sequences", "leakage_safe_split", "ann_recall",
     "lsh_quality_gate", "rerank_topk", "cosine_neardup", "corpus_pipeline",

@@ -326,3 +326,136 @@ def temperature_weights(
     if z == 0.0:
         raise ValueError("no rows to weigh")
     return {s: v / z for s, v in powed.items()}
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+def _hashed_bigram_buckets(
+    df: DataFrame, keep_cols: list[str], text_col: str, n_buckets: int
+) -> DataFrame:
+    """One row per (keep_cols..., bucket) per NON-distinct word bigram:
+    the hashed n-gram feature map of DSIR. The bucket hash is the first
+    8 hex chars of md5 — portable arithmetic every engine computes
+    identically (unlike xxhash64), and collisions are by design (the
+    hashing trick). Follows the exploded_shingles plan shape: tokens
+    materialized once, bigrams generated and exploded in one select."""
+    from .text import tokens
+
+    toked = df.withColumn("_toks__", tokens(text_col))
+    k = F.size("_toks__") - 1
+    bigram_at = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at(F.col("_toks__"), (i + 1).cast("int")),
+        F.element_at(F.col("_toks__"), (i + 2).cast("int")),
+    )
+    grams = F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(0), k - 1), bigram_at)
+    )
+    return toked.select(
+        *keep_cols, F.explode(grams).alias("_gram")
+    ).select(
+        *keep_cols,
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("_gram")), 1, 8), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        ).alias("bucket"),
+    )
+
+
+def dsir_log_ratios(
+    target: DataFrame,
+    source: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Fit step of DSIR (Data Selection via Importance Resampling, Xie
+    et al. 2023): bag-of-hashed-bigram multinomials over the TARGET
+    (the distribution you want, e.g. curated text) and the SOURCE (the
+    raw pool), Laplace-smoothed over all ``n_buckets`` buckets. Output:
+    one row per bucket — (bucket, target_n, source_n, log_ratio_e6)
+    with log_ratio_e6 = round((ln p_b - ln q_b) * 1e6) as BIGINT.
+    Fixed-point so downstream per-document sums are exact integer
+    aggregates. Every bucket is present (smoothing defines p,q
+    everywhere), so scoring needs no unseen-bucket special case.
+
+    Scale shape: two explode+hash aggregates (one per corpus) joined
+    onto a generated bucket spine of ``n_buckets`` rows — broadcast
+    material regardless of corpus size."""
+    t = (
+        _hashed_bigram_buckets(target, [], text_col, n_buckets)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("target_n"))
+    )
+    s = (
+        _hashed_bigram_buckets(source, [], text_col, n_buckets)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("source_n"))
+    )
+    spine = F.broadcast(
+        t.sparkSession.range(n_buckets).select(F.col("id").cast("long").alias("bucket"))
+    )
+    joined = (
+        spine.join(t, "bucket", "left")
+        .join(s, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("target_n", F.lit(0)).cast("long").alias("target_n"),
+            F.coalesce("source_n", F.lit(0)).cast("long").alias("source_n"),
+        )
+    )
+    totals = F.broadcast(
+        joined.agg(
+            F.sum("target_n").alias("_t_tot"), F.sum("source_n").alias("_s_tot")
+        )
+    )
+    lr = F.log((F.col("target_n") + 1) / (F.col("_t_tot") + n_buckets)) - F.log(
+        (F.col("source_n") + 1) / (F.col("_s_tot") + n_buckets)
+    )
+    return joined.crossJoin(totals).select(
+        "bucket",
+        "target_n",
+        "source_n",
+        F.round(lr * 1e6, 0).cast("long").alias("log_ratio_e6"),
+    )
+
+
+def dsir_scores(
+    df: DataFrame,
+    ratios: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Score step of DSIR: each document's importance log-weight is the
+    sum of its hashed-bigram buckets' log ratios — documents that look
+    like the target score high. Output: (id, n_grams, log_w_e6) with
+    log_w_e6 an exact integer sum (order-independent across engines);
+    documents with no bigrams get NULL (no evidence — they sort last in
+    any selection, the conservative default).
+
+    Scale shape: one explode + broadcast join against the bounded
+    ratio table + one hash aggregate keyed on the doc id. Selection
+    composes with existing ops: ``top_fraction_per_group(scored, id,
+    [source], "log_w_e6", frac)`` is hard top-k DSIR per domain, and
+    ``weighted_sample`` over exp-scaled weights is the paper's
+    resampling variant."""
+    grams = _hashed_bigram_buckets(df, [id_col], text_col, n_buckets)
+    scored = (
+        grams.join(F.broadcast(ratios.select("bucket", "log_ratio_e6")), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("log_ratio_e6").alias("log_w_e6"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            "log_w_e6",
+        )
+    )

@@ -223,3 +223,46 @@ def test_temperature_weights_size_col(spark):
     )
     w = temperature_weights(df, "source", alpha=1.0, size_col="n_tokens")
     assert abs(w["a"] - 0.5) < 1e-9 and abs(w["b"] - 0.5) < 1e-9
+
+
+def test_dsir_scores_prefer_target_like_documents(spark):
+    from nba_data_pipeline_spark.operators.sampling import (
+        dsir_log_ratios,
+        dsir_scores,
+    )
+
+    target_style = "the model trains on clean curated encyclopedia text"
+    noise_style = "buy cheap pills now click here free offer winner"
+    target = spark.createDataFrame(
+        [(i, target_style) for i in range(10)], "doc_id long, text string"
+    )
+    source = spark.createDataFrame(
+        [(100 + i, target_style) for i in range(5)]
+        + [(200 + i, noise_style) for i in range(5)],
+        "doc_id long, text string",
+    )
+    ratios = dsir_log_ratios(target, source, n_buckets=512)
+    assert ratios.count() == 512  # full Laplace spine
+    scored = {r.doc_id: r for r in dsir_scores(source, ratios, n_buckets=512).collect()}
+    for i in range(5):
+        assert scored[100 + i].log_w_e6 > scored[200 + i].log_w_e6
+    # exact integer fixed point, deterministic across runs
+    again = {r.doc_id: r.log_w_e6 for r in dsir_scores(source, ratios, n_buckets=512).collect()}
+    assert again == {k: v.log_w_e6 for k, v in scored.items()}
+
+
+def test_dsir_scores_gramless_doc_is_null(spark):
+    from nba_data_pipeline_spark.operators.sampling import (
+        dsir_log_ratios,
+        dsir_scores,
+    )
+
+    target = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "solo"), (3, None)], "doc_id long, text string"
+    )
+    ratios = dsir_log_ratios(target, docs, n_buckets=64)
+    got = {r.doc_id: (r.n_grams, r.log_w_e6) for r in dsir_scores(docs, ratios, n_buckets=64).collect()}
+    assert got[1][0] == 1 and got[1][1] is not None
+    assert got[2] == (0, None)  # single token -> no bigram
+    assert got[3] == (0, None)
