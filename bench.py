@@ -46,6 +46,8 @@ HEADLINE = [
     "cosine_neardup",
     "decontaminate",
     "pack_sequences",
+    "lm_perplexity",
+    "dsir_select",
     "lineups_declarative_bulk",
     # same 200-game x 300-event grain through the applyInPandas scan,
     # so the Python/Arrow transfer tax vs the declarative range-join
