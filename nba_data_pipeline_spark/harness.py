@@ -2035,6 +2035,41 @@ def q_dsir_select(spark, sf):
     ).select("doc_id", "source", "n_grams", "log_w_e6")
 
 
+@q("bpe_merges")
+def q_bpe_merges(spark, sf):
+    """Distributed BPE vocabulary induction (operators/bpe.py
+    bpe_fit): learn 20 merges from the corpus word-frequency table.
+    Rows-only check (the per-round global argmax is iterative, not
+    single-SQL-expressible); exact parity with an independent
+    pure-Python BPE reference is pytest-gated in tests/test_bpe.py.
+    Deterministic: ties break (count desc, pair lexicographic)."""
+    from .operators.bpe import bpe_fit, word_freq_table
+
+    docs = _t(spark, sf, "documents")
+    return bpe_fit(word_freq_table(docs), num_merges=20)
+
+
+@q("bpe_encode_stats")
+def q_bpe_encode_stats(spark, sf):
+    """Apply the learned BPE merge table back to the corpus
+    (operators/bpe.py bpe_encode — fold per DISTINCT word, posexplode
+    join reassembly) and report per-language subword statistics: a
+    compression-ratio audit a tokenizer-training pipeline runs before
+    accepting a vocabulary. Rows-only (same iterative-fit reason)."""
+    from .operators.bpe import bpe_encode, bpe_fit, word_freq_table
+
+    docs = _t(spark, sf, "documents")
+    merges = bpe_fit(word_freq_table(docs), num_merges=20)
+    enc = bpe_encode(docs, merges, "doc_id")
+    return (
+        enc.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.size("bpe_tokens")).cast("long").alias("n_subwords"),
+        )
+    )
+
+
 @q(
     "doc_fingerprint",
     """SELECT doc_id,

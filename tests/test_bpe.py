@@ -1,0 +1,116 @@
+"""Distributed BPE induction vs an independent pure-Python reference
+with identical tie-break rules (count desc, then (left, right)
+lexicographic; greedy left-to-right non-overlapping application)."""
+
+from collections import Counter
+
+import pytest
+
+from nba_data_pipeline_spark.operators.bpe import (
+    END_OF_WORD,
+    bpe_encode,
+    bpe_fit,
+    bpe_segment_table,
+    word_freq_table,
+)
+
+
+def _ref_initial(word):
+    return list(word) + [END_OF_WORD]
+
+
+def _ref_apply(syms, left, right, merged):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _ref_bpe(word_freqs, num_merges, min_count=2):
+    seg = {w: _ref_initial(w) for w in word_freqs}
+    merges = []
+    for step in range(num_merges):
+        counts = Counter()
+        for w, syms in seg.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += word_freqs[w]
+        if not counts:
+            break
+        pair = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (left, right), n = pair
+        if n < min_count:
+            break
+        merged = left + right
+        merges.append((step, left, right, merged, n))
+        seg = {w: _ref_apply(s, left, right, merged) for w, s in seg.items()}
+    return merges, seg
+
+
+CORPUS = [
+    (1, "low lower lowest low low"),
+    (2, "new newer newest new"),
+    (3, "wide wider widest wide wide wide"),
+    (4, "low new wide lowest"),
+]
+
+
+def test_bpe_fit_matches_reference(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    wf = word_freq_table(docs)
+    freqs = {r.word: r.freq for r in wf.collect()}
+    ref_merges, ref_seg = _ref_bpe(freqs, num_merges=12)
+
+    got = [
+        (r.step, r.left, r.right, r.merged, r.pair_count)
+        for r in bpe_fit(wf, num_merges=12).orderBy("step").collect()
+    ]
+    assert got == ref_merges
+
+    seg = bpe_segment_table(
+        wf.select("word"), bpe_fit(wf, num_merges=12)
+    )
+    got_seg = {r.word: list(r.syms) for r in seg.collect()}
+    assert got_seg == ref_seg
+
+
+def test_bpe_fit_min_count_stops_early(spark):
+    docs = spark.createDataFrame([(1, "aa bb")], "doc_id long, text string")
+    wf = word_freq_table(docs)
+    out = bpe_fit(wf, num_merges=10, min_count=5).collect()
+    assert out == []  # nothing reaches count 5
+
+
+def test_bpe_encode_roundtrips_words_in_order(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    wf = word_freq_table(docs)
+    merges = bpe_fit(wf, num_merges=8)
+    freqs = {r.word: r.freq for r in wf.collect()}
+    _, ref_seg = _ref_bpe(freqs, num_merges=8)
+
+    out = {r.doc_id: list(r.bpe_tokens) for r in bpe_encode(
+        docs, merges, "doc_id").collect()}
+    for doc_id, text in CORPUS:
+        expect = [t for w in text.split() for t in ref_seg[w]]
+        assert out[doc_id] == expect, (doc_id, out[doc_id], expect)
+    # token reassembly preserves word order and drops nothing
+    assert all(toks.count(END_OF_WORD) + sum(
+        1 for t in toks if t.endswith(END_OF_WORD) and t != END_OF_WORD
+    ) == len(CORPUS[i - 1][1].split()) for i, toks in out.items())
+
+
+def test_bpe_encode_empty_and_unknown(spark):
+    train = spark.createDataFrame([(1, "aaa aaa aaa")], "doc_id long, text string")
+    merges = bpe_fit(word_freq_table(train), num_merges=3)
+    target = spark.createDataFrame(
+        [(7, ""), (8, None), (9, "zzz")], "doc_id long, text string"
+    )
+    got = {r.doc_id: list(r.bpe_tokens) for r in bpe_encode(
+        target, merges, "doc_id").collect()}
+    assert got[7] == [] and got[8] == []
+    # unknown word falls back to char segmentation (no matching merges)
+    assert got[9] == ["z", "z", "z", END_OF_WORD]
