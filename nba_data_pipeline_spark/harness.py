@@ -2023,11 +2023,27 @@ def q_dsir_select(spark, sf):
     """DSIR hard selection (operators/sampling.py dsir_scores +
     top_fraction_per_group): keep the top 25% most-target-like
     documents per source shard."""
-    from .operators.sampling import dsir_log_ratios, dsir_scores, top_fraction_per_group
+    from .operators.sampling import (
+        dsir_log_ratios,
+        dsir_scores,
+        hashed_bigram_buckets,
+        top_fraction_per_group,
+    )
 
     docs = _t(spark, sf, "documents")
-    ratios = dsir_log_ratios(docs.filter(F.col("lang") == "en"), docs)
-    scored = dsir_scores(docs, ratios).join(
+    # one shared explode feeds the target fit, the source fit, and the
+    # per-doc scoring (Catalyst cannot dedupe the common subplan across
+    # the three aggregates; the checkpoint makes the sharing physical)
+    grams = hashed_bigram_buckets(docs, ["doc_id", "lang"], "text", 4096).localCheckpoint(
+        eager=False
+    )
+    ratios = dsir_log_ratios(
+        docs.filter(F.col("lang") == "en"),
+        docs,
+        target_grams=grams.filter(F.col("lang") == "en").select("bucket"),
+        source_grams=grams.select("bucket"),
+    )
+    scored = dsir_scores(docs, ratios, grams=grams.select("doc_id", "bucket")).join(
         docs.select("doc_id", "source"), "doc_id"
     )
     return top_fraction_per_group(

@@ -332,7 +332,7 @@ def temperature_weights(
 # DSIR: data selection via importance resampling (Xie et al. 2023)
 # ---------------------------------------------------------------------------
 
-def _hashed_bigram_buckets(
+def hashed_bigram_buckets(
     df: DataFrame, keep_cols: list[str], text_col: str, n_buckets: int
 ) -> DataFrame:
     """One row per (keep_cols..., bucket) per NON-distinct word bigram:
@@ -369,6 +369,8 @@ def dsir_log_ratios(
     source: DataFrame,
     text_col: str = "text",
     n_buckets: int = 4096,
+    target_grams: DataFrame | None = None,
+    source_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Fit step of DSIR (Data Selection via Importance Resampling, Xie
     et al. 2023): bag-of-hashed-bigram multinomials over the TARGET
@@ -382,19 +384,22 @@ def dsir_log_ratios(
 
     Scale shape: two explode+hash aggregates (one per corpus) joined
     onto a generated bucket spine of ``n_buckets`` rows — broadcast
-    material regardless of corpus size."""
-    t = (
-        _hashed_bigram_buckets(target, [], text_col, n_buckets)
-        .groupBy("bucket")
-        .agg(F.count("*").alias("target_n"))
-    )
-    s = (
-        _hashed_bigram_buckets(source, [], text_col, n_buckets)
-        .groupBy("bucket")
-        .agg(F.count("*").alias("source_n"))
-    )
+    material regardless of corpus size. When the target is a subset of
+    the source (the common fit-on-own-corpus shape), pass precomputed
+    ``target_grams`` / ``source_grams`` from ONE shared
+    ``hashed_bigram_buckets`` frame so the corpus explodes once, not
+    per consumer (the fit aggregates and the per-doc scoring cannot be
+    common-subplan-deduplicated by Catalyst)."""
+    if target_grams is None:
+        target_grams = hashed_bigram_buckets(target, [], text_col, n_buckets)
+    if source_grams is None:
+        source_grams = hashed_bigram_buckets(source, [], text_col, n_buckets)
+    t = target_grams.groupBy("bucket").agg(F.count("*").alias("target_n"))
+    s = source_grams.groupBy("bucket").agg(F.count("*").alias("source_n"))
     spine = F.broadcast(
-        t.sparkSession.range(n_buckets).select(F.col("id").cast("long").alias("bucket"))
+        target.sparkSession.range(n_buckets).select(
+            F.col("id").cast("long").alias("bucket")
+        )
     )
     joined = (
         spine.join(t, "bucket", "left")
@@ -427,6 +432,7 @@ def dsir_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 4096,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Score step of DSIR: each document's importance log-weight is the
     sum of its hashed-bigram buckets' log ratios — documents that look
@@ -441,7 +447,8 @@ def dsir_scores(
     [source], "log_w_e6", frac)`` is hard top-k DSIR per domain, and
     ``weighted_sample`` over exp-scaled weights is the paper's
     resampling variant."""
-    grams = _hashed_bigram_buckets(df, [id_col], text_col, n_buckets)
+    if grams is None:
+        grams = hashed_bigram_buckets(df, [id_col], text_col, n_buckets)
     scored = (
         grams.join(F.broadcast(ratios.select("bucket", "log_ratio_e6")), "bucket")
         .groupBy(id_col)
