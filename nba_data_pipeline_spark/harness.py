@@ -2051,6 +2051,81 @@ def q_dsir_select(spark, sf):
     ).select("doc_id", "source", "n_grams", "log_w_e6")
 
 
+_WINNOW_ORACLE_CTES = """
+       norm AS (SELECT doc_id,
+                       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+                         AS t
+                FROM documents),
+       g AS (SELECT doc_id, unnest(range(1, greatest(len(t) - 3, 1))) AS i, t
+             FROM norm),
+       h AS (SELECT doc_id, i,
+                    CAST(('0x' || substr(md5(substr(t, i, 5)), 1, 8)) AS BIGINT)
+                      AS hv
+             FROM g),
+       win AS (SELECT a.doc_id, a.i AS s, MIN(b.hv) AS m
+               FROM h a JOIN h b ON a.doc_id = b.doc_id
+                                AND b.i >= a.i AND b.i <= a.i + 3
+               GROUP BY a.doc_id, a.i HAVING COUNT(*) = 4),
+       pick AS (SELECT w.doc_id, CAST(MAX(b.i) AS BIGINT) AS pos, w.m AS fp
+                FROM win w JOIN h b ON b.doc_id = w.doc_id
+                                   AND b.i >= w.s AND b.i <= w.s + 3
+                                   AND b.hv = w.m
+                GROUP BY w.doc_id, w.s, w.m),
+       fps AS (SELECT DISTINCT doc_id, pos, fp FROM pick)"""
+
+
+@q(
+    "winnow_fps",
+    # winnowing (k=5, w=4): robust-winnowing rightmost-min rule; the
+    # oracle rebuilds the same md5-prefix gram hashes and window minima
+    # relationally; per-doc checksums keep the compared frame small.
+    "WITH" + _WINNOW_ORACLE_CTES + """
+       SELECT doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_fps,
+              CAST(SUM(fp) AS BIGINT) AS sum_fp,
+              CAST(MIN(pos) AS BIGINT) AS min_pos,
+              CAST(MAX(pos) AS BIGINT) AS max_pos
+       FROM fps GROUP BY doc_id""",
+)
+def q_winnow_fps(spark, sf):
+    """Winnowing fingerprints (operators/dedup.py winnow_fingerprints;
+    Schleimer et al. 2003): per-document selected-fingerprint
+    checksums. The local, position-aware complement to MinHash —
+    guarantees detection of any shared substring of length >= k+w-1.
+    Extension op; no reference counterpart."""
+    from .operators.dedup import winnow_fingerprints
+
+    fps = winnow_fingerprints(_t(spark, sf, "documents"))
+    return fps.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_fps"),
+        F.sum("fp").cast("long").alias("sum_fp"),
+        F.min("pos").cast("long").alias("min_pos"),
+        F.max("pos").cast("long").alias("max_pos"),
+    )
+
+
+@q(
+    "winnow_pairs",
+    "WITH" + _WINNOW_ORACLE_CTES + """
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(COUNT(*) AS BIGINT) AS shared_fps
+       FROM (SELECT DISTINCT doc_id, fp FROM fps) a
+       JOIN (SELECT DISTINCT doc_id, fp FROM fps) b ON a.fp = b.fp
+       WHERE a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id
+       HAVING COUNT(*) >= 50""",
+)
+def q_winnow_pairs(spark, sf):
+    """Winnowing candidate pairs (operators/dedup.py
+    winnow_match_pairs): inverted-index postings join on fingerprint
+    values — pairs only form where a fingerprint co-occurs, the same
+    scalable shape as ngram_jaccard_pairs, but position-aware."""
+    from .operators.dedup import winnow_fingerprints, winnow_match_pairs
+
+    fps = winnow_fingerprints(_t(spark, sf, "documents"))
+    return winnow_match_pairs(fps, min_shared=50)
+
+
 @q("bpe_merges")
 def q_bpe_merges(spark, sf):
     """Distributed BPE vocabulary induction (operators/bpe.py

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import exploded_shingles, tokens, word_shingles
+from .text import exploded_shingles, normalized_text, tokens, word_shingles
 
 # 2^31-1: universal-hash field small enough that a*h stays < 2^62,
 # i.e. no 64-bit overflow under ANSI arithmetic.
@@ -1153,4 +1153,90 @@ def remove_repeated_spans(
             .cast("long")
             .alias("n_removed"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — MOSS)
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints: hash every character ``k``-gram
+    of the normalized text, slide a window of ``w`` consecutive hashes,
+    and record the window minimum — on ties the RIGHTMOST minimal hash,
+    per the paper's robust-winnowing rule. Guarantees every shared
+    substring of length >= k + w - 1 contributes at least one matching
+    fingerprint between two documents, with ~2/(w+1) density — the
+    local, position-aware complement to MinHash (which is global and
+    position-blind). Output: one row per distinct (id, pos, fp) with
+    1-based gram position; fingerprint matches across docs localize
+    WHERE the overlap is, which MinHash cannot.
+
+    Portable construction: the gram hash is the md5-prefix integer
+    (same as the DSIR bucket hash — every engine computes it
+    identically), and window minima are pure array expressions over the
+    gram-hash array. Per-document work; no shuffle at all until a
+    downstream join groups matching fingerprints.
+    """
+    t = normalized_text(text_col)
+    n = F.length(t) - (k - 1)
+    hashes = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.conv(
+                F.substring(F.md5(t.substr(i, F.lit(k))), 1, 8), 16, 10
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    # one struct per window start: (pos of selected gram, min hash);
+    # rightmost tie = w - position_in_reversed_slice + start
+    picks = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("_h") - (w - 1), F.lit(0))),
+        lambda s: F.struct(
+            (
+                s
+                + F.lit(w)
+                - F.array_position(
+                    F.reverse(F.slice(F.col("_h"), s, w)),
+                    F.array_min(F.slice(F.col("_h"), s, w)),
+                )
+            ).cast("long").alias("pos"),
+            F.array_min(F.slice(F.col("_h"), s, w)).alias("fp"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), hashes.alias("_h"))
+        .filter(F.size("_h") >= w)
+        .select(F.col(id_col), F.explode(F.array_distinct(picks)).alias("_p"))
+        .select(id_col, F.col("_p.pos").alias("pos"), F.col("_p.fp").alias("fp"))
+    )
+
+
+def winnow_match_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+) -> DataFrame:
+    """Candidate near-duplicate pairs from winnowing fingerprints: the
+    postings self-join on the fingerprint VALUE (same inverted-index
+    shape as ``ngram_jaccard_pairs`` — pairs only form where a
+    fingerprint co-occurs), keeping pairs sharing at least
+    ``min_shared`` distinct fingerprints. Output: (id_a, id_b,
+    shared_fps). Position columns survive to the join inputs, so a
+    caller can extend this to localize the overlapping span."""
+    a = fps.select(F.col(id_col).alias("id_a"), "fp").dropDuplicates(["id_a", "fp"])
+    b = fps.select(F.col(id_col).alias("id_b"), "fp").dropDuplicates(["id_b", "fp"])
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
     )

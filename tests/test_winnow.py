@@ -1,0 +1,73 @@
+"""Winnowing fingerprints vs an independent pure-Python reference
+(robust winnowing: window minimum, rightmost on ties), plus the
+paper's coverage guarantee on shared substrings."""
+
+import hashlib
+import re
+
+from nba_data_pipeline_spark.operators.dedup import (
+    winnow_fingerprints,
+    winnow_match_pairs,
+)
+
+
+def _norm(text):
+    return re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
+
+
+def _h(gram):
+    return int(hashlib.md5(gram.encode()).hexdigest()[:8], 16)
+
+
+def _ref_winnow(text, k=5, w=4):
+    t = _norm(text)
+    hashes = [_h(t[i : i + k]) for i in range(len(t) - k + 1)]
+    picks = set()
+    for s in range(len(hashes) - w + 1):
+        window = hashes[s : s + w]
+        m = min(window)
+        # rightmost minimal
+        pos = s + max(i for i, v in enumerate(window) if v == m)
+        picks.add((pos + 1, m))  # 1-based like the Spark op
+    return picks
+
+
+def test_winnow_matches_reference(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs, says the fox"),
+        (3, "aaaaaaaaaaaaaaaa"),  # degenerate: all grams equal (tie rule)
+        (4, "tiny"),  # shorter than k + w - 1 -> no fingerprints
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    for doc_id, text in rows:
+        expect = _ref_winnow(text)
+        assert got.get(doc_id, set()) == expect, doc_id
+
+
+def test_winnow_guarantee_shared_substring_detected(spark):
+    # docs share a substring of length >= k + w - 1 = 8 -> the paper
+    # guarantees at least one common fingerprint
+    shared = "identical stretch of text here"
+    df = spark.createDataFrame(
+        [(1, f"prefix one {shared} suffix alpha"),
+         (2, f"completely different opening {shared} and ending")],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df)
+    pairs = winnow_match_pairs(fps, min_shared=1).collect()
+    assert len(pairs) == 1 and {pairs[0].id_a, pairs[0].id_b} == {1, 2}
+    assert pairs[0].shared_fps >= 1
+
+
+def test_winnow_match_pairs_threshold(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    pairs = winnow_match_pairs(winnow_fingerprints(df), min_shared=1).collect()
+    assert pairs == []  # nothing shared -> postings join emits nothing
