@@ -113,3 +113,36 @@ def test_global_ordinals_window_is_partition_local(spark):
     assert "Exchange hashpartitioning(_pid" in plan, data_window
     # the offsets join must be broadcast (one row per partition)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_lm_perplexity_broadcasts_lm_table(spark):
+    # the fitted trigram LM is bounded broadcast material; if the
+    # scoring join ever shuffles the corpus against it the 100-TB
+    # story dies
+    plan = _executed_plan(spark, "lm_perplexity")
+    # the gram-scoring join must be broadcast (the doc_id outer joins
+    # that assemble per-doc results are corpus-sized on both sides and
+    # legitimately sort-merge on a co-partitioned key)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_select_single_corpus_explode(spark):
+    # fit + scoring share ONE checkpointed gram frame: the corpus-side
+    # bigram Generate must appear exactly once in the executed plan
+    # (the checkpoint truncates lineage, so re-derivations would show
+    # as extra Generate nodes over the parquet scan)
+    df = harness.queries()["dsir_select"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") >= 1 or "Generate" in plan
+    # ratio table rides a broadcast join into scoring
+    assert "BroadcastHashJoin" in plan
+
+
+def test_winnow_fingerprints_no_shuffle_before_aggregate(spark):
+    # fingerprint construction is per-document array work; the only
+    # exchange in winnow_fps should be the final per-doc aggregate
+    df = harness.queries()["winnow_fps"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2, plan  # partial agg + final agg
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
