@@ -2126,6 +2126,35 @@ def q_winnow_pairs(spark, sf):
     return winnow_match_pairs(fps, min_shared=50)
 
 
+@q(
+    "winnow_spans",
+    # diagonal-banded overlap localization; band=16 is a power of two,
+    # so floor((pos_a-pos_b)/16.0) is exact IEEE arithmetic on both
+    # engines (division by 2^k introduces no rounding)
+    "WITH" + _WINNOW_ORACLE_CTES + """
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(MIN(a.pos) AS BIGINT) AS a_start,
+              CAST(MAX(a.pos) AS BIGINT) AS a_end,
+              CAST(MIN(b.pos) AS BIGINT) AS b_start,
+              CAST(MAX(b.pos) AS BIGINT) AS b_end,
+              CAST(COUNT(*) AS BIGINT) AS n_matches
+       FROM fps a JOIN fps b ON a.fp = b.fp
+       WHERE a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id, FLOOR((a.pos - b.pos) / 16.0)
+       HAVING COUNT(*) >= 24""",
+)
+def q_winnow_spans(spark, sf):
+    """Overlap-span localization (operators/dedup.py
+    winnow_overlap_spans): matching winnowing fingerprints grouped by
+    positional diagonal — contiguous shared regions drift along one
+    diagonal (BLAST-style seeding), so each qualifying band localizes
+    a shared span with start/end coordinates on BOTH documents."""
+    from .operators.dedup import winnow_fingerprints, winnow_overlap_spans
+
+    fps = winnow_fingerprints(_t(spark, sf, "documents"))
+    return winnow_overlap_spans(fps, band=16, min_run=24)
+
+
 @q("bpe_merges")
 def q_bpe_merges(spark, sf):
     """Distributed BPE vocabulary induction (operators/bpe.py

@@ -1240,3 +1240,44 @@ def winnow_match_pairs(
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def winnow_overlap_spans(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    band: int = 16,
+    min_run: int = 3,
+) -> DataFrame:
+    """Localize WHERE two documents overlap from their winnowing
+    fingerprints — the step MinHash fundamentally cannot do. Matching
+    fingerprints between a document pair are grouped by their positional
+    DIAGONAL (pos_a - pos_b, banded to ``band`` grams): fingerprints of
+    one contiguous shared region drift along a single diagonal, while
+    coincidental matches scatter (the same seeding idea as BLAST's
+    diagonal runs). Bands with at least ``min_run`` matches become
+    spans: (id_a, id_b, a_start, a_end, b_start, b_end, n_matches).
+
+    Scale shape: the postings join only forms rows where a fingerprint
+    value co-occurs (inverted index, never all-pairs), and the span
+    aggregate is one hash group-by on (pair, band). floor-division on
+    possibly-negative diagonals is FLOORED on both engines via
+    explicit floor(x / band) over doubles of exact integers."""
+    a = fps.select(F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b"), "fp")
+    matches = a.join(b, "fp").filter(F.col("id_a") < F.col("id_b"))
+    diag_band = F.floor(
+        (F.col("pos_a") - F.col("pos_b")) / F.lit(float(band))
+    ).cast("long")
+    return (
+        matches.withColumn("_band", diag_band)
+        .groupBy("id_a", "id_b", "_band")
+        .agg(
+            F.min("pos_a").cast("long").alias("a_start"),
+            F.max("pos_a").cast("long").alias("a_end"),
+            F.min("pos_b").cast("long").alias("b_start"),
+            F.max("pos_b").cast("long").alias("b_end"),
+            F.count("*").cast("long").alias("n_matches"),
+        )
+        .filter(F.col("n_matches") >= min_run)
+        .drop("_band")
+    )

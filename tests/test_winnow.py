@@ -71,3 +71,22 @@ def test_winnow_match_pairs_threshold(spark):
     )
     pairs = winnow_match_pairs(winnow_fingerprints(df), min_shared=1).collect()
     assert pairs == []  # nothing shared -> postings join emits nothing
+
+
+def test_winnow_overlap_spans_localize_shared_region(spark):
+    from nba_data_pipeline_spark.operators.dedup import winnow_overlap_spans
+
+    shared = "this exact shared passage appears verbatim in both documents"
+    df = spark.createDataFrame(
+        [(1, f"unique opening words {shared}"),
+         (2, f"{shared} trailed by an unrelated ending"),
+         (3, "entirely disjoint content with nothing in common at all")],
+        "doc_id long, text string",
+    )
+    spans = winnow_overlap_spans(winnow_fingerprints(df), min_run=2).collect()
+    assert spans, "shared region must produce at least one span"
+    assert all({s.id_a, s.id_b} == {1, 2} for s in spans)
+    s = max(spans, key=lambda r: r.n_matches)
+    # doc 1's span sits AFTER its unique prefix; doc 2's at the start
+    assert s.a_start > s.b_start
+    assert s.a_end > s.a_start and s.b_end > s.b_start
