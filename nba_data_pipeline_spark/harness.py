@@ -4019,6 +4019,45 @@ def q_ann_recall(spark, sf):
     return ivf_ok.unionByName(lsh_ok).orderBy("method")
 
 
+@q(
+    "pq_recall",
+    # constant-verdict gate, same contract as ann_recall: the Spark
+    # side measures planted-neighbor recall of the PQ/ADC pipeline
+    # against a deterministic fixture; the oracle pins the verdict.
+    """SELECT 'pq_planted1' AS method, 20 AS n_queries, TRUE AS recall_ok""",
+)
+def q_pq_recall(spark, sf):
+    """Product-quantization recall gate (operators/similarity.py
+    pq_fit/pq_encode/pq_batch_topk; Jegou et al. 2011): the corpus
+    compresses 32x (64-dim float32 -> 8 nibble codes) and the 20
+    deterministically perturbed corpus vectors (same plant as
+    lsh_planted1, cos ~0.985) must still retrieve their source as the
+    ADC top-1. Codebooks fit on the content-pinned sorted single
+    partition (KMeans|| init is layout-dependent, as in ann_recall)."""
+    from .operators.similarity import pq_batch_topk, pq_encode, pq_fit
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
+    books = pq_fit(emb.orderBy("vec_id").coalesce(1), "embedding", m=8, k=16)
+    codes = pq_encode(emb, books, "embedding", "vec_id")
+    pert = emb.filter(F.col("vec_id") < 20).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, (x, i) -> cast(x as double)"
+            " + 0.05 * (pmod(xxhash64(vec_id, i), 1000) / 1000.0 - 0.5))"
+        ).alias("embedding"),
+    )
+    top1 = pq_batch_topk(pert, codes, books, "embedding", "vec_id", k=1)
+    return (
+        top1.filter(F.col("query_id") == F.col("corpus_id"))
+        .agg((F.count("*") >= F.lit(18)).alias("recall_ok"))
+        .select(
+            F.lit("pq_planted1").alias("method"),
+            F.lit(20).alias("n_queries"),
+            "recall_ok",
+        )
+    )
+
+
 @q("lsh_ann_topk")
 def q_lsh_ann(spark, sf):
     emb = _t(spark, sf, "embeddings")

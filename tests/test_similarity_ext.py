@@ -141,3 +141,44 @@ def test_rerank_topk_fake_scorer(spark):
         rerank_topk(cand, "query_id", "corpus_id", [("cos_sim", 1.0)], scorer="real")
     with pytest.raises(ValueError, match="scorer"):
         rerank_topk(cand, "query_id", "corpus_id", [("cos_sim", 1.0)], scorer="bogus")
+
+
+def test_pq_encode_deterministic_and_compact(spark):
+    from nba_data_pipeline_spark.operators.similarity import pq_encode, pq_fit
+
+    rows = [(i, [float((i * 7 + j * 3) % 13) for j in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = pq_fit(df.orderBy("vec_id").coalesce(1), "embedding", m=4, k=8, max_iter=5)
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    codes1 = {r.vec_id: list(r.codes) for r in pq_encode(df, books, "embedding", "vec_id").collect()}
+    codes2 = {r.vec_id: list(r.codes) for r in pq_encode(df, books, "embedding", "vec_id").collect()}
+    assert codes1 == codes2
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in codes1.values())
+
+
+def test_pq_adc_retrieves_exact_vector_as_top1(spark):
+    from nba_data_pipeline_spark.operators.similarity import (
+        pq_batch_topk,
+        pq_encode,
+        pq_fit,
+    )
+
+    # well-separated cluster structure: PQ is lossy but cluster-scale
+    # distances survive quantization
+    rows = [
+        (c * 100 + i, [float(c * 50 + ((i * j) % 5)) for j in range(8)])
+        for c in range(4)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = pq_fit(df.orderBy("vec_id").coalesce(1), "embedding", m=2, k=8, max_iter=10)
+    codes = pq_encode(df, books, "embedding", "vec_id")
+    qs = df.filter(df.vec_id.isin(0, 101, 202, 303))
+    top = pq_batch_topk(qs, codes, books, "embedding", "vec_id", k=5).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        # every top-5 hit must come from the query's own cluster
+        assert all(r.corpus_id // 100 == qid // 100 for r in rs), (qid, rs)
+        assert rs[0].rnk == 1
