@@ -4058,6 +4058,43 @@ def q_pq_recall(spark, sf):
     )
 
 
+@q(
+    "semdedup_gate",
+    """SELECT 'semdedup_planted' AS method, 20 AS n_queries, TRUE AS collapse_ok""",
+)
+def q_semdedup_gate(spark, sf):
+    """SemDeDup gate (operators/similarity.py semantic_dedup; Abbas et
+    al. 2023): 20 deterministically perturbed copies (cos ~0.985) are
+    unioned into the fixed 500-vector corpus; clustered-cosine dedup at
+    threshold 0.95 must collapse >=18 of the (source, copy) pairs into
+    one component with the source (min id) as the survivor. Constant-
+    verdict oracle, same contract as ann_recall/pq_recall."""
+    from .operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
+    copies = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.expr(
+            "cast(transform(embedding, (x, i) -> cast(x as double)"
+            " + 0.05 * (pmod(xxhash64(vec_id, i), 1000) / 1000.0 - 0.5))"
+            " as array<float>)"
+        ).alias("embedding"),
+    )
+    both = emb.select("vec_id", "embedding").unionByName(copies)
+    out = semantic_dedup(
+        both.orderBy("vec_id").coalesce(1), "embedding", "vec_id",
+        n_clusters=8, threshold=0.95,
+    )
+    collapsed = out.filter(
+        (F.col("vec_id") >= 1000) & (F.col("component_id") == F.col("vec_id") - 1000)
+    )
+    return collapsed.agg((F.count("*") >= F.lit(18)).alias("collapse_ok")).select(
+        F.lit("semdedup_planted").alias("method"),
+        F.lit(20).alias("n_queries"),
+        "collapse_ok",
+    )
+
+
 @q("lsh_ann_topk")
 def q_lsh_ann(spark, sf):
     emb = _t(spark, sf, "embeddings")

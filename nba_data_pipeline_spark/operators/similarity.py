@@ -709,3 +709,48 @@ def pq_batch_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "corpus_id", "adc_dist", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): semantic deduplication via clustered
+# embedding cosine
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+    priority_col: str | None = None,
+) -> DataFrame:
+    """SemDeDup: remove SEMANTIC duplicates — documents whose
+    embeddings nearly coincide even when their text differs (template
+    rewrites, translations, boilerplate paraphrases) — by clustering
+    the embedding space (KMeans, the paper's choice) and comparing
+    cosine similarity ONLY within a cluster. Composition of this
+    engine's existing primitives: ``ivf_index`` supplies the cluster
+    blocking, ``cosine_pairs`` the blocked similarity join (never
+    all-pairs; norms precomputed), ``dedup_assign`` /
+    ``dedup_assign_best`` the connected-components keep-one.
+
+    Output: df columns + (component_id, is_canonical) — filter on
+    ``is_canonical`` for the deduplicated corpus. ``priority_col``
+    switches the survivor rule from min-id to highest-priority (the
+    paper keeps the item farthest from the centroid; any quality score
+    works). At 100 TB the pair join is bounded per-cluster; raise
+    ``n_clusters`` so clusters stay shuffle-partition-sized — blocking
+    quality degrades gracefully (a missed cross-cluster duplicate is a
+    recall loss, never a correctness error)."""
+    from .dedup import dedup_assign, dedup_assign_best
+
+    assigned, _ = ivf_index(df, vec_col, n_lists=n_clusters, seed=seed)
+    pairs = cosine_pairs(assigned, vec_col, id_col, ["_list"], threshold).select(
+        "id_a", "id_b"
+    )
+    if priority_col is not None:
+        out = dedup_assign_best(assigned, id_col, pairs, priority_col)
+    else:
+        out = dedup_assign(assigned, id_col, pairs)
+    return out.drop("_list")

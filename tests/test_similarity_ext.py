@@ -182,3 +182,51 @@ def test_pq_adc_retrieves_exact_vector_as_top1(spark):
         # every top-5 hit must come from the query's own cluster
         assert all(r.corpus_id // 100 == qid // 100 for r in rs), (qid, rs)
         assert rs[0].rnk == 1
+
+
+def test_semantic_dedup_collapses_planted_near_identical_vectors(spark):
+    from nba_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    import math
+
+    # 3 well-separated base directions; for each, 4 near-identical
+    # copies (tiny deterministic jitter) + 1 genuinely distinct vector
+    rows = []
+    for c in range(3):
+        base = [math.cos(0.5 * c + 0.1 * j) for j in range(8)]
+        for i in range(4):
+            rows.append((c * 10 + i, [float(v + 0.001 * i) for v in base]))
+        rows.append((c * 10 + 9, [float(-v) for v in base]))  # antipode: distinct
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(
+        df.orderBy("vec_id").coalesce(1), "embedding", "vec_id",
+        n_clusters=4, threshold=0.999,
+    )
+    rowsr = {r.vec_id: r for r in out.collect()}
+    assert len(rowsr) == 15
+    for c in range(3):
+        comps = {rowsr[c * 10 + i].component_id for i in range(4)}
+        assert len(comps) == 1, f"cluster {c} copies must share a component"
+        canon = [i for i in range(4) if rowsr[c * 10 + i].is_canonical]
+        assert canon == [0]  # min-id survivor
+        assert rowsr[c * 10 + 9].is_canonical  # antipode survives alone
+    kept = sum(1 for r in rowsr.values() if r.is_canonical)
+    assert kept == 6  # 3 canonical + 3 antipodes
+
+
+def test_semantic_dedup_priority_survivor(spark):
+    from nba_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0.2),
+        (2, [1.0, 0.001, 0.0, 0.0], 0.9),  # higher quality -> survivor
+        (3, [0.0, 1.0, 0.0, 0.0], 0.5),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, q double")
+    out = {r.vec_id: r for r in semantic_dedup(
+        df.orderBy("vec_id").coalesce(1), "embedding", "vec_id",
+        n_clusters=2, threshold=0.999, priority_col="q",
+    ).collect()}
+    assert not out[1].is_canonical and out[2].is_canonical
+    assert out[1].component_id == out[2].component_id  # stable min-id cluster key
+    assert out[3].is_canonical
