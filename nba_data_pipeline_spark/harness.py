@@ -2155,6 +2155,41 @@ def q_winnow_spans(spark, sf):
     return winnow_overlap_spans(fps, band=16, min_run=24)
 
 
+@q(
+    "incremental_winnow",
+    # batch = doc_id % 7 == 0 vs the archived rest; fingerprints are
+    # per-document, so splitting before or after winnowing is identical
+    "WITH" + _WINNOW_ORACLE_CTES + """,
+       newf AS (SELECT DISTINCT doc_id, fp FROM fps WHERE doc_id % 7 = 0),
+       oldf AS (SELECT DISTINCT doc_id, fp FROM fps WHERE doc_id % 7 <> 0),
+       vs_old AS (SELECT n.doc_id AS id_new, o.doc_id AS id_other,
+                         FALSE AS other_is_new,
+                         CAST(COUNT(*) AS BIGINT) AS shared_fps
+                  FROM newf n JOIN oldf o ON n.fp = o.fp
+                  GROUP BY n.doc_id, o.doc_id),
+       vs_new AS (SELECT a.doc_id AS id_new, b.doc_id AS id_other,
+                         TRUE AS other_is_new,
+                         CAST(COUNT(*) AS BIGINT) AS shared_fps
+                  FROM newf a JOIN newf b ON a.fp = b.fp
+                  WHERE a.doc_id < b.doc_id
+                  GROUP BY a.doc_id, b.doc_id)
+       SELECT id_new, id_other, other_is_new, shared_fps
+       FROM (SELECT * FROM vs_old UNION ALL SELECT * FROM vs_new)
+       WHERE shared_fps >= 50""",
+)
+def q_incremental_winnow(spark, sf):
+    """Incremental winnowing near-dedup (operators/dedup.py
+    incremental_winnow_pairs): a simulated ingest batch (doc_id % 7)
+    against the archived fingerprint table — batch-driven postings
+    join, old-vs-old never forms."""
+    from .operators.dedup import incremental_winnow_pairs, winnow_fingerprints
+
+    docs = _t(spark, sf, "documents")
+    new_fps = winnow_fingerprints(docs.filter(F.col("doc_id") % 7 == 0))
+    old_fps = winnow_fingerprints(docs.filter(F.col("doc_id") % 7 != 0))
+    return incremental_winnow_pairs(new_fps, old_fps, min_shared=50)
+
+
 @q("bpe_merges")
 def q_bpe_merges(spark, sf):
     """Distributed BPE vocabulary induction (operators/bpe.py

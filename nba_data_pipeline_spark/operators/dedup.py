@@ -1281,3 +1281,52 @@ def winnow_overlap_spans(
         .filter(F.col("n_matches") >= min_run)
         .drop("_band")
     )
+
+
+def incremental_winnow_pairs(
+    new_fps: DataFrame,
+    old_fps: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+) -> DataFrame:
+    """Incremental winnowing near-dedup: fingerprints of a NEW ingest
+    batch against the persisted corpus fingerprint table plus the batch
+    itself — the same continuous-crawl contract as
+    ``incremental_ngram_pairs`` / ``incremental_minhash_pairs``:
+    old-vs-old pairs never form, the postings join fans out from the
+    batch side only, and the persisted table is append-only (a batch's
+    fingerprints become corpus rows for the next run). Output:
+    (id_new, id_other, other_is_new, shared_fps).
+
+    An id present in BOTH inputs (re-ingested document) pairs as a
+    batch member; its stale corpus fingerprints are excluded by the
+    anti-join so it cannot match itself."""
+    old_clean = old_fps.join(
+        new_fps.select(F.col(id_col)).distinct(), id_col, "left_anti"
+    )
+    n = new_fps.select(F.col(id_col).alias("id_new"), "fp").dropDuplicates(
+        ["id_new", "fp"]
+    )
+    o = old_clean.select(F.col(id_col).alias("id_other"), "fp").dropDuplicates(
+        ["id_other", "fp"]
+    )
+    vs_old = (
+        n.join(o, "fp")
+        .groupBy("id_new", "id_other")
+        .agg(F.count("*").alias("shared_fps"))
+        .withColumn("other_is_new", F.lit(False))
+    )
+    vs_new = (
+        winnow_match_pairs(new_fps, id_col, min_shared=1)
+        .select(
+            F.col("id_a").alias("id_new"),
+            F.col("id_b").alias("id_other"),
+            "shared_fps",
+        )
+        .withColumn("other_is_new", F.lit(True))
+    )
+    return (
+        vs_old.unionByName(vs_new)
+        .filter(F.col("shared_fps") >= min_shared)
+        .select("id_new", "id_other", "other_is_new", "shared_fps")
+    )

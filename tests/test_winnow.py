@@ -90,3 +90,33 @@ def test_winnow_overlap_spans_localize_shared_region(spark):
     # doc 1's span sits AFTER its unique prefix; doc 2's at the start
     assert s.a_start > s.b_start
     assert s.a_end > s.a_start and s.b_end > s.b_start
+
+
+def test_incremental_winnow_pairs_never_forms_old_old(spark):
+    from nba_data_pipeline_spark.operators.dedup import (
+        incremental_winnow_pairs,
+    )
+
+    shared = "a long enough common passage that winnowing fingerprints"
+    old = spark.createDataFrame(
+        [(1, f"archive copy {shared}"), (2, f"second archive {shared}"),
+         (3, "unrelated archived text with completely different words")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, f"fresh ingest {shared}"), (11, f"another fresh {shared}"),
+         (3, "re-ingested replacement text that no longer matches anything")],
+        "doc_id long, text string",
+    )
+    old_fps = winnow_fingerprints(old)
+    new_fps = winnow_fingerprints(new)
+    got = incremental_winnow_pairs(new_fps, old_fps, min_shared=2).collect()
+    # every pair is batch-driven
+    assert all(r.id_new in (10, 11, 3) for r in got)
+    # old-vs-old (1,2) never appears
+    assert not any({r.id_new, r.id_other} == {1, 2} for r in got)
+    # new docs match the archived near-dups and each other
+    keys = {(r.id_new, r.id_other, r.other_is_new) for r in got}
+    assert (10, 1, False) in keys and (10, 11, True) in keys
+    # re-ingested id 3 must not match its own stale fingerprints
+    assert not any(r.id_new == 3 and r.id_other == 3 for r in got)
