@@ -159,3 +159,51 @@ def stream_near_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def quality_score_batch(
+    batch_df: DataFrame,
+    lm: DataFrame,
+    scores_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One continuous-ingest quality-scoring step: score the batch
+    under a FITTED trigram LM (``text.fit_trigram_lm`` — fit once on a
+    reference corpus, reused across every batch as broadcast material)
+    and MERGE the scores into the persisted table keyed on the id.
+    Redelivered micro-batches upsert identical rows (the score is a
+    pure function of the document and the frozen LM), so the table is
+    replay-idempotent — same contract as ``near_dedup_batch``."""
+    from ..operators.text import trigram_lm_scores
+    from ..sinks.writer import upsert_table
+
+    scored = trigram_lm_scores(batch_df, lm, id_col, text_col)
+    upsert_table(batch_df.sparkSession, scored, scores_path, key=id_col)
+
+
+def stream_quality_scores(
+    stream_df: DataFrame,
+    lm: DataFrame,
+    scores_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    query_name: str = "stream_quality_scores",
+):
+    """CCNet-style quality scoring as a Structured Streaming query:
+    ``quality_score_batch`` per micro-batch via foreachBatch. The LM
+    never refits in-stream (training-data pipelines freeze the
+    reference model and version it with the corpus snapshot); per-batch
+    cost is one explode + broadcast join over the batch only."""
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        quality_score_batch(batch_df, lm, scores_path, id_col, text_col)
+
+    writer = stream_df.writeStream.foreachBatch(process).queryName(query_name)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

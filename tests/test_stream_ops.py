@@ -151,3 +151,67 @@ def test_streaming_replay_parity_flags(spark):
         spark, "/root/testdata/sf0.001"
     ).collect()
     assert all(r.in_replayed and r.in_single_shot for r in rows)
+
+
+def test_stream_quality_scores_replay_idempotent(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.operators.text import (
+        fit_trigram_lm,
+        trigram_lm_scores,
+    )
+    from nba_data_pipeline_spark.streaming.ops import quality_score_batch
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(10)],
+        "doc_id long, text string",
+    )
+    lm = fit_trigram_lm(ref, "text", top_k=300).localCheckpoint()
+    scores_path = str(tmp_path / "scores")
+
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "zzz qqq vvv")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, "jumps over the lazy dog")], "doc_id long, text string"
+    )
+    quality_score_batch(b1, lm, scores_path)
+    quality_score_batch(b2, lm, scores_path)
+    quality_score_batch(b1, lm, scores_path)  # redelivery
+
+    table = {r.doc_id: r for r in spark.read.parquet(scores_path).collect()}
+    assert set(table) == {1, 2, 3}
+    direct = {
+        r.doc_id: r
+        for r in trigram_lm_scores(b1.unionByName(b2), lm).collect()
+    }
+    for k in direct:
+        assert table[k].avg_nll_e6 == direct[k].avg_nll_e6, k
+    assert table[1].avg_nll_e6 < table[2].avg_nll_e6  # fluent beats gibberish
+
+
+def test_stream_quality_scores_streaming_query(spark, tmp_path):
+    from nba_data_pipeline_spark.operators.text import fit_trigram_lm
+    from nba_data_pipeline_spark.streaming.ops import stream_quality_scores
+
+    ref = spark.createDataFrame(
+        [(i, "all work and no play makes a dull day") for i in range(5)],
+        "doc_id long, text string",
+    )
+    lm = fit_trigram_lm(ref, "text", top_k=200).localCheckpoint()
+
+    src = str(tmp_path / "incoming")
+    spark.createDataFrame(
+        [(10, "all work and no play"), (11, "xq zv pk wj")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = stream_quality_scores(
+        stream, lm, str(tmp_path / "scores"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(60)
+    got = {r.doc_id: r.avg_nll_e6 for r in spark.read.parquet(
+        str(tmp_path / "scores")).collect()}
+    assert set(got) == {10, 11} and got[10] < got[11]
