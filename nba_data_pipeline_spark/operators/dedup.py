@@ -1170,59 +1170,73 @@ def winnow_fingerprints(
     """Winnowing document fingerprints: hash every character ``k``-gram
     of the normalized text, slide a window of ``w`` consecutive hashes,
     and record the window minimum — on ties the RIGHTMOST minimal hash,
-    per the paper's robust-winnowing rule. Guarantees every shared
-    substring of length >= k + w - 1 contributes at least one matching
-    fingerprint between two documents, with ~2/(w+1) density — the
-    local, position-aware complement to MinHash (which is global and
-    position-blind). Output: one row per distinct (id, pos, fp) with
-    1-based gram position; fingerprint matches across docs localize
-    WHERE the overlap is, which MinHash cannot.
+    per the paper's robust-winnowing rule (Schleimer et al. 2003).
+    Guarantees every shared substring of length >= k + w - 1 contributes
+    at least one matching fingerprint between two documents, with
+    ~2/(w+1) density — the local, position-aware complement to MinHash
+    (which is global and position-blind). Output: one row per distinct
+    (id, pos, fp) with 1-based gram position.
 
     Portable construction: the gram hash is the md5-prefix integer
     (same as the DSIR bucket hash — every engine computes it
-    identically), and window minima are pure array expressions over the
-    gram-hash array. Per-document work; no shuffle at all until a
-    downstream join groups matching fingerprints.
-    """
-    t = normalized_text(text_col)
+    identically). The whole pipeline is RELATIONAL — grams posexplode,
+    hash per row, windows form by an offset-exploded equi-join, and
+    the rightmost-min pick is one min(struct(hash, -pos)) aggregate —
+    because the array/higher-order-function formulation measured 13x
+    slower: HOF lambdas are interpreted (an in-lambda md5 chain runs
+    ~10x slower than codegen) and re-evaluate non-attribute subtrees
+    per element (an inline regexp normalization ran once per gram:
+    38s vs 2.9s at sf0.1). Relational rows also avoid materializing a
+    per-document hash array, so a million-token document costs rows,
+    not one giant skewed cell. Shuffles key on the doc id and the
+    (doc, gram-index) join key — both scale.
+
+    The one checkpoint (after normalization) stops CollapseProject
+    from re-inlining the regex into the gram-transform lambda."""
+    t = F.col("_t")
     n = F.length(t) - (k - 1)
-    hashes = F.when(
+    grams = F.when(
         n >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.conv(
-                F.substring(F.md5(t.substr(i, F.lit(k))), 1, 8), 16, 10
-            ).cast("long"),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    # one struct per window start: (pos of selected gram, min hash);
-    # rightmost tie = w - position_in_reversed_slice + start
-    picks = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("_h") - (w - 1), F.lit(0))),
-        lambda s: F.struct(
-            (
-                s
-                + F.lit(w)
-                - F.array_position(
-                    F.reverse(F.slice(F.col("_h"), s, w)),
-                    F.array_min(F.slice(F.col("_h"), s, w)),
-                )
-            ).cast("long").alias("pos"),
-            F.array_min(F.slice(F.col("_h"), s, w)).alias("fp"),
-        ),
+        F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(k))),
+    ).otherwise(F.array().cast("array<string>"))
+    norm = df.select(
+        F.col(id_col), normalized_text(text_col).alias("_t")
+    ).localCheckpoint(eager=False)
+    h = (
+        norm.select(F.col(id_col), F.posexplode(grams).alias("_i", "_g"))
+        .select(
+            F.col(id_col),
+            "_i",
+            F.conv(F.substring(F.md5("_g"), 1, 8), 16, 10).cast("long").alias("_hv"),
+        )
     )
-    return (
-        df.select(F.col(id_col), hashes.alias("_h"))
-        .filter(F.size("_h") >= w)
-        .select(F.col(id_col), F.explode(F.array_distinct(picks)).alias("_p"))
-        .select(id_col, F.col("_p.pos").alias("pos"), F.col("_p.fp").alias("fp"))
+    # sliding windows via ONE window-function pass (a single shuffle
+    # keyed on the doc id): the frame [CURRENT, w-1 FOLLOWING] is the
+    # winnowing window anchored at this gram, and min(struct(hash,
+    # -pos)) picks its rightmost minimal hash in the same aggregate
+    frame = (
+        Window.partitionBy(id_col).orderBy("_i").rowsBetween(0, w - 1)
     )
+    sel = F.min(F.struct(F.col("_hv").alias("h"), (-F.col("_i")).alias("nj"))).over(
+        frame
+    )
+    win = (
+        h.withColumn("_sel", sel)
+        .withColumn("_c", F.count("*").over(frame))
+        .filter(F.col("_c") == w)  # only fully-populated windows
+    )
+    return win.select(
+        F.col(id_col),
+        (-F.col("_sel.nj") + 1).cast("long").alias("pos"),
+        F.col("_sel.h").alias("fp"),
+    ).dropDuplicates([id_col, "pos", "fp"])
 
 
 def winnow_match_pairs(
     fps: DataFrame,
     id_col: str = "doc_id",
     min_shared: int = 2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs from winnowing fingerprints: the
     postings self-join on the fingerprint VALUE (same inverted-index
@@ -1231,8 +1245,23 @@ def winnow_match_pairs(
     ``min_shared`` distinct fingerprints. Output: (id_a, id_b,
     shared_fps). Position columns survive to the join inputs, so a
     caller can extend this to localize the overlapping span."""
-    a = fps.select(F.col(id_col).alias("id_a"), "fp").dropDuplicates(["id_a", "fp"])
-    b = fps.select(F.col(id_col).alias("id_b"), "fp").dropDuplicates(["id_b", "fp"])
+    distinct = fps.select(F.col(id_col).alias("_id"), "fp").dropDuplicates(["_id", "fp"])
+    if max_df is not None:
+        # boilerplate guard: a fingerprint present in k documents
+        # contributes k*(k-1)/2 postings-join rows, and template
+        # fingerprints carry no duplication signal — prune them BEFORE
+        # the join (same rationale as ngram_jaccard_pairs' stop-shingle
+        # prune; the hot list is tiny, AQE broadcasts the anti join)
+        hot = (
+            distinct.groupBy("fp")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("fp")
+        )
+        distinct = distinct.join(hot, "fp", "left_anti")
+    distinct = distinct.localCheckpoint(eager=False)  # feeds both join sides
+    a = distinct.select(F.col("_id").alias("id_a"), "fp")
+    b = distinct.select(F.col("_id").alias("id_b"), "fp")
     return (
         a.join(b, "fp")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -139,10 +139,11 @@ def test_dsir_select_single_corpus_explode(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_winnow_fingerprints_no_shuffle_before_aggregate(spark):
-    # fingerprint construction is per-document array work; the only
-    # exchange in winnow_fps should be the final per-doc aggregate
+def test_winnow_fingerprints_shuffles_only_on_doc_keys(spark):
+    # relational winnowing: every exchange keys on the doc id (window
+    # pass, distinct, per-doc aggregate) — no joins at all before the
+    # postings stage, so no SortMergeJoin/Cartesian can appear
     df = harness.queries()["winnow_fps"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") <= 2, plan  # partial agg + final agg
+    assert plan.count("Exchange") <= 5, plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
