@@ -2071,7 +2071,13 @@ _WINNOW_ORACLE_CTES = """
                                    AND b.i >= w.s AND b.i <= w.s + 3
                                    AND b.hv = w.m
                 GROUP BY w.doc_id, w.s, w.m),
-       fps AS (SELECT DISTINCT doc_id, pos, fp FROM pick)"""
+       fps AS (SELECT DISTINCT doc_id, pos, fp FROM pick),
+       fpd AS (SELECT DISTINCT doc_id, fp FROM fps),
+       hot AS (SELECT fp FROM fpd GROUP BY fp
+               HAVING COUNT(*) > 0.05 * (SELECT COUNT(DISTINCT doc_id)
+                                         FROM fpd)),
+       kept AS (SELECT f.doc_id, f.pos, f.fp FROM fps f
+                WHERE f.fp NOT IN (SELECT fp FROM hot))"""
 
 
 @q(
@@ -2109,11 +2115,11 @@ def q_winnow_fps(spark, sf):
     "WITH" + _WINNOW_ORACLE_CTES + """
        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
               CAST(COUNT(*) AS BIGINT) AS shared_fps
-       FROM (SELECT DISTINCT doc_id, fp FROM fps) a
-       JOIN (SELECT DISTINCT doc_id, fp FROM fps) b ON a.fp = b.fp
+       FROM (SELECT DISTINCT doc_id, fp FROM kept) a
+       JOIN (SELECT DISTINCT doc_id, fp FROM kept) b ON a.fp = b.fp
        WHERE a.doc_id < b.doc_id
        GROUP BY a.doc_id, b.doc_id
-       HAVING COUNT(*) >= 50""",
+       HAVING COUNT(*) >= 4""",
 )
 def q_winnow_pairs(spark, sf):
     """Winnowing candidate pairs (operators/dedup.py
@@ -2123,7 +2129,7 @@ def q_winnow_pairs(spark, sf):
     from .operators.dedup import winnow_fingerprints, winnow_match_pairs
 
     fps = winnow_fingerprints(_t(spark, sf, "documents"))
-    return winnow_match_pairs(fps, min_shared=50)
+    return winnow_match_pairs(fps, min_shared=4, max_df_frac=0.05)
 
 
 @q(
@@ -2138,10 +2144,10 @@ def q_winnow_pairs(spark, sf):
               CAST(MIN(b.pos) AS BIGINT) AS b_start,
               CAST(MAX(b.pos) AS BIGINT) AS b_end,
               CAST(COUNT(*) AS BIGINT) AS n_matches
-       FROM fps a JOIN fps b ON a.fp = b.fp
+       FROM kept a JOIN kept b ON a.fp = b.fp
        WHERE a.doc_id < b.doc_id
        GROUP BY a.doc_id, b.doc_id, FLOOR((a.pos - b.pos) / 16.0)
-       HAVING COUNT(*) >= 24""",
+       HAVING COUNT(*) >= 4""",
 )
 def q_winnow_spans(spark, sf):
     """Overlap-span localization (operators/dedup.py
@@ -2152,7 +2158,7 @@ def q_winnow_spans(spark, sf):
     from .operators.dedup import winnow_fingerprints, winnow_overlap_spans
 
     fps = winnow_fingerprints(_t(spark, sf, "documents"))
-    return winnow_overlap_spans(fps, band=16, min_run=24)
+    return winnow_overlap_spans(fps, band=16, min_run=4, max_df_frac=0.05)
 
 
 @q(

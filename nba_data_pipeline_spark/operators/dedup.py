@@ -1232,11 +1232,32 @@ def winnow_fingerprints(
     ).dropDuplicates([id_col, "pos", "fp"])
 
 
+def _prune_hot_fps(
+    distinct: DataFrame, max_df_frac: float, id_alias: str
+) -> DataFrame:
+    """Drop fingerprints present in more than ``max_df_frac`` of the
+    documents before any pair join: a fingerprint in k docs contributes
+    k*(k-1)/2 join rows, and template/boilerplate fingerprints carry no
+    duplication signal (same rationale as ngram_jaccard_pairs' stop-
+    shingle prune). Fully relational — the doc total is a one-row
+    aggregate cross-joined in, so the prune is lazy and engine-
+    mirrorable; the hot list is tiny and AQE broadcasts the anti join."""
+    nd = distinct.agg(F.countDistinct(id_alias).alias("_nd"))
+    hot = (
+        distinct.groupBy("fp")
+        .agg(F.count("*").alias("_df"))
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("_df") > F.col("_nd") * F.lit(max_df_frac))
+        .select("fp")
+    )
+    return distinct.join(hot, "fp", "left_anti")
+
+
 def winnow_match_pairs(
     fps: DataFrame,
     id_col: str = "doc_id",
     min_shared: int = 2,
-    max_df: int | None = None,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs from winnowing fingerprints: the
     postings self-join on the fingerprint VALUE (same inverted-index
@@ -1246,19 +1267,8 @@ def winnow_match_pairs(
     shared_fps). Position columns survive to the join inputs, so a
     caller can extend this to localize the overlapping span."""
     distinct = fps.select(F.col(id_col).alias("_id"), "fp").dropDuplicates(["_id", "fp"])
-    if max_df is not None:
-        # boilerplate guard: a fingerprint present in k documents
-        # contributes k*(k-1)/2 postings-join rows, and template
-        # fingerprints carry no duplication signal — prune them BEFORE
-        # the join (same rationale as ngram_jaccard_pairs' stop-shingle
-        # prune; the hot list is tiny, AQE broadcasts the anti join)
-        hot = (
-            distinct.groupBy("fp")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") > max_df)
-            .select("fp")
-        )
-        distinct = distinct.join(hot, "fp", "left_anti")
+    if max_df_frac is not None:
+        distinct = _prune_hot_fps(distinct, max_df_frac, "_id")
     distinct = distinct.localCheckpoint(eager=False)  # feeds both join sides
     a = distinct.select(F.col("_id").alias("id_a"), "fp")
     b = distinct.select(F.col("_id").alias("id_b"), "fp")
@@ -1276,6 +1286,7 @@ def winnow_overlap_spans(
     id_col: str = "doc_id",
     band: int = 16,
     min_run: int = 3,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Localize WHERE two documents overlap from their winnowing
     fingerprints — the step MinHash fundamentally cannot do. Matching
@@ -1291,6 +1302,14 @@ def winnow_overlap_spans(
     aggregate is one hash group-by on (pair, band). floor-division on
     possibly-negative diagonals is FLOORED on both engines via
     explicit floor(x / band) over doubles of exact integers."""
+    if max_df_frac is not None:
+        keep = _prune_hot_fps(
+            fps.select(F.col(id_col).alias("_id"), "fp").dropDuplicates(["_id", "fp"]),
+            max_df_frac,
+            "_id",
+        ).select(F.col("_id").alias(id_col), "fp")
+        fps = fps.join(keep, [id_col, "fp"], "left_semi")
+    fps = fps.localCheckpoint(eager=False)  # feeds both join sides
     a = fps.select(F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"), "fp")
     b = fps.select(F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b"), "fp")
     matches = a.join(b, "fp").filter(F.col("id_a") < F.col("id_b"))
