@@ -48,6 +48,7 @@ HEADLINE = [
     "pack_sequences",
     "lm_perplexity",
     "dsir_select",
+    "winnow_pairs",
     "lineups_declarative_bulk",
     # same 200-game x 300-event grain through the applyInPandas scan,
     # so the Python/Arrow transfer tax vs the declarative range-join
