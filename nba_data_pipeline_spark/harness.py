@@ -2133,6 +2133,81 @@ def q_winnow_pairs(spark, sf):
 
 
 @q(
+    "heavy_hitters",
+    # exact per-language heavy-hitter tokens (>= 2% share); candidate
+    # set IS the (lang, token) hash aggregate — one row per distinct
+    # value, not per event — pruned by a broadcast of per-lang totals
+    """WITH tok AS (SELECT lang, unnest(list_filter(
+                        string_split_regex(trim(text), '\\s+'), x -> x != ''))
+                      AS token
+               FROM documents),
+       counts AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM tok GROUP BY lang, token),
+       totals AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS tot
+                  FROM tok GROUP BY lang)
+       SELECT c.lang, c.token, c.n,
+              CAST(c.n * 1000000 // t.tot AS BIGINT) AS share_e6
+       FROM counts c JOIN totals t ON c.lang = t.lang
+       WHERE c.n >= t.tot * 0.02""",
+)
+def q_heavy_hitters(spark, sf):
+    """Per-language heavy-hitter tokens (operators/sketches.py
+    heavy_hitters): values in >= 2% of a group's rows with exact
+    counts — the boilerplate/stop-token discovery step of a corpus
+    audit. The scalable shape: the (group, value) hash aggregate is
+    the candidate set; a broadcast of per-group totals prunes."""
+    from .operators.sketches import heavy_hitters
+    from .operators.text import tokens
+
+    docs = _t(spark, sf, "documents")
+    tok = docs.select("lang", F.explode(tokens("text")).alias("token"))
+    out = heavy_hitters(tok, ["lang"], "token", min_share=0.02)
+    return out.select("lang", "token", F.col("n").cast("long"), "share_e6")
+
+
+@q(
+    "cms_bounds_gate",
+    # constant-verdict: count-min NEVER undercounts, and overcount is
+    # bounded by eps*N at the sketch's confidence — checked for every
+    # heavy-hitter token per language
+    """SELECT 'cms_bounds' AS method, TRUE AS bounds_ok""",
+)
+def q_cms_bounds_gate(spark, sf):
+    """Count-min sketch bounds gate (operators/sketches.py
+    sketch_frequencies): per-language CMS over tokens; for every
+    >=2%-share token, estimate >= exact AND estimate <= exact +
+    eps * N with eps=0.001. Mergeability + bounds are the properties a
+    persisted frequency-sketch table rests on."""
+    from .operators.sketches import heavy_hitters, sketch_frequencies
+    from .operators.text import tokens
+
+    docs = _t(spark, sf, "documents")
+    tok = docs.select("lang", F.explode(tokens("text")).alias("token")).localCheckpoint(
+        eager=False
+    )
+    import math
+
+    cms = sketch_frequencies(tok, ["lang"], "token", eps=0.001)
+    hh = heavy_hitters(tok, ["lang"], "token", min_share=0.02)
+    totals = tok.groupBy("lang").agg(F.count("*").alias("_tot"))
+    # the sketch table is driver-sized BY DESIGN (one row per group);
+    # Spark 4 has no SQL point-query for the serialized CMS, so the
+    # gate queries the sketches through the JVM class they serialize as
+    jvm = spark.sparkContext._jvm
+    CMS = jvm.org.apache.spark.util.sketch.CountMinSketch
+    sketches = {r["lang"]: CMS.readFrom(bytes(r["cms"])) for r in cms.collect()}
+    tots = {r["lang"]: r["_tot"] for r in totals.collect()}
+    ok = True
+    for r in hh.collect():
+        est = sketches[r["lang"]].estimateCount(r["token"])
+        if not (r["n"] <= est <= r["n"] + math.ceil(tots[r["lang"]] * 0.001)):
+            ok = False
+    return spark.createDataFrame(
+        [("cms_bounds", bool(ok))], "method string, bounds_ok boolean"
+    )
+
+
+@q(
     "winnow_spans",
     # diagonal-banded overlap localization; band=16 is a power of two,
     # so floor((pos_a-pos_b)/16.0) is exact IEEE arithmetic on both

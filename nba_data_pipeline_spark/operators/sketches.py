@@ -176,3 +176,60 @@ def theta_difference_estimate(sketch_a: Column | str, sketch_b: Column | str) ->
     a = F.col(sketch_a) if isinstance(sketch_a, str) else sketch_a
     b = F.col(sketch_b) if isinstance(sketch_b, str) else sketch_b
     return F.theta_sketch_estimate(F.theta_difference(a, b)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable frequency tables / heavy hitters
+# ---------------------------------------------------------------------------
+
+def sketch_frequencies(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "cms",
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """One count-min sketch row per group: the frequency analogue of
+    ``sketch_distinct`` — persist per-partition/day sketches once,
+    answer any point-frequency query over any rollup by merging,
+    never rescanning history. Overcount is bounded by eps * N with
+    the given confidence (CMS never undercounts). Built on Spark's
+    ``count_min_sketch`` aggregate (binary, mergeable)."""
+    return df.groupBy(*group_cols).agg(
+        F.count_min_sketch(
+            value_col, F.lit(eps), F.lit(confidence), F.lit(seed)
+        ).alias(out_col)
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    min_share: float = 0.01,
+) -> DataFrame:
+    """Per-group heavy hitters: values occurring in at least
+    ``min_share`` of the group's rows, with exact counts. This is the
+    candidate-then-verify shape that scales: a first hash aggregate on
+    (group, value) is itself the candidate set (count >= share * total
+    needs no sketch when the value domain fits a shuffle — and after
+    the inner aggregate the data is one row per DISTINCT value, not
+    per event), then a broadcast of per-group totals prunes. Output:
+    (group..., value, n, share_e6) ordered nowhere — callers sort.
+    Use ``sketch_frequencies`` instead when the distinct-value domain
+    itself is too large to shuffle and approximate point queries
+    suffice."""
+    counts = df.groupBy(*group_cols, value_col).agg(F.count("*").alias("n"))
+    totals = df.groupBy(*group_cols).agg(F.count("*").alias("_tot"))
+    joined = (
+        counts.join(F.broadcast(totals), list(group_cols))
+        if group_cols
+        else counts.crossJoin(F.broadcast(totals))
+    )
+    return (
+        joined.filter(F.col("n") >= F.col("_tot") * F.lit(min_share))
+        .withColumn("share_e6", F.expr("n * 1000000L div _tot"))
+        .drop("_tot")
+    )

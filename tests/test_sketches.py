@@ -105,3 +105,39 @@ def test_theta_sketch_set_ops(spark):
     )
     diff = wide.collect()[0].d
     assert abs(diff - 400) / 400 < 0.05
+
+
+def test_heavy_hitters_exact_and_pruned(spark):
+    from nba_data_pipeline_spark.operators.sketches import heavy_hitters
+
+    rows = [("a", "x")] * 50 + [("a", "y")] * 45 + [("a", "z")] * 5 + [("b", "x")] * 10
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {(r.g, r.v): (r.n, r.share_e6) for r in heavy_hitters(
+        df, ["g"], "v", min_share=0.10).collect()}
+    assert out[("a", "x")] == (50, 500000)
+    assert out[("a", "y")] == (45, 450000)
+    assert ("a", "z") not in out  # 5% < 10%
+    assert out[("b", "x")] == (10, 1000000)
+
+
+def test_sketch_frequencies_mergeable_and_bounded(spark):
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.operators.sketches import sketch_frequencies
+
+    rows = [("d1", f"t{i % 7}") for i in range(200)] + [("d2", f"t{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "day string, v string")
+    per_day = sketch_frequencies(df, ["day"], "v", eps=0.01)
+    # merge the per-day sketches into one via the JVM mergeInPlace —
+    # the persisted-table rollup path
+    jvm = spark.sparkContext._jvm
+    CMS = jvm.org.apache.spark.util.sketch.CountMinSketch
+    sketches = [CMS.readFrom(bytes(r["cms"])) for r in per_day.collect()]
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged.mergeInPlace(s)
+    exact = {r.v: r.n for r in df.groupBy("v").agg(F.count("*").alias("n")).collect()}
+    n_total = 300
+    for v, n in exact.items():
+        est = merged.estimateCount(v)
+        assert n <= est <= n + int(0.01 * n_total) + 1, (v, n, est)
