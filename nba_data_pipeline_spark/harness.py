@@ -2306,6 +2306,31 @@ def q_bpe_encode_stats(spark, sf):
     )
 
 
+@q("bpe_pack")
+def q_bpe_pack(spark, sf):
+    """Tokenizer-true sequence packing: learn a BPE vocabulary, encode
+    the corpus, and pack by REAL subword counts (operators/bpe.py +
+    sampling.pack_sequences) — the composition that turns 'packing by
+    whitespace-token estimates' into the batch layout a trainer
+    actually consumes. Rows-only (iterative BPE fit); each component
+    is independently oracle- or reference-checked."""
+    from .operators.bpe import bpe_encode, bpe_fit, word_freq_table
+    from .operators.sampling import pack_sequences
+
+    docs = _t(spark, sf, "documents")
+    merges = bpe_fit(word_freq_table(docs), num_merges=20)
+    enc = bpe_encode(docs, merges, "doc_id").withColumn(
+        "n_subwords", F.size("bpe_tokens").cast("long")
+    )
+    return pack_sequences(
+        enc.select("doc_id", "lang", "n_subwords"),
+        "doc_id",
+        "n_subwords",
+        capacity=2048,
+        num_shards=64,
+    ).select("doc_id", "lang", "n_subwords", "shard", "start_offset", "pack_id")
+
+
 @q(
     "doc_fingerprint",
     """SELECT doc_id,

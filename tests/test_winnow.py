@@ -120,3 +120,28 @@ def test_incremental_winnow_pairs_never_forms_old_old(spark):
     assert (10, 1, False) in keys and (10, 11, True) in keys
     # re-ingested id 3 must not match its own stale fingerprints
     assert not any(r.id_new == 3 and r.id_other == 3 for r in got)
+
+
+def test_winnow_random_corpus_matches_reference(spark):
+    """Table-driven property test: 200 random texts (mixed alphabets,
+    heavy repetition, whitespace runs, sub-threshold lengths) must
+    produce EXACTLY the reference fingerprint sets in one Spark pass."""
+    import random
+
+    rng = random.Random(20260814)
+    alphabets = ["ab", "abcde", "abcdefghij klmno", "a b  c", "xyz 0123"]
+    rows = []
+    for i in range(200):
+        alpha = rng.choice(alphabets)
+        length = rng.choice([0, 1, 5, 8, 20, 60, 200])
+        rows.append((i, "".join(rng.choice(alpha) for _ in range(length))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    mismatches = []
+    for doc_id, text in rows:
+        expect = _ref_winnow(text)
+        if got.get(doc_id, set()) != expect:
+            mismatches.append((doc_id, text))
+    assert not mismatches, mismatches[:3]
