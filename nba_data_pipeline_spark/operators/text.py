@@ -642,9 +642,19 @@ def remove_contaminated_spans(
     )
 
 
-def normalized_text(text: Column | str) -> Column:
+def normalized_text(text: Column | str, unicode: bool = False) -> Column:
     """Canonical text form for fuzzy-exact dedup (the cheap tier before
     MinHash): lowercase, non-alphanumeric runs collapsed to single
     spaces, trimmed. Catches case/punctuation/whitespace variants with
-    one hash-aggregate instead of a pair join."""
-    return F.trim(F.regexp_replace(F.lower(_col(text)), "[^a-z0-9]+", " "))
+    one hash-aggregate instead of a pair join.
+
+    ``unicode=True`` preserves all letters and digits of any script
+    (``\p{L}\p{N}`` classes — CJK, Cyrillic, accented Latin, Arabic
+    numerals of other scripts) instead of the ASCII-only default; a
+    multilingual corpus MUST use it or non-Latin documents normalize
+    to empty strings and silently vanish from every gram-based
+    operator (dedup, language ID, LM scoring, winnowing). The ASCII
+    default stays for oracle parity with engines whose regex classes
+    differ on unicode property semantics."""
+    pattern = r"[^\p{L}\p{N}]+" if unicode else "[^a-z0-9]+"
+    return F.trim(F.regexp_replace(F.lower(_col(text)), pattern, " "))

@@ -289,3 +289,29 @@ def test_perplexity_buckets_terciles_deterministic(spark):
     assert counts == {1: 4, 2: 3, 3: 3}  # ntile spreads 10 rows 4/3/3
     assert rows[100] == (3, "tail")  # NULL sorts last
     assert {b for _, b in rows.values()} == {"head", "middle", "tail"}
+
+
+def test_normalized_text_unicode_preserves_scripts(spark):
+    from nba_data_pipeline_spark.operators.text import normalized_text
+
+    rows = [
+        (1, "Héllo, Wörld! Ça va?"),
+        (2, "机器学习 很有趣 123"),
+        (3, "Привет -- мир!"),
+        (4, "plain ascii text"),
+    ]
+    df = spark.createDataFrame(rows, "i long, text string")
+    out = {r.i: (r.a, r.u) for r in df.select(
+        "i",
+        normalized_text("text").alias("a"),
+        normalized_text("text", unicode=True).alias("u"),
+    ).collect()}
+    # ascii mode strips every non-latin letter
+    assert out[1][0] == "h llo w rld a va"
+    assert out[2][0] == "123"
+    assert out[3][0] == ""
+    # unicode mode preserves the scripts, collapses punctuation
+    assert out[1][1] == "héllo wörld ça va"
+    assert out[2][1] == "机器学习 很有趣 123"
+    assert out[3][1] == "привет мир"
+    assert out[4][0] == out[4][1] == "plain ascii text"
