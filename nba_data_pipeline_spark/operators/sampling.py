@@ -156,6 +156,7 @@ def pack_sequences(
     capacity: int,
     num_shards: int = 16,
     out_shard: str = "shard",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: lay documents end-to-end in a
     deterministic stream order and cut the stream into fixed
@@ -177,9 +178,14 @@ def pack_sequences(
     """
     from pyspark.sql import Window
 
+    # group_cols (e.g. ["split"]) partition the packing stream itself:
+    # a pack then never spans groups — REQUIRED when packing after a
+    # train/val/test split, or one context window could blend rows
+    # from different splits (pack-level leakage) and (shard, pack_id)
+    # would collide across splits
     shard = hash_bucket(id_col, num_shards)
     w = (
-        Window.partitionBy(out_shard)
+        Window.partitionBy(*(group_cols or []), out_shard)
         .orderBy(_col(id_col))
         .rowsBetween(Window.unboundedPreceding, -1)
     )

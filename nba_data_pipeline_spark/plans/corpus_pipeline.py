@@ -111,8 +111,12 @@ def corpus_pipeline(
     split = split_assign(clean, "component_id", fractions)
 
     # 6. pack into fixed token windows (n_tokens already computed by
-    # repetition_features — no third tokenize pass)
-    return pack_sequences(split, id_col, "n_tokens", pack_capacity, num_shards)
+    # repetition_features — no third tokenize pass); the stream is
+    # partitioned by split so no pack blends train/val/test rows
+    return pack_sequences(
+        split, id_col, "n_tokens", pack_capacity, num_shards,
+        group_cols=["split"],
+    )
 
 
 def corpus_summary(result: DataFrame) -> DataFrame:

@@ -266,3 +266,30 @@ def test_dsir_scores_gramless_doc_is_null(spark):
     assert got[1][0] == 1 and got[1][1] is not None
     assert got[2] == (0, None)  # single token -> no bigram
     assert got[3] == (0, None)
+
+
+def test_pack_sequences_group_cols_isolate_splits(spark):
+    from nba_data_pipeline_spark.operators.sampling import pack_sequences
+
+    rows = [(i, "train" if i % 3 else "val", 100) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, split string, n long")
+    out = pack_sequences(df, "doc_id", "n", capacity=250, num_shards=2,
+                         group_cols=["split"]).collect()
+    # within each (split, shard), offsets restart at 0 and are gapless
+    from collections import defaultdict
+    streams = defaultdict(list)
+    for r in out:
+        streams[(r.split, r.shard)].append((r.doc_id, r.start_offset))
+    for (split, shard), docs in streams.items():
+        docs.sort()
+        assert docs[0][1] == 0, (split, shard, docs[:3])
+        for (a, oa), (b, ob) in zip(docs, docs[1:]):
+            assert ob == oa + 100
+    # every (split, shard) stream fills packs from 0 upward — the
+    # consumer reads per (split, shard), so cross-split coordinate
+    # reuse is fine but each stream must be self-contained
+    first_pack = defaultdict(lambda: 1 << 60)
+    for r in out:
+        key = (r.split, r.shard)
+        first_pack[key] = min(first_pack[key], r.pack_id)
+    assert all(v == 0 for v in first_pack.values()), dict(first_pack)
