@@ -3664,6 +3664,50 @@ def q_tfidf(spark, sf):
     )
 
 
+_BM25_QUERIES = [
+    (0, "spark window agg"),
+    (1, "fast hash join"),
+    (2, "customer query table"),
+    (3, "vector stream batch merge"),
+]
+
+
+@q(
+    "bm25_search",
+    # BM25 top-10 per query. Portability: per-term scores hit e6 fixed
+    # point BEFORE the (query, doc) sum (exact integer agg, FP-order
+    # free); avgdl is the IEEE quotient of two integer aggregates so
+    # both engines derive the identical double; SUM(BIGINT) cast back
+    # to BIGINT (DuckDB widens to HUGEINT, the q12 lesson).
+    """WITH q(query_id, query_text) AS (VALUES """
+    + ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+    + """),
+         postings AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM postings GROUP BY 1, 2),
+         dl AS (SELECT doc_id, count(*) AS dl FROM postings GROUP BY 1),
+         tot AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dl),
+         dfreq AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM postings GROUP BY 1),
+         qt AS (SELECT DISTINCT query_id, unnest(string_split(query_text, ' ')) AS term FROM q),
+         scored AS (
+           SELECT query_id, t.doc_id,
+                  CAST(ROUND(ln(1 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+                             * (tf * (1.2 + 1) / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / (CAST(total_tokens AS DOUBLE) / n_docs))))
+                             * 1e6) AS BIGINT) AS score_e6
+           FROM tf t JOIN qt USING (term) JOIN dfreq USING (term)
+                JOIN dl ON t.doc_id = dl.doc_id CROSS JOIN tot),
+         agg AS (SELECT query_id, doc_id, CAST(SUM(score_e6) AS BIGINT) AS bm25_e6
+                 FROM scored GROUP BY 1, 2)
+       SELECT query_id, doc_id, bm25_e6, CAST(rank AS BIGINT) AS rank FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY bm25_e6 DESC, doc_id) AS rank
+         FROM agg) WHERE rank <= 10""",
+)
+def q_bm25(spark, sf):
+    from .operators.text import bm25_topk
+
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id long, query_text string")
+    return bm25_topk(_t(spark, sf, "documents"), qdf, k=10)
+
+
 @q(
     "scrub_text",
     """SELECT doc_id, md5(regexp_replace(text, 'a[a-z]*', '[X]', 'g')) AS h FROM documents""",

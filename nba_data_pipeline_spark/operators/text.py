@@ -338,6 +338,91 @@ def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def bm25_scores(
+    corpus: DataFrame,
+    query_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval, fully relational.
+
+    Plan shape (the 100-TB one): the corpus is exploded ONCE into a
+    (doc, term, tf) postings table partitioned by term; the query-term
+    table is tiny and broadcast, so only postings matching some query
+    term are ever touched — no crossJoin, no per-query corpus scan.
+    Document-length normalization joins the per-doc length table on
+    the already-shuffled doc key.
+
+    Engine portability: per-term scores are rounded to e6 fixed point
+    (``*_e6`` long) BEFORE the per-(query, doc) sum, so the aggregate
+    is exact integer arithmetic — immune to FP summation order across
+    engines/partitions (same policy as the trigram LM, text.py
+    ``fit_trigram_lm``). ``avgdl`` is derived as the IEEE-exact
+    quotient of two integer aggregates, identical on any engine.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))   (Robertson/Lucene form,
+    always positive), term score = idf * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)).
+
+    Output: (query_id, doc_id, bm25_e6) — one row per (query, matching
+    doc); docs sharing no term with the query are absent by design.
+    """
+    postings = corpus.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = postings.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    doclen = corpus.select(
+        F.col(id_col).alias("doc_id"), token_count(text_col).cast("long").alias("dl")
+    )
+    totals = doclen.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_tokens")
+    ).collect()[0]
+    n_docs, avgdl = totals["n_docs"], totals["total_tokens"] / totals["n_docs"]
+    dfreq = (
+        postings.dropDuplicates(["doc_id", "term"])
+        .groupBy("term")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    qterms = (
+        query_df.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(F.array_distinct(tokens(query_text_col))).alias("term"),
+        )
+        .join(dfreq, "term")  # dfreq side collapses to query-vocab size here
+    )
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("doc_freq") + 0.5) / (F.col("doc_freq") + 0.5))
+    norm = F.col("tf") * (k1 + 1) / (
+        F.col("tf") + F.lit(k1) * (1 - b + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    return (
+        tf.join(F.broadcast(qterms), "term")
+        .join(doclen, "doc_id")
+        .withColumn("score_e6", F.round(idf * norm * 1e6).cast("long"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("score_e6").alias("bm25_e6"))
+    )
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    **kwargs,
+) -> DataFrame:
+    """Top-k BM25 hits per query: deterministic (score desc, doc_id asc)
+    window over the matching-docs-only score table."""
+    scored = bm25_scores(corpus, query_df, **kwargs)
+    w = Window.partitionBy("query_id").orderBy(F.col("bm25_e6").desc(), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "doc_id", "bm25_e6", F.col("rn").cast("long").alias("rank"))
+    )
+
+
 def scrub(text: Column | str, pattern: str, replacement: str = "[REDACTED]") -> Column:
     """Regex scrubbing (global replace) — the PII/URL-removal shape for
     training-data cleaning; keep patterns RE2-portable."""

@@ -315,3 +315,54 @@ def test_normalized_text_unicode_preserves_scripts(spark):
     assert out[2][1] == "机器学习 很有趣 123"
     assert out[3][1] == "привет мир"
     assert out[4][0] == out[4][1] == "plain ascii text"
+
+
+def test_bm25_matches_pure_python_reference(spark):
+    import math
+
+    from nba_data_pipeline_spark.operators.text import bm25_scores, bm25_topk
+
+    corpus = [
+        (1, "spark shuffle join spark"),
+        (2, "window agg shuffle"),
+        (3, "join join join filter"),
+        (4, "spark window"),
+    ]
+    queries = [(10, "spark join"), (11, "window"), (12, "absentterm")]
+    k1, b = 1.2, 0.75
+
+    docs = {i: t.split() for i, t in corpus}
+    n = len(docs)
+    avgdl = sum(len(v) for v in docs.values()) / n
+    dfreq = {}
+    for toks in docs.values():
+        for t in set(toks):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    expected = {}
+    for qid, qtext in queries:
+        for d, toks in docs.items():
+            s = 0
+            for t in set(qtext.split()):
+                tf = toks.count(t)
+                if tf == 0 or t not in dfreq:
+                    continue
+                idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+                s += round(idf * (tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks) / avgdl))) * 1e6)
+            if s:
+                expected[(qid, d)] = s
+
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    qdf = spark.createDataFrame(queries, "query_id long, query_text string")
+    got = {(r.query_id, r.doc_id): r.bm25_e6 for r in bm25_scores(cdf, qdf).collect()}
+    assert got == expected
+
+    top = bm25_topk(cdf, qdf, k=2).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.bm25_e6))
+    assert 12 not in by_q  # no matching docs -> absent
+    for qid, rows in by_q.items():
+        rows.sort()
+        want = sorted(((v, -d) for (q, d), v in expected.items() if q == qid), reverse=True)[:2]
+        assert [(v, -d) for _, d, v in rows] == want
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
