@@ -3261,6 +3261,67 @@ def q_repetition_metrics(spark, sf):
 
 
 @q(
+    "gopher_gate",
+    # Gopher A1.1 document rule battery, thresholds tuned so the
+    # synthetic corpus produces a keep/drop mix (its vocabulary has
+    # 'the'/'a' as the only stoplist members, docs are one line).
+    # Ratios are exact int/int IEEE quotients: portable unrounded.
+    """WITH t AS (
+         SELECT doc_id,
+                list_filter(string_split(text, ' '), x -> x <> '') AS l,
+                list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS ls,
+                text
+         FROM documents),
+       m AS (
+         SELECT doc_id,
+                len(l) AS n,
+                CASE WHEN len(l) = 0 THEN 0.0
+                     ELSE CAST(list_sum(list_transform(l, x -> length(x))) AS DOUBLE) / len(l) END AS mean_wl,
+                CASE WHEN len(l) = 0 THEN 0.0
+                     ELSE CAST(length(text) - length(regexp_replace(text, '#|\\.\\.\\.', '', 'g')) AS DOUBLE) / len(l) END AS symbol_ratio,
+                CASE WHEN len(ls) = 0 THEN 0.0
+                     ELSE CAST(len(list_filter(ls, x -> regexp_matches(trim(x), '^[-*•]'))) AS DOUBLE) / len(ls) END AS bullet_ratio,
+                CASE WHEN len(ls) = 0 THEN 0.0
+                     ELSE CAST(len(list_filter(ls, x -> regexp_matches(trim(x), '\\.\\.\\.$'))) AS DOUBLE) / len(ls) END AS ellipsis_ratio,
+                CASE WHEN len(l) = 0 THEN 0.0
+                     ELSE CAST(len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(l) END AS alpha_ratio,
+                len(list_intersect(list_transform(list_distinct(l), x -> lower(x)),
+                                   ['the', 'a', 'and'])) AS n_stop
+         FROM t)
+       SELECT doc_id,
+              n >= 40 AND n <= 100000 AS rule_token_count,
+              mean_wl >= 3.0 AND mean_wl <= 8.0 AS rule_mean_word_len,
+              symbol_ratio <= 0.1 AS rule_symbol_ratio,
+              bullet_ratio <= 0.9 AS rule_bullet_lines,
+              ellipsis_ratio <= 0.3 AS rule_ellipsis_lines,
+              alpha_ratio >= 0.8 AS rule_alpha_words,
+              n_stop >= 2 AS rule_stopwords,
+              (n >= 40 AND n <= 100000) AND (mean_wl >= 3.0 AND mean_wl <= 8.0)
+                AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+                AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+                AND n_stop >= 2 AS gopher_keep
+       FROM m""",
+)
+def q_gopher_gate(spark, sf):
+    """Document-level quality rule gate (operators/text.py
+    gopher_rules): the Gopher pre-filter battery as one codegen pass."""
+    from .operators.text import gopher_rules
+
+    out = gopher_rules(
+        _t(spark, sf, "documents"),
+        min_tokens=40,
+        min_mean_word_len=3.0,
+        max_mean_word_len=8.0,
+        stopwords=("the", "a", "and"),
+    )
+    return out.select(
+        "doc_id", "rule_token_count", "rule_mean_word_len", "rule_symbol_ratio",
+        "rule_bullet_lines", "rule_ellipsis_lines", "rule_alpha_words",
+        "rule_stopwords", "gopher_keep",
+    )
+
+
+@q(
     "decontaminate",
     # benchmark = every 97th doc; corpus = the rest; 5-gram overlap.
     # Mirrors GPT-3 appendix-C decontamination at a doc-friendly n.

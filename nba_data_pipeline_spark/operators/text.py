@@ -573,6 +573,84 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.drop("_toks__")
 
 
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_distinct_stopwords: int = 2,
+    stopwords: tuple[str, ...] = ("the", "be", "to", "of", "and", "that", "have", "with"),
+) -> DataFrame:
+    """Gopher-style (Rae et al. 2021, A1.1) document-level rule gate.
+
+    The standard pretraining pre-filter battery as pure Column
+    expressions — one codegen pass over the scan output, no shuffle,
+    no UDF, so it composes with predicate pushdown at any corpus size:
+
+    - token count within [min_tokens, max_tokens]
+    - mean word length within [min, max]
+    - symbol-to-word ratio (# and ... occurrences / words) <= cap
+    - fraction of lines starting with a bullet <= cap
+    - fraction of lines ending in an ellipsis <= cap
+    - fraction of words containing a letter >= floor
+    - at least ``min_distinct_stopwords`` distinct required stopwords
+
+    Every rule lands as its own boolean column (rule_*) so the gate is
+    auditable per document; ``gopher_keep`` is their conjunction. All
+    ratios are exact integer/integer IEEE quotients — engine-portable
+    without rounding. Empty documents fail the token-count rule and
+    produce NULL-free booleans throughout.
+    """
+    toked = df.withColumn("_gr_toks__", tokens(text_col)).withColumn(
+        "_gr_lines__",
+        F.filter(F.split(_col(text_col), r"\n"), lambda ln: F.trim(ln) != ""),
+    )
+    toks, lines = F.col("_gr_toks__"), F.col("_gr_lines__")
+    n = F.size(toks)
+    n_lines = F.size(lines)
+    total_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    mean_wl = F.when(n > 0, total_chars.cast("double") / n).otherwise(F.lit(0.0))
+    n_symbols = (
+        F.length(_col(text_col))
+        - F.length(F.regexp_replace(_col(text_col), r"#|\.\.\.", ""))
+    )
+    symbol_ratio = F.when(n > 0, n_symbols.cast("double") / n).otherwise(F.lit(0.0))
+    n_bullet = F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]")))
+    n_ellipsis = F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"\.\.\.$")))
+    bullet_ratio = F.when(n_lines > 0, n_bullet.cast("double") / n_lines).otherwise(F.lit(0.0))
+    ellipsis_ratio = F.when(n_lines > 0, n_ellipsis.cast("double") / n_lines).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike(r"[A-Za-z]")))
+    alpha_ratio = F.when(n > 0, n_alpha.cast("double") / n).otherwise(F.lit(0.0))
+    n_stop = F.size(
+        F.array_intersect(
+            F.transform(F.array_distinct(toks), lambda t: F.lower(t)),
+            F.array([F.lit(s) for s in stopwords]),
+        )
+    )
+    rules = {
+        "rule_token_count": (n >= min_tokens) & (n <= max_tokens),
+        "rule_mean_word_len": (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len),
+        "rule_symbol_ratio": symbol_ratio <= max_symbol_ratio,
+        "rule_bullet_lines": bullet_ratio <= max_bullet_line_ratio,
+        "rule_ellipsis_lines": ellipsis_ratio <= max_ellipsis_line_ratio,
+        "rule_alpha_words": alpha_ratio >= min_alpha_word_ratio,
+        "rule_stopwords": n_stop >= min_distinct_stopwords,
+    }
+    keep = F.lit(True)
+    for c in rules.values():
+        keep = keep & c
+    out = toked.withColumns({**rules, "gopher_keep": keep})
+    return out.drop("_gr_toks__", "_gr_lines__")
+
+
 def contamination_report(
     corpus: DataFrame,
     benchmark: DataFrame,

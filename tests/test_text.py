@@ -366,3 +366,37 @@ def test_bm25_matches_pure_python_reference(spark):
         want = sorted(((v, -d) for (q, d), v in expected.items() if q == qid), reverse=True)[:2]
         assert [(v, -d) for _, d, v in rows] == want
         assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    from nba_data_pipeline_spark.operators.text import gopher_rules
+
+    good = "the cat and the dog have fun with all of that good food today"
+    docs = [
+        (1, good),                                    # passes everything
+        (2, "the and of"),                            # too few tokens
+        (3, "aaaaaaaaaaaaaaa " * 12 + "the and of something"),  # mean word len too high
+        (4, good + " ###" * 12),                      # symbol ratio
+        (5, "- the cat\n- and dog\n- have fun"),      # all bullet lines
+        (6, "the cat...\nand dog...\nhave fun..."),   # ellipsis lines
+        (7, "the and 1 2 3 4 5 6 7 8 9 10 11 12"),    # alpha ratio
+        (8, "cat dog bird fish lion tiger bear wolf fox deer elk owl"),  # no stopwords
+        (9, ""),                                      # empty
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: r.asDict()
+        for r in gopher_rules(df, min_tokens=10, max_mean_word_len=8.0,
+                              min_distinct_stopwords=2).collect()
+    }
+    assert out[1]["gopher_keep"] is True
+    assert out[2]["rule_token_count"] is False
+    assert out[3]["rule_mean_word_len"] is False
+    assert out[4]["rule_symbol_ratio"] is False
+    assert out[5]["rule_bullet_lines"] is False
+    assert out[6]["rule_ellipsis_lines"] is False
+    assert out[7]["rule_alpha_words"] is False
+    assert out[8]["rule_stopwords"] is False
+    assert out[9]["rule_token_count"] is False and out[9]["gopher_keep"] is False
+    for d in range(2, 10):
+        assert out[d]["gopher_keep"] is False
