@@ -3261,6 +3261,51 @@ def q_repetition_metrics(spark, sf):
 
 
 @q(
+    "quality_classifier_gate",
+    # constant-verdict oracle: the learned quality filter must actually
+    # learn. Planted label = document contains the token 'spark';
+    # deterministic 80/20 split on doc_id; gate on BALANCED holdout
+    # accuracy (mean of TPR/TNR) >= 0.9 — the all-positive majority
+    # baseline scores 0.5 here, so the gate cannot pass without the
+    # model recovering the planted bucket weight (measured 1.0 at
+    # sf0.01). Fit is pyspark.ml L-BFGS on the labeled sample; scoring
+    # is the relational broadcast-weights path (train/serve parity via
+    # the shared feature hash).
+    """SELECT 'balanced_accuracy' AS metric, TRUE AS ok
+       UNION ALL SELECT 'separation', TRUE ORDER BY metric""",
+)
+def q_quality_classifier_gate(spark, sf):
+    """Learned quality filter end-to-end (operators/quality_model.py):
+    fit on the labeled 80%, score the held-out 20% relationally."""
+    from .operators.quality_model import fit_quality_classifier, quality_model_scores
+    from .operators.text import tokens
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "label", F.array_contains(tokens("text"), "spark").cast("int")
+    )
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    weights, intercept = fit_quality_classifier(
+        train, "label", n_features=4096, reg_param=0.001
+    )
+    scored = quality_model_scores(test, weights, intercept, n_features=4096).withColumn(
+        "pred", (F.col("quality_prob") >= 0.5).cast("int")
+    )
+    m = scored.agg(
+        F.avg(F.when(F.col("label") == 1, (F.col("pred") == 1).cast("double"))).alias("tpr"),
+        F.avg(F.when(F.col("label") == 0, (F.col("pred") == 0).cast("double"))).alias("tnr"),
+        F.avg(F.when(F.col("label") == 1, F.col("quality_prob"))).alias("p_pos"),
+        F.avg(F.when(F.col("label") == 0, F.col("quality_prob"))).alias("p_neg"),
+    ).collect()[0]
+    bal_acc = ((m["tpr"] or 0.0) + (m["tnr"] or 0.0)) / 2
+    sep = (m["p_pos"] or 0.0) - (m["p_neg"] or 0.0)
+    return spark.createDataFrame(
+        [("balanced_accuracy", bool(bal_acc >= 0.9)), ("separation", bool(sep >= 0.2))],
+        "metric string, ok boolean",
+    ).orderBy("metric")
+
+
+@q(
     "gopher_gate",
     # Gopher A1.1 document rule battery, thresholds tuned so the
     # synthetic corpus produces a keep/drop mix (its vocabulary has
