@@ -4632,16 +4632,17 @@ _DRIVER_WINDOW = [
     "asof_join", "asof_join_nearest",
     # TPC-H representatives, one per shape family (the remaining 13
     # stay registered + locally swept, just outside the window)
-    "tpch_q1",   # scan + wide aggregate
-    "tpch_q5",   # multi-join with broadcast dims
+    "tpch_q5",   # multi-join with broadcast dims (q1's scan+agg shape
+                 # stays driver-covered via group_agg_suite)
     "tpch_q12",  # join + conditional aggregation (round-5 red row)
     # §2 layout/quality/agg/window (S9, A*, O*)
     "zorder_key", "data_quality_suite", "distinct_multi", "dedup_rows",
     "dup_key_check", "collect_roundtrip", "stint_rollup_stats",
-    "group_agg_suite", "first_event_per_user", "rank_family",
+    "group_agg_suite", "first_event_per_user",
     "rank_in_group",
     # LLM-pipeline extension ops (the brief's training-data surface)
-    "lm_perplexity", "ppl_buckets", "dsir_select",
+    "lm_perplexity", "dsir_select", "bm25_search", "gopher_gate",
+    "quality_classifier_gate",
     "ngram_jaccard", "dedup_assign", "connected_components", "line_dedup",
     "decontaminate", "pack_sequences", "leakage_safe_split", "ann_recall",
     "lsh_quality_gate", "rerank_topk", "cosine_neardup", "corpus_pipeline",

@@ -378,6 +378,54 @@ def compact_table(
     }
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_cols: Sequence[str],
+    seed: int = 0,
+) -> dict[str, int]:
+    """Deterministic shuffled shard export — the hand-off from the data
+    pipeline to the trainer.
+
+    Training loaders want (a) a fixed shard count, (b) a global shuffle
+    so no shard is a topical/temporal slice of the corpus, and (c) byte
+    determinism so re-running the pipeline reproduces the dataset. All
+    three come from one derived column: a portable md5-prefix shuffle
+    key over ``key_cols`` + ``seed``. ``shard = key % n_shards`` gives
+    balanced pseudo-random placement; the key is kept in the output as
+    ``_shuffle_key`` so a reader can impose the same global order.
+
+    Layout: parquet partitioned by ``shard`` (shard=0..n-1 dirs), rows
+    sorted by the key within each task. Shard CONTENT depends only on
+    the data and the seed — never on cluster size or task placement —
+    because the directory split happens by column value at write, not
+    by task. One shuffle total.
+
+    Returns {'rows': n, 'shards': n_shards}.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    if not key_cols:
+        raise ValueError("key_cols must name at least one stable id column")
+    key = F.conv(
+        F.substring(F.md5(F.concat_ws("\x1f", F.lit(str(seed)), *key_cols)), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    sharded = df.withColumn("_shuffle_key", key).withColumn(
+        "shard", F.pmod(F.col("_shuffle_key"), F.lit(n_shards)).cast("int")
+    )
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "_shuffle_key")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return {"rows": df.count(), "shards": n_shards}
+
+
 def write_csv_golden(df: DataFrame, path: str) -> None:
     """Golden-sample CSV sink (reference test.py:15 writes
     game_rotation.csv). Single file for diffability."""

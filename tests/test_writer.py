@@ -231,3 +231,43 @@ def test_compact_preserves_evolved_schema(spark, tmp_path):
     back = spark.read.option("mergeSchema", True).parquet(path)
     assert back.count() == 200
     assert back.filter("score is not null").count() == 50
+
+
+def test_write_training_shards_deterministic_and_balanced(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.sinks.writer import write_training_shards
+
+    df = spark.range(0, 2000).withColumn("payload", F.col("id") * 3)
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    stats = write_training_shards(df, p1, 8, ["id"], seed=42)
+    assert stats == {"rows": 2000, "shards": 8}
+    # re-run (different path, even different input partitioning) -> identical shards
+    write_training_shards(df.repartition(3), p2, 8, ["id"], seed=42)
+    a = spark.read.parquet(p1).select("shard", "id", "_shuffle_key").collect()
+    b = spark.read.parquet(p2).select("shard", "id", "_shuffle_key").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # every shard dir exists; sizes balanced (hash split over 2000 rows)
+    sizes = {r.shard: r.n for r in spark.read.parquet(p1).groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert set(sizes) == set(range(8))
+    assert max(sizes.values()) < 2 * min(sizes.values())
+    # a different seed produces a different placement
+    p3 = str(tmp_path / "s3")
+    write_training_shards(df, p3, 8, ["id"], seed=7)
+    c = {(r.id): r.shard for r in spark.read.parquet(p3).select("id", "shard").collect()}
+    amap = {(r.id): r.shard for r in a}
+    assert any(amap[k] != c[k] for k in amap)
+    # no rows lost, keys unique per row id
+    assert len({r.id for r in a}) == 2000
+
+
+def test_write_training_shards_validates_args(spark, tmp_path):
+    import pytest
+
+    from nba_data_pipeline_spark.sinks.writer import write_training_shards
+
+    df = spark.range(5)
+    with pytest.raises(ValueError, match="n_shards"):
+        write_training_shards(df, str(tmp_path / "x"), 0, ["id"])
+    with pytest.raises(ValueError, match="key_cols"):
+        write_training_shards(df, str(tmp_path / "x"), 2, [])
