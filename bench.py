@@ -45,6 +45,8 @@ HEADLINE = [
     "lsh_ann_topk",
     "cosine_neardup",
     "decontaminate",
+    "bm25_search",
+    "gopher_gate",
     "pack_sequences",
     "lm_perplexity",
     "dsir_select",
