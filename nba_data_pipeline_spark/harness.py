@@ -1538,6 +1538,54 @@ def q_topk(spark, sf):
 
 
 @q(
+    "funnel_counts",
+    # ordered funnel view -> click -> purchase: step k counts only
+    # strictly after that user's step k-1 time (first-completion chain)
+    """WITH s1 AS (SELECT user_id AS u, min(ts) AS t1 FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id AS u, min(e.ts) AS t2 FROM events e
+                JOIN s1 ON e.user_id = s1.u
+                WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id AS u, min(e.ts) AS t3 FROM events e
+                JOIN s2 ON e.user_id = s2.u
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+       SELECT * FROM (
+         SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+                CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+         UNION ALL SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+         UNION ALL SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT))
+       ORDER BY step""",
+)
+def q_funnel(spark, sf):
+    """Ordered funnel conversion (operators/windows.py funnel_counts):
+    per-step filtered min-aggregates chained on the user key."""
+    ev = _t(spark, sf, "events")
+    return W.funnel_counts(ev, "user_id", "event_type", "ts", ["view", "click", "purchase"])
+
+
+@q(
+    "cohort_retention",
+    # weekly cohort retention; periods are epoch-integer arithmetic
+    # (floor(epoch_us / week_us)) — identical IEEE double quotient on
+    # both engines, no calendar/timezone truncation involved
+    """WITH act AS (
+         SELECT DISTINCT user_id AS u,
+                CAST(FLOOR(epoch_us(ts) / 604800000000) AS BIGINT) AS period
+         FROM events),
+       first AS (SELECT u, min(period) AS cohort_period FROM act GROUP BY 1)
+       SELECT cohort_period, period - cohort_period AS period_offset,
+              CAST(count(DISTINCT act.u) AS BIGINT) AS n_users
+       FROM act JOIN first ON act.u = first.u
+       GROUP BY 1, 2""",
+)
+def q_cohort_retention(spark, sf):
+    """Weekly cohort retention matrix (operators/windows.py
+    cohort_retention)."""
+    ev = _t(spark, sf, "events")
+    return W.cohort_retention(ev, "user_id", "ts", period_days=7)
+
+
+@q(
     "sessionize",
     """SELECT user_id, event_id,
               CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 3600000000 THEN 1 ELSE 0 END)
@@ -2767,6 +2815,61 @@ def q_ngram_jaccard(spark, sf):
     docs = _t(spark, sf, "documents").withColumn("len_band", F.expr("n_chars div 64"))
     return ngram_jaccard_pairs(
         docs, "doc_id", "text", ["lang", "len_band"], n=3, threshold=0.3
+    )
+
+
+@q(
+    "source_overlap_matrix",
+    # corpus audit: which SOURCES mirror each other — near-dup pairs
+    # rolled up to an unordered (source, source) matrix. The standard
+    # "is src7 a scrape of src2" question before mixing weights are
+    # chosen. Portability: per-pair jaccard hits e6 fixed point before
+    # the SUM (exact integer agg); pair orientation canonicalized with
+    # LEAST/GREATEST so the matrix is upper-triangular.
+    """WITH sh AS (
+         SELECT doc_id, source, lang, n_chars // 64 AS len_band,
+                list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                    i -> string_split(text, ' ')[i] || ' ' ||
+                         string_split(text, ' ')[i + 1] || ' ' ||
+                         string_split(text, ' ')[i + 2])) AS s
+         FROM documents),
+       pairs AS (
+         SELECT a.source AS src_a, b.source AS src_b,
+                CAST(ROUND(ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                      / len(list_distinct(a.s || b.s)), 6) * 1e6) AS BIGINT) AS j_e6
+         FROM sh a JOIN sh b ON a.lang = b.lang AND a.len_band = b.len_band
+                            AND a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(a.s || b.s)) >= 0.3)
+       SELECT LEAST(src_a, src_b) AS source_x, GREATEST(src_a, src_b) AS source_y,
+              CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              CAST(SUM(j_e6) AS BIGINT) AS sum_jaccard_e6
+       FROM pairs GROUP BY 1, 2""",
+)
+def q_source_overlap(spark, sf):
+    """Cross-source duplication matrix: ngram_jaccard_pairs rolled up
+    by unordered source pair. The doc->source map is a projection of
+    the same scan — at corpus scale the rollup is a tiny aggregate on
+    the (already bounded) pair set, not a second corpus pass."""
+    docs = _t(spark, sf, "documents").withColumn("len_band", F.expr("n_chars div 64"))
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", ["lang", "len_band"], n=3, threshold=0.3
+    )
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(src.withColumnRenamed("doc_id", "id_a").withColumnRenamed("source", "src_a"), "id_a")
+        .join(src.withColumnRenamed("doc_id", "id_b").withColumnRenamed("source", "src_b"), "id_b")
+        .withColumn("j_e6", F.round(F.col("jaccard_sim") * 1e6).cast("long"))
+    )
+    return (
+        j.groupBy(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("j_e6").alias("sum_jaccard_e6"),
+        )
     )
 
 

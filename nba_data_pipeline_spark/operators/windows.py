@@ -114,3 +114,113 @@ def running_distinct_count(
     return df.withColumn("_first", first_flag).withColumn(
         out_col, F.sum("_first").over(w_cum)
     ).drop("_first")
+
+
+def funnel_steps(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Ordered funnel analysis: the first time each user completes each
+    step IN SEQUENCE (step k counts only strictly after that user's
+    step k-1 time).
+
+    Plan shape: one filtered min-aggregate per step, chained by an
+    equi-join on the user key — every stage shuffles on the SAME key,
+    so with AQE the exchanges reuse partitioning, and each stage's
+    input is only the rows of that step's event type (filter pushed to
+    the scan). No per-user event collection, no window over full
+    history — state per user is one timestamp per step.
+
+    Output: one row per user who completed step 1, with nullable
+    ``step_<i>_ts`` columns for later steps.
+    """
+    require_temporal(df, ts_col)
+    if not steps:
+        raise ValueError("steps must name at least one event type")
+    out = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(F.min(ts_col).alias("step_1_ts"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = df.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("user"), F.col(ts_col).alias("_ts")
+        )
+        # min(when(ts > prev)) keeps users whose candidate events all
+        # precede the prior step (NULL step time), instead of dropping
+        # them from the funnel frame entirely
+        out = (
+            out.join(nxt, "user", "left")
+            .groupBy("user", *[f"step_{j}_ts" for j in range(1, i)])
+            .agg(
+                F.min(
+                    F.when(F.col("_ts") > F.col(f"step_{i - 1}_ts"), F.col("_ts"))
+                ).alias(f"step_{i}_ts")
+            )
+        )
+    return out
+
+
+def funnel_counts(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Funnel conversion summary: users reaching each ordered step.
+    One tiny aggregate over ``funnel_steps``; result has len(steps) rows."""
+    per_user = funnel_steps(df, user_col, type_col, ts_col, steps)
+    aggs = [
+        F.count(f"step_{i}_ts").cast("long").alias(f"n_step_{i}")
+        for i in range(1, len(steps) + 1)
+    ]
+    wide = per_user.agg(*aggs)
+    pieces = [
+        wide.select(
+            F.lit(i).cast("long").alias("step"),
+            F.lit(s).alias("event_type"),
+            F.col(f"n_step_{i}").alias("n_users"),
+        )
+        for i, s in enumerate(steps, start=1)
+    ]
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    period; for each later period offset, how many came back.
+
+    Periods are ``floor(epoch_days / period_days)`` — pure integer
+    arithmetic, engine-portable (no calendar/timezone truncation).
+    Two aggregates: per-user first period (shuffle on user), then the
+    (cohort, offset) distinct-user rollup over per-user-period rows.
+
+    Output: (cohort_period, period_offset, n_users) with offset 0 being
+    the cohort size itself.
+    """
+    require_temporal(df, ts_col)
+    period = F.floor(ts_micros(ts_col) / F.lit(86_400_000_000 * period_days)).cast("long")
+    activity = df.select(
+        F.col(user_col).alias("user"), period.alias("period")
+    ).dropDuplicates(["user", "period"])
+    first = activity.groupBy("user").agg(F.min("period").alias("cohort_period"))
+    return (
+        activity.join(first, "user")
+        .groupBy(
+            "cohort_period",
+            (F.col("period") - F.col("cohort_period")).alias("period_offset"),
+        )
+        .agg(F.countDistinct("user").alias("n_users"))
+    )

@@ -60,3 +60,52 @@ def test_sessionize_rejects_integer_ts(spark):
     )
     with _pytest.raises(ValueError, match="temporal"):
         sessionize(df, ["user_id"], "ts", gap_seconds=30)
+
+
+def test_funnel_steps_ordering_semantics(spark):
+    import datetime as dt
+
+    from nba_data_pipeline_spark.operators.windows import funnel_counts, funnel_steps
+
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)  # noqa: E731
+    rows = [
+        # u1 completes all three in order
+        (1, "view", t(0)), (1, "click", t(5)), (1, "purchase", t(10)),
+        # u2: click BEFORE view only -> stops at step 1 (stays in frame!)
+        (2, "click", t(0)), (2, "view", t(5)),
+        # u3: view then purchase but never click -> stops at step 1
+        (3, "view", t(0)), (3, "purchase", t(5)),
+        # u4: never views -> absent entirely
+        (4, "click", t(0)), (4, "purchase", t(1)),
+        # u5: view, click, but purchase precedes click -> stops at step 2
+        (5, "purchase", t(0)), (5, "view", t(1)), (5, "click", t(2)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    per_user = {r.user: r for r in funnel_steps(df, "user_id", "event_type", "ts",
+                                                ["view", "click", "purchase"]).collect()}
+    assert set(per_user) == {1, 2, 3, 5}
+    assert per_user[1].step_3_ts == t(10)
+    assert per_user[2].step_2_ts is None and per_user[2].step_3_ts is None
+    assert per_user[3].step_2_ts is None
+    assert per_user[5].step_2_ts == t(2) and per_user[5].step_3_ts is None
+    counts = {r.step: r.n_users for r in funnel_counts(
+        df, "user_id", "event_type", "ts", ["view", "click", "purchase"]).collect()}
+    assert counts == {1: 4, 2: 2, 3: 1}
+
+
+def test_cohort_retention_matrix(spark):
+    import datetime as dt
+
+    from nba_data_pipeline_spark.operators.windows import cohort_retention
+
+    d = lambda days: dt.datetime(2024, 1, 4) + dt.timedelta(days=days)  # noqa: E731
+    rows = [
+        (1, d(0)), (1, d(7)), (1, d(21)),   # cohort w0, back at +1, +3
+        (2, d(0)), (2, d(1)),               # cohort w0, two events same period
+        (3, d(7)),                          # cohort w1 only
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    rows_out = cohort_retention(df, "user_id", "ts", period_days=7).collect()
+    base = min(r.cohort_period for r in rows_out)
+    m = {(r.cohort_period - base, r.period_offset): r.n_users for r in rows_out}
+    assert m == {(0, 0): 2, (0, 1): 1, (0, 3): 1, (1, 0): 1}
