@@ -3054,6 +3054,39 @@ def q_quantize_embeddings(spark, sf):
 
 
 @q(
+    "semantic_decontaminate",
+    # embedding-level eval-leak flags: benchmark = every 97th vector
+    # (mirrors `decontaminate`); corpus vectors within 0.25 cosine of
+    # any benchmark vector in the same label block are contaminated.
+    # n_bench_hits is BIGINT both sides; max over per-pair ROUNDed
+    # cosines is order-independent, so no fixed-point needed.
+    """WITH b AS (SELECT * FROM embeddings WHERE vec_id % 97 = 0),
+         c AS (SELECT * FROM embeddings WHERE vec_id % 97 <> 0),
+         hits AS (
+           SELECT c.vec_id AS corpus_id,
+                  ROUND(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                        / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))
+                           * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                        6) AS cos_sim
+           FROM c JOIN b ON c.label = b.label)
+       SELECT corpus_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+              max(cos_sim) AS max_cos
+       FROM hits WHERE cos_sim >= 0.25 GROUP BY 1""",
+)
+def q_semantic_decontaminate(spark, sf):
+    """Embedding decontamination (operators/similarity.py
+    semantic_contamination): broadcast eval vectors, stream the corpus."""
+    from .operators.similarity import semantic_contamination
+
+    emb = _t(spark, sf, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 97 == 0)
+    corpus = emb.filter(F.col("vec_id") % 97 != 0)
+    return semantic_contamination(
+        corpus, bench, "embedding", "vec_id", block_cols=["label"], threshold=0.25
+    )
+
+
+@q(
     "cosine_neardup",
     """SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
               ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))

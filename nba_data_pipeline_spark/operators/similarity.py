@@ -429,6 +429,59 @@ def cosine_pairs(
     )
 
 
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    vec_col: str,
+    id_col: str,
+    block_cols: list[str] | None = None,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: flag corpus items
+    whose vector sits within ``threshold`` cosine of ANY benchmark/eval
+    item — the semantic companion to the n-gram
+    ``text.contamination_report`` (paraphrased eval leakage that exact
+    grams miss).
+
+    Scale shape: the benchmark side is small (eval sets are), so it is
+    broadcast and the corpus streams past it — one corpus scan, no
+    shuffle of the big side; ``block_cols`` (e.g. language or an LSH
+    bucket) additionally prune the comparison set when present. Norms
+    are computed once per row before the join.
+
+    Output: one row per CONTAMINATED corpus item —
+    (corpus_id, n_bench_hits, max_cos).
+    """
+    blocks = list(block_cols or [])
+    c = corpus.select(
+        *blocks,
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("_cv"),
+        norm(vec_col).alias("_cn"),
+    )
+    b = benchmark.select(
+        *blocks,
+        F.col(id_col).alias("bench_id"),
+        F.col(vec_col).alias("_bv"),
+        norm(vec_col).alias("_bn"),
+    )
+    sim = F.round(
+        F.try_divide(dot(F.col("_cv"), F.col("_bv")), F.col("_cn") * F.col("_bn")), 6
+    )
+    joined = (
+        c.join(F.broadcast(b), on=blocks) if blocks else c.crossJoin(F.broadcast(b))
+    )
+    return (
+        joined.withColumn("_cos", sim)
+        .filter(F.col("_cos") >= threshold)
+        .groupBy("corpus_id")
+        .agg(
+            F.count("*").alias("n_bench_hits"),
+            F.max("_cos").alias("max_cos"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding column maintenance: normalization + int8 quantization
 # ---------------------------------------------------------------------------

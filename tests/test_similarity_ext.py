@@ -230,3 +230,31 @@ def test_semantic_dedup_priority_survivor(spark):
     assert not out[1].is_canonical and out[2].is_canonical
     assert out[1].component_id == out[2].component_id  # stable min-id cluster key
     assert out[3].is_canonical
+
+
+def test_semantic_contamination_flags_planted_copies(spark):
+    from nba_data_pipeline_spark.operators.similarity import semantic_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "a", [1.0, 0.0, 0.0]), (101, "a", [0.0, 1.0, 0.0])],
+        "vec_id long, label string, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "a", [1.0, 0.0, 0.0]),     # exact copy of bench 100
+            (2, "a", [0.9, 0.1, 0.0]),     # near bench 100
+            (3, "a", [0.0, 0.0, 1.0]),     # orthogonal to both
+            (4, "b", [1.0, 0.0, 0.0]),     # same vector, other block -> unseen
+        ],
+        "vec_id long, label string, embedding array<double>",
+    )
+    out = {r.corpus_id: r for r in semantic_contamination(
+        corpus, bench, "embedding", "vec_id", block_cols=["label"], threshold=0.8
+    ).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].max_cos == 1.0 and out[1].n_bench_hits == 1
+    assert 0.8 <= out[2].max_cos < 1.0
+    # blockless mode: the cross-block copy is now caught via broadcast crossJoin
+    out2 = {r.corpus_id for r in semantic_contamination(
+        corpus, bench, "embedding", "vec_id", threshold=0.8).collect()}
+    assert out2 == {1, 2, 4}
