@@ -1538,6 +1538,45 @@ def q_topk(spark, sf):
 
 
 @q(
+    "interval_merge",
+    # gaps-and-islands interval union per user: intervals derived from
+    # events (start = ts, length = value seconds*60; FLOOR not CAST —
+    # Spark cast truncates, DuckDB cast rounds). Running-max-of-ends
+    # handles contained intervals; count cast to BIGINT.
+    """WITH iv AS (
+         SELECT user_id, epoch_us(ts) AS lo_us,
+                epoch_us(ts) + CAST(FLOOR(value * 60000000) AS BIGINT) AS hi_us
+         FROM events),
+       m AS (
+         SELECT user_id, lo_us, hi_us,
+                max(hi_us) OVER (PARTITION BY user_id ORDER BY lo_us, hi_us
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         FROM iv),
+       isl AS (
+         SELECT user_id, lo_us, hi_us,
+                SUM(CASE WHEN pmax IS NULL OR lo_us > pmax THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY lo_us, hi_us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         FROM m)
+       SELECT user_id, min(lo_us) AS lo, max(hi_us) AS hi,
+              CAST(count(*) AS BIGINT) AS n_merged
+       FROM isl GROUP BY user_id, island""",
+)
+def q_interval_merge(spark, sf):
+    """Interval union (operators/asof.py merge_intervals): one window
+    pass + one aggregate, shuffled once on the user key."""
+    from .operators.asof import merge_intervals
+
+    ev = _t(spark, sf, "events")
+    iv = ev.select(
+        "user_id",
+        ts_micros("ts").alias("lo_us"),
+        (ts_micros("ts") + F.floor(F.col("value") * 60_000_000).cast("long")).alias("hi_us"),
+    )
+    return merge_intervals(iv, ["user_id"], "lo_us", "hi_us")
+
+
+@q(
     "funnel_counts",
     # ordered funnel view -> click -> purchase: step k counts only
     # strictly after that user's step k-1 time (first-completion chain)

@@ -140,3 +140,43 @@ def asof_join(
         *[F.col(f"_r.{v}").alias(v) for v in right_vals],
     )
     return out
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    lo_col: str,
+    hi_col: str,
+    min_gap: int = 0,
+) -> DataFrame:
+    """Union overlapping (or within ``min_gap``) intervals per key —
+    gaps-and-islands: one window pass ordered by interval start where a
+    new island begins when this start exceeds the running max of all
+    previous ends (+gap), then one aggregate per island.
+
+    The running max handles CONTAINED intervals correctly (a later
+    short interval inside an earlier long one must not split the
+    island — comparing against lag(hi) alone would).
+
+    One shuffle on the key; numeric or timestamp-free long bounds.
+    Output: key cols + (lo, hi, n_merged) per merged interval.
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(F.col(lo_col), F.col(hi_col))
+    prev_max_hi = F.max(hi_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = F.when(
+        prev_max_hi.isNull() | (F.col(lo_col) > prev_max_hi + min_gap), 1
+    ).otherwise(0)
+    island = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        df.withColumn("_island", island)
+        .groupBy(*keys, "_island")
+        .agg(
+            F.min(lo_col).alias("lo"),
+            F.max(hi_col).alias("hi"),
+            F.count("*").alias("n_merged"),
+        )
+        .drop("_island")
+    )

@@ -217,3 +217,25 @@ def test_asof_randomized_vs_pandas_on_timestamps(spark):
         for eid in exp:
             g, e = got[eid], exp[eid]
             assert (g is None and pd.isna(e)) or g == e, (direction, eid, g, e)
+
+
+def test_merge_intervals_contained_and_gap(spark):
+    from nba_data_pipeline_spark.operators.asof import merge_intervals
+
+    rows = [
+        # key a: [0,10] contains [2,3]; [8,12] overlaps; [20,25] separate
+        ("a", 0, 10), ("a", 2, 3), ("a", 8, 12), ("a", 20, 25),
+        # key b: adjacent [0,5],[5,8] touch (lo == prev hi -> merged,
+        # since a new island needs lo > running max)
+        ("b", 0, 5), ("b", 5, 8),
+    ]
+    df = spark.createDataFrame(rows, "k string, lo long, hi long")
+    out = sorted(
+        ((r.k, r.lo, r.hi, r.n_merged) for r in merge_intervals(df, ["k"], "lo", "hi").collect())
+    )
+    assert out == [("a", 0, 12, 3), ("a", 20, 25, 1), ("b", 0, 8, 2)]
+    # min_gap bridges the [12..20] hole on key a
+    out2 = sorted(
+        ((r.k, r.lo, r.hi, r.n_merged) for r in merge_intervals(df, ["k"], "lo", "hi", min_gap=8).collect())
+    )
+    assert out2 == [("a", 0, 25, 4), ("b", 0, 8, 2)]
