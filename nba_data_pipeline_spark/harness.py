@@ -1538,6 +1538,52 @@ def q_topk(spark, sf):
 
 
 @q(
+    "outlier_flags",
+    # per-type z-score + IQR-fence outliers. Only the FLAGS are
+    # driver-compared (means/quantiles differ across engines in the
+    # last ulp; a flag flips only if a value sits within ~1e-12 of the
+    # fence, which the 6dp z rounding and exact-valued fences rule out)
+    """WITH s AS (SELECT event_type, avg(value) AS m, stddev_pop(value) AS sd,
+                         quantile_cont(value, 0.25) AS q1,
+                         quantile_cont(value, 0.75) AS q3
+                  FROM events GROUP BY 1)
+       SELECT event_id,
+              COALESCE(ROUND(abs(value - m) / sd, 6) > 3.0, FALSE) AS is_z_outlier,
+              (value < q1 - 1.5 * (q3 - q1) OR value > q3 + 1.5 * (q3 - q1)) AS is_iqr_outlier
+       FROM events JOIN s USING (event_type)""",
+)
+def q_outlier_flags(spark, sf):
+    """Grouped outlier detection (operators/quality.py outlier_flags):
+    one stats aggregate broadcast back over the stream."""
+    from .operators.quality import outlier_flags
+
+    ev = _t(spark, sf, "events")
+    out = outlier_flags(ev, ["event_type"], "value", z_threshold=3.0)
+    return out.select("event_id", "is_z_outlier", "is_iqr_outlier")
+
+
+@q(
+    "value_histogram",
+    # fixed-width histogram per event type; bucket 0/n+1 are the
+    # under/overflow bins; width 10 is exact in binary so the floor
+    # boundary is engine-stable
+    """SELECT event_type,
+              CASE WHEN value < 0 THEN 0
+                   WHEN value >= 500 THEN 51
+                   ELSE CAST(FLOOR(value / 10.0) + 1 AS BIGINT) END AS bucket,
+              CAST(count(*) AS BIGINT) AS n
+       FROM events GROUP BY 1, 2""",
+)
+def q_value_histogram(spark, sf):
+    """Grouped fixed-width histogram (operators/quality.py histogram):
+    one hash aggregate, empty buckets absent by design."""
+    from .operators.quality import histogram
+
+    ev = _t(spark, sf, "events")
+    return histogram(ev, ["event_type"], "value", lo=0.0, hi=500.0, n_bins=50)
+
+
+@q(
     "interval_merge",
     # gaps-and-islands interval union per user: intervals derived from
     # events (start = ts, length = value seconds*60; FLOOR not CAST —

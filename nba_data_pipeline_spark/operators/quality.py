@@ -13,7 +13,7 @@ Reference analogue: ``operators/incremental.py`` ``assert_unique_key``
 
 from __future__ import annotations
 
-from collections.abc import Mapping
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -67,3 +67,75 @@ def assert_valid(df: DataFrame, checks: Mapping[str, Column]) -> None:
     if failed:
         detail = ", ".join(f"{n} ({c} rows)" for n, c in failed)
         raise ValueError(f"data-quality checks failed: {detail}")
+
+
+def outlier_flags(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    z_threshold: float = 3.0,
+    iqr_k: float = 1.5,
+) -> DataFrame:
+    """Per-group outlier flags by two standard rules, one stats pass:
+
+    - z-score: |x - mean| / stddev_pop > z_threshold
+    - IQR fence: x outside [q1 - k*IQR, q3 + k*IQR] (quartiles via
+      exact percentile_disc rank arithmetic friendly percentile_approx?
+      No — exact ``percentile`` so small-group behavior is defined)
+
+    Shape: one grouped stats aggregate (tiny result, one row per
+    group), broadcast back onto the stream — the full table is scanned
+    once for stats and once for flagging; at 100 TB the stats side is
+    negligible and the flag pass is map-only after the broadcast join.
+
+    Z-scores are rounded to 6dp before comparison so engine-boundary
+    FP noise cannot flip a flag at the threshold.
+    """
+    keys = list(group_cols)
+    stats = df.groupBy(*keys).agg(
+        F.avg(value_col).alias("_mean"),
+        F.stddev_pop(value_col).alias("_sd"),
+        F.expr(f"percentile({value_col}, 0.25)").alias("_q1"),
+        F.expr(f"percentile({value_col}, 0.75)").alias("_q3"),
+    )
+    joined = df.join(F.broadcast(stats), keys)
+    z = F.round(
+        F.try_divide(F.abs(F.col(value_col) - F.col("_mean")), F.col("_sd")), 6
+    )
+    iqr = F.col("_q3") - F.col("_q1")
+    out_iqr = (F.col(value_col) < F.col("_q1") - iqr_k * iqr) | (
+        F.col(value_col) > F.col("_q3") + iqr_k * iqr
+    )
+    return (
+        joined.withColumn("z_score", z)
+        .withColumn("is_z_outlier", F.coalesce(z > z_threshold, F.lit(False)))
+        .withColumn("is_iqr_outlier", F.coalesce(out_iqr, F.lit(False)))
+        .drop("_mean", "_sd", "_q1", "_q3")
+    )
+
+
+def histogram(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Fixed-width histogram per group: ``width_bucket`` semantics
+    (bucket 0 = below lo, n_bins + 1 = above hi), one hash aggregate.
+    Output: key cols + (bucket, n) — empty buckets are absent (at
+    corpus scale materializing empties per group is the wrong default).
+    """
+    keys = list(group_cols)
+    v = F.col(value_col)
+    bucket = (
+        F.when(v < lo, 0)
+        .when(v >= hi, n_bins + 1)
+        .otherwise(F.floor((v - lo) / ((hi - lo) / n_bins)) + 1)
+        .cast("long")
+    )
+    return (
+        df.groupBy(*keys, bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )

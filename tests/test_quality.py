@@ -64,3 +64,26 @@ def test_validate_empty_input_vacuously_passes(spark):
     assert all(r.passed for r in out.values())
     assert all(r.n_violations == 0 and r.n_rows == 0 for r in out.values())
     assert_valid(df, {"pos": F.col("v") > 0})  # no raise
+
+
+def test_outlier_flags_z_and_iqr(spark):
+    from nba_data_pipeline_spark.operators.quality import outlier_flags
+
+    vals = [10.0] * 20 + [11.0] * 20 + [1000.0]  # one extreme point
+    rows = [(i, "a", v) for i, v in enumerate(vals)]
+    rows += [(100, "b", 5.0)]  # singleton group: sd = 0 -> no z flag, no crash
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    out = {r.id: r for r in outlier_flags(df, ["grp"], "v").collect()}
+    assert out[40].is_z_outlier and out[40].is_iqr_outlier
+    assert not out[0].is_z_outlier and not out[0].is_iqr_outlier
+    assert not out[100].is_z_outlier and not out[100].is_iqr_outlier
+    assert out[100].z_score is None  # sd == 0 -> try_divide NULL, not an error
+
+
+def test_histogram_buckets_and_overflow(spark):
+    from nba_data_pipeline_spark.operators.quality import histogram
+
+    rows = [("a", -1.0), ("a", 0.0), ("a", 9.99), ("a", 10.0), ("a", 99.9), ("a", 100.0), ("a", 250.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = {(r.grp, r.bucket): r.n for r in histogram(df, ["grp"], "v", 0.0, 100.0, 10).collect()}
+    assert out == {("a", 0): 1, ("a", 1): 2, ("a", 2): 1, ("a", 10): 1, ("a", 11): 2}
