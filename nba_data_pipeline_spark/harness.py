@@ -1538,6 +1538,36 @@ def q_topk(spark, sf):
 
 
 @q(
+    "event_transitions",
+    # Markov transition counts over 1h-gap sessionized paths; the lead
+    # window shares the sessionize partitioning (no extra shuffle)
+    """WITH s AS (
+         SELECT user_id, event_id, ts, event_type,
+                SUM(CASE WHEN gap_us IS NULL OR gap_us > 3600000000 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         FROM (SELECT user_id, event_id, ts, event_type,
+                      epoch_us(ts) - lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+               FROM events)),
+       t AS (
+         SELECT event_type AS from_type,
+                lead(event_type) OVER (PARTITION BY user_id, session_id
+                                       ORDER BY ts, event_id) AS to_type
+         FROM s)
+       SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+       FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2""",
+)
+def q_event_transitions(spark, sf):
+    """Session path transition matrix (operators/windows.py
+    event_transitions)."""
+    ev = _t(spark, sf, "events")
+    return W.event_transitions(
+        ev, ["user_id"], "ts", "event_type", 3600, order_by=["ts", "event_id"]
+    )
+
+
+@q(
     "outlier_flags",
     # per-type z-score + IQR-fence outliers. Only the FLAGS are
     # driver-compared (means/quantiles differ across engines in the

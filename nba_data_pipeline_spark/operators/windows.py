@@ -224,3 +224,32 @@ def cohort_retention(
         )
         .agg(F.countDistinct("user").alias("n_users"))
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    ts_col: str,
+    type_col: str,
+    gap_seconds: int,
+    order_by: Sequence[str | Column] | None = None,
+) -> DataFrame:
+    """Markov transition counts over sessionized event paths: for each
+    consecutive event pair WITHIN a session, count (from_type, to_type).
+    The empirical transition matrix behind path/flow analysis (sankey
+    diagrams, next-event prediction baselines).
+
+    Shape: sessionize (one shuffle on the user key) + a lead window on
+    the same partitioning (no second shuffle — same key) + one small
+    hash aggregate on the type pair.
+    """
+    sess = sessionize(df, partition_by, ts_col, gap_seconds, order_by=order_by)
+    order = _order_cols(order_by) if order_by else [F.col(ts_col)]
+    w = Window.partitionBy(*partition_by, "session_id").orderBy(*order)
+    nxt = F.lead(type_col).over(w)
+    return (
+        sess.withColumn("_next", nxt)
+        .filter(F.col("_next").isNotNull())
+        .groupBy(F.col(type_col).alias("from_type"), F.col("_next").alias("to_type"))
+        .agg(F.count("*").alias("n"))
+    )

@@ -109,3 +109,21 @@ def test_cohort_retention_matrix(spark):
     base = min(r.cohort_period for r in rows_out)
     m = {(r.cohort_period - base, r.period_offset): r.n_users for r in rows_out}
     assert m == {(0, 0): 2, (0, 1): 1, (0, 3): 1, (1, 0): 1}
+
+
+def test_event_transitions_counts_within_session_only(spark):
+    import datetime as dt
+
+    from nba_data_pipeline_spark.operators.windows import event_transitions
+
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)  # noqa: E731
+    rows = [
+        (1, 1, "a", t(0)), (1, 2, "b", t(1)), (1, 3, "a", t(2)),
+        # 2h gap -> new session; a->b NOT counted across the break
+        (1, 4, "b", t(130)), (1, 5, "c", t(131)),
+        (2, 6, "a", t(0)), (2, 7, "b", t(3)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, event_type string, ts timestamp")
+    out = {(r.from_type, r.to_type): r.n for r in event_transitions(
+        df, ["user_id"], "ts", "event_type", 3600, order_by=["ts", "event_id"]).collect()}
+    assert out == {("a", "b"): 2, ("b", "a"): 1, ("b", "c"): 1}
