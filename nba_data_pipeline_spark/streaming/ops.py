@@ -207,3 +207,82 @@ def stream_quality_scores(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def corpus_ingest_batch(
+    batch_df: DataFrame,
+    lm: DataFrame,
+    corpus_path: str,
+    signature_path: str,
+    pairs_path: str,
+    scores_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gate_kwargs: dict | None = None,
+    **near_dedup_kwargs,
+) -> None:
+    """One full continuous-ingest corpus step — the composed foreachBatch
+    body gluing the pipeline stages in their production order:
+
+    1. rule gate (``text.gopher_rules``): rejected documents never cost
+       shingling, scoring, or state,
+    2. ``near_dedup_batch``: signatures + incremental pairs vs the
+       persisted corpus state,
+    3. ``quality_score_batch``: frozen-LM scores,
+    4. accepted documents MERGEd into the corpus table on the id.
+
+    Every stage is individually replay-idempotent (pure function of the
+    document + frozen reference state, MERGE on a deterministic key),
+    so the composition is too: a redelivered micro-batch converges to
+    the same four tables. Near-dup PAIRS are recorded, not dropped
+    in-stream — cluster collapse is a batch decision over the pair
+    table (``dedup_assign``), because eager in-stream dropping makes
+    survivor choice order-dependent across redeliveries.
+    """
+    from ..operators.text import gopher_rules
+    from ..sinks.writer import upsert_table
+
+    gated = (
+        gopher_rules(batch_df, text_col=text_col, **(gate_kwargs or {}))
+        .filter(F.col("gopher_keep"))
+        .select(*batch_df.columns)
+        .localCheckpoint()  # feeds three downstream stages; gate once
+    )
+    near_dedup_batch(gated, signature_path, pairs_path, id_col, text_col, **near_dedup_kwargs)
+    quality_score_batch(gated, lm, scores_path, id_col, text_col)
+    upsert_table(batch_df.sparkSession, gated, corpus_path, key=id_col)
+
+
+def stream_corpus_ingest(
+    stream_df: DataFrame,
+    lm: DataFrame,
+    corpus_path: str,
+    signature_path: str,
+    pairs_path: str,
+    scores_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    query_name: str = "stream_corpus_ingest",
+    gate_kwargs: dict | None = None,
+    **near_dedup_kwargs,
+):
+    """The whole training-corpus ingest as ONE Structured Streaming
+    query: gate -> near-dedup -> score -> corpus MERGE per micro-batch.
+    State lives in the four parquet tables (restart is cold, zero
+    streaming-state rebuild); per-batch cost is O(batch) against
+    broadcast/banded state, never a corpus rescan."""
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        corpus_ingest_batch(
+            batch_df, lm, corpus_path, signature_path, pairs_path, scores_path,
+            id_col, text_col, gate_kwargs=gate_kwargs, **near_dedup_kwargs,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process).queryName(query_name)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -215,3 +215,59 @@ def test_stream_quality_scores_streaming_query(spark, tmp_path):
     got = {r.doc_id: r.avg_nll_e6 for r in spark.read.parquet(
         str(tmp_path / "scores")).collect()}
     assert set(got) == {10, 11} and got[10] < got[11]
+
+
+def test_stream_corpus_ingest_composed_pipeline(spark, tmp_path):
+    """gate -> near-dedup -> score -> corpus MERGE as one streaming
+    query; redelivery of a micro-batch converges all four tables."""
+    from pyspark.sql import types as T
+
+    from nba_data_pipeline_spark.operators.text import fit_trigram_lm
+    from nba_data_pipeline_spark.streaming.ops import (
+        corpus_ingest_batch,
+        stream_corpus_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    paths = {k: str(tmp_path / k) for k in ("corpus", "sigs", "pairs", "scores")}
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    good = "the quick brown fox jumps and runs with great energy today " * 6
+    ref = spark.createDataFrame([(0, good)], schema)
+    lm = fit_trigram_lm(ref, "text")
+
+    def run_pass():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = stream_corpus_ingest(
+            stream, lm, paths["corpus"], paths["sigs"], paths["pairs"], paths["scores"],
+            checkpoint_dir=ckpt, num_perm=32, bands=16, threshold=0.3,
+        )
+        q.awaitTermination()
+
+    # batch 1: one good doc, one gate-rejected runt
+    spark.createDataFrame([(1, good), (2, "tiny doc")], schema).coalesce(1)\
+        .write.mode("append").parquet(src)
+    run_pass()
+    assert {r.doc_id for r in spark.read.parquet(paths["corpus"]).collect()} == {1}
+    assert spark.read.parquet(paths["sigs"]).count() == 1
+    assert {r.doc_id for r in spark.read.parquet(paths["scores"]).collect()} == {1}
+
+    # batch 2: a near-dup of doc 1 -> pair recorded, both kept in corpus
+    spark.createDataFrame([(10, good.replace("today", "tonight"))], schema).coalesce(1)\
+        .write.mode("append").parquet(src)
+    run_pass()
+    assert {r.doc_id for r in spark.read.parquet(paths["corpus"]).collect()} == {1, 10}
+    pairs = {(r.id_a, r.id_b) for r in spark.read.parquet(paths["pairs"]).collect()}
+    assert (1, 10) in pairs
+
+    # crash-replay of batch 2: all four tables unchanged
+    before = {k: spark.read.parquet(p).count() for k, p in paths.items()}
+    corpus_ingest_batch(
+        spark.createDataFrame([(10, good.replace("today", "tonight"))], schema),
+        lm, paths["corpus"], paths["sigs"], paths["pairs"], paths["scores"],
+        num_perm=32, bands=16, threshold=0.3,
+    )
+    after = {k: spark.read.parquet(p).count() for k, p in paths.items()}
+    assert after == before
