@@ -4066,6 +4066,52 @@ def q_bm25(spark, sf):
 
 
 @q(
+    "hard_negatives",
+    # DPR-style negatives: BM25 top-depth minus the gold positives
+    # (positive = each query's own top-1 here), re-ranked 1..5
+    """WITH q(query_id, query_text) AS (VALUES """
+    + ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+    + """),
+         postings AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM postings GROUP BY 1, 2),
+         dl AS (SELECT doc_id, count(*) AS dl FROM postings GROUP BY 1),
+         tot AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dl),
+         dfreq AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM postings GROUP BY 1),
+         qt AS (SELECT DISTINCT query_id, unnest(string_split(query_text, ' ')) AS term FROM q),
+         scored AS (
+           SELECT query_id, t.doc_id,
+                  CAST(ROUND(ln(1 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+                             * (tf * (1.2 + 1) / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / (CAST(total_tokens AS DOUBLE) / n_docs))))
+                             * 1e6) AS BIGINT) AS score_e6
+           FROM tf t JOIN qt USING (term) JOIN dfreq USING (term)
+                JOIN dl ON t.doc_id = dl.doc_id CROSS JOIN tot),
+         agg AS (SELECT query_id, doc_id, CAST(SUM(score_e6) AS BIGINT) AS bm25_e6
+                 FROM scored GROUP BY 1, 2),
+         ranked AS (SELECT query_id, doc_id, bm25_e6,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY bm25_e6 DESC, doc_id) AS rank
+                    FROM agg),
+         pos AS (SELECT query_id, doc_id FROM ranked WHERE rank = 1),
+         surv AS (SELECT r.query_id, r.doc_id, r.bm25_e6 FROM ranked r
+                  ANTI JOIN pos p ON r.query_id = p.query_id AND r.doc_id = p.doc_id
+                  WHERE r.rank <= 50)
+       SELECT query_id, doc_id, bm25_e6, CAST(neg_rank AS BIGINT) AS neg_rank FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+                                      ORDER BY bm25_e6 DESC, doc_id) AS neg_rank
+         FROM surv) WHERE neg_rank <= 5""",
+)
+def q_hard_negatives(spark, sf):
+    """Hard-negative mining (operators/text.py hard_negatives):
+    positives = each query's BM25 top-1, negatives = next 5."""
+    from .operators.text import bm25_topk, hard_negatives
+
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id long, query_text string")
+    docs = _t(spark, sf, "documents")
+    pos = bm25_topk(docs, qdf, k=1).select("query_id", "doc_id")
+    return hard_negatives(docs, qdf, pos, n_negatives=5, depth=50)
+
+
+@q(
     "scrub_text",
     """SELECT doc_id, md5(regexp_replace(text, 'a[a-z]*', '[X]', 'g')) AS h FROM documents""",
 )

@@ -423,6 +423,42 @@ def bm25_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    query_df: DataFrame,
+    positives: DataFrame,
+    n_negatives: int = 5,
+    depth: int = 50,
+    **bm25_kwargs,
+) -> DataFrame:
+    """BM25 hard-negative mining — the standard construction of
+    contrastive training pairs for retrievers (DPR-style): for each
+    training query, the top-ranked corpus documents that are NOT the
+    labeled positives become the negatives a bi-encoder must learn to
+    push away.
+
+    ``positives`` carries (query_id, doc_id) gold labels. Retrieval
+    depth is ``depth`` so enough candidates survive the anti-join;
+    negatives are re-ranked 1..n after removal. Scale shape: inherits
+    bm25_topk's broadcast-query plan; the anti-join key set (the gold
+    labels) is tiny and broadcast too.
+
+    Output: (query_id, doc_id, bm25_e6, neg_rank).
+    """
+    ranked = bm25_topk(corpus, query_df, k=depth, **bm25_kwargs)
+    pos = positives.select(
+        F.col(positives.columns[0]).alias("query_id"),
+        F.col(positives.columns[1]).alias("doc_id"),
+    )
+    survivors = ranked.join(F.broadcast(pos), ["query_id", "doc_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(F.col("bm25_e6").desc(), "doc_id")
+    return (
+        survivors.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= n_negatives)
+        .select("query_id", "doc_id", "bm25_e6", "neg_rank")
+    )
+
+
 def scrub(text: Column | str, pattern: str, replacement: str = "[REDACTED]") -> Column:
     """Regex scrubbing (global replace) — the PII/URL-removal shape for
     training-data cleaning; keep patterns RE2-portable."""

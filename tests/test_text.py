@@ -400,3 +400,27 @@ def test_gopher_rules_each_rule_fires(spark):
     assert out[9]["rule_token_count"] is False and out[9]["gopher_keep"] is False
     for d in range(2, 10):
         assert out[d]["gopher_keep"] is False
+
+
+def test_hard_negatives_excludes_positives_and_reranks(spark):
+    from nba_data_pipeline_spark.operators.text import bm25_topk, hard_negatives
+
+    corpus = [
+        (1, "spark shuffle join spark"),
+        (2, "spark spark spark window"),
+        (3, "join filter spark"),
+        (4, "window agg only"),
+    ]
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    qdf = spark.createDataFrame([(10, "spark")], "query_id long, query_text string")
+    top = bm25_topk(cdf, qdf, k=1).collect()
+    pos = spark.createDataFrame([(10, top[0].doc_id)], "query_id long, doc_id long")
+    negs = hard_negatives(cdf, qdf, pos, n_negatives=2, depth=10).collect()
+    neg_ids = [r.doc_id for r in sorted(negs, key=lambda r: r.neg_rank)]
+    assert top[0].doc_id not in neg_ids          # gold positive removed
+    assert len(neg_ids) == 2
+    assert [r.neg_rank for r in sorted(negs, key=lambda r: r.neg_rank)] == [1, 2]
+    # negatives are the next-best scoring docs in order
+    full = {r.doc_id: r.bm25_e6 for r in bm25_topk(cdf, qdf, k=10).collect()}
+    expected = sorted((s, -d) for d, s in full.items() if d != top[0].doc_id)[::-1][:2]
+    assert [( -x[1]) for x in expected] == neg_ids
