@@ -147,3 +147,26 @@ def test_winnow_fingerprints_shuffles_only_on_doc_keys(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 5, plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_bm25_broadcasts_query_terms_no_cartesian(spark):
+    plan = _executed_plan(spark, "bm25_search")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gopher_gate_is_shuffle_free(spark):
+    plan = _executed_plan(spark, "gopher_gate")
+    assert "Exchange" not in plan  # one codegen pass over the scan
+
+
+def test_semantic_decontaminate_broadcasts_benchmark(spark):
+    plan = _executed_plan(spark, "semantic_decontaminate")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_event_transitions_single_user_shuffle(spark):
+    plan = _executed_plan(spark, "event_transitions")
+    # the lead window must reuse the sessionize user-key partitioning:
+    # exactly one hashpartitioning on user_id, one on the output pair
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
