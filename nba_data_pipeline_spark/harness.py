@@ -4066,6 +4066,68 @@ def q_bm25(spark, sf):
 
 
 @q(
+    "retrieval_metrics",
+    # MRR / recall@10 of the BM25 run against gold = "document contains
+    # the query's first term" (a relationally-definable relevance set).
+    # 1.0/rank is a double quotient of exact ints; rounded to 6dp.
+    """WITH q(query_id, query_text) AS (VALUES """
+    + ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+    + """),
+         postings AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM postings GROUP BY 1, 2),
+         dl AS (SELECT doc_id, count(*) AS dl FROM postings GROUP BY 1),
+         tot AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dl),
+         dfreq AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM postings GROUP BY 1),
+         qt AS (SELECT DISTINCT query_id, unnest(string_split(query_text, ' ')) AS term FROM q),
+         scored AS (
+           SELECT query_id, t.doc_id,
+                  CAST(ROUND(ln(1 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+                             * (tf * (1.2 + 1) / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / (CAST(total_tokens AS DOUBLE) / n_docs))))
+                             * 1e6) AS BIGINT) AS score_e6
+           FROM tf t JOIN qt USING (term) JOIN dfreq USING (term)
+                JOIN dl ON t.doc_id = dl.doc_id CROSS JOIN tot),
+         agg AS (SELECT query_id, doc_id, CAST(SUM(score_e6) AS BIGINT) AS bm25_e6
+                 FROM scored GROUP BY 1, 2),
+         run AS (SELECT query_id, doc_id, rank FROM (
+                   SELECT *, row_number() OVER (PARTITION BY query_id
+                                                ORDER BY bm25_e6 DESC, doc_id) AS rank
+                   FROM agg) WHERE rank <= 10),
+         gold AS (SELECT DISTINCT query_id, p.doc_id
+                  FROM q JOIN postings p ON p.term = string_split(query_text, ' ')[1]),
+         ng AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_gold FROM gold GROUP BY 1),
+         hits AS (SELECT r.query_id, CAST(count(*) AS BIGINT) AS n_hits_at_k,
+                         min(r.rank) AS first_rank
+                  FROM run r JOIN gold g ON r.query_id = g.query_id AND r.doc_id = g.doc_id
+                  GROUP BY 1)
+       SELECT ng.query_id, n_gold,
+              CAST(COALESCE(n_hits_at_k, 0) AS BIGINT) AS n_hits_at_k,
+              ROUND(COALESCE(n_hits_at_k, 0) / CAST(LEAST(n_gold, 10) AS DOUBLE), 6) AS recall_at_k,
+              ROUND(COALESCE(1.0 / first_rank, 0.0), 6) AS mrr
+       FROM ng LEFT JOIN hits ON ng.query_id = hits.query_id""",
+)
+def q_retrieval_metrics(spark, sf):
+    """IR evaluation scorecard (operators/similarity.py
+    ranking_metrics) of the BM25 run vs term-membership gold."""
+    from .operators.similarity import ranking_metrics
+    from .operators.text import bm25_topk, tokens
+
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id long, query_text string")
+    docs = _t(spark, sf, "documents")
+    run = bm25_topk(docs, qdf, k=10)
+    first_term = F.element_at(tokens("query_text"), 1)
+    gold = (
+        qdf.select("query_id", first_term.alias("_t"))
+        .join(
+            docs.select(F.explode(F.array_distinct(tokens("text"))).alias("_t"), "doc_id"),
+            "_t",
+        )
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    return ranking_metrics(run, gold, k=10)
+
+
+@q(
     "hard_negatives",
     # DPR-style negatives: BM25 top-depth minus the gold positives
     # (positive = each query's own top-1 here), re-ranked 1..5

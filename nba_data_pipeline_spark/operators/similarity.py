@@ -429,6 +429,53 @@ def cosine_pairs(
     )
 
 
+def ranking_metrics(
+    run: DataFrame,
+    gold: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query retrieval evaluation of a ranked run against gold
+    labels: reciprocal rank of the first relevant hit, hit@k flag, and
+    recall@k — the standard scorecard for any ranker in this module
+    (BM25, ANN, rerank) so retriever changes are measured, not eyeballed.
+
+    Queries with gold labels but NO run rows still score (0 metrics) —
+    silently dropping them would inflate every macro average.
+
+    Shape: run ⋈ gold on (query, doc) — both results of earlier top-k
+    stages, tiny relative to the corpus — then one aggregate per query.
+    Output: (query_id, n_gold, n_hits_at_k, recall_at_k, mrr).
+    """
+    r = run.select(
+        F.col(query_col).alias("_q"), F.col(doc_col).alias("_d"), F.col(rank_col).alias("_r")
+    ).filter(F.col("_r") <= k)
+    g = gold.select(F.col(query_col).alias("_q"), F.col(doc_col).alias("_d"))
+    n_gold = g.groupBy("_q").agg(F.count("*").alias("n_gold"))
+    hits = r.join(g, ["_q", "_d"]).groupBy("_q").agg(
+        F.count("*").alias("n_hits_at_k"),
+        F.min("_r").alias("_first"),
+    )
+    return (
+        n_gold.join(hits, "_q", "left")
+        .select(
+            F.col("_q").alias(query_col),
+            "n_gold",
+            F.coalesce("n_hits_at_k", F.lit(0)).cast("long").alias("n_hits_at_k"),
+            F.round(
+                F.coalesce("n_hits_at_k", F.lit(0))
+                / F.least(F.col("n_gold"), F.lit(k)).cast("double"),
+                6,
+            ).alias("recall_at_k"),
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("_first"), F.lit(0.0)), 6
+            ).alias("mrr"),
+        )
+    )
+
+
 def semantic_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -258,3 +258,25 @@ def test_semantic_contamination_flags_planted_copies(spark):
     out2 = {r.corpus_id for r in semantic_contamination(
         corpus, bench, "embedding", "vec_id", threshold=0.8).collect()}
     assert out2 == {1, 2, 4}
+
+
+def test_ranking_metrics_mrr_recall_and_zero_hit_queries(spark):
+    from nba_data_pipeline_spark.operators.similarity import ranking_metrics
+
+    run = spark.createDataFrame(
+        [(1, 100, 1), (1, 101, 2), (1, 102, 3),
+         (2, 200, 1), (2, 201, 2)],
+        "query_id long, doc_id long, rank long",
+    )
+    gold = spark.createDataFrame(
+        [(1, 101), (1, 102), (1, 999),   # q1: hits at ranks 2,3; one unreachable
+         (2, 555),                       # q2: gold never retrieved
+         (3, 300)],                      # q3: no run rows at all
+        "query_id long, doc_id long",
+    )
+    out = {r.query_id: r for r in ranking_metrics(run, gold, k=2).collect()}
+    # k=2 truncates the run: q1 keeps ranks 1,2 -> one hit (101 at rank 2)
+    assert out[1].n_gold == 3 and out[1].n_hits_at_k == 1
+    assert out[1].recall_at_k == 0.5 and out[1].mrr == 0.5
+    assert out[2].n_hits_at_k == 0 and out[2].mrr == 0.0 and out[2].recall_at_k == 0.0
+    assert out[3].n_hits_at_k == 0 and out[3].mrr == 0.0  # absent query still scored
