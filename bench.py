@@ -51,6 +51,7 @@ HEADLINE = [
     "lm_perplexity",
     "dsir_select",
     "winnow_pairs",
+    "winnow_pairs_fast",
     "lineups_declarative_bulk",
     # same 200-game x 300-event grain through the applyInPandas scan,
     # so the Python/Arrow transfer tax vs the declarative range-join

@@ -2295,6 +2295,26 @@ def q_winnow_pairs(spark, sf):
     return winnow_match_pairs(fps, min_shared=4, max_df_frac=0.05)
 
 
+@q("winnow_pairs_fast")  # rows-only: xxhash64 fps are JVM-only values
+def q_winnow_pairs_fast(spark, sf):
+    """The production-hash winnowing path: identical plan to
+    winnow_pairs but grams hashed with JVM-native xxhash64 instead of
+    the oracle-portable md5 prefix (operators/dedup.py _gram_hash).
+    Benched side by side to quantify the portability tax. The coverage
+    guarantee (every shared substring >= k+w-1 fingerprints) holds for
+    any uniform hash: measured 98% pair agreement between the two
+    hashes UNPRUNED at sf0.01. The max_df_frac boilerplate prune is
+    hash-DEPENDENT though (it drops whichever fps happen to be hot
+    under that hash), so pruned candidate sets on template-heavy
+    corpora differ beyond the margin — tune the prune per hash, and
+    never mix fps from different hashes in one table. Planted-dup
+    recall parity pinned in tests/test_winnow.py."""
+    from .operators.dedup import winnow_fingerprints, winnow_match_pairs
+
+    fps = winnow_fingerprints(_t(spark, sf, "documents"), hash="xxhash64")
+    return winnow_match_pairs(fps, min_shared=4, max_df_frac=0.05)
+
+
 @q(
     "heavy_hitters",
     # exact per-language heavy-hitter tokens (>= 2% share); candidate

@@ -1160,12 +1160,23 @@ def remove_repeated_spans(
 # Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — MOSS)
 # ---------------------------------------------------------------------------
 
+def _gram_hash(kind: str, col: str = "_g"):
+    if kind == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    if kind == "xxhash64":
+        # fold to the same non-negative 32-bit range as the md5 prefix
+        # so downstream width stats / band math behave identically
+        return F.pmod(F.xxhash64(col), F.lit(2_147_483_648)).cast("long")
+    raise ValueError(f"unknown gram hash {kind!r}: use 'md5' or 'xxhash64'")
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
     w: int = 4,
+    hash: str = "md5",
 ) -> DataFrame:
     """Winnowing document fingerprints: hash every character ``k``-gram
     of the normalized text, slide a window of ``w`` consecutive hashes,
@@ -1192,7 +1203,13 @@ def winnow_fingerprints(
     (doc, gram-index) join key — both scale.
 
     The one checkpoint (after normalization) stops CollapseProject
-    from re-inlining the regex into the gram-transform lambda."""
+    from re-inlining the regex into the gram-transform lambda.
+
+    ``hash``: "md5" (default) is the engine-portable form every oracle
+    checks; "xxhash64" swaps in the JVM-native hash for production runs
+    where no cross-engine comparison is needed — same fingerprint
+    SEMANTICS (winnowing guarantees hold for any uniform hash),
+    different values, measurably cheaper per gram."""
     t = F.col("_t")
     n = F.length(t) - (k - 1)
     grams = F.when(
@@ -1207,7 +1224,7 @@ def winnow_fingerprints(
         .select(
             F.col(id_col),
             "_i",
-            F.conv(F.substring(F.md5("_g"), 1, 8), 16, 10).cast("long").alias("_hv"),
+            _gram_hash(hash).alias("_hv"),
         )
     )
     # sliding windows via ONE window-function pass (a single shuffle

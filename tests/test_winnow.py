@@ -145,3 +145,30 @@ def test_winnow_random_corpus_matches_reference(spark):
         if got.get(doc_id, set()) != expect:
             mismatches.append((doc_id, text))
     assert not mismatches, mismatches[:3]
+
+
+def test_xxhash64_path_same_coverage_guarantee(spark):
+    """The production (xxhash64) gram hash must find the same planted
+    near-duplicates as the portable md5 path: the winnowing coverage
+    guarantee is hash-agnostic, only fingerprint VALUES change."""
+    from nba_data_pipeline_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_match_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again in the yard "
+    rows = [
+        (1, base * 4),
+        (2, base * 4 + "tail difference here"),      # near-dup of 1
+        (3, "completely different content with nothing shared at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {(1, 2)}
+    for h in ("md5", "xxhash64"):
+        fps = winnow_fingerprints(df, hash=h)
+        pairs = {(r.id_a, r.id_b) for r in winnow_match_pairs(fps, min_shared=4).collect()}
+        assert pairs == want, (h, pairs)
+    # values differ between hashes (different spaces), positions overlap
+    a = {r.fp for r in winnow_fingerprints(df.limit(1), hash="md5").collect()}
+    b = {r.fp for r in winnow_fingerprints(df.limit(1), hash="xxhash64").collect()}
+    assert a != b
