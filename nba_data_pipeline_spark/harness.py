@@ -1568,6 +1568,43 @@ def q_event_transitions(spark, sf):
 
 
 @q(
+    "profile_table",
+    # per-column profile of orders (string/long columns: min/max string
+    # casts are representation-stable; doubles/timestamps would not be)
+    """WITH a AS (
+         SELECT count(*) AS n,
+                SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nu1,
+                count(DISTINCT o_orderkey) AS d1,
+                CAST(min(o_orderkey) AS VARCHAR) AS mn1, CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+                SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nu2,
+                count(DISTINCT o_custkey) AS d2,
+                CAST(min(o_custkey) AS VARCHAR) AS mn2, CAST(max(o_custkey) AS VARCHAR) AS mx2,
+                SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nu3,
+                count(DISTINCT o_orderstatus) AS d3,
+                min(o_orderstatus) AS mn3, max(o_orderstatus) AS mx3
+         FROM orders)
+       SELECT 'o_orderkey' AS "column", CAST(n AS BIGINT) AS n_rows,
+              CAST(nu1 AS BIGINT) AS n_nulls, CAST(d1 AS BIGINT) AS n_distinct,
+              mn1 AS min_value, mx1 AS max_value FROM a
+       UNION ALL SELECT 'o_custkey', CAST(n AS BIGINT), CAST(nu2 AS BIGINT),
+              CAST(d2 AS BIGINT), mn2, mx2 FROM a
+       UNION ALL SELECT 'o_orderstatus', CAST(n AS BIGINT), CAST(nu3 AS BIGINT),
+              CAST(d3 AS BIGINT), mn3, mx3 FROM a""",
+)
+def q_profile_table(spark, sf):
+    """Column profile (operators/quality.py profile_table): one scan,
+    exact distincts here so the DuckDB oracle compares value-for-value
+    (approx_count_distinct is the monitoring default)."""
+    from .operators.quality import profile_table
+
+    return profile_table(
+        _t(spark, sf, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus"],
+        exact_distinct=True,
+    )
+
+
+@q(
     "outlier_flags",
     # per-type z-score + IQR-fence outliers. Only the FLAGS are
     # driver-compared (means/quantiles differ across engines in the

@@ -79,9 +79,9 @@ def outlier_flags(
     """Per-group outlier flags by two standard rules, one stats pass:
 
     - z-score: |x - mean| / stddev_pop > z_threshold
-    - IQR fence: x outside [q1 - k*IQR, q3 + k*IQR] (quartiles via
-      exact percentile_disc rank arithmetic friendly percentile_approx?
-      No — exact ``percentile`` so small-group behavior is defined)
+    - IQR fence: x outside [q1 - k*IQR, q3 + k*IQR] (quartiles via the
+      exact ``percentile`` aggregate, not percentile_approx, so
+      small-group behavior is well-defined and engine-comparable)
 
     Shape: one grouped stats aggregate (tiny result, one row per
     group), broadcast back onto the stream — the full table is scanned
@@ -139,3 +139,57 @@ def histogram(
         df.groupBy(*keys, bucket.alias("bucket"))
         .agg(F.count("*").alias("n"))
     )
+
+
+def profile_table(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """Per-column profile — the dbt/Deequ-style table summary feeding
+    drift detection and data contracts: one row per column with row
+    count, null count, distinct count, and min/max (as strings, so one
+    result schema covers heterogeneous column types).
+
+    ONE scan for everything: all per-column aggregates sit in a single
+    agg (map-side partial), then one narrow unpivot of the tiny result.
+    ``exact_distinct=False`` (default) uses approx_count_distinct — at
+    100 TB exact per-column distincts force an expand+shuffle per
+    column, and profiles feed monitoring where ~2% HLL error is fine;
+    flip it on for the exact contract check (and the DuckDB oracle).
+    """
+    names = list(cols) if cols is not None else list(df.columns)
+    distinct = (
+        (lambda c: F.countDistinct(F.col(c)))
+        if exact_distinct
+        else (lambda c: F.approx_count_distinct(c))
+    )
+    aggs = [F.count("*").alias("_n")]
+    for c in names:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}"),
+            distinct(c).alias(f"_dist_{c}"),
+            # min/max in the NATIVE type, cast the result — casting the
+            # column first would order numerics lexicographically
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    # unpivot via explode of structs, NOT a union of per-column selects
+    # — each unioned select embeds its own copy of the aggregate, so the
+    # table would be scanned once per column (same trap validate()
+    # documents)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").cast("long").alias("n_rows"),
+                F.col(f"_nulls_{c}").cast("long").alias("n_nulls"),
+                F.col(f"_dist_{c}").cast("long").alias("n_distinct"),
+                F.col(f"_min_{c}").alias("min_value"),
+                F.col(f"_max_{c}").alias("max_value"),
+            )
+            for c in names
+        ]
+    )
+    return wide.select(F.explode(structs).alias("p")).select("p.*")

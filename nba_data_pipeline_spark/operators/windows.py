@@ -179,18 +179,19 @@ def funnel_counts(
         for i in range(1, len(steps) + 1)
     ]
     wide = per_user.agg(*aggs)
-    pieces = [
-        wide.select(
-            F.lit(i).cast("long").alias("step"),
-            F.lit(s).alias("event_type"),
-            F.col(f"n_step_{i}").alias("n_users"),
-        )
-        for i, s in enumerate(steps, start=1)
-    ]
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionAll(p)
-    return out
+    # unpivot by exploding structs — a union of per-step selects would
+    # embed (and re-run) the whole funnel chain once per step
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("step"),
+                F.lit(s).alias("event_type"),
+                F.col(f"n_step_{i}").alias("n_users"),
+            )
+            for i, s in enumerate(steps, start=1)
+        ]
+    )
+    return wide.select(F.explode(structs).alias("f")).select("f.*")
 
 
 def cohort_retention(

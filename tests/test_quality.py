@@ -87,3 +87,25 @@ def test_histogram_buckets_and_overflow(spark):
     df = spark.createDataFrame(rows, "grp string, v double")
     out = {(r.grp, r.bucket): r.n for r in histogram(df, ["grp"], "v", 0.0, 100.0, 10).collect()}
     assert out == {("a", 0): 1, ("a", 1): 2, ("a", 2): 1, ("a", 10): 1, ("a", 11): 2}
+
+
+def test_profile_table_one_row_per_column(spark):
+    from nba_data_pipeline_spark.operators.quality import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (2, None, 7.5)],
+        "k long, s string, v double",
+    )
+    prof = {r.column: r for r in profile_table(df, exact_distinct=True).collect()}
+    assert set(prof) == {"k", "s", "v"}
+    assert prof["k"].n_rows == 3 and prof["k"].n_nulls == 0 and prof["k"].n_distinct == 2
+    assert prof["k"].min_value == "1" and prof["k"].max_value == "2"
+    assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
+    assert prof["v"].min_value == "5.0" and prof["v"].max_value == "7.5"
+    # numeric min/max must be numeric, not lexicographic
+    big = spark.createDataFrame([(9,), (14999,)], "x long")
+    p = profile_table(big, exact_distinct=True).collect()[0]
+    assert p.max_value == "14999" and p.min_value == "9"
+    # approx mode returns plausible counts without the expand
+    ap = {r.column: r.n_distinct for r in profile_table(df).collect()}
+    assert all(v >= 1 for v in ap.values())
