@@ -1568,6 +1568,44 @@ def q_event_transitions(spark, sf):
 
 
 @q(
+    "table_diff",
+    # snapshot regression check: old = orders missing every 10th key,
+    # new = orders with every 7th price nudged; classify each key.
+    # Spark detects change via a JVM-side row hash; the oracle compares
+    # values directly — both must reach identical classifications.
+    """WITH o AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 0),
+         n AS (SELECT o_orderkey,
+                      CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                           ELSE o_totalprice END AS o_totalprice,
+                      o_orderstatus
+               FROM orders)
+       SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+              CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                   WHEN n.o_orderkey IS NULL THEN 'removed'
+                   WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                        AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                     THEN 'unchanged'
+                   ELSE 'changed' END AS diff_status
+       FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey""",
+)
+def q_table_diff(spark, sf):
+    """Snapshot diff (operators/incremental.py table_diff): map-side
+    row hash, one full-outer join on the key."""
+    from .operators.incremental import table_diff
+
+    orders = _t(spark, sf, "orders")
+    old = orders.filter(F.col("o_orderkey") % 10 != 0)
+    new = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    return table_diff(old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
+
+
+@q(
     "profile_table",
     # per-column profile of orders (string/long columns: min/max string
     # casts are representation-stable; doubles/timestamps would not be)

@@ -69,3 +69,60 @@ def assert_unique_key(df: DataFrame, keys: Sequence[str] | str) -> DataFrame:
     if dupes:
         raise ValueError(f"duplicate key in dataframe: {dupes[0]}")
     return df
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Snapshot diff — the data-regression primitive: classify every
+    key as added / removed / changed / unchanged between two table
+    versions. The check a pipeline rerun, a backfill, or a MERGE is
+    validated with.
+
+    Shape: both sides project to keys + a single xxhash64 over the
+    compared columns (consistency only — the hash never leaves the
+    JVM, so portability doesn't matter), then ONE full-outer join on
+    the key. Hashing before the join moves the wide-row comparison to
+    the map side; the join carries two longs per row.
+
+    NULL-safe: a NULL in a compared column hashes like any value, and
+    hash(NULL-marker) collisions with real values are xxhash64-unlikely.
+    Output: key cols + (diff_status string).
+    """
+    keys = list(keys)
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in keys]
+    cmp = list(compare_cols)
+
+    def hashed(df: DataFrame, alias: str) -> DataFrame:
+        h = F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cmp]) if cmp else F.lit(0)
+        return df.select(*keys, h.alias(alias)).dropDuplicates(keys)
+
+    o = hashed(old, "_h_old")
+    n = hashed(new, "_h_new")
+    joined = o.join(n, keys, "full_outer")
+    status = (
+        F.when(F.col("_h_old").isNull(), "added")
+        .when(F.col("_h_new").isNull(), "removed")
+        .when(F.col("_h_old") == F.col("_h_new"), "unchanged")
+        .otherwise("changed")
+    )
+    return joined.select(*keys, status.alias("diff_status"))
+
+
+def table_diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Aggregate form of ``table_diff``: (diff_status, n) — the four
+    numbers a pipeline gate asserts on (e.g. removed == 0)."""
+    return (
+        table_diff(old, new, keys, compare_cols)
+        .groupBy("diff_status")
+        .agg(F.count("*").alias("n"))
+    )

@@ -40,3 +40,29 @@ def test_assert_unique_key(spark):
     bad = spark.createDataFrame([("a",), ("a",)], "id string")
     with pytest.raises(ValueError, match="duplicate key"):
         assert_unique_key(bad, "id")
+
+
+def test_table_diff_classifies_all_four_states(spark):
+    from nba_data_pipeline_spark.operators.incremental import table_diff, table_diff_summary
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0),        # unchanged
+         (2, "B", 2.0),        # changed
+         (3, "c", None),       # unchanged, incl. NULL-safe compare
+         (5, "e", 5.0)],       # added; 4 removed
+        "k long, s string, v double",
+    )
+    out = {r.k: r.diff_status for r in table_diff(old, new, ["k"]).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "unchanged", 4: "removed", 5: "added"}
+    summary = {r.diff_status: r.n for r in table_diff_summary(old, new, ["k"]).collect()}
+    assert summary == {"unchanged": 2, "changed": 1, "removed": 1, "added": 1}
+    # compare_cols restriction: v-only diff sees key 2 as unchanged
+    out2 = {r.k: r.diff_status for r in table_diff(old, new, ["k"], ["v"]).collect()}
+    assert out2[2] == "unchanged"
+    # NULL vs value flips to changed (NULL marker is not a real value)
+    new2 = spark.createDataFrame([(3, "c", 9.0)], "k long, s string, v double")
+    assert {r.k: r.diff_status for r in table_diff(old.filter("k=3"), new2, ["k"]).collect()} == {3: "changed"}
