@@ -1568,6 +1568,32 @@ def q_event_transitions(spark, sf):
 
 
 @q(
+    "fuzzy_join",
+    # entity resolution: corpus source labels joined to a dirty lookup
+    # list within edit distance 1, first-char prefix block
+    """WITH l AS (SELECT DISTINCT source FROM documents),
+         r(dirty) AS (VALUES ('src0'), ('sre1'), ('srx2'), ('zzz9'))
+       SELECT l.source, r.dirty AS dirty_matched,
+              CAST(levenshtein(lower(trim(source)), lower(trim(dirty))) AS BIGINT)
+                AS edit_distance
+       FROM l JOIN r ON substr(lower(trim(source)), 1, 1) = substr(lower(trim(dirty)), 1, 1)
+       WHERE abs(length(lower(trim(source))) - length(lower(trim(dirty)))) <= 1
+         AND levenshtein(lower(trim(source)), lower(trim(dirty))) <= 1""",
+)
+def q_fuzzy_join(spark, sf):
+    """Levenshtein fuzzy join (operators/dedup.py fuzzy_join):
+    prefix-blocked, length-bounded, kernel only on candidates."""
+    from .operators.dedup import fuzzy_join
+
+    left = _t(spark, sf, "documents").select("source").distinct()
+    dirty = spark.createDataFrame(
+        [("src0",), ("sre1",), ("srx2",), ("zzz9",)], "dirty string"
+    )
+    out = fuzzy_join(left, dirty, "source", "dirty", max_distance=1)
+    return out.select("source", "dirty_matched", F.col("edit_distance").cast("long").alias("edit_distance"))
+
+
+@q(
     "table_diff",
     # snapshot regression check: old = orders missing every 10th key,
     # new = orders with every 7th price nudged; classify each key.

@@ -1395,3 +1395,44 @@ def incremental_winnow_pairs(
         .filter(F.col("shared_fps") >= min_shared)
         .select("id_new", "id_other", "other_is_new", "shared_fps")
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_distance: int = 2,
+    block_prefix: int = 1,
+) -> DataFrame:
+    """Edit-distance (Levenshtein) join — the entity-resolution
+    primitive for joining dirty string keys (names, titles, SKUs)
+    across tables.
+
+    Never all-pairs: candidates must share a lowercase ``block_prefix``
+    AND sit within ``max_distance`` in length (a true lower bound on
+    edit distance — |len(a) - len(b)| <= dist(a, b)), so the join is an
+    equi-join on the block key with a residual length filter; the
+    quadratic Levenshtein kernel only runs on surviving candidates,
+    inside codegen. Raise ``block_prefix`` for bigger tables; prefix
+    blocking misses pairs whose FIRST characters differ — the standard
+    recall/cost dial (document per use).
+
+    Output: left row + right row's key + ``edit_distance``.
+    """
+    lv = F.lower(F.trim(F.col(left_col)))
+    rv = F.lower(F.trim(F.col(right_col)))
+    l = left.withColumn("_lk", lv).withColumn("_lb", F.substring(lv, 1, block_prefix))
+    r = right.select(
+        rv.alias("_rk"), F.substring(rv, 1, block_prefix).alias("_rb"),
+        F.col(right_col).alias("_right_value"),
+    ).dropDuplicates(["_rk"])
+    cand = l.join(r, F.col("_lb") == F.col("_rb")).filter(
+        F.abs(F.length("_lk") - F.length("_rk")) <= max_distance
+    )
+    out = cand.withColumn("edit_distance", F.levenshtein("_lk", "_rk")).filter(
+        F.col("edit_distance") <= max_distance
+    )
+    return out.drop("_lk", "_lb", "_rk", "_rb").withColumnRenamed(
+        "_right_value", f"{right_col}_matched"
+    )

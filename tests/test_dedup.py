@@ -619,3 +619,26 @@ def test_bucket_pairs_lazy_eager_equivalence_randomized(spark):
     unguarded = {(r.id_a, r.id_b) for r in _bucket_pairs(banded, None, eager_probe=False).collect()}
     capped = {(r.id_a, r.id_b) for r in _bucket_pairs(banded, 1000, eager_probe=False).collect()}
     assert unguarded == capped
+
+
+def test_fuzzy_join_blocking_and_distance(spark):
+    from nba_data_pipeline_spark.operators.dedup import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "Apple Inc"), (2, "appel inc"), (3, "Banana Corp"), (4, "Zebra LLC")],
+        "id long, name string",
+    )
+    right = spark.createDataFrame(
+        [("apple inc",), ("banana corpse",), ("aardvark",)], "clean string"
+    )
+    out = fuzzy_join(left, right, "name", "clean", max_distance=2)
+    got = {(r.id, r.clean_matched): r.edit_distance for r in out.collect()}
+    # case/trim-insensitive exact match, and a 2-edit transposition
+    assert got[(1, "apple inc")] == 0
+    assert got[(2, "apple inc")] == 2
+    # 'banana corp' vs 'banana corpse' = 2 edits -> matched
+    assert got[(3, "banana corpse")] == 2
+    # zebra shares no first letter with any right key -> absent
+    assert not any(i == 4 for (i, _) in got)
+    # length-band prunes before the kernel: distance-3 pair never appears
+    assert all(d <= 2 for d in got.values())
