@@ -1568,6 +1568,34 @@ def q_event_transitions(spark, sf):
 
 
 @q(
+    "rolling_window_agg",
+    # 10-minute trailing per-user aggregates; RANGE frame on epoch
+    # micros. Count and an e2-rounded sum: the frame SET is identical
+    # both engines, and value doubles sum in frame order (same order
+    # both sides: single partition-local sorted sweep), rounded to 2dp
+    """SELECT event_id,
+              CAST(rc AS BIGINT) AS rolling_count,
+              ROUND(rs, 2) AS rolling_sum
+       FROM (SELECT event_id,
+                    count(value) OVER w AS rc,
+                    sum(value) OVER w AS rs
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                          RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW))""",
+)
+def q_rolling_window(spark, sf):
+    """Trailing event-time aggregates (operators/windows.py
+    rolling_agg): RANGE frame, one shuffle on the user key."""
+    ev = _t(spark, sf, "events")
+    out = W.rolling_agg(ev, ["user_id"], "ts", "value", 600, aggs=("sum", "count"))
+    return out.select(
+        "event_id",
+        F.col("rolling_count").cast("long").alias("rolling_count"),
+        F.round("rolling_sum", 2).alias("rolling_sum"),
+    )
+
+
+@q(
     "fuzzy_join",
     # entity resolution: corpus source labels joined to a dirty lookup
     # list within edit distance 1, first-char prefix block

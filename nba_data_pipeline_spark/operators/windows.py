@@ -254,3 +254,37 @@ def event_transitions(
         .groupBy(F.col(type_col).alias("from_type"), F.col("_next").alias("to_type"))
         .agg(F.count("*").alias("n"))
     )
+
+
+def rolling_agg(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    window_seconds: int,
+    aggs: Sequence[str] = ("sum", "count", "avg"),
+) -> DataFrame:
+    """Event-time rolling aggregates per key: for each row, aggregate
+    ``value_col`` over the trailing ``window_seconds`` (inclusive of
+    the current row) — moving averages / rates as feature-engineering
+    columns, DISTINCT from ``sliding_agg``: that buckets rows into
+    fixed windows; this computes a per-ROW trailing view.
+
+    RANGE frame on epoch-micros (one shuffle on the key, sort within
+    partitions); ties in ts all see the same frame, so the result is
+    deterministic without a tie-breaker. Output adds
+    ``rolling_<agg>`` columns.
+    """
+    require_temporal(df, ts_col)
+    micros = ts_micros(ts_col)
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(micros)
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    fns = {"sum": F.sum, "count": F.count, "avg": F.avg, "min": F.min, "max": F.max}
+    unknown = [a for a in aggs if a not in fns]
+    if unknown:
+        raise ValueError(f"unknown rolling aggs {unknown}: choose from {sorted(fns)}")
+    cols = {f"rolling_{a}": fns[a](value_col).over(w) for a in aggs}
+    return df.withColumns(cols)

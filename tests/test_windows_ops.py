@@ -127,3 +127,28 @@ def test_event_transitions_counts_within_session_only(spark):
     out = {(r.from_type, r.to_type): r.n for r in event_transitions(
         df, ["user_id"], "ts", "event_type", 3600, order_by=["ts", "event_id"]).collect()}
     assert out == {("a", "b"): 2, ("b", "a"): 1, ("b", "c"): 1}
+
+
+def test_rolling_agg_trailing_range_frame(spark):
+    import datetime as dt
+
+    from nba_data_pipeline_spark.operators.windows import rolling_agg
+
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)  # noqa: E731
+    rows = [
+        (1, t(0), 1.0), (1, t(50), 2.0), (1, t(100), 4.0),  # 60s window
+        (1, t(300), 8.0),                                   # far from the rest
+        (2, t(0), 100.0),                                   # other key isolated
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {(r.user_id, r.ts): (r.rolling_count, r.rolling_sum, r.rolling_avg)
+           for r in rolling_agg(df, ["user_id"], "ts", "value", 60).collect()}
+    assert out[(1, t(0))] == (1, 1.0, 1.0)
+    assert out[(1, t(50))] == (2, 3.0, 1.5)
+    assert out[(1, t(100))] == (2, 6.0, 3.0)   # t(0) fell out of the 60s range
+    assert out[(1, t(300))] == (1, 8.0, 8.0)
+    assert out[(2, t(0))] == (1, 100.0, 100.0)
+
+    import pytest as _p
+    with _p.raises(ValueError, match="unknown rolling aggs"):
+        rolling_agg(df, ["user_id"], "ts", "value", 60, aggs=("median",))
