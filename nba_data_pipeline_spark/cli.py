@@ -37,6 +37,9 @@ PIPELINES = (
     # training-data extension: quality -> dedup -> decontaminate ->
     # split -> pack (plans/corpus_pipeline.py); no season semantics
     "corpus",
+    # continuous-ingest form: gate -> near-dedup -> frozen-LM score ->
+    # corpus MERGE per micro-batch (streaming/ops.py stream_corpus_ingest)
+    "corpus_ingest",
 )
 
 SEASON_TYPES = ("Regular Season", "Playoffs", "Pre Season", "IST")
@@ -60,6 +63,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input", required=True, help="input parquet path(s), comma-separated")
     p.add_argument("--output", required=True, help="output table path")
     p.add_argument("--benchmark", help="corpus: eval-set parquet for decontamination")
+    p.add_argument("--lm_ref", help="corpus_ingest: parquet to fit the frozen scoring LM")
+    p.add_argument("--checkpoint", help="corpus_ingest: streaming checkpoint dir")
+    p.add_argument(
+        "--gate_min_tokens", type=int,
+        help="corpus_ingest: override the rule gate's minimum token count",
+    )
+    p.add_argument(
+        "--gate_stopwords",
+        help="corpus_ingest: comma-separated stopword list for the rule gate "
+             "(override the English defaults for non-English or synthetic corpora)",
+    )
     p.add_argument("--min_quality", type=float, default=0.25)
     p.add_argument("--pack_capacity", type=int, default=2048)
     p.add_argument("--shards", type=int, default=256)
@@ -68,6 +82,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 def parse_args(argv: Sequence[str]) -> argparse.Namespace:
     args = build_parser().parse_args(list(argv))
+    if args.pipeline == "corpus_ingest":
+        if args.lm_ref is None:
+            raise SystemExit("corpus_ingest requires --lm_ref")
+        for flag in ("season", "season_type", "game_id", "player_id", "team_id"):
+            if getattr(args, flag) is not None:
+                raise SystemExit(f"--{flag} does not apply to corpus_ingest")
+        if args.delta:
+            raise SystemExit(
+                "--delta does not apply to corpus_ingest (every batch merges on the id)"
+            )
+        args.seasons = []
+        return args
     if args.pipeline == "corpus":
         if args.benchmark is None:
             raise SystemExit("corpus requires --benchmark")
@@ -136,6 +162,29 @@ def run(argv: Sequence[str], spark: SparkSession | None = None) -> None:
         from .core.session import get_session
 
         spark = get_session(f"cli-{args.pipeline}")
+    if args.pipeline == "corpus_ingest":
+        import os as _os
+
+        from .operators.text import fit_trigram_lm
+        from .streaming.ops import stream_corpus_ingest
+
+        lm = fit_trigram_lm(spark.read.parquet(args.lm_ref), "text")
+        src = spark.read.parquet(args.input.split(",")[0])
+        stream = spark.readStream.schema(src.schema).parquet(args.input.split(",")[0])
+        paths = {k: _os.path.join(args.output, k) for k in ("corpus", "sigs", "pairs", "scores")}
+        gate_kwargs = {}
+        if args.gate_min_tokens is not None:
+            gate_kwargs["min_tokens"] = args.gate_min_tokens
+        if args.gate_stopwords:
+            gate_kwargs["stopwords"] = tuple(
+                w.strip() for w in args.gate_stopwords.split(",") if w.strip()
+            )
+        q = stream_corpus_ingest(
+            stream, lm, paths["corpus"], paths["sigs"], paths["pairs"], paths["scores"],
+            checkpoint_dir=args.checkpoint, gate_kwargs=gate_kwargs or None,
+        )
+        q.awaitTermination()
+        return
     if args.pipeline == "corpus":
         from .plans.corpus_pipeline import corpus_pipeline
 

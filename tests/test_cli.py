@@ -175,3 +175,33 @@ def test_cli_team_name_resolves_to_reference_id():
              "Regular Season", "--player_id", "203999", "--team_id",
              "Seattle SuperSonics", "--input", "i", "--output", "o"]
         )
+
+
+def test_cli_corpus_ingest_streams_to_four_tables(spark, tmp_path):
+    import os
+
+    from nba_data_pipeline_spark.cli import parse_args, run
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    good = "the quick brown fox jumps and runs with great energy today " * 6
+    spark.createDataFrame(
+        [(1, good), (2, "tiny")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run(
+        ["corpus_ingest", "--input", src, "--output", out,
+         "--lm_ref", src, "--checkpoint", ckpt,
+         "--gate_min_tokens", "10"],
+        spark=spark,
+    )
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    assert {r.doc_id for r in corpus.collect()} == {1}  # runt gated out
+    assert spark.read.parquet(os.path.join(out, "scores")).count() == 1
+
+    import pytest as _p
+    with _p.raises(SystemExit, match="lm_ref"):
+        parse_args(["corpus_ingest", "--input", src, "--output", out])
+    with _p.raises(SystemExit, match="does not apply"):
+        parse_args(["corpus_ingest", "--input", src, "--output", out,
+                    "--lm_ref", src, "--season", "2024-25"])
