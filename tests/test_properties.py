@@ -248,3 +248,76 @@ def test_pack_sequences_accounts_every_token_once(spark):
         # by at least one doc start or covered by a long doc spanning it
         packs = [r.pack_id for r in rs]
         assert packs == sorted(packs)
+
+
+def test_merge_intervals_matches_naive_reference(spark):
+    """300 random interval sets per key vs an independent sweep-line
+    merge; includes duplicates, containment, adjacency, singletons."""
+    from nba_data_pipeline_spark.operators.asof import merge_intervals
+
+    rows = []
+    expected = {}
+    for key in range(60):
+        n = RNG.randint(1, 12)
+        ivs = []
+        for _ in range(n):
+            lo = RNG.randint(0, 100)
+            hi = lo + RNG.randint(0, 30)
+            ivs.append((lo, hi))
+            rows.append((key, lo, hi))
+        merged = []
+        for lo, hi in sorted(ivs):
+            if merged and lo <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], hi), merged[-1][2] + 1)
+            else:
+                merged.append((lo, hi, 1))
+        expected[key] = sorted((lo, hi, c) for lo, hi, c in merged)
+    df = spark.createDataFrame(rows, "k long, lo long, hi long")
+    out = merge_intervals(df, ["k"], "lo", "hi")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.k, []).append((r.lo, r.hi, r.n_merged))
+    got = {k: sorted(v) for k, v in got.items()}
+    assert got == expected
+
+
+def test_funnel_matches_naive_reference(spark):
+    """Random event streams vs a per-user Python scan of the ordered
+    first-completion chain."""
+    import datetime as dt
+
+    from nba_data_pipeline_spark.operators.windows import funnel_steps
+
+    steps = ["a", "b", "c"]
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    per_user = {}
+    for u in range(80):
+        n = RNG.randint(1, 10)
+        evs = sorted(
+            (t0 + dt.timedelta(seconds=RNG.randint(0, 1000)), RNG.choice("abcd"))
+            for _ in range(n)
+        )
+        per_user[u] = evs
+        rows += [(u, ty, ts) for ts, ty in evs]
+    expected = {}
+    for u, evs in per_user.items():
+        times, prev = [], None
+        for step in steps:
+            nxt = min(
+                (ts for ts, ty in evs if ty == step and (prev is None or ts > prev)),
+                default=None,
+            )
+            times.append(nxt)
+            if nxt is None:
+                times += [None] * (len(steps) - len(times))
+                break
+            prev = nxt
+        if times[0] is not None:
+            expected[u] = tuple(times)
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {
+        r.user: (r.step_1_ts, r.step_2_ts, r.step_3_ts)
+        for r in funnel_steps(df, "user_id", "event_type", "ts", steps).collect()
+    }
+    assert got == expected
