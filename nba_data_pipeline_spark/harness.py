@@ -1568,6 +1568,72 @@ def q_event_transitions(spark, sf):
 
 
 @q(
+    "winsorize_values",
+    # per-type clip to [p05, p95]; output rounded to 4dp so the last
+    # ulp of each engine's quantile interpolation can't flip the hash
+    """WITH qs AS (SELECT event_type,
+                          quantile_cont(value, 0.05) AS qlo,
+                          quantile_cont(value, 0.95) AS qhi
+                   FROM events GROUP BY 1)
+       SELECT event_id,
+              ROUND(LEAST(GREATEST(value, qlo), qhi), 4) AS value_winsorized
+       FROM events JOIN qs USING (event_type)""",
+)
+def q_winsorize(spark, sf):
+    """Per-group winsorization (operators/quality.py winsorize):
+    grouped quantile pass broadcast back, map-only clip."""
+    from .operators.quality import winsorize
+
+    ev = _t(spark, sf, "events")
+    out = winsorize(ev, ["event_type"], "value", 0.05, 0.95)
+    return out.select("event_id", F.round("value_winsorized", 4).alias("value_winsorized"))
+
+
+@q(
+    "profile_drift",
+    # drift between the orders snapshot and a degraded copy (every 3rd
+    # clerk NULLed, status collapsed to one value): flags must fire on
+    # the tampered columns and stay quiet on the stable key column
+    """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus FROM orders),
+         n AS (SELECT o_orderkey,
+                      CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_custkey END AS o_custkey,
+                      'F' AS o_orderstatus
+               FROM orders),
+         po AS (SELECT * FROM (
+            SELECT 'o_orderkey' AS col, CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS nr, count(DISTINCT o_orderkey) AS nd FROM o
+            UNION ALL SELECT 'o_custkey', CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)/count(*), count(DISTINCT o_custkey) FROM o
+            UNION ALL SELECT 'o_orderstatus', CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS DOUBLE)/count(*), count(DISTINCT o_orderstatus) FROM o)),
+         pn AS (SELECT * FROM (
+            SELECT 'o_orderkey' AS col, CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS nr, count(DISTINCT o_orderkey) AS nd FROM n
+            UNION ALL SELECT 'o_custkey', CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)/count(*), count(DISTINCT o_custkey) FROM n
+            UNION ALL SELECT 'o_orderstatus', CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS DOUBLE)/count(*), count(DISTINCT o_orderstatus) FROM n))
+       SELECT po.col AS "column",
+              abs(pn.nr - po.nr) > 0.05 AS null_rate_drift,
+              (CAST(pn.nd AS DOUBLE)/po.nd < 0.5 OR CAST(pn.nd AS DOUBLE)/po.nd > 1.5) AS distinct_drift,
+              (abs(pn.nr - po.nr) > 0.05 OR CAST(pn.nd AS DOUBLE)/po.nd < 0.5
+               OR CAST(pn.nd AS DOUBLE)/po.nd > 1.5) AS drifted
+       FROM po JOIN pn ON po.col = pn.col""",
+)
+def q_profile_drift(spark, sf):
+    """Statistics drift flags (operators/quality.py profile_drift):
+    two single-scan profiles joined per column; exact distincts so the
+    oracle compares flag-for-flag."""
+    from .operators.quality import profile_drift
+
+    orders = _t(spark, sf, "orders")
+    old = orders.select("o_orderkey", "o_custkey", "o_orderstatus")
+    new = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        F.lit("F").alias("o_orderstatus"),
+    )
+    out = profile_drift(old, new, exact_distinct=True)
+    return out.select("column", "null_rate_drift", "distinct_drift", "drifted")
+
+
+@q(
     "rolling_window_agg",
     # 10-minute trailing per-user aggregates; RANGE frame on epoch
     # micros. Count and an e2-rounded sum: the frame SET is identical

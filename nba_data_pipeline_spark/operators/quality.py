@@ -193,3 +193,82 @@ def profile_table(
         ]
     )
     return wide.select(F.explode(structs).alias("p")).select("p.*")
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lower_q: float = 0.01,
+    upper_q: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group winsorization: clip ``value_col`` to the [lower_q,
+    upper_q] exact quantiles of its group — the standard heavy-tail
+    guard before training on numeric features. Same shape as
+    ``outlier_flags``: one grouped quantile pass, broadcast back,
+    map-only clip. Output adds ``<value>_winsorized`` (or ``out_col``).
+    """
+    if not 0.0 <= lower_q < upper_q <= 1.0:
+        raise ValueError("need 0 <= lower_q < upper_q <= 1")
+    keys = list(group_cols)
+    out_col = out_col or f"{value_col}_winsorized"
+    qs = df.groupBy(*keys).agg(
+        F.expr(f"percentile({value_col}, {lower_q})").alias("_qlo"),
+        F.expr(f"percentile({value_col}, {upper_q})").alias("_qhi"),
+    )
+    return (
+        df.join(F.broadcast(qs), keys)
+        .withColumn(
+            out_col,
+            F.least(F.greatest(F.col(value_col), F.col("_qlo")), F.col("_qhi")),
+        )
+        .drop("_qlo", "_qhi")
+    )
+
+
+def profile_drift(
+    old: DataFrame,
+    new: DataFrame,
+    cols: Sequence[str] | None = None,
+    null_rate_tol: float = 0.05,
+    distinct_ratio_tol: float = 0.5,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """Schema/statistics drift between two table versions: join the two
+    ``profile_table`` outputs per column and flag suspicious movement —
+    null-rate jumps beyond ``null_rate_tol`` (absolute) and distinct
+    cardinality swinging by more than ``distinct_ratio_tol`` (relative).
+    The monitoring check that catches a silently broken upstream feed
+    before it trains into a model. Two single-scan profiles + a
+    columns-sized join; approx distincts (the monitoring default).
+    Output: (column, old/new null rates + distincts, drift flags).
+    """
+    po = profile_table(old, cols, exact_distinct).select(
+        "column",
+        (F.col("n_nulls") / F.col("n_rows")).alias("null_rate_old"),
+        F.col("n_distinct").alias("distinct_old"),
+    )
+    pn = profile_table(new, cols, exact_distinct).select(
+        "column",
+        (F.col("n_nulls") / F.col("n_rows")).alias("null_rate_new"),
+        F.col("n_distinct").alias("distinct_new"),
+    )
+    joined = po.join(pn, "column", "full_outer")
+    null_jump = (
+        F.abs(F.coalesce("null_rate_new", F.lit(1.0)) - F.coalesce("null_rate_old", F.lit(1.0)))
+        > null_rate_tol
+    )
+    ratio = F.try_divide(
+        F.col("distinct_new").cast("double"), F.col("distinct_old").cast("double")
+    )
+    distinct_swing = (
+        ratio.isNull() | (ratio < 1 - distinct_ratio_tol) | (ratio > 1 + distinct_ratio_tol)
+    )
+    return joined.withColumns(
+        {
+            "null_rate_drift": null_jump,
+            "distinct_drift": distinct_swing,
+            "drifted": null_jump | distinct_swing,
+        }
+    )

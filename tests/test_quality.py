@@ -109,3 +109,38 @@ def test_profile_table_one_row_per_column(spark):
     # approx mode returns plausible counts without the expand
     ap = {r.column: r.n_distinct for r in profile_table(df).collect()}
     assert all(v >= 1 for v in ap.values())
+
+
+def test_winsorize_clips_to_group_quantiles(spark):
+    import pytest as _p
+
+    from nba_data_pipeline_spark.operators.quality import winsorize
+
+    rows = [("a", float(v)) for v in range(1, 101)] + [("b", 5.0), ("b", 500.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = winsorize(df, ["grp"], "v", 0.01, 0.99)
+    a = [r.v_winsorized for r in out.filter("grp = 'a'").collect()]
+    assert min(a) >= 1.9 and max(a) <= 99.2  # p01/p99 of 1..100 interpolated
+    assert sorted(a)[50] == 51.0             # interior values untouched
+    b = sorted(r.v_winsorized for r in out.filter("grp = 'b'").collect())
+    assert b[0] >= 5.0 and b[1] <= 500.0     # two-point group well-defined
+    with _p.raises(ValueError):
+        winsorize(df, ["grp"], "v", 0.9, 0.1)
+
+
+def test_profile_drift_flags_tampered_columns(spark):
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.operators.quality import profile_drift
+
+    old = spark.range(0, 300).select(
+        F.col("id"), (F.col("id") % 50).alias("cat"), F.lit("x").alias("s")
+    )
+    new = old.select(
+        "id",
+        F.when(F.col("id") % 2 == 0, F.lit(None).cast("long")).otherwise(F.col("cat")).alias("cat"),
+        F.lit("x").alias("s"),
+    )
+    out = {r.column: r for r in profile_drift(old, new, exact_distinct=True).collect()}
+    assert out["cat"].null_rate_drift and out["cat"].drifted
+    assert not out["id"].drifted and not out["s"].drifted
