@@ -3417,6 +3417,75 @@ def q_semantic_decontaminate(spark, sf):
 
 
 @q(
+    "jl_distortion_gate",
+    # constant-verdict oracle: 64d -> 16d JL projection. Two checks:
+    # (1) MEDIAN relative squared-distance distortion over same-label
+    # pairs <= 0.5 (JL per-pair bound ~sqrt(ln n/16) ≈ 0.6; measured
+    # ~0.17 after the variance-correct sqrt(3/k) scale). (2) PLANTED
+    # near-duplicates survive: isotropic random vectors concentrate —
+    # every inter-point distance is within the distortion of every
+    # other, so generic NN identity is NOT preservable (measured 5%
+    # top-1 agreement, by nature not bug) — but a planted 1%-scaled
+    # copy sits far inside the bulk gap and must stay its probe's
+    # nearest neighbor after projection (>= 90% of 20 probes; JL is
+    # linear so the planted geometry projects exactly).
+    """SELECT 'median_distortion' AS metric, TRUE AS ok
+       UNION ALL SELECT 'planted_nn_preserved', TRUE ORDER BY metric""",
+)
+def q_jl_distortion_gate(spark, sf):
+    """JL random projection quality gate (operators/similarity.py
+    jl_project)."""
+    from .operators.similarity import jl_project
+
+    emb = _t(spark, sf, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.col("label"),
+        F.transform("embedding", lambda x: x * 1.01).alias("embedding"),
+    )
+    base = emb.select("vec_id", "label", "embedding").unionByName(planted)
+    proj = jl_project(base, "embedding", 64, 16).localCheckpoint()
+    sq = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    a = proj.select(
+        F.col("vec_id").alias("id_a"), F.col("label"),
+        F.col("embedding").alias("va"), F.col("embedding_jl").alias("pa"),
+    )
+    b = proj.select(
+        F.col("vec_id").alias("id_b"), F.col("label"),
+        F.col("embedding").alias("vb"), F.col("embedding_jl").alias("pb"),
+    )
+    pairs = (
+        a.filter(F.col("id_a") < 1_000_000)
+        .join(b.filter(F.col("id_b") < 1_000_000), "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("d_orig", sq(F.col("va"), F.col("vb")))
+        .withColumn("d_proj", sq(F.col("pa"), F.col("pb")))
+        .filter(F.col("d_orig") > 0)
+        .withColumn("rel_err", F.abs(F.col("d_proj") - F.col("d_orig")) / F.col("d_orig"))
+    )
+    med = pairs.agg(F.expr("percentile(rel_err, 0.5)").alias("m")).collect()[0]["m"]
+    probes = proj.filter((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 1_000_000)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding_jl").alias("qp")
+    )
+    cand = proj.select(F.col("vec_id").alias("cid"), F.col("embedding_jl").alias("cp"))
+    joined = probes.join(cand, F.col("qid") != F.col("cid")).select(
+        "qid", "cid", sq(F.col("qp"), F.col("cp")).alias("dp")
+    )
+    w_p = Window.partitionBy("qid").orderBy(F.col("dp"), F.col("cid"))
+    nn = joined.withColumn("r", F.row_number().over(w_p)).filter("r = 1")
+    frac = nn.agg(
+        F.avg((F.col("cid") == F.col("qid") + 1_000_000).cast("double")).alias("f")
+    ).collect()[0]["f"]
+    return spark.createDataFrame(
+        [("median_distortion", bool(med <= 0.5)), ("planted_nn_preserved", bool(frac >= 0.9))],
+        "metric string, ok boolean",
+    ).orderBy("metric")
+
+
+@q(
     "cosine_neardup",
     """SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
               ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))

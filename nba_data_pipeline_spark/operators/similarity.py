@@ -132,6 +132,38 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def jl_project(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    out_dim: int,
+    seed: int = 42,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: map ``dim``-dimensional
+    embeddings to ``out_dim`` with a fixed pseudo-random matrix — the
+    standard cheap pre-ANN reduction (pairwise distances preserved
+    within ~sqrt(ln n / out_dim) distortion w.h.p.).
+
+    The projection matrix reuses the LSH `_hyperplanes` LCG (same
+    determinism story: reproducible across runs and engines, no numpy
+    in the plan). Those entries are U[-1, 1] with variance 1/3, so the
+    JL scale is sqrt(3/out_dim) — with the usual 1/sqrt(out_dim) the
+    projected squared distances would systematically shrink 3x
+    (measured exactly that before the fix). Each output component is
+    one broadcast-literal dot product — pure Column exprs in codegen,
+    no shuffle, no UDF. Output column defaults to ``<vec>_jl``.
+    """
+    if out_dim < 1 or dim < 1:
+        raise ValueError("dim and out_dim must be >= 1")
+    scale = (3.0 / out_dim) ** 0.5
+    planes = _hyperplanes(dim, out_dim, seed)
+    comps = [
+        dot(vec_col, F.array(*[F.lit(v) for v in row])) * scale for row in planes
+    ]
+    return df.withColumn(out_col or f"{vec_col}_jl", F.array(*comps))
+
+
 def lsh_bucket(vec_col: Column | str, dim: int, n_planes: int = 12, seed: int = 42) -> Column:
     """Sign-of-dot-product LSH bucket id (int in [0, 2^n_planes))."""
     bucket = F.lit(0).cast("long")

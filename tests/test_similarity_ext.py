@@ -280,3 +280,37 @@ def test_ranking_metrics_mrr_recall_and_zero_hit_queries(spark):
     assert out[1].recall_at_k == 0.5 and out[1].mrr == 0.5
     assert out[2].n_hits_at_k == 0 and out[2].mrr == 0.0 and out[2].recall_at_k == 0.0
     assert out[3].n_hits_at_k == 0 and out[3].mrr == 0.0  # absent query still scored
+
+
+def test_jl_project_variance_correct_scale(spark):
+    """Projected squared distances must be UNBIASED estimates of the
+    originals (the sqrt(3/k) scale for U[-1,1] entries): over many
+    pairs the mean ratio sits near 1, not near 1/3."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.operators.similarity import jl_project
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    proj = jl_project(df, "embedding", 64, 16)
+    sq = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda a, x: a + x
+    )
+    a = proj.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"), F.col("embedding_jl").alias("pa"))
+    b = proj.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"), F.col("embedding_jl").alias("pb"))
+    pairs = a.crossJoin(b).filter("ia < ib").select(
+        (sq(F.col("pa"), F.col("pb")) / sq(F.col("va"), F.col("vb"))).alias("ratio")
+    )
+    mean_ratio = pairs.agg(F.avg("ratio")).collect()[0][0]
+    assert 0.85 <= mean_ratio <= 1.15, mean_ratio
+    # deterministic across calls; output dimension honored
+    r1 = proj.select("embedding_jl").collect()
+    r2 = jl_project(df, "embedding", 64, 16).select("embedding_jl").collect()
+    assert r1 == r2 and len(r1[0][0]) == 16
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        jl_project(df, "embedding", 64, 0)
