@@ -1568,6 +1568,26 @@ def q_event_transitions(spark, sf):
 
 
 @q(
+    "sample_k_per_group",
+    # deterministic 5-per-source document sample (Knuth-hash order)
+    """SELECT source, doc_id FROM (
+         SELECT source, doc_id,
+                row_number() OVER (
+                  PARTITION BY source
+                  ORDER BY ((doc_id * 2654435761) % 4294967296) % 10000, doc_id
+                ) AS rn
+         FROM documents) WHERE rn <= 5""",
+)
+def q_sample_k_per_group(spark, sf):
+    """Deterministic k-per-group sample (operators/sampling.py
+    sample_k_per_group)."""
+    from .operators.sampling import sample_k_per_group
+
+    docs = _t(spark, sf, "documents")
+    return sample_k_per_group(docs, ["source"], "doc_id", 5).select("source", "doc_id")
+
+
+@q(
     "winsorize_values",
     # per-type clip to [p05, p95]; output rounded to 4dp so the last
     # ulp of each engine's quantile interpolation can't flip the hash

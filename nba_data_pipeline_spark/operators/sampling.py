@@ -472,3 +472,29 @@ def dsir_scores(
             "log_w_e6",
         )
     )
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic k rows per group: order each group by the Knuth
+    hash of the id (pseudo-random but stable across runs, engines, and
+    retries — same determinism contract as ``deterministic_sample``)
+    and keep the first k. The eyeball-a-few-per-domain primitive; one
+    shuffle on the group key, partition-local sort.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = Window.partitionBy(*group_cols).orderBy(
+        hash_bucket(id_col, BUCKETS), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

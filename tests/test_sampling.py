@@ -293,3 +293,26 @@ def test_pack_sequences_group_cols_isolate_splits(spark):
         key = (r.split, r.shard)
         first_pack[key] = min(first_pack[key], r.pack_id)
     assert all(v == 0 for v in first_pack.values()), dict(first_pack)
+
+
+def test_sample_k_per_group_deterministic(spark):
+    import pytest as _p
+
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.operators.sampling import sample_k_per_group
+
+    df = spark.range(0, 200).withColumn("grp", (F.col("id") % 4).cast("string"))
+    a = sample_k_per_group(df, ["grp"], "id", 7)
+    got = {(r.grp, r.id) for r in a.collect()}
+    # exactly 7 per group, identical across reruns and repartitioning
+    from collections import Counter
+    counts = Counter(g for g, _ in got)
+    assert set(counts.values()) == {7} and len(counts) == 4
+    again = {(r.grp, r.id) for r in sample_k_per_group(df.repartition(11), ["grp"], "id", 7).collect()}
+    assert got == again
+    # groups smaller than k return whole group
+    tiny = spark.createDataFrame([("x", 1), ("x", 2)], "grp string, id long")
+    assert sample_k_per_group(tiny, ["grp"], "id", 10).count() == 2
+    with _p.raises(ValueError):
+        sample_k_per_group(df, ["grp"], "id", 0)
