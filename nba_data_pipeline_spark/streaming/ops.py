@@ -286,3 +286,40 @@ def stream_corpus_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the attribution shape
+    (impression joined to the click that follows it within
+    ``max_delay``). Works identically on batch frames (the time-bound
+    join condition alone) and on streams, where BOTH sides carry
+    watermarks so the engine can bound join state: a left row's state
+    is dropped once the right watermark passes its ts + max_delay —
+    without the bound, stream-stream join state grows forever.
+
+    Join condition: same key AND right_ts in [left_ts, left_ts +
+    max_delay]. Inner join (unmatched rows age out silently); switch to
+    leftOuter downstream if unmatched lefts must surface after timeout.
+    """
+    import re
+
+    m = re.match(r"(\d+)\s*(second|minute|hour)s?", max_delay)
+    if not m:
+        raise ValueError(f"unparseable max_delay {max_delay!r}")
+    secs = int(m.group(1)) * {"second": 1, "minute": 60, "hour": 3600}[m.group(2)]
+    l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    r = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {secs} SECONDS"))
+    )
+    return l.join(r, cond, "inner").drop(r[key])

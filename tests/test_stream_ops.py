@@ -271,3 +271,47 @@ def test_stream_corpus_ingest_composed_pipeline(spark, tmp_path):
     )
     after = {k: spark.read.parquet(p).count() for k, p in paths.items()}
     assert after == before
+
+
+def test_interval_join_streams_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (attribution): streaming result ==
+    batch result on the same data; late/out-of-window rows excluded."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from nba_data_pipeline_spark.streaming.ops import interval_join_streams
+
+    t0 = dt.datetime(2024, 1, 1)
+    imp_schema = T.StructType([T.StructField("user_id", T.LongType()),
+                               T.StructField("imp_ts", T.TimestampType()),
+                               T.StructField("imp_id", T.LongType())])
+    clk_schema = T.StructType([T.StructField("user_id", T.LongType()),
+                               T.StructField("clk_ts", T.TimestampType()),
+                               T.StructField("clk_id", T.LongType())])
+    imps = [(1, t0, 100), (1, t0 + dt.timedelta(minutes=30), 101), (2, t0, 102)]
+    clks = [
+        (1, t0 + dt.timedelta(minutes=5), 900),    # matches imp 100
+        (1, t0 + dt.timedelta(minutes=32), 901),   # matches imp 101 only
+        (2, t0 - dt.timedelta(minutes=1), 902),    # click BEFORE impression: no match
+        (2, t0 + dt.timedelta(minutes=20), 903),   # outside 10m window: no match
+    ]
+    ip, cp = str(tmp_path / "imp"), str(tmp_path / "clk")
+    spark.createDataFrame(imps, imp_schema).write.parquet(ip)
+    spark.createDataFrame(clks, clk_schema).write.parquet(cp)
+
+    batch = interval_join_streams(
+        spark.read.parquet(ip), spark.read.parquet(cp),
+        "user_id", "imp_ts", "clk_ts", "10 minutes",
+    )
+    expected = {(r.imp_id, r.clk_id) for r in batch.collect()}
+    assert expected == {(100, 900), (101, 901)}
+
+    ls = spark.readStream.schema(imp_schema).parquet(ip)
+    rs = spark.readStream.schema(clk_schema).parquet(cp)
+    out = interval_join_streams(ls, rs, "user_id", "imp_ts", "clk_ts", "10 minutes")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("attrib_t").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.imp_id, r.clk_id) for r in spark.sql("SELECT * FROM attrib_t").collect()}
+    assert got == expected
