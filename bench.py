@@ -33,6 +33,9 @@ HEADLINE = [
     "asof_join",
     "range_join_buckets",
     "tumbling_window",
+    "funnel_counts",
+    "rolling_window_agg",
+    "table_diff",
     "json_extract",
     "token_stats",
     "quality_scores",
