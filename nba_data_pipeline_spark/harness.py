@@ -1568,6 +1568,31 @@ def q_event_transitions(spark, sf):
 
 
 @q(
+    "length_bucketed_batches",
+    # padded-batch construction: 8 Knuth shards, batches of 16 by
+    # ascending length within a shard; batch_max_len makes padding
+    # waste auditable
+    """SELECT doc_id, shard, batch_id,
+              CAST(max(n_chars) OVER (PARTITION BY shard, batch_id) AS BIGINT)
+                AS batch_max_len
+       FROM (SELECT doc_id, n_chars,
+                    CAST(((doc_id * 2654435761) % 4294967296) % 8 AS INTEGER) AS shard,
+                    CAST((row_number() OVER (
+                           PARTITION BY ((doc_id * 2654435761) % 4294967296) % 8
+                           ORDER BY n_chars, doc_id) - 1) // 16 AS BIGINT) AS batch_id
+             FROM documents)""",
+)
+def q_length_bucketed(spark, sf):
+    """Length-bucketed batch assignment (operators/sampling.py
+    length_bucketed_batches)."""
+    from .operators.sampling import length_bucketed_batches
+
+    docs = _t(spark, sf, "documents")
+    out = length_bucketed_batches(docs, "doc_id", "n_chars", 16, n_shards=8)
+    return out.select("doc_id", "shard", "batch_id", "batch_max_len")
+
+
+@q(
     "sample_k_per_group",
     # deterministic 5-per-source document sample (Knuth-hash order)
     """SELECT source, doc_id FROM (

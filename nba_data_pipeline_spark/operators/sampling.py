@@ -498,3 +498,39 @@ def sample_k_per_group(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    id_col: str,
+    length_col: str,
+    batch_size: int,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Length-bucketed batch assignment — the PADDED-batch counterpart
+    to ``pack_sequences`` (concat-and-chunk): group similar-length
+    rows into fixed-size batches so per-batch padding waste
+    (max_len - each_len) stays small, the standard dynamic-batching
+    trick for fine-tuning workloads.
+
+    Scale shape: rows land in ``n_shards`` Knuth-hash shards; WITHIN a
+    shard they sort by (length, id) and take consecutive runs of
+    ``batch_size`` — one shuffle, per-shard local sort, no global sort.
+    Batches never span shards, so batch membership is deterministic
+    and independent of cluster partitioning. Output adds (shard,
+    batch_id, batch_max_len) — padding waste is auditable as
+    sum(batch_max_len - length).
+    """
+    from pyspark.sql import Window
+
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
+    sharded = df.withColumn("shard", hash_bucket(id_col, n_shards).cast("int"))
+    w = Window.partitionBy("shard").orderBy(F.col(length_col), F.col(id_col))
+    with_batch = sharded.withColumn(
+        "batch_id", ((F.row_number().over(w) - 1) / batch_size).cast("long")
+    )
+    wb = Window.partitionBy("shard", "batch_id")
+    return with_batch.withColumn(
+        "batch_max_len", F.max(length_col).over(wb).cast("long")
+    )

@@ -316,3 +316,42 @@ def test_sample_k_per_group_deterministic(spark):
     assert sample_k_per_group(tiny, ["grp"], "id", 10).count() == 2
     with _p.raises(ValueError):
         sample_k_per_group(df, ["grp"], "id", 0)
+
+
+def test_length_bucketed_batches_bounds_padding(spark):
+    import pytest as _p
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.operators.sampling import length_bucketed_batches
+
+    df = spark.range(0, 400).select(
+        F.col("id"), (F.pmod(F.col("id") * 37, F.lit(997))).alias("length")
+    )
+    out = length_bucketed_batches(df, "id", "length", 10, n_shards=4)
+    rows = out.collect()
+    assert len(rows) == 400
+    # every batch holds <= 10 rows; batch_max_len is the true max
+    from collections import defaultdict
+    batches = defaultdict(list)
+    for r in rows:
+        batches[(r.shard, r.batch_id)].append(r)
+    for key, rs in batches.items():
+        assert len(rs) <= 10
+        assert all(r.batch_max_len == max(x.length for x in rs) for r in rs)
+    # length bucketing beats random batching on padding waste
+    waste = sum(r.batch_max_len - r.length for r in rows)
+    rand_waste = 0
+    import random
+    rng = random.Random(0)
+    pool = [(r.id, r.length) for r in rows]
+    rng.shuffle(pool)
+    for i in range(0, len(pool), 10):
+        chunk = pool[i:i + 10]
+        m = max(l for _, l in chunk)
+        rand_waste += sum(m - l for _, l in chunk)
+    assert waste < 0.5 * rand_waste, (waste, rand_waste)
+    # deterministic across partitioning
+    again = length_bucketed_batches(df.repartition(7), "id", "length", 10, n_shards=4)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+    with _p.raises(ValueError):
+        length_bucketed_batches(df, "id", "length", 0)
