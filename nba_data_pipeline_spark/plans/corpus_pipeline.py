@@ -130,3 +130,39 @@ def corpus_summary(result: DataFrame) -> DataFrame:
         F.round(F.avg("quality_score"), 4).alias("avg_quality"),
         F.round(F.avg("dup_bigram_ratio"), 4).alias("avg_dup_bigram"),
     )
+
+
+def release_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    out_dir: str,
+    n_output_shards: int = 64,
+    seed: int = 0,
+    **pipeline_kwargs,
+) -> dict[str, dict[str, int]]:
+    """The last mile: run the full ``corpus_pipeline`` and materialize a
+    TRAINER-READY dataset release on disk — one shuffled parquet shard
+    tree per split (``<out_dir>/<split>/shard=*/``) via
+    ``sinks.writer.write_training_shards``, plus the ``corpus_summary``
+    audit row set at ``<out_dir>/_summary``.
+
+    Per-split sharding matters: a loader must be able to open train
+    without touching val/test bytes, and the shard shuffle key is
+    independent of the split assignment (different hash inputs), so
+    shard membership can't correlate with the leakage-safe split.
+    Returns {split: {'rows': n, 'shards': k}}.
+    """
+    import os
+
+    from ..sinks.writer import write_training_shards
+
+    result = corpus_pipeline(docs, benchmark, **pipeline_kwargs).localCheckpoint()
+    stats: dict[str, dict[str, int]] = {}
+    splits = [r["split"] for r in result.select("split").distinct().collect()]
+    for split in sorted(s for s in splits if s is not None):
+        part = result.filter(F.col("split") == split)
+        stats[split] = write_training_shards(
+            part, os.path.join(out_dir, split), n_output_shards, ["doc_id"], seed=seed
+        )
+    corpus_summary(result).write.mode("overwrite").parquet(os.path.join(out_dir, "_summary"))
+    return stats

@@ -67,3 +67,38 @@ def test_corpus_pipeline_is_deterministic(spark):
     ra = sorted(map(tuple, a.select(*cols).collect()))
     rb = sorted(map(tuple, b.select(*cols).collect()))
     assert ra == rb and len(ra) > 0
+
+
+def test_release_corpus_writes_per_split_shards(spark, tmp_path):
+    import os
+
+    from nba_data_pipeline_spark.plans.corpus_pipeline import release_corpus
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today "
+    docs = spark.createDataFrame(
+        [(i, base + f"variant {i} " + "filler words here and there " * 3) for i in range(60)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(999, "completely separate benchmark sentence with unique words")],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "release")
+    stats = release_corpus(
+        docs, bench, out, n_output_shards=4,
+        min_quality=0.0, max_dup_bigram_ratio=1.0, near_dup_threshold=0.9,
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    assert set(stats) <= {"train", "val", "test"} and "train" in stats
+    total = sum(s["rows"] for s in stats.values())
+    for split, s in stats.items():
+        d = os.path.join(out, split)
+        back = spark.read.parquet(d)
+        assert back.count() == s["rows"]
+        dirs = {x for x in os.listdir(d) if x.startswith("shard=")}
+        assert dirs and dirs <= {f"shard={i}" for i in range(4)}  # small splits may skip shards
+        # no cross-split leakage on disk: every row carries its split
+        assert {r.split for r in back.select("split").distinct().collect()} == {split}
+    summary = spark.read.parquet(os.path.join(out, "_summary"))
+    assert {r.split for r in summary.collect()} >= set(stats)
+    assert total == sum(r.n_docs for r in summary.collect() if r.split in stats)
