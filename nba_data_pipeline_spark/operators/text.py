@@ -338,8 +338,38 @@ def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def bm25_scores(
+def bm25_index(
     corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the reusable BM25 index artifacts — ONE corpus pass that
+    production persists (e.g. parquet bucketed by term) and amortizes
+    over every query batch, instead of re-exploding 100 TB per search:
+
+    returns ``(tf, doclen, dfreq)`` where tf = (doc_id, term, tf),
+    doclen = (doc_id, dl), dfreq = (term, doc_freq). ``bm25_scores``
+    accepts these via ``index=``; corpus growth is handled by MERGEing
+    fresh batch postings into the persisted tables (same incremental
+    contract as the signature tables in streaming.ops).
+    """
+    postings = corpus.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = postings.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    doclen = corpus.select(
+        F.col(id_col).alias("doc_id"), token_count(text_col).cast("long").alias("dl")
+    )
+    dfreq = (
+        postings.dropDuplicates(["doc_id", "term"])
+        .groupBy("term")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    return tf, doclen, dfreq
+
+
+def bm25_scores(
+    corpus: DataFrame | None,
     query_df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -347,6 +377,7 @@ def bm25_scores(
     query_text_col: str = "query_text",
     k1: float = 1.2,
     b: float = 0.75,
+    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Okapi BM25 ranked retrieval, fully relational.
 
@@ -369,23 +400,21 @@ def bm25_scores(
 
     Output: (query_id, doc_id, bm25_e6) — one row per (query, matching
     doc); docs sharing no term with the query are absent by design.
+
+    Pass ``index=bm25_index(...)`` (or the same frames read back from
+    persisted tables) to skip the corpus pass entirely — the
+    production path; ``corpus`` may then be None.
     """
-    postings = corpus.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
-    )
-    tf = postings.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    doclen = corpus.select(
-        F.col(id_col).alias("doc_id"), token_count(text_col).cast("long").alias("dl")
-    )
+    if index is not None:
+        tf, doclen, dfreq = index
+    else:
+        if corpus is None:
+            raise ValueError("provide either corpus or index")
+        tf, doclen, dfreq = bm25_index(corpus, id_col, text_col)
     totals = doclen.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("total_tokens")
     ).collect()[0]
     n_docs, avgdl = totals["n_docs"], totals["total_tokens"] / totals["n_docs"]
-    dfreq = (
-        postings.dropDuplicates(["doc_id", "term"])
-        .groupBy("term")
-        .agg(F.count("*").alias("doc_freq"))
-    )
     qterms = (
         query_df.select(
             F.col(query_id_col).alias("query_id"),

@@ -323,3 +323,59 @@ def interval_join_streams(
         & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {secs} SECONDS"))
     )
     return l.join(r, cond, "inner").drop(r[key])
+
+
+def classifier_score_batch(
+    batch_df: DataFrame,
+    weights: DataFrame,
+    intercept: float,
+    scores_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_features: int = 1024,
+) -> None:
+    """One continuous-ingest LEARNED-quality-scoring step: score the
+    batch under a FROZEN classifier (``quality_model.fit_quality_classifier``
+    — fit once on the labeled sample, weights broadcast every batch)
+    and MERGE into the persisted score table keyed on the id. Pure
+    function of (document, frozen weights) -> replay-idempotent, the
+    same contract as ``quality_score_batch`` (the n-gram LM variant).
+    """
+    from ..operators.quality_model import quality_model_scores
+    from ..sinks.writer import upsert_table
+
+    scored = quality_model_scores(
+        batch_df, weights, intercept, id_col, text_col, n_features
+    ).select(id_col, "quality_logit", "quality_prob")
+    upsert_table(batch_df.sparkSession, scored, scores_path, key=id_col)
+
+
+def stream_classifier_scores(
+    stream_df: DataFrame,
+    weights: DataFrame,
+    intercept: float,
+    scores_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_features: int = 1024,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    query_name: str = "stream_classifier_scores",
+):
+    """Model-based quality scoring as a Structured Streaming query —
+    the learned companion to ``stream_quality_scores``. The model
+    never refits in-stream (version it with the corpus snapshot);
+    per-batch cost is one explode + broadcast weight join over the
+    batch only."""
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        classifier_score_batch(
+            batch_df, weights, intercept, scores_path, id_col, text_col, n_features
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process).queryName(query_name)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -315,3 +315,49 @@ def test_interval_join_streams_matches_batch(spark, tmp_path):
     q.awaitTermination()
     got = {(r.imp_id, r.clk_id) for r in spark.sql("SELECT * FROM attrib_t").collect()}
     assert got == expected
+
+
+def test_stream_classifier_scores_replay_idempotent(spark, tmp_path):
+    from pyspark.sql import functions as F, types as T
+
+    from nba_data_pipeline_spark.operators.quality_model import (
+        fit_quality_classifier,
+        quality_model_scores,
+    )
+    from nba_data_pipeline_spark.operators.text import tokens
+    from nba_data_pipeline_spark.streaming.ops import (
+        classifier_score_batch,
+        stream_classifier_scores,
+    )
+
+    labeled = spark.createDataFrame(
+        [(i, ("good quality prose here" if i % 2 else "junk spam noise") + f" pad{i % 3}",
+          1 if i % 2 else 0) for i in range(24)],
+        "doc_id long, text string, label int",
+    )
+    weights, b = fit_quality_classifier(labeled, "label", n_features=256)
+    scores_path = str(tmp_path / "clf_scores")
+
+    b1 = spark.createDataFrame([(100, "good quality prose here"), (101, "junk spam noise")],
+                               "doc_id long, text string")
+    b2 = spark.createDataFrame([(102, "more quality prose")], "doc_id long, text string")
+    classifier_score_batch(b1, weights, b, scores_path, n_features=256)
+    classifier_score_batch(b2, weights, b, scores_path, n_features=256)
+    classifier_score_batch(b1, weights, b, scores_path, n_features=256)  # redelivery
+    table = {r.doc_id: r.quality_prob for r in spark.read.parquet(scores_path).collect()}
+    assert set(table) == {100, 101, 102}
+    direct = {r.doc_id: r.quality_prob for r in quality_model_scores(
+        b1.unionByName(b2), weights, b, n_features=256).collect()}
+    assert all(abs(table[k] - direct[k]) < 1e-12 for k in direct)
+    assert table[100] > table[101]  # learned separation survives the stream
+
+    # real streaming query over a parquet source
+    src = str(tmp_path / "clf_src")
+    b1.write.parquet(src)
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_classifier_scores(stream, weights, b, scores_path, n_features=256,
+                                 query_name="clf_stream_t")
+    q.awaitTermination()
+    assert spark.read.parquet(scores_path).count() == 3  # still converged

@@ -424,3 +424,35 @@ def test_hard_negatives_excludes_positives_and_reranks(spark):
     full = {r.doc_id: r.bm25_e6 for r in bm25_topk(cdf, qdf, k=10).collect()}
     expected = sorted((s, -d) for d, s in full.items() if d != top[0].doc_id)[::-1][:2]
     assert [( -x[1]) for x in expected] == neg_ids
+
+
+def test_bm25_index_reuse_matches_direct(spark, tmp_path):
+    """Persisted-index path == direct path: write the index artifacts
+    to parquet, read them back, query — identical scores."""
+    from nba_data_pipeline_spark.operators.text import bm25_index, bm25_scores
+
+    corpus = spark.createDataFrame(
+        [(1, "spark shuffle join spark"), (2, "window agg shuffle"), (3, "join filter")],
+        "doc_id long, text string",
+    )
+    qdf = spark.createDataFrame([(10, "spark join")], "query_id long, query_text string")
+    direct = {(r.query_id, r.doc_id): r.bm25_e6 for r in bm25_scores(corpus, qdf).collect()}
+
+    tf, dl, dfreq = bm25_index(corpus)
+    paths = {}
+    for name, df in [("tf", tf), ("dl", dl), ("df", dfreq)]:
+        p = str(tmp_path / name)
+        df.write.parquet(p)
+        paths[name] = p
+    idx = (
+        spark.read.parquet(paths["tf"]),
+        spark.read.parquet(paths["dl"]),
+        spark.read.parquet(paths["df"]),
+    )
+    via_index = {(r.query_id, r.doc_id): r.bm25_e6
+                 for r in bm25_scores(None, qdf, index=idx).collect()}
+    assert via_index == direct and direct
+
+    import pytest as _p
+    with _p.raises(ValueError, match="corpus or index"):
+        bm25_scores(None, qdf)
