@@ -1613,6 +1613,42 @@ def q_sample_k_per_group(spark, sf):
 
 
 @q(
+    "normalize_rank",
+    # percent_rank per event type: pure rank arithmetic, engine-exact
+    # up to the (rank-1)/(n-1) double quotient of exact integers
+    """SELECT event_id,
+              percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS value_norm
+       FROM events""",
+)
+def q_normalize_rank(spark, sf):
+    """Distribution-free rank normalization (operators/quality.py
+    normalize_features method='rank')."""
+    from .operators.quality import normalize_features
+
+    ev = _t(spark, sf, "events")
+    out = normalize_features(ev, ["event_type"], "value", method="rank")
+    return out.select("event_id", "value_norm")
+
+
+@q(
+    "normalize_minmax",
+    # min-max per type; 6dp rounding guards the subtraction/division ulps
+    """WITH s AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+                  FROM events GROUP BY 1)
+       SELECT event_id, ROUND((value - lo) / (hi - lo), 6) AS value_norm
+       FROM events JOIN s USING (event_type)""",
+)
+def q_normalize_minmax(spark, sf):
+    """Min-max normalization (operators/quality.py normalize_features
+    method='minmax')."""
+    from .operators.quality import normalize_features
+
+    ev = _t(spark, sf, "events")
+    out = normalize_features(ev, ["event_type"], "value", method="minmax")
+    return out.select("event_id", F.round("value_norm", 6).alias("value_norm"))
+
+
+@q(
     "winsorize_values",
     # per-type clip to [p05, p95]; output rounded to 4dp so the last
     # ulp of each engine's quantile interpolation can't flip the hash

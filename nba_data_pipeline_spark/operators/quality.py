@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -272,3 +272,44 @@ def profile_drift(
             "drifted": null_jump | distinct_swing,
         }
     )
+
+
+def normalize_features(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    method: str = "zscore",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group feature normalization, the three standard forms:
+
+    - ``zscore``: (x - mean) / stddev_pop (NULL for constant groups via
+      try_divide, never a divide-by-zero error under ANSI mode)
+    - ``minmax``: (x - min) / (max - min), same constant-group contract
+    - ``rank``: percent_rank — distribution-free, outlier-immune, the
+      right choice before quantile-bucketed mixing
+
+    zscore/minmax: one grouped stats aggregate broadcast back (map-only
+    normalize). rank: one window pass (shuffle + partition-local sort —
+    inherently order-based). Output in ``<value>_norm`` by default.
+    """
+    keys = list(group_cols)
+    out_col = out_col or f"{value_col}_norm"
+    if method == "rank":
+        w = Window.partitionBy(*keys).orderBy(F.col(value_col))
+        return df.withColumn(out_col, F.percent_rank().over(w))
+    if method == "zscore":
+        stats = df.groupBy(*keys).agg(
+            F.avg(value_col).alias("_m"), F.stddev_pop(value_col).alias("_s")
+        )
+        norm = F.try_divide(F.col(value_col) - F.col("_m"), F.col("_s"))
+        drop = ["_m", "_s"]
+    elif method == "minmax":
+        stats = df.groupBy(*keys).agg(
+            F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi")
+        )
+        norm = F.try_divide(F.col(value_col) - F.col("_lo"), F.col("_hi") - F.col("_lo"))
+        drop = ["_lo", "_hi"]
+    else:
+        raise ValueError(f"unknown method {method!r}: zscore, minmax, or rank")
+    return df.join(F.broadcast(stats), keys).withColumn(out_col, norm).drop(*drop)

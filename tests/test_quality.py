@@ -144,3 +144,25 @@ def test_profile_drift_flags_tampered_columns(spark):
     out = {r.column: r for r in profile_drift(old, new, exact_distinct=True).collect()}
     assert out["cat"].null_rate_drift and out["cat"].drifted
     assert not out["id"].drifted and not out["s"].drifted
+
+
+def test_normalize_features_three_methods(spark):
+    import pytest as _p
+
+    from nba_data_pipeline_spark.operators.quality import normalize_features
+
+    rows = [("a", 0.0), ("a", 5.0), ("a", 10.0), ("b", 7.0), ("b", 7.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    mm = sorted(r.v_norm for r in normalize_features(df, ["grp"], "v", "minmax").filter("grp='a'").collect())
+    assert mm == [0.0, 0.5, 1.0]
+    z = {r.v: r.v_norm for r in normalize_features(df, ["grp"], "v", "zscore").filter("grp='a'").collect()}
+    assert abs(z[5.0]) < 1e-12 and z[0.0] < 0 < z[10.0]
+    # constant group: NULL, not an ANSI divide-by-zero error
+    const = normalize_features(df, ["grp"], "v", "zscore").filter("grp='b'").collect()
+    assert all(r.v_norm is None for r in const)
+    const_mm = normalize_features(df, ["grp"], "v", "minmax").filter("grp='b'").collect()
+    assert all(r.v_norm is None for r in const_mm)
+    rk = sorted(r.v_norm for r in normalize_features(df, ["grp"], "v", "rank").filter("grp='a'").collect())
+    assert rk == [0.0, 0.5, 1.0]
+    with _p.raises(ValueError, match="unknown method"):
+        normalize_features(df, ["grp"], "v", "log")
