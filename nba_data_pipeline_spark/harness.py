@@ -3925,6 +3925,128 @@ def q_quality_classifier_gate(spark, sf):
 
 
 @q(
+    "corpus_pipeline_relational",
+    # the WHOLE corpus pipeline, oracle-checked end-to-end: quality +
+    # repetition gates -> exact dedup -> ngram-Jaccard near-dedup ->
+    # recursive-CTE connected components -> keep-one -> 5-gram
+    # decontamination -> leakage-safe split on the cluster id -> packed
+    # windows. Every stage reuses an already-proven oracle fragment
+    # (quality_scores, repetition_metrics, prefix_dedup, ngram_jaccard,
+    # dedup_assign, decontaminate, train_val_test_split,
+    # pack_sequences). The minhash variant stays rows-only
+    # (xxhash64-based); this ngram variant pins the COMPOSITION.
+    """WITH RECURSIVE
+       raw AS (SELECT doc_id, text, lang, n_chars // 64 AS len_band FROM documents
+               WHERE doc_id % 97 <> 0),
+       feats AS (
+         SELECT doc_id, text, lang, len_band,
+                CAST(length(text) AS BIGINT) AS n_chars2,
+                list_filter(string_split(text, ' '), x -> x <> '') AS l
+         FROM raw),
+       gated AS (
+         SELECT doc_id, text, lang, len_band, CAST(len(l) AS BIGINT) AS n_tokens
+         FROM (
+           SELECT *, CAST(len(l) AS BIGINT) AS nt,
+                  CAST(len(list_filter(l, x -> lower(x) IN ('the','and','of','is','a'))) AS BIGINT) AS n_stop,
+                  CAST(n_chars2 AS DOUBLE) / len(l) AS avg_tok
+           FROM feats)
+         WHERE (least(nt / 64.0, 1.0) * 0.4
+                + (CASE WHEN avg_tok >= 3.0 AND avg_tok <= 8.0 THEN 1.0 ELSE 0.0 END) * 0.3
+                + least((CAST(n_stop AS DOUBLE) / nt) * 4.0, 1.0) * 0.3) >= 0.25
+           AND (CASE WHEN len(l) < 2 THEN 0.0 ELSE
+                  ROUND(1.0 - CAST(len(list_distinct(list_transform(range(1, len(l)),
+                        i -> l[i] || ' ' || l[i + 1]))) AS DOUBLE) / (len(l) - 1), 6) END) <= 0.5),
+       canon AS (
+         SELECT min(doc_id) AS doc_id
+         FROM (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nrm
+               FROM gated)
+         GROUP BY nrm),
+       u AS (SELECT g.* FROM gated g JOIN canon USING (doc_id)),
+       sh3 AS (
+         SELECT doc_id, lang, len_band,
+                list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                    i -> string_split(text, ' ')[i] || ' ' ||
+                         string_split(text, ' ')[i + 1] || ' ' ||
+                         string_split(text, ' ')[i + 2])) AS s
+         FROM u),
+       pairs0 AS (
+         SELECT a.doc_id AS s, b.doc_id AS d
+         FROM sh3 a JOIN sh3 b ON a.lang = b.lang AND a.len_band = b.len_band
+                            AND a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(a.s || b.s)) >= 0.3),
+       edges AS (SELECT s, d FROM pairs0 UNION SELECT d, s FROM pairs0),
+       walk(v, lab) AS (
+         SELECT s, s FROM (SELECT DISTINCT s FROM edges) t
+         UNION
+         SELECT e.d, w.lab FROM walk w JOIN edges e ON e.s = w.v),
+       comp AS (SELECT v AS doc_id, MIN(lab) AS component_id FROM walk GROUP BY v),
+       assigned AS (
+         SELECT u.*, CAST(COALESCE(c.component_id, u.doc_id) AS BIGINT) AS component_id
+         FROM u LEFT JOIN comp c USING (doc_id)),
+       surv AS (SELECT * FROM assigned WHERE doc_id = component_id),
+       sh5 AS (
+         SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 3),
+             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3] || ' ' ||
+                  string_split(text, ' ')[i+4])) AS s
+         FROM surv WHERE len(string_split(text, ' ')) >= 5),
+       bgrams AS (
+         SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 3),
+             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3] || ' ' ||
+                  string_split(text, ' ')[i+4]))) AS g
+         FROM documents WHERE doc_id % 97 = 0 AND len(string_split(text, ' ')) >= 5),
+       dirty AS (
+         SELECT DISTINCT c.doc_id FROM (SELECT doc_id, unnest(s) AS g FROM sh5) c
+         JOIN bgrams b ON c.g = b.g),
+       clean AS (SELECT * FROM surv ANTI JOIN dirty USING (doc_id)),
+       split AS (
+         SELECT *, CASE WHEN ((component_id * 2654435761) % 4294967296) % 10000 < 8000 THEN 'train'
+                        WHEN ((component_id * 2654435761) % 4294967296) % 10000 < 9000 THEN 'val'
+                        ELSE 'test' END AS split,
+                CAST(((doc_id * 2654435761) % 4294967296) % 16 AS BIGINT) AS shard
+         FROM clean),
+       packed AS (
+         SELECT doc_id, component_id, split, shard, n_tokens,
+                CAST(COALESCE(SUM(n_tokens) OVER (
+                  PARTITION BY split, shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                  AS start_offset
+         FROM split)
+       SELECT doc_id, component_id, split, shard, n_tokens, start_offset,
+              CAST(FLOOR(start_offset / 256.0) AS BIGINT) AS pack_id
+       FROM packed""",
+)
+def q_corpus_pipeline_relational(spark, sf):
+    """The full training-corpus pipeline with the SQL-expressible
+    near-dedup (plans/corpus_pipeline.py, pair_method='ngram'):
+    end-to-end composition pinned against one DuckDB oracle."""
+    from .plans.corpus_pipeline import corpus_pipeline
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") % 97 != 0).withColumn(
+        "len_band", F.expr("n_chars div 64")
+    )
+    bench = _t(spark, sf, "documents").filter(F.col("doc_id") % 97 == 0)
+    out = corpus_pipeline(
+        docs, bench,
+        min_quality=0.25, max_dup_bigram_ratio=0.5, near_dup_threshold=0.3,
+        decontam_n=5, fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+        pack_capacity=256, num_shards=16,
+        pair_method="ngram", pair_block_cols=["lang", "len_band"],
+    )
+    return out.select(
+        "doc_id",
+        F.col("component_id").cast("long").alias("component_id"),
+        "split",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("start_offset").cast("long").alias("start_offset"),
+        F.col("pack_id").cast("long").alias("pack_id"),
+    )
+
+
+@q(
     "gopher_gate",
     # Gopher A1.1 document rule battery, thresholds tuned so the
     # synthetic corpus produces a keep/drop mix (its vocabulary has
@@ -5372,7 +5494,10 @@ _DRIVER_WINDOW = [
     "quality_classifier_gate",
     "ngram_jaccard", "dedup_assign", "connected_components", "line_dedup",
     "decontaminate", "pack_sequences", "leakage_safe_split", "ann_recall",
-    "lsh_quality_gate", "rerank_topk", "cosine_neardup", "corpus_pipeline",
+    "lsh_quality_gate", "rerank_topk", "cosine_neardup",
+    # the composition flagship, full-oracle form (the minhash variant
+    # stays registered as the rows-only production path)
+    "corpus_pipeline_relational",
     "lineup_validation",
 ]
 

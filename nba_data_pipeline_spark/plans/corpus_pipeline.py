@@ -43,6 +43,8 @@ def corpus_pipeline(
     fractions: dict[str, float] | None = None,
     pack_capacity: int = 2048,
     num_shards: int = 256,
+    pair_method: str = "minhash",
+    pair_block_cols: list[str] | None = None,
 ) -> DataFrame:
     """Raw docs -> packed, split, decontaminated training rows.
 
@@ -86,14 +88,29 @@ def corpus_pipeline(
         .localCheckpoint(eager=False)
     )
 
-    # 3. near-dedup cluster + keep-one
-    pairs = minhash_lsh_pairs(
-        kept, id_col, text_col, num_perm=32, bands=16,
-        threshold=near_dup_threshold,
-        # keep plan construction action-free: take the unconditional
-        # widths join-back instead of the eager max-width probe
-        eager_probe=False,
-    )
+    # 3. near-dedup cluster + keep-one. pair_method picks the candidate
+    # generator: "minhash" (default — banded LSH, the 100-TB path) or
+    # "ngram" (inverted-index Jaccard with ``pair_block_cols`` blocking
+    # — fully SQL-expressible, so the WHOLE pipeline becomes
+    # oracle-checkable end-to-end; see the corpus_pipeline_relational
+    # registry entry)
+    if pair_method == "minhash":
+        pairs = minhash_lsh_pairs(
+            kept, id_col, text_col, num_perm=32, bands=16,
+            threshold=near_dup_threshold,
+            # keep plan construction action-free: take the unconditional
+            # widths join-back instead of the eager max-width probe
+            eager_probe=False,
+        )
+    elif pair_method == "ngram":
+        from ..operators.dedup import ngram_jaccard_pairs
+
+        pairs = ngram_jaccard_pairs(
+            kept, id_col, text_col, list(pair_block_cols or []),
+            n=3, threshold=near_dup_threshold,
+        ).select("id_a", "id_b")
+    else:
+        raise ValueError(f"unknown pair_method {pair_method!r}: minhash or ngram")
     assigned = dedup_assign(kept, id_col, pairs)
     # second fan-out point: survivors feed both the decontamination
     # explode and the final anti-join

@@ -102,3 +102,30 @@ def test_release_corpus_writes_per_split_shards(spark, tmp_path):
     summary = spark.read.parquet(os.path.join(out, "_summary"))
     assert {r.split for r in summary.collect()} >= set(stats)
     assert total == sum(r.n_docs for r in summary.collect() if r.split in stats)
+
+
+def test_corpus_pipeline_ngram_variant_matches_minhash_on_obvious_dups(spark):
+    """Both pair methods must collapse the same obvious duplicate
+    cluster; pair_method only changes the candidate generator."""
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.plans.corpus_pipeline import corpus_pipeline
+
+    base = "the quick brown fox jumps over the lazy dog and runs away again today "
+    docs = spark.createDataFrame(
+        [(1, base * 3), (2, base * 3 + "tiny tail"), (3, "a wholly different document "
+          "with its own words and phrases that is long enough to pass the gate " * 2)],
+        "doc_id long, text string",
+    ).withColumn("len_band", F.lit(0))
+    bench = spark.createDataFrame([(99, "benchmark only sentence")], "doc_id long, text string")
+    kw = dict(min_quality=0.0, max_dup_bigram_ratio=1.0, near_dup_threshold=0.5,
+              fractions={"train": 1.0}, pack_capacity=64, num_shards=2)
+    a = corpus_pipeline(docs, bench, pair_method="minhash", **kw)
+    b = corpus_pipeline(docs, bench, pair_method="ngram", pair_block_cols=["len_band"], **kw)
+    for out in (a, b):
+        ids = {r.doc_id for r in out.select("doc_id").collect()}
+        assert ids == {1, 3}  # doc 2 collapsed into doc 1's cluster
+
+    import pytest as _p
+    with _p.raises(ValueError, match="pair_method"):
+        corpus_pipeline(docs, bench, pair_method="bogus")
