@@ -40,6 +40,9 @@ PIPELINES = (
     # continuous-ingest form: gate -> near-dedup -> frozen-LM score ->
     # corpus MERGE per micro-batch (streaming/ops.py stream_corpus_ingest)
     "corpus_ingest",
+    # full dataset release: pipeline -> per-split shuffled shard trees
+    # + audit summary (plans/corpus_pipeline.py release_corpus)
+    "corpus_release",
 )
 
 SEASON_TYPES = ("Regular Season", "Playoffs", "Pre Season", "IST")
@@ -82,6 +85,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 def parse_args(argv: Sequence[str]) -> argparse.Namespace:
     args = build_parser().parse_args(list(argv))
+    if args.pipeline == "corpus_release":
+        if args.benchmark is None:
+            raise SystemExit("corpus_release requires --benchmark")
+        for flag in ("season", "season_type", "game_id", "player_id", "team_id"):
+            if getattr(args, flag) is not None:
+                raise SystemExit(f"--{flag} does not apply to corpus_release")
+        args.seasons = []
+        return args
     if args.pipeline == "corpus_ingest":
         if args.lm_ref is None:
             raise SystemExit("corpus_ingest requires --lm_ref")
@@ -162,6 +173,20 @@ def run(argv: Sequence[str], spark: SparkSession | None = None) -> None:
         from .core.session import get_session
 
         spark = get_session(f"cli-{args.pipeline}")
+    if args.pipeline == "corpus_release":
+        from .plans.corpus_pipeline import release_corpus
+
+        stats = release_corpus(
+            spark.read.parquet(*args.input.split(",")),
+            spark.read.parquet(args.benchmark),
+            args.output,
+            n_output_shards=args.shards,
+            min_quality=args.min_quality,
+            pack_capacity=args.pack_capacity,
+        )
+        for split, st in sorted(stats.items()):
+            print(f"{split}: {st['rows']} rows in {st['shards']} shards")
+        return
     if args.pipeline == "corpus_ingest":
         import os as _os
 

@@ -205,3 +205,28 @@ def test_cli_corpus_ingest_streams_to_four_tables(spark, tmp_path):
     with _p.raises(SystemExit, match="does not apply"):
         parse_args(["corpus_ingest", "--input", src, "--output", out,
                     "--lm_ref", src, "--season", "2024-25"])
+
+
+def test_cli_corpus_release(spark, tmp_path, capsys):
+    import os
+
+    from nba_data_pipeline_spark.cli import run
+
+    src = str(tmp_path / "docs")
+    bench = str(tmp_path / "bench")
+    out = str(tmp_path / "rel")
+    base = "the quick brown fox jumps over the lazy dog near the river bank today "
+    spark.createDataFrame(
+        [(i, base + f"variant {i} extra words of filler text here") for i in range(40)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    spark.createDataFrame(
+        [(99, "separate benchmark sentence entirely")], "doc_id long, text string"
+    ).write.parquet(bench)
+    run(["corpus_release", "--input", src, "--output", out,
+         "--benchmark", bench, "--min_quality", "0.0", "--shards", "2",
+         "--pack_capacity", "64"], spark=spark)
+    assert os.path.isdir(os.path.join(out, "train"))
+    assert spark.read.parquet(os.path.join(out, "_summary")).count() >= 1
+    printed = capsys.readouterr().out
+    assert "train:" in printed
