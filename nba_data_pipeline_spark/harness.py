@@ -1844,6 +1844,54 @@ def q_profile_table(spark, sf):
 
 
 @q(
+    "top_paths",
+    # most common 3-step in-session paths; deterministic top-20
+    """WITH s AS (
+         SELECT user_id, event_id, ts, event_type,
+                SUM(CASE WHEN gap_us IS NULL OR gap_us > 3600000000 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         FROM (SELECT user_id, event_id, ts, event_type,
+                      epoch_us(ts) - lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+               FROM events)),
+       p AS (
+         SELECT event_type || '>' ||
+                lead(event_type, 1) OVER w || '>' ||
+                lead(event_type, 2) OVER w AS path,
+                lead(event_type, 2) OVER w AS last_step
+         FROM s WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts, event_id))
+       SELECT path, CAST(count(*) AS BIGINT) AS n
+       FROM p WHERE last_step IS NOT NULL
+       GROUP BY path ORDER BY n DESC, path LIMIT 20""",
+)
+def q_top_paths(spark, sf):
+    """Session path mining (operators/windows.py top_paths)."""
+    ev = _t(spark, sf, "events")
+    return W.top_paths(
+        ev, ["user_id"], "ts", "event_type", 3600, path_len=3, k=20,
+        order_by=["ts", "event_id"],
+    )
+
+
+@q(
+    "activity_profile",
+    # per-user (dow, hour) fingerprint; calendar terms are pure
+    # epoch-integer arithmetic (UTC), no timezone functions
+    """SELECT user_id,
+              CAST(((epoch_us(ts) // 1000000) // 86400 + 4) % 7 AS BIGINT) AS dow,
+              CAST(((epoch_us(ts) // 1000000) // 3600) % 24 AS BIGINT) AS hour,
+              CAST(count(*) AS BIGINT) AS n
+       FROM events GROUP BY 1, 2, 3""",
+)
+def q_activity_profile(spark, sf):
+    """Weekly activity fingerprint (operators/windows.py
+    activity_profile)."""
+    ev = _t(spark, sf, "events")
+    return W.activity_profile(ev, "user_id", "ts")
+
+
+@q(
     "outlier_flags",
     # per-type z-score + IQR-fence outliers. Only the FLAGS are
     # driver-compared (means/quantiles differ across engines in the

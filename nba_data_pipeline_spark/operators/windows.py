@@ -288,3 +288,73 @@ def rolling_agg(
         raise ValueError(f"unknown rolling aggs {unknown}: choose from {sorted(fns)}")
     cols = {f"rolling_{a}": fns[a](value_col).over(w) for a in aggs}
     return df.withColumns(cols)
+
+
+def top_paths(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    ts_col: str,
+    type_col: str,
+    gap_seconds: int,
+    path_len: int = 3,
+    k: int = 20,
+    order_by: Sequence[str | Column] | None = None,
+) -> DataFrame:
+    """Most common length-``path_len`` event paths within sessions —
+    path mining (the n-gram generalization of ``event_transitions``):
+    consecutive event-type runs counted corpus-wide, top-k by
+    frequency.
+
+    Same plan family as event_transitions: sessionize (one shuffle on
+    the user key), ``path_len - 1`` lead windows on the SAME
+    partitioning (no extra shuffle — Spark reuses the user-key
+    clustering), one hash aggregate on the path string, TakeOrdered
+    for the top-k (no global sort).
+    Output: (path, n) with path like 'view>click>purchase'.
+    """
+    if path_len < 2:
+        raise ValueError("path_len must be >= 2")
+    sess = sessionize(df, partition_by, ts_col, gap_seconds, order_by=order_by)
+    order = _order_cols(order_by) if order_by else [F.col(ts_col)]
+    w = Window.partitionBy(*partition_by, "session_id").orderBy(*order)
+    # window expressions must land as columns before the filter (Spark
+    # rejects window functions inside WHERE)
+    stepped = sess.withColumns(
+        {f"_s{i}": F.lead(type_col, i).over(w) for i in range(1, path_len)}
+    )
+    path = F.concat_ws(">", F.col(type_col), *[F.col(f"_s{i}") for i in range(1, path_len)])
+    counted = (
+        stepped.filter(F.col(f"_s{path_len - 1}").isNotNull())  # truncated runs drop
+        .withColumn("_path", path)
+        .groupBy(F.col("_path").alias("path"))
+        .agg(F.count("*").alias("n"))
+    )
+    return counted.orderBy(F.col("n").desc(), "path").limit(k)
+
+
+def activity_profile(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Per-user weekly activity fingerprint: event counts by
+    (day-of-week, hour-of-day) — the behavioral profile behind
+    bot/anomaly detection and engagement cohorts.
+
+    Calendar terms come from pure epoch-integer arithmetic (UTC):
+    dow = (epoch_days + 4) % 7 (0 = Sunday; epoch day 0 was a
+    Thursday), hour = (epoch_secs // 3600) % 24 — engine-portable, no
+    timezone/calendar functions. One hash aggregate.
+    """
+    require_temporal(df, ts_col)
+    secs = (ts_micros(ts_col) / F.lit(1_000_000)).cast("long")
+    dow = F.pmod((secs / F.lit(86_400)).cast("long") + 4, F.lit(7))
+    hour = F.pmod((secs / F.lit(3_600)).cast("long"), F.lit(24))
+    return (
+        df.groupBy(
+            F.col(user_col).alias("user_id"),
+            dow.cast("long").alias("dow"),
+            hour.cast("long").alias("hour"),
+        )
+        .agg(F.count("*").alias("n"))
+    )

@@ -152,3 +152,34 @@ def test_rolling_agg_trailing_range_frame(spark):
     import pytest as _p
     with _p.raises(ValueError, match="unknown rolling aggs"):
         rolling_agg(df, ["user_id"], "ts", "value", 60, aggs=("median",))
+
+
+def test_top_paths_and_activity_profile(spark):
+    import datetime as dt
+
+    from nba_data_pipeline_spark.operators.windows import activity_profile, top_paths
+
+    t = lambda m: dt.datetime(2024, 1, 7, 10, 0) + dt.timedelta(minutes=m)  # a Sunday
+    rows = [
+        (1, 1, "a", t(0)), (1, 2, "b", t(1)), (1, 3, "c", t(2)), (1, 4, "b", t(3)),
+        (2, 5, "a", t(0)), (2, 6, "b", t(1)), (2, 7, "c", t(2)),
+        # session break: the a>b>c run must NOT bridge it
+        (3, 8, "a", t(0)), (3, 9, "b", t(1)), (3, 10, "c", t(200)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, event_type string, ts timestamp")
+    paths = {r.path: r.n for r in top_paths(
+        df, ["user_id"], "ts", "event_type", 3600, path_len=3, k=10,
+        order_by=["ts", "event_id"]).collect()}
+    assert paths["a>b>c"] == 2          # users 1 and 2; user 3's run is split
+    assert paths.get("b>c>b") == 1      # user 1's overlapping path
+    assert "a>b" not in paths           # only full-length paths
+
+    prof = {(r.user_id, r.dow, r.hour): r.n for r in activity_profile(df, "user_id", "ts").collect()}
+    # 2024-01-07 is a Sunday (dow 0), events at 10:00-10:03 UTC
+    assert prof[(1, 0, 10)] == 4 and prof[(2, 0, 10)] == 3
+    # user 3's late event lands ~3h20m later -> hour 13
+    assert prof[(3, 0, 13)] == 1
+
+    import pytest as _p
+    with _p.raises(ValueError, match="path_len"):
+        top_paths(df, ["user_id"], "ts", "event_type", 3600, path_len=1)
