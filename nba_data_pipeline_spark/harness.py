@@ -1892,6 +1892,31 @@ def q_activity_profile(spark, sf):
 
 
 @q(
+    "profile_entropy",
+    # per-user activity entropy (bot signal); -p*ln(p) terms in e6
+    # fixed point before the exact integer sum, p = count quotient
+    """WITH prof AS (
+         SELECT user_id,
+                ((epoch_us(ts) // 1000000) // 86400 + 4) % 7 AS dow,
+                ((epoch_us(ts) // 1000000) // 3600) % 24 AS hour,
+                count(*) AS n
+         FROM events GROUP BY 1, 2, 3),
+       tot AS (SELECT user_id, sum(n) AS total FROM prof GROUP BY 1)
+       SELECT p.user_id,
+              CAST(sum(n) AS BIGINT) AS n_events,
+              CAST(count(*) AS BIGINT) AS n_cells,
+              CAST(SUM(CAST(ROUND(-(CAST(n AS DOUBLE) / total)
+                                  * ln(CAST(n AS DOUBLE) / total) * 1e6) AS BIGINT))
+                   AS BIGINT) AS entropy_e6
+       FROM prof p JOIN tot USING (user_id) GROUP BY p.user_id""",
+)
+def q_profile_entropy(spark, sf):
+    """Behavioral entropy (operators/windows.py profile_entropy)."""
+    ev = _t(spark, sf, "events")
+    return W.profile_entropy(ev, "user_id", "ts")
+
+
+@q(
     "outlier_flags",
     # per-type z-score + IQR-fence outliers. Only the FLAGS are
     # driver-compared (means/quantiles differ across engines in the

@@ -358,3 +358,34 @@ def activity_profile(
         )
         .agg(F.count("*").alias("n"))
     )
+
+
+def profile_entropy(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Shannon entropy of each user's (dow, hour) activity distribution
+    — the classic bot signal (cron traffic concentrates in few cells ->
+    low entropy; organic use spreads -> high). Built on
+    ``activity_profile``; one extra aggregate per user.
+
+    Portability: per-cell terms -p*ln(p) hit e6 fixed point BEFORE the
+    per-user sum (exact integer aggregate, FP-order-free — the BM25 /
+    trigram-LM policy), with p the IEEE-exact quotient of two counts.
+    Output: (user_id, n_events, n_cells, entropy_e6).
+    """
+    prof = activity_profile(df, user_col, ts_col)
+    totals = prof.groupBy("user_id").agg(F.sum("n").alias("_total"))
+    p = F.col("n") / F.col("_total")
+    term_e6 = F.round(-p * F.log(p) * 1e6).cast("long")
+    return (
+        prof.join(totals, "user_id")
+        .withColumn("_t", term_e6)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.count("*").alias("n_cells"),
+            F.sum("_t").alias("entropy_e6"),
+        )
+    )

@@ -183,3 +183,25 @@ def test_top_paths_and_activity_profile(spark):
     import pytest as _p
     with _p.raises(ValueError, match="path_len"):
         top_paths(df, ["user_id"], "ts", "event_type", 3600, path_len=1)
+
+
+def test_profile_entropy_separates_bot_from_organic(spark):
+    import datetime as dt
+    import math
+
+    from nba_data_pipeline_spark.operators.windows import profile_entropy
+
+    rows = []
+    # bot: 48 events all at the exact same (dow, hour) cell
+    for i in range(48):
+        rows.append((1, dt.datetime(2024, 1, 1, 3, 0) + dt.timedelta(seconds=i)))
+    # organic: 48 events spread over 48 distinct hours
+    for i in range(48):
+        rows.append((2, dt.datetime(2024, 1, 1, 0, 30) + dt.timedelta(hours=i)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r.user_id: r for r in profile_entropy(df, "user_id", "ts").collect()}
+    assert out[1].n_cells == 1 and out[1].entropy_e6 == 0
+    assert out[2].n_cells == 48
+    expect = round(math.log(48) * 1e6)  # uniform over 48 cells
+    assert abs(out[2].entropy_e6 - expect) <= 48  # per-term rounding slack
+    assert out[1].n_events == out[2].n_events == 48
