@@ -58,6 +58,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--season_type", choices=SEASON_TYPES)
     p.add_argument("--game_id", help="single game id (XOR with --season/--season_type)")
     p.add_argument("--delta", action="store_true", help="skip already-loaded keys")
+    p.add_argument(
+        "--lineup_impl",
+        choices=("declarative", "exact"),
+        default="declarative",
+        help="play_by_play_with_players lineup engine: declarative "
+        "range-join (default, the scale path) or the reference-exact "
+        "applyInPandas stateful scan",
+    )
     p.add_argument("--player_id", type=int)
     p.add_argument(
         "--team_id",
@@ -263,7 +271,7 @@ def run(argv: Sequence[str], spark: SparkSession | None = None) -> None:
         elif args.pipeline == "players_on_court_at_start_of_period":
             out = P.players_on_court_at_start_of_period(primary)
         elif args.pipeline == "play_by_play_with_players":
-            out = P.play_by_play_with_players(*inputs[:3])
+            out = P.play_by_play_with_players(*inputs[:3], impl=args.lineup_impl)
         else:
             out = P.shot_details(primary, args.player_id, args.team_id, season, stype)
         if args.game_id:

@@ -4137,7 +4137,9 @@ def q_corpus_pipeline_relational(spark, sf):
                 CASE WHEN len(l) = 0 THEN 0.0
                      ELSE CAST(list_sum(list_transform(l, x -> length(x))) AS DOUBLE) / len(l) END AS mean_wl,
                 CASE WHEN len(l) = 0 THEN 0.0
-                     ELSE CAST(length(text) - length(regexp_replace(text, '#|\\.\\.\\.', '', 'g')) AS DOUBLE) / len(l) END AS symbol_ratio,
+                     ELSE CAST((length(text) - length(replace(text, '#', '')))
+                               + (length(text) - length(replace(text, '...', ''))) // 3
+                          AS DOUBLE) / len(l) END AS symbol_ratio,
                 CASE WHEN len(ls) = 0 THEN 0.0
                      ELSE CAST(len(list_filter(ls, x -> regexp_matches(trim(x), '^[-*•]'))) AS DOUBLE) / len(ls) END AS bullet_ratio,
                 CASE WHEN len(ls) = 0 THEN 0.0
@@ -4664,7 +4666,7 @@ def q_bm25(spark, sf):
                   GROUP BY 1)
        SELECT ng.query_id, n_gold,
               CAST(COALESCE(n_hits_at_k, 0) AS BIGINT) AS n_hits_at_k,
-              ROUND(COALESCE(n_hits_at_k, 0) / CAST(LEAST(n_gold, 10) AS DOUBLE), 6) AS recall_at_k,
+              ROUND(COALESCE(n_hits_at_k, 0) / CAST(n_gold AS DOUBLE), 6) AS recall_at_k,
               ROUND(COALESCE(1.0 / first_rank, 0.0), 6) AS mrr
        FROM ng LEFT JOIN hits ON ng.query_id = hits.query_id""",
 )
@@ -5544,34 +5546,40 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rounds; this explicit window front-loads one representative per §2
 # family plus the highest-value extension ops, and everything else
 # keeps its source order after the window.
+# Round-7 rotation (VERDICT r6 task #1): 22 multi-round-driver-green
+# basics rotated out (they stay registered + locally swept; COVERAGE.md
+# keeps the ever-driver-green ledger) in favor of 22 queries that had
+# never earned a driver CORRECTNESS row. One representative per §2
+# family is retained so every family keeps driver evidence.
 _DRIVER_WINDOW = [
-    # §2 scalar/shaping/filter/join/sink basics (P*, F*, J*, S*)
-    "add_id", "fill_nulls", "stamp_literals", "game_id_codec",
-    "clock_to_seconds", "eq_filter", "compound_predicate", "notnull_filter",
-    "string_contains", "in_filter", "exists_probe", "left_anti_delta",
-    "driving_scan_distinct", "broadcast_dim_join", "union_tagged",
-    "range_join_buckets", "merge_upsert", "insert_ignore",
-    "asof_join", "asof_join_nearest",
-    # TPC-H representatives, one per shape family (the remaining 13
-    # stay registered + locally swept, just outside the window)
-    "tpch_q5",   # multi-join with broadcast dims (q1's scan+agg shape
-                 # stays driver-covered via group_agg_suite)
-    "tpch_q12",  # join + conditional aggregation (round-5 red row)
-    # §2 layout/quality/agg/window (S9, A*, O*)
-    "zorder_key", "data_quality_suite", "distinct_multi", "dedup_rows",
-    "dup_key_check", "collect_roundtrip", "stint_rollup_stats",
-    "group_agg_suite", "first_event_per_user",
-    "rank_in_group",
-    # LLM-pipeline extension ops (the brief's training-data surface)
+    # §2 family representatives (rotated-out peers listed in COVERAGE.md)
+    "stamp_literals",      # P3/F9 shaping family
+    "compound_predicate",  # P4-P10 filter family
+    "left_anti_delta",     # J1 delta family (the reference's signature op)
+    "merge_upsert",        # S5/S7 sink family
+    "asof_join",           # J6/asof family
+    "data_quality_suite",  # quality family
+    "dup_key_check",       # A5/S10
+    "stint_rollup_stats",  # A1 rollup family
+    "group_agg_suite",     # A6 agg family
+    "rank_in_group",       # O1 window family
+    # TPC-H rotation: q5/q12 proved green in r6 → rotate to the four
+    # shapes the driver has never checked
+    "tpch_q1", "tpch_q3", "tpch_q17", "tpch_q21",
+    # LLM-pipeline extension ops retained from r6 (first driver-green then)
     "lm_perplexity", "dsir_select", "bm25_search", "gopher_gate",
     "quality_classifier_gate",
     "ngram_jaccard", "dedup_assign", "connected_components", "line_dedup",
     "decontaminate", "pack_sequences", "leakage_safe_split", "ann_recall",
     "lsh_quality_gate", "rerank_topk", "cosine_neardup",
-    # the composition flagship, full-oracle form (the minhash variant
-    # stays registered as the rows-only production path)
     "corpus_pipeline_relational",
     "lineup_validation",
+    # First-time driver checks (never sampled before round 7)
+    "winnow_pairs", "winnow_spans", "dsir_ratios", "lang_id_trigram",
+    "ppl_buckets", "pq_recall", "semdedup_gate", "table_diff",
+    "fuzzy_join", "funnel_counts", "sessionize", "session_window_agg",
+    "top_paths", "profile_entropy", "length_bucketed_batches",
+    "temperature_mixture", "decontaminate_spans", "grouping_sets",
 ]
 
 

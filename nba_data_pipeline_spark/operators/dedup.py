@@ -1423,10 +1423,17 @@ def fuzzy_join(
     lv = F.lower(F.trim(F.col(left_col)))
     rv = F.lower(F.trim(F.col(right_col)))
     l = left.withColumn("_lk", lv).withColumn("_lb", F.substring(lv, 1, block_prefix))
-    r = right.select(
-        rv.alias("_rk"), F.substring(rv, 1, block_prefix).alias("_rb"),
-        F.col(right_col).alias("_right_value"),
-    ).dropDuplicates(["_rk"])
+    # Right-side originals that collapse to the same normalized key
+    # (case/whitespace variants like 'ABC' vs 'abc') are folded
+    # deterministically: min() of the original value survives, so the
+    # reported <col>_matched is stable across runs and partitionings
+    # (dropDuplicates would keep an arbitrary survivor).
+    r = (
+        right.select(rv.alias("_rk"), F.col(right_col).alias("_right_value"))
+        .groupBy("_rk")
+        .agg(F.min("_right_value").alias("_right_value"))
+        .withColumn("_rb", F.substring(F.col("_rk"), 1, block_prefix))
+    )
     cand = l.join(r, F.col("_lb") == F.col("_rb")).filter(
         F.abs(F.length("_lk") - F.length("_rk")) <= max_distance
     )

@@ -90,6 +90,11 @@ def table_diff(
 
     NULL-safe: a NULL in a compared column hashes like any value, and
     hash(NULL-marker) collisions with real values are xxhash64-unlikely.
+    Duplicate-key-safe: keys are NOT required unique — each side folds
+    duplicate keys into an order-free multiset digest (row count +
+    bit-xor of row hashes), so diff_status is deterministic across runs
+    and partitionings even when duplicate keys carry different values
+    (an arbitrary-survivor dropDuplicates would flip between runs).
     Output: key cols + (diff_status string).
     """
     keys = list(keys)
@@ -99,7 +104,11 @@ def table_diff(
 
     def hashed(df: DataFrame, alias: str) -> DataFrame:
         h = F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cmp]) if cmp else F.lit(0)
-        return df.select(*keys, h.alias(alias)).dropDuplicates(keys)
+        return (
+            df.select(*keys, h.alias("_h"))
+            .groupBy(*keys)
+            .agg(F.xxhash64(F.count("*"), F.bit_xor("_h")).alias(alias))
+        )
 
     o = hashed(old, "_h_old")
     n = hashed(new, "_h_new")

@@ -496,9 +496,12 @@ def ranking_metrics(
             F.col("_q").alias(query_col),
             "n_gold",
             F.coalesce("n_hits_at_k", F.lit(0)).cast("long").alias("n_hits_at_k"),
+            # Standard recall@k: hits / n_gold (NOT capped at k) — with
+            # n_gold > k a perfect run scores k/n_gold, the textbook
+            # definition, so numbers compare against published results.
             F.round(
                 F.coalesce("n_hits_at_k", F.lit(0))
-                / F.least(F.col("n_gold"), F.lit(k)).cast("double"),
+                / F.col("n_gold").cast("double"),
                 6,
             ).alias("recall_at_k"),
             F.round(

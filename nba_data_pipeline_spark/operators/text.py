@@ -683,9 +683,15 @@ def gopher_rules(
         F.transform(toks, lambda t: F.length(t)), F.lit(0).cast("long"), lambda a, x: a + x
     )
     mean_wl = F.when(n > 0, total_chars.cast("double") / n).otherwise(F.lit(0.0))
+    # Occurrence counts (not characters removed): each '...' counts 1,
+    # matching the documented Gopher-style symbol-to-word ratio. Plain
+    # (non-regex) replace is engine-portable: non-overlapping
+    # left-to-right in both Spark and DuckDB, so the '...' delta is
+    # always an exact multiple of 3.
+    txt = _col(text_col)
     n_symbols = (
-        F.length(_col(text_col))
-        - F.length(F.regexp_replace(_col(text_col), r"#|\.\.\.", ""))
+        (F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit(""))))
+        + ((F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))) / F.lit(3)).cast("long")
     )
     symbol_ratio = F.when(n > 0, n_symbols.cast("double") / n).otherwise(F.lit(0.0))
     n_bullet = F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]")))
@@ -871,7 +877,7 @@ def remove_contaminated_spans(
 
 
 def normalized_text(text: Column | str, unicode: bool = False) -> Column:
-    """Canonical text form for fuzzy-exact dedup (the cheap tier before
+    r"""Canonical text form for fuzzy-exact dedup (the cheap tier before
     MinHash): lowercase, non-alphanumeric runs collapsed to single
     spaces, trimmed. Catches case/punctuation/whitespace variants with
     one hash-aggregate instead of a pair join.

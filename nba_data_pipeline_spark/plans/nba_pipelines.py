@@ -77,10 +77,26 @@ def play_by_play_with_players(
     team_game_log_df: DataFrame | None = None,
     fallback_lineups: DataFrame | None = None,
     validate_lineups: bool = False,
+    impl: str = "declarative",
 ) -> DataFrame:
     """Reference etl/play_by_play_with_players.py:113-165 as one lazy
-    plan (SURVEY.md §3.3): cogrouped applyInPandas lineup scan, then
-    null-fill + id + (caller-side) duplicate assertion.
+    plan (SURVEY.md §3.3): lineup derivation, then null-fill + id +
+    (caller-side) duplicate assertion.
+
+    ``impl`` selects the lineup engine — both are event-by-event equal
+    on consistent data (cross-checked in tests/test_lineup_property.py
+    and tests/test_pipelines.py):
+
+    - ``"declarative"`` (default): explode + anchored range-join +
+      pivot (``lineups_via_range_join``) — pure DataFrame ops, no
+      Python in the hot path. The bench crossover (COVERAGE.md) shows
+      it ~3-4x faster than the pandas scan at sf0.1; it is the 100-TB
+      path and therefore the default.
+    - ``"exact"``: the cogrouped applyInPandas stateful scan
+      (``track_lineups``) — the reference-faithful imperative form;
+      also the only engine implementing the per-period *fallback
+      lineup repair*, so passing ``fallback_lineups`` selects it
+      regardless of ``impl``.
 
     ``validate_lineups`` enforces the reference's hard invariant
     (:146-149 — exactly five players per team on every event) via the
@@ -88,7 +104,16 @@ def play_by_play_with_players(
     mask missing slots. It is an eager action (one extra pass over the
     tracked frame), so it is opt-in — the reference equivalent raises
     per game inside its loop."""
-    tracked = track_lineups(pbp, rotations_df, team_game_log_df, fallback_lineups)
+    if impl not in ("declarative", "exact"):
+        raise ValueError(f"impl must be 'declarative' or 'exact', got {impl!r}")
+    if impl == "declarative" and fallback_lineups is None:
+        from ..operators.lineups import lineups_via_range_join
+
+        tracked = lineups_via_range_join(pbp, rotations_df, team_game_log_df).drop(
+            "TEAM1_ON_COURT", "TEAM2_ON_COURT"
+        )
+    else:
+        tracked = track_lineups(pbp, rotations_df, team_game_log_df, fallback_lineups)
     if validate_lineups:
         from ..operators.lineups import lineup_expectations
         from ..operators.quality import assert_valid

@@ -408,8 +408,14 @@ def write_training_shards(
         raise ValueError("n_shards must be >= 1")
     if not key_cols:
         raise ValueError("key_cols must name at least one stable id column")
+    # concat_ws SKIPS nulls, which would make ('a', NULL) and (NULL,
+    # 'a') — or just ('a',) — collide; coalesce each key col to an
+    # explicit sentinel so every column always contributes one token.
+    key_parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in key_cols
+    ]
     key = F.conv(
-        F.substring(F.md5(F.concat_ws("\x1f", F.lit(str(seed)), *key_cols)), 1, 15),
+        F.substring(F.md5(F.concat_ws("\x1f", F.lit(str(seed)), *key_parts)), 1, 15),
         16,
         10,
     ).cast("long")
@@ -423,7 +429,11 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
-    return {"rows": df.count(), "shards": n_shards}
+    # Count what was WRITTEN (cheap parquet-footer count) instead of
+    # rescanning + re-hashing the input a second time.
+    spark = df.sparkSession
+    n = spark.read.parquet(path).count()
+    return {"rows": n, "shards": n_shards}
 
 
 def write_csv_golden(df: DataFrame, path: str) -> None:

@@ -1,3 +1,4 @@
+import pytest
 from pyspark.sql import functions as F
 
 from nba_data_pipeline_spark.operators.incremental import assert_unique_key
@@ -40,6 +41,28 @@ def test_play_by_play_with_players_pipeline(spark, pbp_df, rotations_df, team_ga
     assert_unique_key(out, "id")
     row = out.filter(F.col("EVENTNUM") == 100).collect()[0]
     assert [row[f"TEAM1_PLAYER{i}"] for i in range(1, 6)] == [103, 104, 105, 106, 107]
+
+
+def test_play_by_play_with_players_impls_identical(
+    spark, pbp_df, rotations_df, team_game_log_df
+):
+    """Both lineup engines must produce byte-identical pipeline output
+    (VERDICT r6 task #2): the declarative range-join default and the
+    reference-exact applyInPandas scan, run through the full composed
+    pipeline (stamp + id + fill)."""
+    decl = P.play_by_play_with_players(
+        pbp_df, rotations_df, team_game_log_df, impl="declarative"
+    )
+    exact = P.play_by_play_with_players(
+        pbp_df, rotations_df, team_game_log_df, impl="exact"
+    )
+    assert sorted(decl.columns) == sorted(exact.columns)
+    cols = sorted(decl.columns)
+    d = sorted(tuple(r) for r in decl.select(*cols).collect())
+    e = sorted(tuple(r) for r in exact.select(*cols).collect())
+    assert d == e
+    with pytest.raises(ValueError, match="impl"):
+        P.play_by_play_with_players(pbp_df, rotations_df, impl="bogus")
 
 
 def test_incremental_game_ids(spark, team_game_log_df):

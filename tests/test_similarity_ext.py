@@ -277,7 +277,8 @@ def test_ranking_metrics_mrr_recall_and_zero_hit_queries(spark):
     out = {r.query_id: r for r in ranking_metrics(run, gold, k=2).collect()}
     # k=2 truncates the run: q1 keeps ranks 1,2 -> one hit (101 at rank 2)
     assert out[1].n_gold == 3 and out[1].n_hits_at_k == 1
-    assert out[1].recall_at_k == 0.5 and out[1].mrr == 0.5
+    # standard recall@k = hits / n_gold (NOT capped at k): 1/3
+    assert out[1].recall_at_k == 0.333333 and out[1].mrr == 0.5
     assert out[2].n_hits_at_k == 0 and out[2].mrr == 0.0 and out[2].recall_at_k == 0.0
     assert out[3].n_hits_at_k == 0 and out[3].mrr == 0.0  # absent query still scored
 
