@@ -5,17 +5,29 @@ struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` operators so payload bytes stream
 through executors in columnar batches (never the driver).
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this
-environment, so the decode kernels are STUBS: ``decode=fake`` yields
-deterministic pseudo-decodes (stable per payload hash) to make the
-Spark-side plumbing — schema, partitioning, UDF signature, batch
-shape — real and testable; ``decode=real`` raises NotImplementedError
-at the exact point a codec library would be called.
+Codec status per modality (compressed-codec libraries — PIL, ffmpeg,
+torchaudio — are NOT in this environment):
+
+- ``decode="real"`` for IMAGES decodes uncompressed **PPM (P6)** and
+  **BMP (24/32-bit uncompressed)** with stdlib ``struct`` + numpy —
+  no codec library needed; other magic bytes (JPEG/PNG/...) raise
+  NotImplementedError at the exact plug-point a PIL call occupies.
+- ``decode="real"`` for AUDIO decodes **WAV PCM** (any sample width
+  the stdlib ``wave`` module supports) — other containers raise at
+  the torchaudio/ffmpeg plug-point.
+- VIDEO remains a declared stub: every real container needs ffmpeg.
+- ``decode="fake"`` everywhere yields deterministic pseudo-decodes
+  (stable per payload hash) so the Spark-side plumbing — schema,
+  partitioning, UDF signature, batch shape — is testable without any
+  payload fixtures.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -70,6 +82,94 @@ def _fake_decode(payload: bytes) -> tuple[int, int, float]:
     return width, height, mean_luma
 
 
+# Rec. 601 luma weights — the standard grayscale projection.
+_LUMA_R, _LUMA_G, _LUMA_B = 0.299, 0.587, 0.114
+
+
+def _decode_ppm(data: bytes) -> tuple[int, int, float]:
+    """Real decode of a binary PPM (P6): header tokens (with ``#``
+    comments) then maxval-scaled raw RGB triplets. Pure stdlib+numpy.
+    Returns (width, height, mean_luma in [0, 1])."""
+    import numpy as np
+
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval as whitespace-separated
+    # tokens; '#' starts a comment running to end-of-line
+    tokens: list[int] = []
+    pos = 2
+    while len(tokens) < 3:
+        if pos >= len(data):
+            raise ValueError("truncated PPM header")
+        c = data[pos : pos + 1]
+        if c == b"#":
+            nl = data.find(b"\n", pos)
+            pos = len(data) if nl < 0 else nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(data) and not data[end : end + 1].isspace():
+                end += 1
+            tokens.append(int(data[pos:end]))
+            pos = end
+    width, height, maxval = tokens
+    if not (0 < maxval < 65536):
+        raise ValueError(f"PPM maxval out of range: {maxval}")
+    pos += 1  # exactly one whitespace byte separates header from raster
+    dtype = np.dtype(">u2") if maxval > 255 else np.uint8
+    n = width * height * 3
+    px = np.frombuffer(data, dtype=dtype, count=n, offset=pos).astype(np.float64)
+    px = px.reshape(-1, 3) / maxval
+    luma = px[:, 0] * _LUMA_R + px[:, 1] * _LUMA_G + px[:, 2] * _LUMA_B
+    return width, height, float(round(luma.mean(), 6)) if n else None
+
+
+def _decode_bmp(data: bytes) -> tuple[int, int, float]:
+    """Real decode of an uncompressed 24/32-bit BMP: BITMAPFILEHEADER
+    (14 bytes) + BITMAPINFOHEADER. Rows are 4-byte aligned, stored
+    bottom-up when height > 0, pixels are BGR(A). Returns
+    (width, height, mean_luma in [0, 1])."""
+    import numpy as np
+
+    if not data.startswith(b"BM"):
+        raise ValueError("not a BMP payload")
+    pixel_offset = struct.unpack_from("<I", data, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", data, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    bpp, compression = struct.unpack_from("<HI", data, 28)
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"only uncompressed 24/32-bit BMP supported (bpp={bpp}, "
+            f"compression={compression}); plug PIL here for the rest"
+        )
+    abs_h = abs(height)
+    bytes_pp = bpp // 8
+    stride = (width * bytes_pp + 3) & ~3
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=stride * abs_h, offset=pixel_offset
+    ).reshape(abs_h, stride)
+    px = rows[:, : width * bytes_pp].reshape(abs_h, width, bytes_pp).astype(np.float64)
+    # BGR order; alpha (if present) ignored; row order is irrelevant to
+    # the mean. Scale to [0, 1].
+    luma = (px[..., 2] * _LUMA_R + px[..., 1] * _LUMA_G + px[..., 0] * _LUMA_B) / 255.0
+    return width, abs_h, float(round(luma.mean(), 6))
+
+
+def _real_image_decode(payload: bytes) -> tuple[int, int, float]:
+    """Dispatch on magic bytes. Uncompressed formats decode with
+    stdlib; compressed formats raise at the PIL plug-point."""
+    if payload.startswith(b"P6"):
+        return _decode_ppm(payload)
+    if payload.startswith(b"BM"):
+        return _decode_bmp(payload)
+    raise NotImplementedError(
+        "compressed image codec not available in this environment "
+        f"(magic={payload[:4]!r}); plug PIL/torchvision here"
+    )
+
+
 def extract_image_features(
     df: DataFrame, id_col: str, payload_col: str, decode: str = "fake", batch_hint: int = 256
 ) -> DataFrame:
@@ -80,13 +180,9 @@ def extract_image_features(
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decoder = _real_image_decode if decode == "real" else _fake_decode
         for pdf in batches:
-            if decode == "real":
-                raise NotImplementedError(
-                    "image codec not available in this environment; "
-                    "plug PIL/torchvision here"
-                )
-            decoded = [_fake_decode(bytes(p)) for p in pdf[payload_col]]
+            decoded = [decoder(bytes(p)) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -151,24 +247,55 @@ def extract_audio_windows(
     window_samples: int = 1024,
     decode: str = "fake",
 ) -> DataFrame:
-    """Windowed audio features (stub decode): 1->N fan-out of each
-    payload into fixed-width sample windows with per-window RMS — the
-    shape a torchaudio/ffmpeg feature extractor uses (decode to PCM,
-    window, reduce). ``decode='fake'`` interprets payload bytes as
-    signed 8-bit PCM (deterministic, no codec); ``decode='real'``
-    raises at the exact call site a codec would occupy. Arrow-batched
-    ``mapInPandas``; payload bytes never hit the driver."""
+    """Windowed audio features: 1->N fan-out of each payload into
+    fixed-width sample windows with per-window RMS — the shape a
+    torchaudio/ffmpeg feature extractor uses (decode to PCM, window,
+    reduce).
+
+    - ``decode='real'`` decodes **WAV PCM** with the stdlib ``wave``
+      module (8/16/32-bit, any channel count — channels average to
+      mono per frame; samples normalize to [-1, 1] so RMS is
+      width-independent). Non-WAV payloads raise at the exact call
+      site a torchaudio/ffmpeg codec would occupy.
+    - ``decode='fake'`` interprets the raw payload bytes as signed
+      8-bit PCM (deterministic, no codec, RMS in raw int8 units).
+
+    Arrow-batched ``mapInPandas``; payload bytes never hit the driver."""
     import numpy as np
+
+    def real_pcm(data: bytes) -> "np.ndarray":
+        if not (data[:4] == b"RIFF" and data[8:12] == b"WAVE"):
+            raise NotImplementedError(
+                "only WAV PCM decodes without a codec library "
+                f"(magic={data[:4]!r}); plug torchaudio/ffmpeg here"
+            )
+        with wave.open(io.BytesIO(data), "rb") as w:
+            n_ch = w.getnchannels()
+            width = w.getsampwidth()
+            frames = w.readframes(w.getnframes())
+        if width == 1:  # WAV 8-bit is UNSIGNED, midpoint 128
+            samples = np.frombuffer(frames, dtype=np.uint8).astype(np.float64)
+            samples = (samples - 128.0) / 128.0
+        elif width == 2:
+            samples = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+        elif width == 4:
+            samples = np.frombuffer(frames, dtype="<i4").astype(np.float64) / 2147483648.0
+        else:
+            raise NotImplementedError(f"unsupported WAV sample width {width}")
+        if n_ch > 1:  # interleaved -> mono mean per frame
+            samples = samples[: samples.size - samples.size % n_ch]
+            samples = samples.reshape(-1, n_ch).mean(axis=1)
+        return samples
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode == "real":
-                raise NotImplementedError(
-                    "audio codec not available; plug torchaudio/ffmpeg here"
-                )
             ids, idxs, ns, rms = [], [], [], []
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
-                pcm = np.frombuffer(bytes(payload), dtype=np.int8).astype(np.float64)
+                data = bytes(payload)
+                if decode == "real":
+                    pcm = real_pcm(data)
+                else:
+                    pcm = np.frombuffer(data, dtype=np.int8).astype(np.float64)
                 if pcm.size == 0:
                     continue
                 for i in range(0, pcm.size, window_samples):

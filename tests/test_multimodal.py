@@ -29,9 +29,98 @@ def test_extract_image_features_fake_decode_deterministic(spark):
     assert all(16 <= r.width <= 256 and 0 <= r.mean_luma <= 1 for r in out1)
 
 
-def test_extract_image_features_real_decode_is_stubbed(spark):
+def test_extract_image_features_real_decode_rejects_compressed(spark):
+    # utf-8 text payloads are not PPM/BMP: the real path must raise at
+    # the PIL plug-point, not silently fake-decode
     with pytest.raises(Exception):
         extract_image_features(_media(spark), "doc_id", "payload", decode="real").collect()
+
+
+def _ppm_bytes(width, height, pixels, maxval=255):
+    """pixels: list of (r, g, b) length width*height."""
+    head = f"P6\n# test comment\n{width} {height}\n{maxval}\n".encode()
+    raster = bytes(v for px in pixels for v in px)
+    return head + raster
+
+
+def _bmp_bytes(width, height, rows_bgr):
+    """rows_bgr: height rows, each width (b, g, r) tuples; bottom-up
+    24bpp uncompressed with 4-byte row padding, as real writers emit."""
+    import struct as st
+
+    stride = (width * 3 + 3) & ~3
+    raster = b""
+    for row in reversed(rows_bgr):  # bottom-up storage
+        line = bytes(v for px in row for v in px)
+        raster += line + b"\x00" * (stride - len(line))
+    pixel_offset = 14 + 40
+    file_size = pixel_offset + len(raster)
+    file_hdr = b"BM" + st.pack("<IHHI", file_size, 0, 0, pixel_offset)
+    info_hdr = st.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    return file_hdr + info_hdr + raster
+
+
+def test_real_ppm_decode_end_to_end(spark):
+    # 2x2: white, black, pure red, pure green
+    pixels = [(255, 255, 255), (0, 0, 0), (255, 0, 0), (0, 255, 0)]
+    payload = _ppm_bytes(2, 2, pixels)
+    df = spark.createDataFrame([(7, bytearray(payload))], "doc_id long, payload binary")
+    r = extract_image_features(df, "doc_id", "payload", decode="real").collect()[0]
+    assert (r.width, r.height) == (2, 2)
+    expect = (1.0 + 0.0 + 0.299 + 0.587) / 4
+    assert abs(r.mean_luma - expect) < 1e-5
+    assert r.byte_len == len(payload)
+
+
+def test_real_bmp_decode_end_to_end(spark):
+    # 3x2 BMP (stride padding exercised: 3*3=9 -> stride 12), all gray 128
+    rows = [[(128, 128, 128)] * 3 for _ in range(2)]
+    payload = _bmp_bytes(3, 2, rows)
+    df = spark.createDataFrame([(8, bytearray(payload))], "doc_id long, payload binary")
+    r = extract_image_features(df, "doc_id", "payload", decode="real").collect()[0]
+    assert (r.width, r.height) == (3, 2)
+    assert abs(r.mean_luma - 128 / 255) < 1e-5
+
+
+def test_real_wav_decode_end_to_end(spark):
+    import io as _io
+    import math
+    import struct as st
+    import wave as _wave
+
+    from nba_data_pipeline_spark.operators.multimodal import extract_audio_windows
+
+    # 16-bit mono WAV: a constant half-scale square wave -> RMS 0.5
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        samples = [16384 if i % 2 == 0 else -16384 for i in range(1000)]
+        w.writeframes(st.pack(f"<{len(samples)}h", *samples))
+    payload = buf.getvalue()
+    df = spark.createDataFrame([(9, bytearray(payload))], "doc_id long, payload binary")
+    out = extract_audio_windows(df, "doc_id", "payload", window_samples=512, decode="real").collect()
+    rows = sorted((r.window_idx, r.n_samples) for r in out)
+    assert rows == [(0, 512), (1, 488)]  # 1000 frames -> 512 + 488
+    for r in out:
+        assert abs(r.rms - 0.5) < 1e-9  # |sample| == 16384/32768 everywhere
+    # stereo 8-bit: channels average to mono; 8-bit is unsigned midpoint 128
+    buf2 = _io.BytesIO()
+    with _wave.open(buf2, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        # L=192 (=+0.5), R=64 (=-0.5) -> mono mean 0.0 every frame
+        w.writeframes(bytes([192, 64] * 300))
+    df2 = spark.createDataFrame([(10, bytearray(buf2.getvalue()))], "doc_id long, payload binary")
+    out2 = extract_audio_windows(df2, "doc_id", "payload", window_samples=256, decode="real").collect()
+    assert sorted((r.window_idx, r.n_samples) for r in out2) == [(0, 256), (1, 44)]
+    assert all(abs(r.rms) < 1e-9 for r in out2)
+    # non-WAV payload still raises at the codec plug-point
+    bad = spark.createDataFrame([(11, bytearray(b"OggS" + b"\x00" * 64))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="codec|WAV"):
+        extract_audio_windows(bad, "doc_id", "payload", decode="real").collect()
 
 
 def test_sample_frames_fan_out(spark):
