@@ -5539,6 +5539,118 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# PII scrubbing (extension; operators/pii.py) — round 7
+# ===========================================================================
+
+# The synthetic corpus carries no organic PII, so both queries SEED it
+# deterministically from doc_id (identically in Spark and SQL): every
+# 7th doc gains an email + phone, every 13th an IPv4. Patterns are
+# RE2-compatible by construction (operators/pii.py PII_PATTERNS), so
+# java.util.regex and DuckDB RE2 count/replace identically here.
+_PII_SEED_SQL = """
+     SELECT doc_id,
+            text
+            || CASE WHEN doc_id % 7 = 0
+                    THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com or 555-123-4567'
+                    ELSE '' END
+            || CASE WHEN doc_id % 13 = 0
+                    THEN ' from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+                    ELSE '' END AS text
+     FROM documents
+"""
+
+
+def _pii_seeded(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or 555-123-4567"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.lit(" from 10.0.0."), (F.col("doc_id") % 256).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+@q(
+    "pii_scrub",
+    f"""WITH seeded AS ({_PII_SEED_SQL}),
+       d AS (
+         SELECT doc_id, text,
+                CAST(len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS pii_email,
+                CAST(len(regexp_extract_all(text,
+                  '(\\+?1[ .-])?(\\([0-9]{{3}}\\)[ .-]?|[0-9]{{3}}[ .-])[0-9]{{3}}[ .-][0-9]{{4}}')) AS BIGINT) AS pii_phone,
+                CAST(len(regexp_extract_all(text,
+                  '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}')) AS BIGINT) AS pii_ipv4
+         FROM seeded)
+       SELECT doc_id, pii_email, pii_phone, pii_ipv4,
+              pii_email + pii_phone + pii_ipv4 AS pii_total,
+              regexp_replace(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+                '(\\+?1[ .-])?(\\([0-9]{{3}}\\)[ .-]?|[0-9]{{3}}[ .-])[0-9]{{3}}[ .-][0-9]{{4}}', '[PHONE]', 'g'),
+                '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}', '[IPV4]', 'g') AS text_redacted
+       FROM d""",
+)
+def q_pii_scrub(spark, sf):
+    """PII detect + redact (operators/pii.py): per-doc typed counts and
+    placeholder substitution, all regexp Column exprs in one codegen
+    pass — the corpus scrubbing stage before any release."""
+    from .operators.pii import detect_pii, redact_pii
+
+    seeded = _pii_seeded(spark, sf)
+    detected = detect_pii(seeded, "text", types=["email", "phone", "ipv4"])
+    out = redact_pii(
+        detected, "text", types=["email", "phone", "ipv4"], out_col="text_redacted"
+    )
+    return out.select(
+        "doc_id", "pii_email", "pii_phone", "pii_ipv4", "pii_total", "text_redacted"
+    )
+
+
+@q(
+    "pii_audit",
+    f"""WITH seeded AS ({_PII_SEED_SQL}),
+       d AS (
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS email,
+                CAST(len(regexp_extract_all(text,
+                  '(\\+?1[ .-])?(\\([0-9]{{3}}\\)[ .-]?|[0-9]{{3}}[ .-])[0-9]{{3}}[ .-][0-9]{{4}}')) AS BIGINT) AS phone,
+                CAST(len(regexp_extract_all(text,
+                  '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}')) AS BIGINT) AS ipv4
+         FROM seeded),
+       u AS (
+         SELECT pii_type, n FROM d,
+         UNNEST([struct_pack(pii_type := 'email', n := email),
+                 struct_pack(pii_type := 'phone', n := phone),
+                 struct_pack(pii_type := 'ipv4',  n := ipv4)]) AS t(s),
+         LATERAL (SELECT s.pii_type AS pii_type, s.n AS n) )
+       SELECT pii_type,
+              CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+              CAST(SUM(n) AS BIGINT) AS n_matches
+       FROM u GROUP BY pii_type""",
+)
+def q_pii_audit(spark, sf):
+    """Corpus-level PII audit (operators/pii.py pii_summary): one scan,
+    struct-array explode (never a union of per-type selects)."""
+    from .operators.pii import pii_summary
+
+    return pii_summary(_pii_seeded(spark, sf), "text", types=["email", "phone", "ipv4"])
+
+
 # The driver's correctness gate samples the FIRST 50 entries of
 # queries() in insertion order (confirmed: CORRECTNESS_r05 keys ==
 # registry[:50]). Source order groups queries by module/topic, which
