@@ -5651,6 +5651,123 @@ def q_pii_audit(spark, sf):
     return pii_summary(_pii_seeded(spark, sf), "text", types=["email", "phone", "ipv4"])
 
 
+# ===========================================================================
+# URL / domain curation (extension; operators/urls.py) — round 7
+# ===========================================================================
+
+# Synthetic corpus has no URLs; seed deterministically from doc_id
+# (identically in Spark and SQL): every 5th doc a news URL under
+# example.com, every 9th a CDN URL under bad-ads.org.
+_URL_SEED_SQL = """
+     SELECT doc_id,
+            text
+            || CASE WHEN doc_id % 5 = 0
+                    THEN ' see https://news.site' || CAST(doc_id % 20 AS VARCHAR)
+                         || '.example.com/world/story?id=' || CAST(doc_id AS VARCHAR)
+                    ELSE '' END
+            || CASE WHEN doc_id % 9 = 0
+                    THEN ' ref http://cdn' || CAST(doc_id % 3 AS VARCHAR)
+                         || '.bad-ads.org/x/y/z'
+                    ELSE '' END AS text
+     FROM documents
+"""
+
+
+def _url_seeded(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" see https://news.site"),
+                    (F.col("doc_id") % 20).cast("string"),
+                    F.lit(".example.com/world/story?id="),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 9 == 0,
+                F.concat(
+                    F.lit(" ref http://cdn"),
+                    (F.col("doc_id") % 3).cast("string"),
+                    F.lit(".bad-ads.org/x/y/z"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+_URL_RX = r"https?://[A-Za-z0-9._~:/?#@!$&()*+,;=%-]+"
+_DOM_SQL = (
+    "regexp_extract(regexp_replace(regexp_replace(lower(url), '^https?://', ''), "
+    "'^[^/@]*@', ''), '^([A-Za-z0-9-]+(?:\\.[A-Za-z0-9-]+)*)', 1)"
+)
+
+
+@q(
+    "url_features",
+    f"""WITH seeded AS ({_URL_SEED_SQL}),
+       u AS (
+         SELECT doc_id, UNNEST(regexp_extract_all(text, '{_URL_RX}')) AS url
+         FROM seeded),
+       d AS (SELECT doc_id, url, {_DOM_SQL} AS domain FROM u),
+       p AS (
+         SELECT doc_id, url, domain,
+                string_split(domain, '.') AS parts,
+                regexp_replace(regexp_replace(lower(url), '^https?://[^/]*', ''),
+                               '[?#].*$', '') AS path
+         FROM d)
+       SELECT doc_id, url, domain,
+              CASE WHEN len(parts) >= 2
+                   THEN parts[-2] || '.' || parts[-1] ELSE domain END AS registered_domain,
+              CAST(len(list_filter(string_split(path, '/'), x -> x <> '')) AS BIGINT)
+                AS path_depth,
+              regexp_matches(lower(url), '\\?') AS has_query
+       FROM p""",
+)
+def q_url_features(spark, sf):
+    """URL extraction + parsing (operators/urls.py): regexp Column
+    exprs only — domain, registered-domain approximation, path depth,
+    query flag; one codegen pass per exploded URL."""
+    from .operators.urls import extract_urls, url_features
+
+    urls = (
+        extract_urls(_url_seeded(spark, sf))
+        .select("doc_id", F.explode("urls").alias("url"))
+    )
+    return url_features(urls, "url").select(
+        "doc_id", "url", "domain", "registered_domain", "path_depth", "has_query"
+    )
+
+
+@q(
+    "domain_block_filter",
+    f"""WITH seeded AS ({_URL_SEED_SQL}),
+       u AS (
+         SELECT doc_id, UNNEST(regexp_extract_all(text, '{_URL_RX}')) AS url
+         FROM seeded),
+       d AS (SELECT doc_id, url, {_DOM_SQL} AS domain FROM u)
+       SELECT doc_id, url FROM d
+       WHERE NOT (domain = 'bad-ads.org' OR domain LIKE '%.bad-ads.org')""",
+)
+def q_domain_block_filter(spark, sf):
+    """Domain blocklist with subdomain suffix semantics
+    (operators/urls.py filter_blocked_domains): bounded
+    suffix-explode + broadcast semi-join — never a LIKE scan per
+    pattern. Keeps only URLs outside blocked domains."""
+    from .operators.urls import extract_urls, filter_blocked_domains
+
+    urls = (
+        extract_urls(_url_seeded(spark, sf))
+        .select("doc_id", F.explode("urls").alias("url"))
+    )
+    blocklist = spark.createDataFrame([("bad-ads.org",)], "domain string")
+    return filter_blocked_domains(urls, blocklist, "url").select("doc_id", "url")
+
+
 # The driver's correctness gate samples the FIRST 50 entries of
 # queries() in insertion order (confirmed: CORRECTNESS_r05 keys ==
 # registry[:50]). Source order groups queries by module/topic, which
