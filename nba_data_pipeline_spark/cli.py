@@ -88,11 +88,33 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min_quality", type=float, default=0.25)
     p.add_argument("--pack_capacity", type=int, default=2048)
     p.add_argument("--shards", type=int, default=256)
+    p.add_argument(
+        "--pii_scrub",
+        help="corpus/corpus_release: comma-separated PII types to redact "
+        "before any hashing (email,phone,card,ipv4,ssn); omit = no scrub",
+    )
     return p
+
+
+def _pii_types(args: argparse.Namespace) -> list[str] | None:
+    """--pii_scrub 'email,phone' -> ['email', 'phone'] (validated
+    pre-Spark so a typo'd type fails loudly before any job runs)."""
+    if not args.pii_scrub:
+        return None
+    from .operators.pii import PII_PATTERNS
+
+    types = [t.strip() for t in args.pii_scrub.split(",") if t.strip()]
+    unknown = [t for t in types if t not in PII_PATTERNS]
+    if unknown:
+        raise SystemExit(
+            f"--pii_scrub: unknown PII types {unknown}; known: {list(PII_PATTERNS)}"
+        )
+    return types
 
 
 def parse_args(argv: Sequence[str]) -> argparse.Namespace:
     args = build_parser().parse_args(list(argv))
+    _pii_types(args)  # validate type names pre-Spark (fails loudly)
     if args.pipeline == "corpus_release":
         if args.benchmark is None:
             raise SystemExit("corpus_release requires --benchmark")
@@ -191,6 +213,7 @@ def run(argv: Sequence[str], spark: SparkSession | None = None) -> None:
             n_output_shards=args.shards,
             min_quality=args.min_quality,
             pack_capacity=args.pack_capacity,
+            pii_types=_pii_types(args),
         )
         for split, st in sorted(stats.items()):
             print(f"{split}: {st['rows']} rows in {st['shards']} shards")
@@ -227,6 +250,7 @@ def run(argv: Sequence[str], spark: SparkSession | None = None) -> None:
             min_quality=args.min_quality,
             pack_capacity=args.pack_capacity,
             num_shards=args.shards,
+            pii_types=_pii_types(args),
         )
         # partition by shard, NOT split: the upsert only rewrites
         # partitions that receive source rows, so partition columns

@@ -45,6 +45,7 @@ def corpus_pipeline(
     num_shards: int = 256,
     pair_method: str = "minhash",
     pair_block_cols: list[str] | None = None,
+    pii_types: list[str] | None = None,
 ) -> DataFrame:
     """Raw docs -> packed, split, decontaminated training rows.
 
@@ -52,6 +53,10 @@ def corpus_pipeline(
     duplicate-cluster id, contamination counts, split label, and pack
     coordinates. Filters applied, in order:
 
+    0. (``pii_types`` set) PII redaction of ``text_col`` — typed
+       placeholder substitution (operators/pii.py), BEFORE any
+       hashing/shingling so identifiers can never leak into
+       fingerprints, signatures, or the released text;
     1. quality_score >= min_quality and dup_bigram_ratio <=
        max_dup_bigram_ratio (cheap per-row exprs — run FIRST so the
        expensive pair joins see only plausible documents);
@@ -67,6 +72,12 @@ def corpus_pipeline(
        ``num_shards`` shards.
     """
     fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+
+    # 0. PII scrub (codegen regexp pass; fuses with the quality exprs)
+    if pii_types:
+        from ..operators.pii import redact_pii
+
+        docs = redact_pii(docs, text_col, types=pii_types)
 
     # 1. per-row quality gates (codegen; no shuffle)
     scored = repetition_features(quality_features(docs, text_col), text_col)

@@ -117,6 +117,31 @@ def test_cli_corpus_pipeline_end_to_end(spark, tmp_path):
         cli.parse_args(["corpus", "--input", docs_p, "--output", out_p])
 
 
+def test_cli_corpus_pii_scrub_flag(spark, tmp_path):
+    from nba_data_pipeline_spark import cli
+
+    leaky = ("the quick brown fox jumps over the lazy dog while the keen red "
+             "hen mails fox@example.com and calls 555-123-4567 every day")
+    docs = spark.createDataFrame([(1, leaky)], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "completely unrelated benchmark prompt")], "doc_id long, text string"
+    )
+    docs_p, bench_p, out_p = (str(tmp_path / n) for n in ("docs", "bench", "out"))
+    docs.write.parquet(docs_p)
+    bench.write.parquet(bench_p)
+    cli.run(["corpus", "--input", docs_p, "--benchmark", bench_p,
+             "--output", out_p, "--pack_capacity", "64", "--shards", "4",
+             "--pii_scrub", "email,phone"], spark)
+    text = spark.read.parquet(out_p).collect()[0].text
+    assert "[EMAIL]" in text and "[PHONE]" in text
+    assert "fox@example.com" not in text and "555-123-4567" not in text
+    # typo'd type fails loudly pre-Spark
+    import pytest
+    with pytest.raises(SystemExit, match="unknown PII types"):
+        cli.parse_args(["corpus", "--input", docs_p, "--benchmark", bench_p,
+                        "--output", out_p, "--pii_scrub", "email,passport"])
+
+
 def test_cli_game_id_path_decodes_season_for_partitioning(
     spark, tmp_path, team_game_log_df
 ):
