@@ -55,6 +55,8 @@ HEADLINE = [
     "dsir_select",
     "winnow_pairs",
     "winnow_pairs_fast",
+    "pii_scrub",
+    "domain_block_filter",
     "lineups_declarative_bulk",
     # same 200-game x 300-event grain through the applyInPandas scan,
     # so the Python/Arrow transfer tax vs the declarative range-join
