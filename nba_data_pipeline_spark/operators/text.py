@@ -103,15 +103,28 @@ def char_trigrams(text: Column | str) -> Column:
     """Character trigrams of the space-padded normalized text, built
     array-side (sequence + substr — no token self-join). The padding
     makes word-boundary grams (' th', 'he ') first-class signal, as in
-    the classic n-gram language identifier."""
+    the classic n-gram language identifier.
+
+    The normalized text is bound to a LAMBDA VARIABLE via a
+    single-element array before the per-position transform: a lambda
+    referencing a non-attribute subtree re-evaluates it per element,
+    which here means re-running the normalize regex once per character
+    — O(len^2) per document (measured 18s -> 1.3s for one explode at
+    sf0.1). Binding through ``transform(array(t), ...)`` keeps the
+    whole thing a pure Column expression (no projection required of
+    the caller) while evaluating the regex exactly once per row."""
     t = F.concat(F.lit(" "), normalized_text(text), F.lit(" "))
-    return F.when(
-        F.length(t) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.length(t) - 2),
-            lambda i: t.substr(i, F.lit(3)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    per_t = F.transform(
+        F.array(t),
+        lambda tt: F.when(
+            F.length(tt) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.length(tt) - 2),
+                lambda i: tt.substr(i, F.lit(3)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return F.element_at(per_t, 1)
 
 
 def fit_language_profiles(
