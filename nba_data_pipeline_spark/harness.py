@@ -5768,6 +5768,78 @@ def q_domain_block_filter(spark, sf):
     return filter_blocked_domains(urls, blocklist, "url").select("doc_id", "url")
 
 
+# ===========================================================================
+# HTML -> text extraction (extension; operators/text.py) — round 7
+# ===========================================================================
+
+_HTML_SEED_SQL = """
+     SELECT doc_id,
+            '<html><head><title>d</title><style>.x{color:red}</style>'
+            || '<script>var a = 1 < 2;</script></head><body><!-- nav -->'
+            || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+            || '</p><div class="f">&amp; &lt;tag&gt;&nbsp;ok</div></body></html>'
+              AS html
+     FROM documents
+"""
+
+
+def _html_seeded(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><title>d</title><style>.x{color:red}</style>'
+                  '<script>var a = 1 < 2;</script></head><body><!-- nav -->'
+                  '<h1>Doc '),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit('</p><div class="f">&amp; &lt;tag&gt;&nbsp;ok</div></body></html>'),
+        ).alias("html"),
+    )
+
+
+@q(
+    "html_extract",
+    f"""WITH seeded AS ({_HTML_SEED_SQL}),
+       x AS (
+         SELECT doc_id, html,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             replace(replace(replace(replace(replace(replace(
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               html,
+               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g'),
+               '(?i)</?(p|br|div|h[1-6]|li|ul|ol|tr|table|blockquote|section|article)[^>]*>', chr(10), 'g'),
+               '<[^>]+>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+             '&nbsp;', ' '), '&amp;', '&'),
+             '[ \t\f\r]+', ' ', 'g'),
+             ' ?\n ?', chr(10), 'g'),
+             '\n{{2,}}', chr(10) || chr(10), 'g'),
+             '^\s+|\s+$', '', 'g') AS text
+         FROM seeded)
+       SELECT doc_id, text,
+              CAST(COALESCE(length(text), 0) AS BIGINT) AS n_chars,
+              CASE WHEN COALESCE(length(html), 0) > 0
+                   THEN ROUND(1 - COALESCE(length(text), 0)
+                              / CAST(length(html) AS DOUBLE), 6)
+                   ELSE 0.0 END AS markup_ratio
+       FROM x""",
+)
+def q_html_extract(spark, sf):
+    """HTML -> text extraction (operators/text.py html_to_text): the
+    web-crawl extraction stage as chained regexp Column exprs — drop
+    script/style/comments, block tags to newlines, strip tags, decode
+    entities, collapse whitespace; plus the markup_ratio audit."""
+    from .operators.text import extract_html_text
+
+    return extract_html_text(_html_seeded(spark, sf), "html").select(
+        "doc_id", "text", "n_chars", "markup_ratio"
+    )
+
+
 # The driver's correctness gate samples the FIRST 50 entries of
 # queries() in insertion order (confirmed: CORRECTNESS_r05 keys ==
 # registry[:50]). Source order groups queries by module/topic, which

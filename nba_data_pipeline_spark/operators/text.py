@@ -905,3 +905,72 @@ def normalized_text(text: Column | str, unicode: bool = False) -> Column:
     differ on unicode property semantics."""
     pattern = r"[^\p{L}\p{N}]+" if unicode else "[^a-z0-9]+"
     return F.trim(F.regexp_replace(F.lower(_col(text)), pattern, " "))
+
+
+def html_to_text(html: Column | str) -> Column:
+    """Plain text from raw HTML — the extraction step of every
+    web-crawl pipeline (the simplified, declarative cousin of
+    trafilatura/jusText): drop script/style payloads and comments,
+    turn block-level tags into newlines, strip remaining tags, decode
+    the six ubiquitous entities, collapse whitespace.
+
+    Pure chained ``regexp_replace`` Column expressions — one codegen
+    pass over the scan output, no UDF, engine-portable (RE2-compatible
+    patterns: inline (?is) flags, lazy quantifiers, no backreferences
+    or lookaround), so the op is oracle-checkable and runs at crawl
+    scale with zero Python. Entity decoding handles the common six;
+    ``&amp;`` decodes LAST so ``&amp;lt;`` correctly yields the
+    literal ``&lt;``. Not a browser: malformed nesting degrades to
+    extra whitespace, never to leaked markup payload text."""
+    t = _col(html)
+    # script/style payloads are NOT content; match each tag pair
+    # separately (a backreference-free alternation could cross-match
+    # <script>...</style>)
+    t = F.regexp_replace(t, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    # block-level boundaries become newlines so downstream line-based
+    # quality rules (bullet/ellipsis ratios) still see structure
+    t = F.regexp_replace(
+        t, r"(?i)</?(p|br|div|h[1-6]|li|ul|ol|tr|table|blockquote|section|article)[^>]*>", "\n"
+    )
+    t = F.regexp_replace(t, r"<[^>]+>", " ")
+    for ent, rep in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'"),
+        ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    # collapse horizontal runs, then blank-line runs, then trim ALL
+    # whitespace (plain trim strips spaces only — a leading block tag
+    # would leave the text starting with a newline)
+    t = F.regexp_replace(t, r"[ \t\f\r]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n{2,}", "\n\n")
+    return F.regexp_replace(t, r"^\s+|\s+$", "")
+
+
+def extract_html_text(
+    df: DataFrame,
+    html_col: str = "html",
+    out_col: str = "text",
+) -> DataFrame:
+    """DataFrame form of ``html_to_text`` plus the two audit columns a
+    crawl pipeline gates on: ``markup_ratio`` (1 - text/html length;
+    boilerplate-heavy pages score high) and ``n_chars`` of the
+    extracted text. NULL html -> NULL text, 0-length audit fields."""
+    extracted = html_to_text(html_col)
+    return df.withColumns(
+        {
+            out_col: extracted,
+            "n_chars": F.coalesce(F.length(extracted), F.lit(0)).cast("long"),
+            "markup_ratio": F.when(
+                F.coalesce(F.length(html_col), F.lit(0)) > 0,
+                F.round(
+                    1
+                    - F.coalesce(F.length(extracted), F.lit(0))
+                    / F.length(html_col).cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
+        }
+    )

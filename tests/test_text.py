@@ -456,3 +456,38 @@ def test_bm25_index_reuse_matches_direct(spark, tmp_path):
     import pytest as _p
     with _p.raises(ValueError, match="corpus or index"):
         bm25_scores(None, qdf)
+
+
+def test_html_to_text_extraction(spark):
+    from nba_data_pipeline_spark.operators.text import extract_html_text
+
+    html = (
+        '<html><head><style>.a{x}</style><script>if (1<2) alert("hi")</script>'
+        "</head><body><!-- menu --><h1>Title</h1>"
+        "<p>Hello &amp; welcome to a &lt;great&gt; page.</p>"
+        "<div>Second   block</div></body></html>"
+    )
+    df = spark.createDataFrame([(1, html), (2, None), (3, "plain, no markup")],
+                               "doc_id long, html string")
+    out = {r.doc_id: r for r in extract_html_text(df).collect()}
+    t = out[1].text
+    # script/style/comment payloads gone entirely
+    assert "alert" not in t and ".a{x}" not in t and "menu" not in t
+    # block boundaries became newlines; entities decoded; spaces collapsed
+    assert "Title" in t.splitlines()[0]
+    assert "Hello & welcome to a <great> page." in t
+    assert "Second block" in t
+    assert out[1].markup_ratio > 0.5
+    assert out[2].text is None and out[2].n_chars == 0 and out[2].markup_ratio == 0.0
+    assert out[3].text == "plain, no markup" and out[3].markup_ratio == 0.0
+
+
+def test_html_to_text_amp_decodes_last(spark):
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.operators.text import html_to_text
+
+    # '&amp;lt;' is the ESCAPED literal '&lt;' - must decode to '&lt;',
+    # not recursively to '<'
+    df = spark.createDataFrame([("x &amp;lt; y",)], "h string")
+    assert df.select(html_to_text("h").alias("t")).collect()[0].t == "x &lt; y"
