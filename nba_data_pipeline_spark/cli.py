@@ -90,8 +90,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shards", type=int, default=256)
     p.add_argument(
         "--pii_scrub",
-        help="corpus/corpus_release: comma-separated PII types to redact "
-        "before any hashing (email,phone,card,ipv4,ssn); omit = no scrub",
+        help="corpus/corpus_release/corpus_ingest: comma-separated PII types "
+        "to redact before any hashing (email,phone,card,ipv4,ssn); "
+        "omit = no scrub",
     )
     return p
 
@@ -238,6 +239,7 @@ def run(argv: Sequence[str], spark: SparkSession | None = None) -> None:
         q = stream_corpus_ingest(
             stream, lm, paths["corpus"], paths["sigs"], paths["pairs"], paths["scores"],
             checkpoint_dir=args.checkpoint, gate_kwargs=gate_kwargs or None,
+            pii_types=_pii_types(args),
         )
         q.awaitTermination()
         return

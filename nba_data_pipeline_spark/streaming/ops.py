@@ -219,11 +219,15 @@ def corpus_ingest_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     gate_kwargs: dict | None = None,
+    pii_types: list | None = None,
     **near_dedup_kwargs,
 ) -> None:
     """One full continuous-ingest corpus step — the composed foreachBatch
     body gluing the pipeline stages in their production order:
 
+    0. (``pii_types`` set) PII redaction — BEFORE gating/shingling so
+       identifiers never reach signatures or the corpus table (same
+       contract as the batch ``corpus_pipeline``),
     1. rule gate (``text.gopher_rules``): rejected documents never cost
        shingling, scoring, or state,
     2. ``near_dedup_batch``: signatures + incremental pairs vs the
@@ -242,6 +246,10 @@ def corpus_ingest_batch(
     from ..operators.text import gopher_rules
     from ..sinks.writer import upsert_table
 
+    if pii_types:
+        from ..operators.pii import redact_pii
+
+        batch_df = redact_pii(batch_df, text_col, types=list(pii_types))
     gated = (
         gopher_rules(batch_df, text_col=text_col, **(gate_kwargs or {}))
         .filter(F.col("gopher_keep"))
@@ -266,6 +274,7 @@ def stream_corpus_ingest(
     available_now: bool = True,
     query_name: str = "stream_corpus_ingest",
     gate_kwargs: dict | None = None,
+    pii_types: list | None = None,
     **near_dedup_kwargs,
 ):
     """The whole training-corpus ingest as ONE Structured Streaming
@@ -277,7 +286,8 @@ def stream_corpus_ingest(
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         corpus_ingest_batch(
             batch_df, lm, corpus_path, signature_path, pairs_path, scores_path,
-            id_col, text_col, gate_kwargs=gate_kwargs, **near_dedup_kwargs,
+            id_col, text_col, gate_kwargs=gate_kwargs, pii_types=pii_types,
+            **near_dedup_kwargs,
         )
 
     writer = stream_df.writeStream.foreachBatch(process).queryName(query_name)

@@ -232,6 +232,28 @@ def test_cli_corpus_ingest_streams_to_four_tables(spark, tmp_path):
                     "--lm_ref", src, "--season", "2024-25"])
 
 
+def test_cli_corpus_ingest_pii_scrub(spark, tmp_path):
+    import os
+
+    from nba_data_pipeline_spark.cli import run
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    leaky = ("the quick brown fox jumps and runs with great energy today " * 6
+             + "reach me at fox@den.example")
+    spark.createDataFrame([(1, leaky)], "doc_id long, text string").coalesce(
+        1).write.mode("append").parquet(src)
+    run(
+        ["corpus_ingest", "--input", src, "--output", out,
+         "--lm_ref", src, "--checkpoint", ckpt,
+         "--gate_min_tokens", "10", "--pii_scrub", "email"],
+        spark=spark,
+    )
+    text = spark.read.parquet(os.path.join(out, "corpus")).collect()[0].text
+    assert "[EMAIL]" in text and "fox@den.example" not in text
+
+
 def test_cli_corpus_release(spark, tmp_path, capsys):
     import os
 
