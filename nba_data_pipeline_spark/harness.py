@@ -5801,7 +5801,9 @@ def _html_seeded(spark, sf):
 
 @q(
     "html_extract",
-    f"""WITH seeded AS ({_HTML_SEED_SQL}),
+    # raw f-string: the \t \f \s \n below must reach DuckDB's RE2 as
+    # two-character escape sequences, not be pre-decoded by Python
+    rf"""WITH seeded AS ({_HTML_SEED_SQL}),
        x AS (
          SELECT doc_id, html,
            regexp_replace(regexp_replace(regexp_replace(regexp_replace(

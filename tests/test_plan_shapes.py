@@ -170,3 +170,24 @@ def test_event_transitions_single_user_shuffle(spark):
     # the lead window must reuse the sessionize user-key partitioning:
     # exactly one hashpartitioning on user_id, one on the output pair
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_pii_scrub_is_shuffle_free_no_python(spark):
+    # detect + redact are chained regexp Column exprs: one codegen
+    # pass over the scan, no exchange, nothing crosses to Python
+    plan = _executed_plan(spark, "pii_scrub")
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_html_extract_is_shuffle_free_no_python(spark):
+    plan = _executed_plan(spark, "html_extract")
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_domain_block_filter_broadcasts_blocklist(spark):
+    # suffix-explode + broadcast semi-join; never a cartesian/LIKE scan
+    plan = _executed_plan(spark, "domain_block_filter")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
