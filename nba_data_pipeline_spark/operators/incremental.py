@@ -92,9 +92,14 @@ def table_diff(
     hash(NULL-marker) collisions with real values are xxhash64-unlikely.
     Duplicate-key-safe: keys are NOT required unique — each side folds
     duplicate keys into an order-free multiset digest (row count +
-    bit-xor of row hashes), so diff_status is deterministic across runs
-    and partitionings even when duplicate keys carry different values
-    (an arbitrary-survivor dropDuplicates would flip between runs).
+    bit-xor of row hashes + SUM of the hashes reduced to 31 bits), so
+    diff_status is deterministic across runs and partitionings even
+    when duplicate keys carry different values (an arbitrary-survivor
+    dropDuplicates would flip between runs). The additive component
+    matters: xor alone cancels PAIRS of identical rows, so
+    {v1, v1} vs {v2, v2} would collide (count 2, xor 0 on both sides —
+    caught by the round-7 property test). The 31-bit reduction keeps
+    the ANSI-mode sum overflow-free up to ~2^31 duplicate rows per key.
     Output: key cols + (diff_status string).
     """
     keys = list(keys)
@@ -107,7 +112,13 @@ def table_diff(
         return (
             df.select(*keys, h.alias("_h"))
             .groupBy(*keys)
-            .agg(F.xxhash64(F.count("*"), F.bit_xor("_h")).alias(alias))
+            .agg(
+                F.xxhash64(
+                    F.count("*"),
+                    F.bit_xor("_h"),
+                    F.sum(F.pmod(F.col("_h"), F.lit(2_147_483_647))),
+                ).alias(alias)
+            )
         )
 
     o = hashed(old, "_h_old")

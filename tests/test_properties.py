@@ -321,3 +321,102 @@ def test_funnel_matches_naive_reference(spark):
         for r in funnel_steps(df, "user_id", "event_type", "ts", steps).collect()
     }
     assert got == expected
+
+
+def test_table_diff_deterministic_under_dup_keys_and_partitioning(spark):
+    """Round-7 determinism contract: with duplicate keys carrying
+    different values, diff_status must be identical across partition
+    layouts (the old arbitrary-survivor dropDuplicates was not)."""
+    from nba_data_pipeline_spark.operators.incremental import table_diff
+
+    rows_old, rows_new = [], []
+    for k in range(200):
+        for copy in range(RNG.randint(1, 3)):
+            rows_old.append((k, f"v{RNG.randint(0, 4)}"))
+        for copy in range(RNG.randint(0, 3)):
+            rows_new.append((k, f"v{RNG.randint(0, 4)}"))
+    old = spark.createDataFrame(rows_old, "k long, v string")
+    new = spark.createDataFrame(rows_new, "k long, v string")
+    results = []
+    for parts in (1, 7, 32):
+        out = table_diff(old.repartition(parts), new.repartition(33 - parts), ["k"])
+        results.append(sorted((r.k, r.diff_status) for r in out.collect()))
+    assert results[0] == results[1] == results[2]
+    # multiset semantics: same key-multiset on both sides => unchanged
+    statuses = dict(results[0])
+    from collections import Counter
+    mo, mn = Counter(rows_old), Counter(rows_new)
+    for k in range(200):
+        in_old = any(key == k for key, _ in mo)
+        in_new = any(key == k for key, _ in mn)
+        if in_old and in_new:
+            same = {v: c for (key, v), c in mo.items() if key == k} == {
+                v: c for (key, v), c in mn.items() if key == k}
+            assert statuses[k] == ("unchanged" if same else "changed"), k
+        else:
+            assert statuses[k] == ("removed" if in_old else "added"), k
+
+
+def test_pii_redaction_idempotent_and_leak_free(spark):
+    """Redacting twice equals redacting once, and no generated PII
+    string survives — over randomized documents with injected PII."""
+    from nba_data_pipeline_spark.operators.pii import detect_pii, redact_pii
+
+    words = "alpha beta gamma delta epsilon zeta".split()
+    cases = []
+    for i in range(300):
+        body = " ".join(RNG.choice(words) for _ in range(RNG.randint(3, 15)))
+        kind = i % 4
+        if kind == 0:
+            body += f" user{i}@mail{i % 7}.example.org"
+        elif kind == 1:
+            body += f" {RNG.randint(200, 999)}-{RNG.randint(200, 999)}-{RNG.randint(1000, 9999)}"
+        elif kind == 2:
+            body += f" 10.{RNG.randint(0, 255)}.{RNG.randint(0, 255)}.{RNG.randint(1, 254)}"
+        cases.append((i, body))
+    df = spark.createDataFrame(cases, "i long, text string")
+    once = redact_pii(df, types=["email", "phone", "ipv4"])
+    twice = redact_pii(once.withColumnRenamed("text", "t2"), "t2",
+                       types=["email", "phone", "ipv4"])
+    diff = once.join(twice, "i").filter(F.col("text") != F.col("t2")).count()
+    assert diff == 0
+    leftover = detect_pii(once, types=["email", "phone", "ipv4"]).filter(
+        F.col("pii_total") > 0).count()
+    assert leftover == 0
+    # every doc that got an injection carries the matching token
+    toks = {0: "[EMAIL]", 1: "[PHONE]", 2: "[IPV4]"}
+    out = {r.i: r.text for r in once.collect()}
+    for i, _ in cases:
+        if i % 4 in toks:
+            assert toks[i % 4] in out[i], (i, out[i])
+
+
+def test_html_to_text_never_leaks_tags(spark):
+    """Random well-formed HTML from a tiny grammar: extracted text must
+    contain no markup and preserve every body word."""
+    from nba_data_pipeline_spark.operators.text import html_to_text
+
+    tags = ["p", "div", "li", "h2", "span", "em"]
+    words = "cat dog bird fish tree rock".split()
+    cases = []
+    for i in range(200):
+        parts, expect_words = [], []
+        for _ in range(RNG.randint(1, 6)):
+            tag = RNG.choice(tags)
+            body = " ".join(RNG.choice(words) for _ in range(RNG.randint(1, 5)))
+            expect_words.append(body)
+            attr = ' class="x"' if RNG.random() < 0.5 else ""
+            parts.append(f"<{tag}{attr}>{body}</{tag}>")
+            if RNG.random() < 0.3:
+                parts.append("<script>var x = 'secret';</script>")
+            if RNG.random() < 0.3:
+                parts.append("<!-- hidden -->")
+        cases.append((i, "".join(parts), " ".join(expect_words)))
+    df = spark.createDataFrame(cases, "i long, html string, expect string")
+    out = df.withColumn("t", html_to_text("html")).collect()
+    for r in out:
+        assert "<" not in r.t and ">" not in r.t, r.t
+        assert "secret" not in r.t and "hidden" not in r.t
+        got_words = r.t.split()
+        want_words = r.expect.split()
+        assert got_words == want_words, (r.t, r.expect)
