@@ -5700,7 +5700,13 @@ def _url_seeded(spark, sf):
     )
 
 
-_URL_RX = r"https?://[A-Za-z0-9._~:/?#@!$&()*+,;=%-]+"
+# Single source of truth for the URL pattern: the operator module's
+# regex, with the apostrophe doubled for SQL string quoting. A drifted
+# copy here would silently diverge the oracle from the Spark side on
+# any text placing ' [ ] right after a URL.
+from .operators.urls import URL_PATTERN as _URL_PATTERN_SRC  # noqa: E402
+
+_URL_RX = _URL_PATTERN_SRC.replace("'", "''")
 _DOM_SQL = (
     "regexp_extract(regexp_replace(regexp_replace(lower(url), '^https?://', ''), "
     "'^[^/@]*@', ''), '^([A-Za-z0-9-]+(?:\\.[A-Za-z0-9-]+)*)', 1)"

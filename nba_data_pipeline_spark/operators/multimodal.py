@@ -86,10 +86,13 @@ def _fake_decode(payload: bytes) -> tuple[int, int, float]:
 _LUMA_R, _LUMA_G, _LUMA_B = 0.299, 0.587, 0.114
 
 
-def _decode_ppm(data: bytes) -> tuple[int, int, float]:
+def _decode_ppm(data: bytes) -> tuple[int, int, float | None]:
     """Real decode of a binary PPM (P6): header tokens (with ``#``
     comments) then maxval-scaled raw RGB triplets. Pure stdlib+numpy.
-    Returns (width, height, mean_luma in [0, 1])."""
+    Returns (width, height, mean_luma in [0, 1]); a zero-pixel image
+    (width or height 0 — valid per the format) has no defined mean, so
+    mean_luma is explicitly None (the feature schema's nullable
+    column), never NaN."""
     import numpy as np
 
     if not data.startswith(b"P6"):
@@ -119,17 +122,20 @@ def _decode_ppm(data: bytes) -> tuple[int, int, float]:
     pos += 1  # exactly one whitespace byte separates header from raster
     dtype = np.dtype(">u2") if maxval > 255 else np.uint8
     n = width * height * 3
+    if n == 0:
+        return width, height, None
     px = np.frombuffer(data, dtype=dtype, count=n, offset=pos).astype(np.float64)
     px = px.reshape(-1, 3) / maxval
     luma = px[:, 0] * _LUMA_R + px[:, 1] * _LUMA_G + px[:, 2] * _LUMA_B
-    return width, height, float(round(luma.mean(), 6)) if n else None
+    return width, height, float(round(luma.mean(), 6))
 
 
-def _decode_bmp(data: bytes) -> tuple[int, int, float]:
+def _decode_bmp(data: bytes) -> tuple[int, int, float | None]:
     """Real decode of an uncompressed 24/32-bit BMP: BITMAPFILEHEADER
     (14 bytes) + BITMAPINFOHEADER. Rows are 4-byte aligned, stored
     bottom-up when height > 0, pixels are BGR(A). Returns
-    (width, height, mean_luma in [0, 1])."""
+    (width, height, mean_luma in [0, 1]); zero-pixel images get a
+    None mean (see _decode_ppm)."""
     import numpy as np
 
     if not data.startswith(b"BM"):
@@ -146,6 +152,8 @@ def _decode_bmp(data: bytes) -> tuple[int, int, float]:
         )
     abs_h = abs(height)
     bytes_pp = bpp // 8
+    if width * abs_h == 0:
+        return width, abs_h, None
     stride = (width * bytes_pp + 3) & ~3
     rows = np.frombuffer(
         data, dtype=np.uint8, count=stride * abs_h, offset=pixel_offset
@@ -278,6 +286,12 @@ def extract_audio_windows(
             samples = (samples - 128.0) / 128.0
         elif width == 2:
             samples = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+        elif width == 3:  # 24-bit packed little-endian signed
+            b = np.frombuffer(frames, dtype=np.uint8)
+            b = b[: b.size - b.size % 3].reshape(-1, 3).astype(np.int64)
+            raw = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            signed = (raw ^ 0x800000) - 0x800000  # sign-extend bit 23
+            samples = signed.astype(np.float64) / 8388608.0
         elif width == 4:
             samples = np.frombuffer(frames, dtype="<i4").astype(np.float64) / 2147483648.0
         else:

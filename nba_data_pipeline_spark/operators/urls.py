@@ -80,18 +80,30 @@ def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
 
 
 def _domain_suffixes(dom: Column, max_labels: int = 6) -> Column:
-    """[a.b.c.com, b.c.com, c.com] — every ancestor suffix with >= 2
-    labels (single-label TLDs are never blocklist entries), bounded at
-    ``max_labels`` so adversarial 100-label hosts can't explode rows."""
+    """[c.com, b.c.com, a.b.c.com] — ancestor suffixes with >= 2 labels
+    (single-label TLDs are never blocklist entries), SHORTEST FIRST and
+    bounded at ``max_labels`` labels per suffix so adversarial
+    100-label hosts can't explode rows. Truncation must drop the
+    LONGEST suffixes: blocklist entries are registered domains (short),
+    so an 8-label host must still emit its 2-label suffix or nesting
+    6+ subdomains would bypass the blocklist entirely. Hosts with < 2
+    labels (localhost, empty parse) yield an empty array — they can
+    never match a blocklist entry, and the sequence() guard keeps the
+    expression from building a descending range (a runtime error).
+    Blocklist entries deeper than ``max_labels`` labels are outside the
+    bound (document per deployment)."""
     labels = F.split(dom, r"\.")
     n = F.size(labels)
-    return F.filter(
+    return F.when(
+        n >= 2,
         F.transform(
-            F.sequence(F.lit(0), F.least(n - 2, F.lit(max_labels - 1))),
-            lambda i: F.concat_ws(".", F.slice(labels, (i + 1).cast("int"), n)),
+            # k = label count of the suffix, ascending 2..min(n, max)
+            F.sequence(F.lit(2), F.least(n, F.lit(max_labels))),
+            lambda k: F.concat_ws(
+                ".", F.slice(labels, (n - k + 1).cast("int"), k.cast("int"))
+            ),
         ),
-        lambda s: s != "",
-    )
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def filter_blocked_domains(

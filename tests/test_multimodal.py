@@ -153,3 +153,36 @@ def test_extract_audio_windows_fake_decode(spark):
     import pytest
     with pytest.raises(Exception, match="codec"):
         extract_audio_windows(df, "doc_id", "payload", decode="real").collect()
+
+
+def test_real_wav_24bit_decode(spark):
+    import io as _io
+    import struct as st
+    import wave as _wave
+
+    from nba_data_pipeline_spark.operators.multimodal import extract_audio_windows
+
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(8000)
+        # alternate +/- quarter scale: 0x200000 = 2^21 -> 0.25
+        frames = b""
+        for i in range(300):
+            v = 0x200000 if i % 2 == 0 else -0x200000
+            frames += st.pack("<i", v)[:3]  # low 3 bytes little-endian
+        w.writeframes(frames)
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "doc_id long, payload binary")
+    out = extract_audio_windows(df, "doc_id", "payload", window_samples=300, decode="real").collect()
+    assert len(out) == 1 and out[0].n_samples == 300
+    assert abs(out[0].rms - 0.25) < 1e-9
+
+
+def test_real_zero_pixel_images_yield_null_luma(spark):
+    from nba_data_pipeline_spark.operators.multimodal import extract_image_features
+
+    ppm = b"P6\n0 0\n255\n"
+    df = spark.createDataFrame([(1, bytearray(ppm))], "doc_id long, payload binary")
+    r = extract_image_features(df, "doc_id", "payload", decode="real").collect()[0]
+    assert (r.width, r.height) == (0, 0) and r.mean_luma is None

@@ -85,3 +85,28 @@ def test_domain_stats(spark):
 def test_url_domain_column_form(spark):
     df = spark.createDataFrame([("HTTPS://A.B.C/x?q",)], "u string")
     assert df.select(url_domain("u").alias("d")).collect()[0].d == "a.b.c"
+
+
+def test_blocklist_single_label_host_passes_through(spark):
+    # review finding: single-label hosts (localhost, bare TLD) built a
+    # descending sequence -> Spark runtime error; they must pass
+    # through (can never match a >=2-label blocklist entry)
+    blocklist = spark.createDataFrame([("bad.org",)], "domain string")
+    df = spark.createDataFrame(
+        [(1, "http://localhost/admin"), (2, "https://x.bad.org/a")],
+        "doc_id long, url string",
+    )
+    kept = {r.doc_id for r in filter_blocked_domains(df, blocklist).collect()}
+    assert kept == {1}
+
+
+def test_blocklist_deep_subdomain_nesting_cannot_bypass(spark):
+    # review finding: the max_labels bound used to keep the LONGEST
+    # suffixes, so 6+ nested labels bypassed the blocklist entirely
+    blocklist = spark.createDataFrame([("bad-ads.org",)], "domain string")
+    df = spark.createDataFrame(
+        [(1, "http://a.b.c.d.e.f.bad-ads.org/x"), (2, "https://fine.example.com/y")],
+        "doc_id long, url string",
+    )
+    kept = {r.doc_id for r in filter_blocked_domains(df, blocklist).collect()}
+    assert kept == {2}
