@@ -5974,6 +5974,49 @@ def q_bad_words(spark, sf):
     return out.select("doc_id", "n_bad_words", "bad_words_ratio", "bad_words_keep")
 
 
+@q(
+    "sentence_chunks",
+    # sentence-boundary chunking over seeded multi-sentence docs
+    # (reuse the C4 seed: 3-4 text lines -> several sentences each)
+    """WITH seeded AS ("""
+    + _C4_SEED_SQL
+    + """),
+       s AS (
+         SELECT doc_id,
+                unnest(list_filter(list_transform(
+                  regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+$'),
+                  x -> trim(x)), x -> x <> '')) AS sent,
+                generate_subscripts(list_filter(list_transform(
+                  regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+$'),
+                  x -> trim(x)), x -> x <> ''), 1) AS i
+         FROM seeded),
+       t AS (
+         SELECT doc_id, sent, i,
+                CAST(len(list_filter(string_split_regex(trim(sent), '\\s+'),
+                                     w -> w <> '')) AS BIGINT) AS tok
+         FROM s),
+       a AS (
+         SELECT doc_id, sent, i, tok,
+                CAST(FLOOR(COALESCE(SUM(tok) OVER (
+                  PARTITION BY doc_id ORDER BY i
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 24.0)
+                  AS BIGINT) AS chunk_idx
+         FROM t)
+       SELECT doc_id, chunk_idx,
+              string_agg(sent, ' ' ORDER BY i) AS chunk_text,
+              CAST(COUNT(*) AS BIGINT) AS n_sentences,
+              CAST(SUM(tok) AS BIGINT) AS n_tokens
+       FROM a GROUP BY doc_id, chunk_idx""",
+)
+def q_sentence_chunks(spark, sf):
+    """Sentence-boundary-preserving chunking (operators/text.py
+    sentence_chunks): regex segmentation, one cumulative-sum window on
+    the doc key, greedy chunk assignment, ordered re-join."""
+    from .operators.text import sentence_chunks
+
+    return sentence_chunks(_c4_seeded(spark, sf), "doc_id", max_tokens=24)
+
+
 # The driver's correctness gate samples the FIRST 50 entries of
 # queries() in insertion order (confirmed: CORRECTNESS_r05 keys ==
 # registry[:50]). Source order groups queries by module/topic, which

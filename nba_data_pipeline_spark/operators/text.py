@@ -1064,3 +1064,66 @@ def bad_words_gate(
             "bad_words_keep": ratio <= max_ratio,
         }
     )
+
+
+def split_sentences(text: Column | str) -> Column:
+    """Sentence segmentation as a pure Column expression: maximal runs
+    of non-terminal characters followed by terminal punctuation, plus a
+    trailing fragment with no terminator. Regex-only (no lookbehind —
+    RE2-portable), trimmed, empties dropped. Abbreviation dots split
+    ('e.g.' becomes two fragments) — the standard trade of regex
+    segmentation; a model-based splitter is a mapInPandas plug-point."""
+    raw = F.regexp_extract_all(
+        F.coalesce(_col(text), F.lit("")), F.lit(r"[^.!?]+[.!?]+|[^.!?]+$"), 0
+    )
+    return F.filter(F.transform(raw, lambda s: F.trim(s)), lambda s: s != "")
+
+
+def sentence_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_tokens: int = 128,
+) -> DataFrame:
+    """Sentence-boundary-preserving chunking — the RAG/embedding prep
+    that ``chunk_text`` (hard token windows) deliberately is not: a
+    sentence is never split across chunks. Greedy assignment: sentence
+    s goes to chunk floor(tokens_before_s / max_tokens), so a chunk
+    can overrun ``max_tokens`` by at most one sentence (and a single
+    oversized sentence becomes its own overrun chunk) — the standard
+    boundary-preserving trade, documented rather than silently
+    splitting.
+
+    Shape: posexplode sentences -> per-sentence token count -> one
+    cumulative-sum window keyed on the doc -> groupBy (doc, chunk)
+    ordered re-join. One shuffle on the doc id; everything else is
+    codegen. Output: (id_col, chunk_idx, chunk_text, n_sentences,
+    n_tokens)."""
+    sents = df.select(
+        F.col(id_col), F.posexplode(split_sentences(text_col)).alias("_i", "_s")
+    ).withColumn("_tok", F.size(tokens(F.col("_s"))).cast("long"))
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("_i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = sents.withColumn(
+        "chunk_idx",
+        F.floor(F.coalesce(F.sum("_tok").over(w), F.lit(0)) / F.lit(max_tokens)).cast(
+            "long"
+        ),
+    )
+    return (
+        assigned.groupBy(id_col, "chunk_idx")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_i", "_s"))),
+                    lambda p: p["_s"],
+                ),
+            ).alias("chunk_text"),
+            F.count("*").cast("long").alias("n_sentences"),
+            F.sum("_tok").cast("long").alias("n_tokens"),
+        )
+    )

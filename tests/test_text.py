@@ -546,3 +546,30 @@ def test_bad_words_gate_exact_token_match(spark):
     import pytest as _p
     with _p.raises(ValueError, match="non-empty"):
         bad_words_gate(docs, ())
+
+
+def test_split_sentences_and_sentence_chunks(spark):
+    from nba_data_pipeline_spark.operators.text import sentence_chunks, split_sentences
+
+    df = spark.createDataFrame(
+        [(1, "First sentence here. Second one is a bit longer! Third? trailing bit"),
+         (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    sents = df.select("doc_id", split_sentences("text").alias("s")).collect()
+    got = {r.doc_id: list(r.s) for r in sents}
+    assert got[1] == [
+        "First sentence here.", "Second one is a bit longer!", "Third?", "trailing bit",
+    ]
+    assert got[2] == [] and got[3] == []
+
+    # chunking: 4 sentences of 3/6/1/2 tokens, max_tokens=6 ->
+    # cum_before = 0,3,9,10 -> chunks 0,0,1,1; sentences never split
+    out = {(r.doc_id, r.chunk_idx): r for r in sentence_chunks(
+        df, "doc_id", max_tokens=6).collect()}
+    assert out[(1, 0)].chunk_text == "First sentence here. Second one is a bit longer!"
+    assert out[(1, 1)].chunk_text == "Third? trailing bit"
+    assert out[(1, 0)].n_sentences == 2 and out[(1, 0)].n_tokens == 9
+    assert out[(1, 1)].n_tokens == 3
+    # empty/null docs produce no chunks
+    assert {k[0] for k in out} == {1}
