@@ -6017,6 +6017,96 @@ def q_sentence_chunks(spark, sf):
     return sentence_chunks(_c4_seeded(spark, sf), "doc_id", max_tokens=24)
 
 
+# ===========================================================================
+# graph analytics (operators/graph.py): degrees, triangles, PageRank
+# ===========================================================================
+
+# Deterministic test graph: one-mode projection of the bipartite
+# user <-> item graph already used by connected_components — users are
+# linked when they share >= 21 distinct items (event_id % 211). NOTE on
+# scale: a one-mode projection explodes quadratically inside hot items;
+# it is the EDGE DERIVATION for this fixture, not the operator under
+# test — at 100 TB the edge list arrives from the dedup candidate
+# pipeline or a link graph, and the graph operators themselves only
+# shuffle on vertex id.
+_PROJECTION_EDGES_SQL = """
+       b AS (SELECT DISTINCT user_id AS u, event_id % 211 AS it FROM events),
+       e AS (SELECT a.u AS s, b2.u AS d
+             FROM b a JOIN b b2 ON a.it = b2.it AND a.u < b2.u
+             GROUP BY a.u, b2.u HAVING COUNT(*) >= 21)"""
+
+
+def _projection_edges(spark, sf):
+    b = (
+        _t(spark, sf, "events")
+        .select(F.col("user_id").alias("u"), (F.col("event_id") % 211).alias("it"))
+        .distinct()
+    )
+    a, b2 = b.alias("a"), b.alias("b2")
+    return (
+        a.join(b2, "it")
+        .filter(F.col("a.u") < F.col("b2.u"))
+        .groupBy(F.col("a.u").alias("src"), F.col("b2.u").alias("dst"))
+        .agg(F.count("*").alias("_shared"))
+        .filter(F.col("_shared") >= 21)
+        .select("src", "dst")
+    )
+
+
+@q(
+    "graph_degrees",
+    "WITH" + _PROJECTION_EDGES_SQL + """
+       SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+       FROM (SELECT s AS node FROM e UNION ALL SELECT d FROM e)
+       GROUP BY node""",
+)
+def q_graph_degrees(spark, sf):
+    """Per-vertex degree audit (operators/graph.py degree_stats) of the
+    co-occurrence projection graph — the first sanity check on any
+    candidate-pair graph (a near-complete degree histogram means the
+    blocking key collapsed). Extension op; no reference counterpart."""
+    from .operators.graph import degree_stats
+
+    return degree_stats(_projection_edges(spark, sf))
+
+
+@q(
+    "triangle_counts",
+    "WITH" + _PROJECTION_EDGES_SQL + """,
+       tri AS (SELECT e1.s AS a, e1.d AS b, e2.d AS c
+               FROM e e1 JOIN e e2 ON e1.d = e2.s
+                         JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d),
+       nodes AS (SELECT DISTINCT s AS node FROM e
+                 UNION SELECT d FROM e),
+       cr AS (SELECT unnest([a, b, c]) AS node FROM tri),
+       cnt AS (SELECT node, COUNT(*) AS n FROM cr GROUP BY node)
+       SELECT n.node, CAST(COALESCE(c.n, 0) AS BIGINT) AS triangles
+       FROM nodes n LEFT JOIN cnt c USING (node)""",
+)
+def q_triangle_counts(spark, sf):
+    """Per-vertex triangle counts (operators/graph.py triangle_counts,
+    degree-oriented wedge join): triangle density separates genuine
+    near-dup cliques from chains of borderline pairs in a candidate
+    graph. The oracle enumerates triangles a<b<c by plain id order —
+    orientation strategy changes the join cost, never the result."""
+    from .operators.graph import triangle_counts
+
+    return triangle_counts(_projection_edges(spark, sf))
+
+
+@q("pagerank_centrality")  # rows-only: iterative power iteration is not single-SQL
+def q_pagerank_centrality(spark, sf):
+    """PageRank over the projection graph treated as undirected
+    (operators/graph.py pagerank, 8 rounds, d=0.85) — the classic
+    link-graph quality prior for crawl curation. Iterative joins with
+    per-round lineage truncation; exact parity vs an independent
+    pure-Python power iteration is pinned in tests/test_graph.py."""
+    from .operators.graph import pagerank
+
+    out = pagerank(_projection_edges(spark, sf), iterations=8, undirected=True)
+    return out.select("node", F.round("rank", 9).alias("rank"))
+
+
 # The driver's correctness gate samples the FIRST 50 entries of
 # queries() in insertion order (confirmed: CORRECTNESS_r05 keys ==
 # registry[:50]). Source order groups queries by module/topic, which
