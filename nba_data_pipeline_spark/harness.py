@@ -6107,6 +6107,61 @@ def q_pagerank_centrality(spark, sf):
     return out.select("node", F.round("rank", 9).alias("rank"))
 
 
+# ===========================================================================
+# time-series regularization (operators/timeseries.py)
+# ===========================================================================
+
+@q(
+    "resample_ffill",
+    # daily resample of events per user onto a dense spine, gaps
+    # forward-filled; min/max aggregates are order-exact (no FP-sum
+    # drift between engines); bucket keys are epoch-second BIGINTs
+    """WITH b AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+       o AS (SELECT user_id,
+                    CAST((us - (us % 86400000000)) / 1000000 AS BIGINT)
+                      AS bucket_ts,
+                    COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v
+             FROM b GROUP BY 1, 2),
+       bounds AS (SELECT user_id, MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi
+                  FROM o GROUP BY 1),
+       spine AS (SELECT user_id, unnest(range(lo, hi + 86400, 86400))
+                   AS bucket_ts
+                 FROM bounds),
+       j AS (SELECT s.user_id, s.bucket_ts,
+                    COALESCE(o.n, 0) AS n_obs, o.min_v, o.max_v
+             FROM spine s LEFT JOIN o USING (user_id, bucket_ts))
+       SELECT user_id, bucket_ts, CAST(n_obs AS BIGINT) AS n_obs,
+              ROUND(last_value(min_v IGNORE NULLS) OVER w, 6) AS min_value,
+              ROUND(last_value(max_v IGNORE NULLS) OVER w, 6) AS max_value
+       FROM j
+       WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+)
+def q_resample_ffill(spark, sf):
+    """Fixed-step resample + gap forward-fill (operators/timeseries.py
+    resample_ffill): dense daily spine per user, per-bucket min/max,
+    gaps carried forward with n_obs = 0 as the gap indicator — the
+    regularization step every windowed feature/monitoring job needs.
+    Extension op; no reference counterpart (the reference only appends
+    raw event rows)."""
+    from .operators.timeseries import resample_ffill
+
+    out = resample_ffill(
+        _t(spark, sf, "events"),
+        ["user_id"],
+        "ts",
+        86400,
+        {"min_value": F.min("value"), "max_value": F.max("value")},
+    )
+    return out.select(
+        "user_id",
+        "bucket_ts",
+        "n_obs",
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
 # The driver's correctness gate samples the FIRST 50 entries of
 # queries() in insertion order (confirmed: CORRECTNESS_r05 keys ==
 # registry[:50]). Source order groups queries by module/topic, which

@@ -1,0 +1,115 @@
+"""Time-series regularization: fixed-step resampling onto a dense
+per-key time spine with gap-aware forward fill.
+
+The reference pipeline only ever appends event rows; a feature /
+monitoring pipeline over the same data needs *regular* series — one
+row per (key, step) even where nothing happened — before windowed
+models, drift monitors, or charting can consume it. The classic pandas
+form is ``df.resample(...).agg(...).ffill()``; the distributed form
+here is fully declarative:
+
+- The spine is ``sequence(min_bucket, max_bucket)`` per key, exploded —
+  spine size is span/step rows per key, generated executor-side; no
+  driver-side date arithmetic and no global range (a key observed only
+  in week 3 gets no week-1 rows, so one ancient key cannot inflate
+  every key's spine).
+- The observed aggregate is one hash aggregate on (key, bucket).
+- Forward fill is ``last(col, ignorenulls=True)`` over an unbounded-
+  preceding window — partition-local after one shuffle on the key,
+  the same scale shape as ``windows.running_sum``.
+
+Everything keys on epoch-second buckets (BIGINT), never engine-local
+timestamps, so results hash identically across engines (the same rule
+harness.py applies to every temporal comparison).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..core.data import require_temporal, ts_micros
+
+
+def bucket_start(ts_col: str | Column, step_seconds: int) -> Column:
+    """Epoch-second start of the fixed-width bucket containing ``ts``.
+    Floor division on epoch micros — pure integer arithmetic."""
+    micros = ts_micros(ts_col)
+    step_us = int(step_seconds) * 1_000_000
+    return ((micros - F.pmod(micros, F.lit(step_us))) / F.lit(1_000_000)).cast("long")
+
+
+def time_spine(
+    df: DataFrame, keys: Sequence[str], ts_col: str, step_seconds: int
+) -> DataFrame:
+    """Dense per-key bucket spine: one row per (keys, bucket_ts) for
+    every step between the key's first and last observation (inclusive).
+    ``bucket_ts`` is the bucket's epoch-second start."""
+    require_temporal(df, ts_col)
+    b = bucket_start(ts_col, step_seconds)
+    bounds = df.groupBy(*keys).agg(
+        F.min(b).alias("_lo"), F.max(b).alias("_hi")
+    )
+    return bounds.select(
+        *keys,
+        F.explode(
+            F.sequence("_lo", "_hi", F.lit(int(step_seconds)))
+        ).alias("bucket_ts"),
+    )
+
+
+def forward_fill(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str | Column,
+    cols: Sequence[str],
+) -> DataFrame:
+    """Replace NULLs in ``cols`` with the latest preceding non-NULL
+    value within the key, under a total order on ``order_col`` (leading
+    NULLs stay NULL). One shuffle on the key; the fill itself is a
+    partition-local running ``last(ignorenulls)``."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def resample_ffill(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    step_seconds: int,
+    aggs: dict[str, Column],
+    fill_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Resample to a fixed step and forward-fill the gaps.
+
+    ``aggs`` maps output column name -> aggregate expression evaluated
+    per (keys, bucket); every spine bucket with no observations gets
+    NULL aggregates, then ``fill_cols`` (default: all agg columns) are
+    forward-filled from the latest observed bucket. ``n_obs`` counts the
+    bucket's raw rows (0 on gap rows — the gap indicator survives the
+    fill). Output: (*keys, bucket_ts, n_obs, *aggs)."""
+    require_temporal(df, ts_col)
+    observed = (
+        df.withColumn("bucket_ts", bucket_start(ts_col, step_seconds))
+        .groupBy(*keys, "bucket_ts")
+        .agg(
+            F.count("*").alias("_n"),
+            *[expr.alias(name) for name, expr in aggs.items()],
+        )
+    )
+    spine = time_spine(df, keys, ts_col, step_seconds)
+    joined = spine.join(observed, [*keys, "bucket_ts"], "left").withColumn(
+        "n_obs", F.coalesce("_n", F.lit(0)).cast("long")
+    )
+    fill = list(fill_cols) if fill_cols is not None else list(aggs)
+    filled = forward_fill(joined, keys, F.col("bucket_ts"), fill)
+    return filled.select(*keys, "bucket_ts", "n_obs", *aggs.keys())
