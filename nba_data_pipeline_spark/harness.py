@@ -6108,6 +6108,80 @@ def q_pagerank_centrality(spark, sf):
 
 
 # ===========================================================================
+# portable MinHash-LSH: the flagship near-dup path with a FULL oracle
+# ===========================================================================
+
+def _minhash_portable_oracle(num_perm: int, bands: int, threshold: float) -> str:
+    """DuckDB SQL replicating minhash_lsh_pairs(hash='md5') exactly:
+    same md5-prefix shingle hash, same (a,b) permutation constants
+    (inlined from _perm_params — one source of truth), band candidates
+    via EQUALITY on the band's signature tuple (the bucket hash is
+    semantics-neutral), verification Jaccard over the RAW hashed
+    shingle sets with the same round-then-filter order as the Spark
+    side."""
+    from .operators.dedup import MERSENNE_PRIME, _perm_params
+
+    p = MERSENNE_PRIME
+    rows = num_perm // bands
+    sig_exprs = ",\n              ".join(
+        f"MIN(((hv % {p}) * {a} + {b}) % {p}) AS sig{i}"
+        for i, (a, b) in enumerate(_perm_params(num_perm, 42))
+    )
+    band_selects = "\n         UNION ALL ".join(
+        "SELECT doc_id, {i} AS band, {key} AS k FROM sig".format(
+            i=i,
+            key=" || ',' || ".join(
+                f"CAST(sig{i * rows + j} AS VARCHAR)" for j in range(rows)
+            ),
+        )
+        for i in range(bands)
+    )
+    return f"""WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\\s+'),
+                            t -> t <> '') AS tk
+         FROM documents),
+       sh AS (
+         SELECT doc_id,
+                unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))) AS s
+         FROM toks WHERE len(tk) >= 3),
+       h AS (SELECT DISTINCT doc_id,
+                    CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS hv
+             FROM sh),
+       sig AS (SELECT doc_id,
+              {sig_exprs}
+               FROM h GROUP BY doc_id),
+       bk AS ({band_selects}),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bk a JOIN bk b ON a.band = b.band AND a.k = b.k
+                                   AND a.doc_id < b.doc_id),
+       sets AS (SELECT doc_id, list(DISTINCT hv) AS sv FROM h GROUP BY doc_id)
+       SELECT c.id_a, c.id_b,
+              ROUND(CAST(len(list_intersect(x.sv, y.sv)) AS DOUBLE)
+                    / len(list_distinct(x.sv || y.sv)), 6) AS jaccard_sim
+       FROM cand c JOIN sets x ON x.doc_id = c.id_a
+                   JOIN sets y ON y.doc_id = c.id_b
+       WHERE ROUND(CAST(len(list_intersect(x.sv, y.sv)) AS DOUBLE)
+                   / len(list_distinct(x.sv || y.sv)), 6) >= {threshold}"""
+
+
+@q("minhash_pairs_portable", _minhash_portable_oracle(16, 8, 0.3))
+def q_minhash_portable(spark, sf):
+    """MinHash-LSH near-dup pairs with the oracle-portable md5 shingle
+    hash (operators/dedup.py minhash_lsh_pairs hash='md5') — the same
+    plan as minhash_lsh_pairs (explode -> hash -> 16 min-aggregates ->
+    8 banded buckets -> candidate join -> exact-Jaccard verify) but
+    value-hash comparable against DuckDB, closing the evidence gap the
+    xxhash64 production path (rows-only by nature) cannot. Same
+    portability split as winnow_pairs vs winnow_pairs_fast."""
+    return minhash_lsh_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", num_perm=16, bands=8,
+        threshold=0.3, eager_probe=True, hash="md5",
+    )
+
+
+# ===========================================================================
 # time-series regularization (operators/timeseries.py)
 # ===========================================================================
 

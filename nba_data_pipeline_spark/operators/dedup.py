@@ -535,9 +535,20 @@ def minhash_lsh_pairs(
     seed: int = 42,
     max_bucket_width: int | None = 1000,
     eager_probe: bool = False,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash-LSH, verified by
     exact shingle Jaccard.
+
+    ``hash`` selects the shingle hash: ``"xxhash64"`` (default — the
+    JVM-native production path) or ``"md5"`` (the md5-prefix integer of
+    ``_gram_hash``, reproducible in any engine with md5 — the
+    oracle-comparable form, same portability split as winnowing's
+    ``winnow_pairs`` vs ``winnow_pairs_fast``). The band BUCKET hash
+    stays xxhash64 in both modes: two docs share a bucket iff their
+    band signature rows are equal, so the bucket hash function never
+    changes which candidates form (collisions aside) — only the
+    signature hash has to be portable.
 
     Pipeline: signature -> slice into ``bands`` bands of
     ``num_perm/bands`` rows -> hash each band -> explode -> bucket-join
@@ -558,9 +569,12 @@ def minhash_lsh_pairs(
     # the verification shingle sets (they only differ by a pmod) —
     # without the shared checkpoint each branch re-derives the full
     # exploded frame from the source scan
+    shingle_h = (
+        F.xxhash64("_s") if hash == "xxhash64" else _gram_hash(hash, "_s")
+    )
     ex = (
         exploded_shingles(df, [id_col], text_col, shingle_n, "_s")
-        .select(F.col(id_col).alias("doc_id"), F.xxhash64("_s").alias("_h"))
+        .select(F.col(id_col).alias("doc_id"), shingle_h.alias("_h"))
         .localCheckpoint(eager=False)
     )
     aggs = [

@@ -43,6 +43,27 @@ def test_minhash_lsh_finds_planted_near_dups(spark):
     assert (1, 3) not in got
 
 
+def test_minhash_md5_hash_mode_matches_planted_structure(spark):
+    """hash='md5' (the oracle-portable signature hash) must find the
+    same planted structure as the xxhash64 default: the coverage
+    guarantee holds for any uniform hash, only signature VALUES differ.
+    Identical docs collide in every band under either hash."""
+    import pytest
+
+    pairs = minhash_lsh_pairs(
+        _docs(spark), "doc_id", "text", num_perm=32, bands=16, threshold=0.5,
+        hash="md5",
+    )
+    got = {(r.id_a, r.id_b): r.jaccard_sim for r in pairs.collect()}
+    assert got[(1, 4)] == 1.0
+    assert (1, 2) in got or (2, 4) in got
+    assert (1, 3) not in got
+    with pytest.raises(ValueError, match="unknown gram hash"):
+        minhash_lsh_pairs(
+            _docs(spark), "doc_id", "text", hash="sha9000"
+        ).collect()
+
+
 def test_simhash_near_pairs(spark):
     pairs = simhash_near_pairs(_docs(spark), "doc_id", "text", max_hamming=10)
     got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
