@@ -6182,6 +6182,99 @@ def q_minhash_portable(spark, sf):
 
 
 # ===========================================================================
+# wide -> long unpivot (operators/rollup.py melt)
+# ===========================================================================
+
+@q(
+    "unpivot_long",
+    # UNION ALL is fine for the ORACLE (DuckDB rescans cheaply); the
+    # Spark side must be the single-scan Expand node — pinned in
+    # tests/test_plan_shapes.py
+    """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+              l_quantity AS value FROM lineitem
+       UNION ALL
+       SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+       UNION ALL
+       SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""",
+)
+def q_unpivot_long(spark, sf):
+    """Wide->long melt (operators/rollup.py melt, native unpivot /
+    Expand): the inverse of pivot_counts — one scan emits one row per
+    (id, metric) for downstream per-metric aggregation, the standard
+    long-form reshape before profiling or drift monitoring."""
+    from .operators.rollup import melt
+
+    return melt(
+        _t(spark, sf, "lineitem"),
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+    )
+
+
+# ===========================================================================
+# encoding-damage gate (operators/text.py encoding_quality)
+# ===========================================================================
+
+# deterministic corruption: every 7th doc gets a suffix with 2 U+FFFD,
+# one BEL control char, and both mojibake marker families ('Ã©', 'â€™')
+_ENC_SUFFIX = " cafÃ© �� mid\x07dle â€™ end"
+# the same suffix as a DuckDB expression (SQL text cannot carry raw
+# control bytes — chr() builds them)
+_ENC_SUFFIX_SQL = (
+    "' cafÃ© ' || chr(65533) || chr(65533) || ' mid' || chr(7) || "
+    "'dle â€™ end'"
+)
+
+
+@q(
+    "encoding_gate",
+    # NOTE: the oracle's control class starts at chr(1) — SQL text
+    # cannot express NUL; parquet text never contains NUL, so the
+    # comparison is exact. All ratio math is e6 fixed-point integers.
+    f"""WITH seeded AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0 THEN text || {_ENC_SUFFIX_SQL}
+                     ELSE text END AS t
+         FROM documents),
+       m AS (
+         SELECT doc_id, t,
+                CAST(len(regexp_extract_all(t, chr(65533))) AS BIGINT)
+                  AS n_replacement,
+                CAST(len(regexp_extract_all(t,
+                    '[' || chr(1) || '-' || chr(8) || chr(11) || chr(12) ||
+                    chr(14) || '-' || chr(31) || ']')) AS BIGINT) AS n_control,
+                CAST(len(regexp_extract_all(t, 'Ã|â€'))
+                  AS BIGINT) AS n_mojibake
+         FROM seeded)
+       SELECT doc_id, n_replacement, n_control, n_mojibake,
+              CAST((n_replacement + n_control + n_mojibake) * 1000000
+                   // greatest(len(t), 1) AS BIGINT) AS bad_char_ratio_e6,
+              ((n_replacement + n_control + n_mojibake) * 1000000
+               // greatest(len(t), 1)) <= 1000 AS encoding_ok
+       FROM m""",
+)
+def q_encoding_gate(spark, sf):
+    """Encoding-damage gate (operators/text.py encoding_quality):
+    replacement-char / control-char / mojibake-marker counts and an e6
+    fixed-point bad-character ratio over documents with deterministic
+    seeded corruption — the curation step that catches lossy decodes
+    before they poison a corpus. Extension op; no reference
+    counterpart."""
+    from .operators.text import encoding_quality
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat("text", F.lit(_ENC_SUFFIX))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return encoding_quality(docs).select(
+        "doc_id", "n_replacement", "n_control", "n_mojibake",
+        "bad_char_ratio_e6", "encoding_ok",
+    )
+
+
+# ===========================================================================
 # time-series regularization (operators/timeseries.py)
 # ===========================================================================
 

@@ -66,3 +66,28 @@ def stints_from_json(df: DataFrame, stint_col: str = "STINTS") -> DataFrame:
     from pyspark.sql import types as T
 
     return df.withColumn(stint_col, F.from_json(F.col(stint_col), T.ArrayType(STINT)))
+
+
+def melt(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    var_name: str = "metric",
+    value_name: str = "value",
+) -> DataFrame:
+    """Wide -> long unpivot: one output row per (id row, value column).
+
+    Wraps the native ``DataFrame.unpivot`` (Catalyst ``Expand`` node):
+    ONE scan of the input regardless of how many columns melt — the
+    union-of-selects formulation re-runs the upstream plan once per
+    column (the plan-shape trap test_plan_shapes pins for the quality
+    suite's internal unpivot). Value columns are cast to a common type
+    by Spark; cast explicitly first when mixing ints and doubles to
+    control the result type. Inverse of a pivot; output:
+    (*id_cols, var_name, value_name)."""
+    return df.unpivot(
+        ids=list(id_cols),
+        values=list(value_cols),
+        variableColumnName=var_name,
+        valueColumnName=value_name,
+    )

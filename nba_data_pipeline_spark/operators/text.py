@@ -1034,6 +1034,59 @@ def c4_rules(
     return out.drop("_c4_lines__", "_c4_kept__")
 
 
+# Encoding-damage markers (all RE2-portable, shared verbatim with the
+# DuckDB oracle — keep these as the single source of truth):
+# C0 control characters except tab/newline/carriage-return; the Unicode
+# replacement character a lossy decode leaves behind; and the two
+# classic UTF-8-read-as-Latin-1 mojibake prefixes ('Ã' from mangled
+# two-byte sequences, 'â€' from mangled punctuation).
+CONTROL_CHAR_CLASS = "[\x00-\x08\x0b\x0c\x0e-\x1f]"
+REPLACEMENT_CHAR = "�"
+MOJIBAKE_MARKERS = "Ã|â€"
+
+
+def encoding_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    max_bad_ratio_e6: int = 1000,
+) -> DataFrame:
+    """Encoding-damage gate — the curation step that catches lossy
+    decodes and double-encoded crawl text before it poisons a corpus
+    (mojibake survives every downstream filter because it looks like
+    words):
+
+    - ``n_replacement``: U+FFFD replacement characters (a decoder
+      already gave up on those bytes),
+    - ``n_control``: C0 control characters excluding tab/LF/CR (binary
+      junk, terminal escapes),
+    - ``n_mojibake``: occurrences of the UTF-8-as-Latin-1 marker
+      sequences 'Ã…'/'â€…' (curly quotes and accented letters read in
+      the wrong charset).
+
+    ``bad_char_ratio_e6`` = total markers per million characters in e6
+    fixed point (exact integer arithmetic — no FP, engine-portable);
+    ``encoding_ok`` gates at ``max_bad_ratio_e6`` (default 0.1%).
+    Pure Column expressions (three regexp_count passes) — no shuffle,
+    no UDF, runs at scan speed and composes with pushdown."""
+    t = F.coalesce(_col(text_col), F.lit(""))
+    n_rep = F.regexp_count(t, F.lit(REPLACEMENT_CHAR))
+    n_ctl = F.regexp_count(t, F.lit(CONTROL_CHAR_CLASS))
+    n_moj = F.regexp_count(t, F.lit(MOJIBAKE_MARKERS))
+    bad = (n_rep + n_ctl + n_moj).cast("long")
+    ratio_e6 = F.floor(
+        bad * F.lit(1_000_000) / F.greatest(F.length(t), F.lit(1))
+    ).cast("long")
+    return df.withColumns(
+        {
+            "n_replacement": n_rep.cast("long"),
+            "n_control": n_ctl.cast("long"),
+            "n_mojibake": n_moj.cast("long"),
+            "bad_char_ratio_e6": ratio_e6,
+            "encoding_ok": ratio_e6 <= F.lit(int(max_bad_ratio_e6)),
+        }
+    )
+
+
 def bad_words_gate(
     df: DataFrame,
     words: tuple[str, ...],

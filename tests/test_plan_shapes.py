@@ -191,3 +191,33 @@ def test_domain_block_filter_broadcasts_blocklist(spark):
     plan = _executed_plan(spark, "domain_block_filter")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_unpivot_long_single_scan_no_shuffle(spark):
+    plan = _executed_plan(spark, "unpivot_long")
+    # native unpivot = one Expand over ONE scan; the union-of-selects
+    # formulation would show three FileScans (and re-run any upstream
+    # plan once per melted column)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan
+    assert "Exchange" not in plan
+
+
+def test_encoding_gate_is_shuffle_free_no_python(spark):
+    plan = _executed_plan(spark, "encoding_gate")
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_graph_degrees_no_cartesian(spark):
+    plan = _executed_plan(spark, "triangle_counts")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_resample_ffill_single_scan_per_branch(spark):
+    plan = _executed_plan(spark, "resample_ffill")
+    # spine bounds + observed aggregate both derive from the events
+    # scan; the forward-fill window must be partition-local (one
+    # shuffle on the key, no global sort)
+    assert "CartesianProduct" not in plan
+    assert "Sort [user_id" in plan or "Sort [bucket_ts" in plan or "Window" in plan

@@ -573,3 +573,33 @@ def test_split_sentences_and_sentence_chunks(spark):
     assert out[(1, 1)].n_tokens == 3
     # empty/null docs produce no chunks
     assert {k[0] for k in out} == {1}
+
+
+def test_encoding_quality_counts_and_gate(spark):
+    from nba_data_pipeline_spark.operators.text import encoding_quality
+
+    clean = "a perfectly ordinary sentence with nothing wrong in it at all"
+    df = spark.createDataFrame(
+        [
+            (1, clean),
+            (2, "cafÃ© �� mid\x07dle â€™"),
+            (3, "tabs\tand\nnewlines\rare fine"),
+            (4, None),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in encoding_quality(df).collect()}
+    assert (got[1].n_replacement, got[1].n_control, got[1].n_mojibake) == (0, 0, 0)
+    assert got[1].encoding_ok
+    # doc 2: two U+FFFD, one BEL, 'Ã©' + 'â€™' markers
+    assert (got[2].n_replacement, got[2].n_control, got[2].n_mojibake) == (2, 1, 2)
+    assert not got[2].encoding_ok
+    assert got[2].bad_char_ratio_e6 == 5 * 1_000_000 // len(
+        "cafÃ© �� mid\x07dle â€™"
+    )
+    # tab/LF/CR are NOT control damage
+    assert got[3].n_control == 0 and got[3].encoding_ok
+    # null/empty text: zero counts, gate passes, no division error
+    for d in (4, 5):
+        assert got[d].bad_char_ratio_e6 == 0 and got[d].encoding_ok
