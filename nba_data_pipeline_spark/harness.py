@@ -6182,6 +6182,73 @@ def q_minhash_portable(spark, sf):
 
 
 # ===========================================================================
+# portable SimHash: banded Hamming near-dup with a FULL oracle
+# ===========================================================================
+
+def _simhash_portable_oracle(max_hamming: int) -> str:
+    """DuckDB SQL replicating simhash_near_pairs(hash='md5') exactly:
+    md5 15-hex-prefix token hash (60 effective bits — bits 60-63 never
+    vote and stay 0 on both engines), per-bit majority votes, 16-bit
+    band blocking, exact bit_count(xor) Hamming verify."""
+    bits = 60
+    sums = ",\n              ".join(
+        f"SUM((hv >> {b}) & 1) AS c{b}" for b in range(bits)
+    )
+    fp_expr = "\n              + ".join(
+        f"CASE WHEN 2 * c{b} > n THEN {1 << b} ELSE 0 END" for b in range(bits)
+    )
+    return f"""WITH toks AS (
+         SELECT doc_id,
+                unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                   t -> t <> '')) AS t
+         FROM documents),
+       h AS (SELECT doc_id,
+                    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS hv
+             FROM toks),
+       votes AS (SELECT doc_id, COUNT(*) AS n,
+              {sums}
+                 FROM h GROUP BY doc_id),
+       fp0 AS (SELECT doc_id, CAST({fp_expr} AS BIGINT) AS sh FROM votes),
+       fp AS (SELECT d.doc_id, COALESCE(f.sh, 0) AS sh
+              FROM documents d LEFT JOIN fp0 f USING (doc_id)),
+       bands AS (SELECT doc_id, i AS band, (sh >> (i * 16)) & 65535 AS bucket
+                 FROM fp, unnest([0, 1, 2, 3]) AS u(i)),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b ON a.band = b.band
+                                         AND a.bucket = b.bucket
+                                         AND a.doc_id < b.doc_id)
+       SELECT c.id_a, c.id_b,
+              CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS hamming
+       FROM cand c JOIN fp x ON x.doc_id = c.id_a
+                   JOIN fp y ON y.doc_id = c.id_b
+       WHERE bit_count(xor(x.sh, y.sh)) <= {max_hamming}"""
+
+
+@q("simhash_pairs_portable", _simhash_portable_oracle(3))
+def q_simhash_portable(spark, sf):
+    """SimHash near-dup pairs with the oracle-portable md5 token hash
+    (operators/dedup.py simhash_near_pairs hash='md5'): same banded
+    plan as simhash_pairs but value-hash comparable against DuckDB —
+    with minhash_pairs_portable this gives BOTH flagship near-dup
+    families full driver oracles. No hot-bucket cap here: the oracle
+    is exact equality blocking, and the cap is exercised (and
+    pytest-pinned) on the production xxhash64 path.
+
+    Unlike MinHash (where verification is exact Jaccard over the same
+    shingle sets, so md5/xxhash64 modes emit the SAME pairs), SimHash's
+    verdict IS a function of the hash — the fingerprint and Hamming
+    distance change with the token hash, so near-threshold pairs
+    legitimately differ between modes (~50% overlap measured at
+    sf0.01). Each mode is self-consistent; the oracle checks the md5
+    mode end-to-end."""
+    out = simhash_near_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", max_hamming=3,
+        max_bucket_width=None, hash="md5",
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+# ===========================================================================
 # wide -> long unpivot (operators/rollup.py melt)
 # ===========================================================================
 

@@ -796,16 +796,30 @@ def simhash(text: Column | str, bits: int = 64) -> Column:
 
 
 def simhash_df(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Scalable SimHash: explode tokens -> one xxhash64 per token ->
     per-bit +1/-1 vote aggregates -> assemble the fingerprint. Same
     result as the single-expression ``simhash`` but the token hash is
     computed once and the 64 votes are partial-aggregated map-side.
-    Output: (doc_id, sh)."""
+    Output: (doc_id, sh).
+
+    ``hash="md5"`` swaps the token hash for the md5 15-hex-prefix
+    integer (60 bits, reproducible in any engine with md5 — same
+    portability split as minhash_lsh_pairs/winnowing): bits 60-63 then
+    never vote and stay 0 in the fingerprint, so the effective
+    fingerprint is 60-bit; band blocking and Hamming verification are
+    unchanged, just marginally less discriminative in the top band."""
+    if hash == "xxhash64":
+        tok_h = F.xxhash64("_t")
+    elif hash == "md5":
+        tok_h = F.conv(F.substring(F.md5("_t"), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown token hash {hash!r}: use 'md5' or 'xxhash64'")
     tok = df.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("_t")
-    ).select("doc_id", F.xxhash64("_t").alias("_h"))
+    ).select("doc_id", tok_h.alias("_h"))
     # the +1/-1 vote sum equals 2*(set-bit count) - n_tokens, so
     # aggregate the plain bit sums (cheap shift-and expressions, no
     # conditional) plus one count: vote > 0  <=>  2*c_b > n
@@ -844,6 +858,7 @@ def simhash_near_pairs(
     band_bits: int = 16,
     max_bucket_width: int | None = 1000,
     eager_probe: bool = False,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit
     bands (a pair within Hamming distance 3 of a 64-bit hash must agree
@@ -852,6 +867,10 @@ def simhash_near_pairs(
     ``max_bucket_width`` degrade to star pairs around the bucket's min
     doc id (``_bucket_pairs``) to stay linear on skewed corpora.
 
+    ``hash`` selects the token hash (see ``simhash_df``): "xxhash64"
+    (default, JVM production path) or "md5" (engine-portable, the
+    oracle-comparable form).
+
     Fully lazy by default. Pass ``eager_probe=True`` to run one small
     aggregate action (max bucket width) at plan-construction time so
     the hot-bucket join-back can be skipped entirely on natural
@@ -859,7 +878,7 @@ def simhash_near_pairs(
     unconditionally (one extra tiny aggregate + join in the plan)."""
     # one materialization of the fingerprints feeds banding (4 plan
     # branches in _bucket_pairs) and the two fingerprint re-joins
-    h = simhash_df(df, id_col, text_col).localCheckpoint(eager=False)
+    h = simhash_df(df, id_col, text_col, hash=hash).localCheckpoint(eager=False)
     bands = _simhash_bands(h, band_bits)
     cand = _bucket_pairs(bands, max_bucket_width, eager_probe)
     fp = h.withColumnRenamed("sh", "_fp")

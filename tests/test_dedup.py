@@ -71,6 +71,26 @@ def test_simhash_near_pairs(spark):
     assert (1, 3) not in got  # far doc outside hamming radius
 
 
+def test_simhash_md5_hash_mode_matches_planted_structure(spark):
+    """hash='md5' (60-bit portable fingerprint) keeps the planted
+    structure: identical docs -> identical fingerprints -> hamming 0;
+    far docs stay outside the radius. Bits 60-63 never vote, so sh
+    must fit in 60 bits."""
+    import pytest
+    from nba_data_pipeline_spark.operators.dedup import simhash_df
+
+    pairs = simhash_near_pairs(
+        _docs(spark), "doc_id", "text", max_hamming=10, hash="md5"
+    )
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got[(1, 4)] == 0
+    assert (1, 3) not in got
+    fps = simhash_df(_docs(spark), "doc_id", "text", hash="md5").collect()
+    assert all(0 <= r.sh < (1 << 60) for r in fps)
+    with pytest.raises(ValueError, match="unknown token hash"):
+        simhash_df(_docs(spark), "doc_id", "text", hash="crc7")
+
+
 def test_hot_bucket_guard_stays_linear_on_identical_corpus(spark):
     """A degenerate corpus (many identical docs -> one mega-bucket per
     band) must not produce the quadratic k*(k-1)/2 pair set: over-cap
