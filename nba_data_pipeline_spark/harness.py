@@ -6182,6 +6182,87 @@ def q_minhash_portable(spark, sf):
 
 
 # ===========================================================================
+# tokenizer coverage (operators/text.py vocab_table / oov_rate)
+# ===========================================================================
+
+@q(
+    "oov_rate",
+    # vocabulary = tokens with corpus count >= 5 (count-threshold, not
+    # top-K, so membership needs no tie-break); per-doc OOV in e6
+    # fixed point; tokens count with multiplicity
+    """WITH tok AS (
+         SELECT doc_id,
+                unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                   t -> t <> '')) AS token
+         FROM documents),
+       v AS (SELECT token FROM tok GROUP BY token HAVING COUNT(*) >= 5)
+       SELECT t.doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_oov,
+              CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1000000
+                   // COUNT(*) AS BIGINT) AS oov_rate_e6
+       FROM tok t LEFT JOIN v USING (token)
+       GROUP BY t.doc_id""",
+)
+def q_oov_rate(spark, sf):
+    """Per-document OOV rate against the corpus >=5-count vocabulary
+    (operators/text.py vocab_table + oov_rate): the tokenizer-coverage
+    audit — explode, broadcast vocab join, one per-doc aggregate.
+    Extension op; no reference counterpart."""
+    from .operators.text import oov_rate, vocab_table
+
+    docs = _t(spark, sf, "documents")
+    return oov_rate(docs, "doc_id", "text", vocab_table(docs, min_count=5))
+
+
+# ===========================================================================
+# conversion attribution (operators/windows.py touch_attribution)
+# ===========================================================================
+
+@q(
+    "touch_attribution",
+    # first/last view|click touch within 7 days of each purchase; the
+    # windowed min/max runs over ts_us*8+code encoded integers (pure
+    # integer math, deterministic tie-break by code) — NO event-to-
+    # event self-join on either side
+    """WITH b AS (
+         SELECT user_id AS user, event_type AS t, epoch_us(ts) AS us,
+                CASE event_type WHEN 'view' THEN epoch_us(ts) * 8 + 1
+                                WHEN 'click' THEN epoch_us(ts) * 8 + 2
+                END AS enc
+         FROM events),
+       w AS (
+         SELECT user, t, us,
+                MIN(enc) OVER r AS f, MAX(enc) OVER r AS l
+         FROM b
+         WINDOW r AS (PARTITION BY user ORDER BY us
+                      RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW))
+       SELECT user, us AS conv_ts_us,
+              CASE f % 8 WHEN 1 THEN 'view' WHEN 2 THEN 'click' END
+                AS first_touch_type,
+              f // 8 AS first_touch_ts_us,
+              CASE l % 8 WHEN 1 THEN 'view' WHEN 2 THEN 'click' END
+                AS last_touch_type,
+              l // 8 AS last_touch_ts_us
+       FROM w WHERE t = 'purchase'""",
+)
+def q_touch_attribution(spark, sf):
+    """First/last-touch conversion attribution (operators/windows.py
+    touch_attribution): every purchase attributed to the earliest and
+    latest view/click by the same user within a 7-day lookback — one
+    shuffle on the user key + two RANGE-framed window aggregates, no
+    event self-join. Extension op; no reference counterpart."""
+    from .operators.windows import touch_attribution
+
+    return touch_attribution(
+        _t(spark, sf, "events"), "user_id", "event_type", "ts",
+        conversion_type="purchase", touch_types=["view", "click"],
+        lookback_seconds=604800,
+    )
+
+
+# ===========================================================================
 # portable SimHash: banded Hamming near-dup with a FULL oracle
 # ===========================================================================
 
@@ -6418,8 +6499,15 @@ _DRIVER_WINDOW = [
     "data_quality_suite",  # quality family
     "dup_key_check",       # A5/S10
     "stint_rollup_stats",  # A1 rollup family
-    "group_agg_suite",     # A6 agg family
-    "rank_in_group",       # O1 window family
+    # group_agg_suite (A6) and rank_in_group (O1) rotated out late in
+    # r7 — both multi-round driver-green, their families still covered
+    # in-window (dup_key_check/stint_rollup_stats for aggregation;
+    # sessionize/session_window_agg/top_paths/funnel_counts for
+    # windows) — in favor of the two portable-hash near-dup flagships
+    # that gained full oracles this round and have never had a driver
+    # row:
+    "minhash_pairs_portable",
+    "simhash_pairs_portable",
     # TPC-H rotation: q5/q12 proved green in r6 → rotate to the four
     # shapes the driver has never checked
     "tpch_q1", "tpch_q3", "tpch_q17", "tpch_q21",

@@ -1034,6 +1034,48 @@ def c4_rules(
     return out.drop("_c4_lines__", "_c4_kept__")
 
 
+def vocab_table(df: DataFrame, text_col: str = "text", min_count: int = 5) -> DataFrame:
+    """Corpus vocabulary: tokens appearing at least ``min_count`` times.
+    Count-threshold membership (not top-K) so the table is
+    deterministic with no tie-break policy. One explode + hash
+    aggregate; output (token, n) is the small persistable artifact a
+    tokenizer-QA pipeline freezes per release."""
+    tok = df.select(F.explode(tokens(text_col)).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+        .filter(F.col("n") >= int(min_count))
+    )
+
+
+def oov_rate(
+    df: DataFrame, id_col: str, text_col: str, vocab: DataFrame
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a frozen vocabulary
+    — the tokenizer-coverage audit run before/after a vocab change
+    (a rising OOV rate on a new source means the tokenizer will
+    shatter it into bytes). Tokens count WITH multiplicity.
+
+    Scale shape: explode -> broadcast left join against the (small)
+    vocab -> one hash aggregate per doc. ``oov_rate_e6`` is e6
+    fixed-point integer math. Docs with zero tokens emit no row (same
+    contract as every gram-based operator here)."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token")
+    )
+    v = F.broadcast(vocab.select("token").distinct().withColumn("_in", F.lit(1)))
+    joined = tok.join(v, "token", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).cast("long").alias("n_oov"),
+        F.floor(
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+            * F.lit(1_000_000)
+            / F.count("*")
+        ).cast("long").alias("oov_rate_e6"),
+    )
+
+
 # Encoding-damage markers (all RE2-portable, shared verbatim with the
 # DuckDB oracle — keep these as the single source of truth):
 # C0 control characters except tab/newline/carriage-return; the Unicode

@@ -389,3 +389,75 @@ def profile_entropy(
             F.sum("_t").alias("entropy_e6"),
         )
     )
+
+
+def touch_attribution(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    conversion_type: str,
+    touch_types: Sequence[str],
+    lookback_seconds: int,
+    type_codes: dict[str, int] | None = None,
+) -> DataFrame:
+    """First-touch and last-touch attribution: for every conversion
+    event, the earliest and latest touch event by the same user within
+    ``lookback_seconds`` before (or at) the conversion timestamp.
+
+    Scale shape: ONE shuffle on the user key, then two RANGE-framed
+    window aggregates over epoch-microsecond order — no self-join of
+    events to events (the naive formulation), so cost is O(events)
+    regardless of touches-per-conversion fan-in.
+
+    Portability: the windowed min/max runs over a single ENCODED
+    integer ``ts_us * 8 + type_code`` (type_code from the position in
+    ``touch_types``, 1-based, or an explicit ``type_codes`` map — must
+    stay < 8), decoded after — pure integer arithmetic reproducible in
+    any engine, and simultaneous-touch ties resolve deterministically
+    by code instead of engine-dependent struct ordering.
+
+    Output: one row per conversion — (user, conv_ts_us, first/last
+    touch type + ts_us, NULLs when no touch in the lookback).
+    """
+    require_temporal(df, ts_col)
+    if type_codes is None:
+        type_codes = {t: i for i, t in enumerate(touch_types, start=1)}
+    if any(c <= 0 or c >= 8 for c in type_codes.values()):
+        raise ValueError(f"type codes must be in [1, 7]: {type_codes}")
+    us = ts_micros(ts_col)
+    code = F.lit(None).cast("long")
+    for t, c in type_codes.items():
+        code = F.when(F.col(type_col) == t, F.lit(c).cast("long")).otherwise(code)
+    enc = F.when(code.isNotNull(), us * F.lit(8) + code)
+    base = df.select(
+        F.col(user_col).alias("user"),
+        F.col(type_col).alias("_type"),
+        us.alias("_us"),
+        enc.alias("_enc"),
+    )
+    w = (
+        Window.partitionBy("user")
+        .orderBy("_us")
+        .rangeBetween(-int(lookback_seconds) * 1_000_000, 0)
+    )
+    attributed = base.withColumns(
+        {"_first": F.min("_enc").over(w), "_last": F.max("_enc").over(w)}
+    ).filter(F.col("_type") == conversion_type)
+
+    decode_ts = lambda c: F.floor(F.col(c) / 8).cast("long")  # noqa: E731
+
+    def decode_type(c: str) -> Column:
+        out = F.lit(None).cast("string")
+        for t, cd in type_codes.items():
+            out = F.when(F.col(c) % 8 == cd, F.lit(t)).otherwise(out)
+        return out
+
+    return attributed.select(
+        "user",
+        F.col("_us").alias("conv_ts_us"),
+        decode_type("_first").alias("first_touch_type"),
+        decode_ts("_first").alias("first_touch_ts_us"),
+        decode_type("_last").alias("last_touch_type"),
+        decode_ts("_last").alias("last_touch_ts_us"),
+    )

@@ -603,3 +603,24 @@ def test_encoding_quality_counts_and_gate(spark):
     # null/empty text: zero counts, gate passes, no division error
     for d in (4, 5):
         assert got[d].bad_char_ratio_e6 == 0 and got[d].encoding_ok
+
+
+def test_vocab_table_and_oov_rate(spark):
+    from nba_data_pipeline_spark.operators.text import oov_rate, vocab_table
+
+    df = spark.createDataFrame(
+        [
+            (1, "aa aa aa bb"),      # aa x3, bb x1
+            (2, "aa bb cc"),
+            (3, "zz zz"),
+            (4, ""),                 # no tokens -> no output row
+        ],
+        "doc_id long, text string",
+    )
+    vocab = vocab_table(df, min_count=3)  # only 'aa' (4 occurrences)
+    assert {r.token for r in vocab.collect()} == {"aa"}
+    got = {r.doc_id: r for r in oov_rate(df, "doc_id", "text", vocab).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1].n_tokens, got[1].n_oov, got[1].oov_rate_e6) == (4, 1, 250000)
+    assert (got[2].n_tokens, got[2].n_oov) == (3, 2)
+    assert got[3].oov_rate_e6 == 1_000_000

@@ -205,3 +205,59 @@ def test_profile_entropy_separates_bot_from_organic(spark):
     expect = round(math.log(48) * 1e6)  # uniform over 48 cells
     assert abs(out[2].entropy_e6 - expect) <= 48  # per-term rounding slack
     assert out[1].n_events == out[2].n_events == 48
+
+
+def test_touch_attribution_first_last_and_lookback(spark):
+    from pyspark.sql import functions as F
+    from nba_data_pipeline_spark.operators.windows import touch_attribution
+
+    rows = [
+        # user 1: view@100, click@200, purchase@300 -> first=view, last=click
+        (1, "view", 100), (1, "click", 200), (1, "purchase", 300),
+        # user 1: second purchase@5000 with lookback 1000 -> no touch in window
+        (1, "purchase", 5000),
+        # user 2: touch exactly at the conversion timestamp counts (<=)
+        (2, "click", 700), (2, "purchase", 700),
+        # user 3: only an old touch outside the lookback
+        (3, "view", 10), (3, "purchase", 2000),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, s long").withColumn(
+        "ts", F.timestamp_seconds("s")
+    )
+    out = {
+        (r.user, r.conv_ts_us): r
+        for r in touch_attribution(
+            df, "user_id", "event_type", "ts",
+            conversion_type="purchase", touch_types=["view", "click"],
+            lookback_seconds=1000,
+        ).collect()
+    }
+    a = out[(1, 300_000_000)]
+    assert (a.first_touch_type, a.first_touch_ts_us) == ("view", 100_000_000)
+    assert (a.last_touch_type, a.last_touch_ts_us) == ("click", 200_000_000)
+    b = out[(1, 5_000_000_000)]
+    assert b.first_touch_type is None and b.last_touch_ts_us is None
+    c = out[(2, 700_000_000)]
+    assert c.first_touch_type == "click" and c.first_touch_ts_us == 700_000_000
+    d = out[(3, 2_000_000_000)]
+    assert d.first_touch_type is None
+
+    # simultaneous view+click resolve deterministically by code (view=1 < click=2)
+    tie = spark.createDataFrame(
+        [(9, "view", 50), (9, "click", 50), (9, "purchase", 60)],
+        "user_id long, event_type string, s long",
+    ).withColumn("ts", F.timestamp_seconds("s"))
+    t = touch_attribution(
+        tie, "user_id", "event_type", "ts",
+        conversion_type="purchase", touch_types=["view", "click"],
+        lookback_seconds=100,
+    ).collect()[0]
+    assert t.first_touch_type == "view" and t.last_touch_type == "click"
+
+    # type codes outside [1, 7] rejected
+    import pytest
+    with pytest.raises(ValueError, match="type codes"):
+        touch_attribution(
+            df, "user_id", "event_type", "ts", "purchase", ["view"],
+            1000, type_codes={"view": 8},
+        )
