@@ -55,6 +55,11 @@ HEADLINE = [
     "dsir_select",
     "winnow_pairs",
     "winnow_pairs_fast",
+    # portable-hash (md5) near-dup paths next to their xxhash64
+    # production twins: the portability tax is a first-class datum
+    "minhash_pairs_portable",
+    "simhash_pairs_portable",
+    "resample_ffill",
     "pii_scrub",
     "domain_block_filter",
     "lineups_declarative_bulk",
