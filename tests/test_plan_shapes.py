@@ -221,3 +221,18 @@ def test_resample_ffill_single_scan_per_branch(spark):
     # shuffle on the key, no global sort)
     assert "CartesianProduct" not in plan
     assert "Sort [user_id" in plan or "Sort [bucket_ts" in plan or "Window" in plan
+
+
+def test_touch_attribution_no_self_join(spark):
+    plan = _executed_plan(spark, "touch_attribution")
+    # the naive formulation self-joins events to events; ours is one
+    # scan + one user-key shuffle + RANGE-framed windows
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_oov_rate_broadcasts_vocab(spark):
+    plan = _executed_plan(spark, "oov_rate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
