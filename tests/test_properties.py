@@ -420,3 +420,63 @@ def test_html_to_text_never_leaks_tags(spark):
         got_words = r.t.split()
         want_words = r.expect.split()
         assert got_words == want_words, (r.t, r.expect)
+
+
+def test_triangle_counts_match_bruteforce_over_random_graphs(spark):
+    """20 random graphs, one Spark pass each is too slow — instead
+    union them into ONE edge frame with a graph-id offset so a single
+    triangle_counts run covers all cases, then compare against an
+    independent brute-force count per graph."""
+    import itertools
+
+    from nba_data_pipeline_spark.operators.graph import triangle_counts
+
+    all_edges = []
+    expected = {}
+    for g in range(20):
+        n = RNG.randint(3, 12)
+        base = g * 1000
+        nodes = list(range(base, base + n))
+        edges = [
+            (a, b)
+            for a, b in itertools.combinations(nodes, 2)
+            if RNG.random() < 0.4
+        ]
+        if not edges:
+            edges = [(nodes[0], nodes[1])]
+        all_edges.extend(edges)
+        adj = set(edges)
+        present = sorted({x for e in edges for x in e})
+        for v in present:
+            expected[v] = 0
+        for a, b, c in itertools.combinations(present, 3):
+            if (a, b) in adj and (a, c) in adj and (b, c) in adj:
+                expected[a] += 1
+                expected[b] += 1
+                expected[c] += 1
+    df = spark.createDataFrame(all_edges, "src long, dst long")
+    got = {r.node: r.triangles for r in triangle_counts(df).collect()}
+    assert got == expected
+
+
+def test_forward_fill_idempotent_and_monotone_on_random_series(spark):
+    from nba_data_pipeline_spark.operators.timeseries import forward_fill
+
+    rows = []
+    for k in range(30):
+        for t in range(RNG.randint(1, 40)):
+            v = None if RNG.random() < 0.5 else round(RNG.uniform(-5, 5), 3)
+            rows.append((f"k{k}", t, v))
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    once = forward_fill(df, ["k"], "t", ["v"])
+    twice = forward_fill(once, ["k"], "t", ["v"])
+    assert once.exceptAll(twice).count() == 0 and twice.exceptAll(once).count() == 0
+    assert once.count() == df.count()
+    # fill only ADDS values where the input had nulls; where the input
+    # was non-null the value is unchanged
+    j = (
+        df.withColumnRenamed("v", "v_in")
+        .join(once, ["k", "t"])
+    )
+    assert j.filter(F.col("v_in").isNotNull() & (F.col("v") != F.col("v_in"))).count() == 0
+    assert j.filter(F.col("v_in").isNotNull() & F.col("v").isNull()).count() == 0
