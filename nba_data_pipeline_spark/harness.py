@@ -6182,6 +6182,89 @@ def q_minhash_portable(spark, sf):
 
 
 # ===========================================================================
+# streaming Misra-Gries heavy hitters (streaming/stateful.py)
+# ===========================================================================
+
+@q(
+    "streaming_hh_gate",
+    # constant-verdict gate: Misra-Gries counts are LOWER bounds within
+    # n/(capacity+1) of truth, and every token with true share above
+    # that threshold must be present — checked per key vs the exact
+    # batch aggregate
+    """SELECT 'mg_stream' AS method, TRUE AS bounds_ok""",
+)
+def q_streaming_hh_gate(spark, sf):
+    """Streaming Misra-Gries heavy-hitter gate
+    (streaming/stateful.py stream_heavy_hitters): events stream keyed
+    by user with the raw props payload as the token (~100 distinct
+    tokens per user vs capacity 10, so the MG decrement fires); every
+    reported count must lower-bound the exact count within
+    n_seen/(capacity+1), and every over-threshold token must be
+    present. Bounded O(capacity) state per key — the shape an exact
+    streaming (key, token) aggregate cannot guarantee on an unbounded
+    vocabulary."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .streaming.stateful import stream_heavy_hitters
+
+    capacity = 10
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    # the streaming file source requires a DIRECTORY; the testdata
+    # table is a single parquet file — stage it into a temp dir
+    root = tempfile.mkdtemp(prefix="hh_gate_")
+    try:
+        shutil.copy(_os.path.join(sf, "events.parquet"), root)
+        raw = stream_heavy_hitters(
+            spark, root, schema, "user_id", "props", capacity=capacity,
+            query_name="hh_gate_q",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    # token column carried props verbatim; key = user string. Reduce to
+    # the FINAL emission per key (max n_seen), then verify vs exact.
+    final_n = raw.groupBy("key").agg(F.max("n_seen").alias("n_seen"))
+    # token NULL rows are empty-summary markers (they carry n_seen for
+    # batches whose MG summary legitimately emptied) — not counts
+    summary = (
+        raw.join(final_n, ["key", "n_seen"])
+        .filter(F.col("token").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    exact = (
+        _t(spark, sf, "events")
+        .select(F.col("user_id").cast("string").alias("key"), F.col("props").alias("token"))
+        .groupBy("key", "token")
+        .agg(F.count("*").alias("true_n"))
+        .localCheckpoint(eager=True)
+    )
+    joined = summary.join(exact, ["key", "token"], "left")
+    eps = F.col("n_seen") / F.lit(capacity + 1)
+    overcount = joined.filter(
+        F.col("true_n").isNull() | (F.col("count_lb") > F.col("true_n"))
+    ).count()
+    slack = joined.filter(F.col("count_lb") < F.col("true_n") - eps).count()
+    totals = exact.groupBy("key").agg(F.sum("true_n").alias("n_tot"))
+    musts = exact.join(totals, "key").filter(
+        F.col("true_n") > F.col("n_tot") / F.lit(capacity + 1)
+    )
+    missing = musts.join(summary, ["key", "token"], "left_anti").count()
+    ok = overcount == 0 and slack == 0 and missing == 0
+    return spark.createDataFrame(
+        [("mg_stream", bool(ok))], "method string, bounds_ok boolean"
+    )
+
+
+# ===========================================================================
 # tokenizer coverage (operators/text.py vocab_table / oov_rate)
 # ===========================================================================
 
