@@ -6182,6 +6182,29 @@ def q_minhash_portable(spark, sf):
 
 
 # ===========================================================================
+# image perceptual hashing (operators/multimodal.py image_dhash)
+# ===========================================================================
+
+@q("image_dhash_pairs")  # binary decode kernels: rows-only by nature
+def q_image_dhash_pairs(spark, sf):
+    """Image near-dup pairs via perceptual dHash
+    (operators/multimodal.py image_dhash + dhash_near_pairs): payloads
+    hashed in a mapInPandas kernel (fake-decode path over document
+    bytes here — exact duplicate texts produce colliding payload
+    grids, planting real pairs), then the SAME banded-Hamming
+    machinery as SimHash forms candidates and verifies exactly. Real
+    PPM/BMP decode + cross-format invariance are pytest-pinned
+    (tests/test_multimodal.py)."""
+    from .operators.multimodal import dhash_near_pairs, image_dhash
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "payload", F.encode("text", "utf-8")
+    )
+    hashes = image_dhash(docs, "doc_id", "payload")
+    return dhash_near_pairs(hashes, max_hamming=3)
+
+
+# ===========================================================================
 # streaming Misra-Gries heavy hitters (streaming/stateful.py)
 # ===========================================================================
 

@@ -323,3 +323,166 @@ def extract_audio_windows(
             )
 
     return df.select(id_col, payload_col).mapInPandas(kernel, schema=AUDIO_WINDOWS_SCHEMA)
+
+
+def _luma_matrix(payload: bytes):
+    """Grayscale pixel matrix (h, w) in [0, 1] for the real-decode
+    formats (PPM P6 / uncompressed BMP); None for zero-pixel images.
+    The matrix form of the mean-luma decoders above — shared by
+    perceptual hashing, which needs spatial structure, not just the
+    mean."""
+    import numpy as np
+
+    if payload.startswith(b"P6"):
+        # reuse the header walk from _decode_ppm
+        tokens: list[int] = []
+        pos = 2
+        while len(tokens) < 3:
+            if pos >= len(payload):
+                raise ValueError("truncated PPM header")
+            c = payload[pos : pos + 1]
+            if c == b"#":
+                nl = payload.find(b"\n", pos)
+                pos = len(payload) if nl < 0 else nl + 1
+            elif c.isspace():
+                pos += 1
+            else:
+                end = pos
+                while end < len(payload) and not payload[end : end + 1].isspace():
+                    end += 1
+                tokens.append(int(payload[pos:end]))
+                pos = end
+        width, height, maxval = tokens
+        pos += 1
+        if width * height == 0:
+            return None
+        dtype = np.dtype(">u2") if maxval > 255 else np.uint8
+        px = np.frombuffer(
+            payload, dtype=dtype, count=width * height * 3, offset=pos
+        ).astype(np.float64).reshape(height, width, 3) / maxval
+        return px[..., 0] * _LUMA_R + px[..., 1] * _LUMA_G + px[..., 2] * _LUMA_B
+    if payload.startswith(b"BM"):
+        pixel_offset = struct.unpack_from("<I", payload, 10)[0]
+        _, width, height = struct.unpack_from("<Iii", payload, 14)
+        bpp, compression = struct.unpack_from("<HI", payload, 28)
+        if compression != 0 or bpp not in (24, 32):
+            raise NotImplementedError("only uncompressed 24/32-bit BMP supported")
+        abs_h = abs(height)
+        if width * abs_h == 0:
+            return None
+        bytes_pp = bpp // 8
+        stride = (width * bytes_pp + 3) & ~3
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * abs_h, offset=pixel_offset
+        ).reshape(abs_h, stride)
+        px = rows[:, : width * bytes_pp].reshape(abs_h, width, bytes_pp).astype(np.float64)
+        luma = (px[..., 2] * _LUMA_R + px[..., 1] * _LUMA_G + px[..., 0] * _LUMA_B) / 255.0
+        # BMP rows are bottom-up for height > 0 — flip so the matrix is
+        # top-down like PPM (the mean never cared; dHash DOES)
+        return luma[::-1] if height > 0 else luma
+    raise NotImplementedError(
+        f"compressed image codec not available (magic={payload[:4]!r}); plug PIL here"
+    )
+
+
+def _dhash64(payload: bytes, decode: str) -> int | None:
+    """64-bit difference hash (dHash): grayscale -> area-mean downsample
+    to a 8x9 grid -> bit r*8+c set iff grid[r, c+1] > grid[r, c].
+    Deterministic, robust to resizing/re-encoding/small edits — the
+    classic near-dup key for image corpora. None for zero-pixel
+    images. The fake path derives a deterministic pseudo-grid from the
+    payload hash (identical payloads collide, as the plumbing tests
+    need)."""
+    import numpy as np
+
+    if decode == "real":
+        luma = _luma_matrix(bytes(payload))
+        if luma is None:
+            return None
+        # area-mean resample via block split (uneven splits fine)
+        grid = np.array(
+            [
+                [blk.mean() for blk in np.array_split(row_band, 9, axis=1)]
+                for row_band in np.array_split(luma, 8, axis=0)
+            ]
+        )
+    else:
+        digest = hashlib.sha256(bytes(payload)).digest()
+        seed = np.frombuffer(digest * 3, dtype=np.uint8)[: 8 * 9].astype(np.float64)
+        grid = (seed / 255.0).reshape(8, 9)
+    bits = 0
+    for r in range(8):
+        for c in range(8):
+            if grid[r, c + 1] > grid[r, c]:
+                bits |= 1 << (r * 8 + c)
+    # keep the value in signed-long range for the Spark LongType column
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("dhash", T.LongType(), True),
+    ]
+)
+
+
+def image_dhash(
+    df: DataFrame, id_col: str, payload_col: str, decode: str = "fake"
+) -> DataFrame:
+    """Perceptual dHash per image payload via ``mapInPandas`` —
+    the hashing half of image near-dup dedup. Output: (doc_id, dhash);
+    dhash is NULL for zero-pixel images."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "dhash": pd.array(
+                        [_dhash64(p, decode) for p in pdf[payload_col]],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema=DHASH_SCHEMA)
+
+
+def dhash_near_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    band_bits: int = 16,
+    max_bucket_width: int | None = 1000,
+) -> DataFrame:
+    """Image near-dup pairs from a persisted (doc_id, dhash) table:
+    exactly the SimHash banded-Hamming machinery (16-bit bands,
+    pigeonhole: a pair within Hamming 64/band_bits - 1 must agree on
+    one band; bit_count(xor) exact verify on candidates) — dedup for
+    the image modality composes from the text-side plan, no new join
+    shape. ``max_hamming`` must stay below 64/band_bits for the
+    banding to be lossless; raise band granularity otherwise."""
+    from .dedup import _bucket_pairs, _simhash_bands
+
+    nbands = 64 // band_bits
+    if max_hamming > nbands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole guarantee of "
+            f"{nbands} bands ({nbands - 1}); use smaller band_bits"
+        )
+    fps = hashes.filter(F.col("dhash").isNotNull()).select(
+        "doc_id", F.col("dhash").alias("sh")
+    ).localCheckpoint(eager=False)
+    bands = _simhash_bands(fps, band_bits)
+    cand = _bucket_pairs(bands, max_bucket_width, eager_probe=False)
+    fp = fps.withColumnRenamed("sh", "_fp")
+    cand = (
+        cand.join(fp.select(F.col("doc_id").alias("id_a"), F.col("_fp").alias("sh_a")), "id_a")
+        .join(fp.select(F.col("doc_id").alias("id_b"), F.col("_fp").alias("sh_b")), "id_b")
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

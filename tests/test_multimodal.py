@@ -186,3 +186,85 @@ def test_real_zero_pixel_images_yield_null_luma(spark):
     df = spark.createDataFrame([(1, bytearray(ppm))], "doc_id long, payload binary")
     r = extract_image_features(df, "doc_id", "payload", decode="real").collect()[0]
     assert (r.width, r.height) == (0, 0) and r.mean_luma is None
+
+
+def _rand_pixels(rng, w, h):
+    return [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(w * h)]
+
+
+def test_image_dhash_near_pairs_real_decode(spark):
+    """dHash image near-dup over real PPM payloads: an exact copy pairs
+    at hamming 0, a one-pixel tweak pairs within the radius, a distinct
+    random image stays out, and a zero-pixel image yields NULL (and is
+    excluded from pairing)."""
+    import random
+
+    from nba_data_pipeline_spark.operators.multimodal import (
+        dhash_near_pairs,
+        image_dhash,
+    )
+
+    rng = random.Random(1234)
+    w, h = 18, 16
+    base = _rand_pixels(rng, w, h)
+    tweak = list(base)
+    tweak[0] = (255 - tweak[0][0], tweak[0][1], tweak[0][2])  # one pixel
+    other = _rand_pixels(rng, w, h)
+    rows = [
+        (1, bytearray(_ppm_bytes(w, h, base))),
+        (2, bytearray(_ppm_bytes(w, h, tweak))),
+        (3, bytearray(_ppm_bytes(w, h, other))),
+        (4, bytearray(_ppm_bytes(w, h, base))),      # exact copy of 1
+        (5, bytearray(_ppm_bytes(0, 0, []))),        # zero-pixel
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashes = image_dhash(df, "doc_id", "payload", decode="real")
+    got = {r.doc_id: r.dhash for r in hashes.collect()}
+    assert got[5] is None
+    assert got[1] == got[4]
+    pairs = dhash_near_pairs(hashes, max_hamming=7, band_bits=8)
+    pm = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert pm[(1, 4)] == 0
+    assert (1, 2) in pm and pm[(1, 2)] <= 7
+    assert (1, 3) not in pm and (3, 4) not in pm
+
+
+def test_image_dhash_cross_format_invariance(spark):
+    """The SAME pixel content as PPM and as 24-bit BMP must produce the
+    IDENTICAL dhash — the hash keys on decoded luma, not container
+    bytes (BMP stores rows bottom-up in BGR; a flip/channel bug would
+    break this)."""
+    import random
+
+    from nba_data_pipeline_spark.operators.multimodal import image_dhash
+
+    rng = random.Random(99)
+    w, h = 9, 8
+    pixels = _rand_pixels(rng, w, h)
+    rows_bgr = [
+        [(b, g, r) for (r, g, b) in pixels[y * w : (y + 1) * w]] for y in range(h)
+    ]
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_ppm_bytes(w, h, pixels))),
+            (2, bytearray(_bmp_bytes(w, h, rows_bgr))),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r.dhash for r in image_dhash(df, "doc_id", "payload", decode="real").collect()}
+    assert got[1] == got[2]
+
+
+def test_dhash_near_pairs_rejects_lossy_banding(spark):
+    import pytest as _pytest
+
+    from nba_data_pipeline_spark.operators.multimodal import (
+        dhash_near_pairs,
+        image_dhash,
+    )
+
+    df = spark.createDataFrame([(1, bytearray(b"xx"))], "doc_id long, payload binary")
+    hashes = image_dhash(df, "doc_id", "payload", decode="fake")
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        dhash_near_pairs(hashes, max_hamming=4, band_bits=16)
