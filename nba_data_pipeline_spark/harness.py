@@ -6185,6 +6185,21 @@ def q_minhash_portable(spark, sf):
 # image perceptual hashing (operators/multimodal.py image_dhash)
 # ===========================================================================
 
+@q("audio_ahash_pairs")  # binary decode kernels: rows-only by nature
+def q_audio_ahash_pairs(spark, sf):
+    """Audio near-dup pairs via the amplitude-envelope difference hash
+    (operators/multimodal.py audio_ahash — gain-invariant by
+    adjacent-segment comparison) + the shared banded-Hamming join.
+    Fake-decode over document bytes here; real WAV decode, volume
+    invariance, and too-short-NULL are pytest-pinned."""
+    from .operators.multimodal import audio_ahash, dhash_near_pairs
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "payload", F.encode("text", "utf-8")
+    )
+    return dhash_near_pairs(audio_ahash(docs, "doc_id", "payload"), max_hamming=3)
+
+
 @q("image_dhash_pairs")  # binary decode kernels: rows-only by nature
 def q_image_dhash_pairs(spark, sf):
     """Image near-dup pairs via perceptual dHash

@@ -238,6 +238,43 @@ def sample_frames(
     return df.select(id_col, payload_col).mapInPandas(kernel, schema=schema)
 
 
+def _wav_pcm(data: bytes):
+    """Mono float64 PCM in [-1, 1] from a WAV payload (stdlib ``wave``;
+    8/16/24/32-bit, channels averaged). The shared real-decode for
+    audio features AND audio fingerprinting; non-WAV raises at the
+    torchaudio/ffmpeg plug-point."""
+    import numpy as np
+
+    if not (data[:4] == b"RIFF" and data[8:12] == b"WAVE"):
+        raise NotImplementedError(
+            "only WAV PCM decodes without a codec library "
+            f"(magic={data[:4]!r}); plug torchaudio/ffmpeg here"
+        )
+    with wave.open(io.BytesIO(data), "rb") as w:
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        frames = w.readframes(w.getnframes())
+    if width == 1:  # WAV 8-bit is UNSIGNED, midpoint 128
+        samples = np.frombuffer(frames, dtype=np.uint8).astype(np.float64)
+        samples = (samples - 128.0) / 128.0
+    elif width == 2:
+        samples = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 3:  # 24-bit packed little-endian signed
+        b = np.frombuffer(frames, dtype=np.uint8)
+        b = b[: b.size - b.size % 3].reshape(-1, 3).astype(np.int64)
+        raw = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        signed = (raw ^ 0x800000) - 0x800000  # sign-extend bit 23
+        samples = signed.astype(np.float64) / 8388608.0
+    elif width == 4:
+        samples = np.frombuffer(frames, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(f"unsupported WAV sample width {width}")
+    if n_ch > 1:  # interleaved -> mono mean per frame
+        samples = samples[: samples.size - samples.size % n_ch]
+        samples = samples.reshape(-1, n_ch).mean(axis=1)
+    return samples
+
+
 AUDIO_WINDOWS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -271,35 +308,7 @@ def extract_audio_windows(
     Arrow-batched ``mapInPandas``; payload bytes never hit the driver."""
     import numpy as np
 
-    def real_pcm(data: bytes) -> "np.ndarray":
-        if not (data[:4] == b"RIFF" and data[8:12] == b"WAVE"):
-            raise NotImplementedError(
-                "only WAV PCM decodes without a codec library "
-                f"(magic={data[:4]!r}); plug torchaudio/ffmpeg here"
-            )
-        with wave.open(io.BytesIO(data), "rb") as w:
-            n_ch = w.getnchannels()
-            width = w.getsampwidth()
-            frames = w.readframes(w.getnframes())
-        if width == 1:  # WAV 8-bit is UNSIGNED, midpoint 128
-            samples = np.frombuffer(frames, dtype=np.uint8).astype(np.float64)
-            samples = (samples - 128.0) / 128.0
-        elif width == 2:
-            samples = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
-        elif width == 3:  # 24-bit packed little-endian signed
-            b = np.frombuffer(frames, dtype=np.uint8)
-            b = b[: b.size - b.size % 3].reshape(-1, 3).astype(np.int64)
-            raw = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
-            signed = (raw ^ 0x800000) - 0x800000  # sign-extend bit 23
-            samples = signed.astype(np.float64) / 8388608.0
-        elif width == 4:
-            samples = np.frombuffer(frames, dtype="<i4").astype(np.float64) / 2147483648.0
-        else:
-            raise NotImplementedError(f"unsupported WAV sample width {width}")
-        if n_ch > 1:  # interleaved -> mono mean per frame
-            samples = samples[: samples.size - samples.size % n_ch]
-            samples = samples.reshape(-1, n_ch).mean(axis=1)
-        return samples
+    real_pcm = _wav_pcm
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -486,3 +495,49 @@ def dhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def audio_ahash(
+    df: DataFrame, id_col: str, payload_col: str, decode: str = "fake"
+) -> DataFrame:
+    """64-bit amplitude-envelope difference hash per audio payload —
+    the audio analogue of ``image_dhash``: mono PCM -> |amplitude| ->
+    area-mean downsample to 65 segments -> bit i set iff
+    env[i+1] > env[i]. Comparing ADJACENT segments makes the hash
+    volume-invariant (uniform gain preserves segment order), the same
+    trick that makes dHash brightness-robust. Output: (doc_id, dhash)
+    — the exact frame ``dhash_near_pairs`` consumes, so audio near-dup
+    reuses the banded-Hamming join unchanged.
+
+    ``decode='real'`` decodes WAV PCM (``_wav_pcm``); ``decode='fake'``
+    interprets raw bytes as signed 8-bit PCM (same convention as
+    ``extract_audio_windows``). Payloads shorter than 65 samples
+    hash to NULL (too short to fingerprint)."""
+    import numpy as np
+
+    def one(payload, dec: str) -> int | None:
+        data = bytes(payload)
+        pcm = _wav_pcm(data) if dec == "real" else np.frombuffer(
+            data, dtype=np.int8
+        ).astype(np.float64)
+        if pcm.size < 65:
+            return None
+        env = np.array([seg.mean() for seg in np.array_split(np.abs(pcm), 65)])
+        bits = 0
+        for i in range(64):
+            if env[i + 1] > env[i]:
+                bits |= 1 << i
+        return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "dhash": pd.array(
+                        [one(p, decode) for p in pdf[payload_col]], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema=DHASH_SCHEMA)

@@ -268,3 +268,64 @@ def test_dhash_near_pairs_rejects_lossy_banding(spark):
     hashes = image_dhash(df, "doc_id", "payload", decode="fake")
     with _pytest.raises(ValueError, match="pigeonhole"):
         dhash_near_pairs(hashes, max_hamming=4, band_bits=16)
+
+
+def _wav16(samples_float):
+    """16-bit mono WAV from floats in [-1, 1]."""
+    import io as _io
+    import struct as _st
+    import wave as _wave
+
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(
+            b"".join(
+                _st.pack("<h", max(-32768, min(32767, int(s * 32767))))
+                for s in samples_float
+            )
+        )
+    return buf.getvalue()
+
+
+def test_audio_ahash_volume_invariance_and_near_pairs(spark):
+    """Envelope difference hash: an exact copy AND a half-volume copy
+    hash identically (adjacent-segment comparison is gain-invariant);
+    unrelated noise stays outside the Hamming radius; too-short
+    payloads hash NULL."""
+    import math
+    import random
+
+    from nba_data_pipeline_spark.operators.multimodal import (
+        audio_ahash,
+        dhash_near_pairs,
+    )
+
+    rng = random.Random(5)
+    n = 4000
+    # amplitude-modulated tone: distinctive envelope
+    base = [
+        math.sin(i * 0.3) * (0.2 + 0.8 * abs(math.sin(i / 400)))
+        for i in range(n)
+    ]
+    half = [s * 0.5 for s in base]
+    noise = [rng.uniform(-1, 1) for _ in range(n)]
+    rows = [
+        (1, bytearray(_wav16(base))),
+        (2, bytearray(_wav16(half))),
+        (3, bytearray(_wav16(noise))),
+        (4, bytearray(_wav16(base[:30]))),  # too short
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashes = audio_ahash(df, "doc_id", "payload", decode="real")
+    got = {r.doc_id: r.dhash for r in hashes.collect()}
+    assert got[4] is None
+    # gain invariance: half-volume copy == original (quantization of
+    # 16-bit samples preserves segment ORDER at these amplitudes)
+    assert got[1] == got[2]
+    pairs = dhash_near_pairs(hashes, max_hamming=3)
+    pm = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert pm[(1, 2)] == 0
+    assert (1, 3) not in pm and (2, 3) not in pm
