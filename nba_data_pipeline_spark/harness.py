@@ -6185,6 +6185,43 @@ def q_minhash_portable(spark, sf):
 # image perceptual hashing (operators/multimodal.py image_dhash)
 # ===========================================================================
 
+@q(
+    "video_frame_overlap",
+    # fake-decode frame hash = sha256 of each 128-byte chunk; the
+    # testdata text is pure ASCII (verified), so DuckDB's text substr
+    # chunks the same bytes; hot frames (>50 docs) pruned like stop
+    # shingles
+    """WITH fr AS (
+         SELECT doc_id,
+                sha256(substr(text, CAST(off AS BIGINT) + 1, 128)) AS h
+         FROM (SELECT doc_id, text,
+                      unnest(range(0, greatest(length(text), 1), 128)) AS off
+               FROM documents)),
+       fd AS (SELECT DISTINCT doc_id, h FROM fr),
+       hot AS (SELECT h FROM fd GROUP BY h HAVING COUNT(*) > 50),
+       kept AS (SELECT * FROM fd WHERE h NOT IN (SELECT h FROM hot))
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(COUNT(*) AS BIGINT) AS shared_frames
+       FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2""",
+)
+def q_video_frame_overlap(spark, sf):
+    """Video near-dup candidates by sampled-frame overlap
+    (operators/multimodal.py sample_frames + frame_overlap_pairs):
+    videos sharing >= 2 distinct non-boilerplate frame hashes — the
+    inverted-index postings join applied to the frame modality.
+    Full oracle via the deterministic fake frame hash (sha256 of
+    byte chunks, reproducible in SQL); a real ffmpeg sampler slots
+    into the same (doc_id, frame_sha256) contract."""
+    from .operators.multimodal import frame_overlap_pairs, sample_frames
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "payload", F.encode("text", "utf-8")
+    )
+    frames = sample_frames(docs, "doc_id", "payload", every_n_bytes=128)
+    return frame_overlap_pairs(frames, min_shared=2, max_df=50)
+
+
 @q("audio_ahash_pairs")  # binary decode kernels: rows-only by nature
 def q_audio_ahash_pairs(spark, sf):
     """Audio near-dup pairs via the amplitude-envelope difference hash

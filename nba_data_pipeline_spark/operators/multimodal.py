@@ -541,3 +541,37 @@ def audio_ahash(
             )
 
     return df.select(id_col, payload_col).mapInPandas(kernel, schema=DHASH_SCHEMA)
+
+
+def frame_overlap_pairs(
+    frames: DataFrame, min_shared: int = 2, max_df: int | None = 1000
+) -> DataFrame:
+    """Video near-dup candidate pairs from a sampled-frame table
+    (``sample_frames`` output: doc_id, frame_idx, frame_sha256): two
+    videos are candidates when they share >= ``min_shared`` distinct
+    frame hashes — re-encodes, trims, and re-uploads share most
+    frames; unrelated footage shares none. The inverted-index postings
+    join of winnowing/ngram-Jaccard applied to the frame modality:
+    pairs form ONLY where a frame hash co-occurs, never all-pairs.
+    Frame hashes appearing in more than ``max_df`` docs (intro cards,
+    black frames — the boilerplate of video) are pruned before the
+    join, the same stop-shingle guard as the text side. Output:
+    (id_a, id_b, shared_frames)."""
+    f = frames.select("doc_id", "frame_sha256").distinct()
+    if max_df is not None:
+        hot = (
+            f.groupBy("frame_sha256")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > int(max_df))
+            .select("frame_sha256")
+        )
+        f = f.join(F.broadcast(hot), "frame_sha256", "left_anti")
+    a = f.select(F.col("doc_id").alias("id_a"), "frame_sha256")
+    b = f.select(F.col("doc_id").alias("id_b"), "frame_sha256")
+    return (
+        a.join(b, "frame_sha256")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("shared_frames"))
+        .filter(F.col("shared_frames") >= int(min_shared))
+    )

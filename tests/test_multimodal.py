@@ -329,3 +329,32 @@ def test_audio_ahash_volume_invariance_and_near_pairs(spark):
     pm = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
     assert pm[(1, 2)] == 0
     assert (1, 3) not in pm and (2, 3) not in pm
+
+
+def test_frame_overlap_pairs_finds_shared_footage(spark):
+    """Two 'videos' sharing a byte-chunk prefix (same opening footage)
+    pair with the right shared-frame count; unrelated payloads do not;
+    a boilerplate chunk present in EVERY video is pruned by max_df and
+    creates no all-pairs blowup."""
+    from nba_data_pipeline_spark.operators.multimodal import (
+        frame_overlap_pairs,
+        sample_frames,
+    )
+
+    boiler = b"INTRO-CARD".ljust(64, b"\0")
+    # 4 DISTINCT chunks of shared footage (identical chunks would
+    # collapse to one hash under the per-doc distinct)
+    shared = b"".join(bytes([i]) * 64 for i in range(4))
+    a = boiler + shared + b"A-tail".ljust(64, b"\1")
+    b = boiler + shared + b"B-tail".ljust(64, b"\2")
+    c = boiler + bytes(reversed(range(64))) * 5
+    df = spark.createDataFrame(
+        [(1, bytearray(a)), (2, bytearray(b)), (3, bytearray(c))],
+        "doc_id long, payload binary",
+    )
+    frames = sample_frames(df, "doc_id", "payload", every_n_bytes=64)
+    pairs = frame_overlap_pairs(frames, min_shared=2, max_df=2)
+    got = {(r.id_a, r.id_b): r.shared_frames for r in pairs.collect()}
+    # boilerplate chunk (in all 3) pruned at max_df=2 -> only the
+    # genuinely shared 4 footage chunks count
+    assert got == {(1, 2): 4}
