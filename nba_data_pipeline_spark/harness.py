@@ -6181,6 +6181,47 @@ def q_minhash_portable(spark, sf):
     )
 
 
+@q(
+    "activity_bursts",
+    # hourly activity bursts per user: count > 2x the trailing-6-bucket
+    # mean, full-history gated; ALL integer arithmetic (n*6 > 2*sum)
+    """WITH b AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+       o AS (SELECT user_id,
+                    CAST((us - us % 3600000000) / 1000000 AS BIGINT)
+                      AS bucket_ts,
+                    COUNT(*) AS n
+             FROM b GROUP BY 1, 2),
+       bounds AS (SELECT user_id, MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi
+                  FROM o GROUP BY 1),
+       spine AS (SELECT user_id, unnest(range(lo, hi + 3600, 3600))
+                   AS bucket_ts
+                 FROM bounds),
+       j AS (SELECT s.user_id, s.bucket_ts,
+                    CAST(COALESCE(o.n, 0) AS BIGINT) AS n_obs
+             FROM spine s LEFT JOIN o USING (user_id, bucket_ts))
+       SELECT user_id, bucket_ts, n_obs,
+              CAST(COALESCE(SUM(n_obs) OVER w, 0) AS BIGINT) AS trailing_sum,
+              (COUNT(*) OVER w = 6)
+                AND (n_obs * 6 > 2 * COALESCE(SUM(n_obs) OVER w, 0))
+                AS is_burst
+       FROM j
+       WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts
+                    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)""",
+)
+def q_activity_bursts(spark, sf):
+    """Hourly activity-burst detection per user (operators/timeseries.py
+    activity_bursts over the dense resampled spine): a bucket flags
+    when its count beats factor x the trailing-6-bucket mean with full
+    history — the bot-spike / incident signal on the regularized
+    series, all integer math. Extension op; no reference
+    counterpart."""
+    from .operators.timeseries import activity_bursts
+
+    return activity_bursts(
+        _t(spark, sf, "events"), ["user_id"], "ts", 3600, factor=2, trailing=6
+    )
+
+
 # ===========================================================================
 # image perceptual hashing (operators/multimodal.py image_dhash)
 # ===========================================================================

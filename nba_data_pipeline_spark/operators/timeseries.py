@@ -113,3 +113,41 @@ def resample_ffill(
     fill = list(fill_cols) if fill_cols is not None else list(aggs)
     filled = forward_fill(joined, keys, F.col("bucket_ts"), fill)
     return filled.select(*keys, "bucket_ts", "n_obs", *aggs.keys())
+
+
+def activity_bursts(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    step_seconds: int,
+    factor: int = 3,
+    trailing: int = 7,
+) -> DataFrame:
+    """Burst detection on the regularized series: a bucket is a burst
+    when its event count exceeds ``factor`` times the mean of the
+    ``trailing`` preceding buckets (gap buckets count as zero — a
+    spike after silence IS a burst), with a full-history requirement
+    so the first ``trailing`` buckets never flag on a short baseline.
+
+    The comparison is ``n_obs * trailing > factor * trailing_sum`` —
+    pure integer arithmetic, no FP mean, engine-exact (same rationale
+    as every e6 fixed-point ratio in this package). One shuffle on the
+    key; the trailing window is partition-local. Output: (*keys,
+    bucket_ts, n_obs, trailing_sum, is_burst)."""
+    spine = resample_ffill(df, keys, ts_col, step_seconds, aggs={})
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket_ts")
+        .rowsBetween(-int(trailing), -1)
+    )
+    return spine.select(
+        *keys,
+        "bucket_ts",
+        "n_obs",
+        F.coalesce(F.sum("n_obs").over(w), F.lit(0)).cast("long").alias("trailing_sum"),
+        (
+            (F.count("*").over(w) == int(trailing))
+            & (F.col("n_obs") * F.lit(int(trailing))
+               > F.lit(int(factor)) * F.coalesce(F.sum("n_obs").over(w), F.lit(0)))
+        ).alias("is_burst"),
+    )

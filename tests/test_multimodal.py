@@ -358,3 +358,36 @@ def test_frame_overlap_pairs_finds_shared_footage(spark):
     # boilerplate chunk (in all 3) pruned at max_df=2 -> only the
     # genuinely shared 4 footage chunks count
     assert got == {(1, 2): 4}
+
+
+def test_incremental_hamming_works_on_image_hash_tables(spark):
+    """The continuous-ingest path for image/audio dedup is the EXISTING
+    incremental_simhash_pairs — dHash/aHash tables share the
+    (doc_id, sh) fingerprint contract, so a new image batch dedups
+    against a persisted corpus hash table with no new operator."""
+    import random
+
+    from nba_data_pipeline_spark.operators.dedup import incremental_simhash_pairs
+    from nba_data_pipeline_spark.operators.multimodal import image_dhash
+
+    rng = random.Random(3)
+    w, h = 18, 16
+    base = _rand_pixels(rng, w, h)
+    other = _rand_pixels(rng, w, h)
+    corpus = spark.createDataFrame(
+        [(1, bytearray(_ppm_bytes(w, h, base))), (2, bytearray(_ppm_bytes(w, h, other)))],
+        "doc_id long, payload binary",
+    )
+    # new batch: an exact re-upload of corpus image 1 + a fresh image
+    batch = spark.createDataFrame(
+        [(10, bytearray(_ppm_bytes(w, h, base))),
+         (11, bytearray(_ppm_bytes(w, h, _rand_pixels(rng, w, h))))],
+        "doc_id long, payload binary",
+    )
+    to_fp = lambda df: image_dhash(df, "doc_id", "payload", decode="real").select(  # noqa: E731
+        "doc_id", F.col("dhash").alias("sh")
+    )
+    pairs = incremental_simhash_pairs(to_fp(batch), to_fp(corpus), max_hamming=3)
+    got = {(r.id_new, r.id_other): r.hamming for r in pairs.collect()}
+    assert got.get((10, 1)) == 0
+    assert not any(11 in p for p in got)

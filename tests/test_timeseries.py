@@ -95,3 +95,28 @@ def test_resample_rejects_non_temporal_order_column(spark):
     df = spark.createDataFrame([("a", 1, 1.0)], "k string, ts int, v double")
     with pytest.raises(Exception):
         resample_ffill(df, ["k"], "ts", DAY, {"avg_v": F.avg("v")})
+
+
+def test_activity_bursts_flags_spike_with_full_history_gate(spark):
+    from nba_data_pipeline_spark.operators.timeseries import activity_bursts
+
+    # user a: 1 event/day for 7 days, then a 10-event day 8 (burst),
+    # then 1 event on day 9 (not a burst). Early days lack full history.
+    rows = []
+    for d in range(7):
+        rows.append(("a", f"2024-01-{d+1:02d} 10:00:00", 1.0))
+    rows += [("a", "2024-01-08 10:00:00", 1.0)] * 10
+    rows.append(("a", "2024-01-09 10:00:00", 1.0))
+    df = _events(spark, rows)
+    out = {
+        r.bucket_ts: r
+        for r in activity_bursts(df, ["k"], "ts", DAY, factor=3, trailing=7).collect()
+    }
+    base = 1704067200
+    burst_day, after = base + 7 * DAY, base + 8 * DAY
+    assert out[burst_day].is_burst  # 10 * 7 > 3 * 7
+    assert out[burst_day].trailing_sum == 7
+    assert not out[after].is_burst  # 1 * 7 < 3 * (6 + 10)
+    # no early bucket flags without 7 full trailing buckets
+    for d in range(7):
+        assert not out[base + d * DAY].is_burst
