@@ -6094,6 +6094,49 @@ def q_triangle_counts(spark, sf):
     return triangle_counts(_projection_edges(spark, sf))
 
 
+@q(
+    "dedup_cluster_stats",
+    # per-component size/edges/density over the SAME bipartite edge
+    # fixture as connected_components; density is e6 fixed point
+    """WITH RECURSIVE
+       edges0 AS (
+         SELECT DISTINCT user_id AS s, 1000 + (event_id % 211) AS d FROM events),
+       edges AS (SELECT s, d FROM edges0 UNION SELECT d, s FROM edges0),
+       walk(v, lab) AS (
+         SELECT s, s FROM (SELECT DISTINCT s FROM edges) t
+         UNION
+         SELECT e.d, w.lab FROM walk w JOIN edges e ON e.s = w.v),
+       comp AS (SELECT v, MIN(lab) AS cid FROM walk GROUP BY v),
+       nodes AS (SELECT cid, COUNT(*) AS n_nodes FROM comp GROUP BY cid),
+       ecnt AS (SELECT c.cid, COUNT(*) AS n_edges
+                FROM edges0 e JOIN comp c ON c.v = e.s GROUP BY c.cid)
+       SELECT CAST(n.cid AS BIGINT) AS component_id,
+              CAST(n.n_nodes AS BIGINT) AS n_nodes,
+              CAST(COALESCE(x.n_edges, 0) AS BIGINT) AS n_edges,
+              CAST(CASE WHEN n.n_nodes > 1
+                        THEN 2 * COALESCE(x.n_edges, 0) * 1000000
+                             // (n.n_nodes * (n.n_nodes - 1))
+                        ELSE 0 END AS BIGINT) AS density_e6
+       FROM nodes n LEFT JOIN ecnt x USING (cid)""",
+)
+def q_dedup_cluster_stats(spark, sf):
+    """Cluster-quality audit of a dedup candidate graph
+    (operators/graph.py component_stats composing
+    connected_components): per component, node/edge counts and an e6
+    fixed-point density — dense clusters are genuine dup groups;
+    low-density chains warn that transitive keep-one is about to
+    collapse non-mutual near-dups. Extension op; no reference
+    counterpart."""
+    from .operators.graph import component_stats
+
+    ev = _t(spark, sf, "events")
+    pairs = ev.select(
+        F.col("user_id").alias("src"),
+        (F.lit(1000) + F.col("event_id") % 211).alias("dst"),
+    ).distinct()
+    return component_stats(pairs)
+
+
 @q("pagerank_centrality")  # rows-only: iterative power iteration is not single-SQL
 def q_pagerank_centrality(spark, sf):
     """PageRank over the projection graph treated as undirected
@@ -6179,6 +6222,72 @@ def q_minhash_portable(spark, sf):
         _t(spark, sf, "documents"), "doc_id", "text", num_perm=16, bands=8,
         threshold=0.3, eager_probe=True, hash="md5",
     )
+
+
+@q(
+    "referential_integrity",
+    # orphan-FK audit across the star schema: one row per relationship
+    # with parent row count + orphan count; anti-joins broadcast the
+    # small parent key sets
+    """SELECT 'orders.o_custkey->customer' AS rel,
+              CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows,
+              CAST((SELECT COUNT(*) FROM orders o
+                    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                      WHERE c.c_custkey = o.o_custkey))
+                   AS BIGINT) AS n_orphans
+       UNION ALL
+       SELECT 'lineitem.l_orderkey->orders',
+              CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+              CAST((SELECT COUNT(*) FROM lineitem l
+                    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                      WHERE o.o_orderkey = l.l_orderkey))
+                   AS BIGINT)
+       UNION ALL
+       SELECT 'lineitem.l_partkey->part',
+              CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+              CAST((SELECT COUNT(*) FROM lineitem l
+                    WHERE NOT EXISTS (SELECT 1 FROM part p
+                                      WHERE p.p_partkey = l.l_partkey))
+                   AS BIGINT)
+       UNION ALL
+       SELECT 'customer.c_nationkey->nation',
+              CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
+              CAST((SELECT COUNT(*) FROM customer c
+                    WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                      WHERE n.n_nationkey = c.c_nationkey))
+                   AS BIGINT)""",
+)
+def q_referential_integrity(spark, sf):
+    """Orphan foreign-key audit across the star schema
+    (operators/quality.py style): per relationship, total child rows
+    and children whose key has no parent — the first integrity gate
+    after any ingest; each check is one broadcast anti-join (child
+    side never shuffles on the parent). Extension op (the reference
+    relies on DB FK constraints; a lakehouse has to CHECK)."""
+    rels = [
+        ("orders.o_custkey->customer", "orders", "o_orderkey",
+         "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_orderkey",
+         "l_partkey", "part", "p_partkey"),
+        ("customer.c_nationkey->nation", "customer", "c_custkey",
+         "c_nationkey", "nation", "n_nationkey"),
+    ]
+    outs = []
+    for rel, child, _, fk, parent, pk in rels:
+        c = _t(spark, sf, child)
+        p = _t(spark, sf, parent).select(F.col(pk).alias(fk)).distinct()
+        orphans = c.join(F.broadcast(p), fk, "left_anti")
+        outs.append(
+            c.agg(F.count("*").cast("long").alias("n_rows")).crossJoin(
+                orphans.agg(F.count("*").cast("long").alias("n_orphans"))
+            ).select(F.lit(rel).alias("rel"), "n_rows", "n_orphans")
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
 
 
 @q(

@@ -210,3 +210,45 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", "rank")
+
+
+def component_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-component structure stats for an undirected graph — the
+    quality audit of a dedup candidate graph: (component_id, n_nodes,
+    n_edges, density_e6). Genuine near-dup clusters are dense
+    (density near 1e6); long low-density chains mean borderline pairs
+    chained transitively and the keep-one step is about to collapse
+    documents that are NOT mutual near-dups. Density is e6 fixed
+    point — 2E * 1e6 // (n(n-1)) — pure integers. Composes
+    ``connected_components`` (dedup.py) with two hash aggregates;
+    every shuffle keys on vertex/component id."""
+    from .dedup import connected_components
+
+    e = canonical_edges(edges, src, dst).localCheckpoint(eager=False)
+    comp = connected_components(
+        e.select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+    )
+    nodes = comp.groupBy("component_id").agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )
+    ecnt = (
+        e.join(comp.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy("component_id")
+        .agg(F.count("*").cast("long").alias("n_edges"))
+    )
+    n = F.col("n_nodes")
+    return (
+        nodes.join(ecnt, "component_id", "left")
+        .select(
+            "component_id",
+            "n_nodes",
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+            F.when(
+                n > 1,
+                F.floor(
+                    F.lit(2) * F.coalesce("n_edges", F.lit(0)) * F.lit(1_000_000)
+                    / (n * (n - F.lit(1)))
+                ),
+            ).otherwise(F.lit(0)).cast("long").alias("density_e6"),
+        )
+    )

@@ -114,3 +114,21 @@ def test_pagerank_matches_reference_power_iteration(spark, undirected):
 def test_pagerank_empty_graph(spark):
     e = _edges(spark, []).filter(F.lit(False))
     assert pagerank(e).count() == 0
+
+
+def test_component_stats_density(spark):
+    from nba_data_pipeline_spark.operators.graph import component_stats
+
+    # component A: triangle {1,2,3} -> density 1.0 (e6)
+    # component B: chain 10-11-12-13 -> 3 edges, n=4 -> 2*3/(4*3) = 0.5
+    # component C: single edge {20,21} -> density 1.0
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3),
+                       (10, 11), (11, 12), (12, 13),
+                       (20, 21), (21, 20)])  # duplicate/reversed edge collapses
+    got = {
+        r.component_id: (r.n_nodes, r.n_edges, r.density_e6)
+        for r in component_stats(e).collect()
+    }
+    assert got[1] == (3, 3, 1_000_000)
+    assert got[10] == (4, 3, 500_000)
+    assert got[20] == (2, 1, 1_000_000)
