@@ -6372,6 +6372,24 @@ def q_video_frame_overlap(spark, sf):
     return frame_overlap_pairs(frames, min_shared=2, max_df=50)
 
 
+@q("image_resize")  # binary decode kernels: rows-only by nature
+def q_image_resize(spark, sf):
+    """Batch thumbnailing (operators/multimodal.py resize_images):
+    area-mean box downsample to 16x16, re-encoded as P6 so the output
+    feeds image_dhash/extract_image_features directly. Fake-decode
+    plumbing here; real PPM/BMP resize with exact quadrant-mean pixels
+    and cross-format parity is pytest-pinned."""
+    from .operators.multimodal import resize_images
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "payload", F.encode("text", "utf-8")
+    )
+    out = resize_images(docs, "doc_id", "payload", 16, 16)
+    return out.select(
+        "doc_id", "width", "height", F.length("payload").cast("long").alias("byte_len")
+    )
+
+
 @q("audio_ahash_pairs")  # binary decode kernels: rows-only by nature
 def q_audio_ahash_pairs(spark, sf):
     """Audio near-dup pairs via the amplitude-envelope difference hash

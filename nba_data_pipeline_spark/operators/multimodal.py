@@ -575,3 +575,140 @@ def frame_overlap_pairs(
         .agg(F.count("*").cast("long").alias("shared_frames"))
         .filter(F.col("shared_frames") >= int(min_shared))
     )
+
+
+RESIZED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def _rgb_matrix(payload: bytes):
+    """RGB pixel matrix (h, w, 3) in [0, 1] for PPM P6 / uncompressed
+    BMP payloads; None for zero-pixel images. The color sibling of
+    ``_luma_matrix`` (resizing must preserve channels, not just
+    luminance)."""
+    import numpy as np
+
+    if payload.startswith(b"P6"):
+        tokens: list[int] = []
+        pos = 2
+        while len(tokens) < 3:
+            if pos >= len(payload):
+                raise ValueError("truncated PPM header")
+            c = payload[pos : pos + 1]
+            if c == b"#":
+                nl = payload.find(b"\n", pos)
+                pos = len(payload) if nl < 0 else nl + 1
+            elif c.isspace():
+                pos += 1
+            else:
+                end = pos
+                while end < len(payload) and not payload[end : end + 1].isspace():
+                    end += 1
+                tokens.append(int(payload[pos:end]))
+                pos = end
+        width, height, maxval = tokens
+        pos += 1
+        if width * height == 0:
+            return None
+        dtype = np.dtype(">u2") if maxval > 255 else np.uint8
+        return np.frombuffer(
+            payload, dtype=dtype, count=width * height * 3, offset=pos
+        ).astype(np.float64).reshape(height, width, 3) / maxval
+    if payload.startswith(b"BM"):
+        pixel_offset = struct.unpack_from("<I", payload, 10)[0]
+        _, width, height = struct.unpack_from("<Iii", payload, 14)
+        bpp, compression = struct.unpack_from("<HI", payload, 28)
+        if compression != 0 or bpp not in (24, 32):
+            raise NotImplementedError("only uncompressed 24/32-bit BMP supported")
+        abs_h = abs(height)
+        if width * abs_h == 0:
+            return None
+        bytes_pp = bpp // 8
+        stride = (width * bytes_pp + 3) & ~3
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * abs_h, offset=pixel_offset
+        ).reshape(abs_h, stride)
+        px = rows[:, : width * bytes_pp].reshape(abs_h, width, bytes_pp).astype(np.float64)
+        rgb = px[..., [2, 1, 0]] / 255.0  # BGR(A) -> RGB, alpha dropped
+        return rgb[::-1] if height > 0 else rgb  # bottom-up -> top-down
+    raise NotImplementedError(
+        f"compressed image codec not available (magic={payload[:4]!r}); plug PIL here"
+    )
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    out_width: int,
+    out_height: int,
+    decode: str = "fake",
+) -> DataFrame:
+    """Batch image resize (area-mean / box downsample) via
+    ``mapInPandas`` — the thumbnailing step of a vision-pretraining
+    pipeline. Real path: decode PPM/BMP to RGB, average each output
+    cell's source block per channel (``np.array_split`` both axes —
+    exact for integer ratios, area-weighted-ish otherwise), re-encode
+    as maxval-255 binary PPM (P6) so the output payload feeds straight
+    back into ``extract_image_features`` / ``image_dhash``. Fake path:
+    deterministic pseudo-RGB grid from the payload hash, same P6
+    re-encode — the plumbing (schema, 1:1 batch shape, byte sizes) is
+    identical. Zero-pixel inputs yield NULL payloads. Output:
+    (doc_id, payload, width, height)."""
+    import numpy as np
+
+    ow, oh = int(out_width), int(out_height)
+    if ow <= 0 or oh <= 0:
+        raise ValueError(f"output size must be positive: {ow}x{oh}")
+
+    def one(payload) -> tuple[bytes | None, int | None, int | None]:
+        data = bytes(payload)
+        if decode == "real":
+            rgb = _rgb_matrix(data)
+            if rgb is None:
+                return None, None, None
+        else:
+            digest = hashlib.sha256(data).digest()
+            reps = (oh * ow * 3 + len(digest) - 1) // len(digest)
+            seed = np.frombuffer(digest * reps, dtype=np.uint8)[: oh * ow * 3]
+            rgb = seed.astype(np.float64).reshape(oh, ow, 3) / 255.0
+        # explicit block bounds: cell (y, x) averages source rows
+        # [y*h//oh, max((y+1)*h//oh, +1)) — guarantees >= 1 source pixel
+        # per cell, so UPSAMPLING (src dim < target) degrades to
+        # nearest-row/col instead of producing empty blocks (empty
+        # array_split blocks mean() to NaN — found by the verify drive
+        # on 5-40px inputs)
+        h, w = rgb.shape[0], rgb.shape[1]
+        ys = [((y * h) // oh, max(((y + 1) * h) // oh, (y * h) // oh + 1))
+              for y in range(oh)]
+        xs = [((x * w) // ow, max(((x + 1) * w) // ow, (x * w) // ow + 1))
+              for x in range(ow)]
+        small = np.array(
+            [
+                [rgb[y0:y1, x0:x1].mean(axis=(0, 1)) for (x0, x1) in xs]
+                for (y0, y1) in ys
+            ]
+        )
+        raster = np.clip(np.rint(small * 255.0), 0, 255).astype(np.uint8)
+        head = f"P6\n{ow} {oh}\n255\n".encode()
+        return head + raster.tobytes(), ow, oh
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [one(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": [o[0] for o in out],
+                    "width": pd.array([o[1] for o in out], dtype="Int32"),
+                    "height": pd.array([o[2] for o in out], dtype="Int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema=RESIZED_IMAGE_SCHEMA)
