@@ -60,6 +60,10 @@ HEADLINE = [
     "minhash_pairs_portable",
     "simhash_pairs_portable",
     "resample_ffill",
+    "activity_bursts",
+    "touch_attribution",
+    "oov_rate",
+    "video_frame_overlap",
     "pii_scrub",
     "domain_block_filter",
     "lineups_declarative_bulk",

@@ -557,7 +557,12 @@ def frame_overlap_pairs(
     black frames — the boilerplate of video) are pruned before the
     join, the same stop-shingle guard as the text side. Output:
     (id_a, id_b, shared_frames)."""
-    f = frames.select("doc_id", "frame_sha256").distinct()
+    # materialize the distinct frame table ONCE: it feeds 3-4 plan
+    # branches (hot-frame agg, anti-join, both join sides) and Catalyst
+    # does not dedupe common subplans — without this the upstream
+    # decode kernel re-runs per branch (4 Python nodes observed in the
+    # plan audit; same fix as minhash_lsh_pairs' shared explode)
+    f = frames.select("doc_id", "frame_sha256").distinct().localCheckpoint(eager=False)
     if max_df is not None:
         hot = (
             f.groupBy("frame_sha256")
