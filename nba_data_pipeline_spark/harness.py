@@ -6507,6 +6507,44 @@ def q_streaming_hh_gate(spark, sf):
     )
 
 
+@q(
+    "collocations",
+    # adjacent bigrams WITH multiplicity; pmi_ratio_e6 is the PMI
+    # log-argument in e6 fixed point (ordering-equivalent to PMI,
+    # zero FP)
+    """WITH toks AS (
+         SELECT list_filter(string_split_regex(trim(text), '\\s+'),
+                            t -> t <> '') AS tk
+         FROM documents),
+       bg AS (SELECT unnest(list_transform(range(1, len(tk)),
+                  i -> tk[i] || ' ' || tk[i + 1])) AS b
+              FROM toks),
+       tc AS (SELECT unnest(tk) AS t FROM toks),
+       n AS (SELECT COUNT(*) AS nt FROM tc),
+       pc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_pair
+              FROM bg GROUP BY b HAVING COUNT(*) >= 5),
+       cnt AS (SELECT t, COUNT(*) AS c FROM tc GROUP BY t)
+       SELECT split_part(b, ' ', 1) AS token_a,
+              split_part(b, ' ', 2) AS token_b,
+              n_pair,
+              CAST(ca.c AS BIGINT) AS n_a,
+              CAST(cb.c AS BIGINT) AS n_b,
+              CAST((SELECT nt FROM n) * n_pair * 1000000 // (ca.c * cb.c)
+                AS BIGINT) AS pmi_ratio_e6
+       FROM pc JOIN cnt ca ON ca.t = split_part(b, ' ', 1)
+               JOIN cnt cb ON cb.t = split_part(b, ' ', 2)""",
+)
+def q_collocations(spark, sf):
+    """Collocation extraction with integer-exact PMI ordering
+    (operators/text.py collocations): adjacent bigrams with
+    multiplicity, min_count 5, pmi_ratio_e6 = N * n_pair * 1e6 //
+    (n_a * n_b) — multiword-expression discovery before tokenizer
+    training. Extension op; no reference counterpart."""
+    from .operators.text import collocations
+
+    return collocations(_t(spark, sf, "documents"), min_count=5)
+
+
 # ===========================================================================
 # tokenizer coverage (operators/text.py vocab_table / oov_rate)
 # ===========================================================================

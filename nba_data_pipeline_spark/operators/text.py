@@ -1034,6 +1034,75 @@ def c4_rules(
     return out.drop("_c4_lines__", "_c4_kept__")
 
 
+def collocations(
+    df: DataFrame, text_col: str = "text", min_count: int = 5
+) -> DataFrame:
+    """Collocation (adjacent-bigram) extraction ranked by an
+    integer-exact PMI surrogate — the corpus-analysis step that
+    surfaces multiword expressions ("new york", "et al") before
+    tokenizer training or phrase-aware dedup.
+
+    For bigram (a, b): ``pmi_ratio_e6 = N * n_pair * 1e6 //
+    (n_a * n_b)`` where N is the corpus token count — the argument of
+    the PMI log in e6 fixed point, so ORDERING by it equals ordering
+    by PMI with zero FP (log is monotone). Bigrams and token counts
+    keep MULTIPLICITY (unlike shingles). One explode + three hash
+    aggregates + a one-row broadcast of N; bigram construction
+    references a materialized token column (the HOF re-evaluation
+    trap exploded_shingles documents). Output: (token_a, token_b,
+    n_pair, n_a, n_b, pmi_ratio_e6) for pairs with n_pair >=
+    min_count. NOTE: the e6 product N * n_pair * 1e6 needs BIGINT
+    headroom — fine to ~1e6-token corpora per the overflow bound; a
+    100 TB corpus computes the ratio in DECIMAL or per-shard."""
+    toked = df.withColumn("_toks__", tokens(text_col))
+    t = F.col("_toks__")
+    k = F.size(t) - 1
+    bigram = F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(t, (i + 1).cast("int")),
+                F.element_at(t, (i + 2).cast("int")),
+            ),
+        )
+    )
+    bg = toked.select(F.explode(bigram).alias("_b"))
+    tc = toked.select(F.explode(t).alias("_t"))
+    total = tc.agg(F.count("*").alias("_n_total"))
+    counts = tc.groupBy("_t").agg(F.count("*").alias("_c"))
+    pairs = (
+        bg.groupBy("_b")
+        .agg(F.count("*").cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= int(min_count))
+        .select(
+            F.split("_b", " ").getItem(0).alias("token_a"),
+            F.split("_b", " ").getItem(1).alias("token_b"),
+            "n_pair",
+        )
+    )
+    return (
+        pairs.join(
+            counts.select(F.col("_t").alias("token_a"), F.col("_c").alias("n_a")),
+            "token_a",
+        )
+        .join(
+            counts.select(F.col("_t").alias("token_b"), F.col("_c").alias("n_b")),
+            "token_b",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token_a",
+            "token_b",
+            "n_pair",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr("CAST((_n_total * n_pair * 1000000) div (n_a * n_b) AS LONG)")
+            .alias("pmi_ratio_e6"),
+        )
+    )
+
+
 def vocab_table(df: DataFrame, text_col: str = "text", min_count: int = 5) -> DataFrame:
     """Corpus vocabulary: tokens appearing at least ``min_count`` times.
     Count-threshold membership (not top-K) so the table is

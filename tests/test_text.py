@@ -624,3 +624,27 @@ def test_vocab_table_and_oov_rate(spark):
     assert (got[1].n_tokens, got[1].n_oov, got[1].oov_rate_e6) == (4, 1, 250000)
     assert (got[2].n_tokens, got[2].n_oov) == (3, 2)
     assert got[3].oov_rate_e6 == 1_000_000
+
+
+def test_collocations_integer_pmi(spark):
+    from nba_data_pipeline_spark.operators.text import collocations
+
+    # corpus: "a b" x3 in doc1 (and one "b a" crossing), "a b" x2 doc2,
+    # "c d" x1 (below min_count)
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b"), (3, "c d")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.token_a, r.token_b): r
+        for r in collocations(df, min_count=2).collect()
+    }
+    # N=10 tokens; a x4, b x4; bigrams: doc1 a-b x3 + b-a x2, doc2 a-b x1
+    ab = out[("a", "b")]
+    assert (ab.n_pair, ab.n_a, ab.n_b) == (4, 4, 4)
+    assert ab.pmi_ratio_e6 == 10 * 4 * 1_000_000 // (4 * 4)
+    ba = out[("b", "a")]
+    assert ba.n_pair == 2
+    # c-d below min_count
+    assert ("c", "d") not in out
+    # multiplicity preserved: distinct-shingle semantics would give n_pair 2
