@@ -6508,6 +6508,47 @@ def q_streaming_hh_gate(spark, sf):
 
 
 @q(
+    "template_groups",
+    # structural dedup: md5 of the per-line token-count sequence; the
+    # seeded corpus guarantees real groups (every doc gets the same
+    # 2-line preamble, so template groups form across same-shape docs)
+    """WITH seeded AS (
+         SELECT doc_id,
+                'header line one' || chr(10) || 'second line' || chr(10) || text
+                  AS t
+         FROM documents),
+       fp AS (
+         SELECT doc_id,
+                md5(array_to_string(list_transform(
+                    list_filter(string_split(t, chr(10)), ln -> trim(ln) <> ''),
+                    ln -> CAST(len(list_filter(
+                        string_split_regex(trim(ln), '\\s+'), w -> w <> ''))
+                      AS VARCHAR)), ',')) AS template_fp
+         FROM seeded),
+       sz AS (SELECT template_fp, CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM fp GROUP BY template_fp HAVING COUNT(*) >= 2)
+       SELECT f.doc_id, f.template_fp, s.n_docs
+       FROM fp f JOIN sz s USING (template_fp)""",
+)
+def q_template_groups(spark, sf):
+    """Structural template detection (operators/text.py
+    template_groups): documents grouped by the md5 of their per-line
+    token-count sequence — form letters and templated spam collide
+    here even when every slot word differs. Seeded with a shared
+    preamble so groups exist at every SF. Extension op; no reference
+    counterpart."""
+    from .operators.text import template_groups
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("header line one\nsecond line\n"), F.col("text")
+        ).alias("text"),
+    )
+    return template_groups(docs, "doc_id", min_docs=2)
+
+
+@q(
     "collocations",
     # adjacent bigrams WITH multiplicity; pmi_ratio_e6 is the PMI
     # log-argument in e6 fixed point (ordering-equivalent to PMI,

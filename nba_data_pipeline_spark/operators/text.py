@@ -1103,6 +1103,41 @@ def collocations(
     )
 
 
+def template_fingerprint(text: Column | str) -> Column:
+    """Structural fingerprint of a document: md5 of the per-line
+    token-count sequence (blank lines dropped). Form letters and
+    templated spam share the fingerprint even when every slot word
+    differs — the structure-dedup tier that exact hashing misses and
+    near-dup shingling only partially catches. Pure Column exprs over
+    a portable md5; empty/blank docs fingerprint the empty sequence."""
+    t = F.coalesce(_col(text), F.lit(""))
+    lines = F.filter(F.split(t, r"\n"), lambda ln: F.trim(ln) != "")
+    sig = F.array_join(
+        F.transform(lines, lambda ln: F.size(tokens(ln)).cast("string")), ","
+    )
+    return F.md5(sig)
+
+
+def template_groups(
+    df: DataFrame, id_col: str, text_col: str = "text", min_docs: int = 2
+) -> DataFrame:
+    """Per-document template assignment with group sizes: docs whose
+    structural fingerprint is shared by >= ``min_docs`` documents —
+    the template-spam audit. One hash aggregate on the fingerprint
+    joined back (fingerprint table is small relative to the corpus).
+    Output: (doc_id, template_fp, n_docs)."""
+    fps = df.select(
+        F.col(id_col).alias("doc_id"),
+        template_fingerprint(text_col).alias("template_fp"),
+    )
+    sizes = (
+        fps.groupBy("template_fp")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= int(min_docs))
+    )
+    return fps.join(sizes, "template_fp").select("doc_id", "template_fp", "n_docs")
+
+
 def vocab_table(df: DataFrame, text_col: str = "text", min_count: int = 5) -> DataFrame:
     """Corpus vocabulary: tokens appearing at least ``min_count`` times.
     Count-threshold membership (not top-K) so the table is

@@ -648,3 +648,32 @@ def test_collocations_integer_pmi(spark):
     # c-d below min_count
     assert ("c", "d") not in out
     # multiplicity preserved: distinct-shingle semantics would give n_pair 2
+
+
+def test_template_groups_structure_dedup(spark):
+    from nba_data_pipeline_spark.operators.text import (
+        template_fingerprint,
+        template_groups,
+    )
+
+    # docs 1 and 2: same structure (3,2 words/line), different words;
+    # doc 3: different structure; doc 4: blank lines ignored -> same
+    # shape as 1/2; doc 5: empty
+    df = spark.createDataFrame(
+        [
+            (1, "one two three\nfour five"),
+            (2, "alpha beta gamma\ndelta epsilon"),
+            (3, "single\nline here ok\nmore"),
+            (4, "a b c\n\n  \nd e"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in template_groups(df, "doc_id", min_docs=2).collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1].template_fp == out[2].template_fp == out[4].template_fp
+    assert out[1].n_docs == 3
+    # empty doc fingerprints the empty sequence, unique here
+    fps = {r.doc_id: r.fp for r in df.select(
+        "doc_id", template_fingerprint("text").alias("fp")).collect()}
+    assert fps[5] != fps[1] and fps[3] != fps[1]
