@@ -6507,6 +6507,18 @@ def q_streaming_hh_gate(spark, sf):
     )
 
 
+@q("compression_ratio")  # zlib output is build-specific: rows-only
+def q_compression_ratio(spark, sf):
+    """Per-doc zlib compression ratio (operators/text.py
+    compression_ratios) — the Gopher/RefinedWeb-style repetitive-junk
+    signal; Arrow kernel, rows-only (zlib byte counts are not
+    engine-portable); monotonicity on planted repetitive vs random
+    text pytest-pinned."""
+    from .operators.text import compression_ratios
+
+    return compression_ratios(_t(spark, sf, "documents"), "doc_id")
+
+
 @q(
     "template_groups",
     # structural dedup: md5 of the per-line token-count sequence; the

@@ -1103,6 +1103,64 @@ def collocations(
     )
 
 
+def compression_ratios(
+    df: "DataFrame", id_col: str, text_col: str = "text", level: int = 6
+) -> "DataFrame":
+    """Per-document zlib compression ratio — the classic curation
+    signal (used by Gopher/RefinedWeb-style filters): highly
+    compressible text is repetitive boilerplate; near-incompressible
+    text is noise/binary junk; natural prose sits in between.
+
+    ``ratio_e6 = compressed_len * 1e6 // raw_len`` (integer fixed
+    point; raw_len in UTF-8 bytes). Runs as an Arrow-batched
+    ``mapInPandas`` kernel — zlib is genuinely not expressible as
+    Column expressions, the same justification bar as the multimodal
+    codec kernels (and like them, bytes never touch the driver).
+    zlib output is deterministic for a fixed level, but only ACROSS
+    the same zlib build — treat thresholds as per-deployment
+    calibration, and the query registers rows-only. Empty docs get
+    NULL ratio. Output: (doc_id, raw_len, compressed_len, ratio_e6)."""
+    import zlib
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("raw_len", T.LongType(), False),
+            T.StructField("compressed_len", T.LongType(), True),
+            T.StructField("ratio_e6", T.LongType(), True),
+        ]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, rl, cl, rt = [], [], [], []
+            for rid, txt in zip(pdf[id_col], pdf[text_col]):
+                raw = (txt or "").encode("utf-8")
+                ids.append(int(rid))
+                rl.append(len(raw))
+                if not raw:
+                    cl.append(None)
+                    rt.append(None)
+                else:
+                    c = len(zlib.compress(raw, level))
+                    cl.append(c)
+                    rt.append(c * 1_000_000 // len(raw))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "raw_len": rl,
+                    "compressed_len": pd.array(cl, dtype="Int64"),
+                    "ratio_e6": pd.array(rt, dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(kernel, schema=schema)
+
+
 def template_fingerprint(text: Column | str) -> Column:
     """Structural fingerprint of a document: md5 of the per-line
     token-count sequence (blank lines dropped). Form letters and

@@ -677,3 +677,29 @@ def test_template_groups_structure_dedup(spark):
     fps = {r.doc_id: r.fp for r in df.select(
         "doc_id", template_fingerprint("text").alias("fp")).collect()}
     assert fps[5] != fps[1] and fps[3] != fps[1]
+
+
+def test_compression_ratio_orders_repetitive_below_random(spark):
+    import random as _r
+
+    from nba_data_pipeline_spark.operators.text import compression_ratios
+
+    rng = _r.Random(8)
+    rows = [
+        (1, "spam ham " * 300),                                   # repetitive
+        (2, " ".join(rng.choice("abcdefghij") * rng.randint(1, 8)
+                     for _ in range(400))),                        # mixed
+        (3, "".join(chr(rng.randint(33, 126)) for _ in range(2000))),  # noise
+        (4, ""),                                                   # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in compression_ratios(df, "doc_id").collect()}
+    assert got[4].ratio_e6 is None and got[4].raw_len == 0
+    # repetitive << mixed << noise; noise barely compresses
+    assert got[1].ratio_e6 < got[2].ratio_e6 < got[3].ratio_e6
+    assert got[1].ratio_e6 < 100_000          # >10x compression
+    assert got[3].ratio_e6 > 700_000
+    # fixed point consistent with the raw counts
+    for d in (1, 2, 3):
+        r = got[d]
+        assert r.ratio_e6 == r.compressed_len * 1_000_000 // r.raw_len
