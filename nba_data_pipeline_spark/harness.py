@@ -6901,47 +6901,48 @@ def q_resample_ffill(spark, sf):
 # rounds; this explicit window front-loads one representative per §2
 # family plus the highest-value extension ops, and everything else
 # keeps its source order after the window.
-# Round-7 rotation (VERDICT r6 task #1): 22 multi-round-driver-green
-# basics rotated out (they stay registered + locally swept; COVERAGE.md
-# keeps the ever-driver-green ledger) in favor of 22 queries that had
-# never earned a driver CORRECTNESS row. One representative per §2
-# family is retained so every family keeps driver evidence.
+# Round-9 rotation (VERDICT r8 task #1): every member of the r7/r8
+# window is now multi-round driver-green, so 40 of the 50 slots rotate
+# to queries that have NEVER earned a driver CORRECTNESS row (they are
+# all oracle-backed and preflight-green at all three local scales).
+# Ten §2 family representatives are retained so every family keeps
+# fresh driver evidence; the rotated-out members stay registered and
+# locally swept, and COVERAGE.md keeps the ever-driver-green ledger.
 _DRIVER_WINDOW = [
-    # §2 family representatives (rotated-out peers listed in COVERAGE.md)
+    # §2 family representatives (multi-round green, retained)
     "stamp_literals",      # P3/F9 shaping family
     "compound_predicate",  # P4-P10 filter family
     "left_anti_delta",     # J1 delta family (the reference's signature op)
     "merge_upsert",        # S5/S7 sink family
     "asof_join",           # J6/asof family
-    "data_quality_suite",  # quality family
-    "dup_key_check",       # A5/S10
+    "dup_key_check",       # A5/S10 invariant family
     "stint_rollup_stats",  # A1 rollup family
-    # group_agg_suite (A6) and rank_in_group (O1) rotated out late in
-    # r7 — both multi-round driver-green, their families still covered
-    # in-window (dup_key_check/stint_rollup_stats for aggregation;
-    # sessionize/session_window_agg/top_paths/funnel_counts for
-    # windows) — in favor of the two portable-hash near-dup flagships
-    # that gained full oracles this round and have never had a driver
-    # row:
-    "minhash_pairs_portable",
-    "simhash_pairs_portable",
-    # TPC-H rotation: q5/q12 proved green in r6 → rotate to the four
-    # shapes the driver has never checked
-    "tpch_q1", "tpch_q3", "tpch_q17", "tpch_q21",
-    # LLM-pipeline extension ops retained from r6 (first driver-green then)
-    "lm_perplexity", "dsir_select", "bm25_search", "gopher_gate",
-    "quality_classifier_gate",
-    "ngram_jaccard", "dedup_assign", "connected_components", "line_dedup",
-    "decontaminate", "pack_sequences", "leakage_safe_split", "ann_recall",
-    "lsh_quality_gate", "rerank_topk", "cosine_neardup",
-    "corpus_pipeline_relational",
-    "lineup_validation",
-    # First-time driver checks (never sampled before round 7)
-    "winnow_pairs", "winnow_spans", "dsir_ratios", "lang_id_trigram",
-    "ppl_buckets", "pq_recall", "semdedup_gate", "table_diff",
-    "fuzzy_join", "funnel_counts", "sessionize", "session_window_agg",
-    "top_paths", "profile_entropy", "length_bucketed_batches",
-    "temperature_mixture", "decontaminate_spans", "grouping_sets",
+    "lineup_validation",   # O2-O6 lineup family (flagship stateful op)
+    "minhash_pairs_portable",      # dedup family flagship
+    "corpus_pipeline_relational",  # composed end-to-end pipeline
+    # --- 40 first-time driver checks below (never sampled r1-r8) ---
+    # COVERAGE.md r8 rotation candidates (13)
+    "video_frame_overlap", "activity_bursts", "touch_attribution",
+    "oov_rate", "resample_ffill", "graph_degrees", "triangle_counts",
+    "dedup_cluster_stats", "referential_integrity", "encoding_gate",
+    "unpivot_long", "collocations", "template_groups",
+    # TPC-H shapes the driver has never checked (q1/q3/q17/q21 green
+    # r7+r8; q5/q12 green r6)
+    "tpch_q6", "tpch_q19", "tpch_q22",
+    # Sketch gates (mergeable-rollup family)
+    "heavy_hitters", "hll_sketch_gate", "theta_overlap_gate",
+    "kll_quantile_gate", "cms_bounds_gate",
+    # PII / URL / web-corpus filters (registered+benched since r6,
+    # never driver-checked)
+    "pii_scrub", "pii_audit", "url_features", "domain_block_filter",
+    "html_extract", "c4_gate", "bad_words",
+    # Text/dedup variants
+    "chunk_text", "normalized_dedup", "dedup_keep_best",
+    # Embedding ops
+    "quantize_embeddings", "semantic_decontaminate",
+    # Relational/window shapes
+    "scd2_intervals", "rollup_agg", "cube_agg", "exact_median",
+    "interval_merge", "cohort_retention", "latest_order_per_customer",
 ]
 
 
