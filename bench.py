@@ -133,6 +133,54 @@ def main() -> None:
     total = round(sum(timings.values()), 3) if not errors else None
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
+
+    # Isolated per-query FLOORS (the round-over-round regression gate).
+    # The in-session numbers above float ±15% with shared-JVM state:
+    # round 8 measured the identical code 15% faster than round 7, and
+    # round 7 flagged eight phantom "+25-49% regressions" that round 8
+    # un-flagged with zero code change. Floors remove the cross-query
+    # contamination: each query gets a FRESH SparkSession (new
+    # SparkContext, empty block manager, cold codegen cache), one
+    # untimed warm run (parquet footers, codegen compile, fixture
+    # materialization), then min-of-3 timed runs. Compare floor-vs-floor
+    # across rounds; treat in-session numbers as contention telemetry.
+    floors: dict[str, float] = {}
+    floor_errors: dict[str, str] = {}
+    floor_runs = 0
+    if os.environ.get("SPARK_GRAFT_FLOORS", "1") != "0":
+        from nba_data_pipeline_spark.core.session import get_session
+
+        FLOOR_RUNS = 3
+        floor_runs = FLOOR_RUNS
+        budget = float(os.environ.get("SPARK_GRAFT_FLOOR_BUDGET", "1500"))
+        t_floor0 = time.time()
+        spark.stop()
+        for name in HEADLINE:
+            if time.time() - t_floor0 > budget:
+                floor_errors["__budget__"] = (
+                    f"floor budget {budget}s exhausted after "
+                    f"{len(floors)}/{len(HEADLINE)} queries"
+                )
+                print(f"# floors: {floor_errors['__budget__']}", file=sys.stderr)
+                break
+            fspark = get_session("bench-floor")
+            try:
+                fn = qs[name]
+                fn(fspark, SF_DIR).count()  # warm (untimed)
+                best = None
+                for _ in range(FLOOR_RUNS):
+                    t0 = time.time()
+                    fn(fspark, SF_DIR).count()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+                floors[name] = round(best, 3)
+                print(f"# floor {name}: {floors[name]}s", file=sys.stderr)
+            except Exception as exc:  # noqa: BLE001
+                floor_errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"# floor {name}: ERROR {floor_errors[name]}", file=sys.stderr)
+            finally:
+                fspark.stop()
+
     print(
         json.dumps(
             {
@@ -142,6 +190,9 @@ def main() -> None:
                 "queries": timings,
                 "errors": errors,
                 "runs_per_query": RUNS,
+                "floors": floors,
+                "floor_errors": floor_errors,
+                "floor_runs_per_query": floor_runs,
                 "sf": sf,
             }
         )
@@ -163,6 +214,9 @@ if __name__ == "__main__":
                     "queries": {},
                     "errors": {"__fatal__": f"{type(exc).__name__}: {exc}"[:500]},
                     "runs_per_query": 0,
+                    "floors": {},
+                    "floor_errors": {},
+                    "floor_runs_per_query": 0,
                     "sf": None,
                 }
             )

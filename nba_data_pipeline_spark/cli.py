@@ -297,7 +297,15 @@ def run(argv: Sequence[str], spark: SparkSession | None = None) -> None:
         elif args.pipeline == "players_on_court_at_start_of_period":
             out = P.players_on_court_at_start_of_period(primary)
         elif args.pipeline == "play_by_play_with_players":
-            out = P.play_by_play_with_players(*inputs[:3], impl=args.lineup_impl)
+            # optional 4th input = players_on_court_at_start_of_period
+            # (the reference's repair table, read per game at
+            # etl/play_by_play_with_players.py:147-149); both engines —
+            # including the declarative default — apply the per-period
+            # fallback repair when it is supplied
+            fallback = inputs[3] if len(inputs) > 3 else None
+            out = P.play_by_play_with_players(
+                *inputs[:3], fallback_lineups=fallback, impl=args.lineup_impl
+            )
         else:
             out = P.shot_details(primary, args.player_id, args.team_id, season, stype)
         if args.game_id:

@@ -475,6 +475,7 @@ def lineups_via_range_join(
     pbp: DataFrame,
     rotations: DataFrame,
     team_game_log: DataFrame | None = None,
+    fallback_lineups: DataFrame | None = None,
 ) -> DataFrame:
     """Lineups purely relationally, with EVENT-ORDER interval bounds.
 
@@ -510,6 +511,15 @@ def lineups_via_range_join(
     reused by the GAME_ID joins), three stint-sized anchor joins, one
     events-to-stints join, one aggregation by event — no per-group
     Python at all. This is the 100-TB path.
+
+    ``fallback_lineups`` (GAME_ID, TEAM_ID, PERIOD, PLAYER_ID — the
+    players_on_court_at_start_of_period table) enables the reference's
+    per-period repair (etl/play_by_play_with_players.py:142-152): any
+    team-period whose stint-reconstructed floor at the period's type-12
+    boundary is not exactly five players is re-seeded from the fallback
+    roster, with that period's substitutions toggling membership from
+    their event positions — matching the stateful scan's repaired-then-
+    mutated behavior (property-tested on inconsistent-stint fixtures).
     """
     pbp = pbp if "SECONDS_FROM_START" in pbp.columns else derive_seconds_from_start(pbp)
     teams = resolve_game_teams(pbp, team_game_log)
@@ -613,8 +623,128 @@ def lineups_via_range_join(
         | (F.col("OUT_TIME_REAL") >= F.col("_game_end"))
     )
     joined = keyed.join(anchored, "GAME_ID").filter(open_ok & close_ok)
+    members = joined.select(
+        "GAME_ID", "PERIOD", "EVENTNUM", "_pos",
+        "TEAM1_ID", "TEAM2_ID", "TEAM_ID", "PLAYER_ID",
+    )
+
+    if fallback_lineups is not None:
+        # Per-period fallback repair, reference semantics
+        # (etl/play_by_play_with_players.py:142-152): at the period's
+        # type-12 boundary event the scan applies the stint deltas and,
+        # if the resulting floor is not exactly five, replaces the whole
+        # team lineup with the pre-joined period-lineup row; subsequent
+        # substitutions then mutate that repaired floor. Declaratively:
+        # a (game, period, team) is BROKEN iff the stint-interval
+        # membership at the boundary event is != 5 and a fallback row
+        # exists; for broken team-periods the stint membership from the
+        # boundary onward is replaced by intervals seeded from the
+        # fallback roster and toggled by the period's type-8 subs.
+        # Every repair-side frame is stint/sub/roster-sized (tiny next
+        # to events), so the extra joins broadcast; the one touch on the
+        # big side is a broadcast anti-join of `members`.
+        fb = fallback_lineups.select(
+            "GAME_ID",
+            F.col("PERIOD").cast("long").alias("PERIOD"),
+            "TEAM_ID",
+            "PLAYER_ID",
+        )
+        b12 = (
+            keyed.filter(F.col("EVENTMSGTYPE") == 12)
+            .groupBy("GAME_ID", "PERIOD")
+            .agg(F.min("_pos").alias("_bpos"))
+        )
+        pend = keyed.groupBy("GAME_ID", "PERIOD").agg(
+            (F.max("_pos") + 1).alias("_pend")
+        )
+        # (game, period, team) universe at each boundary — a team with
+        # ZERO reconstructed players yields no membership row, and that
+        # absence must still read as broken
+        uni = b12.join(F.broadcast(teams), "GAME_ID").select(
+            "GAME_ID", "PERIOD", "_bpos",
+            F.explode(F.array("TEAM1_ID", "TEAM2_ID")).alias("TEAM_ID"),
+        )
+        bcnt = (
+            members.join(b12, ["GAME_ID", "PERIOD"])
+            .filter(F.col("_pos") == F.col("_bpos"))
+            .groupBy("GAME_ID", "PERIOD", "TEAM_ID")
+            .agg(F.count_distinct("PLAYER_ID").alias("_n"))
+        )
+        brk = (
+            uni.join(bcnt, ["GAME_ID", "PERIOD", "TEAM_ID"], "left")
+            .filter(F.coalesce(F.col("_n"), F.lit(0)) != 5)
+            .join(fb.select("GAME_ID", "PERIOD", "TEAM_ID"),
+                  ["GAME_ID", "PERIOD", "TEAM_ID"], "semi")
+            .join(pend, ["GAME_ID", "PERIOD"])
+            .select("GAME_ID", "PERIOD", "TEAM_ID", "_bpos", "_pend")
+        )
+        # sub toggles inside broken team-periods: the k-th OUT of a
+        # player closes the k-th open interval (the fallback seat counts
+        # as interval 1 for roster members), the k-th IN opens the next
+        subp = (
+            keyed.filter(F.col("EVENTMSGTYPE") == 8)
+            .select(
+                "GAME_ID", "PERIOD",
+                F.col("PLAYER1_TEAM_ID").alias("TEAM_ID"),
+                F.col("PLAYER1_ID").alias("_out_pid"),
+                F.col("PLAYER2_ID").alias("_in_pid"),
+                "_pos",
+            )
+            .join(brk.select("GAME_ID", "PERIOD", "TEAM_ID"),
+                  ["GAME_ID", "PERIOD", "TEAM_ID"], "semi")
+        )
+        pkeys = ["GAME_ID", "PERIOD", "TEAM_ID", "PLAYER_ID"]
+        wplayer = Window.partitionBy(*pkeys).orderBy("_pos")
+        outs = (
+            subp.select("GAME_ID", "PERIOD", "TEAM_ID",
+                        F.col("_out_pid").alias("PLAYER_ID"), "_pos")
+            .withColumn("_lrk", F.row_number().over(wplayer))
+            .select(*pkeys, F.col("_pos").alias("_rpos"), "_lrk")
+        )
+        base = (
+            fb.join(brk, ["GAME_ID", "PERIOD", "TEAM_ID"], "inner")
+            .select(*pkeys, F.col("_bpos").alias("_lpos"),
+                    F.lit(1).alias("_lrk"))
+        )
+        ins = (
+            subp.select("GAME_ID", "PERIOD", "TEAM_ID",
+                        F.col("_in_pid").alias("PLAYER_ID"), "_pos")
+            .withColumn("_ink", F.row_number().over(wplayer))
+            .join(base.select(*pkeys, F.lit(1).alias("_is_base")),
+                  pkeys, "left")
+            .withColumn("_lrk", F.col("_ink")
+                        + F.when(F.col("_is_base") == 1, 1).otherwise(0))
+            .select(*pkeys, F.col("_pos").alias("_lpos"), "_lrk")
+        )
+        intervals = (
+            base.unionByName(ins)
+            .join(outs, pkeys + ["_lrk"], "left")
+            .join(brk.select("GAME_ID", "PERIOD", "TEAM_ID", "_pend"),
+                  ["GAME_ID", "PERIOD", "TEAM_ID"], "inner")
+            .withColumn("_rend", F.coalesce("_rpos", "_pend"))
+            .select(*pkeys, "_lpos", "_rend")
+        )
+        keep = members.join(
+            brk,
+            (members["GAME_ID"] == brk["GAME_ID"])
+            & (members["PERIOD"] == brk["PERIOD"])
+            & (members["TEAM_ID"] == brk["TEAM_ID"])
+            & (members["_pos"] >= brk["_bpos"]),
+            "left_anti",
+        )
+        repaired = (
+            keyed.select("GAME_ID", "PERIOD", "EVENTNUM", "_pos",
+                         "TEAM1_ID", "TEAM2_ID")
+            .join(intervals, ["GAME_ID", "PERIOD"])
+            .filter((F.col("_pos") >= F.col("_lpos"))
+                    & (F.col("_pos") < F.col("_rend")))
+            .select("GAME_ID", "PERIOD", "EVENTNUM", "_pos",
+                    "TEAM1_ID", "TEAM2_ID", "TEAM_ID", "PLAYER_ID")
+        )
+        members = keep.unionByName(repaired)
+
     per_event = (
-        joined.groupBy("GAME_ID", "EVENTNUM")
+        members.groupBy("GAME_ID", "EVENTNUM")
         .agg(
             F.sort_array(
                 F.collect_set(

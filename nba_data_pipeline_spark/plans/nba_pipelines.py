@@ -91,12 +91,15 @@ def play_by_play_with_players(
       pivot (``lineups_via_range_join``) — pure DataFrame ops, no
       Python in the hot path. The bench crossover (COVERAGE.md) shows
       it ~3-4x faster than the pandas scan at sf0.1; it is the 100-TB
-      path and therefore the default.
+      path and therefore the default. ``fallback_lineups`` flows into
+      its declarative per-period repair (broken team-periods re-seeded
+      from the period-lineup table and toggled by that period's subs —
+      reference etl/play_by_play_with_players.py:142-152), so the
+      scale path keeps reference repair semantics.
     - ``"exact"``: the cogrouped applyInPandas stateful scan
-      (``track_lineups``) — the reference-faithful imperative form;
-      also the only engine implementing the per-period *fallback
-      lineup repair*, so passing ``fallback_lineups`` selects it
-      regardless of ``impl``.
+      (``track_lineups``) — the reference-faithful imperative form
+      with the same repair (cross-checked on inconsistent-stint
+      fixtures in tests/test_lineup_property.py).
 
     ``validate_lineups`` enforces the reference's hard invariant
     (:146-149 — exactly five players per team on every event) via the
@@ -106,12 +109,12 @@ def play_by_play_with_players(
     per game inside its loop."""
     if impl not in ("declarative", "exact"):
         raise ValueError(f"impl must be 'declarative' or 'exact', got {impl!r}")
-    if impl == "declarative" and fallback_lineups is None:
+    if impl == "declarative":
         from ..operators.lineups import lineups_via_range_join
 
-        tracked = lineups_via_range_join(pbp, rotations_df, team_game_log_df).drop(
-            "TEAM1_ON_COURT", "TEAM2_ON_COURT"
-        )
+        tracked = lineups_via_range_join(
+            pbp, rotations_df, team_game_log_df, fallback_lineups
+        ).drop("TEAM1_ON_COURT", "TEAM2_ON_COURT")
     else:
         tracked = track_lineups(pbp, rotations_df, team_game_log_df, fallback_lineups)
     if validate_lineups:

@@ -168,3 +168,100 @@ def test_random_games_stateful_equals_declarative(spark):
     assert not diffs, f"{len(diffs)} mismatching events, e.g. {sorted(diffs)[:3]}"
     # sanity: every event has 5+5 players
     assert all(None not in v for v in exact.values())
+
+
+def _truth_starters(stint_rows):
+    """Fallback-lineup rows (GAME_ID, TEAM_ID, PERIOD, PLAYER_ID) from
+    the UNCORRUPTED stints: a player starts period p iff some stint
+    covers p's first instant."""
+    rows = []
+    for gid, team, pid, ss in stint_rows:
+        for period, ps in ((1, 0.0), (2, 7200.0)):
+            if any(lo <= ps < hi for lo, hi in ss):
+                rows.append((gid, team, period, pid))
+    return rows
+
+
+def _corrupt_period2(stint_rows, rng):
+    """Per game: truncate one period-2-crossing stint at the boundary,
+    so the stint data UNDERSTATES the period-2 floor (the reference's
+    repair trigger, etl/play_by_play_with_players.py:147-149). Returns
+    (corrupted_rows, n_corrupted)."""
+    out, corrupted = [], 0
+    by_game: dict = {}
+    for row in stint_rows:
+        by_game.setdefault(row[0], []).append(row)
+    for gid, rows in by_game.items():
+        # pick the first player (stable under seed) on court across the
+        # period boundary
+        victim = None
+        for i, (g, team, pid, ss) in enumerate(rows):
+            if any(lo <= 7200.0 < hi for lo, hi in ss):
+                victim = i
+                break
+        for i, (g, team, pid, ss) in enumerate(rows):
+            if i == victim:
+                ss = [
+                    (lo, 7200.0 if lo <= 7200.0 < hi else hi)
+                    for lo, hi in ss
+                    if not (lo >= 7200.0 and lo <= 7200.0 < hi)
+                ]
+                corrupted += 1
+            out.append((g, team, pid, ss))
+    return out, corrupted
+
+
+def test_inconsistent_stints_repair_parity(spark):
+    """Declarative == exact WITH the per-period fallback repair engaged
+    (VERDICT r8 task #3): stints corrupted so the reconstructed period-2
+    floor is 4 players, fallback table = truth starters. Both engines
+    must repair to the fallback roster at the period boundary and keep
+    mutating it with that period's substitutions."""
+    rng = random.Random(20260814)
+    all_pbp, all_stints, all_corrupt, all_fb = [], [], [], []
+    for g in range(8):
+        pbp, stints = simulate_game(rng, f"00225{g:05d}")
+        corrupt, n = _corrupt_period2(stints, rng)
+        assert n == 1
+        all_pbp.extend(pbp)
+        all_stints.extend(stints)
+        all_corrupt.extend(corrupt)
+        all_fb.extend(_truth_starters(stints))
+    pbp_df = spark.createDataFrame(
+        all_pbp,
+        "GAME_ID string, EVENTNUM long, EVENTMSGTYPE long, EVENTMSGACTIONTYPE long,"
+        "PERIOD long, PCTIMESTRING string, PLAYER1_ID long, PLAYER1_TEAM_ID long,"
+        "PLAYER2_ID long, PLAYER2_TEAM_ID long",
+    )
+    rot_df = spark.createDataFrame(
+        all_corrupt,
+        "GAME_ID string, TEAM_ID long, PLAYER_ID long,"
+        "STINTS array<struct<IN_TIME_REAL: double, OUT_TIME_REAL: double>>",
+    )
+    fb_df = spark.createDataFrame(
+        all_fb, "GAME_ID string, TEAM_ID long, PERIOD long, PLAYER_ID long"
+    )
+    cols = ["GAME_ID", "EVENTNUM"] + [
+        f"TEAM{t}_PLAYER{i}" for t in (1, 2) for i in range(1, 6)
+    ]
+
+    def snap(df):
+        return {
+            (r["GAME_ID"], r["EVENTNUM"]): tuple(r[c] for c in cols[2:])
+            for r in df.select(*cols).collect()
+        }
+
+    # without repair the declarative floor is under-full in period 2
+    # (trailing nulls) — the corruption actually bites
+    unrepaired = snap(lineups_via_range_join(pbp_df, rot_df))
+    assert any(None in v for v in unrepaired.values())
+
+    exact = snap(track_lineups(pbp_df, rot_df, fallback_lineups=fb_df))
+    declarative = snap(
+        lineups_via_range_join(pbp_df, rot_df, fallback_lineups=fb_df)
+    )
+    assert set(exact) == set(declarative)
+    diffs = {k for k in exact if exact[k] != declarative[k]}
+    assert not diffs, f"{len(diffs)} mismatching events, e.g. {sorted(diffs)[:3]}"
+    # the repair restores a full 5+5 floor on every event
+    assert all(None not in v for v in declarative.values())
