@@ -8,10 +8,12 @@ through executors in columnar batches (never the driver).
 Codec status per modality (compressed-codec libraries — PIL, ffmpeg,
 torchaudio — are NOT in this environment):
 
-- ``decode="real"`` for IMAGES decodes uncompressed **PPM (P6)** and
-  **BMP (24/32-bit uncompressed)** with stdlib ``struct`` + numpy —
-  no codec library needed; other magic bytes (JPEG/PNG/...) raise
-  NotImplementedError at the exact plug-point a PIL call occupies.
+- ``decode="real"`` for IMAGES decodes **PPM (P6)**, **BMP (24/32-bit
+  uncompressed)** and **PNG (8-bit gray/palette/RGB(A), filters 0-4,
+  non-interlaced — stdlib zlib inflate + unfilter)** with stdlib
+  ``struct``/``zlib`` + numpy — no codec library needed; other magic
+  bytes (JPEG/...) raise NotImplementedError at the exact plug-point
+  a PIL call occupies.
 - ``decode="real"`` for AUDIO decodes **WAV PCM** (any sample width
   the stdlib ``wave`` module supports) — other containers raise at
   the torchaudio/ffmpeg plug-point.
@@ -28,6 +30,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -165,13 +168,140 @@ def _decode_bmp(data: bytes) -> tuple[int, int, float | None]:
     return width, abs_h, float(round(luma.mean(), 6))
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png_rgb(data: bytes):
+    """Real decode of an 8-bit non-interlaced PNG — pure stdlib
+    (zlib + struct) + numpy, no codec library:
+
+    - chunk walk: IHDR (geometry/mode), PLTE (palette), IDAT
+      (concatenated deflate stream), stop at IEND; CRCs skipped
+      (corruption surfaces as a zlib/length error anyway);
+    - ``zlib.decompress`` of the joined IDAT bodies;
+    - per-scanline unfilter, types 0-4 (None/Sub/Up/Average/Paeth);
+      Up vectorizes, the left-referencing filters walk the row (test
+      images are small; a real 100-TB corpus plugs PIL here);
+    - channel normalize to an RGB float64 matrix in [0, 1]: gray and
+      gray+alpha replicate, palette indices expand through PLTE,
+      alpha is dropped (same convention as 32-bit BMP).
+
+    Returns (width, height, matrix | None) — None for zero-pixel
+    images. Bit depth 16, Adam7 interlace, and exotic modes raise
+    NotImplementedError at the PIL plug-point."""
+    import numpy as np
+
+    if not data.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = bit_depth = color_type = interlace = None
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + length  # 4 length + 4 type + data + 4 crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 3, 4, 6):
+        raise NotImplementedError(
+            f"PNG bit_depth={bit_depth} color_type={color_type} "
+            f"interlace={interlace} not supported; plug PIL here"
+        )
+    if width * height == 0:
+        return width, height, None
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) < (stride + 1) * height:
+        raise ValueError("truncated PNG pixel data")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels  # bytes per pixel at bit depth 8
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1).copy()
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (int(line[i]) + int(line[i - bpp])) & 0xFF
+        elif ftype == 2:  # Up
+            line = ((line.astype(np.int16) + prev.astype(np.int16)) & 0xFF).astype(
+                np.uint8
+            )
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = int(line[i - bpp]) if i >= bpp else 0
+                line[i] = (int(line[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (int(line[i]) + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = line
+        prev = line
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        idx = out.reshape(height, width)
+        if int(idx.max()) >= len(palette):
+            raise ValueError("PNG palette index out of range")
+        rgb = palette[idx].astype(np.float64) / 255.0
+    elif color_type in (0, 4):
+        g = out.reshape(height, width, channels)[..., 0].astype(np.float64) / 255.0
+        rgb = np.stack([g, g, g], axis=-1)
+    elif color_type == 2:
+        rgb = out.reshape(height, width, 3).astype(np.float64) / 255.0
+    else:  # 6: RGBA
+        rgb = (
+            out.reshape(height, width, 4)[..., :3].astype(np.float64) / 255.0
+        )
+    return width, height, rgb
+
+
+def _png_luma(data: bytes):
+    """(width, height, luma matrix | None) for a PNG payload."""
+    width, height, rgb = _decode_png_rgb(data)
+    if rgb is None:
+        return width, height, None
+    return width, height, (
+        rgb[..., 0] * _LUMA_R + rgb[..., 1] * _LUMA_G + rgb[..., 2] * _LUMA_B
+    )
+
+
 def _real_image_decode(payload: bytes) -> tuple[int, int, float]:
-    """Dispatch on magic bytes. Uncompressed formats decode with
-    stdlib; compressed formats raise at the PIL plug-point."""
+    """Dispatch on magic bytes. PPM/BMP/PNG decode with stdlib;
+    remaining compressed formats (JPEG) raise at the PIL plug-point."""
     if payload.startswith(b"P6"):
         return _decode_ppm(payload)
     if payload.startswith(b"BM"):
         return _decode_bmp(payload)
+    if payload.startswith(_PNG_MAGIC):
+        width, height, luma = _png_luma(payload)
+        if luma is None:
+            return width, height, None
+        return width, height, float(round(luma.mean(), 6))
     raise NotImplementedError(
         "compressed image codec not available in this environment "
         f"(magic={payload[:4]!r}); plug PIL/torchvision here"
@@ -389,6 +519,8 @@ def _luma_matrix(payload: bytes):
         # BMP rows are bottom-up for height > 0 — flip so the matrix is
         # top-down like PPM (the mean never cared; dHash DOES)
         return luma[::-1] if height > 0 else luma
+    if payload.startswith(_PNG_MAGIC):
+        return _png_luma(payload)[2]
     raise NotImplementedError(
         f"compressed image codec not available (magic={payload[:4]!r}); plug PIL here"
     )
@@ -642,6 +774,8 @@ def _rgb_matrix(payload: bytes):
         px = rows[:, : width * bytes_pp].reshape(abs_h, width, bytes_pp).astype(np.float64)
         rgb = px[..., [2, 1, 0]] / 255.0  # BGR(A) -> RGB, alpha dropped
         return rgb[::-1] if height > 0 else rgb  # bottom-up -> top-down
+    if payload.startswith(_PNG_MAGIC):
+        return _decode_png_rgb(payload)[2]
     raise NotImplementedError(
         f"compressed image codec not available (magic={payload[:4]!r}); plug PIL here"
     )

@@ -462,3 +462,149 @@ def test_resize_images_upsamples_without_nan(spark):
         "doc_id", "payload", decode="real",
     ).collect()[0]
     assert 0.0 <= f.mean_luma <= 1.0
+
+
+def _png_bytes(width, height, pixels, color_type=2, filters=(0,), bit_depth=8,
+               palette=None):
+    """Real PNG bytes built from scratch: per-row forward FILTERING
+    (cycling through ``filters`` — exercises the decoder's unfilter
+    paths 0-4), zlib-compressed IDAT, correct chunk CRCs. ``pixels``
+    are per-pixel tuples (or ints for 1-channel modes)."""
+    import struct as st
+    import zlib as zl
+
+    def chunk(ctype, body):
+        return (
+            st.pack(">I", len(body)) + ctype + body
+            + st.pack(">I", zl.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    bpp = channels
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = bytes(width * channels)
+    for y in range(height):
+        row = pixels[y * width : (y + 1) * width]
+        line = bytes(
+            v for px in row for v in (px if isinstance(px, tuple) else (px,))
+        )
+        ft = filters[y % len(filters)]
+        if ft == 0:
+            f = bytearray(line)
+        elif ft == 1:
+            f = bytearray(
+                (line[i] - (line[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(len(line))
+            )
+        elif ft == 2:
+            f = bytearray((line[i] - prev[i]) & 0xFF for i in range(len(line)))
+        elif ft == 3:
+            f = bytearray(
+                (line[i] - (((line[i - bpp] if i >= bpp else 0) + prev[i]) >> 1)) & 0xFF
+                for i in range(len(line))
+            )
+        else:
+            f = bytearray(
+                (line[i] - paeth(line[i - bpp] if i >= bpp else 0, prev[i],
+                                 prev[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(len(line))
+            )
+        raw += bytes([ft]) + bytes(f)
+        prev = line
+    ihdr = st.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(v for rgb in palette for v in rgb))
+    body = zl.compress(bytes(raw))
+    # split IDAT in two to exercise concatenated-chunk reassembly
+    mid = len(body) // 2
+    out += chunk(b"IDAT", body[:mid]) + chunk(b"IDAT", body[mid:])
+    return out + chunk(b"IEND", b"")
+
+
+def test_real_png_decode_end_to_end(spark):
+    pixels = [(255, 255, 255), (0, 0, 0), (255, 0, 0), (0, 255, 0)]
+    payload = _png_bytes(2, 2, pixels, filters=(0, 2))
+    df = spark.createDataFrame([(7, bytearray(payload))], "doc_id long, payload binary")
+    r = extract_image_features(df, "doc_id", "payload", decode="real").collect()[0]
+    assert (r.width, r.height) == (2, 2)
+    expect = (1.0 + 0.0 + 0.299 + 0.587) / 4
+    assert abs(r.mean_luma - expect) < 1e-5
+    assert r.byte_len == len(payload)
+
+
+def test_png_all_modes_and_filters_match_ppm(spark):
+    """PPM==PNG hash invariance pinned like the BMP case (VERDICT r8
+    task #4): the same pixel content through every supported PNG color
+    mode (RGB / RGBA / gray / gray+alpha / palette) and all five row
+    filters must dhash identically to the PPM encoding — the hash keys
+    on decoded luma, not container bytes."""
+    import random
+
+    from nba_data_pipeline_spark.operators.multimodal import image_dhash
+
+    rng = random.Random(424)
+    w, h = 9, 8
+    pixels = _rand_pixels(rng, w, h)
+    gray = [((30 * r + 59 * g + 11 * b) // 100) for (r, g, b) in pixels]
+    gray_rgb = [(v, v, v) for v in gray]
+    # palette mode: index the distinct colors
+    pal = sorted(set(pixels))
+    pal_idx = [pal.index(px) for px in pixels]
+    rows = [
+        (1, _ppm_bytes(w, h, pixels)),
+        (2, _png_bytes(w, h, pixels, color_type=2, filters=(0, 1, 2, 3, 4))),
+        (3, _png_bytes(w, h, [px + (200,) for px in pixels], color_type=6,
+                       filters=(4, 3, 2, 1, 0))),
+        (4, _png_bytes(w, h, pal_idx, color_type=3, filters=(1, 4),
+                       palette=pal)),
+        # gray pair: PPM of replicated-gray pixels vs gray PNG
+        (5, _ppm_bytes(w, h, gray_rgb)),
+        (6, _png_bytes(w, h, gray, color_type=0, filters=(3, 4, 1))),
+        (7, _png_bytes(w, h, [(v, 99) for v in gray], color_type=4,
+                       filters=(2, 4))),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in rows], "doc_id long, payload binary"
+    )
+    got = {
+        r.doc_id: r.dhash
+        for r in image_dhash(df, "doc_id", "payload", decode="real").collect()
+    }
+    assert got[1] == got[2] == got[3] == got[4], "RGB-content PNG modes diverge"
+    assert got[5] == got[6] == got[7], "gray-content PNG modes diverge"
+
+
+def test_png_resize_matches_ppm_and_unsupported_raise(spark):
+    import pytest as _pytest
+
+    from nba_data_pipeline_spark.operators.multimodal import (
+        _decode_png_rgb,
+        resize_images,
+    )
+
+    q = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0)]
+    pixels = [q[(y // 4) * 2 + (x // 4)] for y in range(8) for x in range(8)]
+    df = spark.createDataFrame(
+        [(1, bytearray(_ppm_bytes(8, 8, pixels))),
+         (2, bytearray(_png_bytes(8, 8, pixels, filters=(0, 1, 2, 3, 4))))],
+        "doc_id long, payload binary",
+    )
+    out = {
+        r.doc_id: bytes(r.payload)
+        for r in resize_images(df, "doc_id", "payload", 2, 2, decode="real").collect()
+    }
+    assert out[1] == out[2]
+    # 16-bit depth and interlace stay declared plug-points
+    deep = bytearray(_png_bytes(2, 2, [(1, 1, 1)] * 4))
+    deep[8 + 8 + 8] = 16  # IHDR bit_depth byte
+    with _pytest.raises(NotImplementedError, match="plug PIL"):
+        _decode_png_rgb(bytes(deep))
+    with _pytest.raises(ValueError, match="not a PNG"):
+        _decode_png_rgb(b"JFIF....")
