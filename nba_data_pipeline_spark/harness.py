@@ -6137,17 +6137,71 @@ def q_dedup_cluster_stats(spark, sf):
     return component_stats(pairs)
 
 
-@q("pagerank_centrality")  # rows-only: iterative power iteration is not single-SQL
+def _pagerank_oracle(iterations: int, scale: int) -> str:
+    """DuckDB SQL replicating pagerank_fixedpoint exactly: the power
+    iteration UNROLLED as one CTE per round (the lm_perplexity trick
+    for iterative ops). Integer fixed point makes this possible —
+    every rank is a BIGINT multiple of 1/scale, every step is integer
+    division, and integer sums commute, so both engines produce
+    bit-identical ranks regardless of shuffle/aggregation order.
+    DuckDB's SUM(BIGINT) widens to HUGEINT, hence the explicit BIGINT
+    casts at each aggregate. Every round CTE is AS MATERIALIZED: each
+    block references its predecessor twice (dangling scalar + inflow
+    join), so inlining would double the plan per round — 2^8 blowup."""
+    blocks = []
+    prev = "r0"
+    for k in range(1, iterations + 1):
+        blocks.append(f"""
+       it{k} AS MATERIALIZED (
+         SELECT b.node,
+                CAST((15 * ({scale} // p.n)) // 100
+                     + (85 * (COALESCE(f.inflow, 0)
+                              + (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT)
+                                 FROM {prev} pv JOIN deg0 z ON pv.node = z.node) // p.n))
+                       // 100 AS BIGINT) AS r
+         FROM base b CROSS JOIN params p
+         LEFT JOIN (SELECT eu.d AS node,
+                           CAST(SUM(pv.r // b2.od) AS BIGINT) AS inflow
+                    FROM eu JOIN {prev} pv ON eu.s = pv.node
+                    JOIN base b2 ON eu.s = b2.node
+                    GROUP BY eu.d) f ON b.node = f.node)""")
+        prev = f"it{k}"
+    return (
+        "WITH" + _PROJECTION_EDGES_SQL + f""",
+       eu AS MATERIALIZED (SELECT DISTINCT s, d FROM (
+                SELECT s, d FROM e
+                UNION ALL SELECT d AS s, s AS d FROM e) WHERE s <> d),
+       nodes AS (SELECT DISTINCT s AS node FROM eu
+                 UNION SELECT DISTINCT d FROM eu),
+       deg AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS od
+               FROM eu GROUP BY s),
+       base AS MATERIALIZED (SELECT n.node, COALESCE(g.od, 0) AS od
+                FROM nodes n LEFT JOIN deg g ON n.node = g.node),
+       deg0 AS MATERIALIZED (SELECT node FROM base WHERE od = 0),
+       params AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+       r0 AS MATERIALIZED (SELECT b.node, CAST({scale} // p.n AS BIGINT) AS r
+              FROM base b CROSS JOIN params p),"""
+        + ",".join(blocks)
+        + f"""
+       SELECT node, r AS rank_e FROM {prev}"""
+    )
+
+
+@q("pagerank_centrality", _pagerank_oracle(8, 10**12))
 def q_pagerank_centrality(spark, sf):
     """PageRank over the projection graph treated as undirected
-    (operators/graph.py pagerank, 8 rounds, d=0.85) — the classic
-    link-graph quality prior for crawl curation. Iterative joins with
-    per-round lineage truncation; exact parity vs an independent
-    pure-Python power iteration is pinned in tests/test_graph.py."""
-    from .operators.graph import pagerank
+    (operators/graph.py pagerank_fixedpoint, 8 rounds, d=0.85) — the
+    classic link-graph quality prior for crawl curation. Integer
+    fixed-point power iteration (BIGINT ranks, integer division) so
+    the DuckDB oracle — the iteration unrolled as 8 CTEs — matches
+    value-for-value; parity between the fixed-point and float kernels
+    is pinned in tests/test_graph.py."""
+    from .operators.graph import pagerank_fixedpoint
 
-    out = pagerank(_projection_edges(spark, sf), iterations=8, undirected=True)
-    return out.select("node", F.round("rank", 9).alias("rank"))
+    out = pagerank_fixedpoint(
+        _projection_edges(spark, sf), iterations=8, undirected=True
+    )
+    return out.select("node", F.col("rank_e").cast("long").alias("rank_e"))
 
 
 # ===========================================================================
@@ -6935,7 +6989,10 @@ _DRIVER_WINDOW = [
     # PII / URL / web-corpus filters (registered+benched since r6,
     # never driver-checked)
     "pii_scrub", "pii_audit", "url_features", "domain_block_filter",
-    "html_extract", "c4_gate", "bad_words",
+    "html_extract", "c4_gate",
+    # newly oracle-ified this round (was rows-only): unrolled-CTE
+    # fixed-point power iteration, full value-hash oracle
+    "pagerank_centrality",
     # Text/dedup variants
     "chunk_text", "normalized_dedup", "dedup_keep_best",
     # Embedding ops

@@ -212,6 +212,84 @@ def pagerank(
     return ranks.select("node", "rank")
 
 
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 8,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+    undirected: bool = False,
+) -> DataFrame:
+    """PageRank by power iteration in INTEGER fixed point — the
+    lm_perplexity trick applied to an iterative operator: every rank is
+    a BIGINT multiple of 1/scale and every step uses integer division,
+    so the result is EXACTLY engine-reproducible (integer sums commute;
+    no float summation order to disagree on). This is what makes a
+    full value-hash DuckDB oracle possible for an iterative algorithm.
+
+    Per round (same plan shape as ``pagerank``): one contributions
+    join + hash agg, one scalar dangling-mass collect, lineage
+    truncated per round. rank_e ~= float_rank * scale; parity with the
+    float kernel is pinned in tests/test_graph.py. Output:
+    (node, rank_e BIGINT).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if undirected:
+        e = e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    e = e.distinct().filter(F.col("s") != F.col("d")).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionAll(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_e", F.lit(0).cast("long"))
+    outdeg = e.groupBy(F.col("s").alias("node")).agg(F.count("*").alias("out_degree"))
+    base = (
+        nodes.join(outdeg, "node", "left")
+        .select("node", F.coalesce("out_degree", F.lit(0)).alias("out_degree"))
+        .localCheckpoint(eager=True)
+    )
+    init = int(scale) // n
+    teleport = ((damping_den - damping_num) * init) // damping_den
+    ranks = base.select(
+        "node", "out_degree", F.lit(init).cast("long").alias("rank_e")
+    )
+    for _ in range(iterations):
+        dang = (
+            ranks.filter(F.col("out_degree") == 0)
+            .agg(F.coalesce(F.sum("rank_e"), F.lit(0)))
+            .collect()[0][0]
+        )
+        share = int(dang) // n
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "s"), "s")
+            .select(
+                F.col("d").alias("node"),
+                F.expr("rank_e DIV out_degree").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            base.join(contribs, "node", "left")
+            .select(
+                "node",
+                "out_degree",
+                F.expr(
+                    f"CAST({teleport} + ({damping_num} * (coalesce(inflow, 0)"
+                    f" + {share})) DIV {damping_den} AS BIGINT)"
+                ).alias("rank_e"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", "rank_e")
+
+
 def component_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Per-component structure stats for an undirected graph — the
     quality audit of a dedup candidate graph: (component_id, n_nodes,

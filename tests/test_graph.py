@@ -116,6 +116,40 @@ def test_pagerank_empty_graph(spark):
     assert pagerank(e).count() == 0
 
 
+@pytest.mark.parametrize("undirected", [False, True])
+def test_pagerank_fixedpoint_tracks_float_kernel(spark, undirected):
+    """The integer fixed-point kernel (the oracle-able form) must agree
+    with the float kernel to within the truncation budget: each of the
+    k iterations floors at most 1/scale per term, so after 8 rounds on
+    this graph rank_e/scale is within ~1e-9 of the float rank."""
+    from nba_data_pipeline_spark.operators.graph import pagerank_fixedpoint
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 4), (5, 1), (5, 4)]
+    e = _edges(spark, edges)
+    scale = 10**12
+    fixed = {
+        r["node"]: r["rank_e"]
+        for r in pagerank_fixedpoint(
+            e, iterations=8, scale=scale, undirected=undirected
+        ).collect()
+    }
+    flt = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, damping=0.85, iterations=8, undirected=undirected).collect()
+    }
+    assert set(fixed) == set(flt)
+    for v in flt:
+        assert fixed[v] / scale == pytest.approx(flt[v], abs=1e-7)
+    # determinism: a repartitioned input yields bit-identical ranks
+    fixed2 = {
+        r["node"]: r["rank_e"]
+        for r in pagerank_fixedpoint(
+            e.repartition(7), iterations=8, scale=scale, undirected=undirected
+        ).collect()
+    }
+    assert fixed2 == fixed
+
+
 def test_component_stats_density(spark):
     from nba_data_pipeline_spark.operators.graph import component_stats
 
