@@ -6278,6 +6278,104 @@ def q_minhash_portable(spark, sf):
     )
 
 
+def _replay_parity_oracle(num_perm: int, bands: int, threshold: float) -> str:
+    """DuckDB SQL for the SINGLE-SHOT result the multi-batch replayed
+    ingest of ``streaming_replay_oracle`` must converge to: portable md5
+    signatures (same construction as ``_minhash_portable_oracle``), band
+    candidates by EQUALITY on the band's signature tuple, and the
+    signature-agreement Jaccard estimate (``incremental_minhash_pairs``'s
+    verifier — agreement/num_perm, the only verifier a signature table
+    supports without re-reading text). Batch boundaries and the
+    redelivered micro-batch must be invisible in the final pairs table."""
+    from .operators.dedup import MERSENNE_PRIME, _perm_params
+
+    p = MERSENNE_PRIME
+    rows = num_perm // bands
+    sig_exprs = ",\n              ".join(
+        f"MIN(((hv % {p}) * {a} + {b}) % {p}) AS sig{i}"
+        for i, (a, b) in enumerate(_perm_params(num_perm, 42))
+    )
+    band_selects = "\n         UNION ALL ".join(
+        "SELECT doc_id, {i} AS band, {key} AS k FROM sig".format(
+            i=i,
+            key=" || ',' || ".join(
+                f"CAST(sig{i * rows + j} AS VARCHAR)" for j in range(rows)
+            ),
+        )
+        for i in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN x.sig{i} = y.sig{i} THEN 1 ELSE 0 END)"
+        for i in range(num_perm)
+    )
+    return f"""WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\\s+'),
+                            t -> t <> '') AS tk
+         FROM documents WHERE doc_id < 600),
+       sh AS (
+         SELECT doc_id,
+                unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))) AS s
+         FROM toks WHERE len(tk) >= 3),
+       h AS (SELECT DISTINCT doc_id,
+                    CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS hv
+             FROM sh),
+       sig AS (SELECT doc_id,
+              {sig_exprs}
+               FROM h GROUP BY doc_id),
+       bk AS ({band_selects}),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bk a JOIN bk b ON a.band = b.band AND a.k = b.k
+                                   AND a.doc_id < b.doc_id)
+       SELECT c.id_a, c.id_b,
+              ROUND(({agree}) / CAST({num_perm} AS DOUBLE), 6) AS est_jaccard
+       FROM cand c JOIN sig x ON x.doc_id = c.id_a
+                   JOIN sig y ON y.doc_id = c.id_b
+       WHERE ROUND(({agree}) / CAST({num_perm} AS DOUBLE), 6) >= {threshold}"""
+
+
+@q("streaming_replay_oracle", _replay_parity_oracle(16, 8, 0.3))
+def q_streaming_replay_oracle(spark, sf):
+    """Value-hash replay-equivalence gate for continuous-ingest near-
+    dedup (streaming/ops.py near_dedup_batch, the foreachBatch body of
+    stream_near_dedup): ingest a document subset in 3 micro-batches with
+    one batch REDELIVERED (at-least-once semantics), then return the
+    final persisted pairs table. With the portable md5 signature hash
+    the whole state machine is deterministic, so the oracle is the
+    single-shot LSH computed by DuckDB over the same subset — any
+    replay bug (double-counted pairs, order-dependent candidates,
+    missed new-vs-old order) changes rows/values and fails the hash.
+    Upgrades the xxhash64 twin ``streaming_replay_parity`` (rows-only by
+    nature) to full driver evidence; same portability split as
+    minhash_pairs_portable vs minhash_lsh_pairs."""
+    import shutil
+    import tempfile
+
+    from .streaming.ops import near_dedup_batch
+
+    docs = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 600)
+        .select("doc_id", "text")
+    )
+    root = tempfile.mkdtemp(prefix="replay_oracle_")
+    try:
+        sig_p, pairs_p = f"{root}/sigs", f"{root}/pairs"
+        batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+        kw = dict(num_perm=16, bands=8, threshold=0.3, hash="md5")
+        near_dedup_batch(batches[0], sig_p, pairs_p, **kw)
+        near_dedup_batch(batches[1], sig_p, pairs_p, **kw)
+        # redelivered micro-batch: must upsert the same keys, not dupe
+        near_dedup_batch(batches[1], sig_p, pairs_p, **kw)
+        near_dedup_batch(batches[2], sig_p, pairs_p, **kw)
+        out = spark.read.parquet(pairs_p).select("id_a", "id_b", "est_jaccard")
+        # materialize before the temp tables are deleted
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @q(
     "referential_integrity",
     # orphan-FK audit across the star schema: one row per relationship
@@ -6964,7 +7062,6 @@ def q_resample_ffill(spark, sf):
 # locally swept, and COVERAGE.md keeps the ever-driver-green ledger.
 _DRIVER_WINDOW = [
     # §2 family representatives (multi-round green, retained)
-    "stamp_literals",      # P3/F9 shaping family
     "compound_predicate",  # P4-P10 filter family
     "left_anti_delta",     # J1 delta family (the reference's signature op)
     "merge_upsert",        # S5/S7 sink family
@@ -6990,9 +7087,10 @@ _DRIVER_WINDOW = [
     # never driver-checked)
     "pii_scrub", "pii_audit", "url_features", "domain_block_filter",
     "html_extract", "c4_gate",
-    # newly oracle-ified this round (was rows-only): unrolled-CTE
-    # fixed-point power iteration, full value-hash oracle
-    "pagerank_centrality",
+    # newly oracle-ified this round (were rows-only): unrolled-CTE
+    # fixed-point power iteration; md5-portable multi-batch replay
+    # vs single-shot DuckDB LSH
+    "pagerank_centrality", "streaming_replay_oracle",
     # Text/dedup variants
     "chunk_text", "normalized_dedup", "dedup_keep_best",
     # Embedding ops

@@ -396,6 +396,7 @@ def minhash_signatures(
     num_perm: int = 32,
     shingle_n: int = 3,
     seed: int = 42,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Scalable MinHash: explode shingles -> xxhash64 once per shingle ->
     num_perm ``min`` aggregates (map-side partial agg, one shuffle on
@@ -404,10 +405,20 @@ def minhash_signatures(
     O(shingles * num_perm) re-derivations. ``minhash_lsh_pairs`` inlines
     the same aggregation over a checkpointed explode it shares with its
     verification sets; this standalone form serves signature
-    materialization (e.g. persisting a signature table)."""
+    materialization (e.g. persisting a signature table).
+
+    ``hash``: "xxhash64" (default, JVM production path) or "md5" (the
+    md5-prefix integer of ``_gram_hash`` — reproducible in any engine
+    with md5, so a persisted signature table can be value-checked by an
+    external oracle; same trade as ``minhash_lsh_pairs(hash='md5')``)."""
+    if hash == "xxhash64":
+        shingle_h = F.pmod(F.xxhash64("_s"), F.lit(MERSENNE_PRIME))
+    elif hash == "md5":
+        shingle_h = F.pmod(_gram_hash("md5", "_s"), F.lit(MERSENNE_PRIME))
+    else:
+        raise ValueError(f"unknown shingle hash {hash!r}: use 'md5' or 'xxhash64'")
     exploded = exploded_shingles(df, [id_col], text_col, shingle_n, "_s").select(
-        F.col(id_col).alias("doc_id"),
-        F.pmod(F.xxhash64("_s"), F.lit(MERSENNE_PRIME)).alias("_h"),
+        F.col(id_col).alias("doc_id"), shingle_h.alias("_h")
     )
     aggs = [
         F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_PRIME))).alias(

@@ -78,6 +78,7 @@ def near_dedup_batch(
     bands: int = 16,
     threshold: float = 0.5,
     shingle_n: int = 3,
+    hash: str = "xxhash64",
 ) -> None:
     """One continuous-ingest near-dedup step (the foreachBatch body of
     ``stream_near_dedup``, exposed for cron-style batch ingest and for
@@ -106,7 +107,8 @@ def near_dedup_batch(
 
     spark = batch_df.sparkSession
     sigs = minhash_signatures(
-        batch_df, id_col, text_col, num_perm=num_perm, shingle_n=shingle_n
+        batch_df, id_col, text_col, num_perm=num_perm, shingle_n=shingle_n,
+        hash=hash,
     ).localCheckpoint()  # eager: feeds the pair join AND the table merge
     if table_exists(signature_path):
         corpus = spark.read.parquet(signature_path)

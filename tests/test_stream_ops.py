@@ -153,6 +153,41 @@ def test_streaming_replay_parity_flags(spark):
     assert all(r.in_replayed and r.in_single_shot for r in rows)
 
 
+def test_near_dedup_batch_md5_matches_single_shot(spark, tmp_path):
+    """The md5-portable ingest path (hash='md5', the oracle-checkable
+    twin of the xxhash64 production path): a 3-batch ingest with one
+    batch redelivered must converge VALUE-for-value (est_jaccard
+    included) to a single-shot ingest of the same docs — the invariant
+    the driver's streaming_replay_oracle query hashes against DuckDB."""
+    from nba_data_pipeline_spark.streaming.ops import near_dedup_batch
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("kappa", "lambda")),
+            (3, base.replace("eta", "mu")),
+            (4, "wholly different words that share nothing at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(num_perm=16, bands=8, threshold=0.3, hash="md5")
+    multi_s, multi_p = str(tmp_path / "ms"), str(tmp_path / "mp")
+    one_s, one_p = str(tmp_path / "os"), str(tmp_path / "op")
+    for i in (0, 1, 1, 2):  # batch 1 redelivered
+        near_dedup_batch(docs.filter(F.col("doc_id") % 3 == i), multi_s, multi_p, **kw)
+    near_dedup_batch(docs, one_s, one_p, **kw)
+    key = lambda r: (r.id_a, r.id_b, r.est_jaccard)
+    multi = sorted(map(key, spark.read.parquet(multi_p).collect()))
+    single = sorted(map(key, spark.read.parquet(one_p).collect()))
+    assert multi == single and len(multi) > 0
+    # signature tables agree too (same portable sigs whichever ingest)
+    cols = spark.read.parquet(one_s).columns
+    ms = sorted(map(tuple, spark.read.parquet(multi_s).select(*cols).collect()))
+    os_ = sorted(map(tuple, spark.read.parquet(one_s).collect()))
+    assert ms == os_
+
+
 def test_stream_quality_scores_replay_idempotent(spark, tmp_path):
     from pyspark.sql import functions as F
 
