@@ -5310,7 +5310,47 @@ def q_semdedup_gate(spark, sf):
     )
 
 
-@q("lsh_ann_topk")
+def _lsh_ann_oracle(dim: int, n_planes: int, k: int) -> str:
+    """DuckDB SQL replicating lsh_topk exactly: the sign-of-dot-product
+    hyperplanes are seeded LCG constants (similarity.py _hyperplanes —
+    deterministic, no data dependence), so they INLINE into SQL as
+    literal arrays; the multiprobe-1 candidate set (own bucket + every
+    1-bit flip) is exactly hamming(bucket, qbucket) <= 1, i.e.
+    bit_count(xor(...)) <= 1. The query vector is data (vec_id 0), so
+    the oracle reads it from the table like the Spark side collects it.
+    Every list_dot_product runs over DOUBLE[] casts — on the raw FLOAT[]
+    DuckDB accumulates in float, which flips round(·, 6) at boundaries
+    (measured: 0.077744 vs Spark's double-accumulated 0.077745)."""
+    from .operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes)
+
+    def bucket_expr(vec: str) -> str:
+        return "\n           + ".join(
+            "(CASE WHEN list_dot_product(CAST({v} AS DOUBLE[]), [{p}]) > 0"
+            " THEN {w} ELSE 0 END)".format(
+                v=vec, p=", ".join(repr(x) for x in plane), w=1 << i
+            )
+            for i, plane in enumerate(planes)
+        )
+
+    return f"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id = 0),
+       qb AS (SELECT qv, {bucket_expr('qv')} AS qbucket FROM q),
+       b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding,
+                    {bucket_expr('embedding')} AS bucket
+             FROM embeddings),
+       cand AS (SELECT vec_id, embedding, qv FROM b, qb
+                WHERE bit_count(xor(bucket::BIGINT, qbucket::BIGINT)) <= 1)
+       SELECT vec_id,
+              ROUND(list_dot_product(embedding, qv)
+                    / (sqrt(list_dot_product(embedding, embedding))
+                       * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+       FROM cand
+       ORDER BY cos_sim DESC, vec_id LIMIT {k}"""
+
+
+@q("lsh_ann_topk", _lsh_ann_oracle(64, 8, 10))
 def q_lsh_ann(spark, sf):
     emb = _t(spark, sf, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
