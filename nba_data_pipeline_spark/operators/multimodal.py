@@ -9,10 +9,12 @@ Codec status per modality (compressed-codec libraries — PIL, ffmpeg,
 torchaudio — are NOT in this environment):
 
 - ``decode="real"`` for IMAGES decodes **PPM (P6)**, **BMP (24/32-bit
-  uncompressed)** and **PNG (8-bit gray/palette/RGB(A), filters 0-4,
-  non-interlaced — stdlib zlib inflate + unfilter)** with stdlib
-  ``struct``/``zlib`` + numpy — no codec library needed; other magic
-  bytes (JPEG/...) raise NotImplementedError at the exact plug-point
+  uncompressed)**, **PNG (8-bit gray/palette/RGB(A), filters 0-4,
+  non-interlaced — stdlib zlib inflate + unfilter)** and **baseline
+  JPEG (SOF0/SOF1 huffman, 8-bit, gray or YCbCr with any sampling,
+  restart markers — stdlib struct + numpy huffman/IDCT)** with no
+  codec library; remaining variants (progressive JPEG, 12-bit, CMYK,
+  16-bit/Adam7 PNG) raise NotImplementedError at the exact plug-point
   a PIL call occupies.
 - ``decode="real"`` for AUDIO decodes **WAV PCM** (any sample width
   the stdlib ``wave`` module supports) — other containers raise at
@@ -280,6 +282,286 @@ def _decode_png_rgb(data: bytes):
     return width, height, rgb
 
 
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_idct_basis():
+    """8x8 DCT-II basis matrix A with A[u, x] = c(u)/2 * cos((2x+1)u*pi/16)
+    (orthonormal: spatial = A.T @ coef @ A). Built lazily so numpy stays
+    out of module import."""
+    import math as _math
+
+    import numpy as np
+
+    a = np.empty((8, 8))
+    for u in range(8):
+        c = (0.5 / _math.sqrt(2.0)) if u == 0 else 0.5
+        for x in range(8):
+            a[u, x] = c * _math.cos((2 * x + 1) * u * _math.pi / 16.0)
+    return a
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over one entropy-coded segment (byte
+    stuffing 0xFF00 already stripped by the caller's segment split)."""
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+        self.bits = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.buf):
+                # past-the-end pad with 1s (spec: fill bits are 1);
+                # a truncated stream surfaces as a huffman miss below
+                self.bits = (self.bits << 8) | 0xFF
+            else:
+                self.bits = (self.bits << 8) | self.buf[self.pos]
+                self.pos += 1
+            self.nbits += 8
+        self.nbits -= n
+        v = (self.bits >> self.nbits) & ((1 << n) - 1)
+        self.bits &= (1 << self.nbits) - 1
+        return v
+
+
+def _jpeg_huff_decode(reader: _JpegBitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | reader.read(1)
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _decode_jpeg_rgb(data: bytes):
+    """Real decode of a baseline JPEG (SOF0/SOF1, huffman, 8-bit,
+    single scan) — pure stdlib ``struct`` + numpy, no codec library:
+
+    - marker walk: DQT (zigzag quant tables), DHT (huffman tables),
+      SOF0/1 (geometry + per-component sampling factors), DRI, SOS;
+      APPn/COM skipped;
+    - entropy decode per MCU: DC diff + AC run-length (EOB/ZRL),
+      restart markers reset the bit reader and DC predictors;
+    - dequantize, dezigzag, orthonormal-basis IDCT (two 8x8 matmuls
+      per block), +128 level shift;
+    - chroma planes upsample by pixel replication to the luma grid,
+      JFIF YCbCr -> RGB (BT.601), clip; 1-component frames replicate.
+
+    Returns (width, height, matrix | None) matching ``_decode_png_rgb``
+    (float64 RGB in [0, 1]; None for zero-pixel frames). Progressive
+    (SOF2), arithmetic coding, 12-bit precision, and CMYK raise
+    NotImplementedError at the PIL plug-point."""
+    import numpy as np
+
+    if not data.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG payload")
+    qtables: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
+    comps: list[dict] = []
+    width = height = None
+    restart_interval = 0
+    pos = 2
+    scan_comps = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker == 0xDB:  # DQT
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                b += 1
+                if pq == 0:
+                    qtables[tq] = list(body[b : b + 64])
+                    b += 64
+                else:
+                    qtables[tq] = [
+                        struct.unpack_from(">H", body, b + 2 * i)[0] for i in range(64)
+                    ]
+                    b += 128
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                counts = list(body[b + 1 : b + 17])
+                b += 17
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = body[b]
+                        b += 1
+                        code += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
+            precision = body[0]
+            if precision != 8:
+                raise NotImplementedError(
+                    f"JPEG precision {precision} not supported; plug PIL here"
+                )
+            height, width = struct.unpack_from(">HH", body, 1)
+            n_comp = body[5]
+            if n_comp not in (1, 3):
+                raise NotImplementedError(
+                    f"JPEG with {n_comp} components (CMYK?) not supported; plug PIL here"
+                )
+            comps = [
+                {
+                    "id": body[6 + 3 * i],
+                    "h": body[7 + 3 * i] >> 4,
+                    "v": body[7 + 3 * i] & 0x0F,
+                    "tq": body[8 + 3 * i],
+                }
+                for i in range(n_comp)
+            ]
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0x{marker:02X} (progressive/arithmetic/"
+                "lossless) not supported; plug PIL here"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = [
+                {"id": body[1 + 2 * i], "td": body[2 + 2 * i] >> 4, "ta": body[2 + 2 * i] & 0x0F}
+                for i in range(ns)
+            ]
+            break  # entropy-coded data follows
+        # APPn / COM / others: skipped
+    if width is None or scan_comps is None:
+        raise ValueError("JPEG missing SOF or SOS")
+    if width * height == 0:
+        return width, height, None
+
+    # split the entropy stream at restart markers, stripping 0xFF00 stuffing
+    segments: list[bytes] = []
+    cur = bytearray()
+    p = pos
+    while p < len(data):
+        byte = data[p]
+        if byte == 0xFF:
+            nxt = data[p + 1] if p + 1 < len(data) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            break  # EOI or any other marker ends the scan
+        cur.append(byte)
+        p += 1
+    segments.append(bytes(cur))
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    basis = _jpeg_idct_basis()
+    zz = np.array(_JPEG_ZIGZAG)
+    planes = []
+    quant = []
+    for c in comps:
+        planes.append(
+            np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
+        )
+        q64 = np.zeros(64)
+        q64[zz] = qtables[c["tq"]]
+        quant.append(q64.reshape(8, 8))
+    scan_by_id = {s["id"]: s for s in scan_comps}
+
+    seg_i = 0
+    reader = _JpegBitReader(segments[0])
+    preds = [0] * len(comps)
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise ValueError("JPEG truncated at restart boundary")
+            reader = _JpegBitReader(segments[seg_i])
+            preds = [0] * len(comps)
+        my, mx = divmod(mcu, mcus_x)
+        for ci, c in enumerate(comps):
+            sc = scan_by_id[c["id"]]
+            dc_t, ac_t = huff[(0, sc["td"])], huff[(1, sc["ta"])]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    coef = np.zeros(64)
+                    s = _jpeg_huff_decode(reader, dc_t)
+                    diff = _jpeg_extend(reader.read(s), s) if s else 0
+                    preds[ci] += diff
+                    coef[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _jpeg_huff_decode(reader, ac_t)
+                        r, size = rs >> 4, rs & 0x0F
+                        if size == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        coef[k] = _jpeg_extend(reader.read(size), size)
+                        k += 1
+                    block = np.zeros((8, 8))
+                    block.reshape(64)[zz] = coef
+                    spatial = basis.T @ (block * quant[ci]) @ basis + 128.0
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
+
+    full = []
+    for ci, c in enumerate(comps):
+        pl = planes[ci]
+        if c["h"] != hmax or c["v"] != vmax:
+            pl = np.repeat(np.repeat(pl, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(pl[:height, :width])
+    if len(comps) == 1:
+        g = np.clip(full[0], 0.0, 255.0) / 255.0
+        return width, height, np.stack([g, g, g], axis=-1)
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.clip(np.stack([r, g, b], axis=-1), 0.0, 255.0) / 255.0
+    return width, height, rgb
+
+
+def _jpeg_luma(data: bytes):
+    """(width, height, luma matrix | None) for a JPEG payload."""
+    width, height, rgb = _decode_jpeg_rgb(data)
+    if rgb is None:
+        return width, height, None
+    return width, height, (
+        rgb[..., 0] * _LUMA_R + rgb[..., 1] * _LUMA_G + rgb[..., 2] * _LUMA_B
+    )
+
+
 def _png_luma(data: bytes):
     """(width, height, luma matrix | None) for a PNG payload."""
     width, height, rgb = _decode_png_rgb(data)
@@ -291,8 +573,8 @@ def _png_luma(data: bytes):
 
 
 def _real_image_decode(payload: bytes) -> tuple[int, int, float]:
-    """Dispatch on magic bytes. PPM/BMP/PNG decode with stdlib;
-    remaining compressed formats (JPEG) raise at the PIL plug-point."""
+    """Dispatch on magic bytes. PPM/BMP/PNG/baseline-JPEG decode with
+    stdlib + numpy; remaining formats raise at the PIL plug-point."""
     if payload.startswith(b"P6"):
         return _decode_ppm(payload)
     if payload.startswith(b"BM"):
@@ -302,8 +584,13 @@ def _real_image_decode(payload: bytes) -> tuple[int, int, float]:
         if luma is None:
             return width, height, None
         return width, height, float(round(luma.mean(), 6))
+    if payload.startswith(b"\xff\xd8"):
+        width, height, luma = _jpeg_luma(payload)
+        if luma is None:
+            return width, height, None
+        return width, height, float(round(luma.mean(), 6))
     raise NotImplementedError(
-        "compressed image codec not available in this environment "
+        "image codec not available in this environment "
         f"(magic={payload[:4]!r}); plug PIL/torchvision here"
     )
 
@@ -521,8 +808,10 @@ def _luma_matrix(payload: bytes):
         return luma[::-1] if height > 0 else luma
     if payload.startswith(_PNG_MAGIC):
         return _png_luma(payload)[2]
+    if payload.startswith(b"\xff\xd8"):
+        return _jpeg_luma(payload)[2]
     raise NotImplementedError(
-        f"compressed image codec not available (magic={payload[:4]!r}); plug PIL here"
+        f"image codec not available (magic={payload[:4]!r}); plug PIL here"
     )
 
 
@@ -776,8 +1065,10 @@ def _rgb_matrix(payload: bytes):
         return rgb[::-1] if height > 0 else rgb  # bottom-up -> top-down
     if payload.startswith(_PNG_MAGIC):
         return _decode_png_rgb(payload)[2]
+    if payload.startswith(b"\xff\xd8"):
+        return _decode_jpeg_rgb(payload)[2]
     raise NotImplementedError(
-        f"compressed image codec not available (magic={payload[:4]!r}); plug PIL here"
+        f"image codec not available (magic={payload[:4]!r}); plug PIL here"
     )
 
 
