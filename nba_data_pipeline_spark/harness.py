@@ -5528,7 +5528,17 @@ def q_audio_windows(spark, sf):
     return extract_audio_windows(docs, "doc_id", "payload", window_samples=256)
 
 
-@q("resultset_decode")  # wire-format decoder on an inline fixture payload
+@q(
+    "resultset_decode",
+    # the payload fixture is deterministic, so the EXPECTED decode is a
+    # literal table — a value-level check that the wire-format decoder
+    # (headers + row lists -> typed columns) reproduces it exactly
+    """SELECT '0022400001' AS GAME_ID,
+              CAST(i AS BIGINT) AS EVENTNUM,
+              CAST(CASE WHEN i = 1 THEN 12 ELSE 1 END AS BIGINT) AS EVENTMSGTYPE,
+              '12:00' AS PCTIMESTRING
+       FROM range(1, 6) t(i)""",
+)
 def q_resultset_decode(spark, sf):
     from pyspark.sql import types as T
 
