@@ -6574,6 +6574,93 @@ def q_video_frame_overlap(spark, sf):
     return frame_overlap_pairs(frames, min_shared=2, max_df=50)
 
 
+@q(
+    "mjpeg_codec_gate",
+    # planted-structure verdict oracle (pq_recall/semdedup_gate
+    # contract): docs in the same residue group render IDENTICAL MJPEG
+    # footage, so the expected pair count is sum over groups of
+    # C(size, 2) — computable from the table alone; the two booleans
+    # assert no cross-group pair formed and every pair shares all 4
+    # frames (the corpus has no exact text dups, verified, so organic
+    # pairs cannot contaminate the count)
+    """WITH d AS (SELECT doc_id % 30 AS g
+                  FROM documents WHERE doc_id < 120),
+         s AS (SELECT g, COUNT(*) AS c FROM d GROUP BY g)
+       SELECT CAST(COALESCE(SUM(c * (c - 1) / 2), 0) AS BIGINT) AS n_pairs,
+              TRUE AS within_group_only,
+              TRUE AS shared_always_4
+       FROM s""",
+)
+def q_mjpeg_codec_gate(spark, sf):
+    """Full video-codec loop, distributed, with a checkable verdict
+    (operators/multimodal.py encode_jpeg_baseline + wrap_avi_mjpeg +
+    sample_frames(decode='real') + frame_overlap_pairs): every doc in
+    a residue group renders four 16x16 frames from the GROUP
+    REPRESENTATIVE's text bytes (frame index stamped into the first
+    pixels so the 4 frames stay distinct), baseline-JPEG-encodes them
+    and wraps an AVI; the sampler parses the container, entropy-decodes
+    each frame through the IDCT and fingerprints the recovered pixels.
+    Same group => identical footage => C(size, 2) pairs sharing all 4
+    frames; any codec defect (bit slip, wrong unzigzag, container
+    misparse) breaks fingerprint equality and fails the count."""
+    import pandas as pd
+
+    from .operators.multimodal import (
+        encode_jpeg_baseline,
+        frame_overlap_pairs,
+        sample_frames,
+        wrap_avi_mjpeg,
+    )
+
+    def make_videos(batches):
+        import numpy as np
+
+        frame_bytes = 16 * 16 * 3
+        for pdf in batches:
+            ids, payloads = [], []
+            for rid, text in zip(pdf["doc_id"], pdf["rep_text"]):
+                raw = str(text).encode("utf-8", "ignore")
+                need = 4 * frame_bytes
+                raw = (raw * (need // max(len(raw), 1) + 1))[:need]
+                frames = []
+                for i in range(4):
+                    px = np.frombuffer(
+                        raw[i * frame_bytes : (i + 1) * frame_bytes],
+                        dtype=np.uint8,
+                    ).reshape(16, 16, 3).copy()
+                    px[0, 0] = i * 64  # distinct frames even for tiny texts
+                    frames.append(encode_jpeg_baseline(px, quant=2))
+                ids.append(int(rid))
+                payloads.append(wrap_avi_mjpeg(frames, 16, 16))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    docs = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id", (F.col("doc_id") % 30).alias("g"), "text")
+    )
+    rep = docs.groupBy("g").agg(F.min_by("text", "doc_id").alias("rep_text"))
+    videos = (
+        docs.join(F.broadcast(rep), "g")
+        .select("doc_id", "rep_text")
+        .mapInPandas(make_videos, schema="doc_id long, payload binary")
+    )
+    frames = sample_frames(videos, "doc_id", "payload", decode="real")
+    pairs = frame_overlap_pairs(frames, min_shared=2, max_df=None)
+    return pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.coalesce(
+            F.bool_and((F.col("id_a") % 30) == (F.col("id_b") % 30)), F.lit(True)
+        ).alias("within_group_only"),
+        F.coalesce(F.bool_and(F.col("shared_frames") == 4), F.lit(True)).alias(
+            "shared_always_4"
+        ),
+    )
+
+
+@q("image_resize")  # binary decode kernels: rows-only by nature
+
+
 @q("image_resize")  # binary decode kernels: rows-only by nature
 def q_image_resize(spark, sf):
     """Batch thumbnailing (operators/multimodal.py resize_images):

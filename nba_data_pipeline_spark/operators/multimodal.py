@@ -552,6 +552,240 @@ def _decode_jpeg_rgb(data: bytes):
     return width, height, rgb
 
 
+# canonical huffman tables with every symbol at one code length: the
+# canonical construction assigns codes 0..n-1 at that length and the
+# all-ones code (the only illegal prefix) stays unused. Simpler than
+# the Annex K defaults and exactly as decodable.
+_JENC_DC_SYMS = list(range(12))            # DC categories 0..11, length 4
+_JENC_AC_SYMS = [0x00, 0xF0] + [           # EOB, ZRL, then (run, size)
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]                                          # 162 symbols, length 8
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with JPEG 0xFF byte stuffing; final byte
+    padded with 1-bits per the spec."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.out)
+
+
+def _jenc_dht(tc: int, th: int, syms: list, length: int) -> bytes:
+    counts = [0] * 16
+    counts[length - 1] = len(syms)
+    return bytes([0xFF, 0xC4]) + struct.pack(">H", 19 + len(syms)) + bytes(
+        [(tc << 4) | th] + counts + syms
+    )
+
+
+def _jenc_block(bw: _JpegBitWriter, coef_zz, pred: int) -> int:
+    """Entropy-encode one zigzag coefficient block; returns the new DC
+    predictor."""
+    dc = int(coef_zz[0])
+    diff = dc - pred
+    s = abs(diff).bit_length()
+    bw.put(_JENC_DC_SYMS.index(s), 4)
+    if s:
+        bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    last_nz = 0
+    for k in range(1, 64):
+        if coef_zz[k]:
+            last_nz = k
+    run = 0
+    for k in range(1, last_nz + 1):
+        v = int(coef_zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.put(_JENC_AC_SYMS.index(0xF0), 8)  # ZRL
+            run -= 16
+        s = abs(v).bit_length()
+        bw.put(_JENC_AC_SYMS.index((run << 4) | s), 8)
+        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        bw.put(_JENC_AC_SYMS.index(0x00), 8)  # EOB
+    return dc
+
+
+def encode_jpeg_baseline(
+    img,
+    quant: int = 2,
+    subsample: tuple[int, int] = (1, 1),
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a uint8 image — (h, w) grayscale or (h, w, 3) RGB — as a
+    baseline JPEG (SOF0, huffman, single scan), pure stdlib + numpy:
+    the write-side twin of ``_decode_jpeg_rgb``, so thumbnails and
+    sampled frames can leave the pipeline in the format a real corpus
+    stores (a P6 re-encode triples the bytes). ``quant`` is a uniform
+    quantization step (1-2 = near-lossless for smooth content; 8-16 =
+    web-ish); ``subsample=(1, 1)`` is 4:4:4, ``(2, 2)`` is 4:2:0 with
+    2x2 box-averaged chroma; ``restart_interval`` > 0 emits RSTn every
+    N MCUs (resync points for parallel/partial decode). Deterministic:
+    same pixels + options -> same bytes, on any platform."""
+    import numpy as np
+
+    if quant < 1 or quant > 255:
+        raise ValueError(f"quant must be in [1, 255]: {quant}")
+    if subsample not in ((1, 1), (2, 2)):
+        raise ValueError(f"subsample must be (1,1) or (2,2): {subsample}")
+    img = np.asarray(img, dtype=np.uint8)
+    basis = _jpeg_idct_basis()
+    zz = np.array(_JPEG_ZIGZAG)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("cannot encode a zero-pixel image")
+    if gray:
+        planes, samp = [img.astype(np.float64)], [(1, 1)]
+    else:
+        r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample == (1, 1):
+            planes, samp = [y, cb, cr], [(1, 1)] * 3
+        else:
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+
+            def _pad(p):
+                return np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+
+            cbs = _pad(cb).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            crs = _pad(cr).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            planes, samp = [y, cbs, crs], [subsample, (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    padded = []
+    for p, (sh_, sv_) in zip(planes, samp):
+        th, tw = mcus_y * sv_ * 8, mcus_x * sh_ * 8
+        padded.append(
+            np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        )
+    qtab = np.full((8, 8), float(quant))
+
+    bw = _JpegBitWriter()
+    chunks: list[bytes] = []
+    preds = [0] * len(planes)
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            chunks.append(bw.flush())
+            chunks.append(bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)]))
+            bw = _JpegBitWriter()
+            preds = [0] * len(planes)
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (p, (sh_, sv_)) in enumerate(zip(padded, samp)):
+            for by in range(sv_):
+                for bx in range(sh_):
+                    y0 = (my * sv_ + by) * 8
+                    x0 = (mx * sh_ + bx) * 8
+                    block = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                    coef = basis @ block @ basis.T
+                    # baseline AC categories stop at 10 bits
+                    q = np.clip(np.round(coef / qtab), -1023, 1023)
+                    preds[ci] = _jenc_block(bw, q.reshape(64)[zz], preds[ci])
+    chunks.append(bw.flush())
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += bytes([0xFF, 0xDB]) + struct.pack(">H", 67) + bytes([0x00])
+    zz_q = np.empty(64)
+    zz_q[:] = qtab.reshape(64)[zz]
+    out += bytes(int(v) for v in zz_q)
+    n_comp = len(planes)
+    out += bytes([0xFF, 0xC0]) + struct.pack(">H", 8 + 3 * n_comp) + bytes([8])
+    out += struct.pack(">HH", h, w) + bytes([n_comp])
+    for ci in range(n_comp):
+        sh_, sv_ = samp[ci]
+        out += bytes([ci + 1, (sh_ << 4) | sv_, 0])
+    out += _jenc_dht(0, 0, _JENC_DC_SYMS, 4)
+    out += _jenc_dht(1, 0, _JENC_AC_SYMS, 8)
+    if restart_interval:
+        out += bytes([0xFF, 0xDD]) + struct.pack(">HH", 4, restart_interval)
+    out += bytes([0xFF, 0xDA]) + struct.pack(">H", 6 + 2 * n_comp) + bytes([n_comp])
+    for ci in range(n_comp):
+        out += bytes([ci + 1, 0x00])
+    out += bytes([0, 63, 0])
+    out += b"".join(chunks)
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def wrap_avi_mjpeg(
+    frames: list[bytes], width: int, height: int, fps: int = 25,
+    group_rec: bool = False,
+) -> bytes:
+    """Wrap pre-encoded JPEG frames in a minimal MJPEG AVI container
+    (RIFF: hdrl with avih + one vids/MJPG stream, movi with one 00dc
+    chunk per frame, idx1 stub) — the write-side twin of
+    ``_avi_mjpeg_frames``. ``group_rec`` wraps each frame chunk in a
+    LIST/'rec ' group (the layout interleaved writers emit), which the
+    reader must treat identically. Deterministic bytes."""
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(subtype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", subtype + body)
+
+    avih = chunk(
+        b"avih",
+        struct.pack(
+            "<14I", 1_000_000 // max(fps, 1), 0, 0, 0x10, len(frames), 0, 1, 0,
+            width, height, 0, 0, 0, 0,
+        ),
+    )
+    strh = chunk(
+        b"strh",
+        b"vids" + b"MJPG"
+        + struct.pack("<10I", 0, 0, 0, 1, fps, 0, len(frames), 0, 0, 0)
+        + struct.pack("<4H", 0, 0, width, height),
+    )
+    strf = chunk(
+        b"strf",
+        struct.pack(
+            "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+            width * height * 3, 0, 0, 0, 0,
+        ),
+    )
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    dc = [chunk(b"00dc", f) for f in frames]
+    movi_body = (
+        b"".join(lst(b"rec ", c) for c in dc) if group_rec else b"".join(dc)
+    )
+    movi = lst(b"movi", movi_body)
+    idx1 = chunk(b"idx1", b"\x00" * 16)
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
 def _jpeg_luma(data: bytes):
     """(width, height, luma matrix | None) for a JPEG payload."""
     width, height, rgb = _decode_jpeg_rgb(data)
@@ -1144,15 +1378,20 @@ def resize_images(
     out_width: int,
     out_height: int,
     decode: str = "fake",
+    out_format: str = "ppm",
+    jpeg_quant: int = 2,
 ) -> DataFrame:
     """Batch image resize (area-mean / box downsample) via
     ``mapInPandas`` — the thumbnailing step of a vision-pretraining
-    pipeline. Real path: decode PPM/BMP to RGB, average each output
-    cell's source block per channel (``np.array_split`` both axes —
-    exact for integer ratios, area-weighted-ish otherwise), re-encode
-    as maxval-255 binary PPM (P6) so the output payload feeds straight
-    back into ``extract_image_features`` / ``image_dhash``. Fake path:
-    deterministic pseudo-RGB grid from the payload hash, same P6
+    pipeline. Real path: decode PPM/BMP/PNG/JPEG to RGB, average each
+    output cell's source block per channel (``np.array_split`` both
+    axes — exact for integer ratios, area-weighted-ish otherwise),
+    re-encode per ``out_format``: ``"ppm"`` (maxval-255 binary P6) or
+    ``"jpeg"`` (baseline 4:4:4 at ``jpeg_quant`` via
+    ``encode_jpeg_baseline`` — what a real corpus stores; a P6
+    thumbnail triples the bytes). Either output feeds straight back
+    into ``extract_image_features`` / ``image_dhash``. Fake path:
+    deterministic pseudo-RGB grid from the payload hash, same
     re-encode — the plumbing (schema, 1:1 batch shape, byte sizes) is
     identical. Zero-pixel inputs yield NULL payloads. Output:
     (doc_id, payload, width, height)."""
@@ -1161,6 +1400,8 @@ def resize_images(
     ow, oh = int(out_width), int(out_height)
     if ow <= 0 or oh <= 0:
         raise ValueError(f"output size must be positive: {ow}x{oh}")
+    if out_format not in ("ppm", "jpeg"):
+        raise ValueError(f"out_format must be 'ppm' or 'jpeg': {out_format!r}")
 
     def one(payload) -> tuple[bytes | None, int | None, int | None]:
         data = bytes(payload)
@@ -1191,6 +1432,8 @@ def resize_images(
             ]
         )
         raster = np.clip(np.rint(small * 255.0), 0, 255).astype(np.uint8)
+        if out_format == "jpeg":
+            return encode_jpeg_baseline(raster, quant=jpeg_quant), ow, oh
         head = f"P6\n{ow} {oh}\n255\n".encode()
         return head + raster.tobytes(), ow, oh
 

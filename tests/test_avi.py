@@ -143,6 +143,18 @@ def test_video_near_dup_pairs_on_real_frames(spark):
     assert set(pairs) == {(1, 2)} and pairs[(1, 2)] == 4
 
 
+def test_package_writer_roundtrips_through_reader():
+    """wrap_avi_mjpeg (the product writer) must round-trip through
+    _avi_mjpeg_frames in both layouts; the local make_avi above stays
+    as the independent foreign-muxer fixture (audio chunks, custom
+    header field values)."""
+    from nba_data_pipeline_spark.operators.multimodal import wrap_avi_mjpeg
+
+    jpgs = [encode_jpeg(im) for im in _frames(4)]
+    assert _avi_mjpeg_frames(wrap_avi_mjpeg(jpgs, 24, 16)) == jpgs
+    assert _avi_mjpeg_frames(wrap_avi_mjpeg(jpgs, 24, 16, group_rec=True)) == jpgs
+
+
 def test_sample_frames_real_unsupported_container(spark):
     df = spark.createDataFrame(
         [(1, bytearray(b"\x00\x00\x00\x18ftypmp42 not a real mp4"))],

@@ -1,13 +1,15 @@
-"""Baseline-JPEG decoder tests (operators/multimodal.py _decode_jpeg_rgb).
+"""Baseline-JPEG codec tests (operators/multimodal.py _decode_jpeg_rgb +
+encode_jpeg_baseline).
 
-No JPEG library exists in this environment, so the tests carry a minimal
-baseline ENCODER (grayscale / 4:4:4 / 4:2:0 YCbCr, single-length canonical
-huffman tables, optional restart markers) and verify the decoder by
-round-trip: with all-ones quant tables baseline JPEG is near-lossless
-(only DCT/IDCT float rounding), so decoded pixels must match the source
-within a couple of 8-bit steps. The encoder is a test fixture, not
-product code — the decoder is the product surface (reference parity:
-media columns in a 100-TB corpus are overwhelmingly JPEG/PNG).
+No JPEG library exists in this environment, so the decoder is verified
+three ways: (1) round-trip through the package's own baseline encoder —
+with a unit quant step baseline JPEG is near-lossless (only DCT/IDCT
+float rounding), so decoded pixels must match the source within a couple
+of 8-bit steps; (2) a HAND-ASSEMBLED spec vector (a single-DC-coefficient
+block whose pixel value follows from the DCT basis in closed form) that
+is independent of both codec halves — a matched encoder/decoder bug pair
+cannot cancel out there; (3) structural probes (truncation, progressive
+SOF, non-MCU-aligned dims, restart markers).
 """
 
 from __future__ import annotations
@@ -18,184 +20,16 @@ import numpy as np
 import pytest
 
 from nba_data_pipeline_spark.operators.multimodal import (
-    _JPEG_ZIGZAG,
     _decode_jpeg_rgb,
-    _jpeg_idct_basis,
+    encode_jpeg_baseline,
 )
 
-# --------------------------------------------------------------------------
-# Minimal baseline encoder (test fixture)
-# --------------------------------------------------------------------------
 
-# canonical tables with every symbol at one code length: codes are just
-# 0..n-1 at that length (and the all-ones code stays unused)
-_DC_SYMS = list(range(12))           # categories 0..11 at length 4
-_AC_SYMS = [0x00, 0xF0] + [          # EOB, ZRL, then (run, size) pairs
-    (r << 4) | s for r in range(16) for s in range(1, 11)
-]                                    # 162 symbols at length 8
-
-
-def _dht_segment(tc: int, th: int, syms: list[int], length: int) -> bytes:
-    counts = [0] * 16
-    counts[length - 1] = len(syms)
-    return bytes([0xFF, 0xC4]) + struct.pack(">H", 19 + len(syms)) + bytes(
-        [(tc << 4) | th] + counts + syms
-    )
-
-
-class _BitWriter:
-    def __init__(self) -> None:
-        self.out = bytearray()
-        self.acc = 0
-        self.n = 0
-
-    def put(self, value: int, nbits: int) -> None:
-        for i in range(nbits - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((value >> i) & 1)
-            self.n += 1
-            if self.n == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:
-                    self.out.append(0x00)  # byte stuffing
-                self.acc = 0
-                self.n = 0
-
-    def flush(self) -> bytes:
-        if self.n:
-            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
-            self.out.append(self.acc)
-            if self.acc == 0xFF:
-                self.out.append(0x00)
-            self.acc = 0
-            self.n = 0
-        return bytes(self.out)
-
-
-def _mag_bits(v: int) -> tuple[int, int]:
-    """(category, appended bits) for a DC diff / AC coefficient."""
-    s = abs(v).bit_length()
-    return s, (v if v >= 0 else v + (1 << s) - 1)
-
-
-def _encode_block(bw: _BitWriter, coef_zz: np.ndarray, pred: int) -> int:
-    dc = int(coef_zz[0])
-    s, bits = _mag_bits(dc - pred)
-    bw.put(_DC_SYMS.index(s), 4)
-    if s:
-        bw.put(bits, s)
-    run = 0
-    last_nz = 0
-    for k in range(1, 64):
-        if coef_zz[k]:
-            last_nz = k
-    for k in range(1, last_nz + 1):
-        v = int(coef_zz[k])
-        if v == 0:
-            run += 1
-            continue
-        while run > 15:
-            bw.put(_AC_SYMS.index(0xF0), 8)  # ZRL
-            run -= 16
-        s, bits = _mag_bits(v)
-        bw.put(_AC_SYMS.index((run << 4) | s), 8)
-        bw.put(bits, s)
-        run = 0
-    if last_nz < 63:
-        bw.put(_AC_SYMS.index(0x00), 8)  # EOB
-    return dc
-
-
-def encode_jpeg(
-    img: np.ndarray,
-    quant: int = 1,
-    subsample: tuple[int, int] = (1, 1),
-    restart_interval: int = 0,
-) -> bytes:
-    """img: uint8 (h, w) grayscale or (h, w, 3) RGB. quant: uniform
-    quantization step (1 = near-lossless). subsample: luma sampling
-    factors — (1, 1) is 4:4:4, (2, 2) is 4:2:0 (chroma box-averaged)."""
-    basis = _jpeg_idct_basis()
-    zz = np.array(_JPEG_ZIGZAG)
-    gray = img.ndim == 2
-    h, w = img.shape[:2]
-    if gray:
-        planes = [img.astype(np.float64)]
-        samp = [(1, 1)]
-    else:
-        r, g, b = (img[..., i].astype(np.float64) for i in range(3))
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-        sh, sv = subsample
-        if (sh, sv) == (1, 1):
-            planes, samp = [y, cb, cr], [(1, 1)] * 3
-        else:
-            # pad to even, then 2x2 box-average the chroma planes
-            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
-            def pad(p):
-                return np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
-            cbs = pad(cb).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-            crs = pad(cr).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-            planes, samp = [y, cbs, crs], [(sh, sv), (1, 1), (1, 1)]
-    hmax = max(s[0] for s in samp)
-    vmax = max(s[1] for s in samp)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    padded = []
-    for p, (sh_, sv_) in zip(planes, samp):
-        th, tw = mcus_y * sv_ * 8, mcus_x * sh_ * 8
-        padded.append(
-            np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
-        )
-    qtab = np.full((8, 8), float(quant))
-
-    bw = _BitWriter()
-    chunks: list[bytes] = []
-    preds = [0] * len(planes)
-    n_mcus = mcus_x * mcus_y
-    for mcu in range(n_mcus):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            chunks.append(bw.flush())
-            chunks.append(bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)]))
-            bw = _BitWriter()
-            preds = [0] * len(planes)
-        my, mx = divmod(mcu, mcus_x)
-        for ci, (p, (sh_, sv_)) in enumerate(zip(padded, samp)):
-            for by in range(sv_):
-                for bx in range(sh_):
-                    y0 = (my * sv_ + by) * 8
-                    x0 = (mx * sh_ + bx) * 8
-                    block = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
-                    coef = basis @ block @ basis.T
-                    q = np.clip(np.round(coef / qtab), -1023, 1023)
-                    preds[ci] = _encode_block(bw, q.reshape(64)[zz], preds[ci])
-    chunks.append(bw.flush())
-    entropy = b"".join(chunks)
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += bytes([0xFF, 0xDB]) + struct.pack(">H", 67) + bytes([0x00])
-    zz_q = np.empty(64)
-    zz_q[:] = qtab.reshape(64)[zz]
-    out += bytes(int(v) for v in zz_q)
-    n_comp = len(planes)
-    out += bytes([0xFF, 0xC0]) + struct.pack(">H", 8 + 3 * n_comp) + bytes([8])
-    out += struct.pack(">HH", h, w) + bytes([n_comp])
-    for ci in range(n_comp):
-        sh_, sv_ = samp[ci]
-        out += bytes([ci + 1, (sh_ << 4) | sv_, 0])
-    out += _dht_segment(0, 0, _DC_SYMS, 4)
-    out += _dht_segment(1, 0, _AC_SYMS, 8)
-    if restart_interval:
-        out += bytes([0xFF, 0xDD]) + struct.pack(">H", 4) + struct.pack(
-            ">H", restart_interval
-        )
-    out += bytes([0xFF, 0xDA]) + struct.pack(">H", 6 + 2 * n_comp) + bytes([n_comp])
-    for ci in range(n_comp):
-        out += bytes([ci + 1, 0x00])
-    out += bytes([0, 63, 0])
-    out += entropy
-    out += b"\xff\xd9"  # EOI
-    return bytes(out)
+def encode_jpeg(img: np.ndarray, **kw) -> bytes:
+    """Test alias: the package encoder with the near-lossless unit
+    quant step the round-trip pins assume."""
+    kw.setdefault("quant", 1)
+    return encode_jpeg_baseline(img, **kw)
 
 
 def _gradient_rgb(h: int, w: int) -> np.ndarray:
@@ -329,6 +163,93 @@ def test_jpeg_spark_features_and_dhash_e2e(spark):
         df, "doc_id", "payload", decode="real"
     ).collect()}
     assert hashes[1] == hashes[2] and hashes[1] is not None
+
+
+def _hand_jpeg_dc_only(dc: int) -> bytes:
+    """Hand-assemble (straight from the spec, no codec code) an 8x8
+    grayscale baseline JPEG whose single block carries ONLY the DC
+    coefficient ``dc`` with a unit quant table. With the orthonormal
+    basis A (A[0, x] = 1/(2*sqrt(2))), spatial = dc * A[0]^T A[0] =
+    dc/8 everywhere, so every decoded pixel is exactly 128 + dc/8."""
+    out = bytearray(b"\xff\xd8")
+    out += bytes([0xFF, 0xDB]) + struct.pack(">H", 67) + bytes([0]) + bytes([1] * 64)
+    out += bytes([0xFF, 0xC0]) + struct.pack(">H", 11) + bytes([8])
+    out += struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    # canonical DHT: 12 DC symbols at length 4, 162 AC symbols at length 8
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    for tc, syms, ln in ((0, dc_syms, 4), (1, ac_syms, 8)):
+        counts = [0] * 16
+        counts[ln - 1] = len(syms)
+        out += bytes([0xFF, 0xC4]) + struct.pack(">H", 19 + len(syms))
+        out += bytes([tc << 4] + counts + syms)
+    out += bytes([0xFF, 0xDA]) + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    # entropy: DC category s (canonical code = s at 4 bits), then the s
+    # magnitude bits of dc (positive: the value itself); then EOB
+    # (AC symbol index 0 -> code 0 at 8 bits); pad with 1-bits
+    s = dc.bit_length()
+    bits = f"{s:04b}" + format(dc, f"0{s}b") + "0" * 8
+    bits += "1" * ((8 - len(bits) % 8) % 8)
+    entropy = bytearray(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    body = bytearray()
+    for byte in entropy:  # 0xFF stuffing per spec
+        body.append(byte)
+        if byte == 0xFF:
+            body.append(0x00)
+    out += body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_hand_assembled_spec_vector():
+    """Decoder vs a from-the-spec byte vector: independent of the
+    package encoder, so a matched encode/decode bug cannot cancel."""
+    w, h, rgb = _decode_jpeg_rgb(_hand_jpeg_dc_only(80))
+    assert (w, h) == (8, 8)
+    # every pixel exactly 128 + 80/8 = 138
+    assert np.allclose(rgb * 255.0, 138.0, atol=1e-9)
+
+
+def test_jpeg_encoder_deterministic_bytes():
+    img = _gradient_rgb(24, 24)
+    assert encode_jpeg_baseline(img, quant=2) == encode_jpeg_baseline(img, quant=2)
+    assert encode_jpeg_baseline(img, quant=2) != encode_jpeg_baseline(img, quant=3)
+
+
+def test_jpeg_encoder_arg_validation():
+    img = _gradient_rgb(8, 8)
+    with pytest.raises(ValueError, match="quant"):
+        encode_jpeg_baseline(img, quant=0)
+    with pytest.raises(ValueError, match="subsample"):
+        encode_jpeg_baseline(img, subsample=(2, 1))
+    with pytest.raises(ValueError, match="zero-pixel"):
+        encode_jpeg_baseline(np.zeros((0, 8, 3), dtype=np.uint8))
+
+
+def test_resize_to_jpeg_feeds_image_stack(spark):
+    """resize_images(out_format='jpeg') emits a decodable baseline JPEG
+    thumbnail that is SMALLER than the P6 twin and feeds straight back
+    into extract_image_features."""
+    from nba_data_pipeline_spark.operators.multimodal import (
+        extract_image_features,
+        resize_images,
+    )
+
+    img = _gradient_rgb(64, 64)
+    df = spark.createDataFrame(
+        [(1, bytearray(b"P6\n64 64\n255\n" + img.tobytes()))],
+        "doc_id long, payload binary",
+    )
+    jt = resize_images(df, "doc_id", "payload", 16, 16, decode="real",
+                       out_format="jpeg").collect()[0]
+    pt = resize_images(df, "doc_id", "payload", 16, 16, decode="real").collect()[0]
+    assert bytes(jt.payload).startswith(b"\xff\xd8")
+    assert len(jt.payload) < len(pt.payload)
+    feats = extract_image_features(
+        spark.createDataFrame([(1, jt.payload)], "doc_id long, payload binary"),
+        "doc_id", "payload", decode="real",
+    ).collect()[0]
+    assert (feats.width, feats.height) == (16, 16)
 
 
 def test_jpeg_mean_luma_via_features_kernel():
