@@ -991,6 +991,114 @@ def _wav_pcm(data: bytes):
     return samples
 
 
+def _wav_rate(data: bytes) -> int:
+    """Sample rate of a WAV payload (header-only read)."""
+    with wave.open(io.BytesIO(data), "rb") as w:
+        return w.getframerate()
+
+
+def _fourier_resample(samples, n_out: int):
+    """Band-limited (Fourier-method) resample of a 1-D signal to
+    ``n_out`` samples: rfft, truncate or zero-pad the spectrum, irfft,
+    amplitude rescale. Exact for band-limited content and inherently
+    anti-aliased on downsample (high bins are DROPPED, not folded) —
+    the dependency-free middle ground between linear interpolation
+    (which aliases) and a polyphase sinc bank."""
+    import numpy as np
+
+    n_in = samples.size
+    if n_in == 0 or n_out == 0:
+        return np.zeros(n_out)
+    spec = np.fft.rfft(samples)
+    want = n_out // 2 + 1
+    if want < spec.size:
+        spec = spec[:want].copy()
+        if n_out % 2 == 0 and want > 1:
+            spec[-1] = spec[-1].real  # new Nyquist bin must be real
+    else:
+        spec = np.concatenate([spec, np.zeros(want - spec.size, dtype=spec.dtype)])
+    return np.fft.irfft(spec, n=n_out) * (n_out / n_in)
+
+
+def _encode_wav_pcm16(samples, rate: int) -> bytes:
+    """Mono 16-bit PCM WAV bytes from float64 samples in [-1, 1]."""
+    import numpy as np
+
+    pcm = np.clip(np.rint(samples * 32767.0), -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+RESAMPLED_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("rate", T.IntegerType(), True),
+    ]
+)
+
+
+def resample_audio(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    target_rate: int = 16000,
+    decode: str = "fake",
+) -> DataFrame:
+    """Batch audio resample via ``mapInPandas`` — the rate-normalize
+    step every speech-pretraining pipeline runs (heterogeneous corpus
+    in, one model rate out). Real path: ``_wav_pcm`` decode (any
+    width/channels, downmixed mono), band-limited Fourier resample to
+    ``round(n * target/src)`` samples, re-encode as mono 16-bit PCM
+    WAV at ``target_rate`` — the output feeds straight back into
+    ``extract_audio_windows`` / ``audio_ahash``. A no-op rate still
+    normalizes width/channels. Fake path: deterministic pseudo-PCM
+    from the payload hash, same re-encode, same schema. Empty audio
+    yields an empty (but valid) WAV. Output: (doc_id, payload,
+    n_samples, rate)."""
+    import numpy as np
+
+    rate = int(target_rate)
+    if rate <= 0:
+        raise ValueError(f"target_rate must be positive: {rate}")
+
+    def one(payload) -> tuple[bytes | None, int | None, int | None]:
+        data = bytes(payload)
+        if decode == "real":
+            samples = _wav_pcm(data)
+            src_rate = _wav_rate(data)
+        else:
+            digest = hashlib.sha256(data).digest()
+            seed = np.frombuffer(digest * 250, dtype=np.uint8)[:4000]
+            samples = (seed.astype(np.float64) - 128.0) / 128.0
+            src_rate = 8000
+        n_out = int(round(samples.size * rate / src_rate))
+        out = _fourier_resample(samples, n_out)
+        return _encode_wav_pcm16(out, rate), n_out, rate
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [one(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": [o[0] for o in out],
+                    "n_samples": pd.array([o[1] for o in out], dtype="Int32"),
+                    "rate": pd.array([o[2] for o in out], dtype="Int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, schema=RESAMPLED_AUDIO_SCHEMA
+    )
+
+
 AUDIO_WINDOWS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
