@@ -1099,6 +1099,120 @@ def resample_audio(
     )
 
 
+def _mel_filterbank(n_bands: int, n_fft: int, rate: int):
+    """Triangular mel-spaced filterbank (n_bands, n_fft//2 + 1): the
+    standard perceptual frequency warp (mel = 2595 log10(1 + f/700)),
+    filters overlapping 50% with unit peaks."""
+    import numpy as np
+
+    def to_mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def from_mel(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    n_bins = n_fft // 2 + 1
+    mel_pts = np.linspace(0.0, to_mel(rate / 2.0), n_bands + 2)
+    bin_pts = np.floor(from_mel(mel_pts) * n_fft / rate).astype(int)
+    bin_pts = np.clip(bin_pts, 0, n_bins - 1)
+    fb = np.zeros((n_bands, n_bins))
+    for b in range(n_bands):
+        lo, mid, hi = bin_pts[b], bin_pts[b + 1], bin_pts[b + 2]
+        if mid > lo:
+            fb[b, lo : mid + 1] = (np.arange(lo, mid + 1) - lo) / (mid - lo)
+        else:
+            fb[b, mid] = 1.0
+        if hi > mid:
+            fb[b, mid : hi + 1] = np.maximum(
+                fb[b, mid : hi + 1], (hi - np.arange(mid, hi + 1)) / (hi - mid)
+            )
+    return fb
+
+
+AUDIO_SPECTROGRAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("window_idx", T.IntegerType(), False),
+        T.StructField("log_mel", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def audio_spectrogram(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    n_fft: int = 256,
+    hop: int = 128,
+    n_bands: int = 16,
+    decode: str = "fake",
+) -> DataFrame:
+    """Log-mel spectrogram features per audio payload via the 1->N
+    ``mapInPandas`` fan-out — the canonical speech-pretraining feature
+    extract (what a wav2vec/Whisper-style front end consumes). Real
+    path: ``_wav_pcm`` decode, Hann-windowed frames every ``hop``
+    samples, |rfft|^2 power, mel filterbank (``_mel_filterbank`` at
+    the payload's own rate), log10(energy + 1e-10), each value rounded
+    to 6 decimals so the rows are deterministic and cross-run
+    comparable. A uniform gain change shifts every coefficient by a
+    constant (log property) — downstream consumers normalize per
+    utterance. Fake path: deterministic pseudo-coefficients from the
+    payload hash, same schema/fan-out. Output: (doc_id, window_idx,
+    log_mel array[n_bands])."""
+    import numpy as np
+
+    if n_fft <= 0 or hop <= 0 or n_bands <= 0:
+        raise ValueError(f"n_fft/hop/n_bands must be positive: {n_fft}/{hop}/{n_bands}")
+
+    def rows_for(payload):
+        data = bytes(payload)
+        if decode == "real":
+            samples = _wav_pcm(data)
+            rate = _wav_rate(data)
+            if samples.size < n_fft:
+                return []
+            fb = _mel_filterbank(n_bands, n_fft, rate)
+            window = np.hanning(n_fft)
+            out = []
+            for i, start in enumerate(range(0, samples.size - n_fft + 1, hop)):
+                frame = samples[start : start + n_fft] * window
+                power = np.abs(np.fft.rfft(frame)) ** 2
+                mel = np.log10(fb @ power + 1e-10)
+                out.append((i, [float(round(v, 6)) for v in mel]))
+            return out
+        digest = hashlib.sha256(data).digest()
+        n_win = 1 + digest[0] % 4
+        out = []
+        for i in range(n_win):
+            h = hashlib.sha256(digest + bytes([i])).digest()
+            out.append(
+                (i, [round(b / 255.0 - 0.5, 6) for b in h[:n_bands]])
+            )
+        return out
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, mels = [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                for i, mel in rows_for(payload):
+                    ids.append(int(rid))
+                    idxs.append(i)
+                    mels.append(mel)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "window_idx": pd.array(idxs, dtype="int32"),
+                    # object dtype: an EMPTY float64 column won't cast
+                    # to Arrow list<double>
+                    "log_mel": pd.Series(mels, dtype=object),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, schema=AUDIO_SPECTROGRAM_SCHEMA
+    )
+
+
 AUDIO_WINDOWS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),

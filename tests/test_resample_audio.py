@@ -135,3 +135,82 @@ def test_resample_audio_empty_wav(spark):
     )
     r = resample_audio(df, "doc_id", "payload", decode="real").collect()[0]
     assert r.n_samples == 0 and _wav_pcm(bytes(r.payload)).size == 0
+
+
+# --------------------------------------------------------------------------
+# Log-mel spectrogram
+# --------------------------------------------------------------------------
+
+def test_spectrogram_tone_lands_in_expected_band(spark):
+    """A pure tone's energy concentrates in the mel band containing
+    its frequency; a higher tone lands in a strictly higher band."""
+    from nba_data_pipeline_spark.operators.multimodal import audio_spectrogram
+
+    rate = 8000
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_wav_bytes(_sine(300, rate, seconds=0.2), rate))),
+            (2, bytearray(_wav_bytes(_sine(2500, rate, seconds=0.2), rate))),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = audio_spectrogram(
+        df, "doc_id", "payload", n_fft=256, hop=128, n_bands=16, decode="real"
+    ).collect()
+    peak_band = {}
+    for r in rows:
+        b = int(np.argmax(r.log_mel))
+        peak_band.setdefault(r.doc_id, []).append(b)
+    # every window of a steady tone peaks in the same band
+    assert len(set(peak_band[1])) == 1 and len(set(peak_band[2])) == 1
+    assert peak_band[2][0] > peak_band[1][0]
+
+
+def test_spectrogram_window_count_and_gain_shift(spark):
+    from nba_data_pipeline_spark.operators.multimodal import audio_spectrogram
+
+    rate = 8000
+    src = _sine(440, rate, seconds=0.2, amp=0.4)
+    n_fft, hop = 256, 128
+    expect_windows = 1 + (src.size - n_fft) // hop
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_wav_bytes(src, rate))),
+            (2, bytearray(_wav_bytes(src * 0.5, rate))),  # -6 dB copy
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = audio_spectrogram(
+        df, "doc_id", "payload", n_fft=n_fft, hop=hop, decode="real"
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.window_idx] = np.array(r.log_mel)
+    assert len(by_doc[1]) == expect_windows
+    # gain scaling shifts every coefficient by ~log10(0.25) (power)
+    shift = by_doc[1][0] - by_doc[2][0]
+    strong = by_doc[1][0] > -6  # bands with real energy, not the eps floor
+    assert strong.any()
+    assert np.allclose(shift[strong], -np.log10(0.25), atol=0.05)
+
+
+def test_spectrogram_short_audio_yields_no_windows(spark):
+    from nba_data_pipeline_spark.operators.multimodal import audio_spectrogram
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav_bytes(_sine(440, 8000, seconds=0.01), 8000)))],
+        "doc_id long, payload binary",
+    )
+    # 80 samples < n_fft=256 -> zero rows, not an error
+    assert audio_spectrogram(df, "doc_id", "payload", decode="real").count() == 0
+
+
+def test_spectrogram_fake_path_deterministic(spark):
+    from nba_data_pipeline_spark.operators.multimodal import audio_spectrogram
+
+    df = spark.createDataFrame([(1, bytearray(b"abc"))], "doc_id long, payload binary")
+    a = sorted((r.window_idx, tuple(r.log_mel)) for r in audio_spectrogram(
+        df, "doc_id", "payload").collect())
+    b = sorted((r.window_idx, tuple(r.log_mel)) for r in audio_spectrogram(
+        df, "doc_id", "payload").collect())
+    assert a == b and len(a) >= 1
