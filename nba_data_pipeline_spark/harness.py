@@ -6147,11 +6147,19 @@ def q_triangle_counts(spark, sf):
 @q(
     "dedup_cluster_stats",
     # per-component size/edges/density over the SAME bipartite edge
-    # fixture as connected_components; density is e6 fixed point
+    # fixture as connected_components; density is e6 fixed point.
+    # Edges CANONICALIZED like the operator's canonical_edges —
+    # (least, greatest) distinct, self-loops dropped: at sf0.1 the
+    # user-id range overlaps the synthetic item range [1000, 1210], so
+    # mirrored duplicates and self-loops exist and a raw directed
+    # count diverges (caught by the r9 three-scale preflight)
     """WITH RECURSIVE
        edges0 AS (
          SELECT DISTINCT user_id AS s, 1000 + (event_id % 211) AS d FROM events),
-       edges AS (SELECT s, d FROM edges0 UNION SELECT d, s FROM edges0),
+       canon AS (
+         SELECT DISTINCT least(s, d) AS s, greatest(s, d) AS d
+         FROM edges0 WHERE s <> d),
+       edges AS (SELECT s, d FROM canon UNION SELECT d, s FROM canon),
        walk(v, lab) AS (
          SELECT s, s FROM (SELECT DISTINCT s FROM edges) t
          UNION
@@ -6159,7 +6167,7 @@ def q_triangle_counts(spark, sf):
        comp AS (SELECT v, MIN(lab) AS cid FROM walk GROUP BY v),
        nodes AS (SELECT cid, COUNT(*) AS n_nodes FROM comp GROUP BY cid),
        ecnt AS (SELECT c.cid, COUNT(*) AS n_edges
-                FROM edges0 e JOIN comp c ON c.v = e.s GROUP BY c.cid)
+                FROM canon e JOIN comp c ON c.v = e.s GROUP BY c.cid)
        SELECT CAST(n.cid AS BIGINT) AS component_id,
               CAST(n.n_nodes AS BIGINT) AS n_nodes,
               CAST(COALESCE(x.n_edges, 0) AS BIGINT) AS n_edges,
