@@ -5529,6 +5529,103 @@ def q_audio_windows(spark, sf):
 
 
 @q(
+    "audio_pipeline_gate",
+    # planted-structure verdict oracle (mjpeg_codec_gate contract):
+    # per-doc sine WAVs at mel-band-center frequencies, half at 8 kHz
+    # and half at 16 kHz source rate; after rate normalization +
+    # log-mel features every behavioral invariant below must hold, so
+    # the expected row is computable from the table alone
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              TRUE AS stable_peaks,
+              TRUE AS rate_invariant,
+              TRUE AS monotone
+       FROM documents WHERE doc_id < 60""",
+)
+def q_audio_pipeline_gate(spark, sf):
+    """Full audio pipeline, distributed, with a checkable verdict
+    (operators/multimodal.py resample_audio + audio_spectrogram):
+    every doc synthesizes a sine WAV — frequency at a mel-band CENTER
+    chosen by doc_id, source rate 8 kHz or 16 kHz by parity — then the
+    corpus is rate-normalized to 16 kHz and featurized. Invariants:
+    each doc's peak mel band is STABLE across its windows; docs with
+    the same tone but different source rates land in the SAME band
+    (the resampler preserves spectral content); the band is
+    NON-DECREASING in frequency (the filterbank orders the spectrum).
+    A resampler alias, filterbank hole, or FFT windowing bug breaks a
+    boolean and fails the hash."""
+    import math
+
+    import pandas as pd
+
+    from .operators.multimodal import audio_spectrogram, resample_audio
+
+    top_mel = 2595.0 * math.log10(1.0 + 8000.0 / 700.0)
+    step = top_mel / 17.0  # n_bands=16 -> 18 mel points
+    freqs = [
+        700.0 * (10.0 ** (step * (b + 1) / 2595.0) - 1.0) for b in range(2, 10)
+    ]
+
+    def make_wavs(batches):
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            ids, pays = [], []
+            for rid in pdf["doc_id"]:
+                rid = int(rid)
+                rate = 8000 if rid % 2 else 16000
+                freq = freqs[(rid // 2) % len(freqs)]
+                t = np.arange(int(rate * 0.2)) / rate
+                samples = 0.5 * np.sin(2 * np.pi * freq * t)
+                pcm = np.clip(np.rint(samples * 32767.0), -32768, 32767).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(pcm.tobytes())
+                ids.append(rid)
+                pays.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": ids, "payload": pays})
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 60).select("doc_id")
+    wavs = docs.mapInPandas(make_wavs, schema="doc_id long, payload binary")
+    norm = resample_audio(
+        wavs, "doc_id", "payload", target_rate=16000, decode="real"
+    ).select("doc_id", "payload")
+    spec = audio_spectrogram(
+        norm, "doc_id", "payload", n_fft=256, hop=128, n_bands=16, decode="real"
+    )
+    peaks = spec.select(
+        "doc_id",
+        F.expr("array_position(log_mel, array_max(log_mel))").alias("pb"),
+        ((F.col("doc_id") / 2).cast("long") % len(freqs)).alias("freq_idx"),
+    )
+    per_doc = peaks.groupBy("doc_id", "freq_idx").agg(
+        F.count_distinct("pb").alias("n_bands_hit"), F.min("pb").alias("band")
+    )
+    per_freq = per_doc.groupBy("freq_idx").agg(
+        F.count_distinct("band").alias("n_bands"), F.min("band").alias("band")
+    )
+    w = Window.orderBy("freq_idx")
+    mono = per_freq.select(
+        (F.col("band") >= F.lag("band", 1, 0).over(w)).alias("ok")
+    ).agg(F.bool_and("ok").alias("monotone"))
+    return (
+        per_doc.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.bool_and(F.col("n_bands_hit") == 1).alias("stable_peaks"),
+        )
+        .crossJoin(
+            per_freq.agg(F.bool_and(F.col("n_bands") == 1).alias("rate_invariant"))
+        )
+        .crossJoin(mono)
+    )
+
+
+@q(
     "resultset_decode",
     # the payload fixture is deterministic, so the EXPECTED decode is a
     # literal table — a value-level check that the wire-format decoder
