@@ -6763,7 +6763,63 @@ def q_mjpeg_codec_gate(spark, sf):
     )
 
 
-@q("image_resize")  # binary decode kernels: rows-only by nature
+@q(
+    "image_channel_stats",
+    # byte-exact oracle on REAL corpus bytes: the PPM raster IS the
+    # (repeated) document text, so every channel sum is computable in
+    # SQL from ord() over character positions — the full decode path
+    # (header walk -> raster -> float RGB -> integer reconstruction)
+    # must reproduce the text bytes exactly; corpus verified pure
+    # ASCII so ord == byte
+    """WITH base AS (
+         SELECT doc_id,
+                substr(repeat(text, CAST(768 / greatest(length(text), 1) AS INT) + 1),
+                       1, 768) AS t
+         FROM documents WHERE doc_id < 200),
+       b AS (SELECT doc_id, r.i AS i,
+                    ord(substr(t, CAST(r.i AS INT) + 1, 1)) AS v
+             FROM base CROSS JOIN range(0, 768) r(i))
+       SELECT doc_id,
+              CAST(256 AS BIGINT) AS n_pixels,
+              CAST(SUM(CASE WHEN i % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+              CAST(SUM(CASE WHEN i % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+              CAST(SUM(CASE WHEN i % 3 = 2 THEN v END) AS BIGINT) AS sum_b,
+              CAST(SUM(CASE WHEN i % 3 = 0 THEN v * v END) AS BIGINT) AS sumsq_r,
+              CAST(SUM(CASE WHEN i % 3 = 1 THEN v * v END) AS BIGINT) AS sumsq_g,
+              CAST(SUM(CASE WHEN i % 3 = 2 THEN v * v END) AS BIGINT) AS sumsq_b
+       FROM b GROUP BY doc_id""",
+)
+def q_image_channel_stats(spark, sf):
+    """Corpus normalization constants, the mergeable way
+    (operators/multimodal.py image_channel_stats): per-image EXACT
+    integer channel sums/sum-of-squares over 16x16 PPMs whose raster
+    is the document's own (repeated) text bytes — so the DuckDB oracle
+    recomputes every value from ord() per character position and any
+    decode defect (header off-by-one, channel swap, float rounding)
+    breaks the hash. The corpus rollup (mean/std per channel) is one
+    BIGINT aggregate over this output."""
+    import pandas as pd
+
+    from .operators.multimodal import image_channel_stats
+
+    def make_ppms(batches):
+        need = 16 * 16 * 3
+        for pdf in batches:
+            ids, pays = [], []
+            for rid, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = str(text).encode("utf-8", "ignore")
+                raw = (raw * (need // max(len(raw), 1) + 1))[:need]
+                ids.append(int(rid))
+                pays.append(b"P6\n16 16\n255\n" + raw)
+            yield pd.DataFrame({"doc_id": ids, "payload": pays})
+
+    docs = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+        .mapInPandas(make_ppms, schema="doc_id long, payload binary")
+    )
+    return image_channel_stats(docs, "doc_id", "payload", decode="real")
 
 
 @q("image_resize")  # binary decode kernels: rows-only by nature

@@ -1336,6 +1336,70 @@ def _luma_matrix(payload: bytes):
     )
 
 
+IMAGE_CHANNEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_pixels", T.LongType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+        T.StructField("sumsq_r", T.LongType(), True),
+        T.StructField("sumsq_g", T.LongType(), True),
+        T.StructField("sumsq_b", T.LongType(), True),
+    ]
+)
+
+
+def image_channel_stats(
+    df: DataFrame, id_col: str, payload_col: str, decode: str = "fake"
+) -> DataFrame:
+    """Per-image channel statistics as EXACT integers — the mergeable
+    building block for corpus normalization constants (the per-channel
+    mean/std every vision-pretraining pipeline bakes into its
+    transform). Each image yields (n_pixels, sum, sum-of-squares per
+    RGB channel) over the 0-255 integer pixel values, so the corpus
+    rollup is one hash aggregate of BIGINTs: sums merge associatively
+    across images, partitions, and ingest batches with no FP-order
+    sensitivity — mean = sum/n, var = sumsq/n - mean^2 computed once
+    at the end. Real path decodes PPM/BMP/PNG/baseline-JPEG via
+    ``_rgb_matrix``; fake path derives deterministic pseudo-pixels
+    from the payload hash. Zero-pixel images yield NULL stats."""
+    import numpy as np
+
+    def one(payload):
+        data = bytes(payload)
+        if decode == "real":
+            rgb = _rgb_matrix(data)
+            if rgb is None:
+                return (None,) * 7
+            px = np.rint(rgb * 255.0).astype(np.int64)
+        else:
+            digest = hashlib.sha256(data).digest()
+            reps = (16 * 16 * 3 + len(digest) - 1) // len(digest)
+            px = (
+                np.frombuffer(digest * reps, dtype=np.uint8)[: 16 * 16 * 3]
+                .astype(np.int64)
+                .reshape(16, 16, 3)
+            )
+        n = int(px.shape[0] * px.shape[1])
+        s = px.sum(axis=(0, 1))
+        sq = (px * px).sum(axis=(0, 1))
+        return (n, int(s[0]), int(s[1]), int(s[2]), int(sq[0]), int(sq[1]), int(sq[2]))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["n_pixels", "sum_r", "sum_g", "sum_b", "sumsq_r", "sumsq_g", "sumsq_b"]
+        for pdf in batches:
+            out = [one(p) for p in pdf[payload_col]]
+            frame = {"doc_id": pdf[id_col].astype("int64")}
+            for i, c in enumerate(cols):
+                frame[c] = pd.array([o[i] for o in out], dtype="Int64")
+            yield pd.DataFrame(frame)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, schema=IMAGE_CHANNEL_STATS_SCHEMA
+    )
+
+
 def _dhash64(payload: bytes, decode: str) -> int | None:
     """64-bit difference hash (dHash): grayscale -> area-mean downsample
     to a 8x9 grid -> bit r*8+c set iff grid[r, c+1] > grid[r, c].

@@ -608,3 +608,41 @@ def test_png_resize_matches_ppm_and_unsupported_raise(spark):
         _decode_png_rgb(bytes(deep))
     with _pytest.raises(ValueError, match="not a PNG"):
         _decode_png_rgb(b"JFIF....")
+
+
+def test_image_channel_stats_exact_and_mergeable(spark):
+    """Per-image channel sums are EXACT integers recoverable from the
+    source bytes (PPM raster == payload bytes), identical for the
+    near-lossless JPEG twin's decoded pixels, and the corpus rollup is
+    a plain BIGINT aggregate."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.operators.multimodal import image_channel_stats
+
+    raw = bytes(range(256)) * 3  # 768 bytes -> 16x16x3
+    px = np.frombuffer(raw, dtype=np.uint8).reshape(16, 16, 3).astype(np.int64)
+    ppm = b"P6\n16 16\n255\n" + raw
+    df = spark.createDataFrame([(1, bytearray(ppm))], "doc_id long, payload binary")
+    r = image_channel_stats(df, "doc_id", "payload", decode="real").collect()[0]
+    assert r.n_pixels == 256
+    for ci, (s_col, q_col) in enumerate(
+        [("sum_r", "sumsq_r"), ("sum_g", "sumsq_g"), ("sum_b", "sumsq_b")]
+    ):
+        assert getattr(r, s_col) == int(px[..., ci].sum())
+        assert getattr(r, q_col) == int((px[..., ci].astype(np.int64) ** 2).sum())
+    # corpus rollup: one aggregate, mean reconstructable
+    agg = (
+        image_channel_stats(df, "doc_id", "payload", decode="real")
+        .agg(
+            F.sum("sum_r").alias("sr"), F.sum("n_pixels").alias("n")
+        )
+        .collect()[0]
+    )
+    assert abs(agg.sr / agg.n - px[..., 0].mean()) < 1e-9
+    # zero-pixel image -> NULL stats, not a crash
+    z = spark.createDataFrame(
+        [(2, bytearray(b"P6\n0 0\n255\n"))], "doc_id long, payload binary"
+    )
+    rz = image_channel_stats(z, "doc_id", "payload", decode="real").collect()[0]
+    assert rz.n_pixels is None and rz.sum_r is None
