@@ -6822,6 +6822,103 @@ def q_image_channel_stats(spark, sf):
     return image_channel_stats(docs, "doc_id", "payload", decode="real")
 
 
+@q(
+    "augment_gate",
+    # invariant-verdict oracle (mjpeg_codec_gate contract): flips and
+    # rotations are pixel PERMUTATIONS, so every op's exact channel
+    # sums must equal the identity's, and rotation geometry must swap
+    # the non-square frame's axes; row count = docs x 6 ops
+    """SELECT CAST(COUNT(*) * 6 AS BIGINT) AS n_rows,
+              TRUE AS sums_invariant,
+              TRUE AS geometry_ok
+       FROM documents WHERE doc_id < 100""",
+)
+def q_augment_gate(spark, sf):
+    """Deterministic augmentation correctness, distributed
+    (operators/multimodal.py augment_images + image_channel_stats):
+    every doc renders a NON-SQUARE 24x16 PPM from its own text bytes,
+    expands through all six ops, and the verdict checks (a) exact
+    integer channel sums are invariant under every op — flips and
+    rotations permute pixels, a resample or crop bug changes the sums;
+    (b) rot90/rot270 swap width/height while flips/rot180 keep them.
+    Composes the byte-exact channel-stats kernel as the measuring
+    instrument."""
+    import pandas as pd
+
+    from .operators.multimodal import (
+        _AUGMENT_OPS,
+        augment_images,
+        image_channel_stats,
+    )
+
+    def make_ppms(batches):
+        need = 24 * 16 * 3
+        for pdf in batches:
+            ids, pays = [], []
+            for rid, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = str(text).encode("utf-8", "ignore")
+                raw = (raw * (need // max(len(raw), 1) + 1))[:need]
+                ids.append(int(rid))
+                pays.append(b"P6\n24 16\n255\n" + raw)
+            yield pd.DataFrame({"doc_id": ids, "payload": pays})
+
+    docs = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+        .mapInPandas(make_ppms, schema="doc_id long, payload binary")
+    )
+    aug = augment_images(
+        docs, "doc_id", "payload", ops=_AUGMENT_OPS, decode="real"
+    ).localCheckpoint(eager=False)
+    op_idx = F.array_position(
+        F.array(*[F.lit(o) for o in _AUGMENT_OPS]), F.col("op")
+    ).cast("long")
+    keyed = aug.withColumn("aug_id", F.col("doc_id") * 10 + op_idx)
+    # image_channel_stats aliases its id output to the schema's literal
+    # "doc_id" whatever the caller's id_col — decompose from there
+    stats = image_channel_stats(keyed, "aug_id", "payload", decode="real").select(
+        (F.col("doc_id") / 10).cast("long").alias("orig_id"),
+        (F.col("doc_id") % 10).alias("op_idx"),
+        "sum_r", "sum_g", "sum_b", "sumsq_r", "sumsq_g", "sumsq_b",
+    ).withColumnRenamed("orig_id", "doc_id")
+    ident = stats.filter(F.col("op_idx") == 1).drop("op_idx")
+    rest = stats.filter(F.col("op_idx") != 1)
+    sums_ok = (
+        rest.join(
+            ident.select(
+                "doc_id",
+                *[F.col(c).alias(f"i_{c}")
+                  for c in ("sum_r", "sum_g", "sum_b", "sumsq_r", "sumsq_g", "sumsq_b")],
+            ),
+            "doc_id",
+        )
+        .agg(
+            F.bool_and(
+                (F.col("sum_r") == F.col("i_sum_r"))
+                & (F.col("sum_g") == F.col("i_sum_g"))
+                & (F.col("sum_b") == F.col("i_sum_b"))
+                & (F.col("sumsq_r") == F.col("i_sumsq_r"))
+                & (F.col("sumsq_g") == F.col("i_sumsq_g"))
+                & (F.col("sumsq_b") == F.col("i_sumsq_b"))
+            ).alias("sums_invariant")
+        )
+    )
+    geom_ok = aug.agg(
+        F.bool_and(
+            F.when(
+                F.col("op").isin("rot90", "rot270"),
+                (F.col("width") == 16) & (F.col("height") == 24),
+            ).otherwise((F.col("width") == 24) & (F.col("height") == 16))
+        ).alias("geometry_ok")
+    )
+    return (
+        aug.agg(F.count("*").cast("long").alias("n_rows"))
+        .crossJoin(sums_ok)
+        .crossJoin(geom_ok)
+    )
+
+
 @q("image_resize")  # binary decode kernels: rows-only by nature
 def q_image_resize(spark, sf):
     """Batch thumbnailing (operators/multimodal.py resize_images):

@@ -1336,6 +1336,120 @@ def _luma_matrix(payload: bytes):
     )
 
 
+AUGMENTED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+_AUGMENT_OPS = ("identity", "flip_h", "flip_v", "rot90", "rot180", "rot270")
+
+
+def augment_images(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    ops: tuple = ("flip_h",),
+    crop: tuple | None = None,
+    decode: str = "fake",
+    out_format: str = "ppm",
+    jpeg_quant: int = 2,
+) -> DataFrame:
+    """Deterministic image augmentation via the 1->N ``mapInPandas``
+    fan-out — one output row per (image, op), the standard
+    vision-pretraining expansion. ``ops`` from {identity, flip_h,
+    flip_v, rot90, rot180, rot270} (rotations counter-clockwise, numpy
+    convention); ``crop=(w, h)`` center-crops AFTER the op (images
+    smaller than the crop pass through uncropped rather than pad).
+    Pixel-exact transforms: flips/rotations are permutations, so
+    channel sums are invariant and flip/rot-by-inverse round-trips are
+    byte-identical — the invariants ``augment_gate`` checks. Output
+    re-encodes per ``out_format`` ("ppm" P6 or "jpeg" baseline 4:4:4)
+    and feeds the rest of the image stack. Zero-pixel images yield
+    NULL payloads."""
+    import numpy as np
+
+    bad = [o for o in ops if o not in _AUGMENT_OPS]
+    if bad:
+        raise ValueError(f"unknown ops {bad}; choose from {_AUGMENT_OPS}")
+    if out_format not in ("ppm", "jpeg"):
+        raise ValueError(f"out_format must be 'ppm' or 'jpeg': {out_format!r}")
+    if crop is not None and (int(crop[0]) <= 0 or int(crop[1]) <= 0):
+        raise ValueError(f"crop dims must be positive: {crop}")
+
+    def transform(rgb, op):
+        if op == "identity":
+            return rgb
+        if op == "flip_h":
+            return rgb[:, ::-1]
+        if op == "flip_v":
+            return rgb[::-1]
+        if op == "rot90":
+            return np.rot90(rgb, 1)
+        if op == "rot180":
+            return np.rot90(rgb, 2)
+        return np.rot90(rgb, 3)  # rot270
+
+    def one(payload, op):
+        data = bytes(payload)
+        if decode == "real":
+            rgb = _rgb_matrix(data)
+            if rgb is None:
+                return None, None, None
+        else:
+            digest = hashlib.sha256(data + op.encode()).digest()
+            reps = (16 * 16 * 3 + len(digest) - 1) // len(digest)
+            rgb = (
+                np.frombuffer(digest * reps, dtype=np.uint8)[: 16 * 16 * 3]
+                .astype(np.float64)
+                .reshape(16, 16, 3)
+                / 255.0
+            )
+        out = transform(rgb, op)
+        if crop is not None:
+            cw, ch = int(crop[0]), int(crop[1])
+            h, w = out.shape[0], out.shape[1]
+            if w >= cw and h >= ch:
+                x0, y0 = (w - cw) // 2, (h - ch) // 2
+                out = out[y0 : y0 + ch, x0 : x0 + cw]
+        h, w = out.shape[0], out.shape[1]
+        raster = np.clip(np.rint(np.ascontiguousarray(out) * 255.0), 0, 255).astype(
+            np.uint8
+        )
+        if out_format == "jpeg":
+            return encode_jpeg_baseline(raster, quant=jpeg_quant), w, h
+        return f"P6\n{w} {h}\n255\n".encode() + raster.tobytes(), w, h
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, opnames, pays, ws, hs = [], [], [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                for op in ops:
+                    p, w, h = one(payload, op)
+                    ids.append(int(rid))
+                    opnames.append(op)
+                    pays.append(p)
+                    ws.append(w)
+                    hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "op": opnames,
+                    "payload": pays,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, schema=AUGMENTED_IMAGE_SCHEMA
+    )
+
+
 IMAGE_CHANNEL_STATS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),

@@ -646,3 +646,48 @@ def test_image_channel_stats_exact_and_mergeable(spark):
     )
     rz = image_channel_stats(z, "doc_id", "payload", decode="real").collect()[0]
     assert rz.n_pixels is None and rz.sum_r is None
+
+
+def test_augment_images_roundtrips_and_crop(spark):
+    """flip twice == identity byte-for-byte; rot90 x4 == identity;
+    center crop keeps the exact middle pixels; unknown op rejected."""
+    import numpy as np
+    import pytest as _pytest
+
+    from nba_data_pipeline_spark.operators.multimodal import augment_images
+
+    raw = bytes((i * 7) % 256 for i in range(24 * 16 * 3))
+    ppm = b"P6\n24 16\n255\n" + raw
+    df = spark.createDataFrame([(1, bytearray(ppm))], "doc_id long, payload binary")
+
+    def run(frame, ops, **kw):
+        return {
+            r.op: (bytes(r.payload), r.width, r.height)
+            for r in augment_images(frame, "doc_id", "payload", ops=ops,
+                                    decode="real", **kw).collect()
+        }
+
+    out = run(df, ("identity", "flip_h", "rot90"))
+    assert out["identity"][0] == ppm
+    assert out["rot90"][1:] == (16, 24)
+    # flip twice: feed the flipped payload back through flip_h
+    flipped = spark.createDataFrame(
+        [(1, bytearray(out["flip_h"][0]))], "doc_id long, payload binary"
+    )
+    assert run(flipped, ("flip_h",))["flip_h"][0] == ppm
+    # rot90 four times
+    cur = ppm
+    for _ in range(4):
+        frame = spark.createDataFrame([(1, bytearray(cur))], "doc_id long, payload binary")
+        cur = run(frame, ("rot90",))["rot90"][0]
+    assert cur == ppm
+    # center crop 8x8 of identity == middle block of the source
+    c = run(df, ("identity",), crop=(8, 8))["identity"]
+    px = np.frombuffer(raw, dtype=np.uint8).reshape(16, 24, 3)
+    assert c[1:] == (8, 8)
+    assert c[0] == b"P6\n8 8\n255\n" + px[4:12, 8:16].tobytes()
+    # jpeg output decodes through the stack
+    j = run(df, ("flip_v",), out_format="jpeg")["flip_v"]
+    assert j[0].startswith(b"\xff\xd8") and j[1:] == (24, 16)
+    with _pytest.raises(ValueError, match="unknown ops"):
+        augment_images(df, "doc_id", "payload", ops=("sepia",))
