@@ -3124,6 +3124,50 @@ def q_repeated_spans(spark, sf):
 
 
 @q(
+    "repeated_spans_keep_first",
+    # keep-one-canonical-copy policy (suffix-array pipelines, Lee et
+    # al.): the lowest-id doc holding a flagged 5-gram keeps its
+    # occurrences; only the other docs' copies are removed
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+       g AS (SELECT doc_id, unnest(range(0, greatest(len(tok) - 4, 0))) AS s, tok
+             FROM t),
+       grams AS (SELECT doc_id, s,
+                        array_to_string(tok[(s+1):(s+5)], ' ') AS gram
+                 FROM g),
+       hot AS (SELECT gram, MIN(doc_id) AS keeper
+               FROM grams GROUP BY gram HAVING count(*) >= 3),
+       cov AS (SELECT DISTINCT doc_id, pos
+               FROM (SELECT gr.doc_id, unnest(range(gr.s, gr.s + 5)) AS pos
+                     FROM grams gr JOIN hot USING (gram)
+                     WHERE gr.doc_id <> hot.keeper)),
+       p0 AS (SELECT doc_id, unnest(range(1, len(tok) + 1)) AS i, tok FROM t),
+       pos AS (SELECT doc_id, i - 1 AS pos, tok[i] AS tk FROM p0),
+       surv AS (SELECT pos.doc_id, pos.pos, pos.tk
+                FROM pos LEFT JOIN cov
+                  ON pos.doc_id = cov.doc_id AND pos.pos = cov.pos
+                WHERE cov.doc_id IS NULL),
+       agg AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS text,
+                      count(*) AS n_kept
+               FROM surv GROUP BY doc_id),
+       tot AS (SELECT doc_id, count(*) AS n_tok FROM pos GROUP BY doc_id)
+       SELECT tot.doc_id, coalesce(agg.text, '') AS text,
+              CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+              CAST(tot.n_tok - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
+       FROM tot LEFT JOIN agg USING (doc_id)""",
+)
+def q_repeated_spans_keep_first(spark, sf):
+    """Keep-one-canonical-copy exact-substring dedup (operators/
+    dedup.py remove_repeated_spans(keep_first=True)): the corpus
+    retains exactly one copy of every repeated passage — the policy of
+    the suffix-array dedup pipelines — instead of the remove-everywhere
+    boilerplate policy of `repeated_spans`."""
+    return remove_repeated_spans(
+        _t(spark, sf, "documents"), "doc_id", "text", n=5, min_repeat=3,
+        keep_first=True,
+    )
+
+
+@q(
     "decontaminate_spans",
     # span-level decontamination: benchmark = every 97th doc; corpus
     # tokens covered by any benchmark 5-gram are removed and docs

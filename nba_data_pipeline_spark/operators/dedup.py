@@ -1119,6 +1119,7 @@ def remove_repeated_spans(
     text_col: str,
     n: int = 5,
     min_repeat: int = 2,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Exact-substring boilerplate removal at token n-gram granularity
     (the scalable relaxation of suffix-array substring dedup, Lee et
@@ -1139,6 +1140,15 @@ def remove_repeated_spans(
     Suffix arrays find variable-length repeats; this fixed-n form is
     one shuffle and catches every repeat of length >= n, at the cost
     of missing shorter ones — n IS the "minimum match length" knob.
+
+    ``keep_first=True`` switches to the keep-one-canonical-copy policy
+    of the suffix-array pipelines: the lowest-id document containing a
+    flagged gram KEEPS its occurrences (including same-document
+    repeats) and only the other documents' copies are removed — the
+    corpus retains exactly one canonical copy of every repeated
+    passage instead of losing the information entirely. The default
+    remove-everywhere policy suits boilerplate (headers, licenses);
+    keep-first suits content passages.
 
     Returns (id, text, n_kept, n_removed).
     """
@@ -1165,12 +1175,15 @@ def remove_repeated_spans(
     )
     hot = (
         grams.groupBy("_gram")
-        .agg(F.count("*").alias("_c"))
+        .agg(F.count("*").alias("_c"), F.min("_id").alias("_keeper"))
         .filter(F.col("_c") >= min_repeat)
-        .select("_gram")
+        .select("_gram", "_keeper")
     )
+    flagged = grams.join(hot, "_gram")
+    if keep_first:
+        flagged = flagged.filter(F.col("_id") != F.col("_keeper"))
     covered = (
-        grams.join(hot, "_gram")
+        flagged
         .select("_id", F.explode(F.sequence("_start", F.col("_start") + n - 1)).alias("_pos"))
         .distinct()
     )

@@ -419,6 +419,36 @@ def test_dedup_lines_c4_rule(spark):
     assert got[3] == ("", 0, 1)
 
 
+def test_remove_repeated_spans_keep_first(spark):
+    """keep_first=True: the lowest-id doc holding a repeated passage
+    KEEPS it (including its own internal repeats); only other docs'
+    copies are removed — exactly one canonical copy survives."""
+    from nba_data_pipeline_spark.operators.dedup import remove_repeated_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e unique tail here"),
+            (2, "prefix stuff a b c d e suffix"),
+            (3, "a b c d e again a b c d e"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.text, r.n_kept, r.n_removed) for r in remove_repeated_spans(
+        df, "doc_id", "text", n=5, min_repeat=2, keep_first=True).collect()}
+    # doc 1 is the keeper: passage intact
+    assert got[1] == ("a b c d e unique tail here", 8, 0)
+    # docs 2/3 lose every copy of the passage
+    assert got[2] == ("prefix stuff suffix", 3, 5)
+    assert got[3] == ("again", 1, 10)
+    # same-doc-only repeat: the doc is its own keeper, nothing removed
+    solo = spark.createDataFrame(
+        [(9, "p q r s t p q r s t")], "doc_id long, text string"
+    )
+    r = remove_repeated_spans(solo, "doc_id", "text", n=5, min_repeat=2,
+                              keep_first=True).first()
+    assert (r.text, r.n_kept, r.n_removed) == ("p q r s t p q r s t", 10, 0)
+
+
 def test_remove_repeated_spans(spark):
     """Tokens covered by a corpus-repeated 5-gram vanish from EVERY
     occurrence (boilerplate stripping); short docs (< n tokens) and
