@@ -890,6 +890,287 @@ def q_tpch_q22(spark, sf):
 
 
 @q(
+    "tpch_q2",
+    # q2 shape on the available tables: the testdata has no partsupp,
+    # so the part-supplier cost relation derives from lineitem
+    # (ROUND(min unit price, 4) per (part, supplier)); correlated
+    # regional-minimum scalar + region->nation->supplier dim chain +
+    # deterministic top-100
+    """WITH cost AS (
+         SELECT l_partkey, l_suppkey,
+                MIN(ROUND(l_extendedprice / l_quantity, 4)) AS unit_cost
+         FROM lineitem GROUP BY l_partkey, l_suppkey),
+       eur AS (
+         SELECT s_suppkey, s_name, s_acctbal, n_name
+         FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'EUROPE'),
+       pc AS (SELECT c.* FROM cost c JOIN eur ON eur.s_suppkey = c.l_suppkey),
+       mn AS (SELECT l_partkey, MIN(unit_cost) AS min_cost
+              FROM pc GROUP BY l_partkey)
+       SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+       FROM part
+       JOIN pc ON p_partkey = pc.l_partkey
+       JOIN mn ON mn.l_partkey = pc.l_partkey AND pc.unit_cost = mn.min_cost
+       JOIN eur ON eur.s_suppkey = pc.l_suppkey
+       WHERE p_size < 20 AND p_type = 'ECONOMY'
+       ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+       LIMIT 100""",
+)
+def q_tpch_q2(spark, sf):
+    """q2-shaped minimum-cost supplier: the correlated regional-min
+    subquery reformulates to an aggregate-then-equijoin on
+    (part, min_cost) — no per-part probing; the dim chain broadcasts.
+    Unit cost ROUNDs before the MIN so the equality join key is a
+    stable decimal in both engines."""
+    li = _t(spark, sf, "lineitem")
+    cost = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4)).alias(
+                "unit_cost"
+            )
+        )
+    )
+    eur = (
+        _t(spark, sf, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pc = cost.join(F.broadcast(eur.select("s_suppkey")), cost["l_suppkey"] == F.col("s_suppkey")).drop(
+        "s_suppkey"
+    )
+    mn = pc.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    parts = _t(spark, sf, "part").filter(
+        (F.col("p_size") < 20) & (F.col("p_type") == "ECONOMY")
+    )
+    return (
+        parts.join(pc, parts["p_partkey"] == pc["l_partkey"])
+        .join(
+            mn,
+            (mn["l_partkey"] == pc["l_partkey"])
+            & (pc["unit_cost"] == mn["min_cost"]),
+        )
+        .join(F.broadcast(eur), pc["l_suppkey"] == eur["s_suppkey"])
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@q(
+    "tpch_q9",
+    # q9 shape (product-type profit by nation and year): no partsupp,
+    # so supply cost is the p_retailprice/10 proxy; nation from the
+    # supplying supplier, year from the order date
+    """SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+              ROUND(SUM(l_extendedprice * (1 - l_discount)
+                        - p_retailprice / 10 * l_quantity), 2) AS sum_profit
+       FROM lineitem
+       JOIN part ON p_partkey = l_partkey
+       JOIN supplier ON s_suppkey = l_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN orders ON o_orderkey = l_orderkey
+       WHERE p_name LIKE '%red%'
+       GROUP BY n_name, YEAR(o_orderdate)""",
+)
+def q_tpch_q9(spark, sf):
+    """q9-shaped profit rollup: the three dims broadcast; the only
+    shuffles are the lineitem-orders join and the final two-key
+    aggregate (with map-side partials)."""
+    li = _t(spark, sf, "lineitem")
+    parts = F.broadcast(
+        _t(spark, sf, "part").filter(F.col("p_name").like("%red%")).select(
+            "p_partkey", "p_retailprice"
+        )
+    )
+    supp = F.broadcast(
+        _t(spark, sf, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        li.join(parts, li["l_partkey"] == F.col("p_partkey"))
+        .join(supp, li["l_suppkey"] == F.col("s_suppkey"))
+        .join(orders, li["l_orderkey"] == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - F.col("p_retailprice") / 10 * F.col("l_quantity")
+                ),
+                2,
+            ).alias("sum_profit")
+        )
+    )
+
+
+@q(
+    "tpch_q11",
+    # q11 shape (important stock): inventory value per part proxied by
+    # the revenue of one nation's suppliers; parts whose value exceeds
+    # a fraction of the global total (scalar-aggregate threshold)
+    """WITH v AS (
+         SELECT l_partkey AS ps_partkey, SUM(l_extendedprice) AS value
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name = 'NATION_3'
+         GROUP BY l_partkey)
+       SELECT ps_partkey, ROUND(value, 2) AS value
+       FROM v, (SELECT 2 * AVG(value) AS thr FROM v)
+       WHERE value > thr""",
+)
+def q_tpch_q11(spark, sf):
+    """q11-shaped: group-aggregate + broadcast single-row scalar
+    threshold. The spec scales its fraction by SF to keep selectivity
+    meaningful; 2x the average part value is the sf-dir-agnostic
+    equivalent (a fixed fraction returns everything at small SF and
+    nothing at large). The per-part frame is checkpointed so the
+    threshold and the filter read one computation, not two lineitem
+    scans."""
+    li = _t(spark, sf, "lineitem")
+    supp = F.broadcast(
+        _t(spark, sf, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf, "nation").filter(F.col("n_name") == "NATION_3")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    v = (
+        li.join(supp, li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum("l_extendedprice").alias("_value"))
+        .localCheckpoint(eager=False)
+    )
+    thr = v.agg((F.lit(2) * F.avg("_value")).alias("_thr"))
+    return (
+        v.crossJoin(F.broadcast(thr))
+        .filter(F.col("_value") > F.col("_thr"))
+        .select("ps_partkey", F.round("_value", 2).alias("value"))
+    )
+
+
+@q(
+    "tpch_q16",
+    # q16 shape (supplier relationship): distinct suppliers per part
+    # profile, excluding one brand, a type prefix, and "complained"
+    # suppliers — no s_comment in the testdata, so the exclusion list
+    # is the negative-balance suppliers
+    """SELECT p_brand, p_type, p_size,
+              CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+       FROM lineitem
+       JOIN part ON p_partkey = l_partkey
+       WHERE p_brand <> 'Brand#1'
+         AND p_type NOT LIKE 'SMALL%'
+         AND p_size IN (5, 11, 15, 20, 28, 37, 42, 49)
+         AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                               WHERE s_acctbal < 0)
+       GROUP BY p_brand, p_type, p_size""",
+)
+def q_tpch_q16(spark, sf):
+    """q16-shaped: the NOT IN reformulates to a broadcast left-anti
+    join (the exclusion list is tiny); part filters broadcast; one
+    shuffle for the distinct-count aggregate."""
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    parts = F.broadcast(
+        _t(spark, sf, "part").filter(
+            (F.col("p_brand") != "Brand#1")
+            & (~F.col("p_type").like("SMALL%"))
+            & (F.col("p_size").isin(5, 11, 15, 20, 28, 37, 42, 49))
+        ).select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    complained = _t(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(parts, li["l_partkey"] == F.col("p_partkey"))
+        .join(
+            F.broadcast(complained),
+            li["l_suppkey"] == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@q(
+    "tpch_q20",
+    # q20 shape (potential part promotion): suppliers in a nation set
+    # who shipped a meaningful quantity of the target parts in 1996 —
+    # no partsupp availqty, so the threshold applies to shipped volume
+    """WITH q AS (
+         SELECT l_suppkey, SUM(l_quantity) AS qty
+         FROM lineitem
+         JOIN part ON p_partkey = l_partkey
+         WHERE p_name LIKE 'red%'
+           AND l_shipdate >= DATE '1996-01-01'
+           AND l_shipdate < DATE '1997-01-01'
+         GROUP BY l_suppkey)
+       SELECT s_name, n_name, ROUND(qty, 2) AS qty
+       FROM supplier
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN q ON q.l_suppkey = s_suppkey
+       WHERE n_name IN ('NATION_1', 'NATION_5', 'NATION_9')
+         AND qty > 50""",
+)
+def q_tpch_q20(spark, sf):
+    """q20-shaped: the nested aggregated subquery becomes an
+    aggregate-then-join on the supplier key; part filter broadcasts
+    and the date predicate pushes to the lineitem scan."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    red = F.broadcast(
+        _t(spark, sf, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
+    )
+    q = (
+        li.join(red, li["l_partkey"] == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 50)
+    )
+    supp = (
+        _t(spark, sf, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf, "nation").filter(
+                    F.col("n_name").isin("NATION_1", "NATION_5", "NATION_9")
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return supp.join(q, F.col("s_suppkey") == F.col("l_suppkey")).select(
+        "s_name", "n_name", F.round("_qty", 2).alias("qty")
+    )
+
+
+@q(
     "zorder_key",
     # Morton interleave via the classic shift-mask spread, step by step
     """WITH base AS (SELECT event_id, user_id & 65535 AS xa, event_id & 65535 AS xb FROM events),
