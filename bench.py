@@ -20,9 +20,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 HEADLINE = [
     "tpch_q1",
+    "tpch_q2",
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
     "left_anti_delta",
     "merge_upsert",
     "broadcast_dim_join",
