@@ -7244,6 +7244,99 @@ def q_augment_gate(spark, sf):
     )
 
 
+@q(
+    "media_pipeline_gate",
+    # planted-structure verdict for the COMPOSED vision pipeline
+    # (plans/media_pipeline.py): residue groups render identical
+    # images; residue 0 renders a CONSTANT (degenerate) image. The
+    # expected stage counts are computable from the table alone:
+    # degenerate filter drops exactly group 0, every surviving group
+    # collapses to one canonical, thumbnails exist iff canonical
+    """WITH d AS (SELECT doc_id, doc_id % 30 AS g
+                  FROM documents WHERE doc_id < 120)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_input,
+              CAST(COUNT(*) FILTER (WHERE g = 0) AS BIGINT) AS n_degenerate,
+              CAST(COUNT(DISTINCT g) FILTER (WHERE g <> 0) AS BIGINT)
+                AS n_canonical,
+              TRUE AS groups_collapse,
+              TRUE AS thumbs_only_canonical
+       FROM d""",
+)
+def q_media_pipeline_gate(spark, sf):
+    """The composed media curation chain end to end
+    (plans/media_pipeline.py: channel-stats audit -> exact-integer
+    degenerate filter -> dHash banded near-dup -> connected-components
+    keep-one -> canonical thumbnails): docs in a residue group render
+    IDENTICAL 16x16 images from the group representative's text, and
+    group 0 renders a constant image. The verdict checks every stage:
+    the degenerate filter removes exactly group 0, each surviving
+    group collapses to one canonical survivor (one component per
+    group), and thumbnails exist for canonicals only."""
+    import pandas as pd
+
+    from .plans.media_pipeline import media_pipeline
+
+    def make_imgs(batches):
+        need = 16 * 16 * 3
+        for pdf in batches:
+            ids, pays = [], []
+            for rid, text in zip(pdf["doc_id"], pdf["rep_text"]):
+                rid = int(rid)
+                if rid % 30 == 0:
+                    raw = b"\x80" * need  # constant -> degenerate
+                else:
+                    raw = str(text).encode("utf-8", "ignore")
+                    raw = (raw * (need // max(len(raw), 1) + 1))[:need]
+                ids.append(rid)
+                pays.append(b"P6\n16 16\n255\n" + raw)
+            yield pd.DataFrame({"doc_id": ids, "payload": pays})
+
+    docs = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id", (F.col("doc_id") % 30).alias("g"), "text")
+    )
+    rep = docs.groupBy("g").agg(F.min_by("text", "doc_id").alias("rep_text"))
+    images = (
+        docs.join(F.broadcast(rep), "g")
+        .select("doc_id", "rep_text")
+        .mapInPandas(make_imgs, schema="doc_id long, payload binary")
+    )
+    manifest = media_pipeline(images).localCheckpoint(eager=False)
+    per_group = (
+        manifest.filter(~F.col("is_degenerate"))
+        .groupBy((F.col("doc_id") % 30).alias("g"))
+        .agg(
+            F.sum(F.col("is_canonical").cast("int")).alias("n_canon"),
+            F.count_distinct("component_id").alias("n_comp"),
+        )
+    )
+    collapse = per_group.agg(
+        F.coalesce(
+            F.bool_and((F.col("n_canon") == 1) & (F.col("n_comp") == 1)),
+            F.lit(True),
+        ).alias("groups_collapse")
+    )
+    return (
+        manifest.agg(
+            F.count("*").cast("long").alias("n_input"),
+            F.sum(F.col("is_degenerate").cast("long")).alias("n_degenerate"),
+            F.sum(F.col("is_canonical").cast("long")).alias("n_canonical"),
+        )
+        .crossJoin(collapse)
+        .crossJoin(
+            manifest.agg(
+                F.coalesce(
+                    F.bool_and(
+                        F.col("thumb").isNotNull() == F.col("is_canonical")
+                    ),
+                    F.lit(True),
+                ).alias("thumbs_only_canonical")
+            )
+        )
+    )
+
+
 @q("image_resize")  # binary decode kernels: rows-only by nature
 def q_image_resize(spark, sf):
     """Batch thumbnailing (operators/multimodal.py resize_images):

@@ -691,3 +691,30 @@ def test_augment_images_roundtrips_and_crop(spark):
     assert j[0].startswith(b"\xff\xd8") and j[1:] == (24, 16)
     with _pytest.raises(ValueError, match="unknown ops"):
         augment_images(df, "doc_id", "payload", ops=("sepia",))
+
+
+def test_media_pipeline_mixed_codec_end_to_end(spark):
+    """Composed vision curation (plans/media_pipeline.py): the same
+    picture as PPM and as near-lossless JPEG collapses to ONE
+    component with one canonical; a constant image is filtered
+    degenerate with no thumbnail; thumbnails exist iff canonical."""
+    import numpy as np
+
+    from nba_data_pipeline_spark.plans.media_pipeline import media_pipeline
+
+    from nba_data_pipeline_spark.operators.multimodal import encode_jpeg_baseline
+
+    x = np.linspace(0, 255, 32)
+    img = np.stack([np.tile(x, (32, 1))] * 3, axis=-1).astype(np.uint8)
+    const = np.full((32, 32, 3), 77, dtype=np.uint8)
+    rows = [
+        (1, bytearray(b"P6\n32 32\n255\n" + img.tobytes())),
+        (2, bytearray(encode_jpeg_baseline(img, quant=1))),
+        (3, bytearray(b"P6\n32 32\n255\n" + const.tobytes())),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    m = {r.doc_id: r for r in media_pipeline(df, thumb=(8, 8)).collect()}
+    assert m[1].is_canonical and not m[2].is_canonical
+    assert m[1].component_id == m[2].component_id == 1
+    assert m[3].is_degenerate and m[3].thumb is None and not m[3].is_canonical
+    assert bytes(m[1].thumb).startswith(b"\xff\xd8") and m[2].thumb is None
