@@ -128,6 +128,61 @@ def near_dedup_batch(
     upsert_table(spark, sigs, signature_path, key="doc_id")
 
 
+def image_dedup_batch(
+    batch_df: DataFrame,
+    hash_path: str,
+    pairs_path: str,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    band_bits: int = 16,
+    decode: str = "real",
+) -> None:
+    """One continuous-ingest IMAGE near-dedup step — the media-modality
+    twin of ``near_dedup_batch`` (same idempotency contract, usable as
+    a foreachBatch body or cron-style batch ingest):
+
+    1. ``image_dhash`` fingerprints for the batch only (payload bytes
+       are decoded once per document, never re-decoded on later
+       batches — the corpus state is the 8-byte hash, not the image),
+    2. ``incremental_simhash_pairs`` against the PERSISTED hash table
+       (banded Hamming; new-vs-old both orders, new-vs-new once,
+       old-vs-old never),
+    3. pairs canonicalized to (id_a, id_b) = (min, max) and MERGEd on
+       that key, hashes MERGEd on the id — redelivered micro-batches
+       and fresh-checkpoint reprocesses upsert the same rows.
+
+    Images too damaged to decode raise inside the kernel (honest
+    failure, not a silent skip); route quarantine upstream via
+    ``json_quarantine``-style gating if the feed is dirty. State
+    lives in the two parquet tables; a restart is cold with zero
+    state rebuild."""
+    from ..operators.dedup import incremental_simhash_pairs
+    from ..operators.multimodal import image_dhash
+    from ..sinks.writer import table_exists, upsert_table
+
+    spark = batch_df.sparkSession
+    hashes = (
+        image_dhash(batch_df, id_col, payload_col, decode=decode)
+        .filter(F.col("dhash").isNotNull())
+        .select("doc_id", F.col("dhash").alias("sh"))
+        .localCheckpoint()  # eager: feeds the pair join AND the merge
+    )
+    if table_exists(hash_path):
+        corpus = spark.read.parquet(hash_path)
+    else:
+        corpus = spark.createDataFrame([], hashes.schema)
+    pairs = incremental_simhash_pairs(
+        hashes, corpus, max_hamming=max_hamming, band_bits=band_bits
+    ).select(
+        F.least("id_new", "id_other").alias("id_a"),
+        F.greatest("id_new", "id_other").alias("id_b"),
+        "hamming",
+    )
+    upsert_table(spark, pairs, pairs_path, key=("id_a", "id_b"))
+    upsert_table(spark, hashes, hash_path, key="doc_id")
+
+
 def stream_near_dedup(
     stream_df: DataFrame,
     signature_path: str,

@@ -396,3 +396,44 @@ def test_stream_classifier_scores_replay_idempotent(spark, tmp_path):
                                  query_name="clf_stream_t")
     q.awaitTermination()
     assert spark.read.parquet(scores_path).count() == 3  # still converged
+
+
+def test_image_dedup_batch_replay_idempotent(spark, tmp_path):
+    """Continuous-ingest image near-dedup (media twin of
+    near_dedup_batch): batch 2 finds its near-dups against batch 1's
+    PERSISTED hashes without re-decoding them; a redelivered batch and
+    a multi-batch ingest converge to the single-shot tables."""
+    import numpy as np
+
+    from nba_data_pipeline_spark.streaming.ops import image_dedup_batch
+
+    def grad(shift):
+        x = np.clip(np.linspace(0, 255, 24)[None, :] + shift, 0, 255)
+        return np.stack([np.tile(x, (16, 1))] * 3, axis=-1).astype(np.uint8)
+
+    def ppm(img):
+        return bytearray(b"P6\n24 16\n255\n" + img.tobytes())
+
+    rows = [
+        (1, ppm(grad(0))),
+        (2, ppm(grad(1))),       # near-dup of 1
+        (3, ppm(255 - grad(0))), # unrelated
+        (4, ppm(grad(2))),       # near-dup of 1 and 2, later batch
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    h_m, p_m = str(tmp_path / "hm"), str(tmp_path / "pm")
+    h_1, p_1 = str(tmp_path / "h1"), str(tmp_path / "p1")
+    b1 = df.filter("doc_id <= 3")
+    b2 = df.filter("doc_id = 4")
+    image_dedup_batch(b1, h_m, p_m)
+    image_dedup_batch(b2, h_m, p_m)
+    image_dedup_batch(b2, h_m, p_m)  # redelivery
+    image_dedup_batch(df, h_1, p_1)  # single shot
+    key = lambda r: (r.id_a, r.id_b, r.hamming)
+    multi = sorted(map(key, spark.read.parquet(p_m).collect()))
+    single = sorted(map(key, spark.read.parquet(p_1).collect()))
+    assert multi == single
+    got_pairs = {(a, b) for a, b, _ in multi}
+    assert (1, 2) in got_pairs and (1, 4) in got_pairs
+    assert not any(3 in p for p in got_pairs)
+    assert spark.read.parquet(h_m).count() == 4
