@@ -7879,38 +7879,40 @@ _DRIVER_WINDOW = [
     "left_anti_delta",     # J1 delta family (the reference's signature op)
     "merge_upsert",        # S5/S7 sink family
     "asof_join",           # J6/asof family
-    "dup_key_check",       # A5/S10 invariant family
     "stint_rollup_stats",  # A1 rollup family
     "lineup_validation",   # O2-O6 lineup family (flagship stateful op)
     "minhash_pairs_portable",      # dedup family flagship
     "corpus_pipeline_relational",  # composed end-to-end pipeline
-    # --- 40 first-time driver checks below (never sampled r1-r8) ---
-    # COVERAGE.md r8 rotation candidates (13)
-    "video_frame_overlap", "activity_bursts", "touch_attribution",
-    "oov_rate", "resample_ffill", "graph_degrees", "triangle_counts",
-    "dedup_cluster_stats", "referential_integrity", "encoding_gate",
-    "unpivot_long", "collocations", "template_groups",
-    # TPC-H shapes the driver has never checked (q1/q3/q17/q21 green
-    # r7+r8; q5/q12 green r6)
-    "tpch_q6", "tpch_q19", "tpch_q22",
-    # Sketch gates (mergeable-rollup family)
-    "heavy_hitters", "hll_sketch_gate", "theta_overlap_gate",
-    "kll_quantile_gate", "cms_bounds_gate",
-    # PII / URL / web-corpus filters (registered+benched since r6,
-    # never driver-checked)
-    "pii_scrub", "pii_audit", "url_features", "domain_block_filter",
-    "html_extract", "c4_gate",
-    # newly oracle-ified this round (were rows-only): unrolled-CTE
-    # fixed-point power iteration; md5-portable multi-batch replay
-    # vs single-shot DuckDB LSH
-    "pagerank_centrality", "streaming_replay_oracle",
-    # Text/dedup variants
-    "chunk_text", "normalized_dedup", "dedup_keep_best",
-    # Embedding ops
-    "quantize_embeddings", "semantic_decontaminate",
-    # Relational/window shapes
-    "scd2_intervals", "rollup_agg", "cube_agg", "exact_median",
-    "interval_merge", "cohort_retention", "latest_order_per_customer",
+    # --- 42 first-time driver checks below (never sampled r1-r9) ---
+    # TPC-H completions landed in r9
+    "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16", "tpch_q20",
+    # r9 media/audio surface (codecs, channel stats, augmentation,
+    # composed vision pipeline)
+    "mjpeg_codec_gate", "image_channel_stats", "augment_gate",
+    "media_pipeline_gate", "audio_pipeline_gate",
+    # resultSet decoder (S2) + streaming heavy-hitter gate
+    "resultset_decode", "streaming_hh_gate",
+    # ANN / embedding family
+    "batch_ann", "lsh_ann_topk", "retrieval_metrics",
+    "hard_negatives", "jl_distortion_gate",
+    # Deterministic sampling family
+    "stratified_sample", "deterministic_sample",
+    "train_val_test_split", "sample_k_per_group",
+    # Normalization family
+    "normalize_embeddings", "normalize_minmax", "normalize_rank",
+    # Profiling family
+    "profile_table", "length_percentiles", "outlier_flags",
+    # Window / relational shapes
+    "rolling_window_agg", "lag_delta", "event_transitions",
+    "global_ordinals",
+    # Winnowing spans + incremental variants
+    "incremental_winnow", "repeated_spans", "repeated_spans_keep_first",
+    # Quality / source curation
+    "quality_prune", "source_quality_summary",
+    # Incremental near-dedup family
+    "incremental_neardup", "ngram_jaccard_pruned",
+    # Text transforms
+    "regex_extract", "tfidf_top_terms", "scrub_text", "sentence_chunks",
 ]
 
 
