@@ -7859,6 +7859,144 @@ def q_resample_ffill(spark, sf):
     )
 
 
+# ===========================================================================
+# Bloom-filter seen-set (continuous-ingest membership pre-filter)
+# ===========================================================================
+
+_BLOOM_M = 1 << 16
+_BLOOM_K = 4
+# shared DuckDB fragments: positions/words of the full-corpus filter and
+# the probe batch (every 5th doc replayed verbatim = must-be-seen; every
+# 5th+1 doc with a ' <NEW>' suffix = genuinely unseen, FP-measurable)
+_BLOOM_ORACLE_CTE = f"""
+    probes AS (
+      SELECT doc_id, 'seen' AS probe_kind, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id, 'new' AS probe_kind, text || ' <NEW>' AS text
+      FROM documents WHERE doc_id % 5 = 1
+    ),
+    hist_pos AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(s.i AS VARCHAR) || ':' || d.text), 1, 8))
+                  AS BIGINT) % {_BLOOM_M} AS pos
+      FROM documents d, (VALUES (0), (1), (2), (3)) AS s(i)
+    ),
+    words AS (
+      SELECT pos // 32 AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+      FROM hist_pos GROUP BY 1
+    ),
+    probe_pos AS (
+      SELECT p.doc_id, p.probe_kind,
+             CAST(('0x' || substr(md5(CAST(s.i AS VARCHAR) || ':' || p.text), 1, 8))
+                  AS BIGINT) % {_BLOOM_M} AS pos
+      FROM probes p, (VALUES (0), (1), (2), (3)) AS s(i)
+    ),
+    hits AS (
+      SELECT p.doc_id, p.probe_kind,
+             CASE WHEN w.bits IS NOT NULL
+                       AND (w.bits & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INT))) != 0
+                  THEN 1 ELSE 0 END AS hit
+      FROM probe_pos p LEFT JOIN words w ON w.word_idx = p.pos // 32
+    ),
+    flags AS (
+      SELECT doc_id, probe_kind, MIN(hit) = 1 AS maybe_seen
+      FROM hits GROUP BY doc_id, probe_kind
+    )"""
+
+
+def _bloom_flags(spark, sf):
+    from .operators.bloom import bloom_build, bloom_flag_seen
+
+    docs = _t(spark, sf, "documents")
+    words = bloom_build(docs, "text", _BLOOM_M, _BLOOM_K, hash="md5")
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.lit("seen").alias("probe_kind"), "text"
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 5 == 1).select(
+            "doc_id",
+            F.lit("new").alias("probe_kind"),
+            F.concat(F.col("text"), F.lit(" <NEW>")).alias("text"),
+        )
+    )
+    return bloom_flag_seen(
+        batch, words, "text", ["doc_id", "probe_kind"], _BLOOM_M, _BLOOM_K, hash="md5"
+    )
+
+
+@q(
+    "bloom_seen_filter",
+    f"""WITH {_BLOOM_ORACLE_CTE}
+       SELECT doc_id, probe_kind, maybe_seen FROM flags ORDER BY doc_id""",
+)
+def q_bloom_seen_filter(spark, sf):
+    """Bloom seen-set membership (operators/bloom.py): one history scan
+    builds a 64 Kbit bitmap; the batch is flagged via a broadcast join
+    against the <=2048-row word table — the delta-mode anti-join
+    (reference utils/db_client.py, J1) without re-scanning history.
+    md5-portable hash family so the flags value-hash-match any engine."""
+    return _bloom_flags(spark, sf).orderBy("doc_id")
+
+
+@q(
+    "bloom_fp_gate",
+    f"""WITH {_BLOOM_ORACLE_CTE},
+       stats AS (
+         SELECT
+           CAST(SUM(CASE WHEN probe_kind = 'seen' THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+           CAST(SUM(CASE WHEN probe_kind = 'seen' AND maybe_seen THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_seen_flagged,
+           CAST(SUM(CASE WHEN probe_kind = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN probe_kind = 'new' AND maybe_seen THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fp
+         FROM flags
+       ),
+       hist AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hist FROM documents)
+       SELECT n_seen, n_seen_flagged, n_new, n_fp,
+              (n_seen_flagged = n_seen
+               AND n_fp <= CEIL(3.0 * POW(1.0 - EXP(-{_BLOOM_K}.0 * n_hist / {_BLOOM_M}.0),
+                                          {_BLOOM_K}) * n_new + 5.0))
+                AS verdict
+       FROM stats, hist""",
+)
+def q_bloom_fp_gate(spark, sf):
+    """Bloom-filter guarantees as a computable verdict: zero false
+    negatives (every replayed doc flagged) and measured FP count within
+    3x the (1 - e^(-kn/m))^k bound (+5 absolute slack so the float
+    bound can never flip the boolean across engines)."""
+    flags = _bloom_flags(spark, sf)
+    seen = F.col("probe_kind") == "seen"
+    stats = flags.agg(
+        F.sum(F.when(seen, 1).otherwise(0)).cast("long").alias("n_seen"),
+        F.sum(F.when(seen & F.col("maybe_seen"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_seen_flagged"),
+        F.sum(F.when(~seen, 1).otherwise(0)).cast("long").alias("n_new"),
+        F.sum(F.when(~seen & F.col("maybe_seen"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_fp"),
+    )
+    hist = _t(spark, sf, "documents").agg(F.count("*").cast("long").alias("n_hist"))
+    bound = F.ceil(
+        F.lit(3.0)
+        * F.pow(
+            F.lit(1.0) - F.exp(F.lit(-float(_BLOOM_K)) * F.col("n_hist") / _BLOOM_M),
+            F.lit(_BLOOM_K),
+        )
+        * F.col("n_new")
+        + F.lit(5.0)
+    )
+    return stats.crossJoin(hist).select(
+        "n_seen",
+        "n_seen_flagged",
+        "n_new",
+        "n_fp",
+        (
+            (F.col("n_seen_flagged") == F.col("n_seen")) & (F.col("n_fp") <= bound)
+        ).alias("verdict"),
+    )
+
+
 # The driver's correctness gate samples the FIRST 50 entries of
 # queries() in insertion order (confirmed: CORRECTNESS_r05 keys ==
 # registry[:50]). Source order groups queries by module/topic, which
