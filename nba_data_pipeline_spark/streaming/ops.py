@@ -266,6 +266,104 @@ def stream_quality_scores(
     return writer.start()
 
 
+_SEEN_BUCKETS = 256  # partition count of the content-hash state table
+
+
+def seen_content_filter_batch(
+    batch_df: DataFrame,
+    bloom_path: str,
+    hashes_path: str,
+    text_col: str = "text",
+    m_bits: int = 1 << 24,
+    k: int = 5,
+) -> DataFrame:
+    """Drop batch rows whose CONTENT is already ingested (any id).
+
+    Two stages, both O(batch) — the corpus itself is never scanned:
+
+    1. Bloom probe (``operators/bloom.py``): broadcast the persisted
+       word table, flag maybe-seen rows. ``maybe_seen = false`` is
+       definitive, so those rows skip stage 2 entirely.
+    2. Exact check for the flagged minority only: anti-join
+       (xxhash64(text), length(text)) against the content-hash state
+       table, which is laid out in ``pmod(content_hash, 256)``
+       partition buckets — the read is partition-pruned to just the
+       buckets the flagged rows actually touch, so the stored side
+       cost tracks the FLAGGED volume (true replays + the gated Bloom
+       FP rate), not corpus size.
+
+    Cold start (no state yet) passes the batch through unchanged.
+    """
+    from ..operators.bloom import bloom_flag_seen
+    from ..sinks.writer import table_exists
+
+    spark = batch_df.sparkSession
+    if not table_exists(bloom_path) or not table_exists(hashes_path):
+        return batch_df
+    tagged = batch_df.withColumn("_ch", F.xxhash64(F.col(text_col))).withColumn(
+        "_cl", F.length(text_col).cast("long")
+    )
+    words = spark.read.parquet(bloom_path)
+    flags = bloom_flag_seen(tagged, words, text_col, ["_ch", "_cl"], m_bits, k)
+    maybe = flags.filter(F.col("maybe_seen")).select("_ch", "_cl")
+    definitely_new = tagged.join(maybe, ["_ch", "_cl"], "left_anti")
+    flagged = tagged.join(maybe, ["_ch", "_cl"], "left_semi")
+    # partition-pruned exact check: only the buckets flagged rows touch
+    buckets = [
+        r.b for r in maybe.select(
+            F.pmod("_ch", F.lit(_SEEN_BUCKETS)).alias("b")
+        ).distinct().collect()
+    ]
+    if not buckets:
+        return definitely_new.drop("_ch", "_cl")
+    hashes = spark.read.parquet(hashes_path).filter(F.col("bucket").isin(buckets))
+    survivors = flagged.join(
+        hashes.select(
+            F.col("content_hash").alias("_ch"), F.col("content_len").alias("_cl")
+        ),
+        ["_ch", "_cl"],
+        "left_anti",
+    )
+    return definitely_new.unionByName(survivors).drop("_ch", "_cl")
+
+
+def record_ingested_content(
+    accepted_df: DataFrame,
+    bloom_path: str,
+    hashes_path: str,
+    text_col: str = "text",
+    m_bits: int = 1 << 24,
+    k: int = 5,
+) -> None:
+    """Fold the accepted batch into the seen-content state: bit_or-merge
+    the Bloom word table and append the (content_hash, content_len)
+    rows into their pmod buckets.
+
+    MUST run AFTER the corpus MERGE commits: a crash between the MERGE
+    and this call only re-processes the batch on redelivery (the MERGE
+    is idempotent), whereas the reverse order could mark content seen
+    that never reached the corpus and then silently drop it forever.
+    """
+    from ..operators.bloom import bloom_build, bloom_merge
+    from ..sinks.writer import table_exists, write_table
+
+    spark = accepted_df.sparkSession
+    new_words = bloom_build(accepted_df, text_col, m_bits, k)
+    if table_exists(bloom_path):
+        # localCheckpoint cuts the lineage to the files being overwritten
+        merged = bloom_merge(
+            spark.read.parquet(bloom_path), new_words
+        ).localCheckpoint()
+    else:
+        merged = new_words
+    write_table(merged, bloom_path)
+    hashes = accepted_df.select(
+        F.xxhash64(F.col(text_col)).alias("content_hash"),
+        F.length(text_col).cast("long").alias("content_len"),
+    ).distinct().withColumn("bucket", F.pmod("content_hash", F.lit(_SEEN_BUCKETS)))
+    write_table(hashes, hashes_path, partition_by=["bucket"], mode="append")
+
+
 def corpus_ingest_batch(
     batch_df: DataFrame,
     lm: DataFrame,
@@ -277,6 +375,8 @@ def corpus_ingest_batch(
     text_col: str = "text",
     gate_kwargs: dict | None = None,
     pii_types: list | None = None,
+    bloom_path: str | None = None,
+    hashes_path: str | None = None,
     **near_dedup_kwargs,
 ) -> None:
     """One full continuous-ingest corpus step — the composed foreachBatch
@@ -285,6 +385,13 @@ def corpus_ingest_batch(
     0. (``pii_types`` set) PII redaction — BEFORE gating/shingling so
        identifiers never reach signatures or the corpus table (same
        contract as the batch ``corpus_pipeline``),
+    0.5 (``bloom_path``/``hashes_path`` set) seen-content pre-filter
+       (``seen_content_filter_batch``): already-ingested content —
+       replays, crawler re-fetches under new ids — is dropped before
+       it costs gating, shingling, or scoring; the matching
+       ``record_ingested_content`` runs LAST, after the corpus MERGE
+       commits, so a mid-step crash only re-processes (never loses)
+       a batch,
     1. rule gate (``text.gopher_rules``): rejected documents never cost
        shingling, scoring, or state,
     2. ``near_dedup_batch``: signatures + incremental pairs vs the
@@ -307,6 +414,11 @@ def corpus_ingest_batch(
         from ..operators.pii import redact_pii
 
         batch_df = redact_pii(batch_df, text_col, types=list(pii_types))
+    seen_state = bloom_path is not None and hashes_path is not None
+    if seen_state:
+        batch_df = seen_content_filter_batch(
+            batch_df, bloom_path, hashes_path, text_col
+        )
     gated = (
         gopher_rules(batch_df, text_col=text_col, **(gate_kwargs or {}))
         .filter(F.col("gopher_keep"))
@@ -316,6 +428,8 @@ def corpus_ingest_batch(
     near_dedup_batch(gated, signature_path, pairs_path, id_col, text_col, **near_dedup_kwargs)
     quality_score_batch(gated, lm, scores_path, id_col, text_col)
     upsert_table(batch_df.sparkSession, gated, corpus_path, key=id_col)
+    if seen_state:
+        record_ingested_content(gated, bloom_path, hashes_path, text_col)
 
 
 def stream_corpus_ingest(
@@ -332,6 +446,8 @@ def stream_corpus_ingest(
     query_name: str = "stream_corpus_ingest",
     gate_kwargs: dict | None = None,
     pii_types: list | None = None,
+    bloom_path: str | None = None,
+    hashes_path: str | None = None,
     **near_dedup_kwargs,
 ):
     """The whole training-corpus ingest as ONE Structured Streaming
@@ -344,6 +460,7 @@ def stream_corpus_ingest(
         corpus_ingest_batch(
             batch_df, lm, corpus_path, signature_path, pairs_path, scores_path,
             id_col, text_col, gate_kwargs=gate_kwargs, pii_types=pii_types,
+            bloom_path=bloom_path, hashes_path=hashes_path,
             **near_dedup_kwargs,
         )
 

@@ -81,3 +81,72 @@ def test_unseen_value_definitively_absent(spark):
     assert got[1] is True  # replayed doc must be flagged (no FN)
     # FP on a single probe at n=50, m=16384 is ~1e-10; definitive here
     assert got[2] is False
+
+
+# ---------------------------------------------------------------------------
+# continuous-ingest wiring (streaming/ops.py seen-content pre-filter)
+# ---------------------------------------------------------------------------
+
+
+def test_seen_content_filter_cold_start_passthrough(spark, tmp_path):
+    from nba_data_pipeline_spark.streaming.ops import seen_content_filter_batch
+
+    batch = _corpus(spark, 10)
+    out = seen_content_filter_batch(
+        batch, str(tmp_path / "bloom"), str(tmp_path / "hashes")
+    )
+    assert out.count() == 10
+    assert out.columns == batch.columns
+
+
+def test_seen_content_filter_round_trip(spark, tmp_path):
+    from nba_data_pipeline_spark.streaming.ops import (
+        record_ingested_content,
+        seen_content_filter_batch,
+    )
+
+    bloom_p, hashes_p = str(tmp_path / "bloom"), str(tmp_path / "hashes")
+    record_ingested_content(_corpus(spark, 50, "h"), bloom_p, hashes_p)
+    # replayed content under NEW ids + genuinely new content
+    replay = _corpus(spark, 50, "h").withColumn("doc_id", F.col("doc_id") + 1000)
+    fresh = _corpus(spark, 20, "fresh")
+    out = seen_content_filter_batch(replay.unionByName(fresh), bloom_p, hashes_p)
+    texts = {r.text for r in out.collect()}
+    assert len(texts) == 20 and all(t.startswith("fresh") for t in texts)
+    # state is mergeable across batches: fold the fresh docs in too
+    record_ingested_content(fresh, bloom_p, hashes_p)
+    assert seen_content_filter_batch(fresh, bloom_p, hashes_p).count() == 0
+
+
+def test_ingest_with_bloom_drops_replayed_content(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from nba_data_pipeline_spark.operators.text import fit_trigram_lm
+    from nba_data_pipeline_spark.streaming.ops import corpus_ingest_batch
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    good = "the quick brown fox jumps and runs with great energy today " * 6
+    other = "a calm grey owl watches the quiet forest and waits for night " * 6
+    lm = fit_trigram_lm(spark.createDataFrame([(0, good)], schema), "text")
+    paths = {
+        k: str(tmp_path / k)
+        for k in ("corpus", "sigs", "pairs", "scores", "bloom", "hashes")
+    }
+
+    def ingest(rows):
+        corpus_ingest_batch(
+            spark.createDataFrame(rows, schema),
+            lm, paths["corpus"], paths["sigs"], paths["pairs"], paths["scores"],
+            bloom_path=paths["bloom"], hashes_path=paths["hashes"],
+            num_perm=32, bands=16, threshold=0.3,
+        )
+
+    ingest([(1, good)])
+    assert {r.doc_id for r in spark.read.parquet(paths["corpus"]).collect()} == {1}
+    # same content under a new id is dropped BEFORE gating/signatures;
+    # new content flows through
+    ingest([(77, good), (2, other)])
+    assert {r.doc_id for r in spark.read.parquet(paths["corpus"]).collect()} == {1, 2}
+    assert {r.doc_id for r in spark.read.parquet(paths["sigs"]).collect()} == {1, 2}
