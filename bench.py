@@ -71,6 +71,10 @@ HEADLINE = [
     "video_frame_overlap",
     "pii_scrub",
     "domain_block_filter",
+    # seen-set family: the Bloom flag pass and the full two-stage
+    # (Bloom + exact anti-join) delta vs the same batch grain
+    "bloom_seen_filter",
+    "seen_content_delta",
     "lineups_declarative_bulk",
     # same 200-game x 300-event grain through the applyInPandas scan,
     # so the Python/Arrow transfer tax vs the declarative range-join

@@ -7997,6 +7997,61 @@ def q_bloom_fp_gate(spark, sf):
     )
 
 
+@q(
+    "seen_content_delta",
+    """WITH batch AS (
+         SELECT doc_id + 1000000000 AS doc_id, text
+         FROM documents WHERE doc_id % 7 = 0
+         UNION ALL
+         SELECT doc_id, text || ' <V2>' AS text
+         FROM documents WHERE doc_id % 7 = 1
+       )
+       SELECT b.doc_id, b.text
+       FROM batch b
+       WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = b.text)
+       ORDER BY b.doc_id""",
+)
+def q_seen_content_delta(spark, sf):
+    """End-to-end equivalence of the two-stage seen-content path
+    (streaming/ops.py seen_content_filter_batch shape: Bloom probe,
+    then exact (xxhash64, length) anti-join for the flagged minority
+    only) to the reference's plain delta anti-join (utils/db_client.py
+    delta mode, J1). The oracle is the bare NOT EXISTS — it never
+    models the Bloom — so a value-hash match proves the composition is
+    EXACTLY the anti-join on the PRODUCTION hash family: stage 1 has
+    no false negatives and stage 2 removes every false positive. Batch
+    = every 7th doc replayed verbatim under a new id (must all drop)
+    plus every 7th+1 doc with a ' <V2>' suffix (must all survive)."""
+    from .operators.bloom import bloom_build, bloom_flag_seen
+
+    docs = _t(spark, sf, "documents")
+    hist = docs.select("text")
+    batch = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 7 == 1).select(
+                "doc_id", F.concat("text", F.lit(" <V2>")).alias("text")
+            )
+        )
+    )
+    words = bloom_build(hist, "text", _BLOOM_M, _BLOOM_K)
+    flags = bloom_flag_seen(batch, words, "text", ["doc_id"], _BLOOM_M, _BLOOM_K)
+    tagged = batch.join(flags, "doc_id")
+    definitely_new = tagged.filter(~F.col("maybe_seen")).select("doc_id", "text")
+    flagged = tagged.filter(F.col("maybe_seen")).select("doc_id", "text")
+    hist_keys = hist.select(
+        F.xxhash64("text").alias("_ch"), F.length("text").cast("long").alias("_cl")
+    ).distinct()
+    survivors = (
+        flagged.withColumn("_ch", F.xxhash64("text"))
+        .withColumn("_cl", F.length("text").cast("long"))
+        .join(hist_keys, ["_ch", "_cl"], "left_anti")
+        .select("doc_id", "text")
+    )
+    return definitely_new.unionByName(survivors).orderBy("doc_id")
+
+
 # The driver's correctness gate samples the FIRST 50 entries of
 # queries() in insertion order (confirmed: CORRECTNESS_r05 keys ==
 # registry[:50]). Source order groups queries by module/topic, which
