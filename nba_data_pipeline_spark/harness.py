@@ -407,6 +407,136 @@ def q_insert_ignore(spark, sf):
 
 
 @q(
+    "incremental_agg_state",
+    """SELECT o_custkey,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              ROUND(SUM(o_totalprice), 2) AS sum_total,
+              ROUND(MIN(o_totalprice), 2) AS min_total,
+              ROUND(MAX(o_totalprice), 2) AS max_total
+       FROM orders GROUP BY o_custkey""",
+)
+def q_incremental_agg_state(spark, sf):
+    """Incremental aggregate-view maintenance
+    (operators/incremental.py fold_aggregate_state): the per-customer
+    rollup is bootstrapped from 80% of orders (history), then the
+    remaining 20% (the new batch) is FOLDED in — partial aggs over the
+    batch merged into the state, history never reaggregated. The
+    oracle is the single-pass GROUP BY over everything, so a
+    value-hash match proves the fold is exactly the aggregate. The
+    reference refreshes its summaries by full rescans; this is the
+    shape that replaces them at 100 TB."""
+    from .operators.incremental import fold_aggregate_state
+
+    o = _t(spark, sf, "orders")
+    specs = {
+        "n_orders": ("count", "*"),
+        "sum_total": ("sum", "o_totalprice"),
+        "min_total": ("min", "o_totalprice"),
+        "max_total": ("max", "o_totalprice"),
+    }
+    state = fold_aggregate_state(
+        None, o.filter(F.col("o_orderkey") % 5 != 0), ["o_custkey"], specs
+    )
+    folded = fold_aggregate_state(
+        state, o.filter(F.col("o_orderkey") % 5 == 0), ["o_custkey"], specs
+    )
+    return folded.select(
+        "o_custkey",
+        "n_orders",
+        F.round("sum_total", 2).alias("sum_total"),
+        F.round("min_total", 2).alias("min_total"),
+        F.round("max_total", 2).alias("max_total"),
+    )
+
+
+@q(
+    "cdc_apply",
+    """WITH changes AS (
+         SELECT c_custkey, 'U' AS op, 2 AS seq, c_name,
+                c_acctbal + 100 AS c_acctbal
+         FROM customer WHERE c_custkey % 10 = 0
+         UNION ALL
+         SELECT c_custkey, 'U' AS op, 1 AS seq, c_name,
+                c_acctbal - 50 AS c_acctbal
+         FROM customer WHERE c_custkey % 10 = 0
+         UNION ALL
+         SELECT c_custkey, 'D' AS op, 1 AS seq, c_name, c_acctbal
+         FROM customer WHERE c_custkey % 10 = 1
+         UNION ALL
+         SELECT c_custkey + 1000000 AS c_custkey, 'I' AS op, 1 AS seq,
+                'newcust' AS c_name, 0.0 AS c_acctbal
+         FROM customer
+       ),
+       latest AS (
+         SELECT c_custkey, op, c_name, c_acctbal,
+                ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                   ORDER BY seq DESC, op DESC) AS rn
+         FROM changes
+       ),
+       win AS (SELECT c_custkey, op, c_name, c_acctbal FROM latest WHERE rn = 1)
+       SELECT s.c_custkey, s.c_name, ROUND(s.c_acctbal, 2) AS acctbal
+       FROM customer s
+       WHERE NOT EXISTS (SELECT 1 FROM win w WHERE w.c_custkey = s.c_custkey)
+       UNION ALL
+       SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+       FROM win WHERE op <> 'D'""",
+)
+def q_cdc_apply(spark, sf):
+    """Change-data-capture apply (operators/incremental.py cdc_apply):
+    an I/U/D log — two competing updates per touched key (latest seq
+    wins), deletes, and brand-new inserts — applied onto the customer
+    snapshot in one window-pass-over-the-log + anti-join + union. The
+    lakehouse MERGE the reference's row-wise ON CONFLICT upserts
+    (database/db_client.py:69-90) can't express: they have no delete
+    and no ordering among competing changes."""
+    from .operators.incremental import cdc_apply
+
+    c = _t(spark, sf, "customer")
+    snapshot = c.select("c_custkey", "c_name", "c_acctbal")
+    touched_u = c.filter(F.col("c_custkey") % 10 == 0)
+    changes = (
+        touched_u.select(
+            "c_custkey",
+            F.lit("U").alias("op"),
+            F.lit(2).alias("seq"),
+            "c_name",
+            (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        )
+        .unionByName(
+            touched_u.select(
+                "c_custkey",
+                F.lit("U").alias("op"),
+                F.lit(1).alias("seq"),
+                "c_name",
+                (F.col("c_acctbal") - 50).alias("c_acctbal"),
+            )
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 10 == 1).select(
+                "c_custkey",
+                F.lit("D").alias("op"),
+                F.lit(1).alias("seq"),
+                "c_name",
+                "c_acctbal",
+            )
+        )
+        .unionByName(
+            c.select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                F.lit("I").alias("op"),
+                F.lit(1).alias("seq"),
+                F.lit("newcust").alias("c_name"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    out = cdc_apply(snapshot, changes, ["c_custkey"], "seq")
+    return out.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal")
+    )
+
+
+@q(
     "asof_join",
     """SELECT e.event_id, r.rv
        FROM (SELECT event_id, user_id % 10 AS k, ts FROM events) e

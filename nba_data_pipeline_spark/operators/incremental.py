@@ -146,3 +146,99 @@ def table_diff_summary(
         .groupBy("diff_status")
         .agg(F.count("*").alias("n"))
     )
+
+
+def fold_aggregate_state(
+    state: DataFrame | None,
+    batch: DataFrame,
+    keys: Sequence[str],
+    specs: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Incremental aggregate-view maintenance: fold a new batch into a
+    persisted per-key rollup WITHOUT reaggregating history.
+
+    ``specs`` maps each state column to ``(kind, input_col)`` with kind
+    in {sum, count, min, max} — the self-decomposable aggregates whose
+    merge IS the aggregate (sum of sums, sum of counts, min of mins,
+    max of maxes). Non-decomposable reads (avg, stddev) derive from
+    these at query time (avg = sum/count); approximate distincts ride
+    the mergeable sketches in ``operators/sketches.py``.
+
+    Shape: one partial aggregation over the BATCH only, then a re-agg
+    of state ∪ partials — two map-side-combined shuffles whose inputs
+    are O(batch + |state keys|), never O(history). This is the only
+    rollup-maintenance shape that survives unbounded history: the
+    reference recomputes its season aggregates from the full table each
+    run (etl/player_game_summary.py style full scans), which at 100 TB
+    means rescanning the corpus per refresh.
+
+    ``state=None`` bootstraps (first batch). Idempotence is the
+    caller's contract: feed each batch exactly once (pair with
+    ``delta_filter`` / the Bloom seen-set for redelivery safety).
+    """
+    keys = list(keys)
+    _MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+    def _partial(df: DataFrame) -> DataFrame:
+        aggs = []
+        for out, (kind, col) in specs.items():
+            if kind == "count":
+                expr = F.count(col) if col != "*" else F.count("*")
+            elif kind in ("sum", "min", "max"):
+                expr = getattr(F, kind)(col)
+            else:
+                raise ValueError(f"unsupported incremental aggregate: {kind}")
+            aggs.append(expr.alias(out))
+        return df.groupBy(*keys).agg(*aggs)
+
+    partials = _partial(batch)
+    if state is None:
+        return partials
+    merged = state.select(partials.columns).unionByName(partials)
+    return merged.groupBy(*keys).agg(
+        *[_MERGE[kind](out).alias(out) for out, (kind, _) in specs.items()]
+    )
+
+
+def cdc_apply(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a change-data-capture log onto a snapshot: latest change
+    per key wins (by ``seq_col``), ``op == 'D'`` deletes the key,
+    anything else ('I'/'U') upserts the change row's values. Keys with
+    no change keep their snapshot row untouched.
+
+    Shape: one window pass over the CHANGES (row_number by seq desc —
+    the log is O(batch), never O(table)), one anti-join to drop touched
+    keys from the snapshot, one union. At 100 TB the snapshot side is
+    key-projected for the anti-join and the whole apply maps 1:1 to a
+    Delta ``MERGE WHEN MATCHED [AND op='D'] THEN DELETE`` — this is the
+    lakehouse mirror of the reference's row-wise ON CONFLICT upserts
+    (database/db_client.py:69-90), which have no delete story at all.
+
+    Ties on (key, seq) break on op descending ('U' > 'I' > 'D') then
+    the row's content hash, so the result is deterministic across
+    partitionings even on a malformed log; a well-formed log has a
+    unique seq per key and never hits the tie-break.
+    """
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    payload = [c for c in snapshot.columns if c not in keys]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(),
+        F.col(op_col).desc(),
+        F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in payload]).desc(),
+    )
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    untouched = snapshot.join(latest.select(*keys), keys, "left_anti")
+    upserts = latest.filter(F.col(op_col) != F.lit("D")).select(snapshot.columns)
+    return untouched.unionByName(upserts)

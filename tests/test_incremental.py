@@ -66,3 +66,86 @@ def test_table_diff_classifies_all_four_states(spark):
     # NULL vs value flips to changed (NULL marker is not a real value)
     new2 = spark.createDataFrame([(3, "c", 9.0)], "k long, s string, v double")
     assert {r.k: r.diff_status for r in table_diff(old.filter("k=3"), new2, ["k"]).collect()} == {3: "changed"}
+
+
+def test_fold_aggregate_state_matches_full_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.operators.incremental import fold_aggregate_state
+
+    rows = [(i % 7, float(i * 3 % 101)) for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    specs = {
+        "n": ("count", "*"),
+        "s": ("sum", "v"),
+        "lo": ("min", "v"),
+        "hi": ("max", "v"),
+    }
+    # fold in three uneven batches (including one with brand-new keys)
+    b1 = df.filter(F.col("v") < 30)
+    b2 = df.filter((F.col("v") >= 30) & (F.col("v") < 31))  # near-empty batch
+    b3 = df.filter(F.col("v") >= 31)
+    state = fold_aggregate_state(None, b1, ["k"], specs)
+    state = fold_aggregate_state(state, b2, ["k"], specs)
+    state = fold_aggregate_state(state, b3, ["k"], specs)
+    full = df.groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s"),
+        F.min("v").alias("lo"), F.max("v").alias("hi"),
+    )
+    got = {r.k: (r.n, round(r.s, 6), r.lo, r.hi) for r in state.collect()}
+    want = {r.k: (r.n, round(r.s, 6), r.lo, r.hi) for r in full.collect()}
+    assert got == want
+
+
+def test_fold_aggregate_state_rejects_non_decomposable(spark):
+    from nba_data_pipeline_spark.operators.incremental import fold_aggregate_state
+
+    df = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    with pytest.raises(ValueError, match="unsupported incremental aggregate"):
+        fold_aggregate_state(None, df, ["k"], {"a": ("avg", "v")})
+
+
+def test_cdc_apply_latest_wins_delete_insert(spark):
+    from nba_data_pipeline_spark.operators.incremental import cdc_apply
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, bal double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "U", 1, "a", 11.0),
+            (1, "U", 2, "a", 12.0),   # later seq wins
+            (2, "D", 1, "b", 0.0),    # delete
+            (4, "I", 1, "d", 40.0),   # brand-new key
+        ],
+        "id long, op string, seq int, name string, bal double",
+    )
+    out = cdc_apply(snap, changes, ["id"], "seq")
+    got = {r.id: (r.name, r.bal) for r in out.collect()}
+    assert got == {1: ("a", 12.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+    # delete-then-reinsert at a later seq resurrects the key
+    changes2 = spark.createDataFrame(
+        [(3, "D", 1, "c", 0.0), (3, "I", 2, "c2", 33.0)],
+        "id long, op string, seq int, name string, bal double",
+    )
+    out2 = cdc_apply(out, changes2, ["id"], "seq")
+    got2 = {r.id: (r.name, r.bal) for r in out2.collect()}
+    assert got2[3] == ("c2", 33.0)
+
+
+def test_cdc_apply_deterministic_on_malformed_ties(spark):
+    from nba_data_pipeline_spark.operators.incremental import cdc_apply
+
+    snap = spark.createDataFrame([(1, "a", 1.0)], "id long, name string, bal double")
+    # two changes with the SAME (key, seq): op tie-break (U > D) must
+    # pick the update deterministically regardless of partitioning
+    changes = spark.createDataFrame(
+        [(1, "D", 5, "a", 0.0), (1, "U", 5, "a", 9.0)],
+        "id long, op string, seq int, name string, bal double",
+    )
+    outs = [
+        {r.id: r.bal for r in cdc_apply(snap, changes.repartition(k), ["id"], "seq").collect()}
+        for k in (1, 7)
+    ]
+    assert outs[0] == outs[1] == {1: 9.0}
