@@ -77,6 +77,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lm_ref", help="corpus_ingest: parquet to fit the frozen scoring LM")
     p.add_argument("--checkpoint", help="corpus_ingest: streaming checkpoint dir")
     p.add_argument(
+        "--seen_state",
+        action="store_true",
+        help="corpus_ingest: drop batch rows whose CONTENT was already "
+        "ingested under any id (Bloom pre-filter + partition-pruned exact "
+        "check; state lives under <output>/bloom and <output>/hashes)",
+    )
+    p.add_argument(
         "--gate_min_tokens", type=int,
         help="corpus_ingest: override the rule gate's minimum token count",
     )
@@ -116,6 +123,8 @@ def _pii_types(args: argparse.Namespace) -> list[str] | None:
 def parse_args(argv: Sequence[str]) -> argparse.Namespace:
     args = build_parser().parse_args(list(argv))
     _pii_types(args)  # validate type names pre-Spark (fails loudly)
+    if args.seen_state and args.pipeline != "corpus_ingest":
+        raise SystemExit("--seen_state only applies to corpus_ingest")
     if args.pipeline == "corpus_release":
         if args.benchmark is None:
             raise SystemExit("corpus_release requires --benchmark")
@@ -228,7 +237,10 @@ def run(argv: Sequence[str], spark: SparkSession | None = None) -> None:
         lm = fit_trigram_lm(spark.read.parquet(args.lm_ref), "text")
         src = spark.read.parquet(args.input.split(",")[0])
         stream = spark.readStream.schema(src.schema).parquet(args.input.split(",")[0])
-        paths = {k: _os.path.join(args.output, k) for k in ("corpus", "sigs", "pairs", "scores")}
+        paths = {
+            k: _os.path.join(args.output, k)
+            for k in ("corpus", "sigs", "pairs", "scores", "bloom", "hashes")
+        }
         gate_kwargs = {}
         if args.gate_min_tokens is not None:
             gate_kwargs["min_tokens"] = args.gate_min_tokens
@@ -240,6 +252,8 @@ def run(argv: Sequence[str], spark: SparkSession | None = None) -> None:
             stream, lm, paths["corpus"], paths["sigs"], paths["pairs"], paths["scores"],
             checkpoint_dir=args.checkpoint, gate_kwargs=gate_kwargs or None,
             pii_types=_pii_types(args),
+            bloom_path=paths["bloom"] if args.seen_state else None,
+            hashes_path=paths["hashes"] if args.seen_state else None,
         )
         q.awaitTermination()
         return

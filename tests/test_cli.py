@@ -277,3 +277,36 @@ def test_cli_corpus_release(spark, tmp_path, capsys):
     assert spark.read.parquet(os.path.join(out, "_summary")).count() >= 1
     printed = capsys.readouterr().out
     assert "train:" in printed
+
+
+def test_cli_corpus_ingest_seen_state(spark, tmp_path):
+    import os
+
+    from nba_data_pipeline_spark.cli import parse_args, run
+
+    src1, src2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    out = str(tmp_path / "lake")
+    good = "the quick brown fox jumps and runs with great energy today " * 6
+    other = "a calm grey owl watches the quiet forest and waits at night " * 6
+    spark.createDataFrame([(1, good)], "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(src1)
+    # second stream: SAME content under a new id + genuinely new content
+    spark.createDataFrame(
+        [(99, good), (2, other)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src2)
+    common = ["--output", out, "--lm_ref", src1, "--gate_min_tokens", "10",
+              "--seen_state"]
+    run(["corpus_ingest", "--input", src1,
+         "--checkpoint", str(tmp_path / "c1"), *common], spark=spark)
+    run(["corpus_ingest", "--input", src2,
+         "--checkpoint", str(tmp_path / "c2"), *common], spark=spark)
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    # the replayed content never re-ingests; state tables exist on disk
+    assert {r.doc_id for r in corpus.collect()} == {1, 2}
+    assert spark.read.parquet(os.path.join(out, "bloom")).count() > 0
+    assert spark.read.parquet(os.path.join(out, "hashes")).count() == 2
+
+    with pytest.raises(SystemExit, match="seen_state"):
+        parse_args(["play_by_play", "--game_id", "0022400001",
+                    "--input", src1, "--output", out, "--seen_state"])
