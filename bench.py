@@ -30,6 +30,8 @@ HEADLINE = [
     "tpch_q20",
     "left_anti_delta",
     "merge_upsert",
+    "incremental_agg_state",
+    "cdc_apply",
     "broadcast_dim_join",
     "collect_roundtrip",
     "first_event_per_user",
