@@ -77,6 +77,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lm_ref", help="corpus_ingest: parquet to fit the frozen scoring LM")
     p.add_argument("--checkpoint", help="corpus_ingest: streaming checkpoint dir")
     p.add_argument(
+        "--stats_key",
+        help="corpus_ingest: maintain an incremental per-<column> ingest "
+        "rollup (n_docs, sum/min/max chars) under <output>/stats — folded "
+        "per batch, the corpus is never reaggregated",
+    )
+    p.add_argument(
         "--seen_state",
         action="store_true",
         help="corpus_ingest: drop batch rows whose CONTENT was already "
@@ -125,6 +131,8 @@ def parse_args(argv: Sequence[str]) -> argparse.Namespace:
     _pii_types(args)  # validate type names pre-Spark (fails loudly)
     if args.seen_state and args.pipeline != "corpus_ingest":
         raise SystemExit("--seen_state only applies to corpus_ingest")
+    if args.stats_key and args.pipeline != "corpus_ingest":
+        raise SystemExit("--stats_key only applies to corpus_ingest")
     if args.pipeline == "corpus_release":
         if args.benchmark is None:
             raise SystemExit("corpus_release requires --benchmark")
@@ -239,7 +247,7 @@ def run(argv: Sequence[str], spark: SparkSession | None = None) -> None:
         stream = spark.readStream.schema(src.schema).parquet(args.input.split(",")[0])
         paths = {
             k: _os.path.join(args.output, k)
-            for k in ("corpus", "sigs", "pairs", "scores", "bloom", "hashes")
+            for k in ("corpus", "sigs", "pairs", "scores", "bloom", "hashes", "stats")
         }
         gate_kwargs = {}
         if args.gate_min_tokens is not None:
@@ -254,6 +262,8 @@ def run(argv: Sequence[str], spark: SparkSession | None = None) -> None:
             pii_types=_pii_types(args),
             bloom_path=paths["bloom"] if args.seen_state else None,
             hashes_path=paths["hashes"] if args.seen_state else None,
+            stats_path=paths["stats"] if args.stats_key else None,
+            stats_key=args.stats_key or "source",
         )
         q.awaitTermination()
         return

@@ -377,6 +377,8 @@ def corpus_ingest_batch(
     pii_types: list | None = None,
     bloom_path: str | None = None,
     hashes_path: str | None = None,
+    stats_path: str | None = None,
+    stats_key: str = "source",
     **near_dedup_kwargs,
 ) -> None:
     """One full continuous-ingest corpus step — the composed foreachBatch
@@ -397,7 +399,14 @@ def corpus_ingest_batch(
     2. ``near_dedup_batch``: signatures + incremental pairs vs the
        persisted corpus state,
     3. ``quality_score_batch``: frozen-LM scores,
-    4. accepted documents MERGEd into the corpus table on the id.
+    4. accepted documents MERGEd into the corpus table on the id,
+    5. (``stats_path`` set, ``stats_key`` column present) the per-key
+       corpus rollup (n_docs, sum/min/max chars) is maintained
+       incrementally via ``incremental.fold_aggregate_state`` — the
+       batch's partial aggregates fold into the state table; the
+       accumulated corpus is NEVER reaggregated. This is the monitoring
+       surface an operator watches (ingest volume / size drift per
+       source) without paying a corpus scan per micro-batch.
 
     Every stage is individually replay-idempotent (pure function of the
     document + frozen reference state, MERGE on a deterministic key),
@@ -430,6 +439,38 @@ def corpus_ingest_batch(
     upsert_table(batch_df.sparkSession, gated, corpus_path, key=id_col)
     if seen_state:
         record_ingested_content(gated, bloom_path, hashes_path, text_col)
+    if stats_path is not None and stats_key in gated.columns:
+        fold_ingest_stats(gated, stats_path, stats_key, text_col)
+
+
+def fold_ingest_stats(
+    accepted_df: DataFrame,
+    stats_path: str,
+    stats_key: str = "source",
+    text_col: str = "text",
+) -> None:
+    """Fold the accepted batch into the per-key ingest rollup
+    (n_docs, sum_chars, min_chars, max_chars keyed by ``stats_key``)
+    with ``incremental.fold_aggregate_state`` — O(batch + state keys)
+    per refresh, history never reaggregated. NOTE: folding counts a
+    redelivered batch twice; run it behind the seen-content filter (or
+    another delta guard) when the upstream is at-least-once.
+    """
+    from ..operators.incremental import fold_aggregate_state
+    from ..sinks.writer import table_exists, write_table
+
+    spark = accepted_df.sparkSession
+    specs = {
+        "n_docs": ("count", "*"),
+        "sum_chars": ("sum", "_chars"),
+        "min_chars": ("min", "_chars"),
+        "max_chars": ("max", "_chars"),
+    }
+    batch = accepted_df.withColumn("_chars", F.length(text_col).cast("long"))
+    state = spark.read.parquet(stats_path) if table_exists(stats_path) else None
+    folded = fold_aggregate_state(state, batch, [stats_key], specs)
+    # localCheckpoint cuts the lineage to the files being overwritten
+    write_table(folded.localCheckpoint(), stats_path)
 
 
 def stream_corpus_ingest(
@@ -448,6 +489,8 @@ def stream_corpus_ingest(
     pii_types: list | None = None,
     bloom_path: str | None = None,
     hashes_path: str | None = None,
+    stats_path: str | None = None,
+    stats_key: str = "source",
     **near_dedup_kwargs,
 ):
     """The whole training-corpus ingest as ONE Structured Streaming
@@ -461,6 +504,7 @@ def stream_corpus_ingest(
             batch_df, lm, corpus_path, signature_path, pairs_path, scores_path,
             id_col, text_col, gate_kwargs=gate_kwargs, pii_types=pii_types,
             bloom_path=bloom_path, hashes_path=hashes_path,
+            stats_path=stats_path, stats_key=stats_key,
             **near_dedup_kwargs,
         )
 

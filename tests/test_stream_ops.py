@@ -437,3 +437,46 @@ def test_image_dedup_batch_replay_idempotent(spark, tmp_path):
     assert (1, 2) in got_pairs and (1, 4) in got_pairs
     assert not any(3 in p for p in got_pairs)
     assert spark.read.parquet(h_m).count() == 4
+
+
+def test_ingest_stats_fold_matches_full_recompute(spark, tmp_path):
+    """Per-source rollup maintained via fold_aggregate_state across
+    micro-batches equals the single-pass aggregate over the corpus."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from nba_data_pipeline_spark.operators.text import fit_trigram_lm
+    from nba_data_pipeline_spark.streaming.ops import corpus_ingest_batch
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ])
+    good = "the quick brown fox jumps and runs with great energy today " * 6
+    lm = fit_trigram_lm(spark.createDataFrame([(0, good, "ref")], schema), "text")
+    paths = {k: str(tmp_path / k)
+             for k in ("corpus", "sigs", "pairs", "scores", "stats")}
+
+    def ingest(rows):
+        corpus_ingest_batch(
+            spark.createDataFrame(rows, schema),
+            lm, paths["corpus"], paths["sigs"], paths["pairs"], paths["scores"],
+            stats_path=paths["stats"], num_perm=32, bands=16, threshold=0.3,
+        )
+
+    ingest([(1, good, "web"), (2, good + " extra words here", "web"),
+            (3, good.replace("fox", "owl"), "books"),
+            (4, "runt", "web")])              # gate-rejected: must NOT count
+    ingest([(5, good.replace("today", "tonight"), "books")])
+    stats = {r.source: (r.n_docs, r.sum_chars, r.min_chars, r.max_chars)
+             for r in spark.read.parquet(paths["stats"]).collect()}
+    full = {r.source: (r.n_docs, r.sum_chars, r.min_chars, r.max_chars)
+            for r in spark.read.parquet(paths["corpus"])
+            .withColumn("_c", F.length("text").cast("long"))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"), F.sum("_c").alias("sum_chars"),
+                 F.min("_c").alias("min_chars"), F.max("_c").alias("max_chars"))
+            .collect()}
+    assert stats == full and set(stats) == {"web", "books"}
+    assert stats["web"][0] == 2  # the runt never reached the rollup
