@@ -7989,6 +7989,73 @@ def q_resample_ffill(spark, sf):
     )
 
 
+@q(
+    "resample_interpolate",
+    # interpolation arithmetic mirrored EXACTLY (same op order, all
+    # doubles) so both engines run the same IEEE sequence; sparse
+    # observed set (user_id % 3 = 0 events only) forces real interior
+    # gaps on the dense spine
+    """WITH b AS (SELECT user_id, epoch_us(ts) AS us, value FROM events
+                  WHERE event_id % 3 = 0),
+       o AS (SELECT user_id,
+                    CAST((us - (us % 86400000000)) / 1000000 AS BIGINT)
+                      AS bucket_ts,
+                    COUNT(*) AS n, MIN(value) AS min_v
+             FROM b GROUP BY 1, 2),
+       bounds AS (SELECT user_id, MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi
+                  FROM o GROUP BY 1),
+       spine AS (SELECT user_id, unnest(range(lo, hi + 86400, 86400))
+                   AS bucket_ts
+                 FROM bounds),
+       j AS (SELECT s.user_id, s.bucket_ts,
+                    COALESCE(o.n, 0) AS n_obs,
+                    CAST(o.min_v AS DOUBLE) AS v
+             FROM spine s LEFT JOIN o USING (user_id, bucket_ts)),
+       f AS (SELECT user_id, bucket_ts, n_obs, v,
+                    CAST(bucket_ts AS DOUBLE) AS ob,
+                    last_value(v IGNORE NULLS) OVER wb AS pv,
+                    last_value(CASE WHEN v IS NOT NULL
+                                    THEN CAST(bucket_ts AS DOUBLE) END
+                               IGNORE NULLS) OVER wb AS po,
+                    first_value(v IGNORE NULLS) OVER wf AS nv,
+                    first_value(CASE WHEN v IS NOT NULL
+                                     THEN CAST(bucket_ts AS DOUBLE) END
+                                IGNORE NULLS) OVER wf AS no
+             FROM j
+             WINDOW wb AS (PARTITION BY user_id ORDER BY bucket_ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    wf AS (PARTITION BY user_id ORDER BY bucket_ts
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       SELECT user_id, bucket_ts, CAST(n_obs AS BIGINT) AS n_obs,
+              ROUND(CASE WHEN v IS NOT NULL THEN v
+                         WHEN pv IS NULL THEN NULL
+                         WHEN nv IS NULL THEN pv
+                         ELSE pv + (nv - pv) * (ob - po) / (no - po)
+                    END, 6) AS min_value
+       FROM f""",
+)
+def q_resample_interpolate(spark, sf):
+    """Fixed-step resample + LINEAR gap interpolation
+    (operators/timeseries.py resample_interpolate): dense daily spine
+    per user over a sparsified event stream, interior gaps filled
+    value-proportionally between the neighboring observed buckets
+    (pandas Series.interpolate semantics: leading gaps NULL, trailing
+    flat). The step-function twin is `resample_ffill`. Extension op;
+    no reference counterpart."""
+    from .operators.timeseries import resample_interpolate
+
+    ev = _t(spark, sf, "events").filter(F.col("event_id") % 3 == 0)
+    out = resample_interpolate(
+        ev, ["user_id"], "ts", 86400, {"min_value": F.min("value")}
+    )
+    return out.select(
+        "user_id",
+        "bucket_ts",
+        "n_obs",
+        F.round("min_value", 6).alias("min_value"),
+    )
+
+
 # ===========================================================================
 # Bloom-filter seen-set (continuous-ingest membership pre-filter)
 # ===========================================================================

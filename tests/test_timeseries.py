@@ -120,3 +120,61 @@ def test_activity_bursts_flags_spike_with_full_history_gate(spark):
     # no early bucket flags without 7 full trailing buckets
     for d in range(7):
         assert not out[base + d * DAY].is_burst
+
+
+def test_interpolate_linear_semantics(spark):
+    from nba_data_pipeline_spark.operators.timeseries import interpolate_linear
+
+    df = spark.createDataFrame(
+        [("a", 0, None), ("a", 10, 1.0), ("a", 20, None), ("a", 30, None),
+         ("a", 40, 7.0), ("a", 50, None), ("b", 1, None)],
+        "k string, t int, v double",
+    )
+    got = {
+        (r["k"], r["t"]): r["v"]
+        for r in interpolate_linear(df, ["k"], "t", ["v"]).collect()
+    }
+    assert got[("a", 0)] is None          # leading gap stays NULL
+    assert got[("a", 10)] == 1.0          # observed rows untouched
+    assert got[("a", 20)] == pytest.approx(3.0)   # 1 + (7-1)*(20-10)/(40-10)
+    assert got[("a", 30)] == pytest.approx(5.0)
+    assert got[("a", 40)] == 7.0
+    assert got[("a", 50)] == 7.0          # trailing gap carries flat
+    assert got[("b", 1)] is None          # all-NULL key stays NULL
+
+
+def test_interpolate_linear_uneven_spacing_and_partitioning(spark):
+    from nba_data_pipeline_spark.operators.timeseries import interpolate_linear
+
+    df = spark.createDataFrame(
+        [("a", 0, 0.0), ("a", 1, None), ("a", 100, 100.0)],
+        "k string, t int, v double",
+    )
+    outs = []
+    for k in (1, 5):
+        got = {
+            r["t"]: r["v"]
+            for r in interpolate_linear(
+                df.repartition(k), ["k"], "t", ["v"]
+            ).collect()
+        }
+        outs.append(got)
+    # position-proportional, not row-proportional
+    assert outs[0][1] == pytest.approx(1.0)
+    assert outs[0] == outs[1]
+
+
+def test_resample_interpolate_end_to_end(spark):
+    from nba_data_pipeline_spark.operators.timeseries import resample_interpolate
+
+    base = 1704067200  # 2024-01-01
+    df = _events(
+        spark,
+        [("a", "2024-01-01 05:00:00", 2.0), ("a", "2024-01-04 01:00:00", 8.0)],
+    )
+    out = resample_interpolate(df, ["k"], "ts", DAY, {"v": F.min("v")})
+    got = {r["bucket_ts"]: (r["n_obs"], r["v"]) for r in out.collect()}
+    assert got[base] == (1, 2.0)
+    assert got[base + DAY] == (0, pytest.approx(4.0))
+    assert got[base + 2 * DAY] == (0, pytest.approx(6.0))
+    assert got[base + 3 * DAY] == (1, 8.0)
