@@ -450,6 +450,67 @@ def q_incremental_agg_state(spark, sf):
 
 
 @q(
+    "incremental_agg_table",
+    """SELECT o_custkey,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              ROUND(SUM(o_totalprice), 2) AS sum_total,
+              ROUND(MIN(o_totalprice), 2) AS min_total,
+              ROUND(MAX(o_totalprice), 2) AS max_total
+       FROM orders GROUP BY o_custkey""",
+)
+def q_incremental_agg_table(spark, sf):
+    """The PERSISTED, bucket-partitioned fold
+    (operators/incremental.py fold_aggregate_state_table): orders
+    ingested as three uneven micro-batches plus a single-customer
+    trickle batch, each folding only into the `pmod(xxhash64(key),
+    buckets)` partition dirs it touches — untouched buckets are never
+    read or rewritten (partition-pruned scan, per-bucket dir swap).
+    Oracle = the single-pass GROUP BY over everything, so the value
+    hash proves the on-disk bucket state machine converges to exactly
+    the aggregate. This is the high-cardinality twin of
+    `incremental_agg_state` (per-user rollups at 100 TB, where
+    rewriting the whole state per batch would be O(state))."""
+    import shutil
+    import tempfile
+
+    from .operators.incremental import fold_aggregate_state_table
+
+    o = _t(spark, sf, "orders")
+    specs = {
+        "n_orders": ("count", "*"),
+        "sum_total": ("sum", "o_totalprice"),
+        "min_total": ("min", "o_totalprice"),
+        "max_total": ("max", "o_totalprice"),
+    }
+    root = tempfile.mkdtemp(prefix="agg_table_")
+    try:
+        path = f"{root}/state"
+        trickle = F.col("o_custkey") == 7
+        for m in range(3):
+            fold_aggregate_state_table(
+                spark,
+                o.filter((F.col("o_orderkey") % 3 == m) & ~trickle),
+                path,
+                ["o_custkey"],
+                specs,
+                n_buckets=32,
+            )
+        fold_aggregate_state_table(
+            spark, o.filter(trickle), path, ["o_custkey"], specs, n_buckets=32
+        )
+        out = spark.read.parquet(path).select(
+            "o_custkey",
+            "n_orders",
+            F.round("sum_total", 2).alias("sum_total"),
+            F.round("min_total", 2).alias("min_total"),
+            F.round("max_total", 2).alias("max_total"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
     "cdc_apply",
     """WITH changes AS (
          SELECT c_custkey, 'U' AS op, 2 AS seq, c_name,

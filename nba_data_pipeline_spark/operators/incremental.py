@@ -177,27 +177,96 @@ def fold_aggregate_state(
     ``delta_filter`` / the Bloom seen-set for redelivery safety).
     """
     keys = list(keys)
-    _MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
-
-    def _partial(df: DataFrame) -> DataFrame:
-        aggs = []
-        for out, (kind, col) in specs.items():
-            if kind == "count":
-                expr = F.count(col) if col != "*" else F.count("*")
-            elif kind in ("sum", "min", "max"):
-                expr = getattr(F, kind)(col)
-            else:
-                raise ValueError(f"unsupported incremental aggregate: {kind}")
-            aggs.append(expr.alias(out))
-        return df.groupBy(*keys).agg(*aggs)
-
-    partials = _partial(batch)
+    partials = _partial_aggs(batch, keys, specs)
     if state is None:
         return partials
     merged = state.select(partials.columns).unionByName(partials)
-    return merged.groupBy(*keys).agg(
-        *[_MERGE[kind](out).alias(out) for out, (kind, _) in specs.items()]
+    return _merge_aggs(merged, keys, specs)
+
+
+_FOLD_MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
+def _partial_aggs(
+    df: DataFrame, keys: list[str], specs: dict[str, tuple[str, str]]
+) -> DataFrame:
+    aggs = []
+    for out, (kind, col) in specs.items():
+        if kind == "count":
+            expr = F.count(col) if col != "*" else F.count("*")
+        elif kind in ("sum", "min", "max"):
+            expr = getattr(F, kind)(col)
+        else:
+            raise ValueError(f"unsupported incremental aggregate: {kind}")
+        aggs.append(expr.alias(out))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def _merge_aggs(
+    df: DataFrame, keys: list[str], specs: dict[str, tuple[str, str]]
+) -> DataFrame:
+    return df.groupBy(*keys).agg(
+        *[_FOLD_MERGE[kind](out).alias(out) for out, (kind, _) in specs.items()]
     )
+
+
+def fold_aggregate_state_table(
+    spark,
+    batch: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    specs: dict[str, tuple[str, str]],
+    n_buckets: int = 256,
+) -> None:
+    """Persisted, BUCKET-PARTITIONED form of ``fold_aggregate_state``
+    for high-cardinality keys (per-user / per-document rollups, where
+    the state itself is billions of rows).
+
+    The in-memory fold re-writes the whole state per batch — O(state),
+    which is fine for per-source stats but not for per-user rollups.
+    Here the state table is laid out in ``pmod(xxhash64(keys),
+    n_buckets)`` partition directories, and a batch only ever touches
+    the buckets its keys hash into:
+
+    1. partial-aggregate the batch (map-side combined, one shuffle),
+    2. read ONLY the touched buckets from the state (partition-pruned
+       scan — at most ``n_buckets`` dirs, usually far fewer),
+    3. merge with the decomposable combiners,
+    4. swap only those bucket directories back
+       (``writer._rewrite_partitions`` — untouched buckets are never
+       read or written).
+
+    Per-batch cost is O(batch + touched-bucket rows): a trickle batch
+    against a billion-key state reads and rewrites ~its own key
+    neighborhood, never the full rollup. Same layout contract as the
+    seen-content hash table (``streaming/ops.py``)."""
+    from ..sinks.writer import (
+        _rewrite_partitions,
+        read_table,
+        table_exists,
+        write_table,
+    )
+
+    keys = list(keys)
+    bucket = F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).alias("bucket")
+    partials = _partial_aggs(batch, keys, specs).select("*", bucket)
+    if not table_exists(path):
+        write_table(partials, path, partition_by=["bucket"])
+        return
+    touched = [r.bucket for r in partials.select("bucket").distinct().collect()]
+    if not touched:
+        return
+    # partition dirs re-infer bucket as int; restore the declared type
+    state = (
+        read_table(spark, path)
+        .withColumn("bucket", F.col("bucket").cast("long"))
+        .filter(F.col("bucket").isin(touched))
+        .select(partials.columns)
+    )
+    merged = _merge_aggs(
+        state.unionByName(partials), keys, specs
+    ).select("*", bucket)
+    _rewrite_partitions(spark, merged, path, ["bucket"])
 
 
 def cdc_apply(

@@ -149,3 +149,65 @@ def test_cdc_apply_deterministic_on_malformed_ties(spark):
         for k in (1, 7)
     ]
     assert outs[0] == outs[1] == {1: 9.0}
+
+
+def test_fold_aggregate_state_table_bucketed(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.operators.incremental import (
+        fold_aggregate_state_table,
+    )
+
+    path = str(tmp_path / "state")
+    rows = [(i % 50, float(i % 13)) for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    specs = {"n": ("count", "*"), "s": ("sum", "v"),
+             "lo": ("min", "v"), "hi": ("max", "v")}
+    # three uneven batches into the persisted bucketed state
+    for m in range(3):
+        fold_aggregate_state_table(
+            spark, df.filter(F.col("v") % 3 == m), path, ["k"], specs,
+            n_buckets=16,
+        )
+    got = {r.k: (r.n, round(r.s, 6), r.lo, r.hi)
+           for r in spark.read.parquet(path).collect()}
+    want = {r.k: (r.n, round(r.s, 6), r.lo, r.hi)
+            for r in df.groupBy("k").agg(
+                F.count("*").alias("n"), F.sum("v").alias("s"),
+                F.min("v").alias("lo"), F.max("v").alias("hi")).collect()}
+    assert got == want
+    # layout: hive bucket dirs exist; state round-trips through them
+    assert any(d.startswith("bucket=") for d in os.listdir(path))
+
+
+def test_fold_aggregate_state_table_prunes_untouched_buckets(spark, tmp_path):
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.operators.incremental import (
+        fold_aggregate_state_table,
+    )
+
+    path = str(tmp_path / "state")
+    full = spark.createDataFrame(
+        [(k, 1.0) for k in range(200)], "k long, v double"
+    )
+    specs = {"n": ("count", "*")}
+    fold_aggregate_state_table(spark, full, path, ["k"], specs, n_buckets=8)
+    mtimes = {d: os.path.getmtime(os.path.join(path, d))
+              for d in os.listdir(path) if d.startswith("bucket=")}
+    assert len(mtimes) == 8
+    time.sleep(1.1)
+    # a single-key trickle batch must rewrite exactly ONE bucket dir
+    fold_aggregate_state_table(
+        spark, full.filter(F.col("k") == 7), path, ["k"], specs, n_buckets=8
+    )
+    changed = [d for d, m in mtimes.items()
+               if os.path.getmtime(os.path.join(path, d)) != m]
+    assert len(changed) == 1
+    got = {r.k: r.n for r in spark.read.parquet(path).collect()}
+    assert got[7] == 2 and got[6] == 1 and len(got) == 200
