@@ -266,7 +266,11 @@ def fold_aggregate_state_table(
     merged = _merge_aggs(
         state.unionByName(partials), keys, specs
     ).select("*", bucket)
-    _rewrite_partitions(spark, merged, path, ["bucket"])
+    # one output file per touched bucket dir: without this the
+    # partitioned write sprays shuffle-partition-count files into every
+    # dir, and small-file accumulation is what kills trickle-fold state
+    # tables over thousands of batches
+    _rewrite_partitions(spark, merged.repartition("bucket"), path, ["bucket"])
 
 
 def cdc_apply(
