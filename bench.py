@@ -67,6 +67,7 @@ HEADLINE = [
     "minhash_pairs_portable",
     "simhash_pairs_portable",
     "resample_ffill",
+    "resample_interpolate",
     "activity_bursts",
     "touch_attribution",
     "oov_rate",
