@@ -8326,14 +8326,21 @@ def q_seen_content_delta(spark, sf):
 # locally swept, and COVERAGE.md keeps the ever-driver-green ledger.
 _DRIVER_WINDOW = [
     # §2 family representatives (multi-round green, retained)
-    "compound_predicate",  # P4-P10 filter family
-    "left_anti_delta",     # J1 delta family (the reference's signature op)
     "merge_upsert",        # S5/S7 sink family
     "asof_join",           # J6/asof family
     "stint_rollup_stats",  # A1 rollup family
     "lineup_validation",   # O2-O6 lineup family (flagship stateful op)
     "minhash_pairs_portable",      # dedup family flagship
     "corpus_pipeline_relational",  # composed end-to-end pipeline
+    # round-10 additions promoted into the window (both three-scale
+    # green + determinism-probed this round): seen_content_delta
+    # subsumes the J1 rep it replaces (left_anti_delta — the oracle IS
+    # the anti-join, computed through the Bloom+exact two-stage path);
+    # incremental_agg_table exercises the persisted bucket-state fold
+    # (compound_predicate's P-family stays covered inside tpch/filter
+    # queries throughout the window)
+    "seen_content_delta",
+    "incremental_agg_table",
     # --- 42 first-time driver checks below (never sampled r1-r9) ---
     # TPC-H completions landed in r9
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16", "tpch_q20",
