@@ -450,6 +450,93 @@ def q_incremental_agg_state(spark, sf):
 
 
 @q(
+    "cdc_table_materialize",
+    """WITH log AS (
+         SELECT c_custkey, 'I' AS op, 1 AS seq, c_name, c_acctbal
+         FROM customer
+         UNION ALL
+         SELECT c_custkey, 'U' AS op, 5 AS seq, c_name,
+                c_acctbal + 100 AS c_acctbal
+         FROM customer WHERE c_custkey % 10 = 0
+         UNION ALL
+         SELECT c_custkey, 'D' AS op, 9 AS seq, c_name, c_acctbal
+         FROM customer WHERE c_custkey % 10 = 1
+         UNION ALL
+         SELECT c_custkey, 'U' AS op, 3 AS seq, c_name,
+                c_acctbal - 50 AS c_acctbal
+         FROM customer WHERE c_custkey % 10 = 0
+         UNION ALL
+         SELECT c_custkey, 'U' AS op, 7 AS seq, c_name,
+                c_acctbal - 1 AS c_acctbal
+         FROM customer WHERE c_custkey % 10 = 1
+         UNION ALL
+         SELECT c_custkey, 'U' AS op, 2 AS seq, c_name,
+                c_acctbal * 2 AS c_acctbal
+         FROM customer WHERE c_custkey % 10 = 2
+       ),
+       latest AS (
+         SELECT c_custkey, op, c_name, c_acctbal,
+                ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                   ORDER BY seq DESC) AS rn
+         FROM log
+       )
+       SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+       FROM latest WHERE rn = 1 AND op <> 'D'""",
+)
+def q_cdc_table_materialize(spark, sf):
+    """Continuous CDC materialization
+    (operators/incremental.py cdc_apply_table + read_cdc_snapshot):
+    the same log applied as THREE micro-batches in scrambled seq order
+    — updates arriving after their successors, a delete racing a
+    late lower-seq update, one batch REDELIVERED — into the
+    bucket-partitioned snapshot with persisted sequence numbers and
+    tombstones. The oracle is one window pass over the flat log, so
+    the value hash proves latest-wins stays exact under out-of-order,
+    at-least-once delivery — the semantics the reference's row-wise
+    ON CONFLICT upserts (database/db_client.py:69-90) cannot give."""
+    import shutil
+    import tempfile
+
+    from .operators.incremental import cdc_apply_table, read_cdc_snapshot
+
+    c = _t(spark, sf, "customer")
+
+    def ch(pred, op, seq, bal):
+        return c.filter(pred).select(
+            "c_custkey",
+            F.lit(op).alias("op"),
+            F.lit(seq).alias("seq"),
+            "c_name",
+            bal.alias("c_acctbal"),
+        )
+
+    k = F.col("c_custkey")
+    bal = F.col("c_acctbal")
+    b1 = ch(F.lit(True), "I", 1, bal)
+    b2 = ch(k % 10 == 0, "U", 5, bal + 100).unionByName(
+        ch(k % 10 == 1, "D", 9, bal)
+    )
+    # late batch: every change here carries a LOWER seq than something
+    # already applied for the same key except the %10==2 update
+    b3 = (
+        ch(k % 10 == 0, "U", 3, bal - 50)
+        .unionByName(ch(k % 10 == 1, "U", 7, bal - 1))
+        .unionByName(ch(k % 10 == 2, "U", 2, bal * 2))
+    )
+    root = tempfile.mkdtemp(prefix="cdc_table_")
+    try:
+        path = f"{root}/snap"
+        for b in (b1, b2, b2, b3):  # b2 twice = redelivery
+            cdc_apply_table(spark, b, path, ["c_custkey"], "seq", n_buckets=32)
+        out = read_cdc_snapshot(spark, path).select(
+            "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
     "incremental_agg_table",
     """SELECT o_custkey,
               CAST(COUNT(*) AS BIGINT) AS n_orders,

@@ -315,3 +315,107 @@ def cdc_apply(
     untouched = snapshot.join(latest.select(*keys), keys, "left_anti")
     upserts = latest.filter(F.col(op_col) != F.lit("D")).select(snapshot.columns)
     return untouched.unionByName(upserts)
+
+
+def cdc_apply_table(
+    spark,
+    changes: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+    n_buckets: int = 256,
+) -> None:
+    """Continuously materialize a CDC log into a bucket-partitioned
+    snapshot table — latest-wins stays EXACT under out-of-order
+    delivery, at-least-once redelivery, and deletes, because the state
+    row keeps its winning sequence number and deletes persist as
+    TOMBSTONES (the merge-on-read design Delta/Hudi use, expressed
+    over plain parquet):
+
+    - within-batch: one window pass picks the latest change per key
+      (same tie-break discipline as ``cdc_apply``),
+    - state rows carry ``_seq`` (the applied change's sequence) and
+      ``_deleted``; merging state with the batch is ONE more window
+      pass over (touched-bucket state ∪ batch winners) by ``_seq``
+      desc — a change that arrives LATE with a LOWER seq than what the
+      table already applied loses, and a late update for a deleted key
+      loses to the tombstone's seq,
+    - the table is laid out in ``pmod(xxhash64(keys), n_buckets)``
+      partition dirs; a batch reads and rewrites only its touched
+      buckets (same O(batch) contract as
+      ``fold_aggregate_state_table``).
+
+    Read through ``read_cdc_snapshot`` (filters tombstones, drops the
+    bookkeeping columns). Redelivering any batch is a no-op by
+    construction: the replayed winners carry the same seqs and lose
+    (or tie into the same values) against the state.
+    """
+    from ..sinks.writer import (
+        _rewrite_partitions,
+        read_table,
+        table_exists,
+        write_table,
+    )
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    payload = [
+        c for c in changes.columns if c not in (*keys, seq_col, op_col)
+    ]
+    bucket = F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).alias("bucket")
+    tie_hash = F.xxhash64(
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in payload]
+    )
+    w_batch = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc(), tie_hash.desc()
+    )
+    winners = (
+        changes.withColumn("_rn", F.row_number().over(w_batch))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *keys,
+            *payload,
+            F.col(seq_col).cast("long").alias("_seq"),
+            (F.col(op_col) == F.lit("D")).alias("_deleted"),
+        )
+        .select("*", bucket)
+    )
+    if not table_exists(path):
+        write_table(winners.repartition("bucket"), path, partition_by=["bucket"])
+        return
+    touched = [r.bucket for r in winners.select("bucket").distinct().collect()]
+    if not touched:
+        return
+    state = (
+        read_table(spark, path)
+        .withColumn("bucket", F.col("bucket").cast("long"))
+        .filter(F.col("bucket").isin(touched))
+        .select(winners.columns)
+    )
+    state_tie = F.xxhash64(
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in payload]
+    )
+    w_merge = Window.partitionBy(*keys).orderBy(
+        F.col("_seq").desc(),
+        # ties prefer the tombstone-free row deterministically, then
+        # content hash — a well-formed log never ties on (key, seq)
+        F.col("_deleted").asc(),
+        state_tie.desc(),
+    )
+    merged = (
+        state.unionByName(winners)
+        .withColumn("_rn", F.row_number().over(w_merge))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    _rewrite_partitions(spark, merged.repartition("bucket"), path, ["bucket"])
+
+
+def read_cdc_snapshot(spark, path: str) -> DataFrame:
+    """The live view of a ``cdc_apply_table`` state table: tombstones
+    filtered, bookkeeping columns dropped."""
+    from ..sinks.writer import read_table
+
+    df = read_table(spark, path)
+    return df.filter(~F.col("_deleted")).drop("_seq", "_deleted", "bucket")

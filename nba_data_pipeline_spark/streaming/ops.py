@@ -607,3 +607,37 @@ def stream_classifier_scores(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_cdc_apply(
+    stream_df: DataFrame,
+    path: str,
+    keys: list,
+    seq_col: str,
+    op_col: str = "op",
+    n_buckets: int = 256,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    query_name: str = "stream_cdc_apply",
+):
+    """Continuously materialize a CDC stream into the bucket-partitioned
+    snapshot table (``operators/incremental.cdc_apply_table``): one
+    foreachBatch per micro-batch, O(batch + touched buckets) each —
+    latest-wins stays exact under out-of-order and at-least-once
+    delivery because every state row keeps its applied sequence and
+    deletes persist as tombstones. Read the live view with
+    ``incremental.read_cdc_snapshot``."""
+    from ..operators.incremental import cdc_apply_table
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        cdc_apply_table(
+            batch_df.sparkSession, batch_df, path, keys, seq_col,
+            op_col=op_col, n_buckets=n_buckets,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process).queryName(query_name)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -211,3 +211,114 @@ def test_fold_aggregate_state_table_prunes_untouched_buckets(spark, tmp_path):
     assert len(changed) == 1
     got = {r.k: r.n for r in spark.read.parquet(path).collect()}
     assert got[7] == 2 and got[6] == 1 and len(got) == 200
+
+
+def _cdc_changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "id long, op string, seq int, name string, bal double"
+    )
+
+
+def test_cdc_apply_table_out_of_order_and_tombstones(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.operators.incremental import (
+        cdc_apply_table,
+        read_cdc_snapshot,
+    )
+
+    path = str(tmp_path / "snap")
+    # batch 1: inserts + an update at seq 5
+    cdc_apply_table(
+        spark,
+        _cdc_changes(spark, [(1, "I", 1, "a", 1.0), (2, "I", 1, "b", 2.0),
+                             (1, "U", 5, "a", 5.0)]),
+        path, ["id"], "seq", n_buckets=8,
+    )
+    got = {r.id: r.bal for r in read_cdc_snapshot(spark, path).collect()}
+    assert got == {1: 5.0, 2: 2.0}
+    # batch 2 arrives LATE with a LOWER seq for key 1 -> must lose;
+    # and deletes key 2 at seq 9
+    cdc_apply_table(
+        spark,
+        _cdc_changes(spark, [(1, "U", 3, "a", 3.0), (2, "D", 9, "b", 0.0)]),
+        path, ["id"], "seq", n_buckets=8,
+    )
+    got = {r.id: r.bal for r in read_cdc_snapshot(spark, path).collect()}
+    assert got == {1: 5.0}
+    # batch 3: a late update for the DELETED key with seq < 9 loses to
+    # the tombstone; a later insert (seq 12) resurrects it
+    cdc_apply_table(
+        spark, _cdc_changes(spark, [(2, "U", 7, "b", 7.0)]),
+        path, ["id"], "seq", n_buckets=8,
+    )
+    assert read_cdc_snapshot(spark, path).filter(F.col("id") == 2).count() == 0
+    cdc_apply_table(
+        spark, _cdc_changes(spark, [(2, "I", 12, "b2", 12.0)]),
+        path, ["id"], "seq", n_buckets=8,
+    )
+    got = {r.id: (r.name, r.bal) for r in read_cdc_snapshot(spark, path).collect()}
+    assert got[2] == ("b2", 12.0)
+
+
+def test_cdc_apply_table_redelivery_idempotent(spark, tmp_path):
+    from nba_data_pipeline_spark.operators.incremental import cdc_apply_table
+
+    path = str(tmp_path / "snap")
+    b1 = [(k, "I", 1, f"n{k}", float(k)) for k in range(40)]
+    b2 = [(3, "U", 2, "n3", 33.0), (4, "D", 2, "n4", 0.0)]
+    cdc_apply_table(spark, _cdc_changes(spark, b1), path, ["id"], "seq", n_buckets=8)
+    cdc_apply_table(spark, _cdc_changes(spark, b2), path, ["id"], "seq", n_buckets=8)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    # crash-replay of batch 2
+    cdc_apply_table(spark, _cdc_changes(spark, b2), path, ["id"], "seq", n_buckets=8)
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after == before
+
+
+def test_cdc_apply_table_prunes_untouched_buckets(spark, tmp_path):
+    import os
+    import time
+
+    from nba_data_pipeline_spark.operators.incremental import cdc_apply_table
+
+    path = str(tmp_path / "snap")
+    b1 = [(k, "I", 1, f"n{k}", float(k)) for k in range(200)]
+    cdc_apply_table(spark, _cdc_changes(spark, b1), path, ["id"], "seq", n_buckets=8)
+    mt = {d: os.path.getmtime(os.path.join(path, d))
+          for d in os.listdir(path) if d.startswith("bucket=")}
+    assert len(mt) == 8
+    time.sleep(1.1)
+    cdc_apply_table(
+        spark, _cdc_changes(spark, [(7, "U", 2, "n7", 77.0)]),
+        path, ["id"], "seq", n_buckets=8,
+    )
+    changed = [d for d in mt
+               if os.path.getmtime(os.path.join(path, d)) != mt[d]]
+    assert len(changed) == 1
+
+
+def test_stream_cdc_apply_end_to_end(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from nba_data_pipeline_spark.operators.incremental import read_cdc_snapshot
+    from nba_data_pipeline_spark.streaming.ops import stream_cdc_apply
+
+    src, path, ckpt = (str(tmp_path / d) for d in ("src", "snap", "ckpt"))
+    schema = T.StructType([
+        T.StructField("id", T.LongType()), T.StructField("op", T.StringType()),
+        T.StructField("seq", T.IntegerType()), T.StructField("name", T.StringType()),
+        T.StructField("bal", T.DoubleType()),
+    ])
+    _cdc_changes(spark, [(1, "I", 1, "a", 1.0), (2, "I", 1, "b", 2.0)]) \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream_cdc_apply(stream, path, ["id"], "seq",
+                     checkpoint_dir=ckpt, n_buckets=8).awaitTermination()
+    _cdc_changes(spark, [(2, "D", 2, "b", 0.0), (3, "I", 2, "c", 3.0)]) \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream_cdc_apply(stream, path, ["id"], "seq",
+                     checkpoint_dir=ckpt, n_buckets=8).awaitTermination()
+    got = {r.id: r.bal for r in read_cdc_snapshot(spark, path).collect()}
+    assert got == {1: 1.0, 3: 3.0}
