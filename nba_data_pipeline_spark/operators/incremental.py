@@ -419,3 +419,36 @@ def read_cdc_snapshot(spark, path: str) -> DataFrame:
 
     df = read_table(spark, path)
     return df.filter(~F.col("_deleted")).drop("_seq", "_deleted", "bucket")
+
+
+def compact_cdc_table(
+    spark,
+    path: str,
+    drop_tombstones_below_seq: int | None = None,
+) -> None:
+    """Housekeeping for a ``cdc_apply_table`` snapshot: rewrite every
+    bucket to one file and (optionally) garbage-collect tombstones.
+
+    A tombstone must outlive the possibility of a LATE change with a
+    lower sequence arriving for its key — dropping it early would let
+    such a change resurrect a deleted row. ``drop_tombstones_below_seq``
+    is therefore a WATERMARK the caller derives from the log transport
+    (e.g. "every change below seq S has been delivered"): only
+    tombstones whose ``_seq`` is below it are removed. With ``None``
+    the compaction only merges small files.
+
+    Runs as one full-table rewrite — schedule it like any compaction
+    (off-peak, per-partition at cluster scale), not per batch.
+    """
+    from ..sinks.writer import _rewrite_partitions, read_table
+
+    df = read_table(spark, path).withColumn(
+        "bucket", F.col("bucket").cast("long")
+    )
+    if drop_tombstones_below_seq is not None:
+        df = df.filter(
+            ~(F.col("_deleted") & (F.col("_seq") < drop_tombstones_below_seq))
+        )
+    _rewrite_partitions(
+        spark, df.repartition("bucket").localCheckpoint(), path, ["bucket"]
+    )

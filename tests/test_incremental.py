@@ -322,3 +322,42 @@ def test_stream_cdc_apply_end_to_end(spark, tmp_path):
                      checkpoint_dir=ckpt, n_buckets=8).awaitTermination()
     got = {r.id: r.bal for r in read_cdc_snapshot(spark, path).collect()}
     assert got == {1: 1.0, 3: 3.0}
+
+
+def test_compact_cdc_table_gc_and_files(spark, tmp_path):
+    import glob
+    import os
+
+    from nba_data_pipeline_spark.operators.incremental import (
+        cdc_apply_table,
+        compact_cdc_table,
+        read_cdc_snapshot,
+    )
+
+    path = str(tmp_path / "snap")
+    cdc_apply_table(
+        spark,
+        _cdc_changes(spark, [(k, "I", 1, f"n{k}", float(k)) for k in range(60)]),
+        path, ["id"], "seq", n_buckets=4,
+    )
+    # two delete batches at different seqs
+    cdc_apply_table(spark, _cdc_changes(spark, [(1, "D", 2, "n1", 0.0)]),
+                    path, ["id"], "seq", n_buckets=4)
+    cdc_apply_table(spark, _cdc_changes(spark, [(2, "D", 8, "n2", 0.0)]),
+                    path, ["id"], "seq", n_buckets=4)
+    live_before = sorted(r.id for r in read_cdc_snapshot(spark, path).collect())
+    # watermark 5: only the seq-2 tombstone is GC-able
+    compact_cdc_table(spark, path, drop_tombstones_below_seq=5)
+    raw = spark.read.parquet(path)
+    assert raw.filter("_deleted").count() == 1          # seq-8 tombstone kept
+    assert sorted(r.id for r in read_cdc_snapshot(spark, path).collect()) == live_before
+    # every bucket dir compacted to one file
+    per_dir = [len(glob.glob(f"{path}/{d}/*.parquet"))
+               for d in os.listdir(path) if d.startswith("bucket=")]
+    assert per_dir and max(per_dir) == 1
+    # the GC'd key can now be re-inserted at ANY seq (watermark contract:
+    # nothing below 5 is still in flight)
+    cdc_apply_table(spark, _cdc_changes(spark, [(1, "I", 6, "n1b", 11.0)]),
+                    path, ["id"], "seq", n_buckets=4)
+    got = {r.id: r.bal for r in read_cdc_snapshot(spark, path).collect()}
+    assert got[1] == 11.0
