@@ -43,6 +43,10 @@ PIPELINES = (
     # full dataset release: pipeline -> per-split shuffled shard trees
     # + audit summary (plans/corpus_pipeline.py release_corpus)
     "corpus_release",
+    # continuous CDC materialization: change-log stream -> bucketed
+    # snapshot with seq-aware tombstones (streaming/ops.py
+    # stream_cdc_apply); latest-wins exact under out-of-order delivery
+    "cdc_materialize",
 )
 
 SEASON_TYPES = ("Regular Season", "Playoffs", "Pre Season", "IST")
@@ -76,6 +80,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--benchmark", help="corpus: eval-set parquet for decontamination")
     p.add_argument("--lm_ref", help="corpus_ingest: parquet to fit the frozen scoring LM")
     p.add_argument("--checkpoint", help="corpus_ingest: streaming checkpoint dir")
+    p.add_argument(
+        "--key",
+        help="cdc_materialize: comma-separated snapshot key column(s)",
+    )
+    p.add_argument(
+        "--seq_col",
+        help="cdc_materialize: monotone change-sequence column "
+        "(latest seq wins; deletes persist as tombstones)",
+    )
+    p.add_argument(
+        "--op_col",
+        default="op",
+        help="cdc_materialize: change-operation column; 'D' deletes, "
+        "anything else upserts (default: op)",
+    )
     p.add_argument(
         "--stats_key",
         help="corpus_ingest: maintain an incremental per-<column> ingest "
@@ -133,6 +152,21 @@ def parse_args(argv: Sequence[str]) -> argparse.Namespace:
         raise SystemExit("--seen_state only applies to corpus_ingest")
     if args.stats_key and args.pipeline != "corpus_ingest":
         raise SystemExit("--stats_key only applies to corpus_ingest")
+    if (args.key or args.seq_col) and args.pipeline != "cdc_materialize":
+        raise SystemExit("--key/--seq_col only apply to cdc_materialize")
+    if args.pipeline == "cdc_materialize":
+        if not args.key or not args.seq_col:
+            raise SystemExit("cdc_materialize requires --key and --seq_col")
+        for flag in ("season", "season_type", "game_id", "player_id", "team_id"):
+            if getattr(args, flag) is not None:
+                raise SystemExit(f"--{flag} does not apply to cdc_materialize")
+        if args.delta:
+            raise SystemExit(
+                "--delta does not apply to cdc_materialize (sequence "
+                "numbers carry the ordering; redelivery is a no-op)"
+            )
+        args.seasons = []
+        return args
     if args.pipeline == "corpus_release":
         if args.benchmark is None:
             raise SystemExit("corpus_release requires --benchmark")
@@ -235,6 +269,22 @@ def run(argv: Sequence[str], spark: SparkSession | None = None) -> None:
         )
         for split, st in sorted(stats.items()):
             print(f"{split}: {st['rows']} rows in {st['shards']} shards")
+        return
+    if args.pipeline == "cdc_materialize":
+        from .streaming.ops import stream_cdc_apply
+
+        src_path = args.input.split(",")[0]
+        schema = spark.read.parquet(src_path).schema
+        stream = spark.readStream.schema(schema).parquet(src_path)
+        q = stream_cdc_apply(
+            stream,
+            args.output,
+            [k.strip() for k in args.key.split(",") if k.strip()],
+            args.seq_col,
+            op_col=args.op_col,
+            checkpoint_dir=args.checkpoint,
+        )
+        q.awaitTermination()
         return
     if args.pipeline == "corpus_ingest":
         import os as _os

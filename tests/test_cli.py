@@ -310,3 +310,26 @@ def test_cli_corpus_ingest_seen_state(spark, tmp_path):
     with pytest.raises(SystemExit, match="seen_state"):
         parse_args(["play_by_play", "--game_id", "0022400001",
                     "--input", src1, "--output", out, "--seen_state"])
+
+
+def test_cli_cdc_materialize(spark, tmp_path):
+    from nba_data_pipeline_spark.cli import parse_args, run
+    from nba_data_pipeline_spark.operators.incremental import read_cdc_snapshot
+
+    src, out = str(tmp_path / "log"), str(tmp_path / "snap")
+    spark.createDataFrame(
+        [(1, "I", 1, "a", 1.0), (2, "I", 1, "b", 2.0),
+         (1, "U", 3, "a", 3.0), (2, "D", 5, "b", 0.0)],
+        "id long, op string, seq int, name string, bal double",
+    ).coalesce(1).write.parquet(src)
+    run(["cdc_materialize", "--input", src, "--output", out,
+         "--key", "id", "--seq_col", "seq",
+         "--checkpoint", str(tmp_path / "ckpt")], spark=spark)
+    got = {r.id: r.bal for r in read_cdc_snapshot(spark, out).collect()}
+    assert got == {1: 3.0}
+
+    with pytest.raises(SystemExit, match="requires --key"):
+        parse_args(["cdc_materialize", "--input", src, "--output", out])
+    with pytest.raises(SystemExit, match="only apply to cdc_materialize"):
+        parse_args(["corpus", "--input", src, "--output", out,
+                    "--benchmark", src, "--key", "id"])
