@@ -448,6 +448,7 @@ def fold_ingest_stats(
     stats_path: str,
     stats_key: str = "source",
     text_col: str = "text",
+    n_buckets: int | None = None,
 ) -> None:
     """Fold the accepted batch into the per-key ingest rollup
     (n_docs, sum_chars, min_chars, max_chars keyed by ``stats_key``)
@@ -455,8 +456,18 @@ def fold_ingest_stats(
     per refresh, history never reaggregated. NOTE: folding counts a
     redelivered batch twice; run it behind the seen-content filter (or
     another delta guard) when the upstream is at-least-once.
+
+    Default (``n_buckets=None``) rewrites the whole (small) state each
+    batch — right for low-cardinality keys like ``source``. For
+    high-cardinality keys (per-domain, per-author) pass ``n_buckets``
+    to switch to the bucket-partitioned persisted fold
+    (``fold_aggregate_state_table``): only touched buckets are read
+    and rewritten, O(batch) however many keys the rollup holds.
     """
-    from ..operators.incremental import fold_aggregate_state
+    from ..operators.incremental import (
+        fold_aggregate_state,
+        fold_aggregate_state_table,
+    )
     from ..sinks.writer import table_exists, write_table
 
     spark = accepted_df.sparkSession
@@ -467,6 +478,11 @@ def fold_ingest_stats(
         "max_chars": ("max", "_chars"),
     }
     batch = accepted_df.withColumn("_chars", F.length(text_col).cast("long"))
+    if n_buckets is not None:
+        fold_aggregate_state_table(
+            spark, batch, stats_path, [stats_key], specs, n_buckets=n_buckets
+        )
+        return
     state = spark.read.parquet(stats_path) if table_exists(stats_path) else None
     folded = fold_aggregate_state(state, batch, [stats_key], specs)
     # localCheckpoint cuts the lineage to the files being overwritten

@@ -480,3 +480,26 @@ def test_ingest_stats_fold_matches_full_recompute(spark, tmp_path):
             .collect()}
     assert stats == full and set(stats) == {"web", "books"}
     assert stats["web"][0] == 2  # the runt never reached the rollup
+
+
+def test_ingest_stats_bucketed_matches_flat(spark, tmp_path):
+    """High-cardinality path (n_buckets set) produces byte-identical
+    stats to the whole-state path over the same batches."""
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.streaming.ops import fold_ingest_stats
+
+    docs = spark.createDataFrame(
+        [(i, "word " * (i % 17 + 1), f"d{i % 23}") for i in range(300)],
+        "doc_id long, text string, source string",
+    )
+    flat_p, bucket_p = str(tmp_path / "flat"), str(tmp_path / "bucketed")
+    for m in range(3):
+        b = docs.filter(F.col("doc_id") % 3 == m)
+        fold_ingest_stats(b, flat_p)
+        fold_ingest_stats(b, bucket_p, n_buckets=8)
+    cols = ["source", "n_docs", "sum_chars", "min_chars", "max_chars"]
+    flat = {tuple(r) for r in spark.read.parquet(flat_p).select(cols).collect()}
+    bucketed = {tuple(r) for r in
+                spark.read.parquet(bucket_p).select(cols).collect()}
+    assert flat == bucketed and len(flat) == 23
