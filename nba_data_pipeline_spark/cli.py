@@ -47,6 +47,10 @@ PIPELINES = (
     # snapshot with seq-aware tombstones (streaming/ops.py
     # stream_cdc_apply); latest-wins exact under out-of-order delivery
     "cdc_materialize",
+    # right-to-be-forgotten: remove ids from EVERY ingest state table
+    # (corpus, signatures, pairs, scores, seen-hashes with
+    # shared-content protection, stats with affected-key recompute)
+    "corpus_takedown",
 )
 
 SEASON_TYPES = ("Regular Season", "Playoffs", "Pre Season", "IST")
@@ -154,6 +158,12 @@ def parse_args(argv: Sequence[str]) -> argparse.Namespace:
         raise SystemExit("--stats_key only applies to corpus_ingest")
     if (args.key or args.seq_col) and args.pipeline != "cdc_materialize":
         raise SystemExit("--key/--seq_col only apply to cdc_materialize")
+    if args.pipeline == "corpus_takedown":
+        for flag in ("season", "season_type", "game_id", "player_id", "team_id"):
+            if getattr(args, flag) is not None:
+                raise SystemExit(f"--{flag} does not apply to corpus_takedown")
+        args.seasons = []
+        return args
     if args.pipeline == "cdc_materialize":
         if not args.key or not args.seq_col:
             raise SystemExit("cdc_materialize requires --key and --seq_col")
@@ -269,6 +279,26 @@ def run(argv: Sequence[str], spark: SparkSession | None = None) -> None:
         )
         for split, st in sorted(stats.items()):
             print(f"{split}: {st['rows']} rows in {st['shards']} shards")
+        return
+    if args.pipeline == "corpus_takedown":
+        import os as _os
+
+        from .sinks.writer import table_exists
+        from .streaming.ops import takedown_batch
+
+        ids = spark.read.parquet(*args.input.split(","))
+        sub = {k: _os.path.join(args.output, k)
+               for k in ("sigs", "pairs", "scores", "stats", "hashes")}
+        removed = takedown_batch(
+            ids,
+            _os.path.join(args.output, "corpus"),
+            signature_path=sub["sigs"] if table_exists(sub["sigs"]) else None,
+            pairs_path=sub["pairs"] if table_exists(sub["pairs"]) else None,
+            scores_path=sub["scores"] if table_exists(sub["scores"]) else None,
+            stats_path=sub["stats"] if table_exists(sub["stats"]) else None,
+            hashes_path=sub["hashes"] if table_exists(sub["hashes"]) else None,
+        )
+        print(" ".join(f"{k}={v}" for k, v in sorted(removed.items())))
         return
     if args.pipeline == "cdc_materialize":
         from .streaming.ops import stream_cdc_apply

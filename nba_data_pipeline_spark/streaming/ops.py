@@ -657,3 +657,150 @@ def stream_cdc_apply(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def takedown_batch(
+    ids_df: DataFrame,
+    corpus_path: str,
+    signature_path: str | None = None,
+    pairs_path: str | None = None,
+    scores_path: str | None = None,
+    stats_path: str | None = None,
+    hashes_path: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stats_key: str = "source",
+) -> dict:
+    """Right-to-be-forgotten / takedown: remove a set of document ids
+    from EVERY state table the continuous ingest maintains, keeping the
+    whole state mutually consistent. Cost is O(corpus-partition scans +
+    affected rows), never a recompute of any derived state from
+    scratch:
+
+    - corpus / signatures / scores: key anti-join + rewrite,
+    - pairs: rows mentioning a doomed id on EITHER side are dropped,
+    - seen-content hashes (bucket-partitioned): partition-pruned to the
+      buckets the doomed content hashes into, and a hash is removed
+      ONLY if no surviving document still carries the same content —
+      deleting a shared hash would wrongly mark live content unseen.
+      The Bloom word table is NOT rewritten (bits cannot be unset in a
+      Bloom filter); a stale bit only costs a stage-2 exact check,
+      which now finds no hash row, so the content can re-ingest. If
+      takedown must also BLOCK re-ingestion, route the content hash
+      into a caller-maintained blocklist instead,
+    - stats rollup: sum/count are subtractable but min/max are NOT, so
+      the affected keys (only those) are recomputed from the surviving
+      corpus — every other key's row is untouched.
+
+    Returns ``{table: rows_removed}``. Idempotent: a second run with
+    the same ids removes nothing.
+    """
+    from ..sinks.writer import (
+        _rewrite_partitions,
+        read_table,
+        table_exists,
+        write_table,
+    )
+
+    spark = ids_df.sparkSession
+    ids = ids_df.select(id_col).distinct().localCheckpoint()
+    removed: dict[str, int] = {}
+
+    corpus = read_table(spark, corpus_path)
+    doomed = corpus.join(ids, id_col, "left_semi").localCheckpoint()
+    removed["corpus"] = doomed.count()
+    survivors = corpus.join(ids, id_col, "left_anti").localCheckpoint()
+    write_table(survivors, corpus_path)
+
+    def _drop_by_id(path: str, key: str, label: str) -> None:
+        if path is None or not table_exists(path):
+            return
+        t = read_table(spark, path)
+        keep = t.join(ids.withColumnRenamed(id_col, key), key, "left_anti")
+        keep = keep.localCheckpoint()
+        removed[label] = t.count() - keep.count()
+        write_table(keep, path)
+
+    # the signature table's id column is the literal "doc_id"
+    # (near_dedup_batch contract), scores likewise
+    _drop_by_id(signature_path, "doc_id", "signatures")
+    _drop_by_id(scores_path, "doc_id", "scores")
+
+    if pairs_path is not None and table_exists(pairs_path):
+        t = read_table(spark, pairs_path)
+        keep = (
+            t.join(ids.withColumnRenamed(id_col, "id_a"), "id_a", "left_anti")
+            .join(ids.withColumnRenamed(id_col, "id_b"), "id_b", "left_anti")
+            .localCheckpoint()
+        )
+        removed["pairs"] = t.count() - keep.count()
+        write_table(keep, pairs_path)
+
+    if hashes_path is not None and table_exists(hashes_path):
+        doomed_h = doomed.select(
+            F.xxhash64(F.col(text_col)).alias("content_hash"),
+            F.length(text_col).cast("long").alias("content_len"),
+        ).distinct()
+        # shared-content protection: keep any hash a survivor still has
+        live_h = survivors.select(
+            F.xxhash64(F.col(text_col)).alias("content_hash"),
+            F.length(text_col).cast("long").alias("content_len"),
+        ).distinct()
+        dead_h = doomed_h.join(
+            live_h, ["content_hash", "content_len"], "left_anti"
+        ).withColumn(
+            "bucket", F.pmod("content_hash", F.lit(_SEEN_BUCKETS))
+        ).localCheckpoint()
+        buckets = [r.bucket for r in dead_h.select("bucket").distinct().collect()]
+        if buckets:
+            state = (
+                read_table(spark, hashes_path)
+                .withColumn("bucket", F.col("bucket").cast("long"))
+                .filter(F.col("bucket").isin(buckets))
+            )
+            keep = state.join(
+                dead_h.select("content_hash", "content_len"),
+                ["content_hash", "content_len"],
+                "left_anti",
+            ).localCheckpoint()  # materialize before any dir surgery
+            removed["hashes"] = state.count() - keep.count()
+            _rewrite_partitions(
+                spark, keep.repartition("bucket"), hashes_path, ["bucket"]
+            )
+            # _rewrite_partitions swaps only dirs PRESENT in its input:
+            # a bucket whose LAST hash was removed produces zero rows,
+            # so its stale dir (still holding the dead hash) must be
+            # deleted explicitly — deletion is the one state mutation
+            # that can empty a partition (folds and CDC merges cannot)
+            import os as _os
+            import shutil as _shutil
+
+            alive = {r.bucket for r in keep.select("bucket").distinct().collect()}
+            for b in buckets:
+                if b not in alive:
+                    d = _os.path.join(hashes_path, f"bucket={b}")
+                    if _os.path.isdir(d):
+                        _shutil.rmtree(d)
+        else:
+            removed["hashes"] = 0
+
+    if stats_path is not None and table_exists(stats_path):
+        affected = doomed.select(stats_key).distinct()
+        fresh = (
+            survivors.join(affected, stats_key, "left_semi")
+            .withColumn("_chars", F.length(text_col).cast("long"))
+            .groupBy(stats_key)
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("_chars").alias("sum_chars"),
+                F.min("_chars").alias("min_chars"),
+                F.max("_chars").alias("max_chars"),
+            )
+        )
+        state = read_table(spark, stats_path)
+        untouched = state.join(affected, stats_key, "left_anti")
+        new_state = untouched.select(fresh.columns).unionByName(fresh)
+        removed["stats_keys_recomputed"] = affected.count()
+        write_table(new_state.localCheckpoint(), stats_path)
+
+    return removed

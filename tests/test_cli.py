@@ -333,3 +333,34 @@ def test_cli_cdc_materialize(spark, tmp_path):
     with pytest.raises(SystemExit, match="only apply to cdc_materialize"):
         parse_args(["corpus", "--input", src, "--output", out,
                     "--benchmark", src, "--key", "id"])
+
+
+def test_cli_corpus_takedown(spark, tmp_path):
+    import os
+
+    from nba_data_pipeline_spark.cli import run
+    from nba_data_pipeline_spark.operators.text import fit_trigram_lm
+    from nba_data_pipeline_spark.streaming.ops import corpus_ingest_batch
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType()),
+    ])
+    good = "the quick brown fox jumps and runs with great energy today " * 6
+    other = "a calm grey owl watches the quiet forest and waits at night " * 6
+    lm = fit_trigram_lm(spark.createDataFrame([(0, good)], schema), "text")
+    out = str(tmp_path / "lake")
+    corpus_ingest_batch(
+        spark.createDataFrame([(1, good), (2, other)], schema), lm,
+        os.path.join(out, "corpus"), os.path.join(out, "sigs"),
+        os.path.join(out, "pairs"), os.path.join(out, "scores"),
+        num_perm=32, bands=16, threshold=0.3,
+    )
+    ids = str(tmp_path / "ids")
+    spark.createDataFrame([(2,)], "doc_id long").coalesce(1).write.parquet(ids)
+    run(["corpus_takedown", "--input", ids, "--output", out], spark=spark)
+    assert {r.doc_id for r in
+            spark.read.parquet(os.path.join(out, "corpus")).collect()} == {1}
+    assert {r.doc_id for r in
+            spark.read.parquet(os.path.join(out, "sigs")).collect()} == {1}

@@ -503,3 +503,77 @@ def test_ingest_stats_bucketed_matches_flat(spark, tmp_path):
     bucketed = {tuple(r) for r in
                 spark.read.parquet(bucket_p).select(cols).collect()}
     assert flat == bucketed and len(flat) == 23
+
+
+def test_takedown_batch_full_state_consistency(spark, tmp_path):
+    """Takedown removes the doomed ids from corpus/sigs/pairs/scores/
+    hashes/stats while keeping shared content seen and recomputing only
+    the affected stats keys; a second run removes nothing."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from nba_data_pipeline_spark.operators.text import fit_trigram_lm
+    from nba_data_pipeline_spark.streaming.ops import (
+        corpus_ingest_batch,
+        seen_content_filter_batch,
+        takedown_batch,
+    )
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ])
+    good = "the quick brown fox jumps and runs with great energy today " * 6
+    near = good.replace("today", "tonight")
+    other = "a calm grey owl watches the quiet forest and waits at night " * 6
+    lm = fit_trigram_lm(spark.createDataFrame([(0, good, "ref")], schema), "text")
+    paths = {k: str(tmp_path / k)
+             for k in ("corpus", "sigs", "pairs", "scores", "bloom",
+                       "hashes", "stats")}
+
+    def ingest(rows):
+        corpus_ingest_batch(
+            spark.createDataFrame(rows, schema), lm,
+            paths["corpus"], paths["sigs"], paths["pairs"], paths["scores"],
+            bloom_path=paths["bloom"], hashes_path=paths["hashes"],
+            stats_path=paths["stats"], num_perm=32, bands=16, threshold=0.3,
+        )
+
+    # doc 3 SHARES doc 1's exact content (same hash, different id)
+    ingest([(1, good, "web"), (2, near, "web"), (3, good, "books"),
+            (4, other, "books")])
+    assert {r.doc_id for r in spark.read.parquet(paths["corpus"]).collect()} \
+        == {1, 2, 3, 4}
+    pairs0 = spark.read.parquet(paths["pairs"]).count()
+    assert pairs0 >= 1  # (1,2) near-dup at least
+
+    removed = takedown_batch(
+        spark.createDataFrame([(2,), (3,)], "doc_id long"),
+        paths["corpus"], signature_path=paths["sigs"],
+        pairs_path=paths["pairs"], scores_path=paths["scores"],
+        stats_path=paths["stats"], hashes_path=paths["hashes"],
+    )
+    assert removed["corpus"] == 2 and removed["signatures"] == 2
+    assert removed["scores"] == 2 and removed["pairs"] >= 1
+    # doc 3's content survives via doc 1 -> its hash must NOT be removed;
+    # doc 2's content is gone -> exactly one hash removed
+    assert removed["hashes"] == 1
+    assert {r.doc_id for r in spark.read.parquet(paths["corpus"]).collect()} == {1, 4}
+    # seen filter: doc 2's content re-ingests, doc 1's is still seen
+    replay = spark.createDataFrame([(92, near, "web"), (91, good, "web")], schema)
+    out = seen_content_filter_batch(replay, paths["bloom"], paths["hashes"])
+    assert {r.doc_id for r in out.collect()} == {92}
+    # stats recomputed for the affected keys only, from survivors
+    stats = {r.source: r.n_docs
+             for r in spark.read.parquet(paths["stats"]).collect()}
+    assert stats == {"web": 1, "books": 1}
+    # idempotent
+    removed2 = takedown_batch(
+        spark.createDataFrame([(2,), (3,)], "doc_id long"),
+        paths["corpus"], signature_path=paths["sigs"],
+        pairs_path=paths["pairs"], scores_path=paths["scores"],
+        stats_path=paths["stats"], hashes_path=paths["hashes"],
+    )
+    assert removed2["corpus"] == 0 and removed2["hashes"] == 0
+    assert removed2["pairs"] == 0 and removed2["signatures"] == 0
