@@ -450,6 +450,104 @@ def q_incremental_agg_state(spark, sf):
 
 
 @q(
+    "takedown_gate",
+    # constant-verdict oracle (hll_sketch_gate pattern): every invariant
+    # of the full-state takedown must hold on this engine's real run
+    """SELECT TRUE AS corpus_ok, TRUE AS no_orphan_state,
+              TRUE AS stats_conserved, TRUE AS removed_reingestable,
+              TRUE AS survivors_still_seen""",
+)
+def q_takedown_gate(spark, sf):
+    """Right-to-be-forgotten gate (streaming/ops.py takedown_batch):
+    ingest documents with full state (signatures, scores, seen-hashes,
+    per-source stats), take down one source's ids, then verify the
+    five invariants as computed booleans: corpus count drops by
+    exactly the doomed rows; signatures/scores hold zero orphan ids;
+    the stats rollup still sums to the corpus; the removed content
+    passes the seen-content filter again (hash rows gone, bucket dirs
+    for emptied buckets deleted); surviving content is still seen.
+    Rows-only would hide a silent false; the constant-verdict oracle
+    makes every invariant a value-hash assertion."""
+    import shutil
+    import tempfile
+
+    from .operators.text import fit_trigram_lm
+    from .streaming.ops import (
+        corpus_ingest_batch,
+        seen_content_filter_batch,
+        takedown_batch,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text", "source")
+    lm = fit_trigram_lm(docs.limit(100), "text")
+    root = tempfile.mkdtemp(prefix="takedown_gate_")
+    try:
+        p = {k: f"{root}/{k}"
+             for k in ("corpus", "sigs", "pairs", "scores", "bloom",
+                       "hashes", "stats")}
+        gate = dict(stopwords=("the", "a", "and"), min_tokens=5)
+        corpus_ingest_batch(
+            docs.limit(200), lm, p["corpus"], p["sigs"], p["pairs"],
+            p["scores"], gate_kwargs=gate, bloom_path=p["bloom"],
+            hashes_path=p["hashes"], stats_path=p["stats"],
+            num_perm=32, bands=16, threshold=0.4,
+        )
+        corpus0 = spark.read.parquet(p["corpus"]).localCheckpoint(eager=True)
+        n0 = corpus0.count()
+        victim = corpus0.select("source").orderBy("source").first().source
+        doomed = corpus0.filter(F.col("source") == victim).select("doc_id")
+        nd = doomed.count()
+        takedown_batch(
+            doomed, p["corpus"], signature_path=p["sigs"],
+            pairs_path=p["pairs"], scores_path=p["scores"],
+            stats_path=p["stats"], hashes_path=p["hashes"],
+        )
+        corpus1 = spark.read.parquet(p["corpus"])
+        live_ids = corpus1.select("doc_id")
+        corpus_ok = corpus1.count() == n0 - nd and corpus1.filter(
+            F.col("source") == victim
+        ).count() == 0
+        orphans = (
+            spark.read.parquet(p["sigs"])
+            .join(live_ids, "doc_id", "left_anti").count()
+            + spark.read.parquet(p["scores"])
+            .join(live_ids, "doc_id", "left_anti").count()
+        )
+        stats_total = (
+            spark.read.parquet(p["stats"]).agg(F.sum("n_docs")).first()[0]
+        )
+        probe_removed = corpus0.filter(F.col("source") == victim).limit(3).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "source"
+        )
+        probe_kept = corpus1.limit(3).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"), "text", "source"
+        )
+        filtered = seen_content_filter_batch(
+            probe_removed.unionByName(probe_kept), p["bloom"], p["hashes"]
+        )
+        surv = {r.doc_id for r in filtered.collect()}
+        removed_reingestable = len(
+            [i for i in surv if 1_000_000 <= i < 2_000_000]
+        ) == min(3, nd)
+        survivors_still_seen = not any(i >= 2_000_000 for i in surv)
+        out = spark.createDataFrame(
+            [(
+                bool(corpus_ok),
+                orphans == 0,
+                stats_total == corpus1.count(),
+                bool(removed_reingestable),
+                bool(survivors_still_seen),
+            )],
+            "corpus_ok boolean, no_orphan_state boolean, "
+            "stats_conserved boolean, removed_reingestable boolean, "
+            "survivors_still_seen boolean",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
     "cdc_table_materialize",
     """WITH log AS (
          SELECT c_custkey, 'I' AS op, 1 AS seq, c_name, c_acctbal
