@@ -670,6 +670,8 @@ def takedown_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     stats_key: str = "source",
+    extra_id_tables: dict | None = None,
+    extra_pair_tables: dict | None = None,
 ) -> dict:
     """Right-to-be-forgotten / takedown: remove a set of document ids
     from EVERY state table the continuous ingest maintains, keeping the
@@ -691,6 +693,12 @@ def takedown_batch(
     - stats rollup: sum/count are subtractable but min/max are NOT, so
       the affected keys (only those) are recomputed from the surviving
       corpus — every other key's row is untouched.
+
+    Other modality state rides along: ``extra_id_tables`` maps
+    ``label -> (path, id_column)`` for any additional id-keyed table
+    (e.g. the image dHash table of ``image_dedup_batch``);
+    ``extra_pair_tables`` maps ``label -> path`` for additional
+    (id_a, id_b) pair tables (e.g. the image pairs table).
 
     Returns ``{table: rows_removed}``. Idempotent: a second run with
     the same ids removes nothing.
@@ -725,16 +733,24 @@ def takedown_batch(
     # (near_dedup_batch contract), scores likewise
     _drop_by_id(signature_path, "doc_id", "signatures")
     _drop_by_id(scores_path, "doc_id", "scores")
+    for label, (path, key) in (extra_id_tables or {}).items():
+        _drop_by_id(path, key, label)
 
-    if pairs_path is not None and table_exists(pairs_path):
-        t = read_table(spark, pairs_path)
+    def _drop_pairs(path: str, label: str) -> None:
+        if path is None or not table_exists(path):
+            return
+        t = read_table(spark, path)
         keep = (
             t.join(ids.withColumnRenamed(id_col, "id_a"), "id_a", "left_anti")
             .join(ids.withColumnRenamed(id_col, "id_b"), "id_b", "left_anti")
             .localCheckpoint()
         )
-        removed["pairs"] = t.count() - keep.count()
-        write_table(keep, pairs_path)
+        removed[label] = t.count() - keep.count()
+        write_table(keep, path)
+
+    _drop_pairs(pairs_path, "pairs")
+    for label, path in (extra_pair_tables or {}).items():
+        _drop_pairs(path, label)
 
     if hashes_path is not None and table_exists(hashes_path):
         doomed_h = doomed.select(

@@ -577,3 +577,59 @@ def test_takedown_batch_full_state_consistency(spark, tmp_path):
     )
     assert removed2["corpus"] == 0 and removed2["hashes"] == 0
     assert removed2["pairs"] == 0 and removed2["signatures"] == 0
+
+
+def test_takedown_extends_to_image_state(spark, tmp_path):
+    """extra_id_tables / extra_pair_tables carry the image-dedup state
+    through the same takedown step."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    from nba_data_pipeline_spark.operators.text import fit_trigram_lm
+    from nba_data_pipeline_spark.streaming.ops import (
+        corpus_ingest_batch,
+        image_dedup_batch,
+        takedown_batch,
+    )
+
+    def grad(shift):
+        x = np.clip(np.linspace(0, 255, 24)[None, :] + shift, 0, 255)
+        return np.stack([np.tile(x, (16, 1))] * 3, axis=-1).astype(np.uint8)
+
+    def ppm(img):
+        return bytearray(b"P6\n24 16\n255\n" + img.tobytes())
+
+    imgs = spark.createDataFrame(
+        [(1, ppm(grad(0))), (2, ppm(grad(1))), (3, ppm(255 - grad(0)))],
+        "doc_id long, payload binary",
+    )
+    h_p, ip_p = str(tmp_path / "ih"), str(tmp_path / "ip")
+    image_dedup_batch(imgs, h_p, ip_p)
+    assert spark.read.parquet(ip_p).count() >= 1  # (1,2) near-dup
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType()),
+    ])
+    good = "the quick brown fox jumps and runs with great energy today " * 6
+    lm = fit_trigram_lm(spark.createDataFrame([(0, good)], schema), "text")
+    p = {k: str(tmp_path / k) for k in ("corpus", "sigs", "pairs", "scores")}
+    corpus_ingest_batch(
+        spark.createDataFrame(
+            [(1, good), (2, good + " x"), (3, good.replace("fox", "owl"))], schema
+        ),
+        lm, p["corpus"], p["sigs"], p["pairs"], p["scores"],
+        num_perm=32, bands=16, threshold=0.3,
+    )
+    removed = takedown_batch(
+        spark.createDataFrame([(2,)], "doc_id long"),
+        p["corpus"], signature_path=p["sigs"], pairs_path=p["pairs"],
+        scores_path=p["scores"],
+        extra_id_tables={"image_hashes": (h_p, "doc_id")},
+        extra_pair_tables={"image_pairs": ip_p},
+    )
+    assert removed["image_hashes"] == 1
+    assert removed["image_pairs"] >= 1
+    assert {r.doc_id for r in spark.read.parquet(h_p).collect()} == {1, 3}
+    ip = spark.read.parquet(ip_p)
+    assert ip.filter("id_a = 2 OR id_b = 2").count() == 0
