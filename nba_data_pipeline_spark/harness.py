@@ -8509,6 +8509,18 @@ def q_seen_content_delta(spark, sf):
 # Ten §2 family representatives are retained so every family keeps
 # fresh driver evidence; the rotated-out members stay registered and
 # locally swept, and COVERAGE.md keeps the ever-driver-green ledger.
+# r11 rotation draft (pre-validated at ALL THREE scales this round —
+# see COVERAGE.md "r11 rotation prep"): keep the 6 reps below, swap the
+# 44 first-timer slots for the 28 remaining never-driver-checked
+# (winsorize_values profile_drift activity_profile value_histogram
+# winnow_fps budget_sample weighted_sample mixture_sample
+# monthly_order_stats source_overlap_matrix semi_join set_intersect
+# set_except salted_agg salted_join string_funcs posexplode_tokens
+# repetition_metrics bad_words approx_error_gate simhash_quality_gate
+# bloom_seen_filter bloom_fp_gate incremental_agg_state cdc_apply
+# resample_interpolate cdc_table_materialize takedown_gate) + 16
+# re-checks of r1-r3-vintage single-round greens. That clears the
+# never-checked oracle-backed debt entirely.
 _DRIVER_WINDOW = [
     # §2 family representatives (multi-round green, retained)
     "merge_upsert",        # S5/S7 sink family
