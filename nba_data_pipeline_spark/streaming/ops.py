@@ -672,6 +672,7 @@ def takedown_batch(
     stats_key: str = "source",
     extra_id_tables: dict | None = None,
     extra_pair_tables: dict | None = None,
+    corpus_partition_by: tuple = (),
 ) -> dict:
     """Right-to-be-forgotten / takedown: remove a set of document ids
     from EVERY state table the continuous ingest maintains, keeping the
@@ -714,11 +715,14 @@ def takedown_batch(
     ids = ids_df.select(id_col).distinct().localCheckpoint()
     removed: dict[str, int] = {}
 
+    # pass corpus_partition_by when the corpus lake is partitioned
+    # (e.g. the batch `corpus` verb partitions by shard) — a bare
+    # rewrite would silently flatten the layout
     corpus = read_table(spark, corpus_path)
     doomed = corpus.join(ids, id_col, "left_semi").localCheckpoint()
     removed["corpus"] = doomed.count()
     survivors = corpus.join(ids, id_col, "left_anti").localCheckpoint()
-    write_table(survivors, corpus_path)
+    write_table(survivors, corpus_path, partition_by=corpus_partition_by)
 
     def _drop_by_id(path: str, key: str, label: str) -> None:
         if path is None or not table_exists(path):

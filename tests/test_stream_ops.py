@@ -633,3 +633,25 @@ def test_takedown_extends_to_image_state(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(h_p).collect()} == {1, 3}
     ip = spark.read.parquet(ip_p)
     assert ip.filter("id_a = 2 OR id_b = 2").count() == 0
+
+
+def test_takedown_preserves_corpus_partitioning(spark, tmp_path):
+    import os
+
+    from nba_data_pipeline_spark.streaming.ops import takedown_batch
+
+    path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, f"text {i}", i % 4) for i in range(40)],
+        "doc_id long, text string, shard int",
+    ).write.partitionBy("shard").parquet(path)
+    takedown_batch(
+        spark.createDataFrame([(3,), (7,)], "doc_id long"),
+        path, corpus_partition_by=("shard",),
+    )
+    # layout survives and the ids are gone
+    assert any(d.startswith("shard=") for d in os.listdir(path))
+    left = spark.read.parquet(path)
+    assert left.count() == 38
+    assert left.filter("doc_id IN (3, 7)").count() == 0
+    assert left.select("shard").distinct().count() == 4
