@@ -8509,18 +8509,19 @@ def q_seen_content_delta(spark, sf):
 # Ten §2 family representatives are retained so every family keeps
 # fresh driver evidence; the rotated-out members stay registered and
 # locally swept, and COVERAGE.md keeps the ever-driver-green ledger.
-# r11 rotation draft (pre-validated at ALL THREE scales this round —
-# see COVERAGE.md "r11 rotation prep"): keep the 6 reps below, swap the
-# 44 first-timer slots for the 28 remaining never-driver-checked
-# (winsorize_values profile_drift activity_profile value_histogram
-# winnow_fps budget_sample weighted_sample mixture_sample
-# monthly_order_stats source_overlap_matrix semi_join set_intersect
-# set_except salted_agg salted_join string_funcs posexplode_tokens
-# repetition_metrics bad_words approx_error_gate simhash_quality_gate
-# bloom_seen_filter bloom_fp_gate incremental_agg_state cdc_apply
-# resample_interpolate cdc_table_materialize takedown_gate) + 16
-# re-checks of r1-r3-vintage single-round greens. That clears the
-# never-checked oracle-backed debt entirely.
+# Round-11 rotation (VERDICT r10 task #1, executing the draft that was
+# pre-validated at all three local scales in r10 — COVERAGE.md "r11
+# rotation prep"): keep the 6 multi-round-green family reps, give the
+# other 44 slots to (a) the 28 oracle-backed queries that have NEVER
+# had a driver CORRECTNESS row — the 21 older ones plus the seven
+# round-10 state-machine additions (bloom_seen_filter, bloom_fp_gate,
+# incremental_agg_state, cdc_apply, resample_interpolate,
+# cdc_table_materialize, takedown_gate) — and (b) 16 staleness
+# re-checks: the 11 queries whose only driver green is r1-r5 vintage
+# plus the 5 multi-round greens with the oldest last-green round
+# (computed from the on-disk CORRECTNESS_r01-r10 files). After this
+# window runs, every oracle-backed registry entry has at least one
+# driver CORRECTNESS row — the never-checked debt is zero.
 _DRIVER_WINDOW = [
     # §2 family representatives (multi-round green, retained)
     "merge_upsert",        # S5/S7 sink family
@@ -8529,45 +8530,31 @@ _DRIVER_WINDOW = [
     "lineup_validation",   # O2-O6 lineup family (flagship stateful op)
     "minhash_pairs_portable",      # dedup family flagship
     "corpus_pipeline_relational",  # composed end-to-end pipeline
-    # round-10 additions promoted into the window (both three-scale
-    # green + determinism-probed this round): seen_content_delta
-    # subsumes the J1 rep it replaces (left_anti_delta — the oracle IS
-    # the anti-join, computed through the Bloom+exact two-stage path);
-    # incremental_agg_table exercises the persisted bucket-state fold
-    # (compound_predicate's P-family stays covered inside tpch/filter
-    # queries throughout the window)
-    "seen_content_delta",
-    "incremental_agg_table",
-    # --- 42 first-time driver checks below (never sampled r1-r9) ---
-    # TPC-H completions landed in r9
-    "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16", "tpch_q20",
-    # r9 media/audio surface (codecs, channel stats, augmentation,
-    # composed vision pipeline)
-    "mjpeg_codec_gate", "image_channel_stats", "augment_gate",
-    "media_pipeline_gate", "audio_pipeline_gate",
-    # resultSet decoder (S2) + streaming heavy-hitter gate
-    "resultset_decode", "streaming_hh_gate",
-    # ANN / embedding family
-    "batch_ann", "lsh_ann_topk", "retrieval_metrics",
-    "hard_negatives", "jl_distortion_gate",
-    # Deterministic sampling family
-    "stratified_sample", "deterministic_sample",
-    "train_val_test_split", "sample_k_per_group",
-    # Normalization family
-    "normalize_embeddings", "normalize_minmax", "normalize_rank",
-    # Profiling family
-    "profile_table", "length_percentiles", "outlier_flags",
-    # Window / relational shapes
-    "rolling_window_agg", "lag_delta", "event_transitions",
-    "global_ordinals",
-    # Winnowing spans + incremental variants
-    "incremental_winnow", "repeated_spans", "repeated_spans_keep_first",
-    # Quality / source curation
-    "quality_prune", "source_quality_summary",
-    # Incremental near-dedup family
-    "incremental_neardup", "ngram_jaccard_pruned",
-    # Text transforms
-    "regex_extract", "tfidf_top_terms", "scrub_text", "sentence_chunks",
+    # --- 28 first-time driver checks (never sampled r1-r10) ---
+    # round-10 ingest-state flagships
+    "bloom_seen_filter", "bloom_fp_gate", "incremental_agg_state",
+    "cdc_apply", "cdc_table_materialize", "takedown_gate",
+    "resample_interpolate",
+    # robust-stats / profiling
+    "winsorize_values", "profile_drift", "activity_profile",
+    "value_histogram",
+    # sampling budgets / mixtures
+    "budget_sample", "weighted_sample", "mixture_sample",
+    # relational set ops + skew handling
+    "monthly_order_stats", "source_overlap_matrix", "semi_join",
+    "set_intersect", "set_except", "salted_agg", "salted_join",
+    # text/string surfaces
+    "string_funcs", "posexplode_tokens", "repetition_metrics",
+    "bad_words",
+    # quality gates
+    "approx_error_gate", "simhash_quality_gate", "winnow_fps",
+    # --- 16 staleness re-checks (only green r1-r5, or oldest
+    # last-green among multi-round greens) ---
+    "binary_meta", "cosine_topk", "doc_fingerprint", "lang_id",
+    "pivot_counts", "prefix_dedup", "project_rename", "quality_scores",
+    "token_stats", "json_quarantine", "asof_join_forward",
+    "json_extract", "running_sum", "sliding_window", "tumbling_window",
+    "starters_box_seeded",
 ]
 
 
