@@ -113,6 +113,12 @@ def build_parser() -> argparse.ArgumentParser:
         "check; state lives under <output>/bloom and <output>/hashes)",
     )
     p.add_argument(
+        "--partition_by",
+        help="corpus_takedown: comma-separated partition columns of the "
+        "corpus table (e.g. shard) so the takedown rewrite preserves the "
+        "layout; defaults to auto-detecting the hive directory layout",
+    )
+    p.add_argument(
         "--gate_min_tokens", type=int,
         help="corpus_ingest: override the rule gate's minimum token count",
     )
@@ -156,6 +162,8 @@ def parse_args(argv: Sequence[str]) -> argparse.Namespace:
         raise SystemExit("--seen_state only applies to corpus_ingest")
     if args.stats_key and args.pipeline != "corpus_ingest":
         raise SystemExit("--stats_key only applies to corpus_ingest")
+    if args.partition_by and args.pipeline != "corpus_takedown":
+        raise SystemExit("--partition_by only applies to corpus_takedown")
     if (args.key or args.seq_col) and args.pipeline != "cdc_materialize":
         raise SystemExit("--key/--seq_col only apply to cdc_materialize")
     if args.pipeline == "corpus_takedown":
@@ -289,6 +297,9 @@ def run(argv: Sequence[str], spark: SparkSession | None = None) -> None:
         ids = spark.read.parquet(*args.input.split(","))
         sub = {k: _os.path.join(args.output, k)
                for k in ("sigs", "pairs", "scores", "stats", "hashes")}
+        pcols = tuple(
+            c.strip() for c in (args.partition_by or "").split(",") if c.strip()
+        )
         removed = takedown_batch(
             ids,
             _os.path.join(args.output, "corpus"),
@@ -297,6 +308,7 @@ def run(argv: Sequence[str], spark: SparkSession | None = None) -> None:
             scores_path=sub["scores"] if table_exists(sub["scores"]) else None,
             stats_path=sub["stats"] if table_exists(sub["stats"]) else None,
             hashes_path=sub["hashes"] if table_exists(sub["hashes"]) else None,
+            corpus_partition_by=pcols,
         )
         print(" ".join(f"{k}={v}" for k, v in sorted(removed.items())))
         return

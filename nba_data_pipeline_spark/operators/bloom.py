@@ -36,10 +36,55 @@ computes the forward direction for gating.
 
 from __future__ import annotations
 
+import json
 import math
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# The one parameter set every seen-content caller shares
+# (seen_content_filter_batch, record_ingested_content, the harness
+# queries). A persisted filter is only meaningful under the exact
+# (m_bits, k, hash) it was built with — probing with different
+# parameters yields silently wrong flags, including false NEGATIVES
+# that re-ingest duplicates — so the family lives here once and the
+# sidecar below lets a probe verify it against the table on disk.
+SEEN_M_BITS = 1 << 24
+SEEN_K = 5
+SEEN_HASH = "xxhash64"
+
+_META_FILE = "_bloom_meta.json"  # leading underscore: parquet readers skip it
+
+
+def write_bloom_meta(path: str, m_bits: int, k: int, hash: str = SEEN_HASH) -> None:
+    """Persist the (m_bits, k, hash) family next to the word table.
+
+    Written into the table directory itself so the metadata travels
+    with the table (copy/move/swap keeps them together); the leading
+    underscore makes Spark's parquet reader ignore it, like _SUCCESS.
+    """
+    with open(os.path.join(path, _META_FILE), "w") as f:
+        json.dump({"m_bits": m_bits, "k": k, "hash": hash}, f)
+
+
+def check_bloom_meta(path: str, m_bits: int, k: int, hash: str = SEEN_HASH) -> None:
+    """Raise ValueError if a persisted filter's recorded family differs
+    from the caller's parameters. A table without a sidecar (written
+    before this metadata existed, or by hand) passes — absence proves
+    nothing either way, and refusing would brick existing state."""
+    meta_path = os.path.join(path, _META_FILE)
+    if not os.path.exists(meta_path):
+        return
+    with open(meta_path) as f:
+        meta = json.load(f)
+    want = {"m_bits": m_bits, "k": k, "hash": hash}
+    if meta != want:
+        raise ValueError(
+            f"bloom filter at {path} was built with {meta}, probed with "
+            f"{want}: mismatched parameters give silently wrong flags "
+            "(rebuild the filter or pass the recorded parameters)"
+        )
 
 
 def _position(col, i: int, m_bits: int, hash: str):

@@ -256,9 +256,12 @@ def fold_aggregate_state_table(
     touched = [r.bucket for r in partials.select("bucket").distinct().collect()]
     if not touched:
         return
-    # partition dirs re-infer bucket as int; restore the declared type
+    # partition dirs re-infer bucket as int; restore the declared type.
+    # merge_schema: the writer contract — any table a merge path reads
+    # may carry per-file evolved schemas, and the default reader would
+    # silently drop an evolved column's values from the rewrite
     state = (
-        read_table(spark, path)
+        read_table(spark, path, merge_schema=True)
         .withColumn("bucket", F.col("bucket").cast("long"))
         .filter(F.col("bucket").isin(touched))
         .select(partials.columns)
@@ -387,8 +390,10 @@ def cdc_apply_table(
     touched = [r.bucket for r in winners.select("bucket").distinct().collect()]
     if not touched:
         return
+    # merge_schema for the same reason as fold_aggregate_state_table:
+    # merge paths must see every file's columns, not one file's schema
     state = (
-        read_table(spark, path)
+        read_table(spark, path, merge_schema=True)
         .withColumn("bucket", F.col("bucket").cast("long"))
         .filter(F.col("bucket").isin(touched))
         .select(winners.columns)

@@ -97,6 +97,27 @@ def read_table(spark: SparkSession, path: str, merge_schema: bool = False) -> Da
     return reader.parquet(path)
 
 
+def hive_partition_cols(path: str) -> list[str]:
+    """Infer a parquet table's hive partition columns from its directory
+    layout (one ``col=value`` dir level per partition column; Spark
+    always writes all of them). Empty for unpartitioned tables. Lets a
+    rewriting operation (takedown, compaction) preserve a table's
+    layout without every caller having to re-declare it — a bare
+    rewrite of a partitioned table would silently flatten it."""
+    cols: list[str] = []
+    d = path
+    while os.path.isdir(d):
+        subs = sorted(
+            n for n in os.listdir(d)
+            if os.path.isdir(os.path.join(d, n)) and "=" in n
+        )
+        if not subs:
+            break
+        cols.append(subs[0].split("=", 1)[0])
+        d = os.path.join(d, subs[0])
+    return cols
+
+
 def _rewrite(spark: SparkSession, merged: DataFrame, path: str, partition_by: Sequence[str]) -> None:
     """Replace ``path`` with ``merged`` wholesale (write-temp-then-swap;
     local-fs stand-in for a table-format transaction commit). Used for

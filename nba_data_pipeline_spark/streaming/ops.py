@@ -274,8 +274,8 @@ def seen_content_filter_batch(
     bloom_path: str,
     hashes_path: str,
     text_col: str = "text",
-    m_bits: int = 1 << 24,
-    k: int = 5,
+    m_bits: int | None = None,
+    k: int | None = None,
 ) -> DataFrame:
     """Drop batch rows whose CONTENT is already ingested (any id).
 
@@ -293,13 +293,29 @@ def seen_content_filter_batch(
        FP rate), not corpus size.
 
     Cold start (no state yet) passes the batch through unchanged.
+
+    ``m_bits``/``k`` default to the module-wide seen-state family
+    (``bloom.SEEN_M_BITS``/``SEEN_K``); either way the parameters are
+    validated against the ``_bloom_meta.json`` sidecar the recorder
+    persists next to the word table — probing a filter with a
+    different (m, k, hash) than it was built with produces silently
+    wrong flags, including false negatives that re-ingest duplicates.
     """
-    from ..operators.bloom import bloom_flag_seen
+    from ..operators.bloom import (
+        SEEN_HASH,
+        SEEN_K,
+        SEEN_M_BITS,
+        bloom_flag_seen,
+        check_bloom_meta,
+    )
     from ..sinks.writer import table_exists
 
+    m_bits = SEEN_M_BITS if m_bits is None else m_bits
+    k = SEEN_K if k is None else k
     spark = batch_df.sparkSession
     if not table_exists(bloom_path) or not table_exists(hashes_path):
         return batch_df
+    check_bloom_meta(bloom_path, m_bits, k, SEEN_HASH)
     tagged = batch_df.withColumn("_ch", F.xxhash64(F.col(text_col))).withColumn(
         "_cl", F.length(text_col).cast("long")
     )
@@ -332,8 +348,8 @@ def record_ingested_content(
     bloom_path: str,
     hashes_path: str,
     text_col: str = "text",
-    m_bits: int = 1 << 24,
-    k: int = 5,
+    m_bits: int | None = None,
+    k: int | None = None,
 ) -> None:
     """Fold the accepted batch into the seen-content state: bit_or-merge
     the Bloom word table and append the (content_hash, content_len)
@@ -343,20 +359,39 @@ def record_ingested_content(
     and this call only re-processes the batch on redelivery (the MERGE
     is idempotent), whereas the reverse order could mark content seen
     that never reached the corpus and then silently drop it forever.
-    """
-    from ..operators.bloom import bloom_build, bloom_merge
-    from ..sinks.writer import table_exists, write_table
 
+    The word-table rewrite goes through the writer's
+    write-temp-then-swap ``_rewrite`` — an in-place overwrite would
+    delete the live table first, so a crash mid-write loses EVERY
+    historical seen-bit: the next batch would cold-start the filter
+    from itself alone and silently re-open duplicate ingestion for the
+    whole corpus. The (m_bits, k, hash) family is persisted in a
+    ``_bloom_meta.json`` sidecar (rewritten after every swap, since the
+    swap replaces the directory) and validated before merging, so a
+    caller can never bit_or two filters from different families.
+    """
+    from ..operators.bloom import (
+        SEEN_HASH,
+        SEEN_K,
+        SEEN_M_BITS,
+        bloom_build,
+        bloom_merge,
+        check_bloom_meta,
+        write_bloom_meta,
+    )
+    from ..sinks.writer import _rewrite, table_exists, write_table
+
+    m_bits = SEEN_M_BITS if m_bits is None else m_bits
+    k = SEEN_K if k is None else k
     spark = accepted_df.sparkSession
     new_words = bloom_build(accepted_df, text_col, m_bits, k)
     if table_exists(bloom_path):
-        # localCheckpoint cuts the lineage to the files being overwritten
-        merged = bloom_merge(
-            spark.read.parquet(bloom_path), new_words
-        ).localCheckpoint()
+        check_bloom_meta(bloom_path, m_bits, k, SEEN_HASH)
+        merged = bloom_merge(spark.read.parquet(bloom_path), new_words)
+        _rewrite(spark, merged, bloom_path, ())
     else:
-        merged = new_words
-    write_table(merged, bloom_path)
+        write_table(new_words, bloom_path)
+    write_bloom_meta(bloom_path, m_bits, k, SEEN_HASH)
     hashes = accepted_df.select(
         F.xxhash64(F.col(text_col)).alias("content_hash"),
         F.length(text_col).cast("long").alias("content_len"),
@@ -463,12 +498,24 @@ def fold_ingest_stats(
     to switch to the bucket-partitioned persisted fold
     (``fold_aggregate_state_table``): only touched buckets are read
     and rewritten, O(batch) however many keys the rollup holds.
+
+    KNOWN DIVERGENCE WINDOW (with ``--seen_state`` on): the composed
+    ingest records seen-content BEFORE folding stats, so a crash
+    between the two permanently undercounts that batch — on redelivery
+    the seen filter drops the rows before the fold ever sees them. The
+    reverse order trades it for a permanent OVERcount (fold runs, crash
+    before recording, redelivery folds again); a fold keyed off the
+    post-merge corpus delta would close both but couples the stats to
+    the MERGE internals. The stats table is a monitoring rollup, not a
+    ledger, so the window is documented rather than engineered away —
+    run ``reconcile_ingest_stats`` (one corpus scan) whenever exactness
+    matters or after a mid-ingest crash.
     """
     from ..operators.incremental import (
         fold_aggregate_state,
         fold_aggregate_state_table,
     )
-    from ..sinks.writer import table_exists, write_table
+    from ..sinks.writer import _rewrite, table_exists, write_table
 
     spark = accepted_df.sparkSession
     specs = {
@@ -485,8 +532,41 @@ def fold_ingest_stats(
         return
     state = spark.read.parquet(stats_path) if table_exists(stats_path) else None
     folded = fold_aggregate_state(state, batch, [stats_key], specs)
-    # localCheckpoint cuts the lineage to the files being overwritten
-    write_table(folded.localCheckpoint(), stats_path)
+    if state is None:
+        write_table(folded, stats_path)
+    else:
+        # write-temp-then-swap: an in-place overwrite deletes the live
+        # rollup first, so a crash mid-write loses the whole history
+        _rewrite(spark, folded, stats_path, ())
+
+
+def reconcile_ingest_stats(
+    spark,
+    corpus_path: str,
+    stats_path: str,
+    stats_key: str = "source",
+    text_col: str = "text",
+) -> None:
+    """Recompute the ingest-stats rollup from the corpus table itself
+    (one full corpus scan) and swap it in. This is the repair path for
+    ``fold_ingest_stats``'s documented crash-divergence window — the
+    corpus table is the source of truth, so a reconcile always
+    converges the rollup exactly, whatever the crash history. Schedule
+    it like a compaction (off-peak, occasionally), not per batch."""
+    from ..sinks.writer import _rewrite, read_table
+
+    fresh = (
+        read_table(spark, corpus_path, merge_schema=True)
+        .withColumn("_chars", F.length(text_col).cast("long"))
+        .groupBy(stats_key)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_chars").alias("sum_chars"),
+            F.min("_chars").alias("min_chars"),
+            F.max("_chars").alias("max_chars"),
+        )
+    )
+    _rewrite(spark, fresh, stats_path, ())
 
 
 def stream_corpus_ingest(
@@ -696,65 +776,83 @@ def takedown_batch(
       corpus — every other key's row is untouched.
 
     Other modality state rides along: ``extra_id_tables`` maps
-    ``label -> (path, id_column)`` for any additional id-keyed table
-    (e.g. the image dHash table of ``image_dedup_batch``);
-    ``extra_pair_tables`` maps ``label -> path`` for additional
-    (id_a, id_b) pair tables (e.g. the image pairs table).
+    ``label -> (path, id_column)`` (or ``(path, id_column,
+    partition_cols)``) for any additional id-keyed table (e.g. the
+    image dHash table of ``image_dedup_batch``); ``extra_pair_tables``
+    maps ``label -> path`` (or ``label -> (path, partition_cols)``)
+    for additional (id_a, id_b) pair tables.
+
+    Durability + layout: every table read uses ``merge_schema=True``
+    (a partition-evolved table read with one file's schema would have
+    its evolved columns silently dropped by the rewrite), every rewrite
+    goes through the writer's write-temp-then-swap ``_rewrite`` (an
+    in-place overwrite deletes the live table first — a crash mid-write
+    destroys state that exists nowhere else), and every rewrite
+    preserves the table's hive partition layout: explicitly via
+    ``corpus_partition_by`` / the tuple forms above, or inferred from
+    the directory layout (``writer.hive_partition_cols``) when not
+    given.
 
     Returns ``{table: rows_removed}``. Idempotent: a second run with
     the same ids removes nothing.
     """
     from ..sinks.writer import (
+        _rewrite,
         _rewrite_partitions,
+        hive_partition_cols,
         read_table,
         table_exists,
-        write_table,
     )
 
     spark = ids_df.sparkSession
     ids = ids_df.select(id_col).distinct().localCheckpoint()
     removed: dict[str, int] = {}
 
-    # pass corpus_partition_by when the corpus lake is partitioned
-    # (e.g. the batch `corpus` verb partitions by shard) — a bare
-    # rewrite would silently flatten the layout
-    corpus = read_table(spark, corpus_path)
+    corpus_pcols = list(corpus_partition_by) or hive_partition_cols(corpus_path)
+    corpus = read_table(spark, corpus_path, merge_schema=True)
     doomed = corpus.join(ids, id_col, "left_semi").localCheckpoint()
     removed["corpus"] = doomed.count()
     survivors = corpus.join(ids, id_col, "left_anti").localCheckpoint()
-    write_table(survivors, corpus_path, partition_by=corpus_partition_by)
+    _rewrite(spark, survivors, corpus_path, corpus_pcols)
 
-    def _drop_by_id(path: str, key: str, label: str) -> None:
+    def _drop_by_id(path: str, key: str, label: str, pcols=None) -> None:
         if path is None or not table_exists(path):
             return
-        t = read_table(spark, path)
+        pcols = list(pcols) if pcols else hive_partition_cols(path)
+        t = read_table(spark, path, merge_schema=True)
         keep = t.join(ids.withColumnRenamed(id_col, key), key, "left_anti")
         keep = keep.localCheckpoint()
         removed[label] = t.count() - keep.count()
-        write_table(keep, path)
+        _rewrite(spark, keep, path, pcols)
 
     # the signature table's id column is the literal "doc_id"
     # (near_dedup_batch contract), scores likewise
     _drop_by_id(signature_path, "doc_id", "signatures")
     _drop_by_id(scores_path, "doc_id", "scores")
-    for label, (path, key) in (extra_id_tables or {}).items():
-        _drop_by_id(path, key, label)
+    for label, spec in (extra_id_tables or {}).items():
+        path, key, *rest = spec
+        _drop_by_id(path, key, label, pcols=rest[0] if rest else None)
 
-    def _drop_pairs(path: str, label: str) -> None:
+    def _drop_pairs(path: str, label: str, pcols=None) -> None:
         if path is None or not table_exists(path):
             return
-        t = read_table(spark, path)
+        pcols = list(pcols) if pcols else hive_partition_cols(path)
+        t = read_table(spark, path, merge_schema=True)
         keep = (
             t.join(ids.withColumnRenamed(id_col, "id_a"), "id_a", "left_anti")
             .join(ids.withColumnRenamed(id_col, "id_b"), "id_b", "left_anti")
             .localCheckpoint()
         )
         removed[label] = t.count() - keep.count()
-        write_table(keep, path)
+        _rewrite(spark, keep, path, pcols)
 
     _drop_pairs(pairs_path, "pairs")
-    for label, path in (extra_pair_tables or {}).items():
-        _drop_pairs(path, label)
+    for label, spec in (extra_pair_tables or {}).items():
+        if isinstance(spec, (tuple, list)):
+            path, *rest = spec
+            _drop_pairs(path, label, pcols=rest[0] if rest else None)
+        else:
+            _drop_pairs(spec, label)
 
     if hashes_path is not None and table_exists(hashes_path):
         doomed_h = doomed.select(
@@ -774,7 +872,7 @@ def takedown_batch(
         buckets = [r.bucket for r in dead_h.select("bucket").distinct().collect()]
         if buckets:
             state = (
-                read_table(spark, hashes_path)
+                read_table(spark, hashes_path, merge_schema=True)
                 .withColumn("bucket", F.col("bucket").cast("long"))
                 .filter(F.col("bucket").isin(buckets))
             )
@@ -817,10 +915,10 @@ def takedown_batch(
                 F.max("_chars").alias("max_chars"),
             )
         )
-        state = read_table(spark, stats_path)
+        state = read_table(spark, stats_path, merge_schema=True)
         untouched = state.join(affected, stats_key, "left_anti")
         new_state = untouched.select(fresh.columns).unionByName(fresh)
         removed["stats_keys_recomputed"] = affected.count()
-        write_table(new_state.localCheckpoint(), stats_path)
+        _rewrite(spark, new_state, stats_path, ())
 
     return removed

@@ -150,3 +150,64 @@ def test_ingest_with_bloom_drops_replayed_content(spark, tmp_path):
     ingest([(77, good), (2, other)])
     assert {r.doc_id for r in spark.read.parquet(paths["corpus"]).collect()} == {1, 2}
     assert {r.doc_id for r in spark.read.parquet(paths["sigs"]).collect()} == {1, 2}
+
+
+def test_bloom_meta_sidecar_guards_parameter_mismatch(spark, tmp_path):
+    """record_ingested_content persists the (m_bits, k, hash) family next
+    to the word table; a probe or merge under different parameters must
+    refuse rather than return silently wrong flags."""
+    import os
+
+    from nba_data_pipeline_spark.operators.bloom import check_bloom_meta
+    from nba_data_pipeline_spark.streaming.ops import (
+        record_ingested_content,
+        seen_content_filter_batch,
+    )
+
+    bloom_p, hashes_p = str(tmp_path / "bloom"), str(tmp_path / "hashes")
+    record_ingested_content(_corpus(spark, 30), bloom_p, hashes_p)
+    assert os.path.exists(os.path.join(bloom_p, "_bloom_meta.json"))
+    # matching family passes, mismatched raises — both probe and record
+    check_bloom_meta(bloom_p, 1 << 24, 5)
+    with pytest.raises(ValueError, match="mismatched parameters"):
+        check_bloom_meta(bloom_p, 1 << 16, 4)
+    with pytest.raises(ValueError, match="mismatched parameters"):
+        seen_content_filter_batch(
+            _corpus(spark, 5), bloom_p, hashes_p, m_bits=1 << 16, k=4
+        )
+    with pytest.raises(ValueError, match="mismatched parameters"):
+        record_ingested_content(
+            _corpus(spark, 5, "b"), bloom_p, hashes_p, m_bits=1 << 16, k=4
+        )
+    # the sidecar survives the write-temp-then-swap of a second record
+    record_ingested_content(_corpus(spark, 5, "b"), bloom_p, hashes_p)
+    assert os.path.exists(os.path.join(bloom_p, "_bloom_meta.json"))
+
+
+def test_record_crash_leaves_seen_state_intact(spark, tmp_path):
+    """A failed word-table rewrite must not destroy the historical
+    seen-bits: the rewrite goes write-temp-then-swap, so a mid-write
+    crash leaves the old table readable and the filter still drops
+    all previously ingested content."""
+    from nba_data_pipeline_spark.streaming.ops import (
+        record_ingested_content,
+        seen_content_filter_batch,
+    )
+
+    bloom_p, hashes_p = str(tmp_path / "bloom"), str(tmp_path / "hashes")
+    record_ingested_content(_corpus(spark, 40), bloom_p, hashes_p)
+    # a batch whose text column raises at EXECUTION time (ANSI
+    # assert_true), i.e. during the temp write — after the merge plan
+    # is built, before any swap
+    poison = spark.range(5).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.assert_true(F.col("id") < F.lit(2)).isNull(),
+            F.concat(F.lit("p"), F.col("id").cast("string")),
+        ).alias("text"),
+    )
+    with pytest.raises(Exception):
+        record_ingested_content(poison, bloom_p, hashes_p)
+    # history survived: every original doc is still flagged seen
+    out = seen_content_filter_batch(_corpus(spark, 40), bloom_p, hashes_p)
+    assert out.count() == 0

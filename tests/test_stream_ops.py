@@ -655,3 +655,97 @@ def test_takedown_preserves_corpus_partitioning(spark, tmp_path):
     assert left.count() == 38
     assert left.filter("doc_id IN (3, 7)").count() == 0
     assert left.select("shard").distinct().count() == 4
+
+
+def test_takedown_infers_partition_layout_and_merges_schema(spark, tmp_path):
+    """Without an explicit corpus_partition_by, takedown must detect the
+    hive layout from the directory tree instead of flattening it; and a
+    schema-evolved table (per-file heterogeneous columns) must keep its
+    evolved column's values through the rewrite."""
+    import os
+
+    from nba_data_pipeline_spark.streaming.ops import takedown_batch
+
+    path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, f"text {i}", i % 4) for i in range(20)],
+        "doc_id long, text string, shard int",
+    ).write.partitionBy("shard").parquet(path)
+    # evolved batch: extra column only in the appended files
+    spark.createDataFrame(
+        [(i, f"text {i}", i % 4, "en") for i in range(20, 30)],
+        "doc_id long, text string, shard int, lang string",
+    ).write.partitionBy("shard").mode("append").parquet(path)
+
+    takedown_batch(spark.createDataFrame([(3,), (25,)], "doc_id long"), path)
+
+    assert any(d.startswith("shard=") for d in os.listdir(path))
+    left = spark.read.option("mergeSchema", True).parquet(path)
+    assert left.count() == 28
+    assert left.filter("doc_id IN (3, 25)").count() == 0
+    # the evolved column survived the rewrite with its values
+    assert left.filter("lang = 'en'").count() == 9
+
+
+def test_takedown_extra_tables_accept_partition_cols(spark, tmp_path):
+    """extra_id_tables/extra_pair_tables tuple forms with partition
+    columns keep those tables' layouts; bare forms auto-detect."""
+    import os
+
+    from nba_data_pipeline_spark.streaming.ops import takedown_batch
+
+    corpus_p = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], "doc_id long, text string"
+    ).write.parquet(corpus_p)
+    extra_p = str(tmp_path / "img_hashes")
+    spark.createDataFrame(
+        [(i, i * 7, i % 3) for i in range(10)],
+        "image_id long, dhash long, part int",
+    ).write.partitionBy("part").parquet(extra_p)
+    pairs_p = str(tmp_path / "img_pairs")
+    spark.createDataFrame(
+        [(1, 2, 0), (3, 4, 1), (5, 6, 0)], "id_a long, id_b long, part int"
+    ).write.partitionBy("part").parquet(pairs_p)
+
+    removed = takedown_batch(
+        spark.createDataFrame([(3,), (5,)], "doc_id long"),
+        corpus_p,
+        extra_id_tables={"img": (extra_p, "image_id", ("part",))},
+        extra_pair_tables={"img_pairs": pairs_p},  # bare form: auto-detect
+    )
+    assert removed["img"] == 2 and removed["img_pairs"] == 2
+    assert any(d.startswith("part=") for d in os.listdir(extra_p))
+    assert any(d.startswith("part=") for d in os.listdir(pairs_p))
+    assert spark.read.parquet(extra_p).count() == 8
+    assert spark.read.parquet(pairs_p).count() == 1
+
+
+def test_reconcile_ingest_stats_repairs_divergence(spark, tmp_path):
+    """reconcile_ingest_stats recomputes the rollup from the corpus (the
+    source of truth), repairing the documented crash-divergence window
+    of fold_ingest_stats."""
+    from nba_data_pipeline_spark.streaming.ops import (
+        fold_ingest_stats,
+        reconcile_ingest_stats,
+    )
+
+    corpus_p, stats_p = str(tmp_path / "corpus"), str(tmp_path / "stats")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta", "web"), (2, "gamma", "web"), (3, "delta e", "book")],
+        "doc_id long, text string, source string",
+    )
+    b2 = spark.createDataFrame(
+        [(4, "epsilon zeta eta", "web")], "doc_id long, text string, source string"
+    )
+    b1.write.parquet(corpus_p)
+    b2.write.mode("append").parquet(corpus_p)
+    # simulate the crash window: only batch 1 was folded
+    fold_ingest_stats(b1, stats_p, "source")
+    assert (
+        spark.read.parquet(stats_p).filter("source = 'web'").first().n_docs == 2
+    )  # diverged (corpus has 3 web docs)
+    reconcile_ingest_stats(spark, corpus_p, stats_p, "source")
+    got = {r.source: r for r in spark.read.parquet(stats_p).collect()}
+    assert got["web"].n_docs == 3 and got["book"].n_docs == 1
+    assert got["web"].max_chars == len("epsilon zeta eta")
