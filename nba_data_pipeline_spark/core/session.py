@@ -53,6 +53,15 @@ def get_session(app_name: str = "nba_data_pipeline_spark", **extra_conf: str) ->
         # runtime bloom filters prune the probe side of large joins
         # before the shuffle (explicit: the 100 TB join-pruning lever)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # accept subset co-partitioning for joins: two sides already
+        # hash-partitioned on a PREFIX of the join keys (e.g. GAME_ID
+        # for every join in the declarative lineup plan) join without
+        # re-shuffling on the full key tuple. Spark's conservative
+        # default (true) exists for skew on low-cardinality subsets;
+        # our subset keys are high-cardinality entity ids (GAME_ID,
+        # doc_id buckets), and AQE skew-join splitting stays on as the
+        # backstop
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )

@@ -535,9 +535,26 @@ def lineups_via_range_join(
         .join(F.broadcast(teams), "GAME_ID", "inner")
         .withColumn("_tenths", seconds_to_tenths("SECONDS_FROM_START").cast("double"))
         .withColumn("_pos", F.row_number().over(wpos))
-        .localCheckpoint(eager=False)
+        # ONE GAME_ID shuffle feeds the entire plan. Every downstream
+        # window, aggregation, and join here keys on a GAME_ID-prefixed
+        # tuple, and a hash partitioning on a subset of the required
+        # clustering keys satisfies ClusteredDistribution (joins need
+        # requireAllClusterKeysForCoPartition=false, set in
+        # core/session.py) — so all of them run with in-partition sorts
+        # only. persist()+count(), NOT localCheckpoint: the
+        # checkpoint's ExistingRDD reports UnknownPartitioning, which
+        # re-inserted an exchange per consumer branch (measured: 19
+        # Exchanges / 17 Sorts before this change); a MATERIALIZED
+        # InMemoryRelation exposes the window's hashpartitioning to
+        # every branch (unmaterialized, AQE hides it) and still
+        # computes the window once for the plan's six consumers.
+        .persist()
     )
-    stints = explode_stints(rotations.select("GAME_ID", "TEAM_ID", "PLAYER_ID", "STINTS"))
+    keyed.count()
+    stints = explode_stints(
+        rotations.select("GAME_ID", "TEAM_ID", "PLAYER_ID", "STINTS")
+    ).repartition("GAME_ID").persist()  # same trick, stint scale
+    stints.count()
 
     subs = keyed.filter(F.col("EVENTMSGTYPE") == 8)
     # Rank-match sub events to stint bounds: when a player has several
