@@ -103,6 +103,10 @@ class Endpoint:
     path: str
     result_set: str | None  # None = keep all sets
     defaults: tuple[tuple[str, str], ...] = ()
+    # per-endpoint request timeout: the reference overrides its 10 s
+    # default to 45 s for leagueseasonmatchups (api/smart.py:478), the
+    # one endpoint whose server-side aggregation routinely exceeds 10 s
+    timeout: float = 10.0
 
     def params(self, **overrides: str) -> dict[str, str]:
         out = dict(self.defaults)
@@ -144,7 +148,8 @@ ENDPOINTS: dict[str, Endpoint] = {
     "play_by_play": Endpoint("playbyplayv2", "PlayByPlay",
                              (("StartPeriod", "0"), ("EndPeriod", "14"))),
     "defensive_matchups": Endpoint("leagueseasonmatchups", "SeasonMatchups",
-                                   (("LeagueID", "00"), ("PerMode", "Totals"))),
+                                   (("LeagueID", "00"), ("PerMode", "Totals")),
+                                   timeout=45.0),
     "shot_chart_detail": Endpoint("shotchartdetail", "Shot_Chart_Detail",
                                   (("LeagueID", "00"), ("ContextMeasure", "FGA"))),
     "foul_chart_detail": Endpoint("shotchartdetail", "Shot_Chart_Detail",
@@ -220,13 +225,19 @@ def http_fetcher(
 ) -> Fetcher:
     """HTTP fetcher with the reference's retry contract, iterative +
     jittered backoff instead of bare recursion. Gated behind an
-    import-try: environments without ``requests`` use fixture fetchers."""
+    import-try: environments without ``requests`` use fixture fetchers.
+
+    The optional per-call ``timeout`` keyword lets ``fetch_many`` apply
+    an endpoint's own default (``Endpoint.timeout`` — 45 s for
+    leagueseasonmatchups, mirroring api/smart.py:478) without building
+    a fetcher per endpoint; the constructor argument stays the
+    fallback."""
     try:
         import requests  # noqa: F401
     except ImportError as exc:  # pragma: no cover
         raise RuntimeError("requests not available; inject a fixture fetcher") from exc
 
-    def fetch(path: str, params: dict[str, str]) -> str:
+    def fetch(path: str, params: dict[str, str], timeout: float = timeout) -> str:
         import requests
 
         last_err: Exception | None = None
@@ -270,13 +281,27 @@ def fetch_many(
     """Distributed per-game fetch: one API call per game id, executed
     inside ``mapInPandas`` partitions (executor-side, task-parallel,
     per-task retry via the fetcher). Output: (GAME_ID, payload) ready
-    for ``sources.resultset.decode_result_sets``."""
+    for ``sources.resultset.decode_result_sets``.
+
+    If the fetcher accepts a ``timeout`` keyword (``http_fetcher``
+    does), the endpoint's own default is applied — so the slow
+    leagueseasonmatchups endpoint gets its 45 s budget (reference
+    api/smart.py:478) without per-call plumbing. Fixture fetchers
+    without the keyword are called unchanged."""
+    import inspect
+
     ep = ENDPOINTS[endpoint_name]
+    takes_timeout = "timeout" in inspect.signature(fetcher).parameters
+
+    def _call(path: str, p: dict[str, str]) -> str:
+        if takes_timeout:
+            return fetcher(path, p, timeout=ep.timeout)
+        return fetcher(path, p)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [
-                fetcher(ep.path, ep.params(**{id_param: gid}, **params))
+                _call(ep.path, ep.params(**{id_param: gid}, **params))
                 for gid in pdf[id_col]
             ]
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})

@@ -143,3 +143,37 @@ def test_shot_chart_params_accepts_team_name():
 
     p = shot_chart_params(203999, "DenverNuggets", season="2024-25")
     assert p["TeamID"] == "1610612743"
+
+
+def test_endpoint_timeout_defaults_and_matchups_override():
+    """Reference parity: api/smart.py:478 raises the request timeout to
+    45 s for leagueseasonmatchups; every other endpoint keeps the 10 s
+    default."""
+    assert ENDPOINTS["defensive_matchups"].timeout == 45.0
+    for name, ep in ENDPOINTS.items():
+        if name != "defensive_matchups":
+            assert ep.timeout == 10.0, name
+
+
+def test_fetch_many_passes_endpoint_timeout_to_aware_fetcher(spark):
+    """A fetcher that accepts a timeout keyword (http_fetcher's shape)
+    receives the ENDPOINT's own default from fetch_many; keyword-less
+    fixture fetchers keep working unchanged."""
+    from nba_data_pipeline_spark.sources.nba_api import fetch_many
+
+    # the fetcher runs inside mapInPandas on a worker, so report the
+    # received timeout through the payload, not a driver-side closure
+    def aware(path, params, timeout=10.0):
+        return f"timeout={timeout}"
+
+    ids = spark.createDataFrame([("0022400001",)], "GAME_ID string")
+    rows = fetch_many(ids, "defensive_matchups", aware, id_param="Season").collect()
+    assert rows[0].payload == "timeout=45.0"
+    rows = fetch_many(ids, "play_by_play", aware).collect()
+    assert rows[0].payload == "timeout=10.0"
+    # keyword-less fetcher: no timeout injected, no crash
+    def plain(path, params):
+        return path
+
+    rows = fetch_many(ids, "play_by_play", plain).collect()
+    assert rows[0].payload == "playbyplayv2"
