@@ -658,13 +658,21 @@ def connected_components(
     """
     # Materialize the edge list once: without this, every iteration
     # re-derives ``pairs`` from scratch — ruinous when pairs is the
-    # output of a MinHash/SimHash candidate pipeline.
+    # output of a MinHash/SimHash candidate pipeline. persist() over a
+    # src-repartition rather than localCheckpoint: the checkpoint's
+    # ExistingRDD reports UnknownPartitioning, which re-shuffled the
+    # EDGE list (the big side — E >= V) into the message join every
+    # round; the materialized cache keeps hashpartitioning(src), so
+    # each round only shuffles the node-scale label frame
+    # (the lineups_via_range_join lesson applied to the loop).
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .repartition("src")
+        .persist()
     )
+    edges.count()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -709,6 +717,10 @@ def connected_components(
             converged = True
             break
         prev_sig = sig
+    # labels is an eagerly checkpointed RDD, so the loop-invariant edge
+    # cache can be dropped before returning (unlike the lineup path,
+    # where the returned plan still reads its caches)
+    edges.unpersist()
     if not converged and strict:
         raise RuntimeError(
             f"connected_components did not converge within {max_iterations} "

@@ -159,10 +159,17 @@ def pagerank(
     single-SQL oracle); tests/test_graph.py pins exact parity against
     an independent pure-Python power iteration on a fixture graph.
     """
+    # loop-invariant frames persist over their join keys (NOT
+    # localCheckpoint, whose ExistingRDD reports UnknownPartitioning):
+    # the materialized caches keep hashpartitioning(s)/(node), so every
+    # round's contributions join reuses the EDGE partitioning — only
+    # the node-scale rank frame shuffles per iteration, not the
+    # edge-scale list (E >= V; at web-graph scale E is the whole cost)
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     if undirected:
         e = e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
-    e = e.distinct().filter(F.col("s") != F.col("d")).localCheckpoint(eager=True)
+    e = e.distinct().filter(F.col("s") != F.col("d")).repartition("s").persist()
+    e.count()
 
     nodes = (
         e.select(F.col("s").alias("node"))
@@ -172,12 +179,14 @@ def pagerank(
     )
     n = nodes.count()
     if n == 0:
+        e.unpersist()
         return nodes.withColumn("rank", F.lit(0.0))
     outdeg = e.groupBy(F.col("s").alias("node")).agg(F.count("*").alias("out_degree"))
     # (node, out_degree) with dangling marked by out_degree = 0
     base = nodes.join(outdeg, "node", "left").select(
         "node", F.coalesce("out_degree", F.lit(0)).alias("out_degree")
-    ).localCheckpoint(eager=True)
+    ).repartition("node").persist()
+    base.count()
 
     ranks = base.select("node", "out_degree", F.lit(1.0 / n).alias("rank"))
     teleport = (1.0 - damping) / n
@@ -209,6 +218,10 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+    # final ranks are an eagerly checkpointed RDD — safe to drop the
+    # loop-invariant caches
+    e.unpersist()
+    base.unpersist()
     return ranks.select("node", "rank")
 
 
@@ -235,10 +248,13 @@ def pagerank_fixedpoint(
     float kernel is pinned in tests/test_graph.py. Output:
     (node, rank_e BIGINT).
     """
+    # same loop-invariant co-partitioning as ``pagerank`` (see the
+    # comment there): edge cache partitioned on s, base on node
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     if undirected:
         e = e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
-    e = e.distinct().filter(F.col("s") != F.col("d")).localCheckpoint(eager=True)
+    e = e.distinct().filter(F.col("s") != F.col("d")).repartition("s").persist()
+    e.count()
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionAll(e.select(F.col("d").alias("node")))
@@ -247,13 +263,16 @@ def pagerank_fixedpoint(
     )
     n = nodes.count()
     if n == 0:
+        e.unpersist()
         return nodes.withColumn("rank_e", F.lit(0).cast("long"))
     outdeg = e.groupBy(F.col("s").alias("node")).agg(F.count("*").alias("out_degree"))
     base = (
         nodes.join(outdeg, "node", "left")
         .select("node", F.coalesce("out_degree", F.lit(0)).alias("out_degree"))
-        .localCheckpoint(eager=True)
+        .repartition("node")
+        .persist()
     )
+    base.count()
     init = int(scale) // n
     teleport = ((damping_den - damping_num) * init) // damping_den
     ranks = base.select(
@@ -287,6 +306,8 @@ def pagerank_fixedpoint(
             )
             .localCheckpoint(eager=True)
         )
+    e.unpersist()
+    base.unpersist()
     return ranks.select("node", "rank_e")
 
 
