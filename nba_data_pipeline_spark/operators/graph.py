@@ -164,7 +164,12 @@ def pagerank(
     # the materialized caches keep hashpartitioning(s)/(node), so every
     # round's contributions join reuses the EDGE partitioning — only
     # the node-scale rank frame shuffles per iteration, not the
-    # edge-scale list (E >= V; at web-graph scale E is the whole cost)
+    # edge-scale list (E >= V; at web-graph scale E is the whole cost).
+    # Trade-off: a shuffle-free co-partitioned join gives AQE no
+    # shuffle stats to skew-split, so a hub's edges stay in one
+    # partition — but hash partitioning concentrated them identically
+    # BEFORE this change (one key -> one partition); the hub cost is
+    # unchanged while every other partition stops paying the re-shuffle
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     if undirected:
         e = e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
