@@ -236,3 +236,85 @@ def test_oov_rate_broadcasts_vocab(spark):
     plan = _executed_plan(spark, "oov_rate")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_declarative_lineups_single_outer_shuffle(spark):
+    """The declarative lineup plan's 100-TB shape (round 11): ONE
+    shuffle exchange in the outer plan (the raw-pbp side of the final
+    event join) — every other window/agg/join reuses the persisted
+    GAME_ID partitioning via subset co-partitioning — and zero Python
+    nodes. A refactor that reverts to localCheckpoint (whose
+    ExistingRDD hides the partitioning) shows up here as the exchange
+    count jumping back toward 19."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from plan_audit import strip_cached_subplans
+
+    plan = strip_cached_subplans(_executed_plan(spark, "lineups_declarative_bulk"))
+    n_shuffles = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n_shuffles <= 3, f"outer lineup plan regrew shuffles: {n_shuffles}"
+    assert "FlatMapCoGroupsInPandas" not in plan
+    assert "InMemoryTableScan" in plan  # the persisted event frame
+
+
+def test_pagerank_round_no_edge_scale_shuffle(spark):
+    """One pagerank round must not re-shuffle the edge list: the edge
+    cache is partitioned on src, so the contributions join consumes it
+    in place and only the node-scale rank frame and the contribution
+    aggregate shuffle (2 exchanges)."""
+    import sys
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from plan_audit import strip_cached_subplans
+
+    e = (
+        spark.range(2000)
+        .select(
+            (F.abs(F.xxhash64("id")) % 300).alias("s"),
+            (F.abs(F.xxhash64("id", F.lit(1))) % 300).alias("d"),
+        )
+        .filter("s != d")
+        .distinct()
+        .repartition("s")
+        .persist()
+    )
+    e.count()
+    base = (
+        e.select(F.col("s").alias("node"))
+        .unionAll(e.select(F.col("d").alias("node")))
+        .distinct()
+        .join(
+            e.groupBy(F.col("s").alias("node")).agg(F.count("*").alias("out_degree")),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce("out_degree", F.lit(0)).alias("out_degree"))
+        .repartition("node")
+        .persist()
+    )
+    base.count()
+    ranks = base.select(
+        "node", "out_degree", F.lit(1.0 / 300).alias("rank")
+    ).localCheckpoint(eager=True)
+    one_round = (
+        base.join(
+            e.join(ranks.withColumnRenamed("node", "s"), "s")
+            .select(F.col("d").alias("node"), (F.col("rank") / F.col("out_degree")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow")),
+            "node",
+            "left",
+        )
+    )
+    plan = strip_cached_subplans(
+        one_round._jdf.queryExecution().executedPlan().toString()
+    )
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles <= 2, f"pagerank round regrew shuffles: {n_shuffles}"
+    e.unpersist()
+    base.unpersist()
