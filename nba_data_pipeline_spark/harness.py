@@ -8648,6 +8648,15 @@ def q_seen_content_delta(spark, sf):
 # Ten §2 family representatives are retained so every family keeps
 # fresh driver evidence; the rotated-out members stay registered and
 # locally swept, and COVERAGE.md keeps the ever-driver-green ledger.
+# r12 rotation policy (after this window lands, the never-checked debt
+# is ZERO): keep the 6 reps, rotate the 44 slots to the stalest
+# single-round greens — the r10 first-timers (tpch_q2/q9/q11/q16/q20,
+# media/audio gates, ANN family, sampling family, normalization,
+# profiling, window shapes, winnow spans, quality, incremental
+# near-dedup, text transforms) plus r2-r4-vintage multi-round greens
+# (json_extract, running_sum, sliding_window, tumbling_window,
+# starters_fallback, starter_detection, topk_per_group). Compute the
+# staleness list from the on-disk CORRECTNESS files as r11 did.
 # Round-11 rotation (VERDICT r10 task #1, executing the draft that was
 # pre-validated at all three local scales in r10 — COVERAGE.md "r11
 # rotation prep"): keep the 6 multi-round-green family reps, give the
@@ -8687,12 +8696,16 @@ _DRIVER_WINDOW = [
     "bad_words",
     # quality gates
     "approx_error_gate", "simhash_quality_gate", "winnow_fps",
-    # --- 16 staleness re-checks (only green r1-r5, or oldest
-    # last-green among multi-round greens) ---
+    # --- 4 queries that GAINED oracles this round (image_resize,
+    # image_features, frame_samples got full value-hash oracles;
+    # bpe_pack_gate is new) — in the window so the new oracle evidence
+    # is driver-hard from day one and the never-checked debt stays 0 ---
+    "image_resize", "image_features", "frame_samples", "bpe_pack_gate",
+    # --- 12 staleness re-checks (only green r1-r5, plus the stalest
+    # multi-round green) ---
     "binary_meta", "cosine_topk", "doc_fingerprint", "lang_id",
     "pivot_counts", "prefix_dedup", "project_rename", "quality_scores",
     "token_stats", "json_quarantine", "asof_join_forward",
-    "json_extract", "running_sum", "sliding_window", "tumbling_window",
     "starters_box_seeded",
 ]
 
