@@ -138,13 +138,18 @@ def _rewrite(spark: SparkSession, merged: DataFrame, path: str, partition_by: Se
 
 def _rewrite_partitions(
     spark: SparkSession, merged: DataFrame, path: str, partition_by: Sequence[str]
-) -> None:
+) -> list[str]:
     """Swap only the partition directories present in ``merged`` — the
     dynamic-partition-overwrite shape: write merged (already filtered to
     affected partitions) to a temp dir, then move each leaf partition
     dir over its target counterpart. Unaffected partitions are never
     read or rewritten, so a merge costs O(changed partitions), not
-    O(table)."""
+    O(table).
+
+    Returns the relative leaf partition dirs that were swapped, so a
+    DELETING caller (takedown) can detect an affected partition that
+    produced ZERO output rows — such a dir is never swapped and its
+    stale files must be removed explicitly."""
     depth = len(partition_by)
     tmp = tempfile.mkdtemp(prefix="upsert_", dir=os.path.dirname(path.rstrip("/")) or ".")
     try:
@@ -171,6 +176,7 @@ def _rewrite_partitions(
                 shutil.rmtree(dst)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             shutil.move(os.path.join(tmp, rel), dst)
+        return leaves
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

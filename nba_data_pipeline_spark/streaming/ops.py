@@ -760,7 +760,15 @@ def takedown_batch(
     affected rows), never a recompute of any derived state from
     scratch:
 
-    - corpus / signatures / scores: key anti-join + rewrite,
+    - corpus: key anti-join + rewrite. PARTITION-SCOPED when the
+      corpus is hive-partitioned (explicit ``corpus_partition_by`` or
+      auto-detected layout): only the partition dirs that actually
+      hold doomed rows are anti-joined and swapped, and a partition
+      whose last rows were doomed has its stale dir deleted — a
+      takedown costs O(affected partitions) write volume, never a
+      corpus copy. Unpartitioned corpora take the whole-table
+      write-temp-then-swap,
+    - signatures / scores: key anti-join + rewrite,
     - pairs: rows mentioning a doomed id on EITHER side are dropped,
     - seen-content hashes (bucket-partitioned): partition-pruned to the
       buckets the doomed content hashes into, and a hash is removed
@@ -804,16 +812,66 @@ def takedown_batch(
         table_exists,
     )
 
+    import os as _os
+    import shutil as _shutil
+
     spark = ids_df.sparkSession
     ids = ids_df.select(id_col).distinct().localCheckpoint()
     removed: dict[str, int] = {}
 
     corpus_pcols = list(corpus_partition_by) or hive_partition_cols(corpus_path)
     corpus = read_table(spark, corpus_path, merge_schema=True)
-    doomed = corpus.join(ids, id_col, "left_semi").localCheckpoint()
+    # doomed is O(removed rows) — the only frame this step materializes.
+    # _file rides along so stale-dir cleanup below can name the exact
+    # partition dirs doomed rows live in without re-encoding hive
+    # values (input_file_name is the on-disk truth, whatever the
+    # partition column types or escaping).
+    doomed = (
+        corpus.withColumn("_file", F.input_file_name())
+        .join(ids, id_col, "left_semi")
+        .localCheckpoint()
+    )
     removed["corpus"] = doomed.count()
-    survivors = corpus.join(ids, id_col, "left_anti").localCheckpoint()
-    _rewrite(spark, survivors, corpus_path, corpus_pcols)
+    if corpus_pcols:
+        # partition-scoped removal: only the dirs that actually hold
+        # doomed rows are read for the anti-join and rewritten — at
+        # corpus scale a takedown touches O(affected partitions), not
+        # O(corpus) write volume (the whole-table _rewrite would copy
+        # 100 TB to delete a handful of documents)
+        affected = doomed.select(*corpus_pcols).distinct()
+        keep_aff = (
+            corpus.join(F.broadcast(affected), corpus_pcols, "left_semi")
+            .join(ids, id_col, "left_anti")
+        )
+        swapped = _rewrite_partitions(
+            spark, keep_aff.repartition(*corpus_pcols), corpus_path, corpus_pcols
+        )
+        # an affected partition whose LAST rows were doomed produces no
+        # output dir, so the swap leaves its stale files — delete them
+        # (dir names come from doomed's input files, not re-formatting)
+        root = _os.path.abspath(corpus_path.rstrip("/"))
+
+        def _local(uri: str) -> str:
+            p = uri.split("://", 1)[-1] if "://" in uri else uri
+            return p[5:] if p.startswith("file:") else p
+
+        doomed_dirs = {
+            _os.path.relpath(_os.path.dirname(_local(r._file)), root)
+            for r in doomed.select("_file").distinct().collect()
+        }
+        for rel in sorted(doomed_dirs - set(swapped)):
+            stale = _os.path.join(root, rel)
+            if _os.path.isdir(stale):
+                _shutil.rmtree(stale)
+    else:
+        # unpartitioned: whole-table write-temp-then-swap. survivors is
+        # consumed lazily — the temp write happens while the old files
+        # still exist, so no O(corpus) checkpoint is needed
+        _rewrite(spark, corpus.join(ids, id_col, "left_anti"), corpus_path, ())
+    doomed = doomed.drop("_file")
+    # post-swap view of the surviving corpus for the hash/stats steps
+    # below (a pre-swap lazy frame would re-read replaced files)
+    survivors = read_table(spark, corpus_path, merge_schema=True)
 
     def _drop_by_id(path: str, key: str, label: str, pcols=None) -> None:
         if path is None or not table_exists(path):

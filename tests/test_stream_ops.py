@@ -749,3 +749,49 @@ def test_reconcile_ingest_stats_repairs_divergence(spark, tmp_path):
     got = {r.source: r for r in spark.read.parquet(stats_p).collect()}
     assert got["web"].n_docs == 3 and got["book"].n_docs == 1
     assert got["web"].max_chars == len("epsilon zeta eta")
+
+
+def test_takedown_partition_scoped_rewrite(spark, tmp_path):
+    """On a partitioned corpus, takedown must rewrite ONLY the
+    partitions holding doomed rows (unaffected partition files stay
+    byte-identical on disk — same inode), and a partition whose last
+    rows are doomed must have its directory deleted, not left stale."""
+    import os
+
+    from nba_data_pipeline_spark.streaming.ops import takedown_batch
+
+    path = str(tmp_path / "corpus")
+    rows = [(i, f"text {i}", i % 4) for i in range(40)] + [(100, "lonely", 9)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, shard int"
+    ).write.partitionBy("shard").parquet(path)
+
+    def inodes(shard):
+        d = os.path.join(path, f"shard={shard}")
+        return {
+            f: os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_unaffected = inodes(2)  # no doomed ids live in shard=2
+    # doom two ids in shard=3 and the ONLY id in shard=9
+    removed = takedown_batch(
+        spark.createDataFrame([(3,), (7,), (100,)], "doc_id long"), path
+    )
+    assert removed["corpus"] == 3
+    # unaffected partition: same files, same inodes (never rewritten)
+    assert inodes(2) == before_unaffected
+    # affected partition rewritten, doomed rows gone
+    left = spark.read.parquet(path)
+    assert left.count() == 38
+    assert left.filter("doc_id IN (3, 7, 100)").count() == 0
+    # the emptied partition's directory is deleted, not stale
+    assert not os.path.exists(os.path.join(path, "shard=9"))
+    assert left.select("shard").distinct().count() == 4
+    # idempotent second run removes nothing and leaves layout intact
+    removed2 = takedown_batch(
+        spark.createDataFrame([(3,), (100,)], "doc_id long"), path
+    )
+    assert removed2["corpus"] == 0
+    assert spark.read.parquet(path).count() == 38
