@@ -113,6 +113,14 @@ def build_parser() -> argparse.ArgumentParser:
         "check; state lives under <output>/bloom and <output>/hashes)",
     )
     p.add_argument(
+        "--state_buckets", type=int,
+        help="corpus_ingest: lay the signature/pairs/scores merge-state "
+        "tables out in pmod(xxhash64(key), N) hive buckets so a batch "
+        "merge rewrites only touched buckets instead of the whole table "
+        "(use once state outgrows whole-rewrites; keep the value stable "
+        "for a given output dir)",
+    )
+    p.add_argument(
         "--partition_by",
         help="corpus_takedown: comma-separated partition columns of the "
         "corpus table (e.g. shard) so the takedown rewrite preserves the "
@@ -160,6 +168,8 @@ def parse_args(argv: Sequence[str]) -> argparse.Namespace:
     _pii_types(args)  # validate type names pre-Spark (fails loudly)
     if args.seen_state and args.pipeline != "corpus_ingest":
         raise SystemExit("--seen_state only applies to corpus_ingest")
+    if args.state_buckets and args.pipeline != "corpus_ingest":
+        raise SystemExit("--state_buckets only applies to corpus_ingest")
     if args.stats_key and args.pipeline != "corpus_ingest":
         raise SystemExit("--stats_key only applies to corpus_ingest")
     if args.partition_by and args.pipeline != "corpus_takedown":
@@ -356,6 +366,7 @@ def run(argv: Sequence[str], spark: SparkSession | None = None) -> None:
             hashes_path=paths["hashes"] if args.seen_state else None,
             stats_path=paths["stats"] if args.stats_key else None,
             stats_key=args.stats_key or "source",
+            **({"state_buckets": args.state_buckets} if args.state_buckets else {}),
         )
         q.awaitTermination()
         return

@@ -79,6 +79,7 @@ def near_dedup_batch(
     threshold: float = 0.5,
     shingle_n: int = 3,
     hash: str = "xxhash64",
+    state_buckets: int | None = None,
 ) -> None:
     """One continuous-ingest near-dedup step (the foreachBatch body of
     ``stream_near_dedup``, exposed for cron-style batch ingest and for
@@ -101,6 +102,20 @@ def near_dedup_batch(
     signature table and never near-dedups. Route short documents
     through exact dedup (they are cheap to hash whole) or lower
     ``shingle_n``.
+
+    ``state_buckets``: PAIR GENERATION is O(batch) either way, but the
+    default signature/pairs MERGE rewrites its whole state table per
+    batch — fine for millions of rows, O(history) write volume at
+    billions. Passing ``state_buckets`` lays both tables out in
+    ``bucket = pmod(xxhash64(key), n)`` hive partitions so a merge
+    rewrites only the buckets the batch touches — the same
+    crossover-honest trade as ``incremental.fold_aggregate_state_table``
+    (whole rewrite wins below ~10M state rows on fixed costs, buckets
+    win past the tens of millions and stay O(batch x history/n)). Pick
+    n so history/n rows fit one task comfortably (e.g. 4096 buckets for
+    1B signatures). The layout is sticky: keep the same value across
+    batches of one state table. Readers are unaffected (the pair join
+    drops the bucket column).
     """
     from ..operators.dedup import incremental_minhash_pairs, minhash_signatures
     from ..sinks.writer import table_exists, upsert_table
@@ -111,7 +126,7 @@ def near_dedup_batch(
         hash=hash,
     ).localCheckpoint()  # eager: feeds the pair join AND the table merge
     if table_exists(signature_path):
-        corpus = spark.read.parquet(signature_path)
+        corpus = spark.read.parquet(signature_path).drop("bucket")
     else:  # first batch: empty corpus, new-vs-new pairs still form
         corpus = spark.createDataFrame([], sigs.schema)
     pairs = incremental_minhash_pairs(
@@ -121,6 +136,21 @@ def near_dedup_batch(
         F.greatest("id_new", "id_other").alias("id_b"),
         "est_jaccard",
     )
+    if state_buckets:
+        pairs = pairs.withColumn(
+            "bucket", F.pmod(F.xxhash64("id_a", "id_b"), F.lit(state_buckets))
+        )
+        sigs = sigs.withColumn(
+            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(state_buckets))
+        )
+        upsert_table(
+            spark, pairs, pairs_path, key=("id_a", "id_b"),
+            partition_by=["bucket"],
+        )
+        upsert_table(
+            spark, sigs, signature_path, key="doc_id", partition_by=["bucket"]
+        )
+        return
     upsert_table(spark, pairs, pairs_path, key=("id_a", "id_b"))
     # minhash_signatures aliases the id column to doc_id, so the
     # signature-table merge key is the literal "doc_id" regardless of
@@ -224,6 +254,7 @@ def quality_score_batch(
     scores_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    state_buckets: int | None = None,
 ) -> None:
     """One continuous-ingest quality-scoring step: score the batch
     under a FITTED trigram LM (``text.fit_trigram_lm`` — fit once on a
@@ -231,11 +262,23 @@ def quality_score_batch(
     and MERGE the scores into the persisted table keyed on the id.
     Redelivered micro-batches upsert identical rows (the score is a
     pure function of the document and the frozen LM), so the table is
-    replay-idempotent — same contract as ``near_dedup_batch``."""
+    replay-idempotent — same contract as ``near_dedup_batch``, and the
+    same ``state_buckets`` option bounds the merge's write volume to
+    the touched buckets once the score table outgrows whole-rewrites
+    (see the near_dedup_batch docstring for the crossover)."""
     from ..operators.text import trigram_lm_scores
     from ..sinks.writer import upsert_table
 
     scored = trigram_lm_scores(batch_df, lm, id_col, text_col)
+    if state_buckets:
+        scored = scored.withColumn(
+            "bucket", F.pmod(F.xxhash64(id_col), F.lit(state_buckets))
+        )
+        upsert_table(
+            batch_df.sparkSession, scored, scores_path, key=id_col,
+            partition_by=["bucket"],
+        )
+        return
     upsert_table(batch_df.sparkSession, scored, scores_path, key=id_col)
 
 
@@ -470,7 +513,12 @@ def corpus_ingest_batch(
         .localCheckpoint()  # feeds three downstream stages; gate once
     )
     near_dedup_batch(gated, signature_path, pairs_path, id_col, text_col, **near_dedup_kwargs)
-    quality_score_batch(gated, lm, scores_path, id_col, text_col)
+    quality_score_batch(
+        gated, lm, scores_path, id_col, text_col,
+        # one knob lays out both merge-state tables; the signature
+        # table picks it up through near_dedup_kwargs
+        state_buckets=near_dedup_kwargs.get("state_buckets"),
+    )
     upsert_table(batch_df.sparkSession, gated, corpus_path, key=id_col)
     if seen_state:
         record_ingested_content(gated, bloom_path, hashes_path, text_col)
@@ -819,6 +867,10 @@ def takedown_batch(
     ids = ids_df.select(id_col).distinct().localCheckpoint()
     removed: dict[str, int] = {}
 
+    def _local(uri: str) -> str:
+        p = uri.split("://", 1)[-1] if "://" in uri else uri
+        return p[5:] if p.startswith("file:") else p
+
     corpus_pcols = list(corpus_partition_by) or hive_partition_cols(corpus_path)
     corpus = read_table(spark, corpus_path, merge_schema=True)
     # doomed is O(removed rows) — the only frame this step materializes.
@@ -850,11 +902,6 @@ def takedown_batch(
         # output dir, so the swap leaves its stale files — delete them
         # (dir names come from doomed's input files, not re-formatting)
         root = _os.path.abspath(corpus_path.rstrip("/"))
-
-        def _local(uri: str) -> str:
-            p = uri.split("://", 1)[-1] if "://" in uri else uri
-            return p[5:] if p.startswith("file:") else p
-
         doomed_dirs = {
             _os.path.relpath(_os.path.dirname(_local(r._file)), root)
             for r in doomed.select("_file").distinct().collect()
@@ -873,15 +920,55 @@ def takedown_batch(
     # below (a pre-swap lazy frame would re-read replaced files)
     survivors = read_table(spark, corpus_path, merge_schema=True)
 
+    def _scoped_drop(path: str, pcols: list, doomed_cond, label: str) -> None:
+        """Shared partition-scoped row removal: ``doomed_cond(t)``
+        returns the boolean doom predicate over table ``t``.
+        Partitioned tables rewrite only the dirs holding doomed rows
+        (same input_file_name mechanism as the corpus above, including
+        emptied-dir deletion); unpartitioned tables take the
+        whole-table write-temp-then-swap."""
+        t = read_table(spark, path, merge_schema=True)
+        cond = doomed_cond(t)
+        if pcols:
+            tf = t.withColumn("_file", F.input_file_name())
+            matched = tf.filter(cond).localCheckpoint()
+            removed[label] = matched.count()
+            if removed[label] == 0:
+                return
+            aff = matched.select(*pcols).distinct()
+            keep = (
+                tf.join(F.broadcast(aff), pcols, "left_semi")
+                .filter(~cond)
+                .drop("_file")
+            )
+            swapped = _rewrite_partitions(
+                spark, keep.repartition(*pcols), path, pcols
+            )
+            root = _os.path.abspath(path.rstrip("/"))
+            dirs = {
+                _os.path.relpath(_os.path.dirname(_local(r._file)), root)
+                for r in matched.select("_file").distinct().collect()
+            }
+            for rel in sorted(dirs - set(swapped)):
+                stale = _os.path.join(root, rel)
+                if _os.path.isdir(stale):
+                    _shutil.rmtree(stale)
+        else:
+            keep = t.filter(~cond).localCheckpoint()
+            removed[label] = t.count() - keep.count()
+            _rewrite(spark, keep, path, ())
+
+    # doom predicates are IN-set membership against the (small,
+    # checkpointed) ids frame, expressed as a broadcast semi-joinable
+    # condition: isin over a collected list keeps the predicate usable
+    # in filter() form for both the matched and keep sides
+    id_values = [r[0] for r in ids.collect()]
+
     def _drop_by_id(path: str, key: str, label: str, pcols=None) -> None:
         if path is None or not table_exists(path):
             return
         pcols = list(pcols) if pcols else hive_partition_cols(path)
-        t = read_table(spark, path, merge_schema=True)
-        keep = t.join(ids.withColumnRenamed(id_col, key), key, "left_anti")
-        keep = keep.localCheckpoint()
-        removed[label] = t.count() - keep.count()
-        _rewrite(spark, keep, path, pcols)
+        _scoped_drop(path, pcols, lambda t: F.col(key).isin(id_values), label)
 
     # the signature table's id column is the literal "doc_id"
     # (near_dedup_batch contract), scores likewise
@@ -895,14 +982,12 @@ def takedown_batch(
         if path is None or not table_exists(path):
             return
         pcols = list(pcols) if pcols else hive_partition_cols(path)
-        t = read_table(spark, path, merge_schema=True)
-        keep = (
-            t.join(ids.withColumnRenamed(id_col, "id_a"), "id_a", "left_anti")
-            .join(ids.withColumnRenamed(id_col, "id_b"), "id_b", "left_anti")
-            .localCheckpoint()
+        _scoped_drop(
+            path,
+            pcols,
+            lambda t: F.col("id_a").isin(id_values) | F.col("id_b").isin(id_values),
+            label,
         )
-        removed[label] = t.count() - keep.count()
-        _rewrite(spark, keep, path, pcols)
 
     _drop_pairs(pairs_path, "pairs")
     for label, spec in (extra_pair_tables or {}).items():

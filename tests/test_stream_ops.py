@@ -795,3 +795,88 @@ def test_takedown_partition_scoped_rewrite(spark, tmp_path):
     )
     assert removed2["corpus"] == 0
     assert spark.read.parquet(path).count() == 38
+
+
+def test_bucketed_state_ingest_and_scoped_takedown(spark, tmp_path):
+    """state_buckets lays signature/pairs/scores state out in
+    pmod(xxhash64(key), N) hive buckets: results match the unbucketed
+    path, a second batch's merge leaves untouched buckets
+    byte-identical on disk (inode check), replay is idempotent, and
+    takedown's auto-detected partition pruning rewrites only the
+    buckets holding doomed rows."""
+    import os
+
+    from nba_data_pipeline_spark.operators.text import fit_trigram_lm
+    from nba_data_pipeline_spark.streaming.ops import (
+        near_dedup_batch,
+        quality_score_batch,
+        takedown_batch,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows1 = [(i, f"{text} doc {i}") for i in range(20)]
+    rows2 = [(i, f"{text} doc {i}") for i in range(20, 30)]
+    schema = "doc_id long, text string"
+    sig_p, pairs_p = str(tmp_path / "sigs"), str(tmp_path / "pairs")
+    scores_p = str(tmp_path / "scores")
+    lm = fit_trigram_lm(spark.createDataFrame(rows1, schema), "text")
+
+    b1 = spark.createDataFrame(rows1, schema)
+    near_dedup_batch(b1, sig_p, pairs_p, state_buckets=8, threshold=0.2)
+    quality_score_batch(b1, lm, scores_p, state_buckets=8)
+    assert any(d.startswith("bucket=") for d in os.listdir(sig_p))
+    assert {r.doc_id for r in spark.read.parquet(sig_p).collect()} == set(range(20))
+
+    def inodes(base, bucket):
+        d = os.path.join(base, f"bucket={bucket}")
+        if not os.path.isdir(d):
+            return None
+        return {
+            f: os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    # second batch: buckets not touched by batch-2 keys keep their files
+    b2 = spark.createDataFrame(rows2, schema)
+    from pyspark.sql import functions as F
+
+    touched = {
+        r.b
+        for r in b2.select(F.pmod(F.xxhash64("doc_id"), F.lit(8)).alias("b")).collect()
+    }
+    before = {b: inodes(sig_p, b) for b in range(8)}
+    near_dedup_batch(b2, sig_p, pairs_p, state_buckets=8, threshold=0.2)
+    untouched = [b for b in range(8) if b not in touched and before[b] is not None]
+    assert untouched, "fixture must leave at least one bucket untouched"
+    for b in untouched:
+        assert inodes(sig_p, b) == before[b]
+    assert spark.read.parquet(sig_p).count() == 30
+    quality_score_batch(b2, lm, scores_p, state_buckets=8)
+
+    # replay batch 2: byte-idempotent state (row-level, not file-level)
+    near_dedup_batch(b2, sig_p, pairs_p, state_buckets=8, threshold=0.2)
+    assert spark.read.parquet(sig_p).count() == 30
+    sig_rows = spark.read.parquet(sig_p).select("doc_id", "bucket").distinct().count()
+    assert sig_rows == 30
+
+    # takedown prunes bucketed state via auto-detected layout
+    corpus_p = str(tmp_path / "corpus")
+    spark.createDataFrame(rows1 + rows2, schema).write.parquet(corpus_p)
+    doomed = spark.createDataFrame([(5,), (25,)], "doc_id long")
+    doom_buckets = {
+        r.b
+        for r in doomed.select(
+            F.pmod(F.xxhash64("doc_id"), F.lit(8)).alias("b")
+        ).collect()
+    }
+    before_td = {b: inodes(sig_p, b) for b in range(8)}
+    removed = takedown_batch(
+        doomed, corpus_p, signature_path=sig_p, scores_path=scores_p
+    )
+    assert removed["signatures"] == 2 and removed["scores"] == 2
+    for b in range(8):
+        if b not in doom_buckets and before_td[b] is not None:
+            assert inodes(sig_p, b) == before_td[b]
+    assert spark.read.parquet(sig_p).filter("doc_id IN (5, 25)").count() == 0
+    assert spark.read.parquet(scores_p).filter("doc_id IN (5, 25)").count() == 0
