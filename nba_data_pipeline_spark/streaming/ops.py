@@ -226,18 +226,22 @@ def stream_near_dedup(
     checkpoint_dir: str | None = None,
     available_now: bool = True,
     query_name: str = "stream_near_dedup",
+    state_buckets: int | None = None,
 ):
     """Continuous-ingest NEAR-dedup as a Structured Streaming query:
     ``near_dedup_batch`` per micro-batch via foreachBatch. At 100 TB
     the per-batch cost is O(batch) shingling + one banded join against
     the signature table; ``available_now=True`` drains what's pending
     and stops (cron-style incremental ingest, like the reference CLI).
+    ``state_buckets`` bounds the per-batch state MERGE to touched
+    buckets (see near_dedup_batch) — pass it for billion-row state.
     """
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         near_dedup_batch(
             batch_df, signature_path, pairs_path, id_col, text_col,
             num_perm, bands, threshold, shingle_n,
+            state_buckets=state_buckets,
         )
 
     writer = stream_df.writeStream.foreachBatch(process).queryName(query_name)
