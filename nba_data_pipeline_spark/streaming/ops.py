@@ -167,6 +167,7 @@ def image_dedup_batch(
     max_hamming: int = 3,
     band_bits: int = 16,
     decode: str = "real",
+    state_buckets: int | None = None,
 ) -> None:
     """One continuous-ingest IMAGE near-dedup step — the media-modality
     twin of ``near_dedup_batch`` (same idempotency contract, usable as
@@ -199,7 +200,7 @@ def image_dedup_batch(
         .localCheckpoint()  # eager: feeds the pair join AND the merge
     )
     if table_exists(hash_path):
-        corpus = spark.read.parquet(hash_path)
+        corpus = spark.read.parquet(hash_path).drop("bucket")
     else:
         corpus = spark.createDataFrame([], hashes.schema)
     pairs = incremental_simhash_pairs(
@@ -209,6 +210,21 @@ def image_dedup_batch(
         F.greatest("id_new", "id_other").alias("id_b"),
         "hamming",
     )
+    if state_buckets:
+        # same bucketed merge-state trade as near_dedup_batch (see its
+        # docstring for the crossover): O(touched buckets) writes
+        pairs = pairs.withColumn(
+            "bucket", F.pmod(F.xxhash64("id_a", "id_b"), F.lit(state_buckets))
+        )
+        hashes = hashes.withColumn(
+            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(state_buckets))
+        )
+        upsert_table(
+            spark, pairs, pairs_path, key=("id_a", "id_b"),
+            partition_by=["bucket"],
+        )
+        upsert_table(spark, hashes, hash_path, key="doc_id", partition_by=["bucket"])
+        return
     upsert_table(spark, pairs, pairs_path, key=("id_a", "id_b"))
     upsert_table(spark, hashes, hash_path, key="doc_id")
 
