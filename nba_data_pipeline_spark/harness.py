@@ -3564,30 +3564,31 @@ def q_bpe_pack_gate(spark, sf):
         num_shards=64,
     ).localCheckpoint(eager=False)
     n_input = docs.count()
-    per_shard = packed.groupBy("shard").agg(
-        F.count("*").alias("n"),
-        F.sum("n_subwords").alias("total"),
-        F.min("start_offset").alias("min_off"),
-        F.max(F.col("start_offset") + F.col("n_subwords")).alias("end"),
-        F.count_distinct("start_offset").alias("n_off"),
-        F.max(
-            F.when(
-                F.col("pack_id")
-                != F.floor(F.col("start_offset") / F.lit(cap)),
-                1,
-            ).otherwise(0)
-        ).alias("bad_pack"),
-    )
-    verdict = per_shard.agg(
-        F.max(
-            F.when(
-                (F.col("min_off") != 0)
-                | (F.col("end") != F.col("total"))
-                | (F.col("n_off") != F.col("n")),
-                1,
-            ).otherwise(0)
-        ).alias("bad_tile"),
-        F.max("bad_pack").alias("bad_pack"),
+    # exact adjacency, not aggregate proxies: ordered by start_offset
+    # within each shard, every doc must start EXACTLY where the
+    # previous ends (lag of start+len, first row 0). The previous
+    # aggregate form (min_off=0, max(end)==sum(len), distinct offsets)
+    # admitted a compensating overlap+gap — e.g. (0,4),(2,2),(6,l)
+    # passes all three while doc 2 overlaps doc 1 and [4,6) is
+    # uncovered (ADVICE r11).
+    w_shard = Window.partitionBy("shard").orderBy("start_offset", "doc_id")
+    verdict = (
+        packed.withColumn(
+            "_prev_end",
+            F.lag(F.col("start_offset") + F.col("n_subwords"), 1, 0).over(w_shard),
+        )
+        .agg(
+            F.max(
+                F.when(F.col("start_offset") != F.col("_prev_end"), 1).otherwise(0)
+            ).alias("bad_tile"),
+            F.max(
+                F.when(
+                    F.col("pack_id")
+                    != F.floor(F.col("start_offset") / F.lit(cap)),
+                    1,
+                ).otherwise(0)
+            ).alias("bad_pack"),
+        )
     )
     counts = packed.agg(
         F.count("*").alias("n_rows"), F.count_distinct("doc_id").alias("n_ids")
@@ -6140,14 +6141,50 @@ def q_lsh_ann(spark, sf):
     return lsh_topk(emb, "embedding", [float(x) for x in query], k=10, n_planes=8)
 
 
-@q("ivf_ann_topk")  # KMeans centroids: deterministic in-Spark, not SQL-expressible
+@q(
+    "ivf_ann_topk",
+    # constant-verdict gate (pq_recall contract): KMeans centroids are
+    # deterministic in-Spark (seeded, content-pinned layout) but not
+    # SQL-expressible, so the oracle pins the planted-recall verdict
+    # instead of the raw top-k rows (VERDICT r11 task #6)
+    """SELECT 'ivf_planted1' AS method, 20 AS n_queries, TRUE AS recall_ok""",
+)
 def q_ivf_ann(spark, sf):
-    from .operators.similarity import ivf_index, ivf_topk
+    """IVF planted-recall gate (operators/similarity.py ivf_index /
+    ivf_batch_topk): index the fixed 500-vector corpus into 8 seeded
+    KMeans lists (fit on the content-pinned sorted single partition,
+    as in ann_recall/pq_recall — KMeans|| init is layout-dependent),
+    then the 20 deterministically perturbed corpus vectors (cos ~0.985,
+    same plant as lsh_planted1) must retrieve their source as top-1
+    with n_probe=3. >=18/20 passes — the gate fails on a broken
+    assignment join, a mis-ranked probe, or a probe set too narrow for
+    near-duplicate queries."""
+    from .operators.similarity import ivf_batch_topk, ivf_index
 
-    emb = _t(spark, sf, "embeddings")
-    query = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    assigned, centers = ivf_index(emb, "embedding", n_lists=8, max_iter=5)
-    return ivf_topk(assigned, centers, "embedding", [float(x) for x in query], k=10, n_probe=3)
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
+    assigned, centers = ivf_index(
+        emb.orderBy("vec_id").coalesce(1), "embedding", n_lists=8, max_iter=5
+    )
+    pert = emb.filter(F.col("vec_id") < 20).select(
+        "vec_id",
+        F.expr(
+            "cast(transform(embedding, (x, i) -> cast(x as double)"
+            " + 0.05 * (pmod(xxhash64(vec_id, i), 1000) / 1000.0 - 0.5))"
+            " as array<float>)"
+        ).alias("embedding"),
+    )
+    top1 = ivf_batch_topk(
+        assigned, centers, pert, "embedding", "vec_id", "vec_id", k=1, n_probe=3
+    )
+    return (
+        top1.filter(F.col("query_id") == F.col("corpus_id"))
+        .agg((F.count("*") >= F.lit(18)).alias("recall_ok"))
+        .select(
+            F.lit("ivf_planted1").alias("method"),
+            F.lit(20).alias("n_queries"),
+            "recall_ok",
+        )
+    )
 
 
 def _fixture_game(spark):
@@ -6190,17 +6227,56 @@ def _fixture_game(spark):
 
 _LINEUP_OUT = ["GAME_ID", "EVENTNUM"] + [f"TEAM{t}_PLAYER{i}" for t in (1, 2) for i in range(1, 6)]
 
+# The fixture game is deterministic, so the FULL lineup expectation
+# table is pinned and hand-derivable from the stint intervals + sub
+# events (see _fixture_game): 101 out/106 in at 7:00 P1 (3000 tenths),
+# 202 out/206 in at 3:40 P1 (5000), period-2 starters re-read from the
+# rotation intervals covering 7200. This literal oracle turns the two
+# lineup formulations from rows-only into full value-hash checks
+# (VERDICT r11 task #6) — the hand computation was done independently
+# of the engine output before pinning.
+_LINEUP_EXPECT = [
+    (1, 101, 102, 103, 104, 105, 201, 202, 203, 204, 205),
+    (2, 101, 102, 103, 104, 105, 201, 202, 203, 204, 205),
+    (10, 102, 103, 104, 105, 106, 201, 202, 203, 204, 205),
+    (20, 102, 103, 104, 105, 106, 201, 203, 204, 205, 206),
+    (100, 103, 104, 105, 106, 107, 201, 202, 203, 204, 205),
+    (110, 103, 104, 105, 106, 107, 201, 202, 203, 204, 205),
+]
 
-@q("lineup_tracking")  # per-game stateful scan (applyInPandas): rows-only
+_LINEUP_ORACLE = (
+    "SELECT '0022400001' AS GAME_ID, "
+    + ", ".join(
+        f"CAST({c} AS BIGINT) AS {name}"
+        for c, name in zip(
+            ("ev", *(f"p{i}" for i in range(10))),
+            ("EVENTNUM", *_LINEUP_OUT[2:]),
+        )
+    )
+    + " FROM (VALUES "
+    + ", ".join(str(row) for row in _LINEUP_EXPECT)
+    + ") AS t(ev, " + ", ".join(f"p{i}" for i in range(10)) + ") ORDER BY ev"
+)
+
+
+@q("lineup_tracking", _LINEUP_ORACLE)
 def q_lineup_tracking(spark, sf):
+    """Per-game stateful scan (applyInPandas) against the pinned
+    fixture expectation — full value-hash oracle."""
     pbp, rot, tgl = _fixture_game(spark)
-    return track_lineups(pbp, rot, tgl).select(*_LINEUP_OUT)
+    return track_lineups(pbp, rot, tgl).select(*_LINEUP_OUT).orderBy("EVENTNUM")
 
 
-@q("lineups_declarative")  # the scale-path formulation of the same op
+@q("lineups_declarative", _LINEUP_ORACLE)
 def q_lineups_declarative(spark, sf):
+    """The scale-path formulation of the same op, against the same
+    pinned expectation."""
     pbp, rot, tgl = _fixture_game(spark)
-    return lineups_via_range_join(pbp, rot, tgl).select(*_LINEUP_OUT)
+    return (
+        lineups_via_range_join(pbp, rot, tgl)
+        .select(*_LINEUP_OUT)
+        .orderBy("EVENTNUM")
+    )
 
 
 @q(
@@ -8648,28 +8724,23 @@ def q_seen_content_delta(spark, sf):
 # Ten §2 family representatives are retained so every family keeps
 # fresh driver evidence; the rotated-out members stay registered and
 # locally swept, and COVERAGE.md keeps the ever-driver-green ledger.
-# r12 rotation policy (after this window lands, the never-checked debt
-# is ZERO): keep the 6 reps, rotate the 44 slots to the stalest
-# single-round greens — the r10 first-timers (tpch_q2/q9/q11/q16/q20,
-# media/audio gates, ANN family, sampling family, normalization,
-# profiling, window shapes, winnow spans, quality, incremental
-# near-dedup, text transforms) plus r2-r4-vintage multi-round greens
-# (json_extract, running_sum, sliding_window, tumbling_window,
-# starters_fallback, starter_detection, topk_per_group). Compute the
-# staleness list from the on-disk CORRECTNESS files as r11 did.
-# Round-11 rotation (VERDICT r10 task #1, executing the draft that was
-# pre-validated at all three local scales in r10 — COVERAGE.md "r11
-# rotation prep"): keep the 6 multi-round-green family reps, give the
-# other 44 slots to (a) the 28 oracle-backed queries that have NEVER
-# had a driver CORRECTNESS row — the 21 older ones plus the seven
-# round-10 state-machine additions (bloom_seen_filter, bloom_fp_gate,
-# incremental_agg_state, cdc_apply, resample_interpolate,
-# cdc_table_materialize, takedown_gate) — and (b) 16 staleness
-# re-checks: the 11 queries whose only driver green is r1-r5 vintage
-# plus the 5 multi-round greens with the oldest last-green round
-# (computed from the on-disk CORRECTNESS_r01-r10 files). After this
-# window runs, every oracle-backed registry entry has at least one
-# driver CORRECTNESS row — the never-checked debt is zero.
+# Round-12 rotation (VERDICT r11 task #1): the r11 draft assumed the
+# never-checked debt would be zero after r11 — WRONG. The round-9
+# window never produced a driver artifact (CORRECTNESS_r08 re-ran the
+# r07 window verbatim and CORRECTNESS_r09 does not exist), so the 38
+# oracle-backed queries scheduled there were never driver-checked.
+# Recomputed this round directly from the on-disk CORRECTNESS_r01-r11
+# files (tools/window_ledger.py): 183 queries ever driver-green, 38
+# oracle-backed never checked. This window = 6 family reps + those 38
+# + 6 staleness re-checks (the r2/r4-vintage greens). After THIS
+# window lands, never-checked debt = 0 *per the on-disk files*, not
+# per a projection.
+# r13 policy: run `python tools/window_ledger.py` FIRST (never trust a
+# drafted list across a round boundary — r9's silent stall is why);
+# window = 6 reps + any remaining never-checked + the stalest greens
+# (the r10 first-timer cohort + newly-oracled queries such as
+# lineup_tracking / lineups_declarative / ivf_ann_topk, which gained
+# full-value oracles in r12 and have no driver row under them yet).
 _DRIVER_WINDOW = [
     # §2 family representatives (multi-round green, retained)
     "merge_upsert",        # S5/S7 sink family
@@ -8678,35 +8749,35 @@ _DRIVER_WINDOW = [
     "lineup_validation",   # O2-O6 lineup family (flagship stateful op)
     "minhash_pairs_portable",      # dedup family flagship
     "corpus_pipeline_relational",  # composed end-to-end pipeline
-    # --- 28 first-time driver checks (never sampled r1-r10) ---
-    # round-10 ingest-state flagships
-    "bloom_seen_filter", "bloom_fp_gate", "incremental_agg_state",
-    "cdc_apply", "cdc_table_materialize", "takedown_gate",
-    "resample_interpolate",
-    # robust-stats / profiling
-    "winsorize_values", "profile_drift", "activity_profile",
-    "value_histogram",
-    # sampling budgets / mixtures
-    "budget_sample", "weighted_sample", "mixture_sample",
-    # relational set ops + skew handling
-    "monthly_order_stats", "source_overlap_matrix", "semi_join",
-    "set_intersect", "set_except", "salted_agg", "salted_join",
-    # text/string surfaces
-    "string_funcs", "posexplode_tokens", "repetition_metrics",
-    "bad_words",
-    # quality gates
-    "approx_error_gate", "simhash_quality_gate", "winnow_fps",
-    # --- 4 queries that GAINED oracles this round (image_resize,
-    # image_features, frame_samples got full value-hash oracles;
-    # bpe_pack_gate is new) — in the window so the new oracle evidence
-    # is driver-hard from day one and the never-checked debt stays 0 ---
-    "image_resize", "image_features", "frame_samples", "bpe_pack_gate",
-    # --- 12 staleness re-checks (only green r1-r5, plus the stalest
-    # multi-round green) ---
-    "binary_meta", "cosine_topk", "doc_fingerprint", "lang_id",
-    "pivot_counts", "prefix_dedup", "project_rename", "quality_scores",
-    "token_stats", "json_quarantine", "asof_join_forward",
-    "starters_box_seeded",
+    # --- the 38 oracle-backed queries with NO driver CORRECTNESS row
+    # in ANY on-disk file r01-r11 (the lost round-9 window cohort;
+    # recomputed via tools/window_ledger.py) ---
+    # graph
+    "graph_degrees", "triangle_counts", "pagerank_centrality",
+    # sketches
+    "hll_sketch_gate", "kll_quantile_gate", "theta_overlap_gate",
+    "cms_bounds_gate", "heavy_hitters",
+    # PII / URL / web curation
+    "pii_scrub", "pii_audit", "url_features", "domain_block_filter",
+    "html_extract", "c4_gate", "encoding_gate",
+    # time-series / intervals
+    "resample_ffill", "activity_bursts", "touch_attribution",
+    "cohort_retention", "scd2_intervals", "interval_merge",
+    # dedup clustering / embeddings / state
+    "dedup_cluster_stats", "dedup_keep_best", "normalized_dedup",
+    "semantic_decontaminate", "quantize_embeddings",
+    "video_frame_overlap", "streaming_replay_oracle",
+    "referential_integrity",
+    # text transforms
+    "oov_rate", "chunk_text", "collocations", "template_groups",
+    "unpivot_long",
+    # aggregate shapes
+    "cube_agg", "rollup_agg", "exact_median",
+    "latest_order_per_customer",
+    # --- 6 staleness re-checks: the queries whose last driver green
+    # is r2/r4 vintage (oldest in the on-disk ledger) ---
+    "json_extract", "running_sum", "sliding_window", "tumbling_window",
+    "starter_detection", "topk_per_group",
 ]
 
 

@@ -217,6 +217,7 @@ def fold_aggregate_state_table(
     keys: Sequence[str],
     specs: dict[str, tuple[str, str]],
     n_buckets: int = 256,
+    batch_id: int | None = None,
 ) -> None:
     """Persisted, BUCKET-PARTITIONED form of ``fold_aggregate_state``
     for high-cardinality keys (per-user / per-document rollups, where
@@ -239,19 +240,44 @@ def fold_aggregate_state_table(
     Per-batch cost is O(batch + touched-bucket rows): a trickle batch
     against a billion-key state reads and rewrites ~its own key
     neighborhood, never the full rollup. Same layout contract as the
-    seen-content hash table (``streaming/ops.py``)."""
+    seen-content hash table (``streaming/ops.py``).
+
+    REPLAY SEMANTICS: the fold is ADDITIVE, so unlike the upsert-based
+    merge states (near-dedup signatures, CDC snapshots) a replayed
+    batch double-counts. ``batch_id`` makes replay exact at BUCKET
+    granularity — each bucket dir records the last applied batch in an
+    ``_epoch`` column (every row, constant per swap), and a merge
+    skips buckets whose ``_epoch >= batch_id``. Because the per-leaf
+    swap is atomic (``_rewrite_partitions``), a crash mid-merge leaves
+    each bucket either fully pre- or fully post-batch, and replaying
+    the SAME batch_id applies exactly the not-yet-applied buckets —
+    resumable exactly-once over plain parquet. foreachBatch callers
+    pass the streaming epoch_id; cron callers any monotonic sequence.
+    With ``batch_id=None`` the caller owns at-most-once delivery
+    (pair with ``delta_filter`` / the Bloom seen-set)."""
     from ..sinks.writer import (
         _rewrite_partitions,
+        check_partition_layout,
         read_table,
         table_exists,
+        write_layout_meta,
         write_table,
     )
 
     keys = list(keys)
+    # the modulus is part of the on-disk layout: merging with a
+    # different n_buckets splits keys across bucket dirs (duplicate
+    # rows on read) — refuse rather than corrupt
+    check_partition_layout(path, ["bucket"], n_buckets)
     bucket = F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).alias("bucket")
     partials = _partial_aggs(batch, keys, specs).select("*", bucket)
+    if batch_id is not None:
+        partials = partials.withColumn(
+            "_epoch", F.lit(int(batch_id)).cast("long")
+        )
     if not table_exists(path):
         write_table(partials, path, partition_by=["bucket"])
+        write_layout_meta(path, ["bucket"], n_buckets)
         return
     touched = [r.bucket for r in partials.select("bucket").distinct().collect()]
     if not touched:
@@ -264,11 +290,32 @@ def fold_aggregate_state_table(
         read_table(spark, path, merge_schema=True)
         .withColumn("bucket", F.col("bucket").cast("long"))
         .filter(F.col("bucket").isin(touched))
-        .select(partials.columns)
     )
+    if batch_id is not None:
+        # bucket-granular replay fence: a bucket whose recorded epoch
+        # already covers this batch was swapped by a previous (possibly
+        # crashed-after-partial-progress) run — skip it, or the
+        # additive fold double-counts. Legacy rows / unfenced history
+        # read as epoch -1 (always stale).
+        if "_epoch" not in state.columns:
+            state = state.withColumn("_epoch", F.lit(-1).cast("long"))
+        epochs = {
+            r.bucket: r.e
+            for r in state.groupBy("bucket")
+            .agg(F.max(F.coalesce("_epoch", F.lit(-1))).alias("e"))
+            .collect()
+        }
+        stale = [b for b in touched if epochs.get(b, -1) < int(batch_id)]
+        if not stale:
+            return
+        partials = partials.filter(F.col("bucket").isin(stale)).drop("_epoch")
+        state = state.filter(F.col("bucket").isin(stale)).drop("_epoch")
+    state = state.select(partials.columns)
     merged = _merge_aggs(
         state.unionByName(partials), keys, specs
     ).select("*", bucket)
+    if batch_id is not None:
+        merged = merged.withColumn("_epoch", F.lit(int(batch_id)).cast("long"))
     # one output file per touched bucket dir: without this the
     # partitioned write sprays shuffle-partition-count files into every
     # dir, and small-file accumulation is what kills trickle-fold state
@@ -356,13 +403,17 @@ def cdc_apply_table(
     """
     from ..sinks.writer import (
         _rewrite_partitions,
+        check_partition_layout,
         read_table,
         table_exists,
+        write_layout_meta,
         write_table,
     )
     from pyspark.sql import Window
 
     keys = list(keys)
+    # same modulus-is-layout guard as fold_aggregate_state_table
+    check_partition_layout(path, ["bucket"], n_buckets)
     payload = [
         c for c in changes.columns if c not in (*keys, seq_col, op_col)
     ]
@@ -386,6 +437,7 @@ def cdc_apply_table(
     )
     if not table_exists(path):
         write_table(winners.repartition("bucket"), path, partition_by=["bucket"])
+        write_layout_meta(path, ["bucket"], n_buckets)
         return
     touched = [r.bucket for r in winners.select("bucket").distinct().collect()]
     if not touched:

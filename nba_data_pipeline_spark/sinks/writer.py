@@ -15,6 +15,7 @@ row-wise upsert, manual indexes — ``database/db_client.py:37-150``):
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import tempfile
@@ -118,6 +119,70 @@ def hive_partition_cols(path: str) -> list[str]:
     return cols
 
 
+LAYOUT_META = "_layout_meta.json"
+
+
+def write_layout_meta(path: str, partition_by: Sequence[str], buckets: int | None = None) -> None:
+    """Record a state table's partition layout in an underscore-prefixed
+    sidecar (ignored by Spark's parquet reader, like ``_SUCCESS``).
+    ``buckets`` pins the hash-bucket COUNT for ``bucket``-partitioned
+    merge-state tables — the directory layout alone records the column
+    but not the modulus, and merging batches hashed with a different
+    modulus silently splits one key across two bucket dirs (duplicate
+    rows on read)."""
+    try:
+        with open(os.path.join(path, LAYOUT_META), "w") as fh:
+            json.dump({"partition_by": list(partition_by), "buckets": buckets}, fh)
+    except OSError:
+        pass  # meta is a guard, not a dependency (e.g. read-only dir)
+
+
+def check_partition_layout(
+    path: str, partition_by: Sequence[str], buckets: int | None = None
+) -> None:
+    """Refuse to merge into a table whose ON-DISK layout disagrees with
+    the caller's declared layout. Silent disagreement is data
+    corruption, not a recoverable condition: a flat merge into a
+    bucketed table flattens it (leaving ``bucket`` as a data column
+    beside stale bucket dirs), and a bucketed merge into a flat table
+    drops bucket dirs in beside the flat files — either way the next
+    read returns duplicate rows. The directory layout
+    (``hive_partition_cols``) is authoritative for the COLUMNS; the
+    ``_layout_meta.json`` sidecar pins the bucket COUNT (legacy tables
+    without a sidecar are trusted on first use and the sidecar is
+    written on the next successful merge)."""
+    if not table_exists(path):
+        return
+    on_disk = hive_partition_cols(path)
+    declared = list(partition_by)
+    if on_disk != declared:
+        raise ValueError(
+            f"partition-layout mismatch for table {path!r}: on-disk dirs "
+            f"say {on_disk}, caller declared {declared}. Pass the same "
+            f"partitioning (e.g. the same state_buckets) this table was "
+            f"created with, or rebuild the table."
+        )
+    meta_path = os.path.join(path, LAYOUT_META)
+    if buckets is not None or os.path.exists(meta_path):
+        recorded: int | None = None
+        known = False
+        if os.path.exists(meta_path):
+            try:
+                with open(meta_path) as fh:
+                    recorded = json.load(fh).get("buckets")
+                known = True
+            except (OSError, ValueError):
+                known = False
+        if known and recorded != buckets:
+            raise ValueError(
+                f"bucket-count mismatch for table {path!r}: created with "
+                f"state_buckets={recorded}, called with {buckets}. The "
+                f"modulus is part of the layout — keys hashed with a "
+                f"different modulus land in different bucket dirs and "
+                f"duplicate on read."
+            )
+
+
 def _rewrite(spark: SparkSession, merged: DataFrame, path: str, partition_by: Sequence[str]) -> None:
     """Replace ``path`` with ``merged`` wholesale (write-temp-then-swap;
     local-fs stand-in for a table-format transaction commit). Used for
@@ -126,6 +191,15 @@ def _rewrite(spark: SparkSession, merged: DataFrame, path: str, partition_by: Se
     tmp = tempfile.mkdtemp(prefix="upsert_", dir=os.path.dirname(path.rstrip("/")) or ".")
     try:
         write_table(merged, tmp, partition_by, mode="overwrite")
+        if not table_exists(tmp):
+            # merged was EMPTY and the writer emitted zero data files
+            # (partitioned empty writes always do; some planner shapes
+            # do even unpartitioned). An empty table IS absent under
+            # the table_exists contract — delete the target instead of
+            # crashing on schema inference of a file-less directory.
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            return
         out = read_table(spark, tmp)
         out.count()  # materialize before dropping the old copy
         if os.path.exists(path):
@@ -172,10 +246,32 @@ def _rewrite_partitions(
         walk(tmp, 0)
         for rel in leaves:
             dst = os.path.join(path, rel)
+            parent = os.path.dirname(dst)
+            leaf = os.path.basename(dst)
+            os.makedirs(parent, exist_ok=True)
+            # crash-safe per-leaf swap: stage the new dir and the old
+            # dir under dot-prefixed names (invisible to Spark's
+            # reader, like _SUCCESS), so every crash window leaves the
+            # table readable or both copies on disk:
+            #   1. move new data in as .swap-new (reads still see old),
+            #   2. rename old -> .swap-old (atomic; reads briefly miss
+            #      the leaf but BOTH copies exist for recovery),
+            #   3. rename .swap-new -> live (atomic),
+            #   4. delete .swap-old.
+            # The old rmtree-then-move had a window where the leaf was
+            # deleted with its replacement still outside the table — a
+            # kill there lost the bucket outright.
+            new_stage = os.path.join(parent, f".swap-new-{leaf}")
+            old_stage = os.path.join(parent, f".swap-old-{leaf}")
+            for stale in (new_stage, old_stage):  # self-heal prior crash
+                if os.path.exists(stale):
+                    shutil.rmtree(stale)
+            shutil.move(os.path.join(tmp, rel), new_stage)
             if os.path.exists(dst):
-                shutil.rmtree(dst)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            shutil.move(os.path.join(tmp, rel), dst)
+                os.rename(dst, old_stage)
+            os.rename(new_stage, dst)
+            if os.path.exists(old_stage):
+                shutil.rmtree(old_stage)
         return leaves
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -283,22 +379,30 @@ def upsert_table(
     path: str,
     key: str | Sequence[str],
     partition_by: Sequence[str] = (),
+    buckets: int | None = None,
 ) -> None:
     """MERGE: source rows win on key collision; first write creates the
     table (reference create-on-first-write, db_client.py:43-54).
     Delta tables MERGE transactionally (``_try_delta_merge``); plain
-    parquet rewrites only the partitions receiving source rows."""
+    parquet rewrites only the partitions receiving source rows.
+    ``check_partition_layout`` refuses a merge whose declared layout
+    (``partition_by`` + hash-bucket count ``buckets``) disagrees with
+    the on-disk table — silent layout mixing duplicates rows on read."""
+    check_partition_layout(path, partition_by, buckets)
     if not table_exists(path):
         write_table(source, path, partition_by)
+        write_layout_meta(path, partition_by, buckets)
         return
     if _try_delta_merge(spark, source, path, key, update_matched=True):
         return
     if partition_by:
         _merge_partitioned(spark, source, path, key, partition_by, merge_upsert)
+        write_layout_meta(path, partition_by, buckets)
         return
     target, source = _align_schemas(read_table(spark, path, merge_schema=True), source)
     merged = merge_upsert(target, source, key)
     _rewrite(spark, merged, path, partition_by)
+    write_layout_meta(path, partition_by, buckets)
 
 
 def insert_ignore_table(
@@ -307,19 +411,24 @@ def insert_ignore_table(
     path: str,
     key: str | Sequence[str],
     partition_by: Sequence[str] = (),
+    buckets: int | None = None,
 ) -> None:
     """ON CONFLICT DO NOTHING (reference db_client.py:87-88)."""
+    check_partition_layout(path, partition_by, buckets)
     if not table_exists(path):
         write_table(source, path, partition_by)
+        write_layout_meta(path, partition_by, buckets)
         return
     if _try_delta_merge(spark, source, path, key, update_matched=False):
         return
     if partition_by:
         _merge_partitioned(spark, source, path, key, partition_by, insert_ignore)
+        write_layout_meta(path, partition_by, buckets)
         return
     target, source = _align_schemas(read_table(spark, path, merge_schema=True), source)
     merged = insert_ignore(target, source, key)
     _rewrite(spark, merged, path, partition_by)
+    write_layout_meta(path, partition_by, buckets)
 
 
 def compact_table(

@@ -113,9 +113,13 @@ def near_dedup_batch(
     (whole rewrite wins below ~10M state rows on fixed costs, buckets
     win past the tens of millions and stay O(batch x history/n)). Pick
     n so history/n rows fit one task comfortably (e.g. 4096 buckets for
-    1B signatures). The layout is sticky: keep the same value across
-    batches of one state table. Readers are unaffected (the pair join
-    drops the bucket column).
+    1B signatures). The layout is sticky — and ENFORCED: the writer's
+    ``check_partition_layout`` (backed by the ``_layout_meta.json``
+    sidecar, same pattern as the Bloom family's ``_bloom_meta.json``)
+    raises on a flat call against a bucketed table, a bucketed call
+    against a flat table, or a changed modulus, because any of those
+    silently duplicates rows on the next read. Readers are unaffected
+    (the pair join drops the bucket column).
     """
     from ..operators.dedup import incremental_minhash_pairs, minhash_signatures
     from ..sinks.writer import table_exists, upsert_table
@@ -145,10 +149,11 @@ def near_dedup_batch(
         )
         upsert_table(
             spark, pairs, pairs_path, key=("id_a", "id_b"),
-            partition_by=["bucket"],
+            partition_by=["bucket"], buckets=state_buckets,
         )
         upsert_table(
-            spark, sigs, signature_path, key="doc_id", partition_by=["bucket"]
+            spark, sigs, signature_path, key="doc_id",
+            partition_by=["bucket"], buckets=state_buckets,
         )
         return
     upsert_table(spark, pairs, pairs_path, key=("id_a", "id_b"))
@@ -221,9 +226,12 @@ def image_dedup_batch(
         )
         upsert_table(
             spark, pairs, pairs_path, key=("id_a", "id_b"),
-            partition_by=["bucket"],
+            partition_by=["bucket"], buckets=state_buckets,
         )
-        upsert_table(spark, hashes, hash_path, key="doc_id", partition_by=["bucket"])
+        upsert_table(
+            spark, hashes, hash_path, key="doc_id",
+            partition_by=["bucket"], buckets=state_buckets,
+        )
         return
     upsert_table(spark, pairs, pairs_path, key=("id_a", "id_b"))
     upsert_table(spark, hashes, hash_path, key="doc_id")
@@ -296,7 +304,7 @@ def quality_score_batch(
         )
         upsert_table(
             batch_df.sparkSession, scored, scores_path, key=id_col,
-            partition_by=["bucket"],
+            partition_by=["bucket"], buckets=state_buckets,
         )
         return
     upsert_table(batch_df.sparkSession, scored, scores_path, key=id_col)
@@ -552,6 +560,7 @@ def fold_ingest_stats(
     stats_key: str = "source",
     text_col: str = "text",
     n_buckets: int | None = None,
+    batch_id: int | None = None,
 ) -> None:
     """Fold the accepted batch into the per-key ingest rollup
     (n_docs, sum_chars, min_chars, max_chars keyed by ``stats_key``)
@@ -594,8 +603,12 @@ def fold_ingest_stats(
     }
     batch = accepted_df.withColumn("_chars", F.length(text_col).cast("long"))
     if n_buckets is not None:
+        # pass the streaming epoch_id as batch_id: the bucket-granular
+        # epoch fence makes redelivery/crash-replay exact for the
+        # additive fold (see fold_aggregate_state_table docstring)
         fold_aggregate_state_table(
-            spark, batch, stats_path, [stats_key], specs, n_buckets=n_buckets
+            spark, batch, stats_path, [stats_key], specs,
+            n_buckets=n_buckets, batch_id=batch_id,
         )
         return
     state = spark.read.parquet(stats_path) if table_exists(stats_path) else None
@@ -937,30 +950,35 @@ def takedown_batch(
         _rewrite(spark, corpus.join(ids, id_col, "left_anti"), corpus_path, ())
     doomed = doomed.drop("_file")
     # post-swap view of the surviving corpus for the hash/stats steps
-    # below (a pre-swap lazy frame would re-read replaced files)
-    survivors = read_table(spark, corpus_path, merge_schema=True)
+    # below (a pre-swap lazy frame would re-read replaced files). A
+    # takedown that doomed EVERY row can leave the corpus absent (zero
+    # parquet files) — that's a valid outcome, not a crash: fall back
+    # to an empty frame with the pre-swap schema.
+    if table_exists(corpus_path):
+        survivors = read_table(spark, corpus_path, merge_schema=True)
+    else:
+        survivors = spark.createDataFrame([], corpus.schema)
 
-    def _scoped_drop(path: str, pcols: list, doomed_cond, label: str) -> None:
-        """Shared partition-scoped row removal: ``doomed_cond(t)``
-        returns the boolean doom predicate over table ``t``.
+    def _scoped_drop(path: str, pcols: list, split, label: str) -> None:
+        """Shared partition-scoped row removal: ``split(t)`` returns
+        the ``(matched, kept)`` pair of lazy frames over table ``t``,
+        built from broadcast semi/anti joins against the ids frame
+        (never an isin() literal — see the comment at ``_id_split``).
         Partitioned tables rewrite only the dirs holding doomed rows
         (same input_file_name mechanism as the corpus above, including
         emptied-dir deletion); unpartitioned tables take the
         whole-table write-temp-then-swap."""
         t = read_table(spark, path, merge_schema=True)
-        cond = doomed_cond(t)
         if pcols:
             tf = t.withColumn("_file", F.input_file_name())
-            matched = tf.filter(cond).localCheckpoint()
+            matched = split(tf)[0].localCheckpoint()
             removed[label] = matched.count()
             if removed[label] == 0:
                 return
             aff = matched.select(*pcols).distinct()
-            keep = (
+            keep = split(
                 tf.join(F.broadcast(aff), pcols, "left_semi")
-                .filter(~cond)
-                .drop("_file")
-            )
+            )[1].drop("_file")
             swapped = _rewrite_partitions(
                 spark, keep.repartition(*pcols), path, pcols
             )
@@ -974,21 +992,33 @@ def takedown_batch(
                 if _os.path.isdir(stale):
                     _shutil.rmtree(stale)
         else:
-            keep = t.filter(~cond).localCheckpoint()
+            keep = split(t)[1].localCheckpoint()
             removed[label] = t.count() - keep.count()
             _rewrite(spark, keep, path, ())
 
-    # doom predicates are IN-set membership against the (small,
-    # checkpointed) ids frame, expressed as a broadcast semi-joinable
-    # condition: isin over a collected list keeps the predicate usable
-    # in filter() form for both the matched and keep sides
-    id_values = [r[0] for r in ids.collect()]
+    # doom detection stays JOIN-based against the (small, checkpointed)
+    # ids frame — broadcast left_semi for matched rows, left_anti for
+    # survivors. Never collect the ids into an isin() literal: a large
+    # takedown list would blow up the driver and the plan (giant
+    # IN-list), and ~col.isin(...) evaluates to NULL for NULL-keyed
+    # rows, silently dropping them from rewritten tables — the anti
+    # join keeps them, which is the O(affected)/100 TB contract.
+    def _id_split(key: str):
+        doom_keys = F.broadcast(ids.withColumnRenamed(id_col, key))
+
+        def split(t):
+            return (
+                t.join(doom_keys, key, "left_semi"),
+                t.join(doom_keys, key, "left_anti"),
+            )
+
+        return split
 
     def _drop_by_id(path: str, key: str, label: str, pcols=None) -> None:
         if path is None or not table_exists(path):
             return
         pcols = list(pcols) if pcols else hive_partition_cols(path)
-        _scoped_drop(path, pcols, lambda t: F.col(key).isin(id_values), label)
+        _scoped_drop(path, pcols, _id_split(key), label)
 
     # the signature table's id column is the literal "doc_id"
     # (near_dedup_batch contract), scores likewise
@@ -998,16 +1028,22 @@ def takedown_batch(
         path, key, *rest = spec
         _drop_by_id(path, key, label, pcols=rest[0] if rest else None)
 
+    def _pair_split(t):
+        ids_a = F.broadcast(ids.withColumnRenamed(id_col, "id_a"))
+        ids_b = F.broadcast(ids.withColumnRenamed(id_col, "id_b"))
+        # matched = (id_a doomed) ∪ (id_a clean AND id_b doomed): the
+        # two legs are disjoint, so a pair doomed on both sides counts
+        # exactly once
+        a_hit = t.join(ids_a, "id_a", "left_semi")
+        b_only = t.join(ids_a, "id_a", "left_anti").join(ids_b, "id_b", "left_semi")
+        kept = t.join(ids_a, "id_a", "left_anti").join(ids_b, "id_b", "left_anti")
+        return a_hit.unionByName(b_only), kept
+
     def _drop_pairs(path: str, label: str, pcols=None) -> None:
         if path is None or not table_exists(path):
             return
         pcols = list(pcols) if pcols else hive_partition_cols(path)
-        _scoped_drop(
-            path,
-            pcols,
-            lambda t: F.col("id_a").isin(id_values) | F.col("id_b").isin(id_values),
-            label,
-        )
+        _scoped_drop(path, pcols, _pair_split, label)
 
     _drop_pairs(pairs_path, "pairs")
     for label, spec in (extra_pair_tables or {}).items():

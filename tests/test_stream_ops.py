@@ -880,3 +880,229 @@ def test_bucketed_state_ingest_and_scoped_takedown(spark, tmp_path):
             assert inodes(sig_p, b) == before_td[b]
     assert spark.read.parquet(sig_p).filter("doc_id IN (5, 25)").count() == 0
     assert spark.read.parquet(scores_p).filter("doc_id IN (5, 25)").count() == 0
+
+
+def test_layout_guard_rejects_flat_or_remoduled_merge(spark, tmp_path):
+    """ADVICE r11: one near_dedup_batch/quality_score_batch call
+    without state_buckets against an already-bucketed state table used
+    to silently flatten the layout (leaving bucket as a data column
+    beside stale bucket dirs — duplicate rows on the next read). The
+    writer's check_partition_layout + _layout_meta.json sidecar must
+    refuse the flat call, the reverse (bucketed call on a flat table),
+    and a changed modulus."""
+    import pytest
+
+    from nba_data_pipeline_spark.operators.text import fit_trigram_lm
+    from nba_data_pipeline_spark.streaming.ops import (
+        near_dedup_batch,
+        quality_score_batch,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, f"{text} doc {i}") for i in range(12)]
+    schema = "doc_id long, text string"
+    b = spark.createDataFrame(rows, schema)
+    lm = fit_trigram_lm(b, "text")
+
+    sig_p, pairs_p = str(tmp_path / "sigs"), str(tmp_path / "pairs")
+    near_dedup_batch(b, sig_p, pairs_p, state_buckets=8, threshold=0.2)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        near_dedup_batch(b, sig_p, pairs_p, threshold=0.2)  # flat call
+    with pytest.raises(ValueError, match="bucket-count mismatch"):
+        near_dedup_batch(b, sig_p, pairs_p, state_buckets=16, threshold=0.2)
+    # the guard refused BEFORE touching disk: the original layout reads back
+    assert spark.read.parquet(sig_p).select("doc_id").distinct().count() == 12
+
+    scores_p = str(tmp_path / "scores")
+    quality_score_batch(b, lm, scores_p)  # flat table
+    with pytest.raises(ValueError, match="layout mismatch"):
+        quality_score_batch(b, lm, scores_p, state_buckets=8)
+
+
+def test_layout_guard_on_fold_and_cdc_state(spark, tmp_path):
+    """fold_aggregate_state_table / cdc_apply_table share the modulus-
+    is-layout exposure: merging with a different n_buckets splits one
+    key across two bucket dirs. The guard must raise instead."""
+    import pytest
+
+    from nba_data_pipeline_spark.operators.incremental import (
+        cdc_apply_table,
+        fold_aggregate_state_table,
+    )
+
+    batch = spark.createDataFrame([(i % 3, i) for i in range(30)], "k long, v long")
+    fold_p = str(tmp_path / "fold")
+    specs = {"total": ("sum", "v"), "n": ("count", "v")}
+    fold_aggregate_state_table(spark, batch, fold_p, ["k"], specs, n_buckets=8)
+    with pytest.raises(ValueError, match="bucket-count mismatch"):
+        fold_aggregate_state_table(spark, batch, fold_p, ["k"], specs, n_buckets=32)
+
+    cdc_p = str(tmp_path / "cdc")
+    log = spark.createDataFrame(
+        [(1, 10, "I", "a"), (2, 11, "I", "b")], "k long, seq long, op string, val string"
+    )
+    cdc_apply_table(spark, log, cdc_p, ["k"], "seq", n_buckets=8)
+    with pytest.raises(ValueError, match="bucket-count mismatch"):
+        cdc_apply_table(spark, log, cdc_p, ["k"], "seq", n_buckets=16)
+
+
+def test_bucketed_merge_crash_mid_swap_leaves_state_readable(spark, tmp_path):
+    """VERDICT r11 task #4 crash probe: a state_buckets rewrite killed
+    mid-swap must leave the already-present buckets readable, with each
+    bucket atomically pre- or post-batch (the per-leaf swap stages both
+    copies under dot-prefixed dirs Spark ignores). With the batch_id
+    epoch fence, REPLAYING the interrupted batch applies exactly the
+    not-yet-applied buckets — the additive fold converges instead of
+    double-counting the buckets the crashed run already swapped."""
+    import shutil as real_shutil
+
+    import pytest
+
+    from nba_data_pipeline_spark.operators.incremental import (
+        fold_aggregate_state_table,
+    )
+    from nba_data_pipeline_spark.sinks import writer as writer_mod
+
+    specs = {"total": ("sum", "v"), "n": ("count", "v")}
+    b1 = spark.createDataFrame([(i, i) for i in range(40)], "k long, v long")
+    b2 = spark.createDataFrame([(i, 100 + i) for i in range(40)], "k long, v long")
+
+    class Boom(RuntimeError):
+        pass
+
+    orig_move = real_shutil.move
+    # inject a crash on the Nth shutil.move inside the swap loop — each
+    # crash point leaves a different prefix of buckets swapped
+    for crash_at in (1, 2, 3):
+        fold_p = str(tmp_path / f"fold{crash_at}")
+        fold_aggregate_state_table(
+            spark, b1, fold_p, ["k"], specs, n_buckets=8, batch_id=1
+        )
+        baseline = {
+            (r.k, r.total, r.n) for r in spark.read.parquet(fold_p).collect()
+        }
+        calls = {"n": 0}
+
+        def crashing_move(src, dst, _crash_at=crash_at, _calls=calls):
+            _calls["n"] += 1
+            if _calls["n"] >= _crash_at:
+                raise Boom(f"injected crash at move #{_calls['n']}")
+            return orig_move(src, dst)
+
+        writer_mod.shutil.move = crashing_move
+        try:
+            with pytest.raises(Boom):
+                fold_aggregate_state_table(
+                    spark, b2, fold_p, ["k"], specs, n_buckets=8, batch_id=2
+                )
+        finally:
+            writer_mod.shutil.move = orig_move
+        # the table still reads: every visible bucket dir is parquet,
+        # no dot-staged dir is picked up, no bucket vanished outright
+        df = spark.read.parquet(fold_p)
+        got = {(r.k, r.total, r.n) for r in df.collect()}
+        # each key's row is either its pre-merge or post-merge value
+        pre = {t[0]: t for t in baseline}
+        for k, total, n in got:
+            assert (k, total, n) == pre[k] or (total, n) == (
+                pre[k][1] + 100 + k,
+                pre[k][2] + 1,
+            )
+        # replaying the interrupted batch_id converges exactly: fenced
+        # buckets are skipped, stale buckets catch up
+        fold_aggregate_state_table(
+            spark, b2, fold_p, ["k"], specs, n_buckets=8, batch_id=2
+        )
+        after = {r.k: (r.total, r.n) for r in spark.read.parquet(fold_p).collect()}
+        assert after == {k: (k + 100 + k, 2) for k in range(40)}
+        # a full REDELIVERY of the fenced batch is a no-op
+        fold_aggregate_state_table(
+            spark, b2, fold_p, ["k"], specs, n_buckets=8, batch_id=2
+        )
+        again = {r.k: (r.total, r.n) for r in spark.read.parquet(fold_p).collect()}
+        assert again == after
+
+
+def test_takedown_dooms_entire_unpartitioned_corpus(spark, tmp_path):
+    """ADVICE r11: a takedown dooming EVERY row of an unpartitioned
+    corpus must succeed — the corpus becomes absent/empty, dependent
+    state empties, and nothing crashes on schema inference of a
+    file-less directory."""
+    from nba_data_pipeline_spark.sinks.writer import table_exists
+    from nba_data_pipeline_spark.streaming.ops import (
+        near_dedup_batch,
+        takedown_batch,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, f"{text} doc {i}") for i in range(10)]
+    schema = "doc_id long, text string"
+    corpus_p = str(tmp_path / "corpus")
+    b = spark.createDataFrame(rows, schema)
+    b.write.parquet(corpus_p)
+    sig_p, pairs_p = str(tmp_path / "sigs"), str(tmp_path / "pairs")
+    near_dedup_batch(b, sig_p, pairs_p, threshold=0.2)
+
+    removed = takedown_batch(
+        b.select("doc_id"), corpus_p, signature_path=sig_p, pairs_path=pairs_p
+    )
+    assert removed["corpus"] == 10
+    assert removed["signatures"] == 10
+    # emptied tables are absent under the table_exists contract
+    assert not table_exists(corpus_p) or spark.read.parquet(corpus_p).count() == 0
+    assert not table_exists(sig_p) or spark.read.parquet(sig_p).count() == 0
+    # idempotent: the replay removes nothing and still doesn't crash
+    removed2 = takedown_batch(
+        b.select("doc_id"), corpus_p, signature_path=sig_p, pairs_path=pairs_p
+    )
+    assert removed2["corpus"] == 0
+
+
+def test_takedown_keeps_null_keyed_rows(spark, tmp_path):
+    """ADVICE r11 NULL semantics: doom detection is join-based, so a
+    NULL-keyed row in a state table survives a takedown of OTHER ids
+    (the old ~isin(...) predicate evaluated to NULL and silently
+    dropped it)."""
+    from pyspark.sql import types as T
+
+    from nba_data_pipeline_spark.streaming.ops import takedown_batch
+
+    corpus_p = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    ).write.parquet(corpus_p)
+    scores_p = str(tmp_path / "scores")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    spark.createDataFrame(
+        [(1, 0.5), (2, 0.7), (None, 0.9)], schema
+    ).write.parquet(scores_p)
+    pairs_p = str(tmp_path / "pairs")
+    pair_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("est_jaccard", T.DoubleType()),
+        ]
+    )
+    spark.createDataFrame(
+        [(1, 2, 0.8), (None, 2, 0.6), (None, None, 0.4)], pair_schema
+    ).write.parquet(pairs_p)
+
+    doomed = spark.createDataFrame([(1,)], "doc_id long")
+    removed = takedown_batch(
+        doomed, corpus_p, scores_path=scores_p, pairs_path=pairs_p
+    )
+    assert removed["scores"] == 1
+    scores = spark.read.parquet(scores_p)
+    assert scores.count() == 2  # doc 2 AND the NULL-keyed row survive
+    assert scores.filter(F.col("doc_id").isNull()).count() == 1
+    pairs = spark.read.parquet(pairs_p)
+    # (1,2) doomed via id_a=1; (NULL,2) and (NULL,NULL) survive
+    assert removed["pairs"] == 1
+    assert pairs.count() == 2
+    assert pairs.filter(F.col("id_a").isNull()).count() == 2

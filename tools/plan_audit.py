@@ -73,16 +73,23 @@ def audit_plan(plan: str) -> dict[str, object]:
     }
 
 
-def main() -> None:
-    only = set(sys.argv[1:])
-    from nba_data_pipeline_spark.core.session import get_session
-    from nba_data_pipeline_spark import harness
-    import bench
+# queries whose plan LEGITIMATELY carries a Python boundary or a
+# CartesianProduct — each is a documented, intentional kernel, and the
+# full-registry sweep flags any query outside this list
+PYTHON_OK = {
+    # the one retained pandas-UDF kernel + its crossover baselines
+    "lineup_tracking", "lineup_tracking_bulk", "lineup_validation",
+    # streaming replay-parity harness drives foreachBatch in-process
+    "streaming_replay_parity",
+}
+CARTESIAN_OK = {
+    # documented brute-force ANN baseline (similarity.py crossJoin)
+    "cosine_topk",
+}
+SCAN_EXPLOSION = 14  # tpch_q2's correlated regional-min shape is 12
 
-    spark = get_session("plan_audit")
-    qs = harness.queries()
-    names = [n for n in bench.HEADLINE if not only or n in only]
 
+def _audit_names(spark, qs, names: list[str]) -> list[tuple[str, dict]]:
     rows = []
     for name in names:
         try:
@@ -91,7 +98,10 @@ def main() -> None:
             rows.append((name, audit_plan(plan)))
         except Exception as e:  # noqa: BLE001 - survey must not die mid-list
             rows.append((name, {"error": str(e).splitlines()[0][:80]}))
+    return rows
 
+
+def _table(rows: list[tuple[str, dict]]) -> str:
     header = (
         "| query | scans | shuffles | broadcasts | sorts | python | pushed | bnlj | cartesian |\n"
         "|---|---|---|---|---|---|---|---|---|\n"
@@ -106,7 +116,52 @@ def main() -> None:
             f"{a['sorts']} | {a['python']} | {a['pushed_filters']} | "
             f"{a['bnlj'] or '-'} | {'YES' if a['cartesian'] else '-'} |"
         )
-    table = header + "\n".join(lines)
+    return header + "\n".join(lines)
+
+
+def _flags(rows: list[tuple[str, dict]]) -> list[str]:
+    """Scale anti-patterns the sweep exists to catch — anything listed
+    here is a defect to fix or allowlist with a documented reason."""
+    out = []
+    for name, a in rows:
+        if "error" in a:
+            out.append(f"{name}: ERROR {a['error']}")
+            continue
+        if a["cartesian"] and name not in CARTESIAN_OK:
+            out.append(f"{name}: CartesianProduct")
+        if a["python"] and name not in PYTHON_OK:
+            out.append(f"{name}: {a['python']} python boundary node(s)")
+        if a["scans"] > SCAN_EXPLOSION:
+            out.append(f"{name}: scan explosion ({a['scans']} parquet scans)")
+    return out
+
+
+def main() -> None:
+    only = set(a for a in sys.argv[1:] if a != "--headline-only")
+    headline_only = "--headline-only" in sys.argv
+    from nba_data_pipeline_spark.core.session import get_session
+    from nba_data_pipeline_spark import harness
+    import bench
+
+    spark = get_session("plan_audit")
+    qs = harness.queries()
+    names = [n for n in bench.HEADLINE if not only or n in only]
+    rows = _audit_names(spark, qs, names)
+    table = _table(rows)
+
+    # full-registry sweep (VERDICT r11 task #7): every registered
+    # query, not just the headline — the graph/sketch/PII families'
+    # plans get the same mechanical cartesian/python/scan-explosion
+    # check the headline always had
+    full_rows: list[tuple[str, dict]] = []
+    if not only and not headline_only:
+        rest = [n for n in qs if n not in set(names)]
+        full_rows = _audit_names(spark, qs, rest)
+    all_rows = rows + full_rows
+    flags = _flags(all_rows)
+    flags_md = (
+        "\n".join(f"- **{f}**" for f in flags) if flags else "- none — clean sweep"
+    )
 
     doc = f"""# PLANS — physical-plan audit of the bench headline set
 
@@ -136,14 +191,35 @@ convert joins differently at other scales; `lineup_tracking_bulk`
 intentionally shows a python node (it IS the applyInPandas
 crossover baseline).
 
+## Flags (full-registry anti-pattern sweep)
+
+Cartesian products outside the documented brute-force baseline, Python
+boundary nodes outside the four justified kernels, scan explosions
+(> {SCAN_EXPLOSION} parquet scans):
+
+{flags_md}
+
+## Headline set
+
 {table}
+"""
+    if full_rows:
+        doc += f"""
+## Full registry ({len(full_rows)} non-headline queries)
+
+Same columns; fixture-based gates (lineup fixture, replicated-game
+slopes) scan zero parquet tables by design.
+
+{_table(full_rows)}
 """
     if only:
         print(doc)
     else:
         with open(os.path.join(REPO, "PLANS.md"), "w") as f:
             f.write(doc)
-        print(f"wrote PLANS.md ({len(rows)} queries)")
+        print(f"wrote PLANS.md ({len(all_rows)} queries, {len(flags)} flags)")
+        for f in flags:
+            print(f"FLAG: {f}")
 
 
 if __name__ == "__main__":
