@@ -7474,25 +7474,62 @@ def q_referential_integrity(spark, sf):
     after any ingest; each check is one broadcast anti-join (child
     side never shuffles on the parent). Extension op (the reference
     relies on DB FK constraints; a lakehouse has to CHECK)."""
-    rels = [
-        ("orders.o_custkey->customer", "orders", "o_orderkey",
-         "o_custkey", "customer", "c_custkey"),
-        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
-         "l_orderkey", "orders", "o_orderkey"),
-        ("lineitem.l_partkey->part", "lineitem", "l_orderkey",
-         "l_partkey", "part", "p_partkey"),
-        ("customer.c_nationkey->nation", "customer", "c_custkey",
-         "c_nationkey", "nation", "n_nationkey"),
-    ]
+    # relationships grouped BY CHILD so each child table is scanned
+    # exactly ONCE however many of its FKs are audited: all the
+    # parents' key sets broadcast-left-join onto the same scan and one
+    # conditional aggregation emits every (n_rows, n_orphans) pair —
+    # at 100 TB this is 1 lineitem pass for both lineitem FKs, where
+    # the count + anti-join per relationship shape cost 4 (caught by
+    # the r12 full-registry plan audit: 12 scans -> 7)
+    by_child = {
+        "orders": [("orders.o_custkey->customer", "o_custkey",
+                    "customer", "c_custkey")],
+        "lineitem": [
+            ("lineitem.l_orderkey->orders", "l_orderkey",
+             "orders", "o_orderkey"),
+            ("lineitem.l_partkey->part", "l_partkey",
+             "part", "p_partkey"),
+        ],
+        "customer": [("customer.c_nationkey->nation", "c_nationkey",
+                      "nation", "n_nationkey")],
+    }
     outs = []
-    for rel, child, _, fk, parent, pk in rels:
+    for child, rels in by_child.items():
         c = _t(spark, sf, child)
-        p = _t(spark, sf, parent).select(F.col(pk).alias(fk)).distinct()
-        orphans = c.join(F.broadcast(p), fk, "left_anti")
+        for i, (_, fk, parent, pk) in enumerate(rels):
+            p = (
+                _t(spark, sf, parent)
+                .select(F.col(pk).alias(fk))
+                .distinct()
+                .withColumn(f"_hit{i}", F.lit(1))
+            )
+            c = c.join(F.broadcast(p), fk, "left")
+        agg = c.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            *[
+                F.sum(F.when(F.col(f"_hit{i}").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(f"_orphans{i}")
+                for i in range(len(rels))
+            ],
+        )
+        # one explode over the single agg row — selecting per-rel from
+        # `agg` would plan (and scan) the child once per relationship
         outs.append(
-            c.agg(F.count("*").cast("long").alias("n_rows")).crossJoin(
-                orphans.agg(F.count("*").cast("long").alias("n_orphans"))
-            ).select(F.lit(rel).alias("rel"), "n_rows", "n_orphans")
+            agg.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(rel).alias("rel"),
+                                F.col("n_rows").alias("n_rows"),
+                                F.col(f"_orphans{i}").alias("n_orphans"),
+                            )
+                            for i, (rel, _, _, _) in enumerate(rels)
+                        ]
+                    )
+                ).alias("r")
+            ).select("r.rel", "r.n_rows", "r.n_orphans")
         )
     res = outs[0]
     for o in outs[1:]:

@@ -58,24 +58,39 @@ def degree_stats(
     degree = out + in; vertices appearing only as source (or only as
     destination) get 0 for the missing side. One shuffle on vertex id.
     """
+    # explode both endpoints from ONE pass over the edge frame — a
+    # union of two selects re-executes the edge-building plan per
+    # branch (for a derived edge list like the co-occurrence
+    # projection that doubles the self-join, caught by the r12
+    # full-registry plan audit), and at web-graph scale it doubles the
+    # edge scan
     if not directed:
         e = canonical_edges(edges, src, dst)
-        both = e.select(F.col("src").alias("node")).unionAll(
-            e.select(F.col("dst").alias("node"))
+        both = e.select(
+            F.explode(F.array(F.col("src"), F.col("dst"))).alias("node")
         )
         return both.groupBy("node").agg(F.count("*").cast("long").alias("degree"))
-    outs = edges.groupBy(F.col(src).alias("node")).agg(
-        F.count("*").cast("long").alias("out_degree")
-    )
-    ins = edges.groupBy(F.col(dst).alias("node")).agg(
-        F.count("*").cast("long").alias("in_degree")
+    pairs = edges.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(src).alias("node"),
+                    F.lit(1).alias("o"),
+                    F.lit(0).alias("i"),
+                ),
+                F.struct(
+                    F.col(dst).alias("node"),
+                    F.lit(0).alias("o"),
+                    F.lit(1).alias("i"),
+                ),
+            )
+        ).alias("p")
     )
     return (
-        outs.join(ins, "node", "full_outer")
-        .select(
-            "node",
-            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
-            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        pairs.groupBy(F.col("p.node").alias("node"))
+        .agg(
+            F.sum("p.o").cast("long").alias("out_degree"),
+            F.sum("p.i").cast("long").alias("in_degree"),
         )
         .withColumn("degree", (F.col("out_degree") + F.col("in_degree")).cast("long"))
     )

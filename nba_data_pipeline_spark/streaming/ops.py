@@ -485,6 +485,8 @@ def corpus_ingest_batch(
     hashes_path: str | None = None,
     stats_path: str | None = None,
     stats_key: str = "source",
+    stats_buckets: int | None = None,
+    batch_id: int | None = None,
     **near_dedup_kwargs,
 ) -> None:
     """One full continuous-ingest corpus step — the composed foreachBatch
@@ -551,7 +553,14 @@ def corpus_ingest_batch(
     if seen_state:
         record_ingested_content(gated, bloom_path, hashes_path, text_col)
     if stats_path is not None and stats_key in gated.columns:
-        fold_ingest_stats(gated, stats_path, stats_key, text_col)
+        # stats_buckets switches the rollup to the bucket-partitioned
+        # fold; batch_id (the streaming epoch) arms its bucket-granular
+        # replay fence so a redelivered/crash-replayed micro-batch
+        # cannot double-count the additive fold
+        fold_ingest_stats(
+            gated, stats_path, stats_key, text_col,
+            n_buckets=stats_buckets, batch_id=batch_id,
+        )
 
 
 def fold_ingest_stats(
@@ -575,6 +584,10 @@ def fold_ingest_stats(
     to switch to the bucket-partitioned persisted fold
     (``fold_aggregate_state_table``): only touched buckets are read
     and rewritten, O(batch) however many keys the rollup holds.
+    ``batch_id`` (the streaming epoch) arms that path's bucket-granular
+    replay fence — redelivery/crash-replay becomes exact instead of
+    double-counted; it is only honored with ``n_buckets`` set (the
+    whole-rewrite path keeps the documented reconcile contract).
 
     KNOWN DIVERGENCE WINDOW (with ``--seen_state`` on): the composed
     ingest records seen-content BEFORE folding stats, so a crash
@@ -668,6 +681,7 @@ def stream_corpus_ingest(
     hashes_path: str | None = None,
     stats_path: str | None = None,
     stats_key: str = "source",
+    stats_buckets: int | None = None,
     **near_dedup_kwargs,
 ):
     """The whole training-corpus ingest as ONE Structured Streaming
@@ -682,6 +696,7 @@ def stream_corpus_ingest(
             id_col, text_col, gate_kwargs=gate_kwargs, pii_types=pii_types,
             bloom_path=bloom_path, hashes_path=hashes_path,
             stats_path=stats_path, stats_key=stats_key,
+            stats_buckets=stats_buckets, batch_id=int(epoch_id),
             **near_dedup_kwargs,
         )
 

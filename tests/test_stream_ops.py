@@ -1106,3 +1106,50 @@ def test_takedown_keeps_null_keyed_rows(spark, tmp_path):
     assert removed["pairs"] == 1
     assert pairs.count() == 2
     assert pairs.filter(F.col("id_a").isNull()).count() == 2
+
+
+def test_ingest_stats_epoch_fence_exact_under_redelivery(spark, tmp_path):
+    """stats_buckets + batch_id (forwarded from the streaming epoch)
+    make the additive stats fold exact under redelivery: replaying the
+    same batch_id is a no-op, the next batch_id folds normally. Without
+    batch_id the double-count is the documented reconcile contract."""
+    from pyspark.sql import types as T
+
+    from nba_data_pipeline_spark.operators.text import fit_trigram_lm
+    from nba_data_pipeline_spark.streaming.ops import corpus_ingest_batch
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    good = "the quick brown fox jumps and runs with great energy today " * 6
+    lm = fit_trigram_lm(spark.createDataFrame([(0, good, "a")], schema), "text")
+    paths = {
+        k: str(tmp_path / k)
+        for k in ("corpus", "sigs", "pairs", "scores", "stats")
+    }
+
+    def ingest(docs, batch_id):
+        corpus_ingest_batch(
+            spark.createDataFrame(docs, schema), lm,
+            paths["corpus"], paths["sigs"], paths["pairs"], paths["scores"],
+            stats_path=paths["stats"], stats_buckets=4, batch_id=batch_id,
+            num_perm=32, bands=16, threshold=0.3,
+        )
+
+    ingest([(1, good, "a"), (2, good + " extra", "b")], batch_id=1)
+    ingest([(1, good, "a"), (2, good + " extra", "b")], batch_id=1)  # redelivery
+    stats = {
+        r.source: r.n_docs
+        for r in spark.read.parquet(paths["stats"]).collect()
+    }
+    assert stats == {"a": 1, "b": 1}, stats
+    ingest([(3, good.replace("fox", "owl"), "a")], batch_id=2)
+    stats = {
+        r.source: r.n_docs
+        for r in spark.read.parquet(paths["stats"]).collect()
+    }
+    assert stats == {"a": 2, "b": 1}, stats

@@ -81,6 +81,21 @@ PYTHON_OK = {
     "lineup_tracking", "lineup_tracking_bulk", "lineup_validation",
     # streaming replay-parity harness drives foreachBatch in-process
     "streaming_replay_parity",
+    # the multimodal/codec family: image/audio/video decode and zlib
+    # compression are Arrow-batched mapInPandas kernels BY DESIGN —
+    # byte-level codecs have no JVM-side expression in a stdlib-only
+    # sandbox, and the Python boundary is the documented slow path
+    # (SURVEY §2 multimodal; operators/multimodal.py module docstring).
+    # Everything around the kernel (schema, partitioning, aggregation)
+    # stays declarative, which is what the other columns verify.
+    "image_resize", "image_features", "image_channel_stats",
+    "image_dhash_pairs", "frame_samples", "augment_gate",
+    "audio_windows", "audio_ahash_pairs", "audio_pipeline_gate",
+    "media_pipeline_gate", "mjpeg_codec_gate", "video_frame_overlap",
+    "compression_ratio",
+    # rerank stage applies the (pluggable) scorer as a pandas UDF over
+    # the tiny candidate set — O(queries x k), never corpus-scale
+    "rerank_topk",
 }
 CARTESIAN_OK = {
     # documented brute-force ANN baseline (similarity.py crossJoin)
@@ -145,7 +160,10 @@ def main() -> None:
 
     spark = get_session("plan_audit")
     qs = harness.queries()
-    names = [n for n in bench.HEADLINE if not only or n in only]
+    # subset mode searches the WHOLE registry, not just the headline
+    names = (
+        [n for n in qs if n in only] if only else list(bench.HEADLINE)
+    )
     rows = _audit_names(spark, qs, names)
     table = _table(rows)
 
