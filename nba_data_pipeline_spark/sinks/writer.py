@@ -303,7 +303,15 @@ def _merge_partitioned(
     src_parts = source.select(*partition_by).distinct()
     affected = target.join(F.broadcast(src_parts), list(partition_by), "left_semi")
     merged = combine(affected, source, key)
-    _rewrite_partitions(spark, merged, path, partition_by)
+    # one output file per swapped partition dir (the fold-state
+    # discipline): without the repartition every merge sprays
+    # shuffle-partition-count files into each dir, and although the
+    # swap replaces dirs wholesale (no cross-batch accumulation), a
+    # bucketed state table read pays the per-file open cost on every
+    # subsequent merge of that bucket
+    _rewrite_partitions(
+        spark, merged.repartition(*partition_by), path, partition_by
+    )
 
 
 def _try_delta_merge(

@@ -470,6 +470,47 @@ def record_ingested_content(
     write_table(hashes, hashes_path, partition_by=["bucket"], mode="append")
 
 
+def rebuild_seen_bloom(
+    spark: SparkSession,
+    corpus_path: str,
+    bloom_path: str,
+    text_col: str = "text",
+    m_bits: int | None = None,
+    k: int | None = None,
+) -> None:
+    """Rebuild the seen-content Bloom word table from the corpus.
+
+    Bits cannot be UNSET in a Bloom filter, so takedowns leave stale
+    bits behind: harmless for correctness (stage 2's exact hash check
+    already finds no row, so the content re-ingests), but heavy
+    takedown churn ratchets the filter's fill factor up and with it the
+    false-positive rate — every FP costs a stage-2 exact probe. This is
+    the repair: ONE corpus scan rebuilds the filter to exactly the
+    live content set and swaps it in (write-temp-then-swap, meta
+    sidecar re-stamped). Schedule like a compaction — after large
+    takedowns or when the measured FP rate drifts — not per batch.
+    The hash state table needs no rebuild (takedown_batch already
+    removes dead hashes row-exactly)."""
+    from ..operators.bloom import (
+        SEEN_HASH,
+        SEEN_K,
+        SEEN_M_BITS,
+        bloom_build,
+        write_bloom_meta,
+    )
+    from ..sinks.writer import _rewrite, read_table, table_exists, write_table
+
+    m_bits = SEEN_M_BITS if m_bits is None else m_bits
+    k = SEEN_K if k is None else k
+    corpus = read_table(spark, corpus_path, merge_schema=True)
+    fresh = bloom_build(corpus, text_col, m_bits, k)
+    if table_exists(bloom_path):
+        _rewrite(spark, fresh, bloom_path, ())
+    else:
+        write_table(fresh, bloom_path)
+    write_bloom_meta(bloom_path, m_bits, k, SEEN_HASH)
+
+
 def corpus_ingest_batch(
     batch_df: DataFrame,
     lm: DataFrame,

@@ -1153,3 +1153,58 @@ def test_ingest_stats_epoch_fence_exact_under_redelivery(spark, tmp_path):
         for r in spark.read.parquet(paths["stats"]).collect()
     }
     assert stats == {"a": 2, "b": 1}, stats
+
+
+def test_rebuild_seen_bloom_after_takedown(spark, tmp_path):
+    """rebuild_seen_bloom recomputes the word table to exactly the live
+    corpus content (Bloom bits can't be unset, so heavy takedowns
+    ratchet the FP rate until a rebuild): the rebuilt table is
+    bit-identical to a fresh bloom_build over the surviving corpus, the
+    meta sidecar revalidates, and the two-stage seen filter still drops
+    resident content while re-admitting taken-down content."""
+    from nba_data_pipeline_spark.operators.bloom import (
+        SEEN_K,
+        SEEN_M_BITS,
+        bloom_build,
+    )
+    from nba_data_pipeline_spark.streaming.ops import (
+        rebuild_seen_bloom,
+        record_ingested_content,
+        seen_content_filter_batch,
+        takedown_batch,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, f"{text} doc {i}") for i in range(20)]
+    schema = "doc_id long, text string"
+    docs = spark.createDataFrame(rows, schema)
+    corpus_p = str(tmp_path / "corpus")
+    bloom_p = str(tmp_path / "bloom")
+    hashes_p = str(tmp_path / "hashes")
+    docs.write.parquet(corpus_p)
+    record_ingested_content(docs, bloom_p, hashes_p)
+
+    doomed = docs.filter(F.col("doc_id") < 10).select("doc_id")
+    takedown_batch(doomed, corpus_p, hashes_path=hashes_p)
+    rebuild_seen_bloom(spark, corpus_p, bloom_p)
+
+    survivors = spark.read.parquet(corpus_p)
+    want = {
+        (r.word_idx, r.bits)
+        for r in bloom_build(survivors, "text", SEEN_M_BITS, SEEN_K).collect()
+    }
+    got = {(r.word_idx, r.bits) for r in spark.read.parquet(bloom_p).collect()}
+    assert got == want
+
+    # resident content (replayed under new ids) still drops; taken-down
+    # content re-admits cleanly through BOTH stages
+    replay = survivors.select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    ).unionByName(
+        spark.createDataFrame(
+            [(2000 + i, f"{text} doc {i}") for i in range(10)], schema
+        )
+    )
+    out = seen_content_filter_batch(replay, bloom_p, hashes_p)
+    ids = {r.doc_id for r in out.collect()}
+    assert ids == {2000 + i for i in range(10)}, ids
