@@ -3981,6 +3981,45 @@ def q_connected_components(spark, sf):
 
 
 @q(
+    "incremental_components",
+    # oracle = transitive closure of the FULL edge set: proves the
+    # incremental path (old labeling + batch of new edges, interiors
+    # of old components never re-propagated) equals the from-scratch
+    # recompute — the supernode-contraction equivalence hashed end to
+    # end
+    """WITH RECURSIVE
+       edges0 AS (
+         SELECT DISTINCT user_id AS s, 1000 + (event_id % 211) AS d FROM events),
+       edges AS (SELECT s, d FROM edges0 UNION SELECT d, s FROM edges0),
+       walk(v, lab) AS (
+         SELECT s, s FROM (SELECT DISTINCT s FROM edges) t
+         UNION
+         SELECT e.d, w.lab FROM walk w JOIN edges e ON e.s = w.v)
+       SELECT v AS doc_id, CAST(MIN(lab) AS BIGINT) AS component_id
+       FROM walk GROUP BY v""",
+)
+def q_incremental_components(spark, sf):
+    """Continuous-ingest dedup clustering (operators/dedup.py
+    incremental_components): components for the first ~half of the
+    edge set converge via the batch operator, then the second half
+    arrives as ONE ingest batch and extends the labeling through the
+    condensed supernode graph — O(batch), old component interiors
+    never re-propagated. Value-hash equals the full recompute."""
+    from .operators.dedup import incremental_components
+
+    ev = _t(spark, sf, "events")
+    pairs = ev.select(
+        F.col("user_id").alias("id_a"),
+        (F.lit(1000) + F.col("event_id") % 211).alias("id_b"),
+    ).distinct()
+    labels = connected_components(pairs.filter(F.col("id_a") < 75))
+    out = incremental_components(labels, pairs.filter(F.col("id_a") >= 75))
+    return out.select(
+        "doc_id", F.col("component_id").cast("long").alias("component_id")
+    )
+
+
+@q(
     "dedup_assign",
     """WITH RECURSIVE
        edges0 AS (

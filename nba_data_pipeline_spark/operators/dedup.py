@@ -730,6 +730,94 @@ def connected_components(
     return labels
 
 
+def incremental_components(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 30,
+    strict: bool = True,
+) -> DataFrame:
+    """Extend a CONVERGED component labeling with new edges without
+    re-propagating inside old components — the continuous-ingest form
+    of ``connected_components`` (new near-dup pairs arrive per batch;
+    recomputing components over the full pair history is O(corpus)
+    per batch and at billions of documents is the bottleneck).
+
+    ``labels``: (doc_id, component_id) fixed point of the old edge set
+    (component_id = min doc id in the component, the
+    ``connected_components`` contract). ``new_pairs``: the batch's
+    edges; either endpoint may be previously unseen.
+
+    Shape — every step is O(batch), never O(corpus):
+
+    1. map each new-edge endpoint to its current label (one join
+       against ``labels``, broadcast when the batch is small; an
+       unseen node labels itself),
+    2. CONDENSE: each old component is one supernode, so the new
+       edges become (label_a, label_b) edges over at most
+       2x|new_pairs| vertices — component interiors never enter,
+    3. run the batch hash-min propagation on that condensed graph
+       (tiny: rounds scale with how many COMPONENTS a new path chains
+       together, not with component sizes or corpus diameter),
+    4. one join relabels exactly the rows of affected components;
+       unaffected rows pass through untouched.
+
+    Equivalent to ``connected_components(old_pairs UNION new_pairs)``
+    by the supernode argument: contracting a converged component onto
+    its min-id vertex preserves connectivity, and the min over the
+    merged component is the min over its supernode ids, each already
+    the min of its old component. The driver query
+    ``incremental_components`` hashes this equivalence against
+    DuckDB's recursive-CTE closure of the full edge union.
+    """
+    e = new_pairs.select(F.col(id_a).alias("_a"), F.col(id_b).alias("_b"))
+    la = labels.select(
+        F.col("doc_id").alias("_a"), F.col("component_id").alias("_la")
+    )
+    lb = labels.select(
+        F.col("doc_id").alias("_b"), F.col("component_id").alias("_lb")
+    )
+    tagged = (
+        e.join(la, "_a", "left")
+        .join(lb, "_b", "left")
+        .select(
+            F.coalesce("_la", F.col("_a")).alias("_ca"),
+            F.coalesce("_lb", F.col("_b")).alias("_cb"),
+        )
+        .localCheckpoint(eager=True)  # two consumers; edges are batch-sized
+    )
+    cond_edges = tagged.filter(F.col("_ca") != F.col("_cb")).select(
+        F.col("_ca").alias("id_a"), F.col("_cb").alias("id_b")
+    )
+    # previously-unseen endpoints (self-labeled above) need a label row
+    # even when their every edge lands inside one condensed vertex
+    new_nodes = (
+        e.select(F.col("_a").alias("doc_id"))
+        .unionByName(e.select(F.col("_b").alias("doc_id")))
+        .distinct()
+        .join(labels.select("doc_id"), "doc_id", "left_anti")
+    )
+    if cond_edges.isEmpty():
+        return labels.unionByName(
+            new_nodes.withColumn("component_id", F.col("doc_id"))
+        )
+    cond = connected_components(
+        cond_edges, max_iterations=max_iterations, strict=strict
+    )  # (doc_id = condensed vertex = old label or new node, component_id)
+    relabel = cond.select(
+        F.col("doc_id").alias("component_id"),
+        F.col("component_id").alias("_new"),
+    )
+    old = labels.join(F.broadcast(relabel), "component_id", "left").select(
+        "doc_id", F.coalesce("_new", "component_id").alias("component_id")
+    )
+    fresh = new_nodes.join(F.broadcast(cond), "doc_id", "left").select(
+        "doc_id", F.coalesce("component_id", F.col("doc_id")).alias("component_id")
+    )
+    return old.unionByName(fresh)
+
+
 def dedup_assign(
     df: DataFrame, id_col: str, pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
 ) -> DataFrame:

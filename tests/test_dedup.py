@@ -713,3 +713,64 @@ def test_fuzzy_join_blocking_and_distance(spark):
     assert not any(i == 4 for (i, _) in got)
     # length-band prunes before the kernel: distance-3 pair never appears
     assert all(d <= 2 for d in got.values())
+
+
+def test_incremental_components_matches_full_recompute(spark):
+    """incremental_components(labels(old), new) == connected_components
+    (old ∪ new) across the interesting cases in one graph: a new edge
+    merging two old components, a brand-new node bridging into an old
+    component, an unseen-only pair forming a fresh component, an
+    internal edge (no-op), and a new node with a smaller id than the
+    old component min (which must become the new component id)."""
+    from nba_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        incremental_components,
+    )
+
+    old = spark.createDataFrame(
+        [(10, 11), (11, 12), (20, 21), (30, 31), (40, 41)],
+        "id_a long, id_b long",
+    )
+    new = spark.createDataFrame(
+        [
+            (12, 20),   # merges {10..12} with {20,21}
+            (50, 21),   # brand-new node into the merged component
+            (60, 61),   # unseen-only pair
+            (30, 31),   # internal edge of an old component (no-op)
+            (1, 40),    # new node with SMALLER id than old min 40
+        ],
+        "id_a long, id_b long",
+    )
+    labels = connected_components(old)
+    got = {
+        r.doc_id: r.component_id
+        for r in incremental_components(labels, new).collect()
+    }
+    want = {
+        r.doc_id: r.component_id
+        for r in connected_components(old.unionByName(new)).collect()
+    }
+    assert got == want
+    assert want[21] == 10 and got[50] == 10      # merged + bridged
+    assert got[60] == 60 and got[61] == 60       # fresh component
+    assert got[30] == 30 and got[31] == 30       # untouched
+    assert got[40] == 1 and got[41] == 1         # new smaller min wins
+
+
+def test_incremental_components_noop_batch_keeps_labels(spark):
+    """A batch whose every edge is internal to existing components (or
+    a self-pair of an unseen node) must return the old labeling plus
+    the lone new singleton — no condensed propagation at all."""
+    from nba_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        incremental_components,
+    )
+
+    old = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    labels = connected_components(old)
+    new = spark.createDataFrame([(1, 3), (9, 9)], "id_a long, id_b long")
+    got = {
+        r.doc_id: r.component_id
+        for r in incremental_components(labels, new).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 9: 9}
