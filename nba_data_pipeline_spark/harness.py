@@ -4020,6 +4020,77 @@ def q_incremental_components(spark, sf):
 
 
 @q(
+    "component_state_gate",
+    # verdict + data-dependent count: the persisted, bucketed label
+    # table maintained across two ingest batches (second replayed)
+    # must equal the from-scratch closure row-for-row; n_docs ties the
+    # verdict to the actual vertex count so an empty-table bug can't
+    # fake a pass
+    """WITH RECURSIVE
+       edges0 AS (
+         SELECT DISTINCT user_id AS s, 1000 + (event_id % 211) AS d FROM events),
+       edges AS (SELECT s, d FROM edges0 UNION SELECT d, s FROM edges0),
+       walk(v, lab) AS (
+         SELECT s, s FROM (SELECT DISTINCT s FROM edges) t
+         UNION
+         SELECT e.d, w.lab FROM walk w JOIN edges e ON e.s = w.v)
+       SELECT TRUE AS table_matches_recompute,
+              CAST(COUNT(DISTINCT v) AS BIGINT) AS n_docs
+       FROM walk""",
+)
+def q_component_state_gate(spark, sf):
+    """TABLE-based component maintenance gate (streaming/ops.py
+    update_component_state): two ingest batches fold into a bucketed
+    labels table (state_buckets=8, second batch REPLAYED — the merge
+    must be a no-op), then the table is compared row-exactly against
+    connected_components over the full pair history. The
+    takedown_gate temp-dir pattern; the incremental_components query
+    checks the operator, this checks the persisted composition."""
+    import shutil
+    import tempfile
+
+    from .streaming.ops import update_component_state
+
+    ev = _t(spark, sf, "events")
+    pairs = ev.select(
+        F.col("user_id").alias("id_a"),
+        (F.lit(1000) + F.col("event_id") % 211).alias("id_b"),
+    ).distinct()
+    root = tempfile.mkdtemp(prefix="component_state_gate_")
+    try:
+        labels_p = f"{root}/labels"
+        b2 = pairs.filter(F.col("id_a") >= 75).localCheckpoint()
+        update_component_state(pairs.filter(F.col("id_a") < 75), labels_p,
+                               state_buckets=8)
+        update_component_state(b2, labels_p, state_buckets=8)
+        update_component_state(b2, labels_p, state_buckets=8)  # replay
+        got = (
+            spark.read.parquet(labels_p)
+            .select("doc_id", F.col("component_id").cast("long").alias("component_id"))
+            .localCheckpoint()  # materialize before the temp dir dies
+        )
+        want = connected_components(pairs).select(
+            "doc_id", F.col("component_id").cast("long").alias("component_id")
+        )
+        only_got = got.join(want, ["doc_id", "component_id"], "left_anti")
+        only_want = want.join(got, ["doc_id", "component_id"], "left_anti")
+        return (
+            got.agg(F.count("*").alias("_n"))
+            .crossJoin(only_got.agg(F.count("*").alias("_g")))
+            .crossJoin(only_want.agg(F.count("*").alias("_w")))
+            .select(
+                ((F.col("_g") == 0) & (F.col("_w") == 0)).alias(
+                    "table_matches_recompute"
+                ),
+                F.col("_n").cast("long").alias("n_docs"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
     "dedup_assign",
     """WITH RECURSIVE
        edges0 AS (

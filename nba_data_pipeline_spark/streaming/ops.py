@@ -80,7 +80,8 @@ def near_dedup_batch(
     shingle_n: int = 3,
     hash: str = "xxhash64",
     state_buckets: int | None = None,
-) -> None:
+    return_pairs: bool = False,
+) -> DataFrame | None:
     """One continuous-ingest near-dedup step (the foreachBatch body of
     ``stream_near_dedup``, exposed for cron-style batch ingest and for
     redelivery testing):
@@ -140,6 +141,13 @@ def near_dedup_batch(
         F.greatest("id_new", "id_other").alias("id_b"),
         "est_jaccard",
     )
+    out_pairs = None
+    if return_pairs:
+        # materialize once so the caller (component maintenance) does
+        # not re-run pair generation; the merges below reuse the same
+        # checkpointed frame
+        pairs = pairs.localCheckpoint()
+        out_pairs = pairs
     if state_buckets:
         pairs = pairs.withColumn(
             "bucket", F.pmod(F.xxhash64("id_a", "id_b"), F.lit(state_buckets))
@@ -155,12 +163,13 @@ def near_dedup_batch(
             spark, sigs, signature_path, key="doc_id",
             partition_by=["bucket"], buckets=state_buckets,
         )
-        return
+        return out_pairs
     upsert_table(spark, pairs, pairs_path, key=("id_a", "id_b"))
     # minhash_signatures aliases the id column to doc_id, so the
     # signature-table merge key is the literal "doc_id" regardless of
     # the caller's id_col
     upsert_table(spark, sigs, signature_path, key="doc_id")
+    return out_pairs
 
 
 def image_dedup_batch(
@@ -511,6 +520,73 @@ def rebuild_seen_bloom(
     write_bloom_meta(bloom_path, m_bits, k, SEEN_HASH)
 
 
+def update_component_state(
+    new_pairs: DataFrame,
+    labels_path: str,
+    state_buckets: int | None = None,
+) -> None:
+    """Maintain a persisted dedup-cluster labeling (doc_id ->
+    component_id) under continuous ingest: fold one batch of near-dup
+    pairs in via ``dedup.incremental_components`` — old component
+    interiors are never re-propagated — and MERGE only the rows whose
+    label actually changed (new docs + members of components the batch
+    merged). Write volume is O(changed rows); with ``state_buckets``
+    the merge rewrites only the touched bucket dirs (same layout
+    contract + ``check_partition_layout`` guard as every other
+    merge-state table).
+
+    Replay-idempotent: a redelivered batch maps its endpoints to the
+    already-merged labels, every condensed edge collapses to a self
+    edge, and the changed set is empty.
+
+    SCALE NOTE (honest): the label LOOKUP reads the labels table once
+    per batch (column-pruned to two longs, no shuffle — the batch side
+    broadcasts). The bucketed layout bounds the WRITE side only; a
+    read-pruned lookup would need a second doc_id-keyed index table.
+    At dedup-state scale writes dominate (this is the
+    fold_aggregate_state_table trade), so the single pruned scan is
+    the accepted cost. TAKEDOWN NOTE: removing rows via
+    ``takedown_batch(extra_id_tables={"components": (labels_path,
+    "doc_id")})`` keeps the mapping consistent, but a departed doc
+    that was its component's min keeps naming the representative id
+    (labels are arbitrary representatives, not live ids); rebuild via
+    ``connected_components`` over the pair table when representative
+    liveness matters."""
+    from ..operators.dedup import connected_components, incremental_components
+    from ..sinks.writer import read_table, table_exists, upsert_table, write_table
+    from ..sinks.writer import check_partition_layout, write_layout_meta
+
+    spark = new_pairs.sparkSession
+    pby = ["bucket"] if state_buckets else []
+    check_partition_layout(labels_path, pby, state_buckets)
+
+    def _bucketed(df: DataFrame) -> DataFrame:
+        if not state_buckets:
+            return df
+        return df.withColumn(
+            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(state_buckets))
+        )
+
+    if not table_exists(labels_path):
+        labels = connected_components(new_pairs)
+        write_table(_bucketed(labels), labels_path, partition_by=pby)
+        write_layout_meta(labels_path, pby, state_buckets)
+        return
+    labels = read_table(spark, labels_path).drop("bucket")
+    out = incremental_components(labels, new_pairs)
+    changed = (
+        out.join(
+            labels.withColumnRenamed("component_id", "_old"), "doc_id", "left"
+        )
+        .filter(F.col("_old").isNull() | (F.col("_old") != F.col("component_id")))
+        .select("doc_id", "component_id")
+    )
+    upsert_table(
+        spark, _bucketed(changed), labels_path, key="doc_id",
+        partition_by=pby, buckets=state_buckets,
+    )
+
+
 def corpus_ingest_batch(
     batch_df: DataFrame,
     lm: DataFrame,
@@ -528,6 +604,7 @@ def corpus_ingest_batch(
     stats_key: str = "source",
     stats_buckets: int | None = None,
     batch_id: int | None = None,
+    components_path: str | None = None,
     **near_dedup_kwargs,
 ) -> None:
     """One full continuous-ingest corpus step — the composed foreachBatch
@@ -583,7 +660,19 @@ def corpus_ingest_batch(
         .select(*batch_df.columns)
         .localCheckpoint()  # feeds three downstream stages; gate once
     )
-    near_dedup_batch(gated, signature_path, pairs_path, id_col, text_col, **near_dedup_kwargs)
+    batch_pairs = near_dedup_batch(
+        gated, signature_path, pairs_path, id_col, text_col,
+        return_pairs=components_path is not None, **near_dedup_kwargs,
+    )
+    if components_path is not None:
+        # live dedup-cluster labels maintained per batch from the same
+        # pair frame the near-dedup stage just checkpointed — cluster
+        # COLLAPSE stays a batch decision (dedup_assign over the pair
+        # table); this table answers "which cluster is this doc in NOW"
+        update_component_state(
+            batch_pairs, components_path,
+            state_buckets=near_dedup_kwargs.get("state_buckets"),
+        )
     quality_score_batch(
         gated, lm, scores_path, id_col, text_col,
         # one knob lays out both merge-state tables; the signature
@@ -723,6 +812,7 @@ def stream_corpus_ingest(
     stats_path: str | None = None,
     stats_key: str = "source",
     stats_buckets: int | None = None,
+    components_path: str | None = None,
     **near_dedup_kwargs,
 ):
     """The whole training-corpus ingest as ONE Structured Streaming
@@ -738,6 +828,7 @@ def stream_corpus_ingest(
             bloom_path=bloom_path, hashes_path=hashes_path,
             stats_path=stats_path, stats_key=stats_key,
             stats_buckets=stats_buckets, batch_id=int(epoch_id),
+            components_path=components_path,
             **near_dedup_kwargs,
         )
 
