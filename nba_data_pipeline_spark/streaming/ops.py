@@ -182,7 +182,8 @@ def image_dedup_batch(
     band_bits: int = 16,
     decode: str = "real",
     state_buckets: int | None = None,
-) -> None:
+    return_pairs: bool = False,
+) -> DataFrame | None:
     """One continuous-ingest IMAGE near-dedup step — the media-modality
     twin of ``near_dedup_batch`` (same idempotency contract, usable as
     a foreachBatch body or cron-style batch ingest):
@@ -224,6 +225,13 @@ def image_dedup_batch(
         F.greatest("id_new", "id_other").alias("id_b"),
         "hamming",
     )
+    out_pairs = None
+    if return_pairs:
+        # same contract as near_dedup_batch: hand the checkpointed
+        # batch pairs to component maintenance (update_component_state)
+        # without re-running the banded join
+        pairs = pairs.localCheckpoint()
+        out_pairs = pairs
     if state_buckets:
         # same bucketed merge-state trade as near_dedup_batch (see its
         # docstring for the crossover): O(touched buckets) writes
@@ -241,9 +249,10 @@ def image_dedup_batch(
             spark, hashes, hash_path, key="doc_id",
             partition_by=["bucket"], buckets=state_buckets,
         )
-        return
+        return out_pairs
     upsert_table(spark, pairs, pairs_path, key=("id_a", "id_b"))
     upsert_table(spark, hashes, hash_path, key="doc_id")
+    return out_pairs
 
 
 def stream_near_dedup(
