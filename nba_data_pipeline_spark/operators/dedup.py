@@ -737,6 +737,7 @@ def incremental_components(
     id_b: str = "id_b",
     max_iterations: int = 30,
     strict: bool = True,
+    changed_only: bool = False,
 ) -> DataFrame:
     """Extend a CONVERGED component labeling with new edges without
     re-propagating inside old components — the continuous-ingest form
@@ -770,6 +771,13 @@ def incremental_components(
     the min of its old component. The driver query
     ``incremental_components`` hashes this equivalence against
     DuckDB's recursive-CTE closure of the full edge union.
+
+    ``changed_only=True`` returns ONLY the rows whose label differs
+    from (or is absent in) ``labels`` — the delta a persisted-table
+    maintainer merges. Computed directly (inner join against the
+    labels-that-changed relabel map) rather than by diffing the full
+    output against ``labels``, which would scan the label table a
+    third time per batch.
     """
     e = new_pairs.select(F.col(id_a).alias("_a"), F.col(id_b).alias("_b"))
     la = labels.select(
@@ -799,9 +807,8 @@ def incremental_components(
         .join(labels.select("doc_id"), "doc_id", "left_anti")
     )
     if cond_edges.isEmpty():
-        return labels.unionByName(
-            new_nodes.withColumn("component_id", F.col("doc_id"))
-        )
+        fresh_self = new_nodes.withColumn("component_id", F.col("doc_id"))
+        return fresh_self if changed_only else labels.unionByName(fresh_self)
     cond = connected_components(
         cond_edges, max_iterations=max_iterations, strict=strict
     )  # (doc_id = condensed vertex = old label or new node, component_id)
@@ -809,11 +816,19 @@ def incremental_components(
         F.col("doc_id").alias("component_id"),
         F.col("component_id").alias("_new"),
     )
-    old = labels.join(F.broadcast(relabel), "component_id", "left").select(
-        "doc_id", F.coalesce("_new", "component_id").alias("component_id")
-    )
     fresh = new_nodes.join(F.broadcast(cond), "doc_id", "left").select(
         "doc_id", F.coalesce("component_id", F.col("doc_id")).alias("component_id")
+    )
+    if changed_only:
+        # inner join against only the labels that actually moved — one
+        # label-table scan emitting just the affected components' rows
+        moved = relabel.filter(F.col("_new") != F.col("component_id"))
+        old_changed = labels.join(F.broadcast(moved), "component_id").select(
+            "doc_id", F.col("_new").alias("component_id")
+        )
+        return old_changed.unionByName(fresh)
+    old = labels.join(F.broadcast(relabel), "component_id", "left").select(
+        "doc_id", F.coalesce("_new", "component_id").alias("component_id")
     )
     return old.unionByName(fresh)
 

@@ -582,14 +582,7 @@ def update_component_state(
         write_layout_meta(labels_path, pby, state_buckets)
         return
     labels = read_table(spark, labels_path).drop("bucket")
-    out = incremental_components(labels, new_pairs)
-    changed = (
-        out.join(
-            labels.withColumnRenamed("component_id", "_old"), "doc_id", "left"
-        )
-        .filter(F.col("_old").isNull() | (F.col("_old") != F.col("component_id")))
-        .select("doc_id", "component_id")
-    )
+    changed = incremental_components(labels, new_pairs, changed_only=True)
     upsert_table(
         spark, _bucketed(changed), labels_path, key="doc_id",
         partition_by=pby, buckets=state_buckets,
