@@ -64,8 +64,14 @@ def write_bloom_meta(path: str, m_bits: int, k: int, hash: str = SEEN_HASH) -> N
     with the table (copy/move/swap keeps them together); the leading
     underscore makes Spark's parquet reader ignore it, like _SUCCESS.
     """
-    with open(os.path.join(path, _META_FILE), "w") as f:
-        json.dump({"m_bits": m_bits, "k": k, "hash": hash}, f)
+    try:
+        with open(os.path.join(path, _META_FILE), "w") as f:
+            json.dump({"m_bits": m_bits, "k": k, "hash": hash}, f)
+    except OSError:
+        # meta is a guard, not a dependency (check_bloom_meta passes on
+        # absence): a racing delete of the table dir (e.g. a rebuild
+        # that emptied it) must not crash the caller
+        pass
 
 
 def check_bloom_meta(path: str, m_bits: int, k: int, hash: str = SEEN_HASH) -> None:

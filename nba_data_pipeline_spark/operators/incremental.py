@@ -321,6 +321,11 @@ def fold_aggregate_state_table(
     # dir, and small-file accumulation is what kills trickle-fold state
     # tables over thousands of batches
     _rewrite_partitions(spark, merged.repartition("bucket"), path, ["bucket"])
+    # stamp after EVERY merge, not just first create: a legacy table
+    # (no sidecar) is trusted on first use, and this is how it gains
+    # the bucket-modulus guard the check_partition_layout docstring
+    # promises (same contract as upsert_table)
+    write_layout_meta(path, ["bucket"], n_buckets)
 
 
 def cdc_apply(
@@ -467,13 +472,18 @@ def cdc_apply_table(
         .drop("_rn")
     )
     _rewrite_partitions(spark, merged.repartition("bucket"), path, ["bucket"])
+    # legacy tables (no sidecar) gain the bucket-modulus guard on their
+    # first successful merge — the check_partition_layout contract
+    write_layout_meta(path, ["bucket"], n_buckets)
 
 
 def read_cdc_snapshot(spark, path: str) -> DataFrame:
     """The live view of a ``cdc_apply_table`` state table: tombstones
-    filtered, bookkeeping columns dropped."""
-    from ..sinks.writer import read_table
+    filtered, bookkeeping columns dropped. Heals any crash-interrupted
+    bucket swap first — a half-swapped bucket would read as absent."""
+    from ..sinks.writer import heal_partition_swaps, read_table
 
+    heal_partition_swaps(path)
     df = read_table(spark, path)
     return df.filter(~F.col("_deleted")).drop("_seq", "_deleted", "bucket")
 
@@ -497,8 +507,9 @@ def compact_cdc_table(
     Runs as one full-table rewrite — schedule it like any compaction
     (off-peak, per-partition at cluster scale), not per batch.
     """
-    from ..sinks.writer import _rewrite_partitions, read_table
+    from ..sinks.writer import _rewrite_partitions, heal_partition_swaps, read_table
 
+    heal_partition_swaps(path)  # never compact a half-swapped read
     df = read_table(spark, path).withColumn(
         "bucket", F.col("bucket").cast("long")
     )

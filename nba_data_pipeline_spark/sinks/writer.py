@@ -108,15 +108,78 @@ def hive_partition_cols(path: str) -> list[str]:
     cols: list[str] = []
     d = path
     while os.path.isdir(d):
+        # skip dot/underscore-prefixed names: Spark's reader hides them
+        # (like _SUCCESS), and a crash-orphaned ``.swap-old-bucket=N``
+        # staging dir contains '=' and sorts before 'bucket=...' — it
+        # must never be mistaken for the partition layout
         subs = sorted(
             n for n in os.listdir(d)
-            if os.path.isdir(os.path.join(d, n)) and "=" in n
+            if os.path.isdir(os.path.join(d, n))
+            and "=" in n
+            and not n.startswith((".", "_"))
         )
         if not subs:
             break
         cols.append(subs[0].split("=", 1)[0])
         d = os.path.join(d, subs[0])
     return cols
+
+
+def heal_partition_swaps(path: str) -> None:
+    """Complete or roll back swaps interrupted by a crash, so a state
+    read never sees a half-swapped table. MUST run BEFORE the caller
+    reads the table (Spark lists files eagerly at ``read_table``): a
+    leaf stuck mid-swap reads as ABSENT, and a merge computed from
+    that stale view — then committed — silently loses every prior row
+    in the leaf. ``check_partition_layout`` calls this, so every merge
+    path heals before it reads; read-only/maintenance paths
+    (takedown, compaction, CDC snapshot) call it directly.
+
+    Recovery per leaf (see the protocol comment in
+    ``_rewrite_partitions``): ``.swap-new`` is only ever COMPLETE once
+    the live dir has been moved aside (stage moves are same-fs renames),
+    so if the live dir is missing, rename ``.swap-new`` into place —
+    roll the swap FORWARD; the merge output it holds includes the old
+    rows. If only ``.swap-old`` remains, roll BACK. If the live dir
+    exists, any stage beside it is a pre-commit orphan (or the old copy
+    of an already-committed swap) — remove it. The same protocol is
+    applied to the whole-table stages ``<path>.swap-new`` /
+    ``<path>.swap-old`` written by ``_rewrite``.
+
+    On a real lakehouse (Delta/Iceberg) this whole mechanism is the
+    table format's transaction log; the heal is the local-fs stand-in
+    for log replay."""
+    new_t, old_t = path.rstrip("/") + ".swap-new", path.rstrip("/") + ".swap-old"
+    if not os.path.exists(path):
+        if os.path.exists(new_t):
+            os.rename(new_t, path)
+        elif os.path.exists(old_t):
+            os.rename(old_t, path)
+    for stale in (new_t, old_t):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    if not os.path.isdir(path):
+        return
+    for root, dirs, _files in os.walk(path):
+        swap_new = [d for d in dirs if d.startswith(".swap-new-")]
+        swap_old = [d for d in dirs if d.startswith(".swap-old-")]
+        # complete interrupted swaps first: with both stages present and
+        # the live dir missing, .swap-new (the full merge output) wins
+        for d in swap_new:
+            dst = os.path.join(root, d[len(".swap-new-"):])
+            if not os.path.exists(dst):
+                os.rename(os.path.join(root, d), dst)
+        for d in swap_old:
+            dst = os.path.join(root, d[len(".swap-old-"):])
+            if not os.path.exists(dst):
+                os.rename(os.path.join(root, d), dst)
+            else:
+                shutil.rmtree(os.path.join(root, d))
+        for d in swap_new:  # remaining = pre-commit orphans (live intact)
+            p = os.path.join(root, d)
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
 
 
 LAYOUT_META = "_layout_meta.json"
@@ -150,7 +213,13 @@ def check_partition_layout(
     (``hive_partition_cols``) is authoritative for the COLUMNS; the
     ``_layout_meta.json`` sidecar pins the bucket COUNT (legacy tables
     without a sidecar are trusted on first use and the sidecar is
-    written on the next successful merge)."""
+    written on the next successful merge).
+
+    Also heals crash-interrupted swaps FIRST (``heal_partition_swaps``)
+    — every merge path calls this before reading the table, which is
+    exactly where the heal must run: a leaf stuck mid-swap would read
+    as absent and the merge would commit without its rows."""
+    heal_partition_swaps(path)
     if not table_exists(path):
         return
     on_disk = hive_partition_cols(path)
@@ -187,7 +256,24 @@ def _rewrite(spark: SparkSession, merged: DataFrame, path: str, partition_by: Se
     """Replace ``path`` with ``merged`` wholesale (write-temp-then-swap;
     local-fs stand-in for a table-format transaction commit). Used for
     unpartitioned tables; partitioned merges go through
-    ``_rewrite_partitions`` and touch only affected partition dirs."""
+    ``_rewrite_partitions`` and touch only affected partition dirs.
+
+    Crash-safe via the same staged protocol as the per-leaf swap:
+    the new table is renamed in as ``<path>.swap-new``, the old one
+    aside as ``<path>.swap-old``, then committed — every crash window
+    leaves a copy ``heal_partition_swaps`` can roll forward or back.
+    The old rmtree-then-move had a window (old deleted, new still in
+    the anonymous temp dir nothing ever heals) that lost the table."""
+    new_stage = path.rstrip("/") + ".swap-new"
+    old_stage = path.rstrip("/") + ".swap-old"
+    for stale in (new_stage, old_stage):
+        if os.path.exists(stale):
+            raise RuntimeError(
+                f"unhealed interrupted swap beside table {path!r} "
+                f"({stale!r} exists): run heal_partition_swaps(path) "
+                f"BEFORE reading table state — merging from a "
+                f"half-swapped read loses the staged rows."
+            )
     tmp = tempfile.mkdtemp(prefix="upsert_", dir=os.path.dirname(path.rstrip("/")) or ".")
     try:
         write_table(merged, tmp, partition_by, mode="overwrite")
@@ -197,14 +283,22 @@ def _rewrite(spark: SparkSession, merged: DataFrame, path: str, partition_by: Se
             # do even unpartitioned). An empty table IS absent under
             # the table_exists contract — delete the target instead of
             # crashing on schema inference of a file-less directory.
+            # Stage the delete: a crash mid-rmtree of the LIVE dir
+            # would leave a readable-but-partial table; renaming aside
+            # first means a crash either restores it on heal (and the
+            # idempotent caller re-runs) or completes the delete.
             if os.path.exists(path):
-                shutil.rmtree(path)
+                os.rename(path, old_stage)
+                shutil.rmtree(old_stage)
             return
         out = read_table(spark, tmp)
         out.count()  # materialize before dropping the old copy
+        shutil.move(tmp, new_stage)
         if os.path.exists(path):
-            shutil.rmtree(path)
-        shutil.move(tmp, path)
+            os.rename(path, old_stage)
+        os.rename(new_stage, path)
+        if os.path.exists(old_stage):
+            shutil.rmtree(old_stage)
     finally:
         if os.path.exists(tmp):
             shutil.rmtree(tmp, ignore_errors=True)
@@ -263,7 +357,25 @@ def _rewrite_partitions(
             # kill there lost the bucket outright.
             new_stage = os.path.join(parent, f".swap-new-{leaf}")
             old_stage = os.path.join(parent, f".swap-old-{leaf}")
-            for stale in (new_stage, old_stage):  # self-heal prior crash
+            # A leftover stage with the live leaf MISSING means the
+            # caller read a half-swapped table (heal didn't run before
+            # the state read) and `merged` was computed WITHOUT the
+            # leaf's prior rows — committing it would silently lose
+            # them and deleting the stage would destroy the only copy.
+            # Refuse; heal_partition_swaps (which check_partition_layout
+            # runs before every merge read) makes this unreachable in
+            # the shipped paths. A stage beside an INTACT live leaf is
+            # a pre-commit orphan — safe to clear.
+            if not os.path.exists(dst) and (
+                os.path.exists(new_stage) or os.path.exists(old_stage)
+            ):
+                raise RuntimeError(
+                    f"unhealed interrupted swap at {dst!r}: run "
+                    f"heal_partition_swaps on the table before reading "
+                    f"its state (the merge about to commit was computed "
+                    f"without this leaf's prior rows)."
+                )
+            for stale in (new_stage, old_stage):  # pre-commit orphans
                 if os.path.exists(stale):
                     shutil.rmtree(stale)
             shutil.move(os.path.join(tmp, rel), new_stage)
@@ -468,6 +580,7 @@ def compact_table(
     """
     import math
 
+    heal_partition_swaps(path)  # never compact a half-swapped read
     # merge_schema: compaction REWRITES partitions, and after a schema
     # evolution untouched partitions still carry the old file schema —
     # a single-footer read here would rewrite them without the evolved

@@ -397,11 +397,15 @@ def seen_content_filter_batch(
         bloom_flag_seen,
         check_bloom_meta,
     )
-    from ..sinks.writer import table_exists
+    from ..sinks.writer import heal_partition_swaps, table_exists
 
     m_bits = SEEN_M_BITS if m_bits is None else m_bits
     k = SEEN_K if k is None else k
     spark = batch_df.sparkSession
+    # heal BEFORE table_exists: a word table stuck mid-swap would read
+    # as absent -> cold start -> the whole seen-set silently bypassed
+    heal_partition_swaps(bloom_path)
+    heal_partition_swaps(hashes_path)
     if not table_exists(bloom_path) or not table_exists(hashes_path):
         return batch_df
     check_bloom_meta(bloom_path, m_bits, k, SEEN_HASH)
@@ -468,11 +472,12 @@ def record_ingested_content(
         check_bloom_meta,
         write_bloom_meta,
     )
-    from ..sinks.writer import _rewrite, table_exists, write_table
+    from ..sinks.writer import _rewrite, heal_partition_swaps, table_exists, write_table
 
     m_bits = SEEN_M_BITS if m_bits is None else m_bits
     k = SEEN_K if k is None else k
     spark = accepted_df.sparkSession
+    heal_partition_swaps(bloom_path)
     new_words = bloom_build(accepted_df, text_col, m_bits, k)
     if table_exists(bloom_path):
         check_bloom_meta(bloom_path, m_bits, k, SEEN_HASH)
@@ -509,6 +514,9 @@ def rebuild_seen_bloom(
     takedowns or when the measured FP rate drifts — not per batch.
     The hash state table needs no rebuild (takedown_batch already
     removes dead hashes row-exactly)."""
+    import os
+    import shutil
+
     from ..operators.bloom import (
         SEEN_HASH,
         SEEN_K,
@@ -516,17 +524,37 @@ def rebuild_seen_bloom(
         bloom_build,
         write_bloom_meta,
     )
-    from ..sinks.writer import _rewrite, read_table, table_exists, write_table
+    from ..sinks.writer import (
+        _rewrite,
+        heal_partition_swaps,
+        read_table,
+        table_exists,
+        write_table,
+    )
 
     m_bits = SEEN_M_BITS if m_bits is None else m_bits
     k = SEEN_K if k is None else k
+    heal_partition_swaps(corpus_path)
+    heal_partition_swaps(bloom_path)
+    if not table_exists(corpus_path):
+        # total takedown emptied the corpus (takedown_batch supports
+        # this): no live content means NO filter. Delete the word table
+        # and its meta sidecar together — seen_content_filter_batch
+        # treats absence as cold start, which is exactly right here.
+        if os.path.exists(bloom_path):
+            shutil.rmtree(bloom_path)
+        return
     corpus = read_table(spark, corpus_path, merge_schema=True)
     fresh = bloom_build(corpus, text_col, m_bits, k)
     if table_exists(bloom_path):
+        # an EMPTY corpus builds zero word rows and _rewrite deletes
+        # the table (meta sidecar goes with the directory) — also the
+        # correct cold-start state
         _rewrite(spark, fresh, bloom_path, ())
     else:
         write_table(fresh, bloom_path)
-    write_bloom_meta(bloom_path, m_bits, k, SEEN_HASH)
+    if table_exists(bloom_path):
+        write_bloom_meta(bloom_path, m_bits, k, SEEN_HASH)
 
 
 def update_component_state(
@@ -548,6 +576,19 @@ def update_component_state(
     already-merged labels, every condensed edge collapses to a self
     edge, and the changed set is empty.
 
+    CRASH SAFETY (write-ahead journal): ``incremental_components``
+    requires ``labels`` to be a CONSISTENT fixed point, but the
+    changed-rows merge swaps one bucket dir at a time — a crash
+    mid-merge leaves a mixture (some docs relabeled, their old
+    component-mates not), and the merge fact exists only in the
+    crashed run's computation, so no later batch could repair it. The
+    changed set is therefore journaled to ``_changes_journal`` inside
+    the table (underscore-prefixed — invisible to readers, exactly the
+    delta, O(changed) extra write) BEFORE the merge and removed after;
+    on the next call a surviving journal is re-applied first (the
+    doc_id-keyed upsert is idempotent), restoring consistency before
+    anything reads the labels.
+
     SCALE NOTE (honest): the label LOOKUP reads the labels table once
     per batch (column-pruned to two longs, no shuffle — the batch side
     broadcasts). The bucketed layout bounds the WRITE side only; a
@@ -558,9 +599,12 @@ def update_component_state(
     ``takedown_batch(extra_id_tables={"components": (labels_path,
     "doc_id")})`` keeps the mapping consistent, but a departed doc
     that was its component's min keeps naming the representative id
-    (labels are arbitrary representatives, not live ids); rebuild via
-    ``connected_components`` over the pair table when representative
-    liveness matters."""
+    (labels are arbitrary representatives, not live ids); run
+    ``rebuild_component_labels`` over the pair table when
+    representative liveness matters."""
+    import os
+    import shutil
+
     from ..operators.dedup import connected_components, incremental_components
     from ..sinks.writer import read_table, table_exists, upsert_table, write_table
     from ..sinks.writer import check_partition_layout, write_layout_meta
@@ -576,6 +620,24 @@ def update_component_state(
             "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(state_buckets))
         )
 
+    journal = os.path.join(labels_path, "_changes_journal")
+
+    def _merge_delta(delta: DataFrame) -> None:
+        upsert_table(
+            spark, _bucketed(delta), labels_path, key="doc_id",
+            partition_by=pby, buckets=state_buckets,
+        )
+
+    # recovery: a surviving journal means the previous merge crashed
+    # mid-swap — re-apply its full change set (idempotent), THEN read
+    if os.path.exists(journal + ".tmp"):  # crashed mid-journal-write
+        shutil.rmtree(journal + ".tmp")
+    if table_exists(journal):
+        _merge_delta(spark.read.parquet(journal).select("doc_id", "component_id"))
+        shutil.rmtree(journal)
+    elif os.path.exists(journal):  # empty leftover dir
+        shutil.rmtree(journal)
+
     if not table_exists(labels_path):
         labels = connected_components(new_pairs)
         write_table(_bucketed(labels), labels_path, partition_by=pby)
@@ -583,10 +645,24 @@ def update_component_state(
         return
     labels = read_table(spark, labels_path).drop("bucket")
     changed = incremental_components(labels, new_pairs, changed_only=True)
-    upsert_table(
-        spark, _bucketed(changed), labels_path, key="doc_id",
-        partition_by=pby, buckets=state_buckets,
+    if not state_buckets:
+        # unpartitioned: the whole-table swap is already atomic (one
+        # staged rename pair + heal), so no journal is needed — and it
+        # would not survive the swap anyway (it lives inside the dir)
+        _merge_delta(changed)
+        return
+    # journal the delta atomically (write-then-rename), apply, clear.
+    # The journal write IS the materialization of `changed`; the merge
+    # re-reads it, so the incremental computation runs exactly once.
+    changed.select("doc_id", "component_id").write.mode("overwrite").parquet(
+        journal + ".tmp"
     )
+    if not table_exists(journal + ".tmp"):  # empty delta (e.g. replay)
+        shutil.rmtree(journal + ".tmp", ignore_errors=True)
+        return
+    os.rename(journal + ".tmp", journal)
+    _merge_delta(spark.read.parquet(journal).select("doc_id", "component_id"))
+    shutil.rmtree(journal)
 
 
 def corpus_ingest_batch(
@@ -737,7 +813,7 @@ def fold_ingest_stats(
         fold_aggregate_state,
         fold_aggregate_state_table,
     )
-    from ..sinks.writer import _rewrite, table_exists, write_table
+    from ..sinks.writer import _rewrite, heal_partition_swaps, table_exists, write_table
 
     spark = accepted_df.sparkSession
     specs = {
@@ -756,6 +832,7 @@ def fold_ingest_stats(
             n_buckets=n_buckets, batch_id=batch_id,
         )
         return
+    heal_partition_swaps(stats_path)  # before table_exists/read
     state = spark.read.parquet(stats_path) if table_exists(stats_path) else None
     folded = fold_aggregate_state(state, batch, [stats_key], specs)
     if state is None:
@@ -779,8 +856,10 @@ def reconcile_ingest_stats(
     corpus table is the source of truth, so a reconcile always
     converges the rollup exactly, whatever the crash history. Schedule
     it like a compaction (off-peak, occasionally), not per batch."""
-    from ..sinks.writer import _rewrite, read_table
+    from ..sinks.writer import _rewrite, heal_partition_swaps, read_table
 
+    heal_partition_swaps(corpus_path)
+    heal_partition_swaps(stats_path)
     fresh = (
         read_table(spark, corpus_path, merge_schema=True)
         .withColumn("_chars", F.length(text_col).cast("long"))
@@ -1037,6 +1116,7 @@ def takedown_batch(
     from ..sinks.writer import (
         _rewrite,
         _rewrite_partitions,
+        heal_partition_swaps,
         hive_partition_cols,
         read_table,
         table_exists,
@@ -1048,6 +1128,11 @@ def takedown_batch(
     spark = ids_df.sparkSession
     ids = ids_df.select(id_col).distinct().localCheckpoint()
     removed: dict[str, int] = {}
+    # heal BEFORE any layout inference or read: a partition leaf stuck
+    # mid-swap reads as absent (its rows would survive the takedown
+    # invisibly), and an orphaned .swap-old dir must never be mistaken
+    # for layout (hive_partition_cols skips dot-dirs, heal removes them)
+    heal_partition_swaps(corpus_path)
 
     def _local(uri: str) -> str:
         p = uri.split("://", 1)[-1] if "://" in uri else uri
@@ -1164,7 +1249,10 @@ def takedown_batch(
         return split
 
     def _drop_by_id(path: str, key: str, label: str, pcols=None) -> None:
-        if path is None or not table_exists(path):
+        if path is None:
+            return
+        heal_partition_swaps(path)
+        if not table_exists(path):
             return
         pcols = list(pcols) if pcols else hive_partition_cols(path)
         _scoped_drop(path, pcols, _id_split(key), label)
@@ -1189,7 +1277,10 @@ def takedown_batch(
         return a_hit.unionByName(b_only), kept
 
     def _drop_pairs(path: str, label: str, pcols=None) -> None:
-        if path is None or not table_exists(path):
+        if path is None:
+            return
+        heal_partition_swaps(path)
+        if not table_exists(path):
             return
         pcols = list(pcols) if pcols else hive_partition_cols(path)
         _scoped_drop(path, pcols, _pair_split, label)
@@ -1202,6 +1293,8 @@ def takedown_batch(
         else:
             _drop_pairs(spec, label)
 
+    if hashes_path is not None:
+        heal_partition_swaps(hashes_path)
     if hashes_path is not None and table_exists(hashes_path):
         doomed_h = doomed.select(
             F.xxhash64(F.col(text_col)).alias("content_hash"),
@@ -1250,6 +1343,8 @@ def takedown_batch(
         else:
             removed["hashes"] = 0
 
+    if stats_path is not None:
+        heal_partition_swaps(stats_path)
     if stats_path is not None and table_exists(stats_path):
         affected = doomed.select(stats_key).distinct()
         fresh = (

@@ -1418,3 +1418,210 @@ def test_takedown_crash_mid_swap_replay_converges(spark, tmp_path):
     left = {r.doc_id for r in spark.read.parquet(corpus_p).collect()}
     assert left == {i for i in range(40) if i % 5 != 0}
     assert removed["corpus"] + (40 - mid_n) == 8
+
+
+def test_bucketed_merge_crash_between_leaf_renames_no_row_loss(spark, tmp_path):
+    """ADVICE r12 #1 regression: kill os.rename in every window of the
+    per-leaf swap (stage-in, live->aside, staged->live). Before the
+    heal-before-read fix, a crash between the two renames left the leaf
+    absent; the replayed merge read the bucket as EMPTY, the loop's
+    self-heal deleted .swap-old (the only copy), and the bucket's prior
+    rows were silently lost. Now: after any crash + replay, every
+    pre-existing row not updated by the batch must still be present."""
+    import os as _os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.sinks import writer as writer_mod
+    from nba_data_pipeline_spark.sinks.writer import upsert_table
+
+    class Boom(RuntimeError):
+        pass
+
+    orig_rename = _os.rename
+
+    def bucketed(df):
+        return df.withColumn("bucket", F.pmod(F.xxhash64("k"), F.lit(4)))
+
+    b1 = bucketed(
+        spark.createDataFrame([(i, float(i)) for i in range(40)], "k long, v double")
+    )
+    # update only even keys — odd keys share leaves with updates and are
+    # exactly the rows the old bug lost
+    b2 = bucketed(
+        spark.createDataFrame(
+            [(i, 1000.0 + i) for i in range(0, 40, 2)], "k long, v double"
+        )
+    )
+    want = {i: (1000.0 + i if i % 2 == 0 else float(i)) for i in range(40)}
+    # rename call sites per leaf: stage-in (shutil.move), live->aside,
+    # staged->live; crash points chosen to land in each window across
+    # the first two leaves
+    for crash_at in (1, 2, 3, 4, 5, 6):
+        path = str(tmp_path / f"m{crash_at}")
+        upsert_table(spark, b1, path, "k", partition_by=["bucket"], buckets=4)
+        calls = {"n": 0}
+
+        def crashing_rename(src, dst, *a, _c=crash_at, _calls=calls, **kw):
+            _calls["n"] += 1
+            if _calls["n"] >= _c:
+                raise Boom(f"injected crash at rename #{_calls['n']}")
+            return orig_rename(src, dst, *a, **kw)
+
+        writer_mod.os.rename = crashing_rename
+        try:
+            with pytest.raises(Boom):
+                upsert_table(
+                    spark, b2, path, "k", partition_by=["bucket"], buckets=4
+                )
+        finally:
+            writer_mod.os.rename = orig_rename
+        # replay converges with zero row loss (check_partition_layout
+        # heals the interrupted swap before the state read)
+        upsert_table(spark, b2, path, "k", partition_by=["bucket"], buckets=4)
+        got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+        assert got == want, (crash_at, sorted(set(want) - set(got)))
+
+
+def test_component_state_crash_mid_swap_replay_converges(spark, tmp_path):
+    """VERDICT r12 task #3: injected kill mid-upsert inside
+    update_component_state with state_buckets set — the replayed batch
+    must converge to the from-scratch labeling and the visible buckets
+    stay readable throughout. The batch's changed rows span every
+    bucket (the r12 lesson: otherwise the swap loop never reaches the
+    crash point)."""
+    import os as _os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.operators.dedup import connected_components
+    from nba_data_pipeline_spark.sinks import writer as writer_mod
+    from nba_data_pipeline_spark.streaming.ops import update_component_state
+
+    class Boom(RuntimeError):
+        pass
+
+    orig_rename = _os.rename
+    # batch 1: 40 two-doc components; batch 2 bridges each pair (i, i+1)
+    # to (i+100, i+101) AND relabels — every doc's component changes, so
+    # the changed set hits all 4 buckets
+    b1 = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 80, 2)], "id_a long, id_b long"
+    )
+    b2 = spark.createDataFrame(
+        [(i + 1, (i + 2) % 80) for i in range(0, 80, 2)], "id_a long, id_b long"
+    )
+    want = {
+        r.doc_id: r.component_id
+        for r in connected_components(b1.unionByName(b2)).collect()
+    }
+    for crash_at in (2, 3, 5):
+        labels_p = str(tmp_path / f"labels{crash_at}")
+        update_component_state(b1, labels_p, state_buckets=4)
+        calls = {"n": 0}
+
+        def crashing_rename(src, dst, *a, _c=crash_at, _calls=calls, **kw):
+            _calls["n"] += 1
+            if _calls["n"] >= _c:
+                raise Boom(f"injected crash at rename #{_calls['n']}")
+            return orig_rename(src, dst, *a, **kw)
+
+        writer_mod.os.rename = crashing_rename
+        try:
+            with pytest.raises(Boom):
+                update_component_state(b2, labels_p, state_buckets=4)
+        finally:
+            writer_mod.os.rename = orig_rename
+        # mid-crash: every VISIBLE bucket dir still reads as parquet
+        assert spark.read.parquet(labels_p).count() > 0
+        # replay converges to the from-scratch labeling over b1 ∪ b2
+        update_component_state(b2, labels_p, state_buckets=4)
+        got = {
+            r.doc_id: r.component_id
+            for r in spark.read.parquet(labels_p).collect()
+        }
+        assert got == want, (crash_at, {k: (got.get(k), want[k]) for k in want if got.get(k) != want[k]})
+
+
+def test_rebuild_seen_bloom_after_total_takedown(spark, tmp_path):
+    """ADVICE r12 #3: rebuild_seen_bloom after a takedown that emptied
+    the corpus must not crash — the word table and its meta are removed
+    together (absence = cold start), and content re-ingests cleanly."""
+    from nba_data_pipeline_spark.sinks.writer import table_exists
+    from nba_data_pipeline_spark.streaming.ops import (
+        rebuild_seen_bloom,
+        record_ingested_content,
+        seen_content_filter_batch,
+        takedown_batch,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, f"{text} doc {i}") for i in range(8)]
+    schema = "doc_id long, text string"
+    docs = spark.createDataFrame(rows, schema)
+    corpus_p = str(tmp_path / "corpus")
+    bloom_p = str(tmp_path / "bloom")
+    hashes_p = str(tmp_path / "hashes")
+    docs.write.parquet(corpus_p)
+    record_ingested_content(docs, bloom_p, hashes_p)
+
+    takedown_batch(docs.select("doc_id"), corpus_p, hashes_path=hashes_p)
+    # depending on plan shape the emptied corpus materializes as absent
+    # OR as a zero-row parquet table — rebuild must handle both
+    rebuild_seen_bloom(spark, corpus_p, bloom_p)
+    # cold start: nothing is flagged seen, all content re-admits
+    out = seen_content_filter_batch(docs, bloom_p, hashes_p)
+    assert out.count() == 8
+    # the truly-ABSENT corpus branch (the ADVICE crash): filter+meta
+    # are deleted together and nothing raises
+    import shutil as _shutil
+
+    if table_exists(corpus_p):
+        _shutil.rmtree(corpus_p)
+    rebuild_seen_bloom(spark, corpus_p, bloom_p)
+    assert not table_exists(bloom_p)
+    assert seen_content_filter_batch(docs, bloom_p, hashes_p).count() == 8
+    # re-recording and rebuilding from a live corpus still works
+    docs.write.mode("overwrite").parquet(corpus_p)
+    record_ingested_content(docs, bloom_p, hashes_p)
+    rebuild_seen_bloom(spark, corpus_p, bloom_p)
+    assert table_exists(bloom_p)
+    assert seen_content_filter_batch(docs, bloom_p, hashes_p).count() == 0
+
+
+def test_legacy_state_tables_gain_layout_sidecar_on_merge(spark, tmp_path):
+    """ADVICE r12 #4: a pre-sidecar state table (trusted on first use)
+    must gain the bucket-modulus guard on its next successful MERGE —
+    not only on first create — for both fold and CDC state tables."""
+    import os as _os
+
+    import pytest
+
+    from nba_data_pipeline_spark.operators.incremental import (
+        cdc_apply_table,
+        fold_aggregate_state_table,
+    )
+    from nba_data_pipeline_spark.sinks.writer import LAYOUT_META
+
+    specs = {"total": ("sum", "v")}
+    b = spark.createDataFrame([(i, i) for i in range(20)], "k long, v long")
+    fold_p = str(tmp_path / "fold")
+    fold_aggregate_state_table(spark, b, fold_p, ["k"], specs, n_buckets=8)
+    _os.remove(_os.path.join(fold_p, LAYOUT_META))  # legacy table
+    fold_aggregate_state_table(spark, b, fold_p, ["k"], specs, n_buckets=8)
+    assert _os.path.exists(_os.path.join(fold_p, LAYOUT_META))
+    with pytest.raises(ValueError, match="bucket-count mismatch"):
+        fold_aggregate_state_table(spark, b, fold_p, ["k"], specs, n_buckets=4)
+
+    cdc_p = str(tmp_path / "cdc")
+    ch = spark.createDataFrame(
+        [(i, i, "U", float(i)) for i in range(20)], "k long, seq long, op string, v double"
+    )
+    cdc_apply_table(spark, ch, cdc_p, ["k"], "seq", n_buckets=8)
+    _os.remove(_os.path.join(cdc_p, LAYOUT_META))
+    cdc_apply_table(spark, ch, cdc_p, ["k"], "seq", n_buckets=8)
+    assert _os.path.exists(_os.path.join(cdc_p, LAYOUT_META))
+    with pytest.raises(ValueError, match="bucket-count mismatch"):
+        cdc_apply_table(spark, ch, cdc_p, ["k"], "seq", n_buckets=4)

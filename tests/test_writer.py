@@ -271,3 +271,156 @@ def test_write_training_shards_validates_args(spark, tmp_path):
         write_training_shards(df, str(tmp_path / "x"), 0, ["id"])
     with pytest.raises(ValueError, match="key_cols"):
         write_training_shards(df, str(tmp_path / "x"), 2, [])
+
+
+def test_hive_partition_cols_skips_staging_dirs(spark, tmp_path):
+    """ADVICE r12 #2: an orphaned ``.swap-old-bucket=N`` staging dir
+    contains '=' and sorts before 'bucket=...' — layout inference must
+    skip dot/underscore-prefixed names or every subsequent merge raises
+    a layout mismatch (table bricked until manual cleanup)."""
+    import shutil
+
+    from nba_data_pipeline_spark.sinks.writer import (
+        check_partition_layout,
+        hive_partition_cols,
+        upsert_table,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        F.pmod(F.xxhash64("id"), F.lit(4)).alias("bucket"),
+    )
+    upsert_table(spark, df, path, "k", partition_by=["bucket"], buckets=4)
+    # orphan stages from a crash-after-commit window
+    shutil.copytree(
+        os.path.join(path, "bucket=0"), os.path.join(path, ".swap-old-bucket=0")
+    )
+    os.makedirs(os.path.join(path, "_staging=x"))
+    assert hive_partition_cols(path) == ["bucket"]
+    # check heals (removes the orphan) and passes
+    check_partition_layout(path, ["bucket"], 4)
+    assert not os.path.exists(os.path.join(path, ".swap-old-bucket=0"))
+    # the table still merges normally afterwards
+    upsert_table(
+        spark,
+        df.withColumn("k", F.col("k") + 100),
+        path,
+        "k",
+        partition_by=["bucket"],
+        buckets=4,
+    )
+    assert spark.read.parquet(path).count() == 80
+
+
+def test_heal_rolls_interrupted_leaf_swap_forward(spark, tmp_path):
+    """ADVICE r12 #1 unit: a leaf caught between the two renames (live
+    dir moved aside, replacement staged) is rolled FORWARD by the heal
+    — .swap-new holds the complete merge output — and the pre-merge
+    copy in .swap-old is discarded only after the leaf is live again."""
+    import shutil
+
+    from nba_data_pipeline_spark.sinks.writer import (
+        heal_partition_swaps,
+        write_table,
+    )
+    from pyspark.sql import functions as F
+
+    path, v2 = str(tmp_path / "t"), str(tmp_path / "v2")
+    old = spark.createDataFrame([(1, "old", 0), (2, "old", 1)], "k long, v string, bucket int")
+    new = spark.createDataFrame([(1, "new", 0), (9, "new", 0)], "k long, v string, bucket int")
+    write_table(old, path, partition_by=["bucket"])
+    write_table(new, v2, partition_by=["bucket"])
+    # simulate the crash window: bucket=0 mid-swap, bucket=1 untouched
+    os.rename(os.path.join(path, "bucket=0"), os.path.join(path, ".swap-old-bucket=0"))
+    shutil.copytree(os.path.join(v2, "bucket=0"), os.path.join(path, ".swap-new-bucket=0"))
+    heal_partition_swaps(path)
+    got = {(r.k, r.v, r.bucket) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "new", 0), (9, "new", 0), (2, "old", 1)}
+    assert not any(n.startswith(".swap") for n in os.listdir(path))
+
+
+def test_heal_rolls_back_when_only_old_stage_remains(spark, tmp_path):
+    from nba_data_pipeline_spark.sinks.writer import (
+        heal_partition_swaps,
+        write_table,
+    )
+
+    path = str(tmp_path / "t")
+    old = spark.createDataFrame([(1, 0), (2, 1)], "k long, bucket int")
+    write_table(old, path, partition_by=["bucket"])
+    os.rename(os.path.join(path, "bucket=1"), os.path.join(path, ".swap-old-bucket=1"))
+    heal_partition_swaps(path)
+    assert {r.k for r in spark.read.parquet(path).collect()} == {1, 2}
+
+
+def test_heal_whole_table_stages(spark, tmp_path):
+    """The unpartitioned ``_rewrite`` stages the whole table beside its
+    path; heal rolls forward (.swap-new = complete merge output) or
+    back (.swap-old only), and a stage beside an intact live table is
+    an orphan."""
+    from nba_data_pipeline_spark.sinks.writer import (
+        heal_partition_swaps,
+        write_table,
+    )
+
+    # roll forward
+    path = str(tmp_path / "a")
+    write_table(spark.createDataFrame([(1,)], "k long"), path + ".swap-new")
+    write_table(spark.createDataFrame([(0,)], "k long"), path + ".swap-old")
+    heal_partition_swaps(path)
+    assert {r.k for r in spark.read.parquet(path).collect()} == {1}
+    assert not os.path.exists(path + ".swap-new") and not os.path.exists(path + ".swap-old")
+    # roll back
+    path2 = str(tmp_path / "b")
+    write_table(spark.createDataFrame([(7,)], "k long"), path2 + ".swap-old")
+    heal_partition_swaps(path2)
+    assert {r.k for r in spark.read.parquet(path2).collect()} == {7}
+    # orphan beside intact live table is removed, live untouched
+    path3 = str(tmp_path / "c")
+    write_table(spark.createDataFrame([(3,)], "k long"), path3)
+    write_table(spark.createDataFrame([(4,)], "k long"), path3 + ".swap-new")
+    heal_partition_swaps(path3)
+    assert {r.k for r in spark.read.parquet(path3).collect()} == {3}
+    assert not os.path.exists(path3 + ".swap-new")
+
+
+def test_unpartitioned_rewrite_crash_between_renames_recovers(spark, tmp_path):
+    """Crash probe for the staged whole-table swap: kill os.rename at
+    each window of an unpartitioned upsert; the table must remain
+    recoverable (old or fully-merged state after heal — never absent,
+    never partial) and a replayed merge must converge."""
+    import pytest
+
+    from nba_data_pipeline_spark.sinks import writer as writer_mod
+    from nba_data_pipeline_spark.sinks.writer import upsert_table
+
+    class Boom(RuntimeError):
+        pass
+
+    orig_rename = os.rename
+    v1 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "id string, v double")
+    v2 = spark.createDataFrame([("b", 20.0), ("c", 3.0)], "id string, v double")
+    want = {("a", 1.0), ("b", 20.0), ("c", 3.0)}
+    for crash_at in (1, 2, 3):
+        path = str(tmp_path / f"u{crash_at}")
+        upsert_table(spark, v1, path, "id")
+        calls = {"n": 0}
+
+        def crashing_rename(src, dst, *a, _c=crash_at, _calls=calls, **kw):
+            _calls["n"] += 1
+            if _calls["n"] >= _c:
+                raise Boom(f"injected crash at rename #{_calls['n']}")
+            return orig_rename(src, dst, *a, **kw)
+
+        writer_mod.os.rename = crashing_rename
+        try:
+            with pytest.raises(Boom):
+                upsert_table(spark, v2, path, "id")
+        finally:
+            writer_mod.os.rename = orig_rename
+        # replay (heals first, then merges) converges to the full merge
+        upsert_table(spark, v2, path, "id")
+        got = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
+        assert got == want, (crash_at, got)
