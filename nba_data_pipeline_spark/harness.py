@@ -3306,19 +3306,59 @@ def q_winnow_pairs_fast(spark, sf):
     """The production-hash winnowing path: identical plan to
     winnow_pairs but grams hashed with JVM-native xxhash64 instead of
     the oracle-portable md5 prefix (operators/dedup.py _gram_hash).
-    Benched side by side to quantify the portability tax. The coverage
-    guarantee (every shared substring >= k+w-1 fingerprints) holds for
-    any uniform hash: measured 98% pair agreement between the two
-    hashes UNPRUNED at sf0.01. The max_df_frac boilerplate prune is
-    hash-DEPENDENT though (it drops whichever fps happen to be hot
-    under that hash), so pruned candidate sets on template-heavy
-    corpora differ beyond the margin — tune the prune per hash, and
-    never mix fps from different hashes in one table. Planted-dup
-    recall parity pinned in tests/test_winnow.py."""
+    Benched side by side to quantify the portability tax. Cross-hash
+    pair-set agreement is driver-checked by winnow_hash_agreement;
+    planted-dup recall parity pinned in tests/test_winnow.py."""
     from .operators.dedup import winnow_fingerprints, winnow_match_pairs
 
     fps = winnow_fingerprints(_t(spark, sf, "documents"), hash="xxhash64")
     return winnow_match_pairs(fps, min_shared=4, max_df_frac=0.05)
+
+
+@q(
+    "winnow_hash_agreement",
+    # cross-hash agreement gate (VERDICT r12 task #4): xxhash64 fps are
+    # JVM-only VALUES, but the production path's pair set must agree
+    # with the md5-portable winnow_pairs set — winnowing selects
+    # positions BY hash, so the sets are near- but not exactly equal
+    # (measured 98% Jaccard unpruned at sf0.01); gate at >= 0.9 with
+    # n_docs tying the verdict to the data
+    """SELECT 'winnow_xxhash64' AS method,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              TRUE AS agreement_ok
+       FROM documents""",
+)
+def q_winnow_hash_agreement(spark, sf):
+    """Cross-hash winnowing agreement gate: the coverage guarantee
+    (every shared substring >= k+w-1 fingerprints) holds for any
+    uniform hash; measured 98% pair agreement between xxhash64 and the
+    md5-portable hash UNPRUNED at sf0.01 — the gate asserts pair-set
+    Jaccard >= 0.9 between the two paths, both unpruned (the
+    max_df_frac boilerplate prune is hash-DEPENDENT: it drops
+    whichever fps happen to be hot under that hash, so pruned sets on
+    template-heavy corpora diverge beyond the margin — never mix fps
+    from different hashes in one table)."""
+    from .operators.dedup import winnow_fingerprints, winnow_match_pairs
+
+    docs = _t(spark, sf, "documents")
+    fast = winnow_match_pairs(
+        winnow_fingerprints(docs, hash="xxhash64"), min_shared=4
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
+    portable = winnow_match_pairs(
+        winnow_fingerprints(docs), min_shared=4
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
+    both = fast.join(portable, ["id_a", "id_b"], "left_semi")
+    either = fast.unionByName(portable).distinct()
+    return (
+        docs.agg(F.count("*").cast("long").alias("n_docs"))
+        .crossJoin(F.broadcast(both.agg(F.count("*").alias("_i"))))
+        .crossJoin(F.broadcast(either.agg(F.count("*").alias("_u"))))
+        .select(
+            F.lit("winnow_xxhash64").alias("method"),
+            "n_docs",
+            (F.col("_i") >= 0.9 * F.col("_u")).alias("agreement_ok"),
+        )
+    )
 
 
 @q(
@@ -5760,12 +5800,26 @@ def q_corpus_pipeline(spark, sf):
     )
 
 
-@q("incremental_minhash")  # xxhash64 signatures: not SQL-portable -> rows-only
+@q(
+    "incremental_minhash",
+    # verdict gate (component_state_gate pattern, VERDICT r12 task #4):
+    # xxhash64 signatures are not SQL-portable, but the EQUALITY of the
+    # two-batch incremental run against the single-shot recompute over
+    # the unioned corpus is engine-checkable as a verdict; n_new_docs
+    # ties it to the data so an empty-result bug can't fake a pass
+    """SELECT 'minhash_incremental' AS method,
+              CAST(COUNT(*) AS BIGINT) AS n_new_docs,
+              TRUE AS matches_single_shot
+       FROM documents WHERE doc_id % 5 = 0""",
+)
 def q_incremental_minhash(spark, sf):
     """Persisted-signature incremental LSH (operators/dedup.py
     incremental_minhash_pairs): the new batch is every 5th doc; the
     corpus signature table is built once and reused — no corpus
-    re-shingling. est_jaccard is the signature-agreement estimate."""
+    re-shingling. Gate: [old-vs-old single-batch] UNION [new batch vs
+    old corpus] must equal the single-shot run over ALL signatures —
+    set equality both ways on (id_a, id_b, est_jaccard). Same contract
+    as component_state_gate's table-vs-recompute verdict."""
     from .operators.dedup import incremental_minhash_pairs, minhash_signatures
 
     docs = _t(spark, sf, "documents")
@@ -5777,8 +5831,36 @@ def q_incremental_minhash(spark, sf):
     )
     new_sigs = sigs.filter(F.col("doc_id") % 5 == 0)
     old_sigs = sigs.filter(F.col("doc_id") % 5 != 0)
-    return incremental_minhash_pairs(
-        new_sigs, old_sigs, num_perm=32, bands=16, threshold=0.3
+    empty = spark.createDataFrame([], sigs.schema)
+
+    def canon(pairs):
+        return pairs.select(
+            F.least("id_new", "id_other").alias("id_a"),
+            F.greatest("id_new", "id_other").alias("id_b"),
+            "est_jaccard",
+        )
+
+    kw = dict(num_perm=32, bands=16, threshold=0.3)
+    two_batch = canon(incremental_minhash_pairs(old_sigs, empty, **kw)).unionByName(
+        canon(incremental_minhash_pairs(new_sigs, old_sigs, **kw))
+    )
+    single = canon(incremental_minhash_pairs(sigs, empty, **kw)).localCheckpoint(
+        eager=False
+    )  # feeds both anti-join sides
+    two_batch = two_batch.localCheckpoint(eager=False)
+    cols = ["id_a", "id_b", "est_jaccard"]
+    extra = two_batch.join(single, cols, "left_anti")
+    missing = single.join(two_batch, cols, "left_anti")
+    n_new = docs.filter(F.col("doc_id") % 5 == 0)
+    return (
+        n_new.agg(F.count("*").cast("long").alias("n_new_docs"))
+        .crossJoin(F.broadcast(extra.agg(F.count("*").alias("_e"))))
+        .crossJoin(F.broadcast(missing.agg(F.count("*").alias("_m"))))
+        .select(
+            F.lit("minhash_incremental").alias("method"),
+            "n_new_docs",
+            ((F.col("_e") == 0) & (F.col("_m") == 0)).alias("matches_single_shot"),
+        )
     )
 
 
@@ -5790,19 +5872,60 @@ def q_simhash(spark, sf):
     )
 
 
-@q("incremental_simhash")  # xxhash64 fingerprints: not SQL-portable -> rows-only
+@q(
+    "incremental_simhash",
+    # verdict gate (same contract as incremental_minhash): two-batch
+    # incremental SimHash must equal the single-shot recompute over the
+    # unioned fingerprint table, set-equal on (id_a, id_b, hamming)
+    """SELECT 'simhash_incremental' AS method,
+              CAST(COUNT(*) AS BIGINT) AS n_new_docs,
+              TRUE AS matches_single_shot
+       FROM documents WHERE doc_id % 5 = 0""",
+)
 def q_incremental_simhash(spark, sf):
     """Persisted-fingerprint incremental SimHash (operators/dedup.py
     incremental_simhash_pairs): new batch = every 5th doc, corpus
-    fingerprints reused without re-hashing; exact-Hamming verify."""
+    fingerprints reused without re-hashing; exact-Hamming verify.
+    Gate runs both sides with max_bucket_width=None — the star guard's
+    hub choice depends on how the corpus is split into batches, so
+    exact parity is only guaranteed unguarded (see the operator
+    docstring); the guarded production path is exercised by
+    simhash_pairs/simhash_quality_gate."""
     from .operators.dedup import incremental_simhash_pairs, simhash_df
 
     docs = _t(spark, sf, "documents")
     fps = simhash_df(docs, "doc_id", "text").localCheckpoint(eager=False)
-    return incremental_simhash_pairs(
-        fps.filter(F.col("doc_id") % 5 == 0),
-        fps.filter(F.col("doc_id") % 5 != 0),
-        max_hamming=12,
+    empty = spark.createDataFrame([], fps.schema)
+    new_fps = fps.filter(F.col("doc_id") % 5 == 0)
+    old_fps = fps.filter(F.col("doc_id") % 5 != 0)
+
+    def canon(pairs):
+        return pairs.select(
+            F.least("id_new", "id_other").alias("id_a"),
+            F.greatest("id_new", "id_other").alias("id_b"),
+            "hamming",
+        )
+
+    kw = dict(max_hamming=12, max_bucket_width=None)
+    two_batch = canon(incremental_simhash_pairs(old_fps, empty, **kw)).unionByName(
+        canon(incremental_simhash_pairs(new_fps, old_fps, **kw))
+    ).localCheckpoint(eager=False)
+    single = canon(incremental_simhash_pairs(fps, empty, **kw)).localCheckpoint(
+        eager=False
+    )
+    cols = ["id_a", "id_b", "hamming"]
+    extra = two_batch.join(single, cols, "left_anti")
+    missing = single.join(two_batch, cols, "left_anti")
+    return (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .agg(F.count("*").cast("long").alias("n_new_docs"))
+        .crossJoin(F.broadcast(extra.agg(F.count("*").alias("_e"))))
+        .crossJoin(F.broadcast(missing.agg(F.count("*").alias("_m"))))
+        .select(
+            F.lit("simhash_incremental").alias("method"),
+            "n_new_docs",
+            ((F.col("_e") == 0) & (F.col("_m") == 0)).alias("matches_single_shot"),
+        )
     )
 
 
@@ -8093,38 +8216,98 @@ def q_image_resize(spark, sf):
     )
 
 
-@q("audio_ahash_pairs")  # binary decode kernels: rows-only by nature
+@q(
+    "audio_ahash_pairs",
+    # planted-duplicate verdict gate (ivf_ann_topk pattern, VERDICT r12
+    # task #4): decode kernels are not SQL-expressible, but planting 20
+    # byte-identical payload copies pins a hard recall fact — every
+    # (i, i+100000) planted pair MUST surface at hamming 0
+    """SELECT 'ahash_planted' AS method, 20 AS n_planted,
+              TRUE AS all_found""",
+)
 def q_audio_ahash_pairs(spark, sf):
     """Audio near-dup pairs via the amplitude-envelope difference hash
     (operators/multimodal.py audio_ahash — gain-invariant by
     adjacent-segment comparison) + the shared banded-Hamming join.
     Fake-decode over document bytes here; real WAV decode, volume
-    invariance, and too-short-NULL are pytest-pinned."""
+    invariance, and too-short-NULL are pytest-pinned. Gate: 20 planted
+    byte-identical copies (doc_id + 100000) must all pair with their
+    source. max_bucket_width=None — the star guard's hub could
+    otherwise absorb a planted pair on a degenerate bucket."""
     from .operators.multimodal import audio_ahash, dhash_near_pairs
 
     docs = _t(spark, sf, "documents").withColumn(
         "payload", F.encode("text", "utf-8")
     )
-    return dhash_near_pairs(audio_ahash(docs, "doc_id", "payload"), max_hamming=3)
+    # plant only fingerprint-able sources: payloads under 65 samples
+    # hash to NULL by design (audio_ahash docstring), so the 20 lowest
+    # doc_ids with a long-enough payload are the planted set
+    planted = (
+        docs.filter(F.length("payload") >= 130)
+        .orderBy("doc_id")
+        .limit(20)
+        .select("doc_id", "payload")
+    )
+    copies = planted.select((F.col("doc_id") + 100000).alias("doc_id"), "payload")
+    both = docs.select("doc_id", "payload").unionByName(copies)
+    pairs = dhash_near_pairs(
+        audio_ahash(both, "doc_id", "payload"),
+        max_hamming=3,
+        max_bucket_width=None,
+    )
+    found = pairs.join(
+        F.broadcast(planted.select(F.col("doc_id").alias("id_a"))), "id_a"
+    ).filter(
+        (F.col("id_b") - F.col("id_a") == 100000) & (F.col("hamming") == 0)
+    )
+    return found.agg((F.count("*") == 20).alias("all_found")).select(
+        F.lit("ahash_planted").alias("method"),
+        F.lit(20).alias("n_planted"),
+        "all_found",
+    )
 
 
-@q("image_dhash_pairs")  # binary decode kernels: rows-only by nature
+@q(
+    "image_dhash_pairs",
+    # planted-duplicate verdict gate (same contract as
+    # audio_ahash_pairs): 20 byte-identical planted copies must all
+    # pair with their source at hamming 0
+    """SELECT 'dhash_planted' AS method, 20 AS n_planted,
+              TRUE AS all_found""",
+)
 def q_image_dhash_pairs(spark, sf):
     """Image near-dup pairs via perceptual dHash
     (operators/multimodal.py image_dhash + dhash_near_pairs): payloads
     hashed in a mapInPandas kernel (fake-decode path over document
-    bytes here — exact duplicate texts produce colliding payload
-    grids, planting real pairs), then the SAME banded-Hamming
-    machinery as SimHash forms candidates and verifies exactly. Real
-    PPM/BMP decode + cross-format invariance are pytest-pinned
-    (tests/test_multimodal.py)."""
+    bytes here), then the SAME banded-Hamming machinery as SimHash
+    forms candidates and verifies exactly. Real PPM/BMP decode +
+    cross-format invariance are pytest-pinned
+    (tests/test_multimodal.py). Gate: 20 planted byte-identical copies
+    (doc_id + 100000) must all pair with their source at hamming 0."""
     from .operators.multimodal import dhash_near_pairs, image_dhash
 
     docs = _t(spark, sf, "documents").withColumn(
         "payload", F.encode("text", "utf-8")
     )
-    hashes = image_dhash(docs, "doc_id", "payload")
-    return dhash_near_pairs(hashes, max_hamming=3)
+    copies = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "payload"
+    )
+    both = docs.select("doc_id", "payload").unionByName(copies)
+    pairs = dhash_near_pairs(
+        image_dhash(both, "doc_id", "payload"),
+        max_hamming=3,
+        max_bucket_width=None,
+    )
+    found = pairs.filter(
+        (F.col("id_b") - F.col("id_a") == 100000)
+        & (F.col("id_a") < 20)
+        & (F.col("hamming") == 0)
+    )
+    return found.agg((F.count("*") == 20).alias("all_found")).select(
+        F.lit("dhash_planted").alias("method"),
+        F.lit(20).alias("n_planted"),
+        "all_found",
+    )
 
 
 # ===========================================================================
@@ -8210,16 +8393,65 @@ def q_streaming_hh_gate(spark, sf):
     )
 
 
-@q("compression_ratio")  # zlib output is build-specific: rows-only
+@q(
+    "compression_ratio",
+    # verdict gate (VERDICT r12 task #4): zlib byte counts are
+    # build-specific, but three hard facts are engine-independent —
+    # every non-empty doc gets a ratio in (0, 1.2e6] fixed-point,
+    # a planted repetitive doc compresses strictly better than a
+    # planted high-entropy doc, and the row count matches the corpus
+    """SELECT 'zlib_e6' AS method,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              TRUE AS bounds_ok, TRUE AS monotonic_ok
+       FROM documents""",
+)
 def q_compression_ratio(spark, sf):
     """Per-doc zlib compression ratio (operators/text.py
     compression_ratios) — the Gopher/RefinedWeb-style repetitive-junk
-    signal; Arrow kernel, rows-only (zlib byte counts are not
-    engine-portable); monotonicity on planted repetitive vs random
-    text pytest-pinned."""
+    signal; Arrow kernel. Gate: all corpus ratios bounded, and a
+    planted repetitive doc (one token x 300) must compress strictly
+    better than a planted md5-chain high-entropy doc — the
+    monotonicity the curation filter depends on."""
     from .operators.text import compression_ratios
 
-    return compression_ratios(_t(spark, sf, "documents"), "doc_id")
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    planted = spark.range(1).select(
+        F.lit(900001).alias("doc_id"),
+        F.expr("repeat('boiler plate ', 300)").alias("text"),
+    ).unionByName(
+        spark.range(1).select(
+            F.lit(900002).alias("doc_id"),
+            F.concat_ws(
+                "", *[F.md5(F.lit(f"entropy-{i}")) for i in range(120)]
+            ).alias("text"),
+        )
+    )
+    rates = compression_ratios(docs.unionByName(planted), "doc_id").localCheckpoint(
+        eager=False
+    )  # feeds the bounds aggregate and both planted lookups
+    corpus = rates.filter(F.col("doc_id") < 900001)
+    bounds = corpus.agg(
+        F.min(
+            F.when(F.col("raw_len") > 0, (F.col("ratio_e6") > 0) & (F.col("ratio_e6") <= 1_200_000))
+        ).alias("bounds_ok"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    rep = rates.filter(F.col("doc_id") == 900001).select(
+        F.col("ratio_e6").alias("_rep")
+    )
+    rnd = rates.filter(F.col("doc_id") == 900002).select(
+        F.col("ratio_e6").alias("_rnd")
+    )
+    return (
+        bounds.crossJoin(F.broadcast(rep))
+        .crossJoin(F.broadcast(rnd))
+        .select(
+            F.lit("zlib_e6").alias("method"),
+            "n_docs",
+            F.coalesce("bounds_ok", F.lit(True)).alias("bounds_ok"),
+            (F.col("_rep") < F.col("_rnd")).alias("monotonic_ok"),
+        )
+    )
 
 
 @q(

@@ -254,7 +254,11 @@ def fold_aggregate_state_table(
     resumable exactly-once over plain parquet. foreachBatch callers
     pass the streaming epoch_id; cron callers any monotonic sequence.
     With ``batch_id=None`` the caller owns at-most-once delivery
-    (pair with ``delta_filter`` / the Bloom seen-set)."""
+    (pair with ``delta_filter`` / the Bloom seen-set).
+
+    Default ``n_buckets``: see ``sinks.writer.choose_state_buckets``
+    for the measured crossover rule (whole rewrite wins below ~50M
+    state rows; past it, ~1M rows per bucket)."""
     from ..sinks.writer import (
         _rewrite_partitions,
         check_partition_layout,
@@ -405,6 +409,8 @@ def cdc_apply_table(
     bookkeeping columns). Redelivering any batch is a no-op by
     construction: the replayed winners carry the same seqs and lose
     (or tie into the same values) against the state.
+
+    Default ``n_buckets``: see ``sinks.writer.choose_state_buckets``.
     """
     from ..sinks.writer import (
         _rewrite_partitions,

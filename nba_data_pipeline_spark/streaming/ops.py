@@ -121,6 +121,8 @@ def near_dedup_batch(
     against a flat table, or a changed modulus, because any of those
     silently duplicates rows on the next read. Readers are unaffected
     (the pair join drops the bucket column).
+    ``sinks.writer.choose_state_buckets`` encodes the measured sizing
+    rule as the documented default.
     """
     from ..operators.dedup import incremental_minhash_pairs, minhash_signatures
     from ..sinks.writer import table_exists, upsert_table
@@ -557,6 +559,88 @@ def rebuild_seen_bloom(
         write_bloom_meta(bloom_path, m_bits, k, SEEN_HASH)
 
 
+def rebuild_component_labels(
+    spark: SparkSession,
+    pairs_path: str,
+    labels_path: str,
+    state_buckets: int | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> None:
+    """Rebuild the persisted dedup-cluster labeling from the FULL pair
+    table — the representative-liveness repair for
+    ``update_component_state``: labels are min-id representatives, so
+    after a takedown a departed doc that was its component's min keeps
+    naming the label. Incremental maintenance cannot fix this (the min
+    over a component only ever decreases batch-over-batch); this full
+    ``connected_components`` pass recomputes every representative from
+    the LIVE pair table and swaps the label table to exactly the live
+    doc set — departed docs drop out, surviving components get a live
+    min-id representative.
+
+    Schedule like a compaction (after large takedowns), not per batch:
+    cost is one full propagation over the pair table, O(E log D). The
+    write honors the same bucketed layout contract as the maintainer
+    (``check_partition_layout`` + sidecar); the swap is the staged
+    whole-dir replace for flat tables and per-leaf for bucketed ones —
+    here every bucket changes by definition, so the rewrite is
+    whole-table either way. A stale ``_changes_journal`` from a crashed
+    incremental merge is superseded by the rebuild and removed."""
+    import os
+    import shutil
+
+    from ..operators.dedup import connected_components
+    from ..sinks.writer import (
+        _rewrite,
+        _rewrite_partitions,
+        check_partition_layout,
+        read_table,
+        table_exists,
+        write_layout_meta,
+        write_table,
+    )
+
+    pby = ["bucket"] if state_buckets else []
+    check_partition_layout(labels_path, pby, state_buckets)
+    heal_needed = os.path.join(labels_path, "_changes_journal")
+    for stale in (heal_needed, heal_needed + ".tmp"):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)  # rebuild supersedes any pending delta
+    if not table_exists(pairs_path):
+        # no pairs -> no components; an absent label table is the
+        # consistent result (every doc is its own singleton implicitly)
+        if os.path.exists(labels_path):
+            shutil.rmtree(labels_path)
+        return
+    pairs = read_table(spark, pairs_path, merge_schema=True)
+    labels = connected_components(pairs, id_a=id_a, id_b=id_b)
+    if state_buckets:
+        labels = labels.withColumn(
+            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(state_buckets))
+        )
+    if table_exists(labels_path):
+        if pby:
+            swapped = _rewrite_partitions(
+                spark, labels.repartition(*pby), labels_path, pby
+            )
+            # full-rebuild semantics: a bucket whose every doc departed
+            # produces no output dir and is never swapped — its stale
+            # files must go (same emptied-dir rule as takedown_batch)
+            for name in os.listdir(labels_path):
+                leaf = os.path.join(labels_path, name)
+                if (
+                    os.path.isdir(leaf)
+                    and name.startswith("bucket=")
+                    and name not in swapped
+                ):
+                    shutil.rmtree(leaf)
+        else:
+            _rewrite(spark, labels, labels_path, ())
+    else:
+        write_table(labels, labels_path, partition_by=pby)
+    write_layout_meta(labels_path, pby, state_buckets)
+
+
 def update_component_state(
     new_pairs: DataFrame,
     labels_path: str,
@@ -601,7 +685,8 @@ def update_component_state(
     that was its component's min keeps naming the representative id
     (labels are arbitrary representatives, not live ids); run
     ``rebuild_component_labels`` over the pair table when
-    representative liveness matters."""
+    representative liveness matters. ``state_buckets`` default: see
+    ``sinks.writer.choose_state_buckets`` (measured crossover rule)."""
     import os
     import shutil
 

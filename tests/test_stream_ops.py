@@ -1625,3 +1625,58 @@ def test_legacy_state_tables_gain_layout_sidecar_on_merge(spark, tmp_path):
     assert _os.path.exists(_os.path.join(cdc_p, LAYOUT_META))
     with pytest.raises(ValueError, match="bucket-count mismatch"):
         cdc_apply_table(spark, ch, cdc_p, ["k"], "seq", n_buckets=4)
+
+
+def test_rebuild_component_labels_restores_live_representatives(spark, tmp_path):
+    """VERDICT r12 task #5: after a takedown removes a component's
+    min-id doc, incremental labels keep naming the departed id;
+    rebuild_component_labels recomputes representatives from the live
+    pair table — departed docs drop out of the labeling, surviving
+    components get a live min, and emptied buckets are cleaned up."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.streaming.ops import (
+        rebuild_component_labels,
+        takedown_batch,
+        update_component_state,
+    )
+
+    pairs_p = str(tmp_path / "pairs")
+    labels_p = str(tmp_path / "labels")
+    corpus_p = str(tmp_path / "corpus")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 10, 11, 20, 21)],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(corpus_p)
+    pairs.withColumn("bucket", F.pmod(F.xxhash64("id_a", "id_b"), F.lit(4))).write.partitionBy("bucket").parquet(pairs_p)
+    update_component_state(pairs, labels_p, state_buckets=4)
+    got = {r.doc_id: r.component_id for r in spark.read.parquet(labels_p).collect()}
+    assert got[2] == 1 and got[11] == 10
+
+    # takedown doc 1 (component {1,2,3}'s min) and the whole {20,21}
+    doomed = spark.createDataFrame([(1,), (20,), (21,)], "doc_id long")
+    takedown_batch(
+        doomed, corpus_p, pairs_path=pairs_p,
+        extra_id_tables={"components": (labels_p, "doc_id", ["bucket"])},
+    )
+    # incremental state keeps the departed representative (documented)
+    stale = {r.doc_id: r.component_id for r in spark.read.parquet(labels_p).collect()}
+    assert stale[2] == 1  # 1 departed but still names the label
+
+    rebuild_component_labels(spark, pairs_p, labels_p, state_buckets=4)
+    live = {r.doc_id: r.component_id for r in spark.read.parquet(labels_p).collect()}
+    assert set(live) == {2, 3, 10, 11}
+    assert live[2] == 2 and live[3] == 2  # live min representative
+    assert live[10] == 10 and live[11] == 10
+    # bucket layout preserved and guarded
+    assert any(n.startswith("bucket=") for n in _os.listdir(labels_p))
+    import pytest
+
+    with pytest.raises(ValueError, match="bucket-count mismatch"):
+        rebuild_component_labels(spark, pairs_p, labels_p, state_buckets=8)

@@ -424,3 +424,25 @@ def test_unpartitioned_rewrite_crash_between_renames_recovers(spark, tmp_path):
         upsert_table(spark, v2, path, "id")
         got = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
         assert got == want, (crash_at, got)
+
+
+def test_choose_state_buckets_encodes_measured_crossover():
+    """VERDICT r12 task #6: the measured bucket-sizing rule as code —
+    None below the 50M-row crossover, None when the batch defeats
+    pruning, otherwise a power of two that keeps ~1M rows per bucket
+    (the 1024-buckets-at-5M-rows anti-win must come out as None)."""
+    from nba_data_pipeline_spark.sinks.writer import choose_state_buckets
+
+    # below crossover: whole rewrite wins on fixed costs
+    assert choose_state_buckets(50_000) is None
+    assert choose_state_buckets(5_000_000) is None  # the measured anti-win scale
+    assert choose_state_buckets(49_999_999) is None
+    # past crossover: ~1M rows per bucket, power of two, floors at 64
+    assert choose_state_buckets(50_000_000) == 64
+    assert choose_state_buckets(300_000_000) == 256
+    assert choose_state_buckets(1_000_000_000) == 512  # >=1M rows/bucket
+    # cap: never more than 65536 dirs
+    assert choose_state_buckets(10**12) == 65536
+    # a batch comparable to history defeats pruning
+    assert choose_state_buckets(100_000_000, batch_rows=20_000_000) is None
+    assert choose_state_buckets(100_000_000, batch_rows=1_000) == 64
