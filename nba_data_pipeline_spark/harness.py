@@ -9128,35 +9128,30 @@ _DRIVER_WINDOW = [
     "lineup_validation",   # O2-O6 lineup family (flagship stateful op)
     "minhash_pairs_portable",      # dedup family flagship
     "corpus_pipeline_relational",  # composed end-to-end pipeline
-    # --- the 38 oracle-backed queries with NO driver CORRECTNESS row
-    # in ANY on-disk file r01-r11 (the lost round-9 window cohort;
-    # recomputed via tools/window_ledger.py) ---
-    # graph
-    "graph_degrees", "triangle_counts", "pagerank_centrality",
-    # sketches
-    "hll_sketch_gate", "kll_quantile_gate", "theta_overlap_gate",
-    "cms_bounds_gate", "heavy_hitters",
-    # PII / URL / web curation
-    "pii_scrub", "pii_audit", "url_features", "domain_block_filter",
-    "html_extract", "c4_gate", "encoding_gate",
-    # time-series / intervals
-    "resample_ffill", "activity_bursts", "touch_attribution",
-    "cohort_retention", "scd2_intervals", "interval_merge",
-    # dedup clustering / embeddings / state
-    "dedup_cluster_stats", "dedup_keep_best", "normalized_dedup",
-    "semantic_decontaminate", "quantize_embeddings",
-    "video_frame_overlap", "streaming_replay_oracle",
-    "referential_integrity",
-    # text transforms
-    "oov_rate", "chunk_text", "collocations", "template_groups",
-    "unpivot_long",
-    # aggregate shapes
-    "cube_agg", "rollup_agg", "exact_median",
-    "latest_order_per_customer",
-    # --- 6 staleness re-checks: the queries whose last driver green
-    # is r2/r4 vintage (oldest in the on-disk ledger) ---
-    "json_extract", "running_sum", "sliding_window", "tumbling_window",
-    "starter_detection", "topk_per_group",
+    # --- 11 oracle-backed queries with NO driver CORRECTNESS row in
+    # any on-disk file (tools/window_ledger.py at rotation time):
+    # 5 gained oracles in r12 (the r12-verdict carry), 6 gained
+    # verdict-gate oracles this round (rows-only burn-down) ---
+    "lineup_tracking", "lineups_declarative", "ivf_ann_topk",
+    "incremental_components", "component_state_gate",
+    "incremental_minhash", "incremental_simhash",
+    "winnow_hash_agreement", "compression_ratio",
+    "audio_ahash_pairs", "image_dhash_pairs",
+    # --- 33 stalest ever-greens (last green r2-r6 per the ledger):
+    # code churn since then makes these the likeliest silent-regression
+    # surface ---
+    "running_distinct",     # r2
+    "starters_fallback",    # r4
+    "array_funcs", "rank_family",                       # r5
+    "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8",         # r5
+    "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",     # r5
+    "tpch_q18", "tpch_q19", "tpch_q22",                 # r5
+    "add_id", "asof_join_nearest", "broadcast_dim_join",  # r6
+    "clock_to_seconds", "collect_roundtrip", "dedup_rows",
+    "distinct_multi", "driving_scan_distinct", "eq_filter",
+    "exists_probe", "fill_nulls", "first_event_per_user",
+    "game_id_codec", "group_agg_suite", "in_filter",
+    "insert_ignore", "notnull_filter", "range_join_buckets",
 ]
 
 

@@ -355,6 +355,7 @@ def bm25_index(
     corpus: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Build the reusable BM25 index artifacts — ONE corpus pass that
     production persists (e.g. parquet bucketed by term) and amortizes
@@ -365,19 +366,24 @@ def bm25_index(
     accepts these via ``index=``; corpus growth is handled by MERGEing
     fresh batch postings into the persisted tables (same incremental
     contract as the signature tables in streaming.ops).
-    """
+
+    dfreq derives FROM tf (doc_freq = rows per term of the already
+    (doc, term)-deduped tf table) rather than re-exploding the corpus —
+    its shuffle input is the aggregated tf, strictly smaller than raw
+    postings. ``materialize=True`` checkpoints tf first so the two
+    consumers (score join + dfreq) share ONE explode — the ephemeral
+    single-query shape; leave False when persisting the artifacts,
+    where the parquet write is the materialization."""
     postings = corpus.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
     )
     tf = postings.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    if materialize:
+        tf = tf.localCheckpoint(eager=False)
     doclen = corpus.select(
         F.col(id_col).alias("doc_id"), token_count(text_col).cast("long").alias("dl")
     )
-    dfreq = (
-        postings.dropDuplicates(["doc_id", "term"])
-        .groupBy("term")
-        .agg(F.count("*").alias("doc_freq"))
-    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
     return tf, doclen, dfreq
 
 
@@ -423,7 +429,8 @@ def bm25_scores(
     else:
         if corpus is None:
             raise ValueError("provide either corpus or index")
-        tf, doclen, dfreq = bm25_index(corpus, id_col, text_col)
+        # ephemeral path: one shared explode (see bm25_index docstring)
+        tf, doclen, dfreq = bm25_index(corpus, id_col, text_col, materialize=True)
     totals = doclen.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("total_tokens")
     ).collect()[0]

@@ -151,7 +151,78 @@ def _flags(rows: list[tuple[str, dict]]) -> list[str]:
     return out
 
 
+def parse_plans_table(path: str) -> dict[str, dict[str, int]]:
+    """Parse the query rows out of a PLANS.md (both tables). Returns
+    {name: {scans, shuffles, broadcasts, sorts, python, pushed}}."""
+    rows: dict[str, dict[str, int]] = {}
+    for line in open(path):
+        if not line.startswith("| ") or line.startswith("| query") or line.startswith("|---"):
+            continue
+        parts = [c.strip() for c in line.strip().strip("|").split("|")]
+        if len(parts) != 9 or parts[1].startswith("ERROR"):
+            continue
+        try:
+            rows[parts[0]] = {
+                "scans": int(parts[1]),
+                "shuffles": int(parts[2]),
+                "broadcasts": int(parts[3]),
+                "sorts": int(parts[4]),
+                "python": int(parts[5]),
+                "pushed": int(parts[6]),
+                "cartesian": parts[8] == "YES",
+            }
+        except ValueError:
+            continue
+    return rows
+
+
+def diff_plans(prev_path: str, new_path: str) -> list[str]:
+    """Plan-shape regression diff (VERDICT r12 task #7): flag any query
+    whose scans/shuffles/python counts GREW vs the prior round's
+    PLANS.md — the mechanical catch for localCheckpoint-class
+    regressions (a dropped cache/checkpoint multiplies scans, an
+    accidental repartition adds a shuffle, a new UDF adds a python
+    boundary). Broadcast/sort growth is informational only (AQE
+    legitimately flips join strategies at different stats)."""
+    prev, new = parse_plans_table(prev_path), parse_plans_table(new_path)
+    flags: list[str] = []
+    grew = ("scans", "shuffles", "python")
+    for name in sorted(set(prev) & set(new)):
+        deltas = [
+            f"{k} {prev[name][k]}->{new[name][k]}"
+            for k in grew
+            if new[name][k] > prev[name][k]
+        ]
+        if deltas:
+            flags.append(f"{name}: " + ", ".join(deltas))
+        if new[name]["cartesian"] and not prev[name]["cartesian"]:
+            flags.append(f"{name}: gained CartesianProduct")
+        if new[name]["pushed"] < prev[name]["pushed"]:
+            flags.append(
+                f"{name}: pushed filters {prev[name]['pushed']}->{new[name]['pushed']}"
+            )
+    removed = sorted(set(prev) - set(new))
+    added = sorted(set(new) - set(prev))
+    if removed:
+        flags.append(f"removed queries: {', '.join(removed)}")
+    if added:
+        # informational — new queries have no baseline to regress from
+        print(f"note: new queries (no baseline): {', '.join(added)}")
+    return flags
+
+
 def main() -> None:
+    if "--diff" in sys.argv:
+        i = sys.argv.index("--diff")
+        prev_path = sys.argv[i + 1]
+        new_path = sys.argv[i + 2] if len(sys.argv) > i + 2 else os.path.join(REPO, "PLANS.md")
+        flags = diff_plans(prev_path, new_path)
+        if flags:
+            for f in flags:
+                print(f"DIFF FLAG: {f}")
+            sys.exit(1)
+        print(f"plan diff clean: no scan/shuffle/python growth vs {prev_path}")
+        return
     only = set(a for a in sys.argv[1:] if a != "--headline-only")
     headline_only = "--headline-only" in sys.argv
     from nba_data_pipeline_spark.core.session import get_session
