@@ -1341,6 +1341,21 @@ def takedown_batch(
             return
         pcols = list(pcols) if pcols else hive_partition_cols(path)
         _scoped_drop(path, pcols, _id_split(key), label)
+        # a pending write-ahead journal (update_component_state crashed
+        # mid-merge) is part of the table's state: its rows re-apply on
+        # the next merge, so doomed ids must be filtered out of it too
+        # or the takedown is silently undone for those rows
+        journal = _os.path.join(path, "_changes_journal")
+        if table_exists(journal):
+            jdf = read_table(spark, journal)
+            kept = jdf.join(
+                F.broadcast(ids.withColumnRenamed(id_col, key)), key, "left_anti"
+            ).localCheckpoint()
+            if kept.count() == jdf.count():
+                return  # journal untouched by this takedown
+            _shutil.rmtree(journal)
+            if kept.count() > 0:
+                kept.write.parquet(journal)
 
     # the signature table's id column is the literal "doc_id"
     # (near_dedup_batch contract), scores likewise

@@ -1680,3 +1680,69 @@ def test_rebuild_component_labels_restores_live_representatives(spark, tmp_path)
 
     with pytest.raises(ValueError, match="bucket-count mismatch"):
         rebuild_component_labels(spark, pairs_p, labels_p, state_buckets=8)
+
+
+def test_takedown_filters_pending_component_journal(spark, tmp_path):
+    """A write-ahead journal surviving a crashed component-state merge
+    is part of the table's state: a takedown of docs present in the
+    journal must filter them out, or the next merge re-applies the
+    journal and silently resurrects the removed rows."""
+    import os as _os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.sinks import writer as writer_mod
+    from nba_data_pipeline_spark.streaming.ops import (
+        takedown_batch,
+        update_component_state,
+    )
+
+    class Boom(RuntimeError):
+        pass
+
+    labels_p = str(tmp_path / "labels")
+    corpus_p = str(tmp_path / "corpus")
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(12)], "doc_id long, text string"
+    )
+    docs.write.parquet(corpus_p)
+    b1 = spark.createDataFrame([(0, 1), (2, 3), (4, 5)], "id_a long, id_b long")
+    b2 = spark.createDataFrame([(1, 2), (5, 6)], "id_a long, id_b long")
+    update_component_state(b1, labels_p, state_buckets=4)
+
+    orig_rename = _os.rename
+    calls = {"n": 0}
+
+    def crashing_rename(src, dst, *a, **kw):
+        # let the journal's own write-then-rename commit (first rename),
+        # then crash inside the bucket-swap loop
+        calls["n"] += 1
+        if calls["n"] >= 3:
+            raise Boom("boom")
+        return orig_rename(src, dst, *a, **kw)
+
+    writer_mod.os.rename = crashing_rename
+    try:
+        with pytest.raises(Boom):
+            update_component_state(b2, labels_p, state_buckets=4)
+    finally:
+        writer_mod.os.rename = orig_rename
+    assert _os.path.exists(_os.path.join(labels_p, "_changes_journal"))
+
+    # takedown doc 6 (present ONLY in the pending journal's delta) and
+    # doc 0 (in the committed table)
+    doomed = spark.createDataFrame([(0,), (6,)], "doc_id long")
+    takedown_batch(
+        doomed, corpus_p,
+        extra_id_tables={"components": (labels_p, "doc_id", ["bucket"])},
+    )
+    # recovery merge re-applies the filtered journal: doomed ids stay
+    # gone, everything else converges
+    update_component_state(
+        spark.createDataFrame([], "id_a long, id_b long"), labels_p, state_buckets=4
+    )
+    got = {r.doc_id for r in spark.read.parquet(labels_p).collect()}
+    assert 0 not in got and 6 not in got, got
+    assert {1, 2, 3, 4, 5}.issubset(got)
+    assert not _os.path.exists(_os.path.join(labels_p, "_changes_journal"))
