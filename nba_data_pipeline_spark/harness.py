@@ -6420,6 +6420,83 @@ def q_ivf_ann(spark, sf):
     )
 
 
+@q(
+    "ivf_state_gate",
+    # verdict + data-tied count (component_state_gate contract): the
+    # PERSISTED IVF index maintained across two ingest batches (second
+    # replayed) must hold every corpus vector, every stored assignment
+    # must equal the argmin over the sidecar centroids, and planted
+    # perturbed queries must retrieve their source top-1 through the
+    # persisted table
+    """SELECT 'ivf_state' AS method,
+              CAST(COUNT(*) AS BIGINT) AS n_indexed,
+              TRUE AS rows_complete, TRUE AS assignments_ok,
+              TRUE AS recall_ok
+       FROM embeddings WHERE vec_id < 500""",
+)
+def q_ivf_state_gate(spark, sf):
+    """TABLE-based IVF maintenance gate (streaming/ops.py
+    ivf_ingest_batch / ivf_query_index): batch 1 trains the coarse
+    quantizer (content-pinned layout, as in ivf_ann_topk), batch 2
+    appends under FROZEN centroids, batch 2 replays (idempotent merge),
+    then three verdicts over the persisted state. The ivf_ann_topk
+    query checks the operator; this checks the persisted composition —
+    the same split as incremental_components vs component_state_gate."""
+    import shutil
+    import tempfile
+
+    from .streaming.ops import (
+        assign_to_centers,
+        ivf_ingest_batch,
+        ivf_query_index,
+        read_ivf_centroids,
+    )
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
+    root = tempfile.mkdtemp(prefix="ivf_state_gate_")
+    try:
+        idx = f"{root}/ivf"
+        b1 = emb.filter(F.col("vec_id") % 3 != 0).orderBy("vec_id").coalesce(1)
+        b2 = emb.filter(F.col("vec_id") % 3 == 0).localCheckpoint()
+        ivf_ingest_batch(b1, idx, n_lists=8)
+        ivf_ingest_batch(b2, idx, n_lists=8)
+        ivf_ingest_batch(b2, idx, n_lists=8)  # replay
+        stored = spark.read.parquet(idx).localCheckpoint()  # outlives rmtree
+        centers = read_ivf_centroids(idx)
+        re_assigned = assign_to_centers(stored.drop("ivf_list"), "embedding", centers)
+        mism = (
+            stored.select("vec_id", F.col("ivf_list").cast("int").alias("_a"))
+            .join(re_assigned.select("vec_id", F.col("_list").alias("_b")), "vec_id")
+            .filter(F.col("_a") != F.col("_b"))
+        )
+        pert = emb.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"),
+            F.expr(
+                "cast(transform(embedding, (x, i) -> cast(x as double)"
+                " + 0.05 * (pmod(xxhash64(query_id, i), 1000) / 1000.0 - 0.5))"
+                " as array<float>)"
+            ).alias("embedding"),
+        )
+        top1 = ivf_query_index(spark, idx, pert, k=1, n_probe=3)
+        hits = top1.filter(F.col("query_id") == F.col("corpus_id"))
+        return (
+            stored.agg(F.count("*").cast("long").alias("n_indexed"))
+            .crossJoin(F.broadcast(emb.agg(F.count("*").alias("_n"))))
+            .crossJoin(F.broadcast(mism.agg(F.count("*").alias("_m"))))
+            .crossJoin(F.broadcast(hits.agg(F.count("*").alias("_h"))))
+            .select(
+                F.lit("ivf_state").alias("method"),
+                "n_indexed",
+                (F.col("n_indexed") == F.col("_n")).alias("rows_complete"),
+                (F.col("_m") == 0).alias("assignments_ok"),
+                (F.col("_h") >= 18).alias("recall_ok"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _fixture_game(spark):
     """Deterministic 1-game NBA fixture (mirrors tests/conftest.py)."""
     home, away, gid = 100, 200, "0022400001"

@@ -559,6 +559,218 @@ def rebuild_seen_bloom(
         write_bloom_meta(bloom_path, m_bits, k, SEEN_HASH)
 
 
+IVF_META = "_ivf_centroids.json"
+
+
+def assign_to_centers(df: DataFrame, vec_col: str, centers: list) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared-euclidean,
+    the KMeans criterion) as a pure Column expression — no refit, no
+    driver loop, no explode: the centroid table inlines as an array
+    literal (n_lists x dim floats, trivially small), per-row distances
+    come from ``transform`` + ``aggregate``/``zip_with``, and
+    ``array_min`` over (distance, list) structs is the argmin with a
+    deterministic list-id tie-break. Adds ``_list`` (int)."""
+    rows = None
+    for i, c in enumerate(centers):
+        row = F.struct(
+            F.lit(i).alias("_l"),
+            F.array(*[F.lit(float(v)) for v in c]).alias("_ctr"),
+        )
+        rows = F.array(row) if rows is None else F.concat(rows, F.array(row))
+    v = F.col(vec_col).cast("array<double>")
+    dist = lambda ctr: F.aggregate(  # noqa: E731
+        F.zip_with(ctr, v, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = F.array_min(
+        F.transform(rows, lambda r: F.struct(dist(r["_ctr"]).alias("d"), r["_l"].alias("l")))
+    )
+    return df.withColumn("_list", best["l"].cast("int"))
+
+
+def ivf_ingest_batch(
+    batch_df: DataFrame,
+    index_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 16,
+    seed: int = 42,
+) -> None:
+    """Maintain a persisted IVF ANN index under continuous embedding
+    ingest — the similarity-search leg of the incremental-state family
+    (near-dup signatures, component labels, fold rollups):
+
+    - FIRST batch trains the coarse quantizer (``similarity.ivf_index``
+      KMeans) and writes the assigned corpus partitioned by the list
+      id — the layout that lets a probe read ONLY its lists' partition
+      dirs at query time (partition pruning IS the IVF speedup);
+      centroids persist in an ``_ivf_centroids.json`` sidecar
+      (n_lists x dim floats — tiny, travels with the table),
+    - every later batch assigns its vectors to the FROZEN centroids
+      declaratively (``assign_to_centers`` — one Column expression, no
+      KMeans refit, no corpus read) and MERGEs on the id; replays
+      upsert identical rows (deterministic assignment), so redelivery
+      is a no-op. This is the standard frozen-quantizer append (FAISS
+      ``add`` after ``train``): per-batch cost is O(batch), never
+      O(index).
+
+    Honesty about drift: appended data the quantizer never saw degrades
+    list balance and recall over time. Watch ``ivf_index_stats`` (list
+    imbalance) and schedule ``rebuild_ivf_index`` (full re-train +
+    re-assign, the compaction analogue) when imbalance drifts — same
+    crossover discipline as the dedup/component state families.
+
+    INVARIANT (the ``_merge_partitioned`` contract): an id's embedding
+    must be immutable — re-ingesting a vec_id with a DIFFERENT vector
+    can move it to another list, stranding the old copy in its old
+    partition dir. Embedding stores are content-keyed in practice;
+    route true updates through takedown + re-ingest. Takedown composes
+    generically: ``takedown_batch(extra_id_tables={"ann_index":
+    (index_path, "<id_col>", ["ivf_list"])})``.
+    """
+    import json
+    import os
+
+    from ..operators.similarity import ivf_index
+    from ..sinks.writer import (
+        check_partition_layout,
+        table_exists,
+        upsert_table,
+        write_layout_meta,
+        write_table,
+    )
+
+    spark = batch_df.sparkSession
+    # on-disk partition column is "ivf_list" (not similarity.py's
+    # in-memory "_list"): underscore-prefixed names collide with the
+    # hidden-path conventions this repo's layout tooling enforces
+    check_partition_layout(index_path, ["ivf_list"], None)
+    if not table_exists(index_path):
+        assigned, centers = ivf_index(batch_df, vec_col, n_lists=n_lists, seed=seed)
+        assigned = assigned.withColumnRenamed("_list", "ivf_list")
+        write_table(
+            assigned.repartition("ivf_list"), index_path, partition_by=["ivf_list"]
+        )
+        write_layout_meta(index_path, ["ivf_list"], None)
+        with open(os.path.join(index_path, IVF_META), "w") as fh:
+            json.dump({"centers": centers, "n_lists": n_lists, "vec_col": vec_col}, fh)
+        return
+    centers = read_ivf_centroids(index_path)
+    assigned = assign_to_centers(batch_df, vec_col, centers).withColumnRenamed(
+        "_list", "ivf_list"
+    )
+    upsert_table(
+        spark, assigned.repartition("ivf_list"), index_path, key=id_col,
+        partition_by=["ivf_list"],
+    )
+
+
+def read_ivf_centroids(index_path: str) -> list:
+    import json
+    import os
+
+    with open(os.path.join(index_path, IVF_META)) as fh:
+        return json.load(fh)["centers"]
+
+
+def ivf_query_index(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    corpus_id_col: str = "vec_id",
+    k: int = 10,
+    n_probe: int = 3,
+) -> DataFrame:
+    """Query the persisted IVF index: centroids from the sidecar, probe
+    via ``similarity.ivf_batch_topk``. The ``_list`` filter inside the
+    probe join prunes to the probed lists' partition DIRS (hive layout
+    written by ``ivf_ingest_batch``) — at 100 TB a 3-probe query reads
+    3/n_lists of the index, not the index."""
+    from ..operators.similarity import ivf_batch_topk
+    from ..sinks.writer import heal_partition_swaps, read_table
+
+    heal_partition_swaps(index_path)
+    assigned = read_table(spark, index_path).select(
+        "*", F.col("ivf_list").cast("int").alias("_list")
+    ).drop("ivf_list")
+    centers = read_ivf_centroids(index_path)
+    return ivf_batch_topk(
+        assigned, centers, queries, vec_col, query_id_col, corpus_id_col,
+        k=k, n_probe=n_probe,
+    )
+
+
+def ivf_index_stats(spark: SparkSession, index_path: str) -> DataFrame:
+    """Per-list sizes + the imbalance factor (max/mean list size — the
+    FAISS health metric): the signal that appended drift has degraded
+    the quantizer and ``rebuild_ivf_index`` is due. One partition-
+    column-only scan (list sizes come from partition pruning + counts,
+    no vector bytes read)."""
+    from ..sinks.writer import read_table
+
+    sizes = (
+        read_table(spark, index_path)
+        .groupBy(F.col("ivf_list").cast("int").alias("ivf_list"))
+        .agg(F.count("*").alias("n_vectors"))
+    )
+    tot = sizes.agg(
+        F.max("n_vectors").alias("_mx"), F.avg("n_vectors").alias("_mean")
+    )
+    return sizes.crossJoin(F.broadcast(tot)).select(
+        "ivf_list", "n_vectors",
+        F.round(F.col("_mx") / F.col("_mean"), 4).alias("imbalance"),
+    )
+
+
+def rebuild_ivf_index(
+    spark: SparkSession,
+    index_path: str,
+    vec_col: str = "embedding",
+    n_lists: int | None = None,
+    seed: int = 42,
+) -> None:
+    """Re-train the coarse quantizer over the FULL indexed corpus and
+    re-assign every vector — the drift repair for ``ivf_ingest_batch``
+    (appended data the quantizer never saw skews list balance; frozen
+    centroids never move). Schedule like a compaction. One corpus
+    read + one staged whole-layout rewrite; the sidecar re-stamps with
+    the new centroids atomically after the swap."""
+    import json
+    import os
+    import shutil
+
+    from ..operators.similarity import ivf_index
+    from ..sinks.writer import (
+        _rewrite_partitions,
+        heal_partition_swaps,
+        read_table,
+        write_layout_meta,
+    )
+
+    heal_partition_swaps(index_path)
+    if n_lists is None:
+        n_lists = len(read_ivf_centroids(index_path))
+    corpus = read_table(spark, index_path, merge_schema=True).drop("ivf_list")
+    assigned, centers = ivf_index(corpus, vec_col, n_lists=n_lists, seed=seed)
+    assigned = assigned.withColumnRenamed("_list", "ivf_list")
+    swapped = _rewrite_partitions(
+        spark, assigned.repartition("ivf_list"), index_path, ["ivf_list"]
+    )
+    # full-rebuild semantics: a list with no members after re-assignment
+    # is never swapped — remove its stale dir (same rule as
+    # rebuild_component_labels)
+    for name in os.listdir(index_path):
+        leaf = os.path.join(index_path, name)
+        if os.path.isdir(leaf) and name.startswith("ivf_list=") and name not in swapped:
+            shutil.rmtree(leaf)
+    with open(os.path.join(index_path, IVF_META), "w") as fh:
+        json.dump({"centers": centers, "n_lists": n_lists, "vec_col": vec_col}, fh)
+    write_layout_meta(index_path, ["ivf_list"], None)
+
+
 def rebuild_component_labels(
     spark: SparkSession,
     pairs_path: str,

@@ -1746,3 +1746,109 @@ def test_takedown_filters_pending_component_journal(spark, tmp_path):
     assert 0 not in got and 6 not in got, got
     assert {1, 2, 3, 4, 5}.issubset(got)
     assert not _os.path.exists(_os.path.join(labels_p, "_changes_journal"))
+
+
+def test_ivf_ingest_two_batches_and_query(spark, tmp_path):
+    """Incremental IVF index maintenance: batch 1 trains the coarse
+    quantizer, batch 2 appends under FROZEN centroids (no refit),
+    replay is idempotent; every stored assignment equals the argmin
+    over the sidecar centroids; planted perturbed queries hit their
+    source top-1 through the persisted index."""
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.streaming.ops import (
+        assign_to_centers,
+        ivf_ingest_batch,
+        ivf_index_stats,
+        ivf_query_index,
+        read_ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n_total = emb.count()
+    b1 = emb.filter(F.col("vec_id") % 3 != 0)
+    b2 = emb.filter(F.col("vec_id") % 3 == 0)
+    idx = str(tmp_path / "ivf")
+    ivf_ingest_batch(b1, idx, n_lists=8)
+    ivf_ingest_batch(b2, idx, n_lists=8)
+    ivf_ingest_batch(b2, idx, n_lists=8)  # replay -> same state
+    stored = spark.read.parquet(idx)
+    assert stored.count() == n_total
+    # assignment parity: stored list == declarative argmin over sidecar
+    centers = read_ivf_centroids(idx)
+    re = assign_to_centers(stored.drop("ivf_list"), "embedding", centers)
+    mism = (
+        stored.select("vec_id", F.col("ivf_list").cast("int").alias("a"))
+        .join(re.select("vec_id", F.col("_list").alias("b")), "vec_id")
+        .filter(F.col("a") != F.col("b"))
+        .count()
+    )
+    assert mism == 0
+    # planted recall through the persisted index
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.expr(
+            "cast(transform(embedding, (x, i) -> cast(x as double)"
+            " + 0.03 * (pmod(xxhash64(query_id, i), 1000) / 1000.0 - 0.5))"
+            " as array<float>)"
+        ).alias("embedding"),
+    )
+    top1 = ivf_query_index(spark, idx, q, k=1, n_probe=3)
+    hits = top1.filter(F.col("query_id") == F.col("corpus_id")).count()
+    assert hits >= 9, hits
+    # stats shape
+    st = ivf_index_stats(spark, idx)
+    assert {r.ivf_list for r in st.collect()} <= set(range(8))
+
+
+def test_ivf_rebuild_and_takedown_compose(spark, tmp_path):
+    """rebuild_ivf_index retrains + reassigns the full corpus (stale
+    list dirs cleaned, sidecar re-stamped); takedown_batch composes via
+    extra_id_tables; the layout guard rejects a flat merge."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.sinks.writer import upsert_table
+    from nba_data_pipeline_spark.streaming.ops import (
+        ivf_ingest_batch,
+        ivf_query_index,
+        read_ivf_centroids,
+        rebuild_ivf_index,
+        takedown_batch,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    corpus_p = str(tmp_path / "corpus")
+    emb.select(F.col("vec_id").alias("doc_id")).withColumn(
+        "text", F.concat(F.lit("doc "), F.col("doc_id"))
+    ).write.parquet(corpus_p)
+    ivf_ingest_batch(emb.filter(F.col("vec_id") % 2 == 0), idx, n_lists=4)
+    ivf_ingest_batch(emb.filter(F.col("vec_id") % 2 == 1), idx, n_lists=4)
+    n = emb.count()
+
+    rebuild_ivf_index(spark, idx, n_lists=8)
+    assert spark.read.parquet(idx).count() == n
+    assert len(read_ivf_centroids(idx)) == 8
+    # still queryable after rebuild
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top1 = ivf_query_index(spark, idx, q, k=1, n_probe=2)
+    assert top1.filter(F.col("query_id") == F.col("corpus_id")).count() == 5
+
+    # takedown composes generically on the id-keyed, list-partitioned table
+    doomed = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("doc_id"))
+    removed = takedown_batch(
+        doomed, corpus_p,
+        extra_id_tables={"ann_index": (idx, "vec_id", ["ivf_list"])},
+    )
+    assert removed["ann_index"] == 5
+    assert spark.read.parquet(idx).count() == n - 5
+    assert ivf_query_index(spark, idx, q, k=1, n_probe=8).filter(
+        F.col("query_id") == F.col("corpus_id")
+    ).count() == 0
+
+    # layout guard: a flat merge against the list-partitioned table raises
+    with pytest.raises(ValueError, match="partition-layout mismatch"):
+        upsert_table(spark, emb.limit(1), idx, key="vec_id")
