@@ -9214,6 +9214,7 @@ _DRIVER_WINDOW = [
     "incremental_minhash", "incremental_simhash",
     "winnow_hash_agreement", "compression_ratio",
     "audio_ahash_pairs", "image_dhash_pairs",
+    "ivf_state_gate",  # persisted-IVF composition, oracled this round
     # --- 33 stalest ever-greens (last green r2-r6 per the ledger):
     # code churn since then makes these the likeliest silent-regression
     # surface ---
@@ -9224,7 +9225,7 @@ _DRIVER_WINDOW = [
     "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",     # r5
     "tpch_q18", "tpch_q19", "tpch_q22",                 # r5
     "add_id", "asof_join_nearest", "broadcast_dim_join",  # r6
-    "clock_to_seconds", "collect_roundtrip", "dedup_rows",
+    "clock_to_seconds", "collect_roundtrip",
     "distinct_multi", "driving_scan_distinct", "eq_filter",
     "exists_probe", "fill_nulls", "first_event_per_user",
     "game_id_codec", "group_agg_suite", "in_filter",
