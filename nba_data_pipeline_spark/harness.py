@@ -5528,13 +5528,14 @@ _BM25_QUERIES = [
 ]
 
 
-@q(
-    "bm25_search",
-    # BM25 top-10 per query. Portability: per-term scores hit e6 fixed
-    # point BEFORE the (query, doc) sum (exact integer agg, FP-order
-    # free); avgdl is the IEEE quotient of two integer aggregates so
-    # both engines derive the identical double; SUM(BIGINT) cast back
-    # to BIGINT (DuckDB widens to HUGEINT, the q12 lesson).
+# BM25 top-10 per query. Portability: per-term scores hit e6 fixed
+# point BEFORE the (query, doc) sum (exact integer agg, FP-order
+# free); avgdl is the IEEE quotient of two integer aggregates so
+# both engines derive the identical double; SUM(BIGINT) cast back
+# to BIGINT (DuckDB widens to HUGEINT, the q12 lesson). Shared by
+# bm25_search (one-shot) and bm25_state_gate (persisted index) — the
+# index must score integer-for-integer like the one-shot path.
+_BM25_TOPK_ORACLE = (
     """WITH q(query_id, query_text) AS (VALUES """
     + ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
     + """),
@@ -5555,13 +5556,48 @@ _BM25_QUERIES = [
                  FROM scored GROUP BY 1, 2)
        SELECT query_id, doc_id, bm25_e6, CAST(rank AS BIGINT) AS rank FROM (
          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY bm25_e6 DESC, doc_id) AS rank
-         FROM agg) WHERE rank <= 10""",
+         FROM agg) WHERE rank <= 10"""
 )
+
+
+@q("bm25_search", _BM25_TOPK_ORACLE)
 def q_bm25(spark, sf):
     from .operators.text import bm25_topk
 
     qdf = spark.createDataFrame(_BM25_QUERIES, "query_id long, query_text string")
     return bm25_topk(_t(spark, sf, "documents"), qdf, k=10)
+
+
+@q("bm25_state_gate", _BM25_TOPK_ORACLE)
+def q_bm25_state_gate(spark, sf):
+    """Persisted-BM25-index gate (streaming/ops.py bm25_ingest_batch /
+    bm25_query_index): the corpus ingests in two batches (second
+    REPLAYED — the membership anti-join must make it a no-op), then
+    the top-10 through the PERSISTED tf/doclen/dfreq tables must hash
+    identically to the full-corpus one-shot SQL — a full-value oracle,
+    not a verdict: the additive dfreq fold, the membership filter, and
+    the bucket-pruned query path must together reproduce every
+    integer score."""
+    import shutil
+    import tempfile
+
+    from .streaming.ops import bm25_ingest_batch, bm25_query_index
+
+    docs = _t(spark, sf, "documents")
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id long, query_text string")
+    root = tempfile.mkdtemp(prefix="bm25_state_gate_")
+    try:
+        idx = f"{root}/bm25"
+        b2 = docs.filter(F.col("doc_id") % 4 == 0).localCheckpoint()
+        bm25_ingest_batch(docs.filter(F.col("doc_id") % 4 != 0), idx,
+                          state_buckets=16)
+        bm25_ingest_batch(b2, idx, state_buckets=16)
+        bm25_ingest_batch(b2, idx, state_buckets=16)  # replay -> no-op
+        return bm25_query_index(
+            spark, idx, qdf, k=10, state_buckets=16
+        ).localCheckpoint()  # materialize before the temp dir dies
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 @q(

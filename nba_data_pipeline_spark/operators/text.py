@@ -363,9 +363,11 @@ def bm25_index(
 
     returns ``(tf, doclen, dfreq)`` where tf = (doc_id, term, tf),
     doclen = (doc_id, dl), dfreq = (term, doc_freq). ``bm25_scores``
-    accepts these via ``index=``; corpus growth is handled by MERGEing
-    fresh batch postings into the persisted tables (same incremental
-    contract as the signature tables in streaming.ops).
+    accepts these via ``index=``; corpus growth is handled by
+    ``streaming.ops.bm25_ingest_batch`` (membership-filtered postings
+    merge + additive dfreq fold, with ``bm25_query_index`` /
+    ``bm25_takedown`` — scores stay integer-identical to this
+    one-shot path, oracled by ``bm25_state_gate``).
 
     dfreq derives FROM tf (doc_freq = rows per term of the already
     (doc, term)-deduped tf table) rather than re-exploding the corpus —

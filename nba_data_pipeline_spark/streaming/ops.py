@@ -10,6 +10,8 @@ dimension without shuffling the stream.
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -557,6 +559,184 @@ def rebuild_seen_bloom(
         write_table(fresh, bloom_path)
     if table_exists(bloom_path):
         write_bloom_meta(bloom_path, m_bits, k, SEEN_HASH)
+
+
+def bm25_ingest_batch(
+    batch_df: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    state_buckets: int = 64,
+) -> None:
+    """Maintain a persisted BM25 index under continuous ingest — the
+    composition ``text.bm25_index``'s docstring promises ("corpus
+    growth is handled by MERGEing fresh batch postings into the
+    persisted tables"), now shipped. Three tables under ``index_path``:
+
+    - ``tf/``    (doc_id, term, tf)  — hash-bucketed by TERM, so a
+      query reads only the bucket dirs its terms hash into,
+    - ``doclen/`` (doc_id, dl)       — hash-bucketed by doc id; doubles
+      as the membership table,
+    - ``dfreq/`` (term, doc_freq)    — ADDITIVE per-term doc counts,
+      folded via ``fold_aggregate_state_table`` (sum combiner).
+
+    Redelivery-safe BY CONSTRUCTION: the batch is first anti-joined
+    against the membership table (one key-projected scan — the
+    component-label-lookup trade), so a replayed batch contributes
+    zero postings and zero dfreq increments; no epoch fence needed.
+    Per-batch write volume is O(batch postings) into touched buckets.
+
+    Query through ``bm25_query_index``; takedown through
+    ``bm25_takedown`` (doc counts are sums, so removal DECREMENTS
+    dfreq exactly — no recompute). Scores match the one-shot
+    ``text.bm25_scores`` integer-for-integer: same e6 fixed point,
+    same avgdl quotient — the ``bm25_state_gate`` oracle hashes the
+    two-batch-ingested index's top-k against the full-corpus SQL.
+    """
+    from ..operators.incremental import fold_aggregate_state_table
+    from ..operators.text import token_count, tokens
+    from ..sinks.writer import table_exists, upsert_table
+
+    spark = batch_df.sparkSession
+    doclen_p = os.path.join(index_path, "doclen")
+    tf_p = os.path.join(index_path, "tf")
+    dfreq_p = os.path.join(index_path, "dfreq")
+    batch = batch_df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    )
+    if table_exists(doclen_p):
+        member = spark.read.parquet(doclen_p).select("doc_id")
+        batch = batch.join(member, "doc_id", "left_anti")
+    batch = batch.localCheckpoint()  # feeds postings + doclen
+    if batch.isEmpty():
+        return  # full redelivery: nothing new, nothing double-counted
+    postings = batch.select(
+        "doc_id", F.explode(tokens("_text")).alias("term")
+    )
+    tf = (
+        postings.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(state_buckets)))
+        .localCheckpoint()  # feeds the tf merge AND the dfreq fold
+    )
+    doclen = batch.select(
+        "doc_id", token_count("_text").cast("long").alias("dl")
+    ).withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(state_buckets)))
+    upsert_table(
+        spark, tf, tf_p, key=("doc_id", "term"),
+        partition_by=["bucket"], buckets=state_buckets,
+    )
+    upsert_table(
+        spark, doclen, doclen_p, key="doc_id",
+        partition_by=["bucket"], buckets=state_buckets,
+    )
+    batch_dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    fold_aggregate_state_table(
+        spark, batch_dfreq, dfreq_p, ["term"],
+        {"doc_freq": ("sum", "doc_freq")}, n_buckets=state_buckets,
+    )
+
+
+def bm25_query_index(
+    spark: SparkSession,
+    index_path: str,
+    query_df: DataFrame,
+    k: int = 10,
+    state_buckets: int = 64,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Rank queries against the persisted BM25 index. The tf read is
+    PARTITION-PRUNED to the bucket dirs the query terms hash into (one
+    tiny collect of distinct term buckets — at 64+ buckets a 3-term
+    query reads <=3/N of the postings table); doclen and dfreq are
+    column-pruned scans. Output matches ``text.bm25_topk``:
+    (query_id, doc_id, bm25_e6, rank)."""
+    from pyspark.sql import Window
+    from ..operators.text import bm25_scores, tokens
+    from ..sinks.writer import heal_partition_swaps, read_table
+
+    for sub in ("tf", "doclen", "dfreq"):
+        heal_partition_swaps(os.path.join(index_path, sub))
+    qterms = query_df.select(
+        F.explode(F.array_distinct(tokens("query_text"))).alias("term")
+    ).distinct()
+    buckets = [
+        r.b
+        for r in qterms.select(
+            F.pmod(F.xxhash64("term"), F.lit(state_buckets)).alias("b")
+        ).distinct().collect()
+    ]
+    tf = (
+        read_table(spark, os.path.join(index_path, "tf"))
+        .withColumn("bucket", F.col("bucket").cast("long"))
+        .filter(F.col("bucket").isin(buckets))
+        .select("doc_id", "term", "tf")
+    )
+    doclen = read_table(spark, os.path.join(index_path, "doclen")).select(
+        "doc_id", "dl"
+    )
+    dfreq = read_table(spark, os.path.join(index_path, "dfreq")).select(
+        "term", "doc_freq"
+    )
+    scored = bm25_scores(
+        None, query_df, index=(tf, doclen, dfreq), k1=k1, b=b
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("bm25_e6").desc(), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id", "doc_id", "bm25_e6", F.col("rn").cast("long").alias("rank")
+        )
+    )
+
+
+def bm25_takedown(
+    spark: SparkSession,
+    index_path: str,
+    ids_df: DataFrame,
+    id_col: str = "doc_id",
+    state_buckets: int = 64,
+) -> dict:
+    """Remove documents from the persisted BM25 index, keeping all
+    three tables mutually exact — WITHOUT recomputing anything from
+    text: the doomed docs' tf rows (read once, bucket-spread) say
+    exactly which per-term doc counts to DECREMENT, and
+    ``fold_aggregate_state_table``'s sum combiner folds the negative
+    deltas into dfreq; tf and doclen rows anti-join away through the
+    generic partition-scoped takedown. A term whose last doc departs
+    folds to doc_freq 0 — harmless (no tf rows remain to ever match
+    it) and compactable. Returns {table: rows_removed}."""
+    from ..operators.incremental import fold_aggregate_state_table
+    from ..sinks.writer import heal_partition_swaps, read_table, table_exists
+
+    ids = ids_df.select(F.col(id_col).alias("doc_id")).distinct().localCheckpoint()
+    tf_p = os.path.join(index_path, "tf")
+    removed: dict[str, int] = {}
+    if table_exists(tf_p):
+        heal_partition_swaps(tf_p)
+        doomed_tf = (
+            read_table(spark, tf_p)
+            .join(F.broadcast(ids), "doc_id", "left_semi")
+            .localCheckpoint()
+        )
+        neg = doomed_tf.groupBy("term").agg(
+            (-F.count("*")).cast("long").alias("doc_freq")
+        )
+        if not neg.isEmpty():
+            fold_aggregate_state_table(
+                spark, neg, os.path.join(index_path, "dfreq"), ["term"],
+                {"doc_freq": ("sum", "doc_freq")}, n_buckets=state_buckets,
+            )
+    out = takedown_batch(
+        ids, os.path.join(index_path, "doclen"),
+        id_col="doc_id",
+        extra_id_tables={"tf": (tf_p, "doc_id", ["bucket"])},
+    )
+    removed["doclen"] = out.get("corpus", 0)
+    removed["tf"] = out.get("tf", 0)
+    return removed
 
 
 IVF_META = "_ivf_centroids.json"

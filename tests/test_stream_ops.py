@@ -1852,3 +1852,66 @@ def test_ivf_rebuild_and_takedown_compose(spark, tmp_path):
     # layout guard: a flat merge against the list-partitioned table raises
     with pytest.raises(ValueError, match="partition-layout mismatch"):
         upsert_table(spark, emb.limit(1), idx, key="vec_id")
+
+
+def test_bm25_index_ingest_takedown_exactness(spark, tmp_path):
+    """Persisted BM25 index: two-batch ingest + full redelivery is a
+    no-op (membership anti-join); after a takedown the index's scores
+    are INTEGER-IDENTICAL to a one-shot bm25_topk over the surviving
+    corpus — the decrement-fold proof that dfreq/doclen/tf stay
+    mutually exact without any text recompute."""
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.operators.text import bm25_topk
+    from nba_data_pipeline_spark.streaming.ops import (
+        bm25_ingest_batch,
+        bm25_query_index,
+        bm25_takedown,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    qdf = spark.createDataFrame(
+        [(0, "spark window agg"), (1, "fast hash join")],
+        "query_id long, query_text string",
+    )
+    idx = str(tmp_path / "bm25")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1).localCheckpoint()
+    bm25_ingest_batch(b1, idx, state_buckets=8)
+    bm25_ingest_batch(b2, idx, state_buckets=8)
+    before = {
+        (r.term, r.doc_freq)
+        for r in spark.read.parquet(f"{idx}/dfreq").select("term", "doc_freq").collect()
+    }
+    bm25_ingest_batch(b2, idx, state_buckets=8)  # full redelivery
+    after = {
+        (r.term, r.doc_freq)
+        for r in spark.read.parquet(f"{idx}/dfreq").select("term", "doc_freq").collect()
+    }
+    assert after == before  # no double-counted dfreq
+
+    got = {
+        (r.query_id, r.doc_id, r.bm25_e6, r.rank)
+        for r in bm25_query_index(spark, idx, qdf, k=10, state_buckets=8).collect()
+    }
+    want = {
+        (r.query_id, r.doc_id, r.bm25_e6, r.rank)
+        for r in bm25_topk(docs, qdf, k=10).collect()
+    }
+    assert got == want
+
+    doomed = docs.filter(F.col("doc_id") < 15).select("doc_id")
+    removed = bm25_takedown(spark, idx, doomed, state_buckets=8)
+    assert removed["doclen"] == 15 and removed["tf"] > 0
+    survivors = docs.filter(F.col("doc_id") >= 15)
+    got2 = {
+        (r.query_id, r.doc_id, r.bm25_e6, r.rank)
+        for r in bm25_query_index(spark, idx, qdf, k=10, state_buckets=8).collect()
+    }
+    want2 = {
+        (r.query_id, r.doc_id, r.bm25_e6, r.rank)
+        for r in bm25_topk(survivors, qdf, k=10).collect()
+    }
+    assert got2 == want2
