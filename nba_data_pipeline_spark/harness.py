@@ -9250,7 +9250,8 @@ _DRIVER_WINDOW = [
     "incremental_minhash", "incremental_simhash",
     "winnow_hash_agreement", "compression_ratio",
     "audio_ahash_pairs", "image_dhash_pairs",
-    "ivf_state_gate",  # persisted-IVF composition, oracled this round
+    "ivf_state_gate",   # persisted-IVF composition, oracled this round
+    "bm25_state_gate",  # persisted-BM25 composition, full-value oracle
     # --- 33 stalest ever-greens (last green r2-r6 per the ledger):
     # code churn since then makes these the likeliest silent-regression
     # surface ---
@@ -9263,7 +9264,7 @@ _DRIVER_WINDOW = [
     "add_id", "asof_join_nearest", "broadcast_dim_join",  # r6
     "clock_to_seconds", "collect_roundtrip",
     "distinct_multi", "driving_scan_distinct", "eq_filter",
-    "exists_probe", "fill_nulls", "first_event_per_user",
+    "fill_nulls", "first_event_per_user",
     "game_id_codec", "group_agg_suite", "in_filter",
     "insert_ignore", "notnull_filter", "range_join_buckets",
 ]
