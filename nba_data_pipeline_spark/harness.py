@@ -6533,6 +6533,81 @@ def q_ivf_state_gate(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+@q(
+    "pq_state_gate",
+    # verdict + data-tied count (ivf_state_gate contract): the
+    # persisted PQ code table maintained across two ingest batches
+    # (second replayed) must hold every corpus vector, stored codes
+    # must equal a re-encode against the sidecar codebooks, and
+    # planted perturbed queries must retrieve their source top-1
+    # through the compressed-domain ADC search
+    """SELECT 'pq_state' AS method,
+              CAST(COUNT(*) AS BIGINT) AS n_indexed,
+              TRUE AS rows_complete, TRUE AS codes_ok, TRUE AS recall_ok
+       FROM embeddings WHERE vec_id < 500""",
+)
+def q_pq_state_gate(spark, sf):
+    """TABLE-based PQ maintenance gate (streaming/ops.py
+    pq_ingest_batch / pq_query_index): codebooks fit on batch 1
+    (content-pinned layout), batch 2 encodes against the FROZEN
+    codebooks, batch 2 replays (idempotent merge), then three verdicts
+    over the persisted compressed state. pq_recall checks the
+    operator; this checks the persisted composition."""
+    import shutil
+    import tempfile
+
+    from .operators.similarity import pq_encode
+    from .streaming.ops import (
+        pq_ingest_batch,
+        pq_query_index,
+        read_pq_codebooks,
+    )
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
+    root = tempfile.mkdtemp(prefix="pq_state_gate_")
+    try:
+        idx = f"{root}/pq"
+        b1 = emb.filter(F.col("vec_id") % 3 != 0).orderBy("vec_id").coalesce(1)
+        b2 = emb.filter(F.col("vec_id") % 3 == 0).localCheckpoint()
+        pq_ingest_batch(b1, idx, m=8, k=16, state_buckets=8)
+        pq_ingest_batch(b2, idx, m=8, k=16, state_buckets=8)
+        pq_ingest_batch(b2, idx, m=8, k=16, state_buckets=8)  # replay
+        stored = spark.read.parquet(f"{idx}/codes").localCheckpoint()
+        books = read_pq_codebooks(idx)
+        re_codes = pq_encode(emb, books, "embedding", "vec_id")
+        mism = (
+            stored.select("vec_id", F.col("codes").alias("_a"))
+            .join(re_codes.select("vec_id", F.col("codes").alias("_b")), "vec_id")
+            .filter(F.col("_a") != F.col("_b"))
+        )
+        pert = emb.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"),
+            F.expr(
+                "cast(transform(embedding, (x, i) -> cast(x as double)"
+                " + 0.05 * (pmod(xxhash64(query_id, i), 1000) / 1000.0 - 0.5))"
+                " as array<float>)"
+            ).alias("embedding"),
+        )
+        top1 = pq_query_index(spark, idx, pert, k=1)
+        hits = top1.filter(F.col("query_id") == F.col("corpus_id"))
+        return (
+            stored.agg(F.count("*").cast("long").alias("n_indexed"))
+            .crossJoin(F.broadcast(emb.agg(F.count("*").alias("_n"))))
+            .crossJoin(F.broadcast(mism.agg(F.count("*").alias("_m"))))
+            .crossJoin(F.broadcast(hits.agg(F.count("*").alias("_h"))))
+            .select(
+                F.lit("pq_state").alias("method"),
+                "n_indexed",
+                (F.col("n_indexed") == F.col("_n")).alias("rows_complete"),
+                (F.col("_m") == 0).alias("codes_ok"),
+                (F.col("_h") >= 18).alias("recall_ok"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _fixture_game(spark):
     """Deterministic 1-game NBA fixture (mirrors tests/conftest.py)."""
     home, away, gid = 100, 200, "0022400001"

@@ -739,6 +739,106 @@ def bm25_takedown(
     return removed
 
 
+PQ_META = "_pq_codebooks.json"
+
+
+def pq_ingest_batch(
+    batch_df: DataFrame,
+    index_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k: int = 16,
+    state_buckets: int = 64,
+    keep_vectors: bool = False,
+) -> None:
+    """Maintain a persisted product-quantization code table under
+    continuous embedding ingest — the compressed leg of the ANN state
+    family (``ivf_ingest_batch`` keeps raw vectors list-partitioned;
+    this keeps m small-int codes per vector, the 100-TB resident form:
+    64-dim float32 -> 8 codes at m=8).
+
+    First batch fits the codebooks (``similarity.pq_fit``, seeded,
+    content-pinned layout is the caller's choice) into a
+    ``_pq_codebooks.json`` sidecar; every later batch ENCODES against
+    the frozen codebooks (``pq_encode`` — pure Column argmin over
+    broadcast literals, no refit, no shuffle) and MERGEs on the id into
+    an id-bucketed codes table. Replays encode to identical codes, so
+    redelivery is an idempotent upsert. ``keep_vectors=True`` also
+    stores the raw vector column beside the codes (for exact rerank of
+    ADC candidates); default drops it — the point of PQ is not paying
+    for floats.
+
+    Same frozen-quantizer drift honesty as IVF: codebooks fitted on
+    batch 1 degrade as the distribution moves; refit by re-running
+    ``pq_fit`` over a sample and re-encoding (one corpus pass — codes
+    are derived data, the raw embeddings remain the source of truth
+    upstream). Takedown composes generically via
+    ``takedown_batch(extra_id_tables={"pq_codes": (index_path + "/codes",
+    "<id_col>", ["bucket"])})``."""
+    import json
+
+    from ..operators.similarity import pq_encode, pq_fit
+    from ..sinks.writer import table_exists, upsert_table
+
+    spark = batch_df.sparkSession
+    codes_p = os.path.join(index_path, "codes")
+    if not os.path.exists(index_path):
+        os.makedirs(index_path, exist_ok=True)
+    if not os.path.exists(os.path.join(index_path, PQ_META)):
+        books = pq_fit(batch_df, vec_col, m=m, k=k)
+        with open(os.path.join(index_path, PQ_META), "w") as fh:
+            json.dump({"codebooks": books, "m": m, "k": k, "vec_col": vec_col}, fh)
+    books = read_pq_codebooks(index_path)
+    encoded = pq_encode(batch_df, books, vec_col, id_col)
+    if keep_vectors:
+        encoded = encoded.join(
+            batch_df.select(F.col(id_col), F.col(vec_col)), id_col
+        )
+    encoded = encoded.withColumn(
+        "bucket", F.pmod(F.xxhash64(id_col), F.lit(state_buckets))
+    )
+    upsert_table(
+        spark, encoded, codes_p, key=id_col,
+        partition_by=["bucket"], buckets=state_buckets,
+    )
+
+
+def read_pq_codebooks(index_path: str) -> list:
+    import json
+
+    with open(os.path.join(index_path, PQ_META)) as fh:
+        return json.load(fh)["codebooks"]
+
+
+def pq_query_index(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    corpus_id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """ADC top-k against the persisted code table: codebooks from the
+    sidecar, ``similarity.pq_batch_topk`` over the codes. The scan
+    reads m small ints per corpus vector — the compressed-domain
+    search that makes exhaustive ranking affordable where raw floats
+    are not; follow with ``similarity.rerank_topk`` over
+    ``keep_vectors=True`` state when exact order matters."""
+    from ..operators.similarity import pq_batch_topk
+    from ..sinks.writer import heal_partition_swaps, read_table
+
+    codes_p = os.path.join(index_path, "codes")
+    heal_partition_swaps(codes_p)
+    codes = read_table(spark, codes_p).select(corpus_id_col, "codes")
+    books = read_pq_codebooks(index_path)
+    return pq_batch_topk(
+        queries, codes, books, vec_col, query_id_col,
+        corpus_id_col=corpus_id_col, k=k,
+    )
+
+
 IVF_META = "_ivf_centroids.json"
 
 

@@ -1915,3 +1915,47 @@ def test_bm25_index_ingest_takedown_exactness(spark, tmp_path):
         for r in bm25_topk(survivors, qdf, k=10).collect()
     }
     assert got2 == want2
+
+
+def test_pq_ingest_replay_and_takedown(spark, tmp_path):
+    """Persisted PQ codes: frozen-codebook append, replay idempotent
+    (dfreq-free family — codes identical), generic takedown composes,
+    keep_vectors=True stores floats for exact rerank."""
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.streaming.ops import (
+        pq_ingest_batch,
+        pq_query_index,
+        takedown_batch,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    idx = str(tmp_path / "pq")
+    corpus_p = str(tmp_path / "corpus")
+    emb.select(F.col("vec_id").alias("doc_id")).withColumn(
+        "text", F.concat(F.lit("d"), F.col("doc_id"))
+    ).write.parquet(corpus_p)
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1).localCheckpoint()
+    pq_ingest_batch(b1, idx, m=8, k=16, state_buckets=4, keep_vectors=True)
+    pq_ingest_batch(b2, idx, m=8, k=16, state_buckets=4, keep_vectors=True)
+    pq_ingest_batch(b2, idx, m=8, k=16, state_buckets=4, keep_vectors=True)
+    stored = spark.read.parquet(f"{idx}/codes")
+    assert stored.count() == n
+    assert "embedding" in stored.columns  # keep_vectors
+    # self-query: every vector's nearest ADC neighbor set contains itself
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = pq_query_index(spark, idx, q, k=3)
+    self_hits = topk.filter(F.col("query_id") == F.col("corpus_id")).count()
+    assert self_hits == 5
+    # takedown composes on the bucketed codes table
+    doomed = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("doc_id"))
+    removed = takedown_batch(
+        doomed, corpus_p,
+        extra_id_tables={"pq_codes": (f"{idx}/codes", "vec_id", ["bucket"])},
+    )
+    assert removed["pq_codes"] == 5
+    assert spark.read.parquet(f"{idx}/codes").count() == n - 5
