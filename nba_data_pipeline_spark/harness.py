@@ -6608,6 +6608,104 @@ def q_pq_state_gate(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+@q(
+    "embedding_ingest_gate",
+    # verdict + data-tied count: the composed embedding-modality ingest
+    # (incremental semantic pairs vs the persisted IVF blocking -> IVF
+    # merge -> pairs merge -> component fold), with 10 planted
+    # perturbed duplicates arriving in batch 2 and batch 2 replayed
+    """SELECT 'embedding_ingest' AS method,
+              CAST(COUNT(*) + 10 AS BIGINT) AS n_indexed,
+              TRUE AS planted_pairs_ok, TRUE AS components_ok,
+              TRUE AS replay_stable
+       FROM embeddings WHERE vec_id < 500""",
+)
+def q_embedding_ingest_gate(spark, sf):
+    """Composed embedding-ingest gate (streaming/ops.py
+    embedding_ingest_batch): the corpus_pipeline_relational of the
+    embedding modality. Batch 1 = the fixed 500-vector corpus
+    (content-pinned layout for the KMeans blocking); batch 2 = 10
+    deterministically perturbed copies (cos ~0.99) under new ids,
+    REPLAYED once. Verdicts: every planted (source, copy) pair found
+    through the persisted IVF blocking; every copy folded into its
+    source's component; the replay left pairs and labels byte-stable;
+    the index holds every vector."""
+    import shutil
+    import tempfile
+
+    from .streaming.ops import embedding_ingest_batch
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
+    root = tempfile.mkdtemp(prefix="embedding_ingest_gate_")
+    try:
+        kw = dict(
+            n_lists=8, threshold=0.9, probe_lists=2,
+            pairs_path=f"{root}/pairs", components_path=f"{root}/components",
+        )
+        b1 = emb.orderBy("vec_id").coalesce(1)
+        b2 = emb.filter(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 5000).alias("vec_id"),
+            F.expr(
+                "cast(transform(embedding, (x, i) -> cast(x as double)"
+                " + 0.02 * (pmod(xxhash64(vec_id, i), 1000) / 1000.0 - 0.5))"
+                " as array<float>)"
+            ).alias("embedding"),
+        ).localCheckpoint()
+        embedding_ingest_batch(b1, root, **kw)
+        embedding_ingest_batch(b2, root, **kw)
+        pairs1 = spark.read.parquet(f"{root}/pairs").localCheckpoint()
+        labels1 = spark.read.parquet(f"{root}/components").localCheckpoint()
+        embedding_ingest_batch(b2, root, **kw)  # replay
+        pairs2 = spark.read.parquet(f"{root}/pairs").localCheckpoint()
+        labels2 = spark.read.parquet(f"{root}/components").localCheckpoint()
+        n_indexed = spark.read.parquet(f"{root}/ivf").count()
+
+        planted = spark.range(10).select(
+            F.col("id").alias("id_a"), (F.col("id") + 5000).alias("id_b")
+        )
+        missing_pairs = planted.join(
+            pairs1.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+        )
+        lab = labels1.select("doc_id", "component_id")
+        comp_bad = (
+            planted.join(
+                lab.select(F.col("doc_id").alias("id_a"), F.col("component_id").alias("_ca")),
+                "id_a",
+            )
+            .join(
+                lab.select(F.col("doc_id").alias("id_b"), F.col("component_id").alias("_cb")),
+                "id_b",
+            )
+            .filter(F.col("_ca") != F.col("_cb"))
+        )
+        cols = ["id_a", "id_b", "cos_sim"]
+        pair_drift = pairs1.select(cols).join(pairs2.select(cols), cols, "left_anti").unionByName(
+            pairs2.select(cols).join(pairs1.select(cols), cols, "left_anti")
+        )
+        lcols = ["doc_id", "component_id"]
+        label_drift = labels1.select(lcols).join(labels2.select(lcols), lcols, "left_anti").unionByName(
+            labels2.select(lcols).join(labels1.select(lcols), lcols, "left_anti")
+        )
+        return (
+            spark.range(1)
+            .select(F.lit(int(n_indexed)).cast("long").alias("n_indexed"))
+            .crossJoin(F.broadcast(missing_pairs.agg(F.count("*").alias("_mp"))))
+            .crossJoin(F.broadcast(comp_bad.agg(F.count("*").alias("_cb"))))
+            .crossJoin(F.broadcast(pair_drift.agg(F.count("*").alias("_pd"))))
+            .crossJoin(F.broadcast(label_drift.agg(F.count("*").alias("_ld"))))
+            .select(
+                F.lit("embedding_ingest").alias("method"),
+                "n_indexed",
+                (F.col("_mp") == 0).alias("planted_pairs_ok"),
+                (F.col("_cb") == 0).alias("components_ok"),
+                ((F.col("_pd") == 0) & (F.col("_ld") == 0)).alias("replay_stable"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _fixture_game(spark):
     """Deterministic 1-game NBA fixture (mirrors tests/conftest.py)."""
     home, away, gid = 100, 200, "0022400001"

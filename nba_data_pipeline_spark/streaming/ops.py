@@ -739,6 +739,195 @@ def bm25_takedown(
     return removed
 
 
+def incremental_semantic_pairs(
+    batch_df: DataFrame,
+    index_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    probe_lists: int = 2,
+) -> DataFrame:
+    """Semantic near-dup pairs of a NEW embedding batch against the
+    persisted IVF index — SemDeDup's cluster-then-pairwise made
+    INCREMENTAL: the frozen centroids are the blocking structure, so a
+    batch compares only against stored vectors sharing a probed list
+    (new-vs-old both orders, new-vs-new once, old-vs-old never — the
+    incremental_minhash_pairs contract transplanted to the embedding
+    modality). Per-batch cost is O(batch x probe_lists x avg list
+    width), never O(corpus^2) and never a corpus re-cluster.
+
+    ``probe_lists``: each batch vector probes its top-p nearest lists
+    for CANDIDATE generation — the multiprobe trick that recovers most
+    boundary pairs cluster-blocking loses (a 0.98-cos pair straddling
+    two lists is found if either side's probe set reaches the other).
+    Misses beyond the probe horizon are the same blocking loss batch
+    SemDeDup accepts (similarity.semantic_dedup docstring); raise
+    ``probe_lists`` where recall matters more than cost. Verification
+    is exact cosine on candidates only; candidate ids are deduped
+    BEFORE vectors are fetched, so each survivor pays one vector join.
+
+    Output: (id_a, id_b, cos_sim) canonicalized id_a < id_b. Compose
+    with ``update_component_state`` for persisted cluster labels and
+    with ``ivf_ingest_batch`` (call pairs FIRST, against the pre-merge
+    index, then merge the batch) — or use ``embedding_ingest_batch``,
+    which sequences all of it."""
+    from ..operators.similarity import cosine
+    from ..sinks.writer import heal_partition_swaps, read_table, table_exists
+
+    spark = batch_df.sparkSession
+    heal_partition_swaps(index_path)
+    centers = read_ivf_centroids(index_path)
+    rows = None
+    for i, c in enumerate(centers):
+        row = F.struct(
+            F.lit(i).alias("_l"),
+            F.array(*[F.lit(float(v)) for v in c]).alias("_ctr"),
+        )
+        rows = F.array(row) if rows is None else F.concat(rows, F.array(row))
+    v = F.col(vec_col).cast("array<double>")
+    dist = lambda ctr: F.aggregate(  # noqa: E731
+        F.zip_with(ctr, v, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ranked = F.array_sort(
+        F.transform(
+            rows, lambda r: F.struct(dist(r["_ctr"]).alias("d"), r["_l"].alias("l"))
+        )
+    )
+    probes = batch_df.select(
+        F.col(id_col).alias("_bid"),
+        F.explode(
+            F.slice(F.transform(ranked, lambda x: x["l"]), 1, probe_lists)
+        ).alias("ivf_list"),
+    ).localCheckpoint(eager=False)  # feeds the old join + both new sides
+    if table_exists(index_path):
+        stored_ids = (
+            read_table(spark, index_path)
+            .select(
+                F.col(id_col).alias("_oid"),
+                F.col("ivf_list").cast("int").alias("ivf_list"),
+            )
+            # a re-ingested id counts as new (the incremental_minhash rule)
+            .join(
+                batch_df.select(F.col(id_col).alias("_oid")), "_oid", "left_anti"
+            )
+        )
+        cand_old = (
+            probes.join(stored_ids, "ivf_list")
+            .select(F.col("_bid").alias("id_x"), F.col("_oid").alias("id_y"))
+            .distinct()
+        )
+    else:
+        # schema follows the caller's id type (long, string, ...)
+        cand_old = (
+            batch_df.select(F.col(id_col).alias("id_x"))
+            .withColumn("id_y", F.col("id_x"))
+            .limit(0)
+        )
+    probes2 = probes.select(
+        F.col("_bid").alias("_bid2"), "ivf_list"
+    )
+    cand_new = (
+        probes.join(probes2, "ivf_list")
+        .filter(F.col("_bid") < F.col("_bid2"))
+        .select(F.col("_bid").alias("id_x"), F.col("_bid2").alias("id_y"))
+        .distinct()
+    )
+    cand = cand_old.unionByName(cand_new)
+    bvec = batch_df.select(F.col(id_col).alias("id_x"), F.col(vec_col).alias("_vx"))
+    y_side = batch_df.select(F.col(id_col).alias("id_y"), F.col(vec_col).alias("_vy"))
+    if table_exists(index_path):
+        y_side = y_side.unionByName(
+            read_table(spark, index_path)
+            .select(F.col(id_col).alias("id_y"), F.col(vec_col).alias("_vy"))
+            .join(batch_df.select(F.col(id_col).alias("id_y")), "id_y", "left_anti")
+        )
+    sim = (
+        cand.join(bvec, "id_x")
+        .join(y_side, "id_y")
+        .withColumn("cos_sim", F.round(cosine(F.col("_vx"), F.col("_vy")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    return sim.select(
+        F.least("id_x", "id_y").alias("id_a"),
+        F.greatest("id_x", "id_y").alias("id_b"),
+        "cos_sim",
+    ).distinct()
+
+
+def embedding_ingest_batch(
+    batch_df: DataFrame,
+    index_root: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 16,
+    threshold: float = 0.95,
+    probe_lists: int = 2,
+    pairs_path: str | None = None,
+    components_path: str | None = None,
+    state_buckets: int | None = None,
+    with_pq: bool = False,
+    pq_m: int = 8,
+    pq_k: int = 16,
+) -> None:
+    """One full continuous-ingest step for the EMBEDDING modality — the
+    ``corpus_ingest_batch`` analogue, gluing the ANN-state stages in
+    their production order:
+
+    1. semantic near-dup pairs of the batch vs the PERSISTED index
+       (``incremental_semantic_pairs`` — runs BEFORE the merge so the
+       old side is exactly the pre-batch corpus; first batch pairs
+       within itself after training),
+    2. MERGE the batch into the IVF table (``ivf_ingest_batch``,
+       frozen centroids, O(batch)),
+    3. (``with_pq``) encode + merge the compressed codes
+       (``pq_ingest_batch``),
+    4. (``pairs_path``) MERGE the canonicalized pairs — replays upsert
+       the same rows,
+    5. (``components_path``) fold the pairs into the persisted cluster
+       labeling (``update_component_state`` — WAL-journaled).
+
+    State lives entirely in the tables; a restart is cold with zero
+    rebuild — the same contract as the text-side ingest."""
+    from ..sinks.writer import table_exists, upsert_table
+
+    spark = batch_df.sparkSession
+    ivf_path = os.path.join(index_root, "ivf")
+    pairs = None
+    if table_exists(ivf_path):
+        pairs = incremental_semantic_pairs(
+            batch_df, ivf_path, vec_col, id_col,
+            threshold=threshold, probe_lists=probe_lists,
+        ).localCheckpoint()  # BEFORE the merge changes the old side
+    ivf_ingest_batch(batch_df, ivf_path, vec_col, id_col, n_lists=n_lists)
+    if pairs is None:  # first batch: index just trained; pair within it
+        pairs = incremental_semantic_pairs(
+            batch_df, ivf_path, vec_col, id_col,
+            threshold=threshold, probe_lists=probe_lists,
+        ).localCheckpoint()
+    if with_pq:
+        pq_ingest_batch(
+            batch_df, os.path.join(index_root, "pq"), vec_col, id_col,
+            m=pq_m, k=pq_k,
+            state_buckets=state_buckets or 64,
+        )
+    if pairs_path is not None:
+        bucketed = pairs
+        pby: list = []
+        if state_buckets:
+            bucketed = pairs.withColumn(
+                "bucket", F.pmod(F.xxhash64("id_a", "id_b"), F.lit(state_buckets))
+            )
+            pby = ["bucket"]
+        upsert_table(
+            spark, bucketed, pairs_path, key=("id_a", "id_b"),
+            partition_by=pby, buckets=state_buckets,
+        )
+    if components_path is not None:
+        update_component_state(pairs, components_path, state_buckets=state_buckets)
+
+
 PQ_META = "_pq_codebooks.json"
 
 

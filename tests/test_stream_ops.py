@@ -1959,3 +1959,62 @@ def test_pq_ingest_replay_and_takedown(spark, tmp_path):
     )
     assert removed["pq_codes"] == 5
     assert spark.read.parquet(f"{idx}/codes").count() == n - 5
+
+
+def test_embedding_ingest_composed_pipeline(spark, tmp_path):
+    """embedding_ingest_batch composes the ANN-state stages: planted
+    perturbed duplicates arriving in batch 2 must pair with their
+    batch-1 sources through the persisted IVF blocking
+    (incremental_semantic_pairs), land in the pairs table, and fold
+    into the component labeling; a replayed batch 2 leaves pairs and
+    labels unchanged. The IVF and PQ tables hold every vector."""
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.streaming.ops import embedding_ingest_batch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    root = str(tmp_path / "embroot")
+    pairs_p = str(tmp_path / "pairs")
+    comp_p = str(tmp_path / "components")
+    b1 = emb
+    # batch 2: 10 perturbed copies (cos ~0.99) under new ids
+    b2 = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 5000).alias("vec_id"),
+        F.expr(
+            "cast(transform(embedding, (x, i) -> cast(x as double)"
+            " + 0.02 * (pmod(xxhash64(vec_id, i), 1000) / 1000.0 - 0.5))"
+            " as array<float>)"
+        ).alias("embedding"),
+    ).localCheckpoint()
+    kw = dict(
+        n_lists=8, threshold=0.9, probe_lists=2,
+        pairs_path=pairs_p, components_path=comp_p, with_pq=True,
+    )
+    embedding_ingest_batch(b1, root, **kw)
+    embedding_ingest_batch(b2, root, **kw)
+    pairs_after = {
+        (r.id_a, r.id_b) for r in spark.read.parquet(pairs_p).collect()
+    }
+    labels_after = {
+        (r.doc_id, r.component_id)
+        for r in spark.read.parquet(comp_p).collect()
+    }
+    # every planted (i, i+5000) pair found through the persisted blocking
+    planted = {(i, i + 5000) for i in range(10)}
+    assert planted <= pairs_after, sorted(planted - pairs_after)
+    # planted copies share their source's component
+    lab = dict(labels_after)
+    for i in range(10):
+        assert lab[i + 5000] == lab[i]
+    # replay: no state drift
+    embedding_ingest_batch(b2, root, **kw)
+    assert {
+        (r.id_a, r.id_b) for r in spark.read.parquet(pairs_p).collect()
+    } == pairs_after
+    assert {
+        (r.doc_id, r.component_id) for r in spark.read.parquet(comp_p).collect()
+    } == labels_after
+    # both index tables complete
+    assert spark.read.parquet(f"{root}/ivf").count() == n + 10
+    assert spark.read.parquet(f"{root}/pq/codes").count() == n + 10
