@@ -1,0 +1,656 @@
+"""Manifest-committed snapshot tables: atomic multi-file commits,
+time travel, file-granular copy-on-write merges.
+
+The swap-protocol state tables (``sinks/writer.py``) mutate partition
+directories in place, which forced three rounds of crash-window
+engineering (heal, WAL journal, staged renames). This module is the
+lakehouse answer to the same problem — the public Delta Lake /
+Iceberg commit design re-expressed over plain parquet + JSON:
+
+* **Data files are immutable.** Every write lands new uniquely-named
+  parquet files under ``data/``; nothing is ever renamed or rewritten
+  in place.
+* **A snapshot is a manifest**, ``_manifests/v%08d.json``: the list of
+  live data files plus per-file row counts and key-column min/max
+  stats harvested from the parquet footers.
+* **Commit is one atomic ``os.link``** of a fully-written temp file to
+  the next version slot. ``link`` fails with ``EEXIST`` if the slot is
+  taken, so it doubles as the optimistic-concurrency CAS: exactly one
+  writer wins a version; losers see ``SnapshotConflict`` and recompute
+  against the new current (Delta's commit protocol, retried merge).
+  There is NO crash window: before the link nothing is visible, after
+  it the commit is complete. Readers never need a heal pass.
+* **Merges are copy-on-write at file granularity.** An upsert/delete
+  rewrites only the data files whose key-range stats overlap the
+  batch; every other file is carried into the new manifest by
+  reference — zero data movement for untouched files, and the table
+  stays readable at the PREVIOUS version throughout (snapshot
+  isolation: a long-running reader pinned to v7 is unaffected by the
+  v8 commit).
+* **Time travel / rollback / vacuum**: any retained version is
+  readable; ``rollback_snapshot`` commits a new version that restores
+  an old file list (history preserved, like Delta RESTORE);
+  ``vacuum_snapshot`` drops expired manifests and unreferenced data
+  files (including orphans from crashed writes).
+
+Scale notes (the 100 TB story): a manifest holds one small dict per
+data file — O(file count), not O(rows) — and commit cost is O(1)
+regardless of table size, vs the swap protocol's O(touched
+directories) rename loop. File-stat pruning gives the same skipping a
+Delta reader gets from its transaction log: ``read_snapshot``'s
+``key_between`` drops non-overlapping files BEFORE Spark plans the
+scan, so a point/range lookup on a key-sorted table reads O(1) files.
+At very large file counts the JSON manifest itself would graduate to
+parquet (Iceberg's avro manifest lists); the format keeps that
+evolution open by storing only relative paths.
+
+When to choose which backend: the swap tables win when readers can
+tolerate eventual layout (single-writer pipelines, hash-bucketed
+state with huge file counts per bucket); snapshot tables win when
+concurrent readers, audit/time-travel, or multi-table atomicity
+matter. Reference parity: the reference's sqlite writer gets
+snapshot isolation for free from sqlite's WAL (database/db_client.py);
+this module is that guarantee rebuilt for a distributed object store.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import secrets
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..operators.incremental import insert_ignore, merge_upsert
+from .writer import _align_schemas
+
+_MANIFEST_RE = re.compile(r"^v(\d{8})\.json$")
+
+
+class SnapshotConflict(RuntimeError):
+    """Another writer committed the version this writer raced for."""
+
+
+class SnapshotVersionError(KeyError):
+    """Requested version does not exist (never committed, or vacuumed)."""
+
+
+# ---------------------------------------------------------------------------
+# manifest plumbing
+# ---------------------------------------------------------------------------
+
+def _manifest_dir(root: str) -> str:
+    return os.path.join(root, "_manifests")
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(_manifest_dir(root), f"v{version:08d}.json")
+
+
+def _list_versions(root: str) -> list[int]:
+    d = _manifest_dir(root)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        m = _MANIFEST_RE.match(name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _load_manifest(root: str, version: int) -> dict:
+    try:
+        with open(_manifest_path(root, version)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        raise SnapshotVersionError(
+            f"snapshot v{version} does not exist at {root} (never committed or vacuumed)"
+        ) from None
+
+
+def current_version(root: str) -> int:
+    """Highest committed version; 0 means the table does not exist yet.
+    A manifest is complete the instant it appears (the link happens
+    after the temp file is fully written + fsynced), so max() IS the
+    committed state — no pointer file, no heal."""
+    versions = _list_versions(root)
+    return versions[-1] if versions else 0
+
+
+def snapshot_history(root: str) -> list[dict]:
+    """One row per retained version: version, parent, op, files, rows."""
+    out = []
+    for v in _list_versions(root):
+        m = _load_manifest(root, v)
+        out.append(
+            {
+                "version": m["version"],
+                "parent": m["parent"],
+                "op": m["op"],
+                "n_files": len(m["files"]),
+                "rows": m["rows"],
+            }
+        )
+    return out
+
+
+def _commit(root: str, manifest: dict, expected_parent: int | None) -> int:
+    """Atomically commit ``manifest`` as the next version.
+
+    CAS protocol: write the full JSON to a temp name, fsync, then
+    ``os.link`` it to ``v{N+1}.json``. link(2) is atomic and fails
+    with EEXIST when the slot is taken — the loser never half-commits.
+    ``expected_parent`` (when given) additionally rejects a commit
+    whose base snapshot is stale even if the version slot happens to
+    be free (the ABA case after a vacuum)."""
+    cur = current_version(root)
+    if expected_parent is not None and cur != expected_parent:
+        raise SnapshotConflict(
+            f"snapshot at {root} moved to v{cur} (writer based on v{expected_parent})"
+        )
+    version = cur + 1
+    manifest = dict(manifest, version=version, parent=cur)
+    mdir = _manifest_dir(root)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".tmp-{secrets.token_hex(8)}.json")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, _manifest_path(root, version))
+    except FileExistsError:
+        raise SnapshotConflict(
+            f"lost commit race for v{version} at {root}"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    return version
+
+
+# ---------------------------------------------------------------------------
+# data-file staging + footer stats
+# ---------------------------------------------------------------------------
+
+def _stat_value(v):
+    """JSON-safe, order-preserving stat encoding. Types whose encoding
+    would not preserve ordering (Decimal, bytes) return None — the
+    file simply never prunes, which is always safe."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    try:  # datetime/date: isoformat strings sort like the values
+        return v.isoformat()
+    except AttributeError:
+        return None
+
+
+def _footer_stats(file_path: str, stat_cols: Sequence[str]) -> tuple[int, dict]:
+    """(row_count, {col: {"min","max","has_nulls"} | None}) from the
+    parquet footer — file-local, no Spark job. A column with any
+    row group missing min/max gets None (never pruned)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(file_path)
+    md = pf.metadata
+    names = {md.schema.column(i).path: i for i in range(md.num_columns)}
+    stats: dict[str, dict | None] = {}
+    for col in stat_cols:
+        idx = names.get(col)
+        if idx is None:
+            stats[col] = None
+            continue
+        lo = hi = None
+        has_nulls = False
+        ok = True
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(idx).statistics
+            if s is None or not s.has_min_max:
+                ok = False
+                break
+            if s.null_count is None or s.null_count > 0:
+                has_nulls = True
+            mn, mx = _stat_value(s.min), _stat_value(s.max)
+            if mn is None or mx is None:
+                ok = False
+                break
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        stats[col] = {"min": lo, "max": hi, "has_nulls": has_nulls} if ok else None
+    return md.num_rows, stats
+
+
+def _stage_files(
+    df: DataFrame,
+    root: str,
+    stat_cols: Sequence[str],
+    sort_by: Sequence[str] = (),
+    target_files: int | None = None,
+) -> list[dict]:
+    """Write ``df`` as new immutable files under ``data/`` and return
+    their manifest entries. Files are INVISIBLE until a manifest
+    references them — a crash here leaves only orphans for vacuum.
+
+    ``sort_by`` range-partitions + sorts so file key-ranges come out
+    disjoint — what makes stat pruning effective (a key-sorted table
+    answers a point merge by rewriting O(1) files)."""
+    token = secrets.token_hex(8)
+    stage = os.path.join(root, f".stage-{token}")
+    if sort_by:
+        nparts = target_files or df.sparkSession.sparkContext.defaultParallelism
+        df = df.repartitionByRange(max(1, nparts), *sort_by).sortWithinPartitions(*sort_by)
+    elif target_files:
+        df = df.repartition(target_files)
+    df.write.mode("overwrite").parquet(stage)
+    data_dir = os.path.join(root, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    entries = []
+    try:
+        parts = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        for i, part in enumerate(parts):
+            src = os.path.join(stage, part)
+            rows, stats = _footer_stats(src, stat_cols)
+            if rows == 0:
+                continue  # Spark writes empty parts for empty partitions
+            rel = os.path.join("data", f"{token}-{i:05d}.parquet")
+            os.rename(src, os.path.join(root, rel))
+            entries.append({"path": rel, "rows": rows, "stats": stats})
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return entries
+
+
+def _schema_of(manifest: dict) -> StructType:
+    return StructType.fromJson(json.loads(manifest["schema"]))
+
+
+def _read_files(spark: SparkSession, root: str, schema: StructType, rels: list[str]) -> DataFrame:
+    if not rels:
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(root, r) for r in rels]
+    # explicit schema: files written before a column was added read it
+    # back as NULL (ADD COLUMN evolution without a mergeSchema footer
+    # sweep over every file)
+    return spark.read.schema(schema).parquet(*paths)
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def write_snapshot(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    key: str | Sequence[str] = (),
+    sort_by: Sequence[str] = (),
+    expected_version: int | None = None,
+) -> int:
+    """Create the table or replace its contents (op=``overwrite``).
+    ``key`` columns get footer stats in the manifest so later merges
+    can prune; ``sort_by`` lays files out with disjoint key ranges."""
+    keys = [key] if isinstance(key, str) else list(key)
+    sort_by = list(sort_by) or keys
+    entries = _stage_files(df, root, keys, sort_by=sort_by)
+    manifest = {
+        "op": "create" if current_version(root) == 0 else "overwrite",
+        "key": keys,
+        "schema": df.schema.json(),
+        "files": entries,
+        "rows": sum(e["rows"] for e in entries),
+    }
+    return _commit(root, manifest, expected_version)
+
+
+def read_snapshot(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    key_between: tuple[str, object, object] | None = None,
+) -> DataFrame:
+    """Read a snapshot (default: current). ``key_between=(col, lo,
+    hi)`` prunes non-overlapping files from the manifest BEFORE Spark
+    plans the scan — manifest-level data skipping on top of the
+    row-group skipping the parquet reader already does — and applies
+    the exact filter on what survives."""
+    v = current_version(root) if version is None else version
+    if v == 0:
+        raise SnapshotVersionError(f"no snapshot committed at {root}")
+    manifest = _load_manifest(root, v)
+    schema = _schema_of(manifest)
+    files = manifest["files"]
+    if key_between is not None:
+        col, lo, hi = key_between
+        files = [f for f in files if _overlaps(f["stats"].get(col), lo, hi)]
+    df = _read_files(spark, root, schema, [f["path"] for f in files])
+    if key_between is not None:
+        col, lo, hi = key_between
+        df = df.filter(F.col(col).between(lo, hi))
+    return df
+
+
+def _overlaps(stat: dict | None, lo, hi) -> bool:
+    """True unless the file's stat range PROVABLY misses [lo, hi].
+    Missing stats or null-bearing files always overlap (safe)."""
+    if stat is None or stat["has_nulls"]:
+        return True
+    try:
+        return not (stat["max"] < lo or stat["min"] > hi)
+    except TypeError:  # cross-type comparison — never prune
+        return True
+
+
+def _split_by_overlap(
+    files: list[dict], keys: Sequence[str], bounds: dict[str, tuple]
+) -> tuple[list[dict], list[dict]]:
+    """(touched, carried): a file is carried iff its stats PROVE it
+    shares no key tuple with the batch — key equality needs every key
+    column equal, so disjointness on ANY key column suffices."""
+    touched, carried = [], []
+    for f in files:
+        hit = True
+        for k in keys:
+            lo, hi = bounds[k]
+            if lo is None:  # batch col all-null: equality can't match
+                hit = False
+                break
+            if not _overlaps(f["stats"].get(k), lo, hi):
+                hit = False
+                break
+        (touched if hit else carried).append(f)
+    return touched, carried
+
+
+def _batch_bounds(source: DataFrame, keys: Sequence[str]) -> dict[str, tuple]:
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for k in keys:
+        aggs += [F.min(k).alias(f"_lo_{k}"), F.max(k).alias(f"_hi_{k}")]
+    row = source.agg(*aggs).collect()[0]  # k+1 scalars — driver-side by design
+    bounds = {
+        k: (_stat_value(row[f"_lo_{k}"]), _stat_value(row[f"_hi_{k}"])) for k in keys
+    }
+    return bounds, row["_n"]
+
+
+_PLAIN_TYPES = {"tinyint", "smallint", "int", "bigint", "float", "double", "string"}
+
+
+def _refine_touched(
+    source: DataFrame, keys: Sequence[str], touched: list[dict]
+) -> tuple[list[dict], list[dict]]:
+    """Exact file pruning: the coarse bounds check touches every file a
+    [batch_min, batch_max] envelope overlaps, so ONE straggler key
+    (late data, a backfill row) degrades a point merge into an
+    O(table) rewrite. This pass broadcasts the candidate files'
+    key-range boxes and runs one aggregation over the batch to find
+    the files an actual batch row lands in — cost O(batch) with a
+    broadcast join (file count is manifest-sized), result O(files).
+    Only plain-typed key columns (int/float/string — JSON stats
+    round-trip losslessly and compare natively) participate; a file
+    with no refinable stats keeps its coarse verdict."""
+    schema_types = {f.name: f.dataType.simpleString() for f in source.schema.fields}
+    refinable = [k for k in keys if schema_types.get(k) in _PLAIN_TYPES]
+    if not refinable or len(touched) <= 1:
+        return touched, []
+    spark = source.sparkSession
+    rows = []
+    for i, f in enumerate(touched):
+        row = [i]
+        for k in refinable:
+            st = f["stats"].get(k)
+            plain = (
+                st is not None
+                and not st["has_nulls"]
+                and isinstance(st["min"], (int, float, str))
+                and not isinstance(st["min"], bool)
+            )
+            row += [st["min"] if plain else None, st["max"] if plain else None]
+        rows.append(tuple(row))
+    from pyspark.sql.types import LongType, StructField
+
+    src_types = {f.name: f.dataType for f in source.schema.fields}
+    fields = [StructField("_file_idx", LongType(), False)]
+    for k in refinable:
+        fields += [
+            StructField(f"_lo_{k}", src_types[k], True),
+            StructField(f"_hi_{k}", src_types[k], True),
+        ]
+    ranges = spark.createDataFrame(rows, StructType(fields))
+    cond = None
+    src = source.select(*refinable).dropDuplicates(refinable)
+    for k in refinable:
+        c = (
+            F.col(f"_lo_{k}").isNull() | (src[k] >= F.col(f"_lo_{k}"))
+        ) & (F.col(f"_hi_{k}").isNull() | (src[k] <= F.col(f"_hi_{k}")))
+        cond = c if cond is None else (cond & c)
+    hit = (
+        src.join(F.broadcast(ranges), cond, "inner")
+        .select("_file_idx")
+        .distinct()
+        .collect()
+    )
+    hit_idx = {r["_file_idx"] for r in hit}
+    still = [f for i, f in enumerate(touched) if i in hit_idx]
+    freed = [f for i, f in enumerate(touched) if i not in hit_idx]
+    return still, freed
+
+
+def _merge_commit(
+    spark: SparkSession,
+    source: DataFrame,
+    root: str,
+    key: str | Sequence[str],
+    op: str,
+    combine,
+    retries: int = 2,
+) -> int:
+    """Shared copy-on-write merge loop: prune → rewrite touched files →
+    commit carried+new with CAS; on SnapshotConflict recompute against
+    the new current (optimistic concurrency, bounded retries)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    for attempt in range(retries + 1):
+        base = current_version(root)
+        if base == 0:
+            if op == "delete":
+                raise SnapshotVersionError(f"no snapshot committed at {root}")
+            return write_snapshot(spark, source, root, key=keys)
+        manifest = _load_manifest(root, base)
+        schema = _schema_of(manifest)
+        bounds, batch_rows = _batch_bounds(source, keys)
+        touched, carried = _split_by_overlap(manifest["files"], keys, bounds)
+        touched, freed = _refine_touched(source, keys, touched)
+        carried = carried + freed
+        # size the rewrite to the table's established file granularity
+        # (self-tuning: a point merge emits ~len(touched) files, a bulk
+        # merge scales with its volume; compaction fixes any accretion)
+        avg_rows = max(1, manifest["rows"] // max(1, len(manifest["files"])))
+        est_rows = sum(f["rows"] for f in touched) + batch_rows
+        n_out = max(1, round(est_rows / avg_rows))
+        if touched:
+            target = _read_files(spark, root, schema, [f["path"] for f in touched])
+            if op == "delete":
+                # doomed may be keys-only; never let align graft its
+                # columns (or column order) onto the table schema
+                merged = combine(target, source, keys)
+            else:
+                target, src = _align_schemas(target, source)
+                merged = combine(target, src, keys)
+        else:
+            # nothing can collide: new rows only (for delete: no-op)
+            if op == "delete":
+                return _commit(
+                    root,
+                    {
+                        "op": op,
+                        "key": keys,
+                        "schema": manifest["schema"],
+                        "files": carried,
+                        "rows": sum(e["rows"] for e in carried),
+                    },
+                    base,
+                )
+            target, src = _align_schemas(_read_files(spark, root, schema, []), source)
+            merged = src
+        out_schema = merged.schema
+        sort_by = keys if manifest.get("key") == keys else []
+        entries = _stage_files(merged, root, keys, sort_by=sort_by, target_files=n_out)
+        new_manifest = {
+            "op": op,
+            "key": keys,
+            "schema": out_schema.json(),
+            "files": carried + entries,
+            "rows": sum(e["rows"] for e in carried) + sum(e["rows"] for e in entries),
+        }
+        try:
+            return _commit(root, new_manifest, base)
+        except SnapshotConflict:
+            # staged files are orphans (vacuum reclaims); recompute
+            if attempt == retries:
+                raise
+    raise AssertionError("unreachable")
+
+
+def upsert_snapshot(
+    spark: SparkSession,
+    source: DataFrame,
+    root: str,
+    key: str | Sequence[str],
+    retries: int = 2,
+) -> int:
+    """MERGE (source wins on key collision) as a copy-on-write commit:
+    only data files whose footer key-stats overlap the batch are
+    rewritten; the rest carry over by reference. First write creates
+    the table. Same row semantics as ``sinks.writer.upsert_table`` —
+    cross-checked in tests — with O(1) atomic commit instead of the
+    per-directory swap loop."""
+    return _merge_commit(spark, source, root, key, "upsert", merge_upsert, retries)
+
+
+def insert_ignore_snapshot(
+    spark: SparkSession,
+    source: DataFrame,
+    root: str,
+    key: str | Sequence[str],
+    retries: int = 2,
+) -> int:
+    """ON CONFLICT DO NOTHING over the snapshot format."""
+    def combine(target, src, keys):
+        return insert_ignore(target, src, keys)
+
+    return _merge_commit(spark, source, root, key, "upsert", combine, retries)
+
+
+def delete_snapshot(
+    spark: SparkSession,
+    doomed: DataFrame,
+    root: str,
+    key: str | Sequence[str],
+    retries: int = 2,
+) -> int:
+    """Takedown: drop every row whose key tuple appears in ``doomed``.
+    Prunes to overlapping files; survivors rewrite, the rest carry."""
+    def combine(target, src, keys):
+        return target.join(src.select(*keys).dropDuplicates(keys), on=keys, how="left_anti")
+
+    return _merge_commit(spark, doomed, root, key, "delete", combine, retries)
+
+
+def rollback_snapshot(root: str, to_version: int) -> int:
+    """RESTORE: commit a NEW version whose file list is ``to_version``'s
+    — history is preserved (the bad versions stay readable until
+    vacuum), unlike a destructive reset."""
+    manifest = _load_manifest(root, to_version)
+    return _commit(
+        root,
+        {
+            "op": "rollback",
+            "key": manifest.get("key", []),
+            "schema": manifest["schema"],
+            "files": manifest["files"],
+            "rows": manifest["rows"],
+        },
+        None,
+    )
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    root: str,
+    target_rows_per_file: int,
+    retries: int = 2,
+) -> int:
+    """OPTIMIZE: rewrite the current file set into ceil(rows/target)
+    key-sorted files (row content identical — op=``compact``). Small
+    incremental commits accrete small files; compaction restores the
+    scan-efficient layout, and the pre-compaction version stays
+    readable until vacuum."""
+    for attempt in range(retries + 1):
+        base = current_version(root)
+        if base == 0:
+            raise SnapshotVersionError(f"no snapshot committed at {root}")
+        manifest = _load_manifest(root, base)
+        schema = _schema_of(manifest)
+        keys = manifest.get("key") or []
+        df = _read_files(spark, root, schema, [f["path"] for f in manifest["files"]])
+        n_files = max(1, -(-manifest["rows"] // max(1, target_rows_per_file)))
+        entries = _stage_files(df, root, keys, sort_by=keys, target_files=n_files)
+        try:
+            return _commit(
+                root,
+                {
+                    "op": "compact",
+                    "key": keys,
+                    "schema": manifest["schema"],
+                    "files": entries,
+                    "rows": sum(e["rows"] for e in entries),
+                },
+                base,
+            )
+        except SnapshotConflict:
+            if attempt == retries:
+                raise
+    raise AssertionError("unreachable")
+
+
+def vacuum_snapshot(root: str, keep_last: int = 2) -> dict[str, int]:
+    """Reclaim space: drop all but the newest ``keep_last`` manifests,
+    then delete every ``data/`` file no retained manifest references —
+    which also sweeps orphans from crashed or conflict-aborted writes
+    (this format's only garbage; there is nothing to heal). Versions
+    older than the horizon stop time-traveling with a clean
+    SnapshotVersionError."""
+    versions = _list_versions(root)
+    keep = set(versions[-max(1, keep_last):]) if versions else set()
+    dropped_manifests = 0
+    for v in versions:
+        if v not in keep:
+            os.unlink(_manifest_path(root, v))
+            dropped_manifests += 1
+    referenced = set()
+    for v in keep:
+        for f in _load_manifest(root, v)["files"]:
+            referenced.add(os.path.basename(f["path"]))
+    data_dir = os.path.join(root, "data")
+    dropped_files = 0
+    if os.path.isdir(data_dir):
+        for name in os.listdir(data_dir):
+            if name not in referenced:
+                os.unlink(os.path.join(data_dir, name))
+                dropped_files += 1
+    # stale temp/staging leftovers from crashed writers
+    mdir = _manifest_dir(root)
+    if os.path.isdir(mdir):
+        for name in os.listdir(mdir):
+            if name.startswith(".tmp-"):
+                os.unlink(os.path.join(mdir, name))
+    for name in (os.listdir(root) if os.path.isdir(root) else []):
+        if name.startswith(".stage-"):
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+    return {"manifests_removed": dropped_manifests, "data_files_removed": dropped_files}

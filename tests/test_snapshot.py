@@ -1,0 +1,412 @@
+"""Manifest-committed snapshot tables (sinks/snapshot.py): commit
+atomicity (link-CAS), copy-on-write file pruning, time travel,
+rollback, compaction, vacuum, optimistic concurrency, and the
+crash-probe matrix (every window of stage + commit)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nba_data_pipeline_spark.operators.incremental import merge_upsert
+from nba_data_pipeline_spark.sinks import snapshot as S
+
+
+def _table(spark, n=5000):
+    return spark.range(0, n).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# basic lifecycle
+# ---------------------------------------------------------------------------
+
+def test_create_read_roundtrip(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = _table(spark)
+    assert S.write_snapshot(spark, df, root, key="k") == 1
+    assert S.current_version(root) == 1
+    assert _rows(S.read_snapshot(spark, root)) == _rows(df)
+    (h,) = S.snapshot_history(root)
+    assert h["op"] == "create" and h["rows"] == 5000 and h["version"] == 1
+
+
+def test_read_missing_table_raises(spark, tmp_path):
+    with pytest.raises(S.SnapshotVersionError):
+        S.read_snapshot(spark, str(tmp_path / "absent"))
+
+
+def test_upsert_matches_dataframe_merge(spark, tmp_path):
+    root = str(tmp_path / "t")
+    target = _table(spark)
+    source = spark.range(100, 300).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    ).union(
+        spark.range(9000, 9100).select(
+            F.col("id").alias("k"), F.lit(7).cast("long").alias("v")
+        )
+    )
+    S.write_snapshot(spark, target, root, key="k")
+    S.upsert_snapshot(spark, source, root, "k")
+    want = merge_upsert(target, source, "k")
+    assert _rows(S.read_snapshot(spark, root)) == _rows(want)
+
+
+def test_upsert_creates_on_first_write(spark, tmp_path):
+    root = str(tmp_path / "t")
+    S.upsert_snapshot(spark, _table(spark, 100), root, "k")
+    assert S.current_version(root) == 1
+    assert S.read_snapshot(spark, root).count() == 100
+
+
+def test_insert_ignore_snapshot(spark, tmp_path):
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 100), root, key="k")
+    src = spark.range(50, 150).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    S.insert_ignore_snapshot(spark, src, root, "k")
+    got = S.read_snapshot(spark, root)
+    assert got.count() == 150
+    # existing keys kept their old values
+    assert got.filter((F.col("k") < 100) & (F.col("v") == -1)).count() == 0
+    assert got.filter(F.col("k") >= 100).agg(F.min("v")).collect()[0][0] == -1
+
+
+# ---------------------------------------------------------------------------
+# copy-on-write pruning
+# ---------------------------------------------------------------------------
+
+def test_straggler_batch_prunes_untouched_files(spark, tmp_path):
+    """One low + one high key must NOT force a full-table rewrite: the
+    exact (join-based) pruning keeps every non-hit file carried by
+    reference — same path, same inode, zero data movement."""
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 100000), root, key="k")
+    m1 = S._load_manifest(root, 1)
+    assert len(m1["files"]) >= 3  # need middle files to prove pruning
+    inodes1 = {
+        f["path"]: os.stat(os.path.join(root, f["path"])).st_ino
+        for f in m1["files"]
+    }
+    src = spark.createDataFrame([(5, -1), (99990, -1), (500000, 7)], "k long, v long")
+    S.upsert_snapshot(spark, src, root, "k")
+    m2 = S._load_manifest(root, 2)
+    carried = [f for f in m2["files"] if f["path"] in inodes1]
+    assert len(carried) == len(m1["files"]) - 2  # only first+last rewritten
+    for f in carried:  # carried by reference, not rewritten in place
+        assert os.stat(os.path.join(root, f["path"])).st_ino == inodes1[f["path"]]
+    got = S.read_snapshot(spark, root)
+    assert got.count() == 100001
+    assert _rows(got.filter(F.col("v") == -1).select("k")) == [(5,), (99990,)]
+
+
+def test_composite_key_prunes_on_either_column(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 100).alias("a"), F.col("id").alias("b"),
+        F.lit(0).cast("long").alias("v"),
+    )
+    S.write_snapshot(spark, df, root, key=["a", "b"], sort_by=["b"])
+    src = spark.createDataFrame([(1, 1, -1)], "a long, b long, v long")
+    S.upsert_snapshot(spark, src, root, ["a", "b"])
+    m2 = S._load_manifest(root, 2)
+    m1 = S._load_manifest(root, 1)
+    v1paths = {f["path"] for f in m1["files"]}
+    carried = sum(1 for f in m2["files"] if f["path"] in v1paths)
+    # b=1 lives in exactly one b-sorted file; the rest are disjoint on b
+    assert carried == len(m1["files"]) - 1
+    got = S.read_snapshot(spark, root)
+    assert got.filter("v = -1").count() == 1 and got.count() == 10000
+
+
+def test_key_between_read_prunes_and_matches_filter(spark, tmp_path):
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 50000), root, key="k")
+    m = S._load_manifest(root, 1)
+    survivors = [f for f in m["files"] if S._overlaps(f["stats"].get("k"), 100, 120)]
+    assert len(survivors) < len(m["files"])  # manifest stats actually prune
+    got = S.read_snapshot(spark, root, key_between=("k", 100, 120))
+    want = S.read_snapshot(spark, root).filter(F.col("k").between(100, 120))
+    assert _rows(got) == _rows(want)
+    assert got.count() == 21
+
+
+# ---------------------------------------------------------------------------
+# delete / takedown
+# ---------------------------------------------------------------------------
+
+def test_delete_rows_and_full_takedown(spark, tmp_path):
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 1000), root, key="k")
+    S.delete_snapshot(spark, spark.range(0, 200).select(F.col("id").alias("k")), root, "k")
+    assert S.read_snapshot(spark, root).count() == 800
+    assert S.read_snapshot(spark, root).filter("k < 200").count() == 0
+    # total takedown: empty current version stays readable with schema
+    S.delete_snapshot(spark, spark.range(0, 1000).select(F.col("id").alias("k")), root, "k")
+    got = S.read_snapshot(spark, root)
+    assert got.count() == 0 and got.columns == ["k", "v"]
+    # history intact: pre-delete versions still readable
+    assert S.read_snapshot(spark, root, version=1).count() == 1000
+
+
+def test_delete_on_missing_table_raises(spark, tmp_path):
+    with pytest.raises(S.SnapshotVersionError):
+        S.delete_snapshot(
+            spark, spark.range(1).select(F.col("id").alias("k")),
+            str(tmp_path / "absent"), "k",
+        )
+
+
+# ---------------------------------------------------------------------------
+# time travel / rollback / compaction / vacuum
+# ---------------------------------------------------------------------------
+
+def test_time_travel_and_rollback_preserve_history(spark, tmp_path):
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 100), root, key="k")
+    src = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    S.upsert_snapshot(spark, src, root, "k")
+    assert S.read_snapshot(spark, root).filter("v = -1").count() == 100
+    assert S.read_snapshot(spark, root, version=1).filter("v = -1").count() == 0
+    v3 = S.rollback_snapshot(root, 1)
+    assert v3 == 3
+    assert _rows(S.read_snapshot(spark, root)) == _rows(_table(spark, 100))
+    # RESTORE, not reset: the rolled-over version is still readable
+    assert S.read_snapshot(spark, root, version=2).filter("v = -1").count() == 100
+    assert [h["op"] for h in S.snapshot_history(root)] == [
+        "create", "upsert", "rollback",
+    ]
+
+
+def test_compact_preserves_rows(spark, tmp_path):
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 1000), root, key="k")
+    for lo in (0, 10, 20):  # accrete small commits
+        src = spark.range(lo, lo + 5).select(
+            F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+        )
+        S.upsert_snapshot(spark, src, root, "k")
+    before = S._load_manifest(root, S.current_version(root))
+    S.compact_snapshot(spark, root, target_rows_per_file=1000)
+    after = S._load_manifest(root, S.current_version(root))
+    assert after["op"] == "compact"
+    assert len(after["files"]) < len(before["files"])
+    assert after["rows"] == before["rows"] == 1000
+    got = S.read_snapshot(spark, root)
+    assert got.count() == 1000 and got.filter("v = -1").count() == 15
+
+
+def test_vacuum_reclaims_and_expires(spark, tmp_path):
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 500), root, key="k")
+    for lo in (0, 100):
+        src = spark.range(lo, lo + 50).select(
+            F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+        )
+        S.upsert_snapshot(spark, src, root, "k")
+    stats = S.vacuum_snapshot(root, keep_last=1)
+    assert stats["manifests_removed"] == 2
+    assert stats["data_files_removed"] > 0
+    # current unaffected; expired versions fail cleanly
+    assert S.read_snapshot(spark, root).count() == 500
+    with pytest.raises(S.SnapshotVersionError):
+        S.read_snapshot(spark, root, version=1)
+    # on-disk data files == exactly the referenced set
+    m = S._load_manifest(root, S.current_version(root))
+    on_disk = set(os.listdir(os.path.join(root, "data")))
+    assert on_disk == {os.path.basename(f["path"]) for f in m["files"]}
+
+
+# ---------------------------------------------------------------------------
+# schema evolution
+# ---------------------------------------------------------------------------
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 100), root, key="k")
+    src = spark.range(50, 150).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v"),
+        F.lit("new").alias("tag"),
+    )
+    S.upsert_snapshot(spark, src, root, "k")
+    got = S.read_snapshot(spark, root)
+    assert set(got.columns) == {"k", "v", "tag"}
+    # pre-evolution rows read back NULL for the new column, including
+    # rows living in CARRIED (never rewritten) v1 files
+    assert got.filter(F.col("tag").isNull()).count() == 50
+    assert got.filter(F.col("tag") == "new").count() == 100
+
+
+def test_schema_type_conflict_raises(spark, tmp_path):
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 100), root, key="k")
+    src = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit("oops").alias("v")
+    )
+    with pytest.raises(ValueError, match="schema conflict"):
+        S.upsert_snapshot(spark, src, root, "k")
+
+
+# ---------------------------------------------------------------------------
+# optimistic concurrency
+# ---------------------------------------------------------------------------
+
+def test_stale_expected_version_conflicts(spark, tmp_path):
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 100), root, key="k")
+    S.write_snapshot(spark, _table(spark, 200), root, key="k")  # moves to v2
+    with pytest.raises(S.SnapshotConflict):
+        S.write_snapshot(spark, _table(spark, 300), root, key="k", expected_version=1)
+    assert S.read_snapshot(spark, root).count() == 200
+
+
+def test_commit_race_exactly_one_winner(spark, tmp_path):
+    """Two writers race for the same version slot: the link-CAS lets
+    exactly one through; the loser raises without half-committing."""
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 10), root, key="k")
+    m = S._load_manifest(root, 1)
+    base = S.current_version(root)
+    S._commit(root, dict(m, op="overwrite"), base)  # writer A wins v2
+    with pytest.raises(S.SnapshotConflict):
+        S._commit(root, dict(m, op="overwrite"), base)  # writer B loses
+    assert S.current_version(root) == 2
+    # no tmp litter from the loser
+    assert not [
+        n for n in os.listdir(S._manifest_dir(root)) if n.startswith(".tmp-")
+    ]
+
+
+def test_upsert_retries_through_conflict(spark, tmp_path, monkeypatch):
+    """An interleaved foreign commit between read and commit forces a
+    recompute against the NEW current — the retry must apply the batch
+    on top of the interloper's rows, not its own stale base."""
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 100), root, key="k")
+    real_commit = S._commit
+    state = {"interleaved": False}
+
+    def commit_with_interloper(r, manifest, expected_parent):
+        if not state["interleaved"] and manifest.get("op") == "upsert":
+            state["interleaved"] = True
+            foreign = spark.range(1000, 1010).select(
+                F.col("id").alias("k"), F.lit(99).cast("long").alias("v")
+            )
+            monkeypatch.setattr(S, "_commit", real_commit)
+            S.upsert_snapshot(spark, foreign, r, "k")
+            monkeypatch.setattr(S, "_commit", commit_with_interloper)
+        return real_commit(r, manifest, expected_parent)
+
+    monkeypatch.setattr(S, "_commit", commit_with_interloper)
+    src = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    S.upsert_snapshot(spark, src, root, "k")
+    monkeypatch.setattr(S, "_commit", real_commit)
+    got = S.read_snapshot(spark, root)
+    assert got.count() == 110  # 100 base + 10 foreign
+    assert got.filter("v = -1").count() == 10    # our batch applied
+    assert got.filter("v = 99").count() == 10    # interloper's rows kept
+
+
+# ---------------------------------------------------------------------------
+# crash probes: every window leaves the table readable and replayable
+# ---------------------------------------------------------------------------
+
+class _Boom(Exception):
+    pass
+
+
+def test_crash_during_staging_leaves_table_untouched(spark, tmp_path, monkeypatch):
+    """Kill mid-stage (some data files already moved into data/): the
+    manifest never commits, readers see the old version, vacuum sweeps
+    the orphans, and a replay converges."""
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 100000), root, key="k")
+    want_before = S.read_snapshot(spark, root).count()
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def crashing_rename(a, b):
+        calls["n"] += 1
+        if calls["n"] == 2:  # after the first data file landed
+            raise _Boom("injected crash mid-staging")
+        return real_rename(a, b)
+
+    monkeypatch.setattr(S.os, "rename", crashing_rename)
+    src = spark.createDataFrame([(5, -1), (99990, -1)], "k long, v long")
+    with pytest.raises(_Boom):
+        S.upsert_snapshot(spark, src, root, "k")
+    monkeypatch.setattr(S.os, "rename", real_rename)
+    assert S.current_version(root) == 1
+    assert S.read_snapshot(spark, root).count() == want_before
+    orphans_removed = S.vacuum_snapshot(root, keep_last=5)["data_files_removed"]
+    assert orphans_removed >= 1
+    S.upsert_snapshot(spark, src, root, "k")  # replay
+    got = S.read_snapshot(spark, root)
+    assert got.filter("v = -1").count() == 2 and got.count() == want_before
+
+
+def test_crash_before_link_commits_nothing(spark, tmp_path, monkeypatch):
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 1000), root, key="k")
+
+    def crashing_link(a, b):
+        raise _Boom("injected crash before manifest link")
+
+    monkeypatch.setattr(S.os, "link", crashing_link)
+    src = spark.createDataFrame([(5, -1)], "k long, v long")
+    with pytest.raises(_Boom):
+        S.upsert_snapshot(spark, src, root, "k", retries=0)
+    monkeypatch.undo()
+    assert S.current_version(root) == 1
+    assert S.read_snapshot(spark, root).filter("v = -1").count() == 0
+    S.upsert_snapshot(spark, src, root, "k")  # replay
+    assert S.read_snapshot(spark, root).filter("v = -1").count() == 1
+
+
+def test_crash_after_link_is_committed_and_replay_idempotent(
+    spark, tmp_path, monkeypatch
+):
+    """A kill between the link and the tmp cleanup: the commit IS
+    durable (the caller sees an error but the version landed) and the
+    replayed merge converges to the identical state."""
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 1000), root, key="k")
+    real_unlink = os.unlink
+    state = {"armed": True}
+
+    def crashing_unlink(p, *args, **kwargs):
+        if (
+            state["armed"]
+            and isinstance(p, str)
+            and os.path.basename(p).startswith(".tmp-")
+        ):
+            state["armed"] = False
+            raise _Boom("injected crash after manifest link")
+        return real_unlink(p, *args, **kwargs)
+
+    monkeypatch.setattr(S.os, "unlink", crashing_unlink)
+    src = spark.createDataFrame([(5, -1)], "k long, v long")
+    with pytest.raises(_Boom):
+        S.upsert_snapshot(spark, src, root, "k", retries=0)
+    monkeypatch.undo()
+    assert S.current_version(root) == 2  # the commit landed
+    assert S.read_snapshot(spark, root).filter("v = -1").count() == 1
+    S.upsert_snapshot(spark, src, root, "k")  # replay on top: idempotent
+    got = S.read_snapshot(spark, root)
+    assert got.count() == 1000 and got.filter("v = -1").count() == 1
+    S.vacuum_snapshot(root, keep_last=2)  # sweeps the orphaned tmp
+    assert not [
+        n for n in os.listdir(S._manifest_dir(root)) if n.startswith(".tmp-")
+    ]
