@@ -123,6 +123,28 @@ def current_version(root: str) -> int:
     return versions[-1] if versions else 0
 
 
+def txn_version(root: str, app_id: str) -> int | None:
+    """Highest transaction version committed for ``app_id`` (None if the
+    app never wrote). A restarted writer resumes from here instead of
+    trusting an external checkpoint."""
+    cur = current_version(root)
+    if cur == 0:
+        return None
+    return _load_manifest(root, cur).get("txns", {}).get(app_id)
+
+
+def _txn_already_applied(root: str, txn: tuple[str, int] | None) -> bool:
+    """True iff this (app_id, version) — or a later one — already
+    committed: the replayed micro-batch must be a visible no-op. The
+    check re-runs inside the CAS retry loop, so a racing writer cannot
+    double-apply."""
+    if txn is None:
+        return False
+    app_id, version = txn
+    last = txn_version(root, app_id)
+    return last is not None and last >= version
+
+
 def snapshot_history(root: str) -> list[dict]:
     """One row per retained version: version, parent, op, files, rows."""
     out = []
@@ -155,7 +177,13 @@ def _commit(root: str, manifest: dict, expected_parent: int | None) -> int:
             f"snapshot at {root} moved to v{cur} (writer based on v{expected_parent})"
         )
     version = cur + 1
-    manifest = dict(manifest, version=version, parent=cur)
+    # carry the per-application transaction watermarks forward (Delta's
+    # txnAppId/txnVersion idempotent-writes design): every commit
+    # inherits its parent's map and overlays its own txn, so the fence
+    # survives unrelated commits, compaction, and rollback
+    parent_txns = _load_manifest(root, cur).get("txns", {}) if cur else {}
+    txns = {**parent_txns, **manifest.get("txns", {})}
+    manifest = dict(manifest, version=version, parent=cur, txns=txns)
     mdir = _manifest_dir(root)
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".tmp-{secrets.token_hex(8)}.json")
@@ -292,10 +320,13 @@ def write_snapshot(
     key: str | Sequence[str] = (),
     sort_by: Sequence[str] = (),
     expected_version: int | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Create the table or replace its contents (op=``overwrite``).
     ``key`` columns get footer stats in the manifest so later merges
     can prune; ``sort_by`` lays files out with disjoint key ranges."""
+    if _txn_already_applied(root, txn):
+        return current_version(root)
     keys = [key] if isinstance(key, str) else list(key)
     sort_by = list(sort_by) or keys
     entries = _stage_files(df, root, keys, sort_by=sort_by)
@@ -306,6 +337,8 @@ def write_snapshot(
         "files": entries,
         "rows": sum(e["rows"] for e in entries),
     }
+    if txn is not None:
+        manifest["txns"] = {txn[0]: txn[1]}
     return _commit(root, manifest, expected_version)
 
 
@@ -450,17 +483,24 @@ def _merge_commit(
     op: str,
     combine,
     retries: int = 2,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Shared copy-on-write merge loop: prune → rewrite touched files →
     commit carried+new with CAS; on SnapshotConflict recompute against
-    the new current (optimistic concurrency, bounded retries)."""
+    the new current (optimistic concurrency, bounded retries).
+    ``txn=(app_id, version)`` makes the merge idempotent across
+    redelivery: a version at or below the app's committed watermark is
+    skipped entirely (the exactly-once contract a foreachBatch sink
+    needs under Structured Streaming's at-least-once replays)."""
     keys = [key] if isinstance(key, str) else list(key)
     for attempt in range(retries + 1):
+        if _txn_already_applied(root, txn):
+            return current_version(root)
         base = current_version(root)
         if base == 0:
             if op == "delete":
                 raise SnapshotVersionError(f"no snapshot committed at {root}")
-            return write_snapshot(spark, source, root, key=keys)
+            return write_snapshot(spark, source, root, key=keys, txn=txn)
         manifest = _load_manifest(root, base)
         schema = _schema_of(manifest)
         bounds, batch_rows = _batch_bounds(source, keys)
@@ -485,17 +525,16 @@ def _merge_commit(
         else:
             # nothing can collide: new rows only (for delete: no-op)
             if op == "delete":
-                return _commit(
-                    root,
-                    {
-                        "op": op,
-                        "key": keys,
-                        "schema": manifest["schema"],
-                        "files": carried,
-                        "rows": sum(e["rows"] for e in carried),
-                    },
-                    base,
-                )
+                noop = {
+                    "op": op,
+                    "key": keys,
+                    "schema": manifest["schema"],
+                    "files": carried,
+                    "rows": sum(e["rows"] for e in carried),
+                }
+                if txn is not None:
+                    noop["txns"] = {txn[0]: txn[1]}
+                return _commit(root, noop, base)
             target, src = _align_schemas(_read_files(spark, root, schema, []), source)
             merged = src
         out_schema = merged.schema
@@ -508,6 +547,8 @@ def _merge_commit(
             "files": carried + entries,
             "rows": sum(e["rows"] for e in carried) + sum(e["rows"] for e in entries),
         }
+        if txn is not None:
+            new_manifest["txns"] = {txn[0]: txn[1]}
         try:
             return _commit(root, new_manifest, base)
         except SnapshotConflict:
@@ -523,14 +564,18 @@ def upsert_snapshot(
     root: str,
     key: str | Sequence[str],
     retries: int = 2,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """MERGE (source wins on key collision) as a copy-on-write commit:
     only data files whose footer key-stats overlap the batch are
     rewritten; the rest carry over by reference. First write creates
     the table. Same row semantics as ``sinks.writer.upsert_table`` —
     cross-checked in tests — with O(1) atomic commit instead of the
-    per-directory swap loop."""
-    return _merge_commit(spark, source, root, key, "upsert", merge_upsert, retries)
+    per-directory swap loop. ``txn=(app_id, version)`` fences
+    redelivery: an already-committed version no-ops."""
+    return _merge_commit(
+        spark, source, root, key, "upsert", merge_upsert, retries, txn=txn
+    )
 
 
 def insert_ignore_snapshot(
@@ -539,12 +584,15 @@ def insert_ignore_snapshot(
     root: str,
     key: str | Sequence[str],
     retries: int = 2,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """ON CONFLICT DO NOTHING over the snapshot format."""
     def combine(target, src, keys):
         return insert_ignore(target, src, keys)
 
-    return _merge_commit(spark, source, root, key, "upsert", combine, retries)
+    return _merge_commit(
+        spark, source, root, key, "upsert", combine, retries, txn=txn
+    )
 
 
 def delete_snapshot(
@@ -553,13 +601,16 @@ def delete_snapshot(
     root: str,
     key: str | Sequence[str],
     retries: int = 2,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Takedown: drop every row whose key tuple appears in ``doomed``.
     Prunes to overlapping files; survivors rewrite, the rest carry."""
     def combine(target, src, keys):
         return target.join(src.select(*keys).dropDuplicates(keys), on=keys, how="left_anti")
 
-    return _merge_commit(spark, doomed, root, key, "delete", combine, retries)
+    return _merge_commit(
+        spark, doomed, root, key, "delete", combine, retries, txn=txn
+    )
 
 
 def rollback_snapshot(root: str, to_version: int) -> int:

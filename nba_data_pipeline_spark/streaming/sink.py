@@ -14,6 +14,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..sinks.snapshot import upsert_snapshot
 from ..sinks.writer import upsert_table
 
 
@@ -34,6 +35,39 @@ def stream_upsert(
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         upsert_table(spark, batch_df, path, key, partition_by)
+
+    writer = stream_df.writeStream.foreachBatch(merge_batch).queryName(query_name)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_upsert_snapshot(
+    stream_df: DataFrame,
+    root: str,
+    key: str | Sequence[str],
+    app_id: str,
+    checkpoint_dir: str | None = None,
+    query_name: str = "stream_upsert_snapshot",
+    available_now: bool = True,
+):
+    """Exactly-once streaming MERGE into a manifest-committed snapshot
+    table (``sinks/snapshot.py``). foreachBatch is at-least-once —
+    after a crash between the sink write and the checkpoint commit,
+    Structured Streaming REDELIVERS the epoch — so the plain
+    ``stream_upsert`` is only idempotent when re-merging identical
+    rows happens to converge. This sink is idempotent BY PROTOCOL:
+    every micro-batch commits with ``txn=(app_id, epoch_id)`` and the
+    manifest's transaction watermark makes any replayed epoch a
+    visible no-op (the public Delta txnAppId/txnVersion design). The
+    commit itself is a single atomic link, so a crash can never leave
+    a half-merged table for the retry to trip over."""
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        upsert_snapshot(spark, batch_df, root, key, txn=(app_id, int(epoch_id)))
 
     writer = stream_df.writeStream.foreachBatch(merge_batch).queryName(query_name)
     if checkpoint_dir:

@@ -410,3 +410,98 @@ def test_crash_after_link_is_committed_and_replay_idempotent(
     assert not [
         n for n in os.listdir(S._manifest_dir(root)) if n.startswith(".tmp-")
     ]
+
+
+# ---------------------------------------------------------------------------
+# transactional idempotence (txnAppId/txnVersion) + streaming sink
+# ---------------------------------------------------------------------------
+
+def test_txn_fence_skips_replayed_version(spark, tmp_path):
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 100), root, key="k")
+    src = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    v = S.upsert_snapshot(spark, src, root, "k", txn=("appA", 3))
+    assert v == 2 and S.txn_version(root, "appA") == 3
+    # replay of the same (app, version): NO new commit, even with
+    # different content — the fence is the protocol, not row identity
+    other = spark.range(50, 60).select(
+        F.col("id").alias("k"), F.lit(77).cast("long").alias("v")
+    )
+    assert S.upsert_snapshot(spark, other, root, "k", txn=("appA", 3)) == 2
+    assert S.current_version(root) == 2
+    assert S.read_snapshot(spark, root).filter("v = 77").count() == 0
+    # a LOWER version from the same app is also fenced (late replay)
+    assert S.upsert_snapshot(spark, other, root, "k", txn=("appA", 2)) == 2
+    # a higher version applies; other apps are independent
+    assert S.upsert_snapshot(spark, other, root, "k", txn=("appA", 4)) == 3
+    assert S.upsert_snapshot(spark, src, root, "k", txn=("appB", 0)) == 4
+    assert S.txn_version(root, "appA") == 4 and S.txn_version(root, "appB") == 0
+
+
+def test_txn_watermark_survives_unrelated_commits(spark, tmp_path):
+    """Compaction / foreign commits between the write and its replay
+    must not reset the fence: the watermark map carries forward on
+    every commit."""
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 1000), root, key="k")
+    src = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    S.upsert_snapshot(spark, src, root, "k", txn=("app", 1))
+    S.compact_snapshot(spark, root, target_rows_per_file=1000)
+    foreign = spark.range(5000, 5010).select(
+        F.col("id").alias("k"), F.lit(9).cast("long").alias("v")
+    )
+    S.upsert_snapshot(spark, foreign, root, "k")  # txn-less commit
+    assert S.txn_version(root, "app") == 1
+    before = S.current_version(root)
+    assert S.upsert_snapshot(spark, src, root, "k", txn=("app", 1)) == before
+    assert S.current_version(root) == before
+
+
+def test_stream_upsert_snapshot_exactly_once(spark, tmp_path):
+    """End-to-end foreachBatch sink: drain a landing dir, then simulate
+    the at-least-once failure mode (checkpoint lost, identical epochs
+    redelivered) — the txn fence must make the rerun a no-op."""
+    from pyspark.sql import types as T
+
+    from nba_data_pipeline_spark.streaming.sink import stream_upsert_snapshot
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    src = str(tmp_path / "landing")
+    root = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame([(1, 1.0), (2, 2.0)], schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream_upsert_snapshot(stream, root, "id", "job1", checkpoint_dir=ckpt).awaitTermination()
+    assert {r.id: r.v for r in S.read_snapshot(spark, root).collect()} == {1: 1.0, 2: 2.0}
+    v_after_first = S.current_version(root)
+
+    # checkpoint lost -> the SAME source replays from epoch 0 with the
+    # same app_id: every epoch is fenced, the table does not move
+    import shutil as _sh
+
+    _sh.rmtree(ckpt)
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream_upsert_snapshot(
+        stream, root, "id", "job1", checkpoint_dir=str(tmp_path / "ckpt2")
+    ).awaitTermination()
+    assert S.current_version(root) == v_after_first
+    assert {r.id: r.v for r in S.read_snapshot(spark, root).collect()} == {1: 1.0, 2: 2.0}
+
+    # new data lands; the LIVE checkpoint continues at epoch 1, which is
+    # above the fence and applies. (A lost checkpoint restarts epochs at
+    # 0 — resume such a job with a fresh app_id, or seed the stream from
+    # txn_version(root, app_id); the fence prioritizes no-double-apply.)
+    spark.createDataFrame([(2, 20.0), (3, 3.0)], schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream_upsert_snapshot(
+        stream, root, "id", "job1", checkpoint_dir=str(tmp_path / "ckpt2")
+    ).awaitTermination()
+    got = {r.id: r.v for r in S.read_snapshot(spark, root).collect()}
+    assert got == {1: 1.0, 2: 20.0, 3: 3.0}
+    assert S.txn_version(root, "job1") == 1
