@@ -9394,12 +9394,14 @@ def q_seen_content_delta(spark, sf):
 )
 def q_snapshot_merge_gate(spark, sf):
     """Persisted snapshot-table gate (sinks/snapshot.py): the table is
-    created, merged (twice — the replay must converge to the same
-    rows), and takedown-deleted through manifest commits with
-    file-stat pruning, then the CURRENT snapshot read must hash
-    identically to the equivalent one-shot SQL. Exercises the whole
-    chain the pytest crash matrix probes: footer stats, exact file
-    pruning, carried-by-reference files, link-CAS commits."""
+    created, merged (twice — the replay is POISONED: wrong values
+    under the same txn version, so the transaction fence must make it
+    a visible no-op or the hash diverges), and takedown-deleted
+    through manifest commits with file-stat pruning, then the CURRENT
+    snapshot read must hash identically to the equivalent one-shot
+    SQL. Exercises the whole chain the pytest crash matrix probes:
+    footer stats, exact file pruning, carried-by-reference files,
+    link-CAS commits, txnAppId/txnVersion idempotence."""
     import shutil
     import tempfile
 
@@ -9420,8 +9422,11 @@ def q_snapshot_merge_gate(spark, sf):
     root = tempfile.mkdtemp(prefix="snapshot_merge_gate_")
     try:
         write_snapshot(spark, base, root, key="o_orderkey")
-        upsert_snapshot(spark, batch, root, "o_orderkey")
-        upsert_snapshot(spark, batch, root, "o_orderkey")  # replay
+        upsert_snapshot(spark, batch, root, "o_orderkey", txn=("gate", 1))
+        poisoned = batch.withColumn("totalprice", F.col("totalprice") * 999)
+        upsert_snapshot(  # redelivered epoch, corrupted payload: fenced
+            spark, poisoned, root, "o_orderkey", txn=("gate", 1)
+        )
         delete_snapshot(spark, doomed, root, "o_orderkey")
         return (
             read_snapshot(spark, root)

@@ -705,3 +705,73 @@ def vacuum_snapshot(root: str, keep_last: int = 2) -> dict[str, int]:
         if name.startswith(".stage-"):
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)
     return {"manifests_removed": dropped_manifests, "data_files_removed": dropped_files}
+
+
+# ---------------------------------------------------------------------------
+# database-level manifests: atomic multi-TABLE commits
+# ---------------------------------------------------------------------------
+#
+# A composed ingest (e.g. the embedding pipeline: corpus + pairs +
+# labels + index) spans several tables; per-table commits leave a
+# crash window BETWEEN tables in which readers see table A advanced
+# and table B not. The database manifest closes it: tables commit
+# individually as usual (those versions are invisible to db readers),
+# then ONE db commit — the same link-CAS — atomically pins the new
+# version of every table in the transaction. A crash anywhere before
+# the db commit leaves the db view untouched (the orphaned table
+# versions are plain vacuum fodder), and the replay converges through
+# the per-table txn fences. Readers resolving through the db manifest
+# get cross-table snapshot isolation and cross-table time travel for
+# free: db version N names one consistent version of every table.
+
+def db_current(db_root: str) -> dict[str, int]:
+    """table -> pinned version at the current db version ({} if no db
+    commit yet)."""
+    cur = current_version(db_root)
+    return dict(_load_manifest(db_root, cur)["tables"]) if cur else {}
+
+
+def db_commit(
+    db_root: str,
+    table_versions: dict[str, int],
+    expected_version: int | None = None,
+) -> int:
+    """Atomically advance the pinned versions of the named tables
+    (relative paths under ``db_root``); unmentioned tables carry
+    forward. The whole transaction becomes visible in ONE link — there
+    is no state in which a db reader sees half of it."""
+    pinned = db_current(db_root)
+    pinned.update({t: int(v) for t, v in table_versions.items()})
+    manifest = {"op": "db_commit", "tables": pinned, "files": [], "rows": 0,
+                "schema": "", "key": []}
+    return _commit(db_root, manifest, expected_version)
+
+
+def db_read(
+    spark: SparkSession,
+    db_root: str,
+    table: str,
+    db_version: int | None = None,
+    key_between: tuple[str, object, object] | None = None,
+) -> DataFrame:
+    """Read ``table`` at the version the db manifest pins — the
+    consistent-view read path. Two ``db_read`` calls at the same
+    ``db_version`` can never observe a torn multi-table transaction."""
+    v = current_version(db_root) if db_version is None else db_version
+    if v == 0:
+        raise SnapshotVersionError(f"no db commit at {db_root}")
+    pinned = _load_manifest(db_root, v)["tables"]
+    if table not in pinned:
+        raise SnapshotVersionError(f"table {table!r} not in db version {v}")
+    return read_snapshot(
+        spark, os.path.join(db_root, table), version=pinned[table],
+        key_between=key_between,
+    )
+
+
+def db_history(db_root: str) -> list[dict]:
+    """One row per db version: {version, tables: {name: version}}."""
+    return [
+        {"version": v, "tables": _load_manifest(db_root, v)["tables"]}
+        for v in _list_versions(db_root)
+    ]

@@ -505,3 +505,63 @@ def test_stream_upsert_snapshot_exactly_once(spark, tmp_path):
     got = {r.id: r.v for r in S.read_snapshot(spark, root).collect()}
     assert got == {1: 1.0, 2: 20.0, 3: 3.0}
     assert S.txn_version(root, "job1") == 1
+
+
+# ---------------------------------------------------------------------------
+# database-level manifests: atomic multi-table commits
+# ---------------------------------------------------------------------------
+
+def test_db_commit_atomic_multi_table_view(spark, tmp_path):
+    db = str(tmp_path / "db")
+    docs = _table(spark, 100)
+    stats = spark.createDataFrame([(0, 100)], "part int, n long")
+    v_docs = S.write_snapshot(spark, docs, f"{db}/docs", key="k")
+    v_stats = S.write_snapshot(spark, stats, f"{db}/stats", key="part")
+    S.db_commit(db, {"docs": v_docs, "stats": v_stats})
+    assert S.db_read(spark, db, "docs").count() == 100
+    assert S.db_read(spark, db, "stats").collect()[0]["n"] == 100
+
+    # table "docs" advances but the db transaction never completes
+    # (crash before db_commit): db readers still see the CONSISTENT pair
+    src = spark.range(200, 260).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    v_docs2 = S.upsert_snapshot(spark, src, f"{db}/docs", "k", txn=("ing", 1))
+    assert S.db_read(spark, db, "docs").count() == 100  # pinned at v1
+    assert S.read_snapshot(spark, f"{db}/docs").count() == 160  # direct read moved
+
+    # replay converges through the table txn fence; stats catches up;
+    # ONE db commit makes both visible together
+    v_docs3 = S.upsert_snapshot(spark, src, f"{db}/docs", "k", txn=("ing", 1))
+    assert v_docs3 == v_docs2
+    v_stats2 = S.upsert_snapshot(
+        spark, spark.createDataFrame([(0, 160)], "part int, n long"),
+        f"{db}/stats", "part", txn=("ing", 1),
+    )
+    S.db_commit(db, {"docs": v_docs3, "stats": v_stats2})
+    assert S.db_read(spark, db, "docs").count() == 160
+    assert S.db_read(spark, db, "stats").collect()[0]["n"] == 160
+
+    # cross-table time travel: db v1 pins BOTH tables' old versions
+    assert S.db_read(spark, db, "docs", db_version=1).count() == 100
+    assert S.db_read(spark, db, "stats", db_version=1).collect()[0]["n"] == 100
+    hist = S.db_history(db)
+    assert [h["version"] for h in hist] == [1, 2]
+
+
+def test_db_commit_cas_and_carry_forward(spark, tmp_path):
+    db = str(tmp_path / "db")
+    S.write_snapshot(spark, _table(spark, 10), f"{db}/a", key="k")
+    S.write_snapshot(spark, _table(spark, 20), f"{db}/b", key="k")
+    S.db_commit(db, {"a": 1, "b": 1})
+    # partial update carries the unmentioned table forward
+    S.write_snapshot(spark, _table(spark, 30), f"{db}/a", key="k")
+    S.db_commit(db, {"a": 2})
+    assert S.db_current(db) == {"a": 2, "b": 1}
+    assert S.db_read(spark, db, "a").count() == 30
+    assert S.db_read(spark, db, "b").count() == 20
+    # stale CAS rejected
+    with pytest.raises(S.SnapshotConflict):
+        S.db_commit(db, {"a": 1}, expected_version=1)
+    with pytest.raises(S.SnapshotVersionError):
+        S.db_read(spark, db, "missing")
