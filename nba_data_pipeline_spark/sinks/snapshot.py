@@ -321,18 +321,25 @@ def write_snapshot(
     sort_by: Sequence[str] = (),
     expected_version: int | None = None,
     txn: tuple[str, int] | None = None,
+    stat_cols: Sequence[str] = (),
 ) -> int:
     """Create the table or replace its contents (op=``overwrite``).
     ``key`` columns get footer stats in the manifest so later merges
-    can prune; ``sort_by`` lays files out with disjoint key ranges."""
+    can prune; ``sort_by`` lays files out with disjoint key ranges.
+    ``stat_cols`` adds zone-map stats for NON-key columns (e.g. an
+    event-time column on a time-sorted table), so ``read_snapshot``'s
+    ``key_between`` can skip files on those too."""
     if _txn_already_applied(root, txn):
         return current_version(root)
     keys = [key] if isinstance(key, str) else list(key)
     sort_by = list(sort_by) or keys
-    entries = _stage_files(df, root, keys, sort_by=sort_by)
+    entries = _stage_files(
+        df, root, list(dict.fromkeys(keys + list(stat_cols))), sort_by=sort_by
+    )
     manifest = {
         "op": "create" if current_version(root) == 0 else "overwrite",
         "key": keys,
+        "stat_cols": list(stat_cols),
         "schema": df.schema.json(),
         "files": entries,
         "rows": sum(e["rows"] for e in entries),
@@ -528,6 +535,7 @@ def _merge_commit(
                 noop = {
                     "op": op,
                     "key": keys,
+                    "stat_cols": manifest.get("stat_cols", []),
                     "schema": manifest["schema"],
                     "files": carried,
                     "rows": sum(e["rows"] for e in carried),
@@ -539,10 +547,15 @@ def _merge_commit(
             merged = src
         out_schema = merged.schema
         sort_by = keys if manifest.get("key") == keys else []
-        entries = _stage_files(merged, root, keys, sort_by=sort_by, target_files=n_out)
+        stat_cols = manifest.get("stat_cols", [])
+        entries = _stage_files(
+            merged, root, list(dict.fromkeys(keys + stat_cols)),
+            sort_by=sort_by, target_files=n_out,
+        )
         new_manifest = {
             "op": op,
             "key": keys,
+            "stat_cols": stat_cols,
             "schema": out_schema.json(),
             "files": carried + entries,
             "rows": sum(e["rows"] for e in carried) + sum(e["rows"] for e in entries),
@@ -623,6 +636,7 @@ def rollback_snapshot(root: str, to_version: int) -> int:
         {
             "op": "rollback",
             "key": manifest.get("key", []),
+            "stat_cols": manifest.get("stat_cols", []),
             "schema": manifest["schema"],
             "files": manifest["files"],
             "rows": manifest["rows"],
@@ -651,13 +665,18 @@ def compact_snapshot(
         keys = manifest.get("key") or []
         df = _read_files(spark, root, schema, [f["path"] for f in manifest["files"]])
         n_files = max(1, -(-manifest["rows"] // max(1, target_rows_per_file)))
-        entries = _stage_files(df, root, keys, sort_by=keys, target_files=n_files)
+        stat_cols = manifest.get("stat_cols", [])
+        entries = _stage_files(
+            df, root, list(dict.fromkeys(keys + stat_cols)),
+            sort_by=keys, target_files=n_files,
+        )
         try:
             return _commit(
                 root,
                 {
                     "op": "compact",
                     "key": keys,
+                    "stat_cols": stat_cols,
                     "schema": manifest["schema"],
                     "files": entries,
                     "rows": sum(e["rows"] for e in entries),
@@ -705,6 +724,69 @@ def vacuum_snapshot(root: str, keep_last: int = 2) -> dict[str, int]:
         if name.startswith(".stage-"):
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)
     return {"manifests_removed": dropped_manifests, "data_files_removed": dropped_files}
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change Data Feed between two snapshot versions: the rows a
+    downstream incremental consumer must apply to catch up from
+    ``from_version`` to ``to_version`` (default current), each tagged
+    with a ``_change_type`` of ``insert`` / ``update_preimage`` /
+    ``update_postimage`` / ``delete`` (the public Delta CDF schema).
+
+    Cost is O(changed files), never O(table): the two manifests are
+    diffed by file path, and only files ADDED or REMOVED between the
+    versions are read — a carried-by-reference file can't contain a
+    change by construction. Physical-only rewrites are invisible: a
+    compaction adds and removes files but the full-row ``exceptAll``
+    in both directions cancels every row it merely moved, so the feed
+    is empty (logical changes only — the contract that lets a consumer
+    run vacuum-adjacent maintenance without re-triggering downstream).
+
+    Classification: a surviving row delta whose key also appears on
+    the other side is an update (pre/post image); otherwise a pure
+    insert or delete. Keys come from the ``to`` manifest. Both
+    versions must still be retained (vacuum raises otherwise)."""
+    to_v = current_version(root) if to_version is None else to_version
+    m_from = _load_manifest(root, from_version)
+    m_to = _load_manifest(root, to_v)
+    schema = _schema_of(m_to)
+    keys = m_to.get("key") or []
+    from_paths = {f["path"] for f in m_from["files"]}
+    to_paths = {f["path"] for f in m_to["files"]}
+    added = sorted(to_paths - from_paths)
+    removed = sorted(from_paths - to_paths)
+    cols = [f.name for f in schema.fields]
+    new_rows = _read_files(spark, root, schema, added).select(cols)
+    old_rows = _read_files(spark, root, schema, removed).select(cols)
+    # cancel physically-moved rows (multiset semantics keeps duplicates
+    # honest for keyless tables)
+    appeared = new_rows.exceptAll(old_rows)
+    vanished = old_rows.exceptAll(new_rows)
+    if not keys:
+        return appeared.withColumn("_change_type", F.lit("insert")).unionByName(
+            vanished.withColumn("_change_type", F.lit("delete"))
+        )
+    app_keys = appeared.select(*keys).dropDuplicates(keys)
+    van_keys = vanished.select(*keys).dropDuplicates(keys)
+    updated_keys = app_keys.join(van_keys, keys, "left_semi")
+    inserts = appeared.join(updated_keys, keys, "left_anti").withColumn(
+        "_change_type", F.lit("insert")
+    )
+    deletes = vanished.join(updated_keys, keys, "left_anti").withColumn(
+        "_change_type", F.lit("delete")
+    )
+    post = appeared.join(updated_keys, keys, "left_semi").withColumn(
+        "_change_type", F.lit("update_postimage")
+    )
+    pre = vanished.join(updated_keys, keys, "left_semi").withColumn(
+        "_change_type", F.lit("update_preimage")
+    )
+    return inserts.unionByName(post).unionByName(pre).unionByName(deletes)
 
 
 # ---------------------------------------------------------------------------

@@ -565,3 +565,80 @@ def test_db_commit_cas_and_carry_forward(spark, tmp_path):
         S.db_commit(db, {"a": 1}, expected_version=1)
     with pytest.raises(S.SnapshotVersionError):
         S.db_read(spark, db, "missing")
+
+
+# ---------------------------------------------------------------------------
+# change data feed
+# ---------------------------------------------------------------------------
+
+def test_snapshot_changes_classifies_ops(spark, tmp_path):
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 1000), root, key="k")
+    src = spark.range(10, 20).select(  # updates
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    ).union(
+        spark.range(5000, 5005).select(  # inserts
+            F.col("id").alias("k"), F.lit(7).cast("long").alias("v")
+        )
+    )
+    S.upsert_snapshot(spark, src, root, "k")
+    S.delete_snapshot(spark, spark.range(0, 5).select(F.col("id").alias("k")), root, "k")
+    cdf = S.snapshot_changes(spark, root, 1).localCheckpoint()
+    by_type = {r["_change_type"]: r["n"] for r in
+               cdf.groupBy("_change_type").agg(F.count("*").alias("n")).collect()}
+    assert by_type == {
+        "insert": 5, "update_postimage": 10, "update_preimage": 10, "delete": 5,
+    }
+    # postimages carry the new values, preimages the old
+    assert _rows(cdf.filter("_change_type = 'update_postimage'").select("v").distinct()) == [(-1,)]
+    assert cdf.filter("_change_type = 'update_preimage'").filter("v = -1").count() == 0
+    assert _rows(cdf.filter("_change_type = 'delete'").select("k")) == [
+        (0,), (1,), (2,), (3,), (4,),
+    ]
+    # applying the feed to the old snapshot reproduces the new one
+    old = S.read_snapshot(spark, root, version=1)
+    applied = (
+        old.join(cdf.filter(F.col("_change_type").isin("update_preimage", "delete"))
+                 .select("k"), "k", "left_anti")
+        .unionByName(cdf.filter(F.col("_change_type").isin("insert", "update_postimage"))
+                     .drop("_change_type"))
+    )
+    assert _rows(applied) == _rows(S.read_snapshot(spark, root))
+
+
+def test_snapshot_changes_compaction_invisible(spark, tmp_path):
+    """Physical rewrites are not logical changes: a compaction between
+    the two versions contributes ZERO rows to the feed."""
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 2000), root, key="k")
+    S.compact_snapshot(spark, root, target_rows_per_file=2000)
+    assert S.snapshot_changes(spark, root, 1).count() == 0
+    # and a real change after the compaction is still fully reported
+    src = spark.createDataFrame([(3, -1)], "k long, v long")
+    S.upsert_snapshot(spark, src, root, "k")
+    cdf = S.snapshot_changes(spark, root, 1)
+    got = {r["_change_type"] for r in cdf.select("_change_type").distinct().collect()}
+    assert got == {"update_preimage", "update_postimage"}
+    assert cdf.count() == 2
+
+
+def test_stat_cols_zone_map_on_non_key_column(spark, tmp_path):
+    """A time-sorted table keyed by id still skips files on the ts
+    zone map (stat_cols), and merges/compactions preserve it."""
+    root = str(tmp_path / "t")
+    df = spark.range(0, 40000).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("ts"),
+        F.lit(0).cast("long").alias("v"),
+    )
+    S.write_snapshot(spark, df, root, key="k", sort_by=["ts"], stat_cols=["ts"])
+    m = S._load_manifest(root, 1)
+    assert m["stat_cols"] == ["ts"]
+    pruned = [f for f in m["files"] if S._overlaps(f["stats"].get("ts"), 0, 5000)]
+    assert len(pruned) < len(m["files"])
+    got = S.read_snapshot(spark, root, key_between=("ts", 0, 5000))
+    assert got.count() == 501
+    # a merge rewrite keeps producing ts stats in the new files
+    S.upsert_snapshot(spark, spark.createDataFrame([(1, 10, -1)], "k long, ts long, v long"), root, "k")
+    m2 = S._load_manifest(root, 2)
+    assert m2["stat_cols"] == ["ts"]
+    assert all(f["stats"].get("ts") is not None for f in m2["files"])
