@@ -37,6 +37,9 @@ HEADLINE = [
     "merge_upsert",
     "incremental_agg_state",
     "cdc_apply",
+    # manifest-committed snapshot table: create + fenced COW merges +
+    # keyed takedown (the lakehouse-format counterpart of merge_upsert)
+    "snapshot_merge_gate",
     "broadcast_dim_join",
     "collect_roundtrip",
     "first_event_per_user",

@@ -500,6 +500,12 @@ def _merge_commit(
     skipped entirely (the exactly-once contract a foreachBatch sink
     needs under Structured Streaming's at-least-once replays)."""
     keys = [key] if isinstance(key, str) else list(key)
+    # materialize the batch ONCE: the merge evaluates it three times
+    # (bounds, exact prune, rewrite) and a non-deterministic source
+    # recomputed between the prune and the rewrite could change keys
+    # after the prune decided which files can be carried — the same
+    # reason Delta materializes MERGE sources. O(batch) local write.
+    source = source.localCheckpoint(eager=True)
     for attempt in range(retries + 1):
         if _txn_already_applied(root, txn):
             return current_version(root)
@@ -544,7 +550,7 @@ def _merge_commit(
                     noop["txns"] = {txn[0]: txn[1]}
                 return _commit(root, noop, base)
             target, src = _align_schemas(_read_files(spark, root, schema, []), source)
-            merged = src
+            merged = combine(target, src, keys)
         out_schema = merged.schema
         sort_by = keys if manifest.get("key") == keys else []
         stat_cols = manifest.get("stat_cols", [])
@@ -787,6 +793,65 @@ def snapshot_changes(
         "_change_type", F.lit("update_preimage")
     )
     return inserts.unionByName(post).unionByName(pre).unionByName(deletes)
+
+
+def mirror_snapshot(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    mirror_id: str = "mirror",
+    retries: int = 2,
+) -> int:
+    """Incremental table replication with end-to-end exactly-once: pull
+    the change feed since the last mirrored SOURCE version and apply
+    inserts, updates and deletes to the replica in ONE fenced commit.
+
+    The consumer's position is not an external checkpoint — it is the
+    replica's own transaction watermark (``txn=(mirror_id, src_v)``),
+    so the read-position and the write are committed by the same
+    atomic link: a crash anywhere re-runs the same delta and the fence
+    no-ops it; a partial apply is impossible because the apply IS one
+    commit. First call bootstraps a full copy; a call with nothing new
+    (or after a source compaction, whose feed is empty) advances only
+    the watermark. The replica is assumed to be a true replica
+    (no replica-only columns).
+
+    Returns the replica version now current. The source must retain
+    the last-mirrored version (vacuum no deeper than the slowest
+    mirror — the standard CDC retention contract)."""
+    src_v = current_version(src_root)
+    if src_v == 0:
+        raise SnapshotVersionError(f"no snapshot committed at {src_root}")
+    last = txn_version(dst_root, mirror_id)
+    if last is not None and last >= src_v:
+        return current_version(dst_root)
+    src_manifest = _load_manifest(src_root, src_v)
+    keys = src_manifest.get("key") or []
+    if last is None:
+        full = read_snapshot(spark, src_root, version=src_v)
+        return write_snapshot(
+            spark, full, dst_root, key=keys, txn=(mirror_id, src_v)
+        )
+    cdf = snapshot_changes(spark, src_root, last, src_v).localCheckpoint()
+    if not cdf.take(1):  # physical-only churn: just advance the watermark
+        base = current_version(dst_root)
+        m = _load_manifest(dst_root, base)
+        noop = {k: m[k] for k in ("op", "key", "schema", "files", "rows")}
+        noop.update(op="mirror", txns={mirror_id: src_v}, stat_cols=m.get("stat_cols", []))
+        return _commit(dst_root, noop, base)
+    all_keys = cdf.select(*keys).dropDuplicates(keys)
+    apply_rows = cdf.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).drop("_change_type")
+
+    def combine(target, _src, kk):
+        survivors = target.join(all_keys, kk, "left_anti")
+        return survivors.unionByName(apply_rows.select(target.columns))
+
+    return _merge_commit(
+        spark, cdf.drop("_change_type"), dst_root, keys, "mirror", combine,
+        retries, txn=(mirror_id, src_v),
+    )
 
 
 # ---------------------------------------------------------------------------

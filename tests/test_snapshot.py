@@ -642,3 +642,56 @@ def test_stat_cols_zone_map_on_non_key_column(spark, tmp_path):
     m2 = S._load_manifest(root, 2)
     assert m2["stat_cols"] == ["ts"]
     assert all(f["stats"].get("ts") is not None for f in m2["files"])
+
+
+# ---------------------------------------------------------------------------
+# incremental replication via the change feed
+# ---------------------------------------------------------------------------
+
+def test_mirror_snapshot_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    S.write_snapshot(spark, _table(spark, 1000), src, key="k")
+    # bootstrap: full copy, watermark = source version
+    S.mirror_snapshot(spark, src, dst)
+    assert _rows(S.read_snapshot(spark, dst)) == _rows(S.read_snapshot(spark, src))
+    assert S.txn_version(dst, "mirror") == 1
+
+    # source moves: updates + inserts + deletes across two versions
+    S.upsert_snapshot(spark, spark.createDataFrame(
+        [(10, -1), (5000, 7)], "k long, v long"), src, "k")
+    S.delete_snapshot(spark, spark.range(0, 5).select(F.col("id").alias("k")), src, "k")
+    S.mirror_snapshot(spark, src, dst)
+    assert _rows(S.read_snapshot(spark, dst)) == _rows(S.read_snapshot(spark, src))
+    assert S.txn_version(dst, "mirror") == 3
+
+    # redelivery: a second mirror call is a pure no-op (same version)
+    before = S.current_version(dst)
+    S.mirror_snapshot(spark, src, dst)
+    assert S.current_version(dst) == before
+
+    # source compaction: empty feed, watermark-only advance, replica
+    # content untouched
+    S.compact_snapshot(spark, src, target_rows_per_file=1000)
+    S.mirror_snapshot(spark, src, dst)
+    assert S.txn_version(dst, "mirror") == 4
+    assert _rows(S.read_snapshot(spark, dst)) == _rows(S.read_snapshot(spark, src))
+
+
+def test_mirror_snapshot_crash_replay_exactly_once(spark, tmp_path, monkeypatch):
+    """A crash AFTER the mirror's commit but before the caller observes
+    it (the at-least-once failure mode) must not double-apply: the
+    re-run sees the watermark and no-ops."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    S.write_snapshot(spark, _table(spark, 500), src, key="k")
+    S.mirror_snapshot(spark, src, dst)
+    S.upsert_snapshot(spark, spark.createDataFrame(
+        [(7, -1)], "k long, v long"), src, "k")
+    S.mirror_snapshot(spark, src, dst)
+    want = _rows(S.read_snapshot(spark, dst))
+    # replayed mirror of the already-applied delta
+    S.mirror_snapshot(spark, src, dst)
+    S.mirror_snapshot(spark, src, dst)
+    assert _rows(S.read_snapshot(spark, dst)) == want
+    assert S.read_snapshot(spark, dst).filter("v = -1").count() == 1

@@ -69,6 +69,7 @@ def main() -> None:
 
     results: dict[tuple[str, bool, int], float] = {}
     touched: dict[tuple[bool, int], str] = {}
+    cdf_times: dict[tuple[bool, int], float] = {}
     for n in SCALES:
         for spread in (False, True):
             # --- snapshot format ---
@@ -88,6 +89,13 @@ def main() -> None:
                     carried = sum(1 for f in m2["files"] if f["path"] in v1)
                     touched[(spread, n)] = (
                         f"{len(m1['files']) - carried}/{len(m1['files'])}"
+                    )
+                    # CDF cost: O(changed files) claim — reads only the
+                    # files the merge added/removed, never the carried set
+                    t0 = time.time()
+                    S.snapshot_changes(spark, root, 1).count()
+                    cdf_times[(spread, n)] = min(
+                        cdf_times.get((spread, n), math.inf), time.time() - t0
                     )
                 finally:
                     shutil.rmtree(root, ignore_errors=True)
@@ -129,6 +137,11 @@ def main() -> None:
         shape = "spread" if spread else "point"
         print(f"  {shape:8} "
               + " ".join(f"{touched[(spread, n)]:>12}" for n in SCALES))
+    print("\nsnapshot_changes(v1 -> v2) floors (reads only changed files):")
+    for spread in (False, True):
+        shape = "spread" if spread else "point"
+        print(f"  {shape:8} "
+              + " ".join(f"{cdf_times[(spread, n)]:>11.2f}s" for n in SCALES))
 
 
 if __name__ == "__main__":
