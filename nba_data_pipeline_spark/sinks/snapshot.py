@@ -513,7 +513,17 @@ def _merge_commit(
         if base == 0:
             if op == "delete":
                 raise SnapshotVersionError(f"no snapshot committed at {root}")
-            return write_snapshot(spark, source, root, key=keys, txn=txn)
+            try:
+                # CAS-guarded create: if another writer creates the
+                # table first, retry as a real merge instead of
+                # overwriting the winner's rows
+                return write_snapshot(
+                    spark, source, root, key=keys, txn=txn, expected_version=0
+                )
+            except SnapshotConflict:
+                if attempt == retries:
+                    raise
+                continue
         manifest = _load_manifest(root, base)
         schema = _schema_of(manifest)
         bounds, batch_rows = _batch_bounds(source, keys)
@@ -522,10 +532,15 @@ def _merge_commit(
         carried = carried + freed
         # size the rewrite to the table's established file granularity
         # (self-tuning: a point merge emits ~len(touched) files, a bulk
-        # merge scales with its volume; compaction fixes any accretion)
-        avg_rows = max(1, manifest["rows"] // max(1, len(manifest["files"])))
-        est_rows = sum(f["rows"] for f in touched) + batch_rows
-        n_out = max(1, round(est_rows / avg_rows))
+        # merge scales with its volume; compaction fixes any accretion).
+        # An emptied table has no granularity to inherit — fall back to
+        # the session's parallelism instead of rows/0-files degeneracy
+        if manifest["files"]:
+            avg_rows = max(1, manifest["rows"] // len(manifest["files"]))
+            est_rows = sum(f["rows"] for f in touched) + batch_rows
+            n_out = max(1, round(est_rows / avg_rows))
+        else:
+            n_out = None
         if touched:
             target = _read_files(spark, root, schema, [f["path"] for f in touched])
             if op == "delete":

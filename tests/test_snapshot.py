@@ -695,3 +695,46 @@ def test_mirror_snapshot_crash_replay_exactly_once(spark, tmp_path, monkeypatch)
     S.mirror_snapshot(spark, src, dst)
     assert _rows(S.read_snapshot(spark, dst)) == want
     assert S.read_snapshot(spark, dst).filter("v = -1").count() == 1
+
+
+def test_upsert_after_full_takedown_resizes_sanely(spark, tmp_path):
+    """An emptied table (0 files) has no rows-per-file granularity to
+    inherit — the next merge must not degenerate into one file per
+    batch row."""
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 1000), root, key="k")
+    S.delete_snapshot(spark, spark.range(0, 1000).select(F.col("id").alias("k")), root, "k")
+    assert S._load_manifest(root, 2)["files"] == []
+    S.upsert_snapshot(spark, _table(spark, 5000), root, "k")
+    m = S._load_manifest(root, 3)
+    assert 1 <= len(m["files"]) <= 64
+    assert S.read_snapshot(spark, root).count() == 5000
+
+
+def test_concurrent_create_race_merges_instead_of_overwriting(
+    spark, tmp_path, monkeypatch
+):
+    """Two writers race to create the same table: the loser must RETRY
+    AS A MERGE on the winner's rows, never overwrite them."""
+    root = str(tmp_path / "t")
+    real_commit = S._commit
+    state = {"done": False}
+
+    def commit_with_interloper(r, manifest, expected_parent):
+        if not state["done"]:
+            state["done"] = True
+            monkeypatch.setattr(S, "_commit", real_commit)
+            S.upsert_snapshot(  # the winner creates first
+                spark,
+                spark.createDataFrame([(1000, 99)], "k long, v long"),
+                r, "k",
+            )
+            monkeypatch.setattr(S, "_commit", commit_with_interloper)
+        return real_commit(r, manifest, expected_parent)
+
+    monkeypatch.setattr(S, "_commit", commit_with_interloper)
+    S.upsert_snapshot(spark, _table(spark, 10), root, "k")
+    monkeypatch.setattr(S, "_commit", real_commit)
+    got = S.read_snapshot(spark, root)
+    assert got.count() == 11  # winner's row survived the loser's create
+    assert got.filter("k = 1000 and v = 99").count() == 1
