@@ -810,6 +810,46 @@ def snapshot_changes(
     return inserts.unionByName(post).unionByName(pre).unionByName(deletes)
 
 
+def fold_snapshot_state(
+    spark: SparkSession,
+    batch: DataFrame,
+    root: str,
+    keys: str | Sequence[str],
+    specs: dict[str, tuple[str, str]],
+    txn: tuple[str, int] | None = None,
+    retries: int = 2,
+) -> int:
+    """The aggregate-state family on the snapshot format: fold a batch
+    into a persisted per-key rollup (``specs`` as in
+    ``operators.incremental.fold_aggregate_state`` — the
+    self-decomposable sum/count/min/max kinds) with the format's
+    guarantees replacing the swap-table machinery one-for-one:
+
+    - partial aggs over the BATCH only, then a re-aggregate of
+      (touched state files ∪ partials) — O(batch + touched keys),
+      never O(history); untouched files carry by reference, and the
+      exact file prune guarantees a carried file shares no key with
+      the batch, so skipping it is lossless.
+    - redelivery safety via ``txn`` (the bucket-granular ``_epoch``
+      fence of ``fold_aggregate_state_table``, here one watermark in
+      the manifest: a replayed batch is a visible no-op even if its
+      CONTENT was corrupted in flight).
+    - atomic commit (no per-bucket swap loop), time-travelable rollup
+      history, CDF over the rollup for downstream consumers."""
+    from ..operators.incremental import _merge_aggs, _partial_aggs
+
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    partials = _partial_aggs(batch, key_list, specs)
+
+    def combine(target, src, kk):
+        merged = target.select(src.columns).unionByName(src)
+        return _merge_aggs(merged, kk, specs)
+
+    return _merge_commit(
+        spark, partials, root, key_list, "fold", combine, retries, txn=txn
+    )
+
+
 def mirror_snapshot(
     spark: SparkSession,
     src_root: str,

@@ -738,3 +738,61 @@ def test_concurrent_create_race_merges_instead_of_overwriting(
     got = S.read_snapshot(spark, root)
     assert got.count() == 11  # winner's row survived the loser's create
     assert got.filter("k = 1000 and v = 99").count() == 1
+
+
+# ---------------------------------------------------------------------------
+# snapshot-backed aggregate fold
+# ---------------------------------------------------------------------------
+
+def test_fold_snapshot_state_equals_single_pass(spark, tmp_path):
+    root = str(tmp_path / "t")
+    ev = spark.range(0, 10000).select(
+        (F.col("id") % 300).alias("g"), (F.col("id") % 997).cast("double").alias("v")
+    )
+    specs = {"n": ("count", "*"), "s": ("sum", "v"),
+             "lo": ("min", "v"), "hi": ("max", "v")}
+    for m in range(3):
+        S.fold_snapshot_state(
+            spark, ev.filter(F.col("id") % 3 == m), root, "g", specs,
+            txn=("fold", m),
+        )
+    # poisoned replay of the last batch: fenced, state unmoved
+    before = S.current_version(root)
+    S.fold_snapshot_state(
+        spark, ev.limit(50).withColumn("v", F.lit(1e9)), root, "g", specs,
+        txn=("fold", 2),
+    )
+    assert S.current_version(root) == before
+    got = S.read_snapshot(spark, root).select(
+        "g", "n", F.round("s", 6).alias("s"), "lo", "hi"
+    )
+    want = ev.groupBy("g").agg(
+        F.count("*").alias("n"), F.round(F.sum("v"), 6).alias("s"),
+        F.min("v").alias("lo"), F.max("v").alias("hi"),
+    )
+    assert _rows(got) == _rows(want)
+    # time travel: the rollup AFTER batch 0 is still readable
+    v1 = S.read_snapshot(spark, root, version=1)
+    b0 = ev.filter(F.col("id") % 3 == 0)
+    assert v1.agg(F.sum("n")).collect()[0][0] == b0.count()
+
+
+def test_fold_snapshot_state_prunes_untouched_keys(spark, tmp_path):
+    """A single-key trickle batch must rewrite only the file holding
+    that key's row; every other rollup file carries by reference."""
+    root = str(tmp_path / "t")
+    ev = spark.range(0, 100000).select(
+        (F.col("id") % 5000).alias("g"), F.lit(1.0).alias("v")
+    )
+    specs = {"n": ("count", "*"), "s": ("sum", "v")}
+    S.fold_snapshot_state(spark, ev, root, "g", specs)
+    m1 = S._load_manifest(root, 1)
+    trickle = spark.createDataFrame([(42, 1.0)], "g long, v double")
+    S.fold_snapshot_state(spark, trickle, root, "g", specs)
+    m2 = S._load_manifest(root, 2)
+    v1paths = {f["path"] for f in m1["files"]}
+    carried = sum(1 for f in m2["files"] if f["path"] in v1paths)
+    assert carried == len(m1["files"]) - 1
+    got = S.read_snapshot(spark, root)
+    assert got.filter("g = 42").collect()[0]["n"] == 21  # 20 + trickle
+    assert got.filter("g = 41").collect()[0]["n"] == 20  # untouched
