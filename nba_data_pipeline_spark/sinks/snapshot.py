@@ -647,6 +647,78 @@ def delete_snapshot(
     )
 
 
+def delete_where_range(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lo,
+    hi,
+    retries: int = 2,
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Range takedown — the retention operation (drop everything with
+    ``lo <= col <= hi``, e.g. events older than the horizon on a
+    time-sorted table). The manifest does the heavy lifting: a file
+    whose stat range lies ENTIRELY inside the doomed range is dropped
+    from the new manifest without reading a byte (at 100 TB, expiring
+    a day from a time-sorted table is O(boundary files), the rest is
+    manifest bookkeeping); a file that straddles the boundary rewrites
+    with the filter; a file provably outside carries by reference.
+    Files without stats on ``col`` rewrite (safe). The superseded
+    version stays readable until vacuum — retention is reversible
+    until then."""
+    for attempt in range(retries + 1):
+        if _txn_already_applied(root, txn):
+            return current_version(root)
+        base = current_version(root)
+        if base == 0:
+            raise SnapshotVersionError(f"no snapshot committed at {root}")
+        manifest = _load_manifest(root, base)
+        schema = _schema_of(manifest)
+        dropped, straddling, carried = [], [], []
+        for f in manifest["files"]:
+            st = f["stats"].get(col)
+            if st is None or st["has_nulls"]:
+                straddling.append(f)  # unknown contents: must rewrite
+            elif not _overlaps(st, lo, hi):
+                carried.append(f)  # provably outside: keep as-is
+            else:
+                try:
+                    inside = st["min"] >= lo and st["max"] <= hi
+                except TypeError:
+                    inside = False
+                (dropped if inside else straddling).append(f)
+        if straddling:
+            keep = _read_files(
+                spark, root, schema, [f["path"] for f in straddling]
+            ).filter(~F.col(col).between(lo, hi) | F.col(col).isNull())
+            stat_cols = manifest.get("stat_cols", [])
+            keys = manifest.get("key") or []
+            entries = _stage_files(
+                keep, root, list(dict.fromkeys(keys + stat_cols)),
+                sort_by=keys, target_files=max(1, len(straddling)),
+            )
+        else:
+            entries = []
+        new_manifest = {
+            "op": "delete_range",
+            "key": manifest.get("key") or [],
+            "stat_cols": manifest.get("stat_cols", []),
+            "schema": manifest["schema"],
+            "files": carried + entries,
+            "rows": sum(e["rows"] for e in carried)
+            + sum(e["rows"] for e in entries),
+        }
+        if txn is not None:
+            new_manifest["txns"] = {txn[0]: txn[1]}
+        try:
+            return _commit(root, new_manifest, base)
+        except SnapshotConflict:
+            if attempt == retries:
+                raise
+    raise AssertionError("unreachable")
+
+
 def rollback_snapshot(root: str, to_version: int) -> int:
     """RESTORE: commit a NEW version whose file list is ``to_version``'s
     — history is preserved (the bad versions stay readable until
@@ -671,12 +743,22 @@ def compact_snapshot(
     root: str,
     target_rows_per_file: int,
     retries: int = 2,
+    order_by=None,
+    extra_stat_cols: Sequence[str] = (),
 ) -> int:
     """OPTIMIZE: rewrite the current file set into ceil(rows/target)
     key-sorted files (row content identical — op=``compact``). Small
     incremental commits accrete small files; compaction restores the
     scan-efficient layout, and the pre-compaction version stays
-    readable until vacuum."""
+    readable until vacuum.
+
+    ``order_by`` overrides the sort (ZORDER BY: pass
+    ``[layout.zorder_key("a", "b")]`` and list ``a``/``b`` in
+    ``extra_stat_cols`` — Morton-clustered files get tight min/max
+    boxes on BOTH columns, so ``read_snapshot(key_between=...)`` skips
+    files on either dimension, the multi-column data-skipping the
+    single-key sort cannot give). ``extra_stat_cols`` is additive and
+    persists in the manifest for subsequent merges."""
     for attempt in range(retries + 1):
         base = current_version(root)
         if base == 0:
@@ -686,11 +768,21 @@ def compact_snapshot(
         keys = manifest.get("key") or []
         df = _read_files(spark, root, schema, [f["path"] for f in manifest["files"]])
         n_files = max(1, -(-manifest["rows"] // max(1, target_rows_per_file)))
-        stat_cols = manifest.get("stat_cols", [])
-        entries = _stage_files(
-            df, root, list(dict.fromkeys(keys + stat_cols)),
-            sort_by=keys, target_files=n_files,
+        stat_cols = list(
+            dict.fromkeys(manifest.get("stat_cols", []) + list(extra_stat_cols))
         )
+        if order_by is not None:
+            df = df.repartitionByRange(n_files, *order_by).sortWithinPartitions(
+                *order_by
+            )
+            entries = _stage_files(
+                df, root, list(dict.fromkeys(keys + stat_cols)),
+            )
+        else:
+            entries = _stage_files(
+                df, root, list(dict.fromkeys(keys + stat_cols)),
+                sort_by=keys, target_files=n_files,
+            )
         try:
             return _commit(
                 root,

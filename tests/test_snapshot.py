@@ -796,3 +796,72 @@ def test_fold_snapshot_state_prunes_untouched_keys(spark, tmp_path):
     got = S.read_snapshot(spark, root)
     assert got.filter("g = 42").collect()[0]["n"] == 21  # 20 + trickle
     assert got.filter("g = 41").collect()[0]["n"] == 20  # untouched
+
+
+# ---------------------------------------------------------------------------
+# retention delete + z-order compaction
+# ---------------------------------------------------------------------------
+
+def test_delete_where_range_drops_whole_files_without_reading(
+    spark, tmp_path, monkeypatch
+):
+    """Files entirely inside the doomed range leave the manifest with
+    ZERO data IO: only boundary files are read and rewritten."""
+    root = str(tmp_path / "t")
+    df = spark.range(0, 100000).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("ts"),
+        F.lit(0).cast("long").alias("v"),
+    )
+    S.write_snapshot(spark, df, root, key="k", sort_by=["ts"], stat_cols=["ts"])
+    m1 = S._load_manifest(root, 1)
+    n_files = len(m1["files"])
+    assert n_files >= 4
+    # doom the oldest ~half: interior files drop, one boundary rewrites
+    read_paths = []
+    real = S._read_files
+
+    def spy(spark_, root_, schema_, rels):
+        read_paths.extend(rels)
+        return real(spark_, root_, schema_, rels)
+
+    monkeypatch.setattr(S, "_read_files", spy)
+    S.delete_where_range(spark, root, "ts", 0, 450_000)
+    monkeypatch.undo()
+    assert len(read_paths) <= 2  # boundary file(s) only, never the table
+    got = S.read_snapshot(spark, root)
+    assert got.count() == 100000 - 45001
+    assert got.agg(F.min("ts")).collect()[0][0] == 450_010
+    m2 = S._load_manifest(root, 2)
+    v1paths = {f["path"] for f in m1["files"]}
+    carried = sum(1 for f in m2["files"] if f["path"] in v1paths)
+    assert carried >= 1  # the young half carried by reference
+    # idempotent redelivery via txn
+    before = S.current_version(root)
+    S.delete_where_range(spark, root, "ts", 0, 450_000, txn=("ret", 1))
+    S.delete_where_range(spark, root, "ts", 0, 450_000, txn=("ret", 1))
+    assert S.current_version(root) == before + 1
+
+
+def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
+    from nba_data_pipeline_spark.operators.layout import zorder_key
+
+    root = str(tmp_path / "t")
+    df = spark.range(0, 65536).select(
+        (F.col("id") % 256).alias("x"), (F.col("id") / 256).cast("long").alias("y"),
+        F.col("id").alias("k"),
+    )
+    S.write_snapshot(spark, df, root, key="k")
+    S.compact_snapshot(
+        spark, root, target_rows_per_file=4096,
+        order_by=[zorder_key("x", "y", bits=8)], extra_stat_cols=["x", "y"],
+    )
+    m = S._load_manifest(root, S.current_version(root))
+    assert len(m["files"]) >= 8
+    # Morton clustering: a narrow slice on EITHER dimension prunes files
+    for col in ("x", "y"):
+        hit = [f for f in m["files"] if S._overlaps(f["stats"].get(col), 10, 20)]
+        assert len(hit) < len(m["files"]), col
+    got = S.read_snapshot(spark, root, key_between=("x", 10, 20))
+    assert got.count() == 11 * 256
+    got = S.read_snapshot(spark, root, key_between=("y", 10, 20))
+    assert got.count() == 11 * 256
