@@ -1069,3 +1069,25 @@ def db_history(db_root: str) -> list[dict]:
         {"version": v, "tables": _load_manifest(db_root, v)["tables"]}
         for v in _list_versions(db_root)
     ]
+
+
+def register_db_views(
+    spark: SparkSession,
+    db_root: str,
+    db_version: int | None = None,
+    prefix: str = "",
+) -> dict[str, int]:
+    """SQL surface: register every table the db manifest pins as a temp
+    view (``prefix`` + table name), all at ONE consistent db version —
+    ``spark.sql`` joins across them can never observe a torn
+    multi-table transaction, and passing an old ``db_version`` gives
+    cross-table time travel to the SQL layer. Returns the pinned
+    {table: version} map that was registered."""
+    v = current_version(db_root) if db_version is None else db_version
+    if v == 0:
+        raise SnapshotVersionError(f"no db commit at {db_root}")
+    pinned = _load_manifest(db_root, v)["tables"]
+    for table, tv in pinned.items():
+        df = read_snapshot(spark, os.path.join(db_root, table), version=tv)
+        df.createOrReplaceTempView(f"{prefix}{table}")
+    return dict(pinned)

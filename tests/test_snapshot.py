@@ -865,3 +865,59 @@ def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
     assert got.count() == 11 * 256
     got = S.read_snapshot(spark, root, key_between=("y", 10, 20))
     assert got.count() == 11 * 256
+
+
+# ---------------------------------------------------------------------------
+# SQL surface + true concurrency
+# ---------------------------------------------------------------------------
+
+def test_register_db_views_consistent_sql(spark, tmp_path):
+    db = str(tmp_path / "db")
+    S.write_snapshot(spark, _table(spark, 100), f"{db}/docs", key="k")
+    S.write_snapshot(
+        spark, spark.createDataFrame([(0, 100)], "part int, n long"),
+        f"{db}/stats", key="part",
+    )
+    S.db_commit(db, {"docs": 1, "stats": 1})
+    # tables move individually but are NOT db-committed
+    S.upsert_snapshot(spark, _table(spark, 500), f"{db}/docs", "k")
+    pinned = S.register_db_views(spark, db, prefix="snap_")
+    assert pinned == {"docs": 1, "stats": 1}
+    row = spark.sql(
+        "SELECT count(*) AS c, max(n) AS n FROM snap_docs CROSS JOIN snap_stats"
+    ).collect()[0]
+    assert row["c"] == 100 and row["n"] == 100  # consistent pinned pair
+    with pytest.raises(S.SnapshotVersionError):
+        S.register_db_views(spark, str(tmp_path / "nodb"))
+
+
+def test_concurrent_writers_all_commit(spark, tmp_path):
+    """Four real threads upsert disjoint key ranges concurrently: the
+    link-CAS serializes them, retries absorb the conflicts, and every
+    batch lands exactly once."""
+    import threading
+
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 100), root, key="k")
+    errors = []
+
+    def writer(i):
+        try:
+            src = spark.range(1000 * (i + 1), 1000 * (i + 1) + 50).select(
+                F.col("id").alias("k"), F.lit(1000 + i).cast("long").alias("v")
+            )
+            S.upsert_snapshot(spark, src, root, "k", retries=10)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    got = S.read_snapshot(spark, root)
+    assert got.count() == 100 + 4 * 50
+    for i in range(4):
+        assert got.filter(f"v = {1000 + i}").count() == 50
+    assert S.current_version(root) == 5  # serialized: one commit each
