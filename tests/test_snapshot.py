@@ -921,3 +921,24 @@ def test_concurrent_writers_all_commit(spark, tmp_path):
     for i in range(4):
         assert got.filter(f"v = {1000 + i}").count() == 50
     assert S.current_version(root) == 5  # serialized: one commit each
+
+
+def test_retention_flows_through_cdf_and_mirror(spark, tmp_path):
+    """delete_where_range participates in the CDC contract: expired
+    rows appear as deletes in the feed, and a mirror replicates the
+    expiry."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("ts"),
+        F.lit(0).cast("long").alias("v"),
+    )
+    S.write_snapshot(spark, df, src, key="k", sort_by=["ts"], stat_cols=["ts"])
+    S.mirror_snapshot(spark, src, dst)
+    S.delete_where_range(spark, src, "ts", 0, 9990)
+    cdf = S.snapshot_changes(spark, src, 1)
+    assert {r["_change_type"] for r in cdf.select("_change_type").distinct().collect()} == {"delete"}
+    assert cdf.count() == 1000
+    S.mirror_snapshot(spark, src, dst)
+    assert _rows(S.read_snapshot(spark, dst)) == _rows(S.read_snapshot(spark, src))
+    assert S.read_snapshot(spark, dst).count() == 4000
