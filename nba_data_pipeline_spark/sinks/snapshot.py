@@ -240,12 +240,18 @@ def _footer_stats(file_path: str, stat_cols: Sequence[str]) -> tuple[int, dict]:
         ok = True
         for rg in range(md.num_row_groups):
             s = md.row_group(rg).column(idx).statistics
-            if s is None or not s.has_min_max:
+            try:
+                # .min/.max themselves raise for types pyarrow cannot
+                # extract (e.g. decimal) — a stats gap, not a write error
+                if s is None or not s.has_min_max:
+                    ok = False
+                    break
+                mn, mx = _stat_value(s.min), _stat_value(s.max)
+            except Exception:  # noqa: BLE001 — ArrowNotImplementedError etc.
                 ok = False
                 break
             if s.null_count is None or s.null_count > 0:
                 has_nulls = True
-            mn, mx = _stat_value(s.min), _stat_value(s.max)
             if mn is None or mx is None:
                 ok = False
                 break
@@ -276,7 +282,24 @@ def _stage_files(
         df = df.repartitionByRange(max(1, nparts), *sort_by).sortWithinPartitions(*sort_by)
     elif target_files:
         df = df.repartition(target_files)
-    df.write.mode("overwrite").parquet(stage)
+    # Spark's default INT96 timestamps carry NO parquet min/max stats —
+    # zone maps on an event-time column would silently never prune.
+    # Stage with INT64 micros (stats-capable, the modern parquet type);
+    # restore the session conf afterwards.
+    sess = df.sparkSession
+    ts_key = "spark.sql.parquet.outputTimestampType"
+    try:
+        prev_ts = sess.conf.get(ts_key)
+    except Exception:  # noqa: BLE001
+        prev_ts = None
+    sess.conf.set(ts_key, "TIMESTAMP_MICROS")
+    try:
+        df.write.mode("overwrite").parquet(stage)
+    finally:
+        if prev_ts is not None:
+            sess.conf.set(ts_key, prev_ts)
+        else:
+            sess.conf.unset(ts_key)
     data_dir = os.path.join(root, "data")
     os.makedirs(data_dir, exist_ok=True)
     entries = []
@@ -368,7 +391,12 @@ def read_snapshot(
     files = manifest["files"]
     if key_between is not None:
         col, lo, hi = key_between
-        files = [f for f in files if _overlaps(f["stats"].get(col), lo, hi)]
+        # stats are stat-encoded (datetime -> isoformat), so encode the
+        # caller's bounds the same way before comparing — raw datetime
+        # vs string once TypeError'd into "keep every file"
+        lo_s, hi_s = _stat_value(lo), _stat_value(hi)
+        if lo_s is not None and hi_s is not None:
+            files = [f for f in files if _overlaps(f["stats"].get(col), lo_s, hi_s)]
     df = _read_files(spark, root, schema, [f["path"] for f in files])
     if key_between is not None:
         col, lo, hi = key_between
@@ -397,10 +425,15 @@ def _split_by_overlap(
     for f in files:
         hit = True
         for k in keys:
-            lo, hi = bounds[k]
-            if lo is None:  # batch col all-null: equality can't match
+            lo, hi, all_null = bounds[k]
+            if all_null:  # batch col genuinely all-NULL: = can't match
                 hit = False
                 break
+            if lo is None:
+                continue  # non-null but not stat-encodable (bool,
+                # decimal, ...): cannot prune on this column — a bare
+                # None here once silently CARRIED colliding files and
+                # duplicated keys on read
             if not _overlaps(f["stats"].get(k), lo, hi):
                 hit = False
                 break
@@ -408,13 +441,28 @@ def _split_by_overlap(
     return touched, carried
 
 
-def _batch_bounds(source: DataFrame, keys: Sequence[str]) -> dict[str, tuple]:
+def _batch_bounds(
+    source: DataFrame, keys: Sequence[str]
+) -> tuple[dict[str, tuple], int]:
+    """({key: (lo, hi, all_null)}, batch_row_count). lo/hi are
+    stat-encoded (None when the type is not encodable — caller must
+    NOT prune on that column); ``all_null`` distinguishes the one case
+    where skipping every file is sound."""
     aggs = [F.count(F.lit(1)).alias("_n")]
     for k in keys:
-        aggs += [F.min(k).alias(f"_lo_{k}"), F.max(k).alias(f"_hi_{k}")]
-    row = source.agg(*aggs).collect()[0]  # k+1 scalars — driver-side by design
+        aggs += [
+            F.min(k).alias(f"_lo_{k}"),
+            F.max(k).alias(f"_hi_{k}"),
+            F.count(k).alias(f"_nn_{k}"),
+        ]
+    row = source.agg(*aggs).collect()[0]  # 3k+1 scalars — driver-side by design
     bounds = {
-        k: (_stat_value(row[f"_lo_{k}"]), _stat_value(row[f"_hi_{k}"])) for k in keys
+        k: (
+            _stat_value(row[f"_lo_{k}"]),
+            _stat_value(row[f"_hi_{k}"]),
+            row[f"_nn_{k}"] == 0,
+        )
+        for k in keys
     }
     return bounds, row["_n"]
 
@@ -491,6 +539,7 @@ def _merge_commit(
     combine,
     retries: int = 2,
     txn: tuple[str, int] | None = None,
+    materialize: bool = True,
 ) -> int:
     """Shared copy-on-write merge loop: prune → rewrite touched files →
     commit carried+new with CAS; on SnapshotConflict recompute against
@@ -498,14 +547,17 @@ def _merge_commit(
     ``txn=(app_id, version)`` makes the merge idempotent across
     redelivery: a version at or below the app's committed watermark is
     skipped entirely (the exactly-once contract a foreachBatch sink
-    needs under Structured Streaming's at-least-once replays)."""
+    needs under Structured Streaming's at-least-once replays).
+    ``materialize=False`` is for callers whose source is already
+    checkpointed (mirror's CDF) — skips the redundant second write."""
     keys = [key] if isinstance(key, str) else list(key)
     # materialize the batch ONCE: the merge evaluates it three times
     # (bounds, exact prune, rewrite) and a non-deterministic source
     # recomputed between the prune and the rewrite could change keys
     # after the prune decided which files can be carried — the same
     # reason Delta materializes MERGE sources. O(batch) local write.
-    source = source.localCheckpoint(eager=True)
+    if materialize:
+        source = source.localCheckpoint(eager=True)
     for attempt in range(retries + 1):
         if _txn_already_applied(root, txn):
             return current_version(root)
@@ -621,11 +673,8 @@ def insert_ignore_snapshot(
     txn: tuple[str, int] | None = None,
 ) -> int:
     """ON CONFLICT DO NOTHING over the snapshot format."""
-    def combine(target, src, keys):
-        return insert_ignore(target, src, keys)
-
     return _merge_commit(
-        spark, source, root, key, "upsert", combine, retries, txn=txn
+        spark, source, root, key, "insert_ignore", insert_ignore, retries, txn=txn
     )
 
 
@@ -676,15 +725,17 @@ def delete_where_range(
         manifest = _load_manifest(root, base)
         schema = _schema_of(manifest)
         dropped, straddling, carried = [], [], []
+        lo_s, hi_s = _stat_value(lo), _stat_value(hi)
+        stats_usable = lo_s is not None and hi_s is not None
         for f in manifest["files"]:
             st = f["stats"].get(col)
-            if st is None or st["has_nulls"]:
+            if not stats_usable or st is None or st["has_nulls"]:
                 straddling.append(f)  # unknown contents: must rewrite
-            elif not _overlaps(st, lo, hi):
+            elif not _overlaps(st, lo_s, hi_s):
                 carried.append(f)  # provably outside: keep as-is
             else:
                 try:
-                    inside = st["min"] >= lo and st["max"] <= hi
+                    inside = st["min"] >= lo_s and st["max"] <= hi_s
                 except TypeError:
                     inside = False
                 (dropped if inside else straddling).append(f)
@@ -802,13 +853,33 @@ def compact_snapshot(
     raise AssertionError("unreachable")
 
 
-def vacuum_snapshot(root: str, keep_last: int = 2) -> dict[str, int]:
+def vacuum_snapshot(
+    root: str, keep_last: int = 2, min_age_seconds: float = 600.0
+) -> dict[str, int]:
     """Reclaim space: drop all but the newest ``keep_last`` manifests,
     then delete every ``data/`` file no retained manifest references —
     which also sweeps orphans from crashed or conflict-aborted writes
     (this format's only garbage; there is nothing to heal). Versions
     older than the horizon stop time-traveling with a clean
-    SnapshotVersionError."""
+    SnapshotVersionError.
+
+    ``min_age_seconds`` is the concurrent-writer grace period (Delta's
+    deletion-retention window): an UNREFERENCED file or staging dir
+    younger than it is skipped, because it may belong to a live writer
+    that staged its files but has not linked its manifest yet —
+    deleting those would corrupt the commit the writer is about to
+    make. Keep it above the longest plausible stage-to-commit gap;
+    pass 0 only when no writer can be in flight."""
+    import time as _time
+
+    now = _time.time()
+
+    def _old_enough(path: str) -> bool:
+        try:
+            return now - os.path.getmtime(path) >= min_age_seconds
+        except OSError:
+            return False  # vanished mid-scan: a live writer owns it
+
     versions = _list_versions(root)
     keep = set(versions[-max(1, keep_last):]) if versions else set()
     dropped_manifests = 0
@@ -824,18 +895,21 @@ def vacuum_snapshot(root: str, keep_last: int = 2) -> dict[str, int]:
     dropped_files = 0
     if os.path.isdir(data_dir):
         for name in os.listdir(data_dir):
-            if name not in referenced:
-                os.unlink(os.path.join(data_dir, name))
+            p = os.path.join(data_dir, name)
+            if name not in referenced and _old_enough(p):
+                os.unlink(p)
                 dropped_files += 1
     # stale temp/staging leftovers from crashed writers
     mdir = _manifest_dir(root)
     if os.path.isdir(mdir):
         for name in os.listdir(mdir):
-            if name.startswith(".tmp-"):
-                os.unlink(os.path.join(mdir, name))
+            p = os.path.join(mdir, name)
+            if name.startswith(".tmp-") and _old_enough(p):
+                os.unlink(p)
     for name in (os.listdir(root) if os.path.isdir(root) else []):
-        if name.startswith(".stage-"):
-            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+        p = os.path.join(root, name)
+        if name.startswith(".stage-") and _old_enough(p):
+            shutil.rmtree(p, ignore_errors=True)
     return {"manifests_removed": dropped_manifests, "data_files_removed": dropped_files}
 
 
@@ -974,18 +1048,31 @@ def mirror_snapshot(
         return current_version(dst_root)
     src_manifest = _load_manifest(src_root, src_v)
     keys = src_manifest.get("key") or []
-    if last is None:
+    if last is None or not keys:
+        # bootstrap — or a KEYLESS source, whose deltas cannot be
+        # applied by key: refresh the full pinned snapshot (still
+        # atomic + fenced; incremental economy needs a merge key)
         full = read_snapshot(spark, src_root, version=src_v)
         return write_snapshot(
             spark, full, dst_root, key=keys, txn=(mirror_id, src_v)
         )
     cdf = snapshot_changes(spark, src_root, last, src_v).localCheckpoint()
     if not cdf.take(1):  # physical-only churn: just advance the watermark
-        base = current_version(dst_root)
-        m = _load_manifest(dst_root, base)
-        noop = {k: m[k] for k in ("op", "key", "schema", "files", "rows")}
-        noop.update(op="mirror", txns={mirror_id: src_v}, stat_cols=m.get("stat_cols", []))
-        return _commit(dst_root, noop, base)
+        for attempt in range(retries + 1):
+            base = current_version(dst_root)
+            m = _load_manifest(dst_root, base)
+            noop = {k: m[k] for k in ("op", "key", "schema", "files", "rows")}
+            noop.update(
+                op="mirror", txns={mirror_id: src_v},
+                stat_cols=m.get("stat_cols", []),
+            )
+            try:
+                return _commit(dst_root, noop, base)
+            except SnapshotConflict:
+                if attempt == retries:
+                    raise
+                if _txn_already_applied(dst_root, (mirror_id, src_v)):
+                    return current_version(dst_root)
     all_keys = cdf.select(*keys).dropDuplicates(keys)
     apply_rows = cdf.filter(
         F.col("_change_type").isin("insert", "update_postimage")
@@ -997,7 +1084,7 @@ def mirror_snapshot(
 
     return _merge_commit(
         spark, cdf.drop("_change_type"), dst_root, keys, "mirror", combine,
-        retries, txn=(mirror_id, src_v),
+        retries, txn=(mirror_id, src_v), materialize=False,  # cdf already is
     )
 
 
@@ -1033,12 +1120,30 @@ def db_commit(
     """Atomically advance the pinned versions of the named tables
     (relative paths under ``db_root``); unmentioned tables carry
     forward. The whole transaction becomes visible in ONE link — there
-    is no state in which a db reader sees half of it."""
-    pinned = db_current(db_root)
-    pinned.update({t: int(v) for t, v in table_versions.items()})
-    manifest = {"op": "db_commit", "tables": pinned, "files": [], "rows": 0,
-                "schema": "", "key": []}
-    return _commit(db_root, manifest, expected_version)
+    is no state in which a db reader sees half of it.
+
+    The carry-forward is a read-modify-write, so the commit always
+    CASes on the db version it READ (not merely the version slot):
+    without that, two concurrent db commits advancing different
+    tables would silently roll back each other's pins (lost update).
+    With ``expected_version=None`` the conflict is absorbed by
+    re-reading and retrying; with it set, the conflict raises."""
+    for attempt in range(5):
+        base = current_version(db_root)
+        if expected_version is not None and base != expected_version:
+            raise SnapshotConflict(
+                f"db at {db_root} moved to v{base} (writer based on v{expected_version})"
+            )
+        pinned = dict(_load_manifest(db_root, base)["tables"]) if base else {}
+        pinned.update({t: int(v) for t, v in table_versions.items()})
+        manifest = {"op": "db_commit", "tables": pinned, "files": [], "rows": 0,
+                    "schema": "", "key": []}
+        try:
+            return _commit(db_root, manifest, base)
+        except SnapshotConflict:
+            if expected_version is not None or attempt == 4:
+                raise
+    raise AssertionError("unreachable")
 
 
 def db_read(

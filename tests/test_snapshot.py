@@ -214,7 +214,7 @@ def test_vacuum_reclaims_and_expires(spark, tmp_path):
             F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
         )
         S.upsert_snapshot(spark, src, root, "k")
-    stats = S.vacuum_snapshot(root, keep_last=1)
+    stats = S.vacuum_snapshot(root, keep_last=1, min_age_seconds=0)
     assert stats["manifests_removed"] == 2
     assert stats["data_files_removed"] > 0
     # current unaffected; expired versions fail cleanly
@@ -350,7 +350,7 @@ def test_crash_during_staging_leaves_table_untouched(spark, tmp_path, monkeypatc
     monkeypatch.setattr(S.os, "rename", real_rename)
     assert S.current_version(root) == 1
     assert S.read_snapshot(spark, root).count() == want_before
-    orphans_removed = S.vacuum_snapshot(root, keep_last=5)["data_files_removed"]
+    orphans_removed = S.vacuum_snapshot(root, keep_last=5, min_age_seconds=0)["data_files_removed"]
     assert orphans_removed >= 1
     S.upsert_snapshot(spark, src, root, "k")  # replay
     got = S.read_snapshot(spark, root)
@@ -406,7 +406,7 @@ def test_crash_after_link_is_committed_and_replay_idempotent(
     S.upsert_snapshot(spark, src, root, "k")  # replay on top: idempotent
     got = S.read_snapshot(spark, root)
     assert got.count() == 1000 and got.filter("v = -1").count() == 1
-    S.vacuum_snapshot(root, keep_last=2)  # sweeps the orphaned tmp
+    S.vacuum_snapshot(root, keep_last=2, min_age_seconds=0)  # sweeps the orphaned tmp
     assert not [
         n for n in os.listdir(S._manifest_dir(root)) if n.startswith(".tmp-")
     ]
@@ -942,3 +942,99 @@ def test_retention_flows_through_cdf_and_mirror(spark, tmp_path):
     S.mirror_snapshot(spark, src, dst)
     assert _rows(S.read_snapshot(spark, dst)) == _rows(S.read_snapshot(spark, src))
     assert S.read_snapshot(spark, dst).count() == 4000
+
+
+def test_vacuum_grace_period_spares_young_orphans(spark, tmp_path):
+    """An unreferenced data file younger than the grace period may
+    belong to a live writer mid-commit — default vacuum must NOT
+    delete it; min_age_seconds=0 may."""
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 100), root, key="k")
+    orphan = os.path.join(root, "data", "deadbeef-00000.parquet")
+    m = S._load_manifest(root, 1)
+    import shutil as _sh
+
+    _sh.copy(os.path.join(root, m["files"][0]["path"]), orphan)
+    stats = S.vacuum_snapshot(root, keep_last=1)  # default grace
+    assert stats["data_files_removed"] == 0 and os.path.exists(orphan)
+    stats = S.vacuum_snapshot(root, keep_last=1, min_age_seconds=0)
+    assert stats["data_files_removed"] == 1 and not os.path.exists(orphan)
+
+
+# ---------------------------------------------------------------------------
+# review regressions: non-encodable key types, datetime pruning
+# ---------------------------------------------------------------------------
+
+def test_boolean_key_upsert_and_delete_correct(spark, tmp_path):
+    """Keys whose values cannot be stat-encoded (bool) must disable
+    pruning, not silently carry colliding files (which duplicated
+    keys on read)."""
+    root = str(tmp_path / "t")
+    S.write_snapshot(
+        spark, spark.createDataFrame([(True, 1), (False, 2)], "k boolean, v long"),
+        root, key="k",
+    )
+    S.upsert_snapshot(
+        spark, spark.createDataFrame([(True, 99)], "k boolean, v long"), root, "k"
+    )
+    got = S.read_snapshot(spark, root)
+    assert got.count() == 2
+    assert {(r.k, r.v) for r in got.collect()} == {(True, 99), (False, 2)}
+    S.delete_snapshot(
+        spark, spark.createDataFrame([(True,)], "k boolean"), root, "k"
+    )
+    assert _rows(S.read_snapshot(spark, root)) == [(False, 2)]
+
+
+def test_decimal_key_table_writes_without_stats(spark, tmp_path):
+    """pyarrow cannot extract stats for some types (decimal) — that is
+    a stats gap (no pruning), never a write crash."""
+    root = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        F.col("id").cast("decimal(10,0)").alias("k"), F.col("id").alias("v")
+    )
+    S.write_snapshot(spark, df, root, key="k")
+    src = spark.range(0, 5).select(
+        F.col("id").cast("decimal(10,0)").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    S.upsert_snapshot(spark, src, root, "k")
+    got = S.read_snapshot(spark, root)
+    assert got.count() == 100 and got.filter("v = -1").count() == 5
+
+
+def test_keyless_mirror_full_refresh(spark, tmp_path):
+    """A keyless source cannot mirror by delta — the second pull must
+    fall back to an atomic full refresh, not crash."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    S.write_snapshot(spark, _table(spark, 100).select("v"), src)
+    S.mirror_snapshot(spark, src, dst)
+    S.write_snapshot(spark, _table(spark, 300).select("v"), src)
+    S.mirror_snapshot(spark, src, dst)
+    assert S.read_snapshot(spark, dst).count() == 300
+    assert S.txn_version(dst, "mirror") == 2
+
+
+def test_datetime_key_between_actually_prunes(spark, tmp_path):
+    """Zone-map stats for timestamps are isoformat strings — a raw
+    datetime bound must be encoded the same way, or pruning silently
+    degrades to a full-manifest scan."""
+    import datetime as dt
+
+    root = str(tmp_path / "t")
+    df = spark.range(0, 40000).select(
+        F.col("id").alias("k"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("id"))).alias("ts"),
+    )
+    S.write_snapshot(spark, df, root, key="k", sort_by=["ts"], stat_cols=["ts"])
+    m = S._load_manifest(root, 1)
+    lo = dt.datetime(2024, 1, 1, 0, 10, 0)
+    hi = dt.datetime(2024, 1, 1, 0, 20, 0)
+    survivors = [
+        f for f in m["files"]
+        if S._overlaps(f["stats"].get("ts"), S._stat_value(lo), S._stat_value(hi))
+    ]
+    assert len(survivors) < len(m["files"])  # stats CAN prune this
+    got = S.read_snapshot(spark, root, key_between=("ts", lo, hi))
+    assert got.count() == 601
