@@ -55,11 +55,13 @@ this module is that guarantee rebuilt for a distributed object store.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import re
 import secrets
 import shutil
+import threading
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -206,14 +208,64 @@ def _commit(root: str, manifest: dict, expected_parent: int | None) -> int:
 # data-file staging + footer stats
 # ---------------------------------------------------------------------------
 
+_TS_CONF_LOCK = threading.Lock()
+_TS_CONF_STATE: dict[int, list] = {}  # id(session) -> [depth, prev_value]
+
+
+@contextlib.contextmanager
+def _micros_timestamps(sess: SparkSession):
+    """Hold spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS for
+    the duration, refcounted per session: overlapping brackets from
+    concurrent writers share one set/restore pair, so a restore can
+    never interleave into another writer's in-flight stage write."""
+    key = "spark.sql.parquet.outputTimestampType"
+    sid = id(sess)
+    with _TS_CONF_LOCK:
+        st = _TS_CONF_STATE.get(sid)
+        if st is None:
+            try:
+                prev = sess.conf.get(key)
+            except Exception:  # noqa: BLE001
+                prev = None
+            sess.conf.set(key, "TIMESTAMP_MICROS")
+            _TS_CONF_STATE[sid] = [1, prev]
+        else:
+            st[0] += 1
+    try:
+        yield
+    finally:
+        with _TS_CONF_LOCK:
+            st = _TS_CONF_STATE[sid]
+            st[0] -= 1
+            if st[0] == 0:
+                del _TS_CONF_STATE[sid]
+                prev = st[1]
+                if prev is None:
+                    sess.conf.unset(key)
+                elif prev != "TIMESTAMP_MICROS":
+                    sess.conf.set(key, prev)
+
+
 def _stat_value(v):
     """JSON-safe, order-preserving stat encoding. Types whose encoding
     would not preserve ordering (Decimal, bytes) return None — the
-    file simply never prunes, which is always safe."""
+    file simply never prunes, which is always safe.
+
+    Timestamps are normalized to NAIVE UTC before isoformat: pyarrow
+    footer stats come back tz-aware ('…+00:00') while Spark-collected
+    batch bounds and caller-supplied bounds are naive ('…'). Mixing the
+    two makes the string compare spuriously unequal at wall-clock
+    equality, so boundary files were wrongly pruned/carried (ADVICE
+    r13, high). One encoding for both sides restores total order."""
     if isinstance(v, bool) or v is None:
         return None
     if isinstance(v, (int, float, str)):
         return v
+    tz = getattr(v, "tzinfo", None)
+    if tz is not None:
+        from datetime import timezone
+
+        v = v.astimezone(timezone.utc).replace(tzinfo=None)
     try:  # datetime/date: isoformat strings sort like the values
         return v.isoformat()
     except AttributeError:
@@ -284,22 +336,15 @@ def _stage_files(
         df = df.repartition(target_files)
     # Spark's default INT96 timestamps carry NO parquet min/max stats —
     # zone maps on an event-time column would silently never prune.
-    # Stage with INT64 micros (stats-capable, the modern parquet type);
-    # restore the session conf afterwards.
-    sess = df.sparkSession
-    ts_key = "spark.sql.parquet.outputTimestampType"
-    try:
-        prev_ts = sess.conf.get(ts_key)
-    except Exception:  # noqa: BLE001
-        prev_ts = None
-    sess.conf.set(ts_key, "TIMESTAMP_MICROS")
-    try:
+    # Stage with INT64 micros (stats-capable, the modern parquet type).
+    # DataFrameWriter has no per-write outputTimestampType option
+    # (verified: the option is ignored, files stay INT96), so this must
+    # be a session-conf bracket — refcounted so two concurrent stage
+    # writers in one session can't interleave set/restore and silently
+    # stage INT96 (ADVICE r13, low): the conf stays MICROS while ANY
+    # stage write is in flight; the last one out restores.
+    with _micros_timestamps(df.sparkSession):
         df.write.mode("overwrite").parquet(stage)
-    finally:
-        if prev_ts is not None:
-            sess.conf.set(ts_key, prev_ts)
-        else:
-            sess.conf.unset(ts_key)
     data_dir = os.path.join(root, "data")
     os.makedirs(data_dir, exist_ok=True)
     entries = []
@@ -854,7 +899,8 @@ def compact_snapshot(
 
 
 def vacuum_snapshot(
-    root: str, keep_last: int = 2, min_age_seconds: float = 600.0
+    root: str, keep_last: int = 2, min_age_seconds: float = 600.0,
+    db_root: str | None = None,
 ) -> dict[str, int]:
     """Reclaim space: drop all but the newest ``keep_last`` manifests,
     then delete every ``data/`` file no retained manifest references —
@@ -869,7 +915,15 @@ def vacuum_snapshot(
     that staged its files but has not linked its manifest yet —
     deleting those would corrupt the commit the writer is about to
     make. Keep it above the longest plausible stage-to-commit gap;
-    pass 0 only when no writer can be in flight."""
+    pass 0 only when no writer can be in flight.
+
+    If this table is a member of a db manifest (``db_commit``), pass
+    ``db_root``: every table version a RETAINED db manifest still pins
+    is added to the keep set, so ``db_read``/``register_db_views`` at
+    any retained db version keeps working (ADVICE r13: keep_last alone
+    could vacuum a version an old db manifest pins, breaking
+    cross-table time travel). Vacuum the db manifests first (this same
+    function on ``db_root``) to shrink the pin set."""
     import time as _time
 
     now = _time.time()
@@ -882,6 +936,12 @@ def vacuum_snapshot(
 
     versions = _list_versions(root)
     keep = set(versions[-max(1, keep_last):]) if versions else set()
+    if db_root is not None:
+        table = os.path.relpath(os.path.abspath(root), os.path.abspath(db_root))
+        for dv in _list_versions(db_root):
+            pinned = _load_manifest(db_root, dv).get("tables", {})
+            if table in pinned and pinned[table] in set(versions):
+                keep.add(pinned[table])
     dropped_manifests = 0
     for v in versions:
         if v not in keep:

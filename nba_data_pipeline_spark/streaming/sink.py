@@ -63,7 +63,22 @@ def stream_upsert_snapshot(
     manifest's transaction watermark makes any replayed epoch a
     visible no-op (the public Delta txnAppId/txnVersion design). The
     commit itself is a single atomic link, so a crash can never leave
-    a half-merged table for the retry to trip over."""
+    a half-merged table for the retry to trip over.
+
+    ``checkpoint_dir`` is REQUIRED: without a durable checkpoint every
+    run restarts epoch_id at 0, and the (app_id, epoch) watermark left
+    by a prior run fences each new batch as an already-applied replay —
+    data is silently dropped (ADVICE r13, medium). The watermark's
+    lifetime is the checkpoint's lifetime; reuse an app_id only with
+    its checkpoint, or pick a fresh app_id for a fresh checkpoint."""
+    if not checkpoint_dir:
+        raise ValueError(
+            "stream_upsert_snapshot requires checkpoint_dir: the "
+            "(app_id, epoch) txn fence outlives a temp checkpoint, so "
+            "a re-run without one silently drops every batch as a "
+            "replay. Pass a durable checkpoint_dir (and keep app_id "
+            "paired with it), or use a fresh app_id per run."
+        )
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -1038,3 +1038,123 @@ def test_datetime_key_between_actually_prunes(spark, tmp_path):
     assert len(survivors) < len(m["files"])  # stats CAN prune this
     got = S.read_snapshot(spark, root, key_between=("ts", lo, hi))
     assert got.count() == 601
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r13 regressions
+# ---------------------------------------------------------------------------
+
+def test_timestamp_stats_naive_and_boundary_equality(spark, tmp_path):
+    """ADVICE r13 (high): pyarrow footer stats are tz-aware while
+    caller/Spark bounds are naive; at wall-clock equality the string
+    compare spuriously pruned boundary files. Stats must encode naive
+    UTC, and key_between with hi == a file's min ts must keep that
+    file's matching rows."""
+    import datetime as dt
+
+    root = str(tmp_path / "t")
+    df = spark.range(0, 40000).select(
+        F.col("id").alias("k"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("id"))).alias("ts"),
+    )
+    S.write_snapshot(spark, df, root, key="k", sort_by=["ts"], stat_cols=["ts"])
+    m = S._load_manifest(root, 1)
+    assert len(m["files"]) > 1
+    for f in m["files"]:
+        st = f["stats"]["ts"]
+        assert "+" not in st["min"] and "+" not in st["max"]
+    # hi exactly equal to the SECOND file's min timestamp: the buggy
+    # encoding pruned that file, dropping the row equal to hi
+    boundary = sorted(f["stats"]["ts"]["min"] for f in m["files"])[1]
+    hi = dt.datetime.fromisoformat(boundary)
+    lo = dt.datetime(2024, 1, 1, 0, 0, 0)
+    got = S.read_snapshot(spark, root, key_between=("ts", lo, hi)).count()
+    want = df.filter(F.col("ts").between(F.lit(lo), F.lit(hi))).count()
+    assert got == want
+    # retention at an exact horizon: delete ts <= boundary must drop
+    # exactly the rows the full-scan filter says, incl. the boundary row
+    S.delete_where_range(spark, root, "ts", lo, hi)
+    left = S.read_snapshot(spark, root)
+    assert left.count() == 40000 - want
+    assert left.filter(F.col("ts") <= F.lit(hi)).count() == 0
+
+
+def test_timestamp_keyed_upsert_boundary_no_duplicates(spark, tmp_path):
+    """Boundary-equality in _split_by_overlap: a batch whose key equals
+    a file's min/max timestamp must rewrite that file, not carry it
+    (carrying => duplicate keys after the merge)."""
+    import datetime as dt
+
+    root = str(tmp_path / "t")
+    base = spark.range(0, 20000).select(
+        (F.lit("2024-03-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("id"))).alias("ts"),
+        F.lit(1).alias("v"),
+    )
+    S.write_snapshot(spark, base, root, key="ts", sort_by=["ts"])
+    m = S._load_manifest(root, 1)
+    boundary = sorted(f["stats"]["ts"]["min"] for f in m["files"])[1]
+    hit = dt.datetime.fromisoformat(boundary)
+    batch = spark.createDataFrame([(hit, 99)], "ts timestamp, v int")
+    S.upsert_snapshot(spark, batch, root, key="ts")
+    got = S.read_snapshot(spark, root)
+    assert got.count() == 20000  # no duplicate key
+    assert got.filter(F.col("ts") == F.lit(hit)).collect()[0]["v"] == 99
+
+
+def test_stream_upsert_snapshot_requires_checkpoint(spark, tmp_path):
+    """ADVICE r13 (medium): a temp checkpoint restarts epoch_id at 0 and
+    the prior run's (app_id, epoch) fence silently drops every batch —
+    reject checkpoint_dir=None up front."""
+    from nba_data_pipeline_spark.streaming.sink import stream_upsert_snapshot
+
+    src = str(tmp_path / "src")
+    _table(spark, 10).write.parquet(src)
+    stream = spark.readStream.schema("k bigint, v bigint").parquet(src)
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        stream_upsert_snapshot(stream, str(tmp_path / "t"), "k", "app1")
+
+
+def test_vacuum_respects_db_manifest_pins(spark, tmp_path):
+    """ADVICE r13 (low): vacuum with db_root keeps table versions a
+    retained db manifest still pins, so db-level time travel survives
+    member-table vacuum."""
+    db = str(tmp_path / "db")
+    root = os.path.join(db, "t")
+    S.write_snapshot(spark, _table(spark, 100), root, key="k")          # t v1
+    S.db_commit(db, {"t": 1})                                           # db v1
+    for i in range(2, 6):                                               # t v2..v5
+        S.upsert_snapshot(
+            spark,
+            spark.createDataFrame([(1, 100 + i)], "k bigint, v bigint"),
+            root, key="k",
+        )
+    S.db_commit(db, {"t": 5})                                           # db v2
+    stats = S.vacuum_snapshot(root, keep_last=1, min_age_seconds=0, db_root=db)
+    assert stats["manifests_removed"] > 0
+    # db v1 pins t v1 — must still be readable through the db layer
+    assert S.db_read(spark, db, "t", db_version=1).count() == 100
+    assert S.db_read(spark, db, "t").count() == 100
+    # versions pinned by NO retained db manifest are gone
+    with pytest.raises(S.SnapshotVersionError):
+        S.read_snapshot(spark, root, version=3)
+
+
+def test_micros_conf_bracket_refcounts(spark):
+    """ADVICE r13 (low): overlapping staging writes share one
+    set/restore pair — the conf holds MICROS while any bracket is
+    open and restores the pre-existing value only at depth zero."""
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "INT96")
+    try:
+        with S._micros_timestamps(spark):
+            assert spark.conf.get(key) == "TIMESTAMP_MICROS"
+            with S._micros_timestamps(spark):
+                assert spark.conf.get(key) == "TIMESTAMP_MICROS"
+            # inner exit must NOT restore while the outer is in flight
+            assert spark.conf.get(key) == "TIMESTAMP_MICROS"
+        assert spark.conf.get(key) == "INT96"
+    finally:
+        spark.conf.set(key, prev)
