@@ -135,6 +135,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="corpus_ingest: comma-separated stopword list for the rule gate "
              "(override the English defaults for non-English or synthetic corpora)",
     )
+    p.add_argument(
+        "--format",
+        choices=("swap", "snapshot"),
+        help="table format for the output: 'snapshot' (manifest-committed "
+        "lakehouse table: atomic commits, time travel, change feed, "
+        "retention — the default for the reference pipeline tables, "
+        "matching the reference's Postgres-as-system-of-record) or "
+        "'swap' (hive-partitioned parquet with partition-swap merges — "
+        "the default for the corpus table, whose shard layout feeds the "
+        "bucketed ingest state). An existing table's on-disk format "
+        "always wins; requesting the other format raises.",
+    )
     p.add_argument("--min_quality", type=float, default=0.25)
     p.add_argument("--pack_capacity", type=int, default=2048)
     p.add_argument("--shards", type=int, default=256)
@@ -276,7 +288,7 @@ def run(argv: Sequence[str], spark: SparkSession | None = None) -> None:
     from .functions.gameid import season_from_game_id, season_type_from_game_id  # noqa: F401
     from .operators.incremental import delta_filter
     from .plans import nba_pipelines as P
-    from .sinks.writer import upsert_table
+    from .sinks.store import upsert_store
 
     args = parse_args(argv)
     if spark is None:
@@ -387,7 +399,10 @@ def run(argv: Sequence[str], spark: SparkSession | None = None) -> None:
         # (immutable); split derives from the dup-cluster id, which can
         # change when the corpus changes — partitioning on it could
         # strand a stale copy of a doc in its old split.
-        upsert_table(spark, out, args.output, key="doc_id", partition_by=("shard",))
+        upsert_store(
+            spark, out, args.output, key="doc_id", partition_by=("shard",),
+            fmt=args.format, default="swap",
+        )
         return
     inputs = [spark.read.parquet(p) for p in args.input.split(",")]
     seasons = args.seasons or [None]
@@ -446,18 +461,26 @@ def run(argv: Sequence[str], spark: SparkSession | None = None) -> None:
             # rather than a broad except — a corrupt/unreadable existing
             # table must fail loudly, not silently disable delta
             # filtering and re-merge everything.
-            from .sinks.writer import table_exists
+            from .sinks.store import read_store, store_exists
 
-            if table_exists(args.output):
-                existing = spark.read.parquet(args.output)
+            if store_exists(args.output):
+                existing = read_store(spark, args.output)
                 out = delta_filter(out, existing, ["GAME_ID"])
         partition = ("SEASON", "SEASON_TYPE") if "SEASON" in out.columns else ()
-        upsert_table(
+        # Reference pipeline tables default to the snapshot format —
+        # parity with Postgres as the system of record (transactional
+        # upserts, consistent readers, database/db_client.py:37-92).
+        # SEASON/SEASON_TYPE pruning moves from hive dirs to the
+        # manifest zone maps (files are key-sorted, GAME_ID embeds the
+        # season, so a season filter prunes files just the same).
+        upsert_store(
             spark,
             out,
             args.output,
             key="id" if "id" in out.columns else "GAME_ID",
             partition_by=partition,
+            fmt=args.format,
+            default="snapshot",
         )
 
 

@@ -9713,6 +9713,90 @@ def q_snapshot_retention_gate(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+@q(
+    "snapshot_pipeline_gate",
+    # a reference pipeline (team_game_log: stamp + add_id + fill_nulls,
+    # etl/team_game_log.py:17-33) run through the CLI's default
+    # snapshot sink — initial load, delta catch-up, and a replayed
+    # delta pass — must equal the one-shot SQL over the full input
+    """WITH f AS (
+         SELECT printf('00224%05d',
+                       CAST(row_number() OVER (ORDER BY o_orderkey) AS INT)
+                ) AS game_id,
+                o_custkey % 30 AS team_id,
+                o_totalprice,
+                row_number() OVER (ORDER BY o_orderkey) AS rn
+         FROM orders WHERE o_orderkey % 2 = 1
+       )
+       SELECT game_id AS GAME_ID,
+              team_id AS TEAM_ID,
+              CASE WHEN rn % 11 = 0 THEN CAST(0 AS DOUBLE)
+                   ELSE ROUND(o_totalprice, 2) END AS PTS,
+              '2024-25' AS SEASON,
+              'Regular Season' AS SEASON_TYPE,
+              game_id || '-' || CAST(team_id AS VARCHAR) AS id
+       FROM f""",
+)
+def q_snapshot_pipeline_gate(spark, sf):
+    """The snapshot format as the PIPELINE storage layer (VERDICT r13
+    task #2): team_game_log (reference etl/team_game_log.py:17-33)
+    writes through ``sinks/store.upsert_store`` with the CLI's default
+    ``format="snapshot"`` — parity with the reference's Postgres
+    system of record (database/db_client.py:37-92). Three passes over
+    a GAME_ID-keyed fixture carved from ``orders``:
+
+    1. initial load of 4/5 of the games (creates the table, v1);
+    2. delta catch-up: the FULL input delta-filtered against the
+       snapshot read (``operators/incremental.delta_filter``, J1)
+       merges only the missing 1/5 (v2, copy-on-write);
+    3. replayed delta pass: the filter now subtracts everything, the
+       empty merge no-ops — the CLI's --delta re-run idempotence, but
+       through manifest commits instead of partition swaps.
+
+    The read-back must hash against the one-shot SQL over the full
+    input: proof the snapshot sink is a drop-in system-of-record for
+    the reference pipelines (time travel/CDF/retention come free)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from .operators.incremental import delta_filter
+    from .plans.nba_pipelines import team_game_log
+    from .sinks.store import read_store, upsert_store
+
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 2 == 1)
+    # null every 11th game's PTS so fill_nulls has real work
+    raw = o.select(
+        F.row_number().over(Window.orderBy("o_orderkey")).alias("rn"),
+        (F.col("o_custkey") % 30).alias("TEAM_ID"),
+        F.col("o_totalprice").alias("PTS"),
+    ).select(
+        F.format_string("00224%05d", F.col("rn").cast("int")).alias("GAME_ID"),
+        "TEAM_ID",
+        F.when(F.col("rn") % 11 == 0, F.lit(None)).otherwise(F.col("PTS")).alias("PTS"),
+    )
+    initial = raw.filter(F.substring("GAME_ID", 6, 5).cast("int") % 5 != 0)
+    root = tempfile.mkdtemp(prefix="snapshot_pipeline_gate_")
+    try:
+        out1 = team_game_log(initial, "2024-25", "Regular Season")
+        upsert_store(spark, out1, root, key="id", default="snapshot")
+        # delta catch-up over the FULL input (the CLI --delta path)
+        full = team_game_log(raw, "2024-25", "Regular Season")
+        delta = delta_filter(full, read_store(spark, root), ["GAME_ID"])
+        upsert_store(spark, delta, root, key="id")
+        # replayed delta pass: everything already loaded -> empty merge
+        replay = delta_filter(full, read_store(spark, root), ["GAME_ID"])
+        upsert_store(spark, replay, root, key="id")
+        return (
+            read_store(spark, root)
+            .withColumn("PTS", F.round("PTS", 2))
+            .localCheckpoint()  # materialize before the temp dir dies
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # The driver's correctness gate samples the FIRST 50 entries of
 # queries() in insertion order (confirmed: CORRECTNESS_r05 keys ==
 # registry[:50]). Source order groups queries by module/topic, which

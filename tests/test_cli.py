@@ -35,7 +35,11 @@ def test_cli_team_game_log_end_to_end(spark, tmp_path, team_game_log_df):
          "--input", raw, "--output", out],
         spark=spark,
     )
-    back = spark.read.parquet(out)
+    from nba_data_pipeline_spark.sinks.store import is_snapshot_table, read_store
+
+    # reference pipeline tables default to the snapshot format
+    assert is_snapshot_table(out)
+    back = read_store(spark, out)
     assert back.count() == 2
     assert {"SEASON", "SEASON_TYPE", "id"} <= set(back.columns)
     # delta re-run loads nothing new and changes nothing
@@ -44,7 +48,7 @@ def test_cli_team_game_log_end_to_end(spark, tmp_path, team_game_log_df):
          "--input", raw, "--output", out, "--delta"],
         spark=spark,
     )
-    assert spark.read.parquet(out).count() == 2
+    assert read_store(spark, out).count() == 2
 
 
 def test_cli_multi_season_input_scopes_by_game_id(spark, tmp_path):
@@ -64,7 +68,9 @@ def test_cli_multi_season_input_scopes_by_game_id(spark, tmp_path):
     ).write.parquet(raw)
     run(["team_game_log", "--season", "2023-24,2024-25", "--season_type",
          "Regular Season", "--input", raw, "--output", out], spark=spark)
-    back = spark.read.parquet(out)
+    from nba_data_pipeline_spark.sinks.store import read_store
+
+    back = read_store(spark, out)
     assert back.count() == 12
     per_season = {r.SEASON: r.n for r in back.groupBy("SEASON").agg(
         __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
@@ -157,7 +163,9 @@ def test_cli_game_id_path_decodes_season_for_partitioning(
         ["team_game_log", "--game_id", "0022400001", "--input", raw, "--output", out],
         spark=spark,
     )
-    back = spark.read.parquet(out)
+    from nba_data_pipeline_spark.sinks.store import read_store
+
+    back = read_store(spark, out)
     rows = back.collect()
     assert len(rows) == 2
     assert all(r.SEASON == "2024-25" for r in rows)
