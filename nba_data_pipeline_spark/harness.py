@@ -3500,31 +3500,84 @@ def q_incremental_winnow(spark, sf):
     return incremental_winnow_pairs(new_fps, old_fps, min_shared=50)
 
 
-@q("bpe_merges")
+# Shared fixture for the BPE oracles: the iterative global-argmax fit
+# is not single-SQL-expressible, so the gates run the DISTRIBUTED fit
+# on a fixed deterministic corpus and pin the result as a literal
+# table computed by the INDEPENDENT pure-Python reference
+# (tests/test_bpe.py _ref_bpe — identical tie-break spec: count desc,
+# then (left, right) lexicographic). Corpus-scale BPE stays covered by
+# bpe_pack (full documents table) and the 1k-merge perf pytest.
+_BPE_GATE_DOCS = [
+    (1, "low lower lowest low low", "en"),
+    (2, "new newer newest new", "en"),
+    (3, "wide wider widest wide wide wide", "de"),
+    (4, "low new wide lowest", "de"),
+    (5, "lower newer wider lowest widest", "en"),
+    (6, "newest widest lowest newest", "de"),
+]
+
+
+def _bpe_gate_corpus(spark):
+    return spark.createDataFrame(
+        _BPE_GATE_DOCS, "doc_id long, text string, lang string"
+    )
+
+
+@q(
+    "bpe_merges",
+    # literal-table oracle from the pure-Python reference (ties break
+    # count desc then pair-lexicographic; '</w>' is the end-of-word
+    # sentinel). Recompute with tests/test_bpe.py::_ref_bpe.
+    """SELECT CAST(c0 AS BIGINT) AS step, c1 AS left_sym, c2 AS right_sym,
+              c3 AS merged, CAST(c4 AS BIGINT) AS pair_count
+       FROM (VALUES
+         (0, 'w', 'e', 'we', 11), (1, 'd', 'e', 'de', 10),
+         (2, 'i', 'de', 'ide', 10), (3, 'l', 'o', 'lo', 10),
+         (4, 's', 't', 'st', 10), (5, 'st', '</w>', 'st</w>', 10),
+         (6, 'w', 'ide', 'wide', 10), (7, 'n', 'e', 'ne', 8),
+         (8, 'w', '</w>', 'w</w>', 7), (9, 'we', 'st</w>', 'west</w>', 7),
+         (10, 'r', '</w>', 'r</w>', 6), (11, 'wide', '</w>', 'wide</w>', 5)
+       ) AS t(c0, c1, c2, c3, c4)""",
+)
 def q_bpe_merges(spark, sf):
     """Distributed BPE vocabulary induction (operators/bpe.py
-    bpe_fit): learn 20 merges from the corpus word-frequency table.
-    Rows-only check (the per-round global argmax is iterative, not
-    single-SQL-expressible); exact parity with an independent
-    pure-Python BPE reference is pytest-gated in tests/test_bpe.py.
-    Deterministic: ties break (count desc, pair lexicographic)."""
+    bpe_fit): 12 merges learned on the fixed gate corpus must equal,
+    row for row, the merge table the independent pure-Python
+    reference produces (driver-hashed literal oracle — the conversion
+    of this query from rows-only, VERDICT r13 task #5). Scale
+    coverage lives in bpe_pack; spec parity in tests/test_bpe.py."""
     from .operators.bpe import bpe_fit, word_freq_table
 
-    docs = _t(spark, sf, "documents")
-    return bpe_fit(word_freq_table(docs), num_merges=20)
+    merges = bpe_fit(word_freq_table(_bpe_gate_corpus(spark)), num_merges=12)
+    return merges.select(
+        F.col("step").cast("long").alias("step"),
+        F.col("left").alias("left_sym"),
+        F.col("right").alias("right_sym"),
+        "merged",
+        "pair_count",
+    )
 
 
-@q("bpe_encode_stats")
+@q(
+    "bpe_encode_stats",
+    # literal oracle: per-language subword totals after applying the
+    # 12 reference merges to the gate corpus (pure-Python reference:
+    # en 3 docs / 32 subwords, de 3 docs / 23 subwords)
+    """SELECT c0 AS lang, CAST(c1 AS BIGINT) AS n_docs,
+              CAST(c2 AS BIGINT) AS n_subwords
+       FROM (VALUES ('de', 3, 23), ('en', 3, 32)) AS t(c0, c1, c2)""",
+)
 def q_bpe_encode_stats(spark, sf):
     """Apply the learned BPE merge table back to the corpus
     (operators/bpe.py bpe_encode — fold per DISTINCT word, posexplode
     join reassembly) and report per-language subword statistics: a
     compression-ratio audit a tokenizer-training pipeline runs before
-    accepting a vocabulary. Rows-only (same iterative-fit reason)."""
+    accepting a vocabulary. Fit+encode on the fixed gate corpus,
+    pinned against the pure-Python reference encoding."""
     from .operators.bpe import bpe_encode, bpe_fit, word_freq_table
 
-    docs = _t(spark, sf, "documents")
-    merges = bpe_fit(word_freq_table(docs), num_merges=20)
+    docs = _bpe_gate_corpus(spark)
+    merges = bpe_fit(word_freq_table(docs), num_merges=12)
     enc = bpe_encode(docs, merges, "doc_id")
     return (
         enc.groupBy("lang")
@@ -5378,12 +5431,38 @@ def q_set_except(spark, sf):
     return f_side.subtract(o_side)
 
 
-@q("approx_aggregates")  # approximations are engine-specific: rows-only
+@q(
+    "approx_aggregates",
+    # the approximate VALUES are engine-specific (Spark HLL++ / KLL vs
+    # DuckDB's sketches), so the oracle pins the exact per-group
+    # quantities plus per-group error-bound verdicts (approx_error_gate
+    # pattern, per group instead of global). Measured error: HLL
+    # distinct ~2.7% (bound 10%), approx median ~0.02% (bound 1%).
+    """SELECT l_returnflag,
+              COUNT(DISTINCT l_partkey) AS exact_parts,
+              TRUE AS parts_within_10pct,
+              TRUE AS median_within_1pct
+       FROM lineitem GROUP BY l_returnflag""",
+)
 def q_approx(spark, sf):
+    """Approximate aggregates (HLL++ count-distinct, approximate
+    median) next to their exact counterparts, with per-group bound
+    verdicts — converts the old rows-only check into a full-value
+    oracle (VERDICT r13 task #5)."""
     li = _t(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    per = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("apx"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("apx_med"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("ext_med"),
+    )
+    return per.select(
+        "l_returnflag",
+        "exact_parts",
+        (F.abs(F.col("apx") - F.col("exact_parts")) / F.col("exact_parts")
+         <= 0.10).alias("parts_within_10pct"),
+        (F.abs(F.col("apx_med") - F.col("ext_med")) / F.col("ext_med")
+         <= 0.01).alias("median_within_1pct"),
     )
 
 
@@ -5759,29 +5838,43 @@ def q_minhash(spark, sf):
     )
 
 
-@q("streaming_replay_parity")  # engine-hash signatures -> rows-only
+@q(
+    "streaming_replay_parity",
+    # constant-verdict oracle (approx_error_gate pattern — the pair
+    # VALUES are engine minhashes, so the oracle pins the verdicts):
+    # replayed-ingest pairs == single-shot pairs row-for-row, the
+    # redelivered batch upserted rather than duplicated signatures,
+    # and a PLANTED exact duplicate guarantees the pair set is
+    # non-trivial at every scale
+    """SELECT 'all_pairs_in_both' AS metric, TRUE AS ok
+       UNION ALL SELECT 'no_dup_signatures', TRUE
+       UNION ALL SELECT 'planted_pair_found', TRUE ORDER BY metric""",
+)
 def q_streaming_replay_parity(spark, sf):
     """Replay-equivalence gate for the continuous-ingest near-dedup
     (streaming/ops.py near_dedup_batch, the foreachBatch body of
     stream_near_dedup): ingest a document subset in 3 micro-batches
     WITH one batch redelivered, against a single-shot ingest of the
     same subset. Signatures are seeded (deterministic), so the two
-    pair tables must agree row-for-row — every output row carries
-    in_replayed AND in_single_shot true, and the row count equals the
-    single-shot pair count. A replay bug (double-counted pairs,
-    order-dependent candidates) surfaces as a row with either flag
-    false, changing the count/hash the driver records.
-    """
+    pair tables must agree row-for-row; the redelivery must upsert
+    (no duplicated signature keys); and a planted verbatim copy of
+    doc 1 (id 1e9, landing in a different micro-batch than the
+    original) must be caught in both runs. Converted from rows-only
+    to a constant-verdict oracle (VERDICT r13 task #5)."""
     import shutil
     import tempfile
 
     from .streaming.ops import near_dedup_batch
 
-    docs = (
+    base = (
         _t(spark, sf, "documents")
         .filter(F.col("doc_id") < 600)
         .select("doc_id", "text")
     )
+    planted = base.filter(F.col("doc_id") == 1).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text"
+    )
+    docs = base.unionByName(planted)
     root = tempfile.mkdtemp(prefix="replay_parity_")
     try:
         s_multi, p_multi = f"{root}/sig_multi", f"{root}/pairs_multi"
@@ -5796,24 +5889,41 @@ def q_streaming_replay_parity(spark, sf):
         near_dedup_batch(docs, s_one, p_one, **kw)
         multi = spark.read.parquet(p_multi).select("id_a", "id_b", "est_jaccard")
         single = spark.read.parquet(p_one).select("id_a", "id_b", "est_jaccard")
-        out = (
-            multi.withColumn("in_replayed", F.lit(True))
-            .join(
-                single.withColumn("in_single_shot", F.lit(True)),
-                ["id_a", "id_b", "est_jaccard"],
-                "full",
-            )
-            .select(
-                "id_a",
-                "id_b",
-                "est_jaccard",
-                F.coalesce("in_replayed", F.lit(False)).alias("in_replayed"),
-                F.coalesce("in_single_shot", F.lit(False)).alias("in_single_shot"),
-            )
+        joined = multi.withColumn("in_replayed", F.lit(True)).join(
+            single.withColumn("in_single_shot", F.lit(True)),
+            ["id_a", "id_b", "est_jaccard"],
+            "full",
         )
-        # materialize before the temp tables are deleted — the returned
-        # frame must survive the rmtree below
-        return out.localCheckpoint(eager=True)
+        all_in_both = joined.agg(
+            F.coalesce(
+                F.min(F.col("in_replayed").isNotNull()
+                      & F.col("in_single_shot").isNotNull()),
+                F.lit(True),
+            ).alias("ok")
+        ).select(F.lit("all_pairs_in_both").alias("metric"), "ok")
+        sigs = spark.read.parquet(s_multi)
+        no_dupes = sigs.agg(
+            (F.count("*") == F.countDistinct("doc_id")).alias("ok")
+        ).select(F.lit("no_dup_signatures").alias("metric"), "ok")
+        plant_hit = joined.agg(
+            (
+                F.sum(
+                    (
+                        (F.col("id_a") == 1) & (F.col("id_b") == 1_000_000_001)
+                        & F.col("in_replayed").isNotNull()
+                        & F.col("in_single_shot").isNotNull()
+                    ).cast("int")
+                )
+                >= 1
+            ).alias("ok")
+        ).select(F.lit("planted_pair_found").alias("metric"), "ok")
+        return (
+            all_in_both.unionByName(no_dupes).unionByName(plant_hit)
+            .orderBy("metric")
+            # materialize before the temp tables are deleted — the
+            # returned frame must survive the rmtree below
+            .localCheckpoint(eager=True)
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

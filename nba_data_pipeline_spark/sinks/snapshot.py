@@ -66,7 +66,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from ..operators.incremental import insert_ignore, merge_upsert
 from .writer import _align_schemas
@@ -109,11 +109,29 @@ def _list_versions(root: str) -> list[int]:
 def _load_manifest(root: str, version: int) -> dict:
     try:
         with open(_manifest_path(root, version)) as fh:
-            return json.load(fh)
+            m = json.load(fh)
     except FileNotFoundError:
         raise SnapshotVersionError(
             f"snapshot v{version} does not exist at {root} (never committed or vacuumed)"
         ) from None
+    # normalize file stats to CURRENT column names (rename evolution is
+    # metadata-only, so files written pre-rename keep their physical
+    # name in the footer stats; rewriting the keys here — in memory,
+    # never on disk — keeps every pruning site rename-oblivious)
+    renames = m.get("renames")
+    if renames:
+        for f in m["files"]:
+            stats = f.get("stats") or {}
+            for cur, alts in renames.items():
+                if cur not in stats:
+                    for a in alts:
+                        if a in stats:
+                            # copy, don't move: a rollback to a
+                            # pre-rename file list may still prune
+                            # under the historical name
+                            stats[cur] = stats[a]
+                            break
+    return m
 
 
 def current_version(root: str) -> int:
@@ -183,9 +201,15 @@ def _commit(root: str, manifest: dict, expected_parent: int | None) -> int:
     # txnAppId/txnVersion idempotent-writes design): every commit
     # inherits its parent's map and overlays its own txn, so the fence
     # survives unrelated commits, compaction, and rollback
-    parent_txns = _load_manifest(root, cur).get("txns", {}) if cur else {}
-    txns = {**parent_txns, **manifest.get("txns", {})}
+    parent = _load_manifest(root, cur) if cur else {}
+    txns = {**parent.get("txns", {}), **manifest.get("txns", {})}
     manifest = dict(manifest, version=version, parent=cur, txns=txns)
+    # table properties inherit from the parent unless the commit sets
+    # them (cdf_enabled: whether merges stage write-time change files;
+    # renames/dropped: the schema-evolution name history)
+    for prop in ("cdf_enabled", "renames", "dropped"):
+        if prop not in manifest and prop in parent:
+            manifest[prop] = parent[prop]
     mdir = _manifest_dir(root)
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".tmp-{secrets.token_hex(8)}.json")
@@ -363,18 +387,81 @@ def _stage_files(
     return entries
 
 
+def _stage_cdf(changes: DataFrame, root: str) -> list[dict]:
+    """Stage a commit's change rows (data columns + ``_change_type``)
+    as immutable ``data/cdf-*`` files and return manifest entries.
+    Change files are referenced from the manifest's ``cdf`` block, so
+    vacuum retains them exactly as long as their version; readers of
+    the TABLE never see them (only ``files`` entries are scanned)."""
+    token = secrets.token_hex(8)
+    stage = os.path.join(root, f".stage-{token}")
+    changes.write.mode("overwrite").parquet(stage)
+    data_dir = os.path.join(root, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    entries = []
+    try:
+        import pyarrow.parquet as pq
+
+        parts = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        for i, part in enumerate(parts):
+            src = os.path.join(stage, part)
+            rows = pq.ParquetFile(src).metadata.num_rows
+            if rows == 0:
+                continue
+            rel = os.path.join("data", f"cdf-{token}-{i:05d}.parquet")
+            os.rename(src, os.path.join(root, rel))
+            entries.append({"path": rel, "rows": rows})
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return entries
+
+
 def _schema_of(manifest: dict) -> StructType:
     return StructType.fromJson(json.loads(manifest["schema"]))
 
 
-def _read_files(spark: SparkSession, root: str, schema: StructType, rels: list[str]) -> DataFrame:
+def _read_files(
+    spark: SparkSession,
+    root: str,
+    schema: StructType,
+    rels: list[str],
+    renames: dict | None = None,
+) -> DataFrame:
     if not rels:
         return spark.createDataFrame([], schema)
     paths = [os.path.join(root, r) for r in rels]
     # explicit schema: files written before a column was added read it
     # back as NULL (ADD COLUMN evolution without a mergeSchema footer
-    # sweep over every file)
-    return spark.read.schema(schema).parquet(*paths)
+    # sweep over every file). Widened types (int->long, float->double)
+    # read directly: the Spark 4 parquet reader promotes narrow
+    # physical types to the declared schema type.
+    if not renames:
+        return spark.read.schema(schema).parquet(*paths)
+    # RENAME evolution: old files carry the column under its historical
+    # physical name. Read with the current schema AUGMENTED by one
+    # typed alias column per historical name (absent names read NULL),
+    # then coalesce alias chains into the current name — no per-file
+    # bookkeeping, one scan. A guard at merge time keeps retired names
+    # from ever being reintroduced, so at most one alias is non-NULL.
+    aug = list(schema.fields)
+    alias_of: dict[str, list[str]] = {}
+    current = {f.name for f in schema.fields}
+    for f in schema.fields:
+        for a in renames.get(f.name, []):
+            if a in current:
+                continue  # paranoia: never shadow a live column
+            aug.append(StructField(a, f.dataType, True))
+            alias_of.setdefault(f.name, []).append(a)
+    if not alias_of:
+        return spark.read.schema(schema).parquet(*paths)
+    df = spark.read.schema(StructType(aug)).parquet(*paths)
+    cols = [
+        F.coalesce(f.name, *alias_of[f.name]).alias(f.name)
+        if f.name in alias_of
+        else F.col(f.name)
+        for f in schema.fields
+    ]
+    return df.select(*cols)
 
 
 # ---------------------------------------------------------------------------
@@ -390,13 +477,24 @@ def write_snapshot(
     expected_version: int | None = None,
     txn: tuple[str, int] | None = None,
     stat_cols: Sequence[str] = (),
+    cdf: bool = True,
 ) -> int:
     """Create the table or replace its contents (op=``overwrite``).
     ``key`` columns get footer stats in the manifest so later merges
     can prune; ``sort_by`` lays files out with disjoint key ranges.
     ``stat_cols`` adds zone-map stats for NON-key columns (e.g. an
     event-time column on a time-sorted table), so ``read_snapshot``'s
-    ``key_between`` can skip files on those too."""
+    ``key_between`` can skip files on those too.
+
+    ``cdf`` is the write-time change-data-files table property
+    (Delta's enableChangeDataFeed): on (default), every keyed merge
+    stages its logical changes as sidecar files so a later
+    ``snapshot_changes`` reads O(changed rows) — at the cost of one
+    extra diff+write per merge (~1.5-2x a point merge's wall time at
+    small sizes, amortizing at scale where the rewrite dominates).
+    Off, merges skip the sidecar and the feed falls back to the
+    endpoint-diff (O(changed files) read at CDF time). The property
+    inherits across commits; pass it on any overwrite to flip it."""
     if _txn_already_applied(root, txn):
         return current_version(root)
     keys = [key] if isinstance(key, str) else list(key)
@@ -412,6 +510,16 @@ def write_snapshot(
         "files": entries,
         "rows": sum(e["rows"] for e in entries),
     }
+    manifest["cdf_enabled"] = bool(cdf)
+    # a create/overwrite rewrites every live file with current names —
+    # the rename/drop name history resets (retired names become usable)
+    manifest["renames"] = {}
+    manifest["dropped"] = []
+    if manifest["op"] == "create":
+        # every row is an insert; an overwrite intentionally carries NO
+        # cdf info (its logical delta vs the prior contents is unknown
+        # without reading them — CDF across it uses the diff fallback)
+        manifest["cdf"] = {"mode": "add_only"}
     if txn is not None:
         manifest["txns"] = {txn[0]: txn[1]}
     return _commit(root, manifest, expected_version)
@@ -442,7 +550,9 @@ def read_snapshot(
         lo_s, hi_s = _stat_value(lo), _stat_value(hi)
         if lo_s is not None and hi_s is not None:
             files = [f for f in files if _overlaps(f["stats"].get(col), lo_s, hi_s)]
-    df = _read_files(spark, root, schema, [f["path"] for f in files])
+    df = _read_files(
+        spark, root, schema, [f["path"] for f in files], manifest.get("renames")
+    )
     if key_between is not None:
         col, lo, hi = key_between
         df = df.filter(F.col(col).between(lo, hi))
@@ -575,6 +685,58 @@ def _refine_touched(
     return still, freed
 
 
+_INT_WIDEN = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+_FLOAT_WIDEN = {"float": 0, "double": 1}
+
+
+def _align_evolve(target: DataFrame, source: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Snapshot-merge schema alignment: TYPE WIDENING on top of
+    ``_align_schemas``'s ADD-COLUMN semantics. A column typed
+    differently on the two sides resolves to the WIDER type when both
+    are in the same safe-promotion chain (tinyint<smallint<int<bigint;
+    float<double — the Iceberg/Delta type-widening set): both sides
+    cast up, the merged schema records the wide type, and old data
+    files read back through the Spark 4 parquet reader's built-in
+    narrow-to-wide promotion. Any other mismatch still raises via
+    ``_align_schemas`` — silent lossy casts are how a table rots."""
+    t_types = {f.name: f.dataType.simpleString() for f in target.schema.fields}
+    s_types = {f.name: f.dataType.simpleString() for f in source.schema.fields}
+    for c, st in s_types.items():
+        tt = t_types.get(c)
+        if tt is None or tt == st:
+            continue
+        for chain in (_INT_WIDEN, _FLOAT_WIDEN):
+            if tt in chain and st in chain:
+                wide = tt if chain[tt] >= chain[st] else st
+                if tt != wide:
+                    target = target.withColumn(c, F.col(c).cast(wide))
+                if st != wide:
+                    source = source.withColumn(c, F.col(c).cast(wide))
+                break
+    return _align_schemas(target, source)
+
+
+def _guard_retired_names(source: DataFrame, manifest: dict) -> None:
+    """Reject a merge that reintroduces a column name retired by a
+    rename or drop: live data files still carry values under the old
+    physical name, so a same-named new column would silently resurrect
+    them on read. Compact (rewriting every file) and overwrite reset
+    the retired set."""
+    current = {f["name"] for f in json.loads(manifest["schema"])["fields"]}
+    retired = set(manifest.get("dropped", []))
+    for alts in manifest.get("renames", {}).values():
+        retired.update(alts)
+    clash = [c for c in source.columns if c in retired and c not in current]
+    if clash:
+        raise ValueError(
+            f"column name(s) {clash} were retired by a rename/drop on the "
+            f"snapshot table; live files still hold values under those "
+            "physical names, so reintroducing them would resurrect stale "
+            "data. compact_snapshot (which rewrites every file with "
+            "current names) or an overwrite resets the retired set."
+        )
+
+
 def _merge_commit(
     spark: SparkSession,
     source: DataFrame,
@@ -623,6 +785,8 @@ def _merge_commit(
                 continue
         manifest = _load_manifest(root, base)
         schema = _schema_of(manifest)
+        _guard_retired_names(source, manifest)
+        renames = manifest.get("renames")
         bounds, batch_rows = _batch_bounds(source, keys)
         touched, carried = _split_by_overlap(manifest["files"], keys, bounds)
         touched, freed = _refine_touched(source, keys, touched)
@@ -639,13 +803,15 @@ def _merge_commit(
         else:
             n_out = None
         if touched:
-            target = _read_files(spark, root, schema, [f["path"] for f in touched])
+            target = _read_files(
+                spark, root, schema, [f["path"] for f in touched], renames
+            )
             if op == "delete":
                 # doomed may be keys-only; never let align graft its
                 # columns (or column order) onto the table schema
                 merged = combine(target, source, keys)
             else:
-                target, src = _align_schemas(target, source)
+                target, src = _align_evolve(target, source)
                 merged = combine(target, src, keys)
         else:
             # nothing can collide: new rows only (for delete: no-op)
@@ -657,11 +823,12 @@ def _merge_commit(
                     "schema": manifest["schema"],
                     "files": carried,
                     "rows": sum(e["rows"] for e in carried),
+                    "cdf": {"mode": "files", "files": []},  # nothing matched
                 }
                 if txn is not None:
                     noop["txns"] = {txn[0]: txn[1]}
                 return _commit(root, noop, base)
-            target, src = _align_schemas(_read_files(spark, root, schema, []), source)
+            target, src = _align_evolve(_read_files(spark, root, schema, []), source)
             merged = combine(target, src, keys)
         out_schema = merged.schema
         sort_by = keys if manifest.get("key") == keys else []
@@ -670,6 +837,25 @@ def _merge_commit(
             merged, root, list(dict.fromkeys(keys + stat_cols)),
             sort_by=sort_by, target_files=n_out,
         )
+        # write-time CDF (Delta's change-data files): the merge already
+        # read every touched file, so diffing old vs staged-new here is
+        # O(touched) — and it makes a LATER snapshot_changes read
+        # O(changed rows) instead of re-scanning the rewritten files
+        # (the spread-merge worst case). Pure appends skip the sidecar
+        # entirely: the added data files ARE the feed (mode=add_only).
+        # Tables created with cdf=False skip the sidecar and their
+        # feeds use the endpoint-diff fallback.
+        if not touched:
+            cdf = {"mode": "add_only"}
+        elif manifest.get("cdf_enabled", True):
+            new_df = _read_files(spark, root, out_schema, [e["path"] for e in entries])
+            old_df = _read_files(
+                spark, root, out_schema, [f["path"] for f in touched], renames
+            )
+            changes = _diff_changes(old_df, new_df, keys)
+            cdf = {"mode": "files", "files": _stage_cdf(changes, root)}
+        else:
+            cdf = None
         new_manifest = {
             "op": op,
             "key": keys,
@@ -678,6 +864,8 @@ def _merge_commit(
             "files": carried + entries,
             "rows": sum(e["rows"] for e in carried) + sum(e["rows"] for e in entries),
         }
+        if cdf is not None:
+            new_manifest["cdf"] = cdf
         if txn is not None:
             new_manifest["txns"] = {txn[0]: txn[1]}
         try:
@@ -760,7 +948,10 @@ def delete_where_range(
     with the filter; a file provably outside carries by reference.
     Files without stats on ``col`` rewrite (safe). The superseded
     version stays readable until vacuum — retention is reversible
-    until then."""
+    until then. Range deletes record NO write-time CDF (doomed files
+    are dropped without being read — writing change rows would destroy
+    the O(boundary-files) property), so a change feed spanning one
+    falls back to the endpoint diff."""
     for attempt in range(retries + 1):
         if _txn_already_applied(root, txn):
             return current_version(root)
@@ -786,7 +977,8 @@ def delete_where_range(
                 (dropped if inside else straddling).append(f)
         if straddling:
             keep = _read_files(
-                spark, root, schema, [f["path"] for f in straddling]
+                spark, root, schema, [f["path"] for f in straddling],
+                manifest.get("renames"),
             ).filter(~F.col(col).between(lo, hi) | F.col(col).isNull())
             stat_cols = manifest.get("stat_cols", [])
             keys = manifest.get("key") or []
@@ -813,6 +1005,83 @@ def delete_where_range(
             if attempt == retries:
                 raise
     raise AssertionError("unreachable")
+
+
+def rename_snapshot_column(root: str, old: str, new: str) -> int:
+    """METADATA-ONLY column rename (Iceberg-style evolution, name-
+    mapped instead of id-mapped): commits a new manifest whose schema,
+    key list and stat_cols carry the new name plus a ``renames`` map
+    binding it to every historical physical name. No data file is
+    touched; reads coalesce the alias chain (``_read_files``), prune
+    sites see normalized stats (``_load_manifest``), and merges refuse
+    to ever reintroduce a retired name (``_guard_retired_names``).
+    Raises if ``new`` collides with a live column or a retired name."""
+    base = current_version(root)
+    if base == 0:
+        raise SnapshotVersionError(f"no snapshot committed at {root}")
+    # load RAW (no stats normalization — this manifest is re-committed)
+    with open(_manifest_path(root, base)) as fh:
+        m = json.load(fh)
+    schema = _schema_of(m)
+    names = [f.name for f in schema.fields]
+    if old not in names:
+        raise ValueError(f"cannot rename {old!r}: not a column ({names})")
+    renames = {k: list(v) for k, v in m.get("renames", {}).items()}
+    retired = set(m.get("dropped", []))
+    for alts in renames.values():
+        retired.update(alts)
+    if new in names or new in retired:
+        raise ValueError(
+            f"cannot rename {old!r} -> {new!r}: the target name is a live "
+            "column or was retired by an earlier rename/drop"
+        )
+    fields = [
+        StructField(new, f.dataType, f.nullable) if f.name == old else f
+        for f in schema.fields
+    ]
+    renames[new] = [old] + renames.pop(old, [])
+    manifest = {
+        "op": "rename_column",
+        "key": [new if k == old else k for k in (m.get("key") or [])],
+        "stat_cols": [new if c == old else c for c in m.get("stat_cols", [])],
+        "schema": StructType(fields).json(),
+        "files": m["files"],
+        "rows": m["rows"],
+        "renames": renames,
+    }
+    return _commit(root, manifest, base)
+
+
+def drop_snapshot_column(root: str, col: str) -> int:
+    """METADATA-ONLY column drop: the schema loses the field, every
+    data file carries by reference (readers simply stop selecting the
+    physical column), and the name — with its whole rename history —
+    joins the retired set so a later merge cannot resurrect the stale
+    values still sitting in live files. Key columns cannot drop."""
+    base = current_version(root)
+    if base == 0:
+        raise SnapshotVersionError(f"no snapshot committed at {root}")
+    with open(_manifest_path(root, base)) as fh:
+        m = json.load(fh)
+    schema = _schema_of(m)
+    names = [f.name for f in schema.fields]
+    if col not in names:
+        raise ValueError(f"cannot drop {col!r}: not a column ({names})")
+    if col in (m.get("key") or []):
+        raise ValueError(f"cannot drop key column {col!r}")
+    renames = {k: list(v) for k, v in m.get("renames", {}).items()}
+    dropped = list(m.get("dropped", [])) + [col] + renames.pop(col, [])
+    manifest = {
+        "op": "drop_column",
+        "key": m.get("key") or [],
+        "stat_cols": [c for c in m.get("stat_cols", []) if c != col],
+        "schema": StructType([f for f in schema.fields if f.name != col]).json(),
+        "files": m["files"],
+        "rows": m["rows"],
+        "renames": renames,
+        "dropped": dropped,
+    }
+    return _commit(root, manifest, base)
 
 
 def rollback_snapshot(root: str, to_version: int) -> int:
@@ -862,7 +1131,10 @@ def compact_snapshot(
         manifest = _load_manifest(root, base)
         schema = _schema_of(manifest)
         keys = manifest.get("key") or []
-        df = _read_files(spark, root, schema, [f["path"] for f in manifest["files"]])
+        df = _read_files(
+            spark, root, schema, [f["path"] for f in manifest["files"]],
+            manifest.get("renames"),
+        )
         n_files = max(1, -(-manifest["rows"] // max(1, target_rows_per_file)))
         stat_cols = list(
             dict.fromkeys(manifest.get("stat_cols", []) + list(extra_stat_cols))
@@ -889,6 +1161,15 @@ def compact_snapshot(
                     "schema": manifest["schema"],
                     "files": entries,
                     "rows": sum(e["rows"] for e in entries),
+                    # physical-only rewrite: a CDF consumer can skip
+                    # this commit without reading a byte (the diff
+                    # fallback would read every rewritten file twice
+                    # just to cancel all of them)
+                    "cdf": {"mode": "files", "files": []},
+                    # every file now carries current column names: the
+                    # rename/drop history resets and retired names free up
+                    "renames": {},
+                    "dropped": [],
                 },
                 base,
             )
@@ -949,7 +1230,10 @@ def vacuum_snapshot(
             dropped_manifests += 1
     referenced = set()
     for v in keep:
-        for f in _load_manifest(root, v)["files"]:
+        m = _load_manifest(root, v)
+        for f in m["files"]:
+            referenced.add(os.path.basename(f["path"]))
+        for f in m.get("cdf", {}).get("files", []):
             referenced.add(os.path.basename(f["path"]))
     data_dir = os.path.join(root, "data")
     dropped_files = 0
@@ -985,55 +1269,169 @@ def snapshot_changes(
     with a ``_change_type`` of ``insert`` / ``update_preimage`` /
     ``update_postimage`` / ``delete`` (the public Delta CDF schema).
 
-    Cost is O(changed files), never O(table): the two manifests are
-    diffed by file path, and only files ADDED or REMOVED between the
-    versions are read — a carried-by-reference file can't contain a
-    change by construction. Physical-only rewrites are invisible: a
-    compaction adds and removes files but the full-row ``exceptAll``
-    in both directions cancels every row it merely moved, so the feed
-    is empty (logical changes only — the contract that lets a consumer
-    run vacuum-adjacent maintenance without re-triggering downstream).
+    Cost is O(changed ROWS) on keyed tables whose commits all carry
+    write-time change info (merges stage ``cdf`` sidecar files; pure
+    appends mark ``add_only``; compactions mark an empty change set —
+    the Delta CDC file-action model), so even a SPREAD merge's feed
+    reads only what changed. Otherwise O(changed files): the endpoint
+    manifests are diffed by path and only files ADDED or REMOVED are
+    read — a carried-by-reference file can't contain a change by
+    construction. Physical-only rewrites are invisible either way: the
+    fast path skips them outright; the fallback's full-row
+    ``exceptAll`` in both directions cancels every row it merely moved
+    (logical changes only — the contract that lets a consumer run
+    vacuum-adjacent maintenance without re-triggering downstream).
 
     Classification: a surviving row delta whose key also appears on
     the other side is an update (pre/post image); otherwise a pure
     insert or delete. Keys come from the ``to`` manifest. Both
     versions must still be retained (vacuum raises otherwise)."""
     to_v = current_version(root) if to_version is None else to_version
-    m_from = _load_manifest(root, from_version)
     m_to = _load_manifest(root, to_v)
     schema = _schema_of(m_to)
     keys = m_to.get("key") or []
+    # Fast path (the Delta CDC file-action model): when every commit in
+    # from->to recorded its changes at WRITE time — per-commit ``cdf``
+    # sidecar files for merges (which already read the touched files,
+    # so the extra cost was O(touched)), ``add_only`` for pure appends,
+    # an empty list for physical-only rewrites — the feed reads only
+    # O(changed rows), never O(table). A spread merge's CDF is then the
+    # same cost as a point merge's. Commits without write-time info
+    # (delete_where_range, which drops files WITHOUT reading them;
+    # overwrites; rollbacks; pre-upgrade manifests) drop the chain to
+    # the endpoint-diff fallback below.
+    if keys and to_v >= from_version:
+        chain = [_load_manifest(root, v) for v in range(from_version, to_v + 1)]
+        if all("cdf" in m for m in chain[1:]):
+            return _changes_from_cdf(spark, root, chain, schema, keys)
+    m_from = _load_manifest(root, from_version)
     from_paths = {f["path"] for f in m_from["files"]}
     to_paths = {f["path"] for f in m_to["files"]}
     added = sorted(to_paths - from_paths)
     removed = sorted(from_paths - to_paths)
     cols = [f.name for f in schema.fields]
-    new_rows = _read_files(spark, root, schema, added).select(cols)
-    old_rows = _read_files(spark, root, schema, removed).select(cols)
-    # cancel physically-moved rows (multiset semantics keeps duplicates
-    # honest for keyless tables)
-    appeared = new_rows.exceptAll(old_rows)
-    vanished = old_rows.exceptAll(new_rows)
+    ren = m_to.get("renames")
+    new_rows = _read_files(spark, root, schema, added, ren).select(cols)
+    old_rows = _read_files(spark, root, schema, removed, ren).select(cols)
     if not keys:
+        # cancel physically-moved rows (multiset semantics keeps
+        # duplicates honest for keyless tables)
+        appeared = new_rows.exceptAll(old_rows)
+        vanished = old_rows.exceptAll(new_rows)
         return appeared.withColumn("_change_type", F.lit("insert")).unionByName(
             vanished.withColumn("_change_type", F.lit("delete"))
         )
-    app_keys = appeared.select(*keys).dropDuplicates(keys)
-    van_keys = vanished.select(*keys).dropDuplicates(keys)
-    updated_keys = app_keys.join(van_keys, keys, "left_semi")
-    inserts = appeared.join(updated_keys, keys, "left_anti").withColumn(
-        "_change_type", F.lit("insert")
+    return _diff_changes(old_rows, new_rows, keys)
+
+
+def _diff_changes(old_df: DataFrame, new_df: DataFrame, keys) -> DataFrame:
+    """Classified CDF diff of two keyed row sets in ONE aggregation +
+    ONE key window (instead of two exceptAlls + four classification
+    joins — the job-count difference is what keeps the write-time
+    sidecar cheap on point merges): tag sides ±1, group by the full
+    row to cancel unchanged rows, then look across each key for the
+    other side to split insert / update pre+post / delete. Multiset-
+    safe: a row appearing n times more on one side replicates n
+    times."""
+    cols = new_df.columns
+    tagged = (
+        old_df.select(*cols).withColumn("_side", F.lit(-1))
+        .unionByName(new_df.select(*cols).withColumn("_side", F.lit(1)))
     )
-    deletes = vanished.join(updated_keys, keys, "left_anti").withColumn(
-        "_change_type", F.lit("delete")
+    d = (
+        tagged.groupBy(*cols)
+        .agg(F.sum("_side").alias("_d"))
+        .filter(F.col("_d") != 0)
     )
-    post = appeared.join(updated_keys, keys, "left_semi").withColumn(
-        "_change_type", F.lit("update_postimage")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    d = d.withColumn(
+        "_has_pre", F.max(F.when(F.col("_d") < 0, 1).otherwise(0)).over(w)
+    ).withColumn(
+        "_has_post", F.max(F.when(F.col("_d") > 0, 1).otherwise(0)).over(w)
     )
-    pre = vanished.join(updated_keys, keys, "left_semi").withColumn(
-        "_change_type", F.lit("update_preimage")
+    d = d.withColumn(
+        "_change_type",
+        F.when(
+            F.col("_d") < 0,
+            F.when(F.col("_has_post") == 1, F.lit("update_preimage")).otherwise(
+                F.lit("delete")
+            ),
+        ).otherwise(
+            F.when(F.col("_has_pre") == 1, F.lit("update_postimage")).otherwise(
+                F.lit("insert")
+            )
+        ),
     )
-    return inserts.unionByName(post).unionByName(pre).unionByName(deletes)
+    # replicate multiset multiplicity (keyed tables normally have |_d|=1)
+    d = d.withColumn("_rep", F.explode(F.sequence(F.lit(1), F.abs("_d"))))
+    return d.select(*cols, "_change_type")
+
+
+def _changes_from_cdf(
+    spark: SparkSession, root: str, chain: list[dict], schema: StructType, keys
+) -> DataFrame:
+    """Compose per-commit write-time change files into one from->to
+    feed. Single step returns the recorded feed verbatim. Multi-step
+    nets the chain so intermediate states stay invisible (the endpoint
+    -diff contract): per key, the value-at-from is the FIRST step's
+    pre/delete image (absent if the key's first event is an insert),
+    the value-at-to is the LAST step's insert/post image (absent if
+    the last event is a delete); the two sides then cancel rows that
+    ended where they started and classify like any other diff. Cost:
+    one window + one classify over O(changed rows)."""
+    from pyspark.sql.types import StringType, StructField
+
+    cols = [f.name for f in schema.fields]
+    cdf_schema = StructType(schema.fields + [StructField("_change_type", StringType(), False)])
+    feeds = []
+    for i in range(1, len(chain)):
+        m, prev = chain[i], chain[i - 1]
+        info = m["cdf"]
+        if info.get("mode") == "add_only":
+            prev_paths = {f["path"] for f in prev["files"]}
+            added = sorted(f["path"] for f in m["files"] if f["path"] not in prev_paths)
+            feed = (
+                _read_files(spark, root, schema, added, m.get("renames"))
+                .select(cols)
+                .withColumn("_change_type", F.lit("insert"))
+            )
+        else:
+            rels = [e["path"] for e in info.get("files", [])]
+            if not rels:
+                continue  # physical-only commit: nothing logical
+            # via _read_files so sidecars staged before a later rename
+            # still coalesce their historical column names
+            feed = _read_files(
+                spark, root, cdf_schema, rels, chain[-1].get("renames")
+            ).select(*cols, "_change_type")
+        feeds.append(feed.withColumn("_step", F.lit(i)))
+    if not feeds:
+        return spark.createDataFrame([], cdf_schema)
+    evs = feeds[0]
+    for f in feeds[1:]:
+        evs = evs.unionByName(f)
+    if len(feeds) == 1:
+        return evs.drop("_step")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    evs = evs.withColumn("_s_first", F.min("_step").over(w)).withColumn(
+        "_s_last", F.max("_step").over(w)
+    )
+    vanished = evs.filter(
+        F.col("_change_type").isin("update_preimage", "delete")
+        & (F.col("_step") == F.col("_s_first"))
+    ).select(cols)
+    appeared = evs.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+        & (F.col("_step") == F.col("_s_last"))
+    ).select(cols)
+    # the diff cancels keys that ended at their starting value (e.g.
+    # updated then updated back; inserted-then-deleted cancels via the
+    # absent/absent case naturally) and re-classifies the rest
+    return _diff_changes(vanished, appeared, keys)
 
 
 def fold_snapshot_state(

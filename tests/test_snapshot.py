@@ -221,10 +221,14 @@ def test_vacuum_reclaims_and_expires(spark, tmp_path):
     assert S.read_snapshot(spark, root).count() == 500
     with pytest.raises(S.SnapshotVersionError):
         S.read_snapshot(spark, root, version=1)
-    # on-disk data files == exactly the referenced set
+    # on-disk data files == exactly the referenced set (data + the
+    # retained version's CDF sidecars)
     m = S._load_manifest(root, S.current_version(root))
     on_disk = set(os.listdir(os.path.join(root, "data")))
-    assert on_disk == {os.path.basename(f["path"]) for f in m["files"]}
+    referenced = {os.path.basename(f["path"]) for f in m["files"]}
+    referenced |= {os.path.basename(f["path"])
+                   for f in m.get("cdf", {}).get("files", [])}
+    assert on_disk == referenced
 
 
 # ---------------------------------------------------------------------------
@@ -820,9 +824,9 @@ def test_delete_where_range_drops_whole_files_without_reading(
     read_paths = []
     real = S._read_files
 
-    def spy(spark_, root_, schema_, rels):
+    def spy(spark_, root_, schema_, rels, renames=None):
         read_paths.extend(rels)
-        return real(spark_, root_, schema_, rels)
+        return real(spark_, root_, schema_, rels, renames)
 
     monkeypatch.setattr(S, "_read_files", spy)
     S.delete_where_range(spark, root, "ts", 0, 450_000)
@@ -1158,3 +1162,399 @@ def test_micros_conf_bracket_refcounts(spark):
         assert spark.conf.get(key) == "INT96"
     finally:
         spark.conf.set(key, prev)
+
+
+# ---------------------------------------------------------------------------
+# write-time CDF sidecars (VERDICT r13 task #3)
+# ---------------------------------------------------------------------------
+
+def _strip_cdf(root):
+    """Remove every manifest's write-time cdf info so snapshot_changes
+    is forced onto the endpoint-diff fallback (pre-upgrade manifests)."""
+    import json as _json
+
+    mdir = os.path.join(root, "_manifests")
+    for name in os.listdir(mdir):
+        if not name.endswith(".json"):
+            continue
+        p = os.path.join(mdir, name)
+        with open(p) as fh:
+            m = _json.load(fh)
+        m.pop("cdf", None)
+        with open(p, "w") as fh:
+            _json.dump(m, fh)
+
+
+def _feed_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_cdf_fast_path_matches_fallback_on_spread_merge(spark, tmp_path):
+    """A spread merge (every file touched) records its changes at write
+    time; the fast-path feed must equal the endpoint-diff fallback
+    row-for-row."""
+    import shutil as _sh
+
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 20000), root, key="k")
+    spread = spark.range(0, 20000, 7).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )  # every 7th key: overlaps every file
+    S.upsert_snapshot(spark, spread, root, key="k")
+    S.delete_snapshot(
+        spark, spark.range(0, 20000, 13).select(F.col("id").alias("k")),
+        root, "k",
+    )
+    m = S._load_manifest(root, 2)
+    assert m["cdf"]["mode"] == "files" and m["cdf"]["files"]
+    fast = _feed_rows(S.snapshot_changes(spark, root, 1))
+    # clone the table and strip cdf info -> same API takes the fallback
+    clone = str(tmp_path / "clone")
+    _sh.copytree(root, clone)
+    _strip_cdf(clone)
+    slow = _feed_rows(S.snapshot_changes(spark, clone, 1))
+    assert fast == slow and len(fast) > 0
+
+
+def test_cdf_multi_step_nets_intermediate_states(spark, tmp_path):
+    """updated-then-reverted and inserted-then-deleted keys must vanish
+    from a feed spanning both commits; updated-then-deleted must report
+    ONE delete with the ORIGINAL value."""
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, v long")
+    S.write_snapshot(spark, base, root, key="k")
+    # v2: update k=1 -> 99, k=2 -> 99, insert k=4
+    S.upsert_snapshot(
+        spark, spark.createDataFrame([(1, 99), (2, 99), (4, 40)], "k long, v long"),
+        root, "k",
+    )
+    # v3: revert k=1 to 10, delete k=2 and k=4
+    S.upsert_snapshot(
+        spark, spark.createDataFrame([(1, 10)], "k long, v long"), root, "k"
+    )
+    S.delete_snapshot(
+        spark, spark.createDataFrame([(2,), (4,)], "k long"), root, "k"
+    )
+    feed = _feed_rows(S.snapshot_changes(spark, root, 1))
+    # k=1 reverted -> absent; k=4 insert+delete -> absent;
+    # k=2 updated then deleted -> one delete with the v1 value
+    assert feed == [(2, 20, "delete")]
+
+
+def test_cdf_compaction_commit_reads_nothing(spark, tmp_path):
+    """A feed spanning only physical rewrites must return empty WITHOUT
+    scanning any data file (the recorded empty change set is trusted)."""
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 10000), root, key="k")
+    S.compact_snapshot(spark, root, target_rows_per_file=2500)
+    reads = []
+    orig = S._read_files
+
+    def spy(spark_, root_, schema_, rels_, renames=None):
+        reads.append(list(rels_))
+        return orig(spark_, root_, schema_, rels_, renames)
+
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    try:
+        mp.setattr(S, "_read_files", spy)
+        feed = S.snapshot_changes(spark, root, 1, 2)
+        assert feed.count() == 0
+    finally:
+        mp.undo()
+    assert reads == []  # fast path never touched a data file
+
+
+def test_cdf_sidecars_survive_vacuum_and_are_invisible_to_reads(spark, tmp_path):
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 5000), root, key="k")
+    S.upsert_snapshot(
+        spark, spark.createDataFrame([(1, -1), (2, -2)], "k long, v long"),
+        root, "k",
+    )
+    assert S.read_snapshot(spark, root).count() == 5000  # cdf files not scanned
+    S.vacuum_snapshot(root, keep_last=2, min_age_seconds=0)
+    feed = S.snapshot_changes(spark, root, 1, 2)
+    got = {(r.k, r.v, r._change_type) for r in feed.collect()}
+    assert got == {(1, 1 * 2, "update_preimage"), (2, 4, "update_preimage"),
+                   (1, -1, "update_postimage"), (2, -2, "update_postimage")}
+    # vacuum past the horizon removes the cdf files with their version
+    S.upsert_snapshot(
+        spark, spark.createDataFrame([(3, -3)], "k long, v long"), root, "k"
+    )
+    S.vacuum_snapshot(root, keep_last=1, min_age_seconds=0)
+    leftover = [f for f in os.listdir(os.path.join(root, "data"))
+                if f.startswith("cdf-")]
+    m = S._load_manifest(root, S.current_version(root))
+    kept = {os.path.basename(e["path"]) for e in m["cdf"]["files"]}
+    assert set(leftover) == kept
+
+
+def test_cdf_chain_with_range_delete_falls_back_correctly(spark, tmp_path):
+    """delete_where_range records no write-time CDF (it never reads the
+    dropped files); a feed spanning it must take the endpoint diff and
+    still be exact."""
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 8000), root, key="k", sort_by=["k"])
+    S.upsert_snapshot(
+        spark, spark.createDataFrame([(1, -1)], "k long, v long"), root, "k"
+    )
+    S.delete_where_range(spark, root, "k", 4000, 7999)
+    feed = S.snapshot_changes(spark, root, 1)
+    got = {(r.k, r.v, r._change_type) for r in feed.collect()}
+    want = {(1, 2, "update_preimage"), (1, -1, "update_postimage")}
+    want |= {(k, k * 2, "delete") for k in range(4000, 8000)}
+    assert got == want
+
+
+def test_cdf_disabled_table_skips_sidecars_and_falls_back(spark, tmp_path):
+    """cdf=False at create: merges stage no change files (no write
+    amplification), the property inherits across commits, and
+    snapshot_changes still answers exactly via the endpoint diff."""
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 5000), root, key="k", cdf=False)
+    S.upsert_snapshot(
+        spark, spark.createDataFrame([(1, -1)], "k long, v long"), root, "k"
+    )
+    S.delete_snapshot(spark, spark.createDataFrame([(2,)], "k long"), root, "k")
+    for v in (2, 3):
+        m = S._load_manifest(root, v)
+        assert "cdf" not in m and m["cdf_enabled"] is False
+    assert not any(
+        f.startswith("cdf-") for f in os.listdir(os.path.join(root, "data"))
+    )
+    feed = {(r.k, r.v, r._change_type)
+            for r in S.snapshot_changes(spark, root, 1).collect()}
+    assert feed == {(1, 2, "update_preimage"), (1, -1, "update_postimage"),
+                    (2, 4, "delete")}
+
+
+# ---------------------------------------------------------------------------
+# schema evolution beyond ADD COLUMN (VERDICT r13 task #6)
+# ---------------------------------------------------------------------------
+
+def test_type_widening_on_merge(spark, tmp_path):
+    """A source typed wider than the table (int->long here in both
+    directions, float->double) widens the table schema; old narrow
+    files read back through the parquet reader's promotion."""
+    root = str(tmp_path / "t")
+    narrow = spark.range(0, 1000).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 2).cast("float").alias("v"),
+    )
+    S.write_snapshot(spark, narrow, root, key="k")
+    wide_batch = spark.createDataFrame(
+        [(5_000_000_000, 1.5), (1, -1.0)], "k long, v double"
+    )
+    S.upsert_snapshot(spark, wide_batch, root, "k")
+    got = S.read_snapshot(spark, root)
+    assert dict((f.name, f.dataType.simpleString()) for f in got.schema.fields) == {
+        "k": "bigint", "v": "double"
+    }
+    assert got.count() == 1001
+    assert got.filter(F.col("k") == 5_000_000_000).count() == 1
+    assert got.filter(F.col("k") == 1).collect()[0].v == -1.0
+    # a NARROW source into the widened table upcasts silently (lossless)
+    S.upsert_snapshot(
+        spark,
+        spark.createDataFrame([(2, 7.0)], "k int, v float"),
+        root, "k",
+    )
+    assert S.read_snapshot(spark, root).filter("k = 2").collect()[0].v == 7.0
+    # incompatible change (string into numeric) still raises
+    with pytest.raises(ValueError, match="schema conflict"):
+        S.upsert_snapshot(
+            spark, spark.createDataFrame([(3, "x")], "k long, v string"), root, "k"
+        )
+
+
+def test_rename_column_metadata_only(spark, tmp_path):
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 20000), root, key="k")
+    files_before = {f["path"] for f in S._load_manifest(root, 1)["files"]}
+    S.rename_snapshot_column(root, "v", "value")
+    m = S._load_manifest(root, 2)
+    assert {f["path"] for f in m["files"]} == files_before  # no data touched
+    got = S.read_snapshot(spark, root)
+    assert got.columns == ["k", "value"]
+    assert got.filter("value = 20").collect()[0].k == 10
+    # merges keep working across the rename boundary; new files carry
+    # the new physical name, old files coalesce through the alias
+    S.upsert_snapshot(
+        spark, spark.createDataFrame([(10, -1), (30000, 1)], "k long, value long"),
+        root, "k",
+    )
+    got = S.read_snapshot(spark, root)
+    assert got.count() == 20001
+    assert got.filter("k = 10").collect()[0].value == -1
+    assert got.filter("k = 11").collect()[0].value == 22
+    # renaming a KEY column updates the key + pruning keeps working
+    S.rename_snapshot_column(root, "k", "pk")
+    m = S._load_manifest(root, S.current_version(root))
+    assert m["key"] == ["pk"]
+    assert S.read_snapshot(
+        spark, root, key_between=("pk", 100, 110)
+    ).count() == 11
+    # time travel to the pre-rename version still serves old names
+    assert S.read_snapshot(spark, root, version=1).columns == ["k", "v"]
+
+
+def test_rename_collision_and_retired_name_guards(spark, tmp_path):
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 100), root, key="k")
+    with pytest.raises(ValueError, match="live column"):
+        S.rename_snapshot_column(root, "v", "k")
+    S.rename_snapshot_column(root, "v", "value")
+    with pytest.raises(ValueError, match="not a column"):
+        S.rename_snapshot_column(root, "v", "w")
+    with pytest.raises(ValueError, match="retired"):
+        S.rename_snapshot_column(root, "value", "v")  # old name retired
+    # a merge reintroducing the retired physical name is rejected
+    with pytest.raises(ValueError, match="retired"):
+        S.upsert_snapshot(
+            spark,
+            spark.createDataFrame([(1, 1, 9)], "k long, value long, v long"),
+            root, "k",
+        )
+    # compaction rewrites every file with current names -> name frees up
+    S.compact_snapshot(spark, root, target_rows_per_file=1000)
+    S.upsert_snapshot(
+        spark, spark.createDataFrame([(1, 1, 9)], "k long, value long, v long"),
+        root, "k",
+    )
+    got = S.read_snapshot(spark, root)
+    assert got.filter("k = 1").collect()[0].v == 9
+    assert got.filter("k = 2").collect()[0].v is None
+
+
+def test_drop_column_metadata_only(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = _table(spark, 5000).withColumn("extra", F.col("k") + 100)
+    S.write_snapshot(spark, df, root, key="k")
+    files_before = {f["path"] for f in S._load_manifest(root, 1)["files"]}
+    S.drop_snapshot_column(root, "extra")
+    m = S._load_manifest(root, 2)
+    assert {f["path"] for f in m["files"]} == files_before
+    got = S.read_snapshot(spark, root)
+    assert got.columns == ["k", "v"]
+    with pytest.raises(ValueError, match="key column"):
+        S.drop_snapshot_column(root, "k")
+    # stale physical values cannot resurface under the dropped name
+    with pytest.raises(ValueError, match="retired"):
+        S.upsert_snapshot(
+            spark,
+            spark.createDataFrame([(1, 1, 1)], "k long, v long, extra long"),
+            root, "k",
+        )
+    # time travel still sees the dropped column
+    assert "extra" in S.read_snapshot(spark, root, version=1).columns
+
+
+def test_rename_then_cdf_feed_uses_current_names(spark, tmp_path):
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 1000), root, key="k")
+    S.upsert_snapshot(
+        spark, spark.createDataFrame([(1, -1)], "k long, v long"), root, "k"
+    )
+    S.rename_snapshot_column(root, "v", "value")
+    S.upsert_snapshot(
+        spark, spark.createDataFrame([(2, -2)], "k long, value long"), root, "k"
+    )
+    feed = S.snapshot_changes(spark, root, 1)
+    assert set(feed.columns) == {"k", "value", "_change_type"}
+    got = {(r.k, r.value, r._change_type) for r in feed.collect()}
+    assert got == {(1, 2, "update_preimage"), (1, -1, "update_postimage"),
+                   (2, 4, "update_preimage"), (2, -2, "update_postimage")}
+
+
+# ---------------------------------------------------------------------------
+# multi-PROCESS concurrency (VERDICT r13 task #4)
+# ---------------------------------------------------------------------------
+
+def _mp_db_writer(args):
+    """Child-process body: advance one table's pin M times through
+    db_commit's CAS+retry loop. Pure filesystem — no Spark needed."""
+    db, table, rounds = args
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from nba_data_pipeline_spark.sinks import snapshot as SS
+
+    for v in range(1, rounds + 1):
+        for attempt in range(200):
+            try:
+                SS.db_commit(db, {table: v})
+                break
+            except SS.SnapshotConflict:
+                continue
+        else:
+            return f"{table} v{v}: starved"
+    return None
+
+
+def test_db_commit_multiprocess_no_lost_pins(spark, tmp_path):
+    """The link-CAS is fs-atomic, so fully independent PROCESSES (not
+    just threads) racing db commits must never roll back each other's
+    pins: after 6 writers x 8 rounds every table pin reads its final
+    version and the db version count equals the total commit count."""
+    import multiprocessing as mp
+
+    db = str(tmp_path / "db")
+    os.makedirs(db)
+    tables = [f"t{i}" for i in range(6)]
+    rounds = 8
+    with mp.get_context("spawn").Pool(6) as pool:
+        errs = [e for e in pool.map(
+            _mp_db_writer, [(db, t, rounds) for t in tables]
+        ) if e]
+    assert errs == []
+    pinned = S.db_current(db)
+    assert pinned == {t: rounds for t in tables}
+    # every commit won a distinct version: nothing was silently absorbed
+    assert S.current_version(db) == len(tables) * rounds
+    # carry-forward held at every step: each table's pin is monotone
+    hist = S.db_history(db)
+    last = {}
+    for h in hist:
+        for t, v in h["tables"].items():
+            assert v >= last.get(t, 0), (t, h)
+            last[t] = v
+
+
+def test_mirror_converges_while_source_commits(spark, tmp_path):
+    """A replica pulling WHILE the source commits must never error or
+    apply a torn delta: every mirror pass lands on SOME committed
+    source version (fenced by (mirror_id, src_v)), and a final pass
+    after the writer stops converges replica == source."""
+    import threading
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    S.write_snapshot(spark, _table(spark, 2000), src, key="k")
+    stop = threading.Event()
+    errs = []
+
+    def writer():
+        try:
+            for i in range(1, 9):
+                batch = spark.createDataFrame(
+                    [(int(k), -i) for k in range(i * 10, i * 10 + 5)],
+                    "k long, v long",
+                )
+                S.upsert_snapshot(spark, batch, src, "k")
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+        finally:
+            stop.set()
+
+    t = threading.Thread(target=writer)
+    t.start()
+    try:
+        while not stop.is_set():
+            S.mirror_snapshot(spark, src, dst)
+    finally:
+        t.join()
+    assert errs == []
+    S.mirror_snapshot(spark, src, dst)  # final catch-up
+    assert _rows(S.read_snapshot(spark, dst)) == _rows(S.read_snapshot(spark, src))
