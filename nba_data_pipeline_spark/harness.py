@@ -9932,12 +9932,19 @@ def q_snapshot_pipeline_gate(spark, sf):
 # + 6 staleness re-checks (the r2/r4-vintage greens). After THIS
 # window lands, never-checked debt = 0 *per the on-disk files*, not
 # per a projection.
-# r13 policy: run `python tools/window_ledger.py` FIRST (never trust a
-# drafted list across a round boundary — r9's silent stall is why);
-# window = 6 reps + any remaining never-checked + the stalest greens
-# (the r10 first-timer cohort + newly-oracled queries such as
-# lineup_tracking / lineups_declarative / ivf_ann_topk, which gained
-# full-value oracles in r12 and have no driver row under them yet).
+# r14 policy (unchanged): run `python tools/window_ledger.py` FIRST
+# (never trust a drafted list across a round boundary — r9's silent
+# stall is why); window = 6 reps + every never-checked oracle + the
+# stalest greens. Ledger at rotation time: 240 ever-green, 2
+# never-checked (pq_state_gate, embedding_ingest_gate — judge-verified
+# green in r13, driver evidence still owed), stalest cohort = 14
+# r6-vintage then the r8 block. This round also ADDS oracles
+# (snapshot_pipeline_gate new; bpe_merges / bpe_encode_stats /
+# approx_aggregates / streaming_replay_parity converted from
+# rows-only) — all five enter the window so they never join the
+# never-checked debt. NOTE the window's slow tail: pq_state_gate and
+# embedding_ingest_gate run 27-45s each at sf0.01,
+# streaming_replay_parity ~20s.
 _DRIVER_WINDOW = [
     # §2 family representatives (multi-round green, retained)
     "merge_upsert",        # S5/S7 sink family
@@ -9946,38 +9953,27 @@ _DRIVER_WINDOW = [
     "lineup_validation",   # O2-O6 lineup family (flagship stateful op)
     "minhash_pairs_portable",      # dedup family flagship
     "corpus_pipeline_relational",  # composed end-to-end pipeline
-    # --- 11 oracle-backed queries with NO driver CORRECTNESS row in
-    # any on-disk file (tools/window_ledger.py at rotation time):
-    # 5 gained oracles in r12 (the r12-verdict carry), 6 gained
-    # verdict-gate oracles this round (rows-only burn-down) ---
-    "lineup_tracking", "lineups_declarative", "ivf_ann_topk",
-    "incremental_components", "component_state_gate",
-    "incremental_minhash", "incremental_simhash",
-    "winnow_hash_agreement", "compression_ratio",
-    "audio_ahash_pairs", "image_dhash_pairs",
-    "ivf_state_gate",   # persisted-IVF composition, oracled this round
-    "bm25_state_gate",  # persisted-BM25 composition, full-value oracle
-    # --- 33 stalest ever-greens (last green r2-r6 per the ledger):
-    # code churn since then makes these the likeliest silent-regression
-    # surface ---
-    "running_distinct",     # r2
-    "starters_fallback",    # r4
-    "array_funcs", "rank_family",                       # r5
-    "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8",         # r5
-    "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",     # r5
-    "tpch_q18", "tpch_q19", "tpch_q22",                 # r5
-    "add_id", "asof_join_nearest", "broadcast_dim_join",  # r6
-    "clock_to_seconds", "collect_roundtrip",
-    "distinct_multi", "driving_scan_distinct",
-    "first_event_per_user",
-    "game_id_codec", "group_agg_suite",
-    # snapshot-table gates (oracled this round; the ivf/bm25 precedent:
-    # a new state surface gets driver evidence in the round that
-    # created it — cedes the insert_ignore + fill_nulls +
-    # notnull_filter + range_join_buckets + eq_filter + in_filter r6
-    # re-checks, all ever-green with untouched code, to r14)
-    "snapshot_merge_gate", "snapshot_time_travel", "snapshot_changes_gate",
-    "snapshot_mirror_gate", "snapshot_fold_gate", "snapshot_retention_gate",
+    # --- the LAST 2 never-driver-checked oracle-backed queries ---
+    "pq_state_gate", "embedding_ingest_gate",
+    # --- new/converted oracles this round (would otherwise become
+    # next round's never-checked debt) ---
+    "snapshot_pipeline_gate",
+    "bpe_merges", "bpe_encode_stats",
+    "approx_aggregates", "streaming_replay_parity",
+    # --- 14 r6-vintage stale greens (ceded from the r13 window) ---
+    "dedup_rows", "eq_filter", "exists_probe", "fill_nulls",
+    "in_filter", "insert_ignore", "notnull_filter",
+    "range_join_buckets", "rank_in_group", "string_contains",
+    "tpch_q5", "tpch_q12", "union_tagged", "zorder_key",
+    # --- 23 stalest r8-vintage greens (alphabetical head of the
+    # ledger's r8 block) ---
+    "ann_recall", "bm25_search", "compound_predicate",
+    "connected_components", "cosine_neardup", "data_quality_suite",
+    "decontaminate", "decontaminate_spans", "dedup_assign",
+    "dsir_ratios", "dsir_select", "dup_key_check", "funnel_counts",
+    "fuzzy_join", "gopher_gate", "grouping_sets", "lang_id_trigram",
+    "leakage_safe_split", "left_anti_delta", "length_bucketed_batches",
+    "line_dedup", "lm_perplexity", "lsh_quality_gate",
 ]
 
 
