@@ -7052,12 +7052,38 @@ def q_frame_samples(spark, sf):
     return sample_frames(docs, "doc_id", "payload", every_n_bytes=128)
 
 
-@q("audio_windows")  # fake-decode kernel semantics: rows-only
+@q(
+    "audio_windows",
+    # full-value oracle: the fake decode views the UTF-8 payload as
+    # signed int8 PCM, and the corpus is pure ASCII at every sf (all
+    # bytes < 128, verified), so per-window RMS over 256-byte windows
+    # is exactly sqrt(avg(byte^2)) — SQL-expressible char by char.
+    # Sums of v^2 stay far under 2^53, so both engines compute the
+    # same IEEE double before the shared ROUND.
+    """WITH chars AS (
+         SELECT doc_id,
+                CAST(u.i - 1 AS BIGINT) AS pos,
+                ascii(substring(text, CAST(u.i AS INT), 1)) AS v
+         FROM documents, unnest(generate_series(1, length(text))) AS u(i)
+       )
+       SELECT doc_id,
+              CAST(pos // 256 AS INT) AS window_idx,
+              CAST(COUNT(*) AS INT) AS n_samples,
+              ROUND(SQRT(AVG(CAST(v AS DOUBLE) * v)), 6) AS rms
+       FROM chars
+       GROUP BY doc_id, pos // 256""",
+)
 def q_audio_windows(spark, sf):
+    """Windowed audio featurization (operators/multimodal.py
+    extract_audio_windows, mapInPandas fan-out): converted from
+    rows-only to a full-value oracle — the fake int8 decode over an
+    all-ASCII corpus makes every window's RMS reproducible in SQL
+    (the 'real' WAV decode path keeps its pytest coverage)."""
     from .operators.multimodal import extract_audio_windows
 
     docs = _t(spark, sf, "documents").withColumn("payload", F.encode("text", "utf-8"))
-    return extract_audio_windows(docs, "doc_id", "payload", window_samples=256)
+    out = extract_audio_windows(docs, "doc_id", "payload", window_samples=256)
+    return out.withColumn("rms", F.round("rms", 6))
 
 
 @q(
@@ -9959,21 +9985,23 @@ _DRIVER_WINDOW = [
     # next round's never-checked debt) ---
     "snapshot_pipeline_gate",
     "bpe_merges", "bpe_encode_stats",
-    "approx_aggregates", "streaming_replay_parity",
+    "approx_aggregates", "streaming_replay_parity", "audio_windows",
     # --- 14 r6-vintage stale greens (ceded from the r13 window) ---
     "dedup_rows", "eq_filter", "exists_probe", "fill_nulls",
     "in_filter", "insert_ignore", "notnull_filter",
     "range_join_buckets", "rank_in_group", "string_contains",
     "tpch_q5", "tpch_q12", "union_tagged", "zorder_key",
-    # --- 23 stalest r8-vintage greens (alphabetical head of the
-    # ledger's r8 block) ---
+    # --- 22 stalest r8-vintage greens (alphabetical head of the
+    # ledger's r8 block; lsh_quality_gate ceded its slot to the
+    # audio_windows conversion — never-checked debt outranks a
+    # staleness refresh) ---
     "ann_recall", "bm25_search", "compound_predicate",
     "connected_components", "cosine_neardup", "data_quality_suite",
     "decontaminate", "decontaminate_spans", "dedup_assign",
     "dsir_ratios", "dsir_select", "dup_key_check", "funnel_counts",
     "fuzzy_join", "gopher_gate", "grouping_sets", "lang_id_trigram",
     "leakage_safe_split", "left_anti_delta", "length_bucketed_batches",
-    "line_dedup", "lm_perplexity", "lsh_quality_gate",
+    "line_dedup", "lm_perplexity",
 ]
 
 
