@@ -1048,6 +1048,9 @@ def rename_snapshot_column(root: str, old: str, new: str) -> int:
         "files": m["files"],
         "rows": m["rows"],
         "renames": renames,
+        # metadata-only: no logical row changes under the new schema's
+        # projection — a CDF chain crossing this commit skips it
+        "cdf": {"mode": "files", "files": []},
     }
     return _commit(root, manifest, base)
 
@@ -1080,6 +1083,8 @@ def drop_snapshot_column(root: str, col: str) -> int:
         "rows": m["rows"],
         "renames": renames,
         "dropped": dropped,
+        # metadata-only (see rename_column)
+        "cdf": {"mode": "files", "files": []},
     }
     return _commit(root, manifest, base)
 
