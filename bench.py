@@ -38,8 +38,13 @@ HEADLINE = [
     "incremental_agg_state",
     "cdc_apply",
     # manifest-committed snapshot table: create + fenced COW merges +
-    # keyed takedown (the lakehouse-format counterpart of merge_upsert)
+    # keyed takedown (the lakehouse-format counterpart of merge_upsert),
+    # with its cdf=False twin so the write-time change-file tax is a
+    # first-class floor, and the reference-pipeline-through-snapshot
+    # composition (the CLI's default sink path)
     "snapshot_merge_gate",
+    "snapshot_merge_nocdf_gate",
+    "snapshot_pipeline_gate",
     "broadcast_dim_join",
     "collect_roundtrip",
     "first_event_per_user",

@@ -9574,6 +9574,57 @@ def q_snapshot_merge_gate(spark, sf):
 
 
 @q(
+    "snapshot_merge_nocdf_gate",
+    # same transaction chain and oracle as snapshot_merge_gate, with
+    # the write-time CDF property OFF — the bench twin that measures
+    # exactly what the sidecar diff+write costs per merge (the
+    # portable-hash-twin pattern: both dials as first-class floors)
+    """SELECT o_orderkey,
+              ROUND(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+                         ELSE o_totalprice END, 2) AS totalprice
+       FROM orders WHERE o_orderkey % 7 <> 0""",
+)
+def q_snapshot_merge_nocdf_gate(spark, sf):
+    """snapshot_merge_gate with ``cdf=False`` at create: merges skip
+    the change-file sidecar (feeds fall back to the endpoint diff).
+    Identical row semantics — the floor delta vs the default gate IS
+    the measured CDF write tax."""
+    import shutil
+    import tempfile
+
+    from .sinks.snapshot import (
+        delete_snapshot,
+        read_snapshot,
+        upsert_snapshot,
+        write_snapshot,
+    )
+
+    o = _t(spark, sf, "orders")
+    base = o.select("o_orderkey", F.col("o_totalprice").alias("totalprice"))
+    batch = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", (F.col("o_totalprice") * 2).alias("totalprice"))
+    )
+    doomed = o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    root = tempfile.mkdtemp(prefix="snapshot_merge_nocdf_")
+    try:
+        write_snapshot(spark, base, root, key="o_orderkey", cdf=False)
+        upsert_snapshot(spark, batch, root, "o_orderkey", txn=("gate", 1))
+        poisoned = batch.withColumn("totalprice", F.col("totalprice") * 999)
+        upsert_snapshot(  # redelivered epoch, corrupted payload: fenced
+            spark, poisoned, root, "o_orderkey", txn=("gate", 1)
+        )
+        delete_snapshot(spark, doomed, root, "o_orderkey")
+        return (
+            read_snapshot(spark, root)
+            .withColumn("totalprice", F.round("totalprice", 2))
+            .localCheckpoint()  # materialize before the temp dir dies
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
     "snapshot_time_travel",
     # the v1 read AFTER later commits must equal the original create —
     # snapshot isolation as a full-value oracle
@@ -9986,21 +10037,23 @@ _DRIVER_WINDOW = [
     "snapshot_pipeline_gate",
     "bpe_merges", "bpe_encode_stats",
     "approx_aggregates", "streaming_replay_parity", "audio_windows",
+    "snapshot_merge_nocdf_gate",
     # --- 14 r6-vintage stale greens (ceded from the r13 window) ---
     "dedup_rows", "eq_filter", "exists_probe", "fill_nulls",
     "in_filter", "insert_ignore", "notnull_filter",
     "range_join_buckets", "rank_in_group", "string_contains",
     "tpch_q5", "tpch_q12", "union_tagged", "zorder_key",
-    # --- 22 stalest r8-vintage greens (alphabetical head of the
-    # ledger's r8 block; lsh_quality_gate ceded its slot to the
-    # audio_windows conversion — never-checked debt outranks a
+    # --- 21 stalest r8-vintage greens (alphabetical head of the
+    # ledger's r8 block; lsh_quality_gate and length_bucketed_batches
+    # ceded their slots to the audio_windows conversion and the
+    # snapshot_merge_nocdf_gate twin — never-checked debt outranks a
     # staleness refresh) ---
     "ann_recall", "bm25_search", "compound_predicate",
     "connected_components", "cosine_neardup", "data_quality_suite",
     "decontaminate", "decontaminate_spans", "dedup_assign",
     "dsir_ratios", "dsir_select", "dup_key_check", "funnel_counts",
     "fuzzy_join", "gopher_gate", "grouping_sets", "lang_id_trigram",
-    "leakage_safe_split", "left_anti_delta", "length_bucketed_batches",
+    "leakage_safe_split", "left_anti_delta",
     "line_dedup", "lm_perplexity",
 ]
 

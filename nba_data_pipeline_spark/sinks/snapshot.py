@@ -747,6 +747,7 @@ def _merge_commit(
     retries: int = 2,
     txn: tuple[str, int] | None = None,
     materialize: bool = True,
+    cdf: bool = True,
 ) -> int:
     """Shared copy-on-write merge loop: prune → rewrite touched files →
     commit carried+new with CAS; on SnapshotConflict recompute against
@@ -777,7 +778,8 @@ def _merge_commit(
                 # table first, retry as a real merge instead of
                 # overwriting the winner's rows
                 return write_snapshot(
-                    spark, source, root, key=keys, txn=txn, expected_version=0
+                    spark, source, root, key=keys, txn=txn,
+                    expected_version=0, cdf=cdf,
                 )
             except SnapshotConflict:
                 if attempt == retries:
@@ -884,6 +886,7 @@ def upsert_snapshot(
     key: str | Sequence[str],
     retries: int = 2,
     txn: tuple[str, int] | None = None,
+    cdf: bool = True,
 ) -> int:
     """MERGE (source wins on key collision) as a copy-on-write commit:
     only data files whose footer key-stats overlap the batch are
@@ -891,9 +894,13 @@ def upsert_snapshot(
     the table. Same row semantics as ``sinks.writer.upsert_table`` —
     cross-checked in tests — with O(1) atomic commit instead of the
     per-directory swap loop. ``txn=(app_id, version)`` fences
-    redelivery: an already-committed version no-ops."""
+    redelivery: an already-committed version no-ops. ``cdf`` applies
+    only when THIS call creates the table (the write-time change-file
+    property, see ``write_snapshot``); an existing table keeps its
+    property."""
     return _merge_commit(
-        spark, source, root, key, "upsert", merge_upsert, retries, txn=txn
+        spark, source, root, key, "upsert", merge_upsert, retries, txn=txn,
+        cdf=cdf,
     )
 
 
@@ -904,10 +911,13 @@ def insert_ignore_snapshot(
     key: str | Sequence[str],
     retries: int = 2,
     txn: tuple[str, int] | None = None,
+    cdf: bool = True,
 ) -> int:
-    """ON CONFLICT DO NOTHING over the snapshot format."""
+    """ON CONFLICT DO NOTHING over the snapshot format. ``cdf`` as in
+    ``upsert_snapshot`` (create-time only)."""
     return _merge_commit(
-        spark, source, root, key, "insert_ignore", insert_ignore, retries, txn=txn
+        spark, source, root, key, "insert_ignore", insert_ignore, retries,
+        txn=txn, cdf=cdf,
     )
 
 

@@ -86,6 +86,7 @@ def upsert_store(
     fmt: str | None = None,
     default: str = "swap",
     txn: tuple[str, int] | None = None,
+    cdf: bool = True,
 ) -> None:
     """MERGE through whichever backend owns ``path`` (create on first
     write in ``fmt`` or ``default``). The snapshot backend sorts new
@@ -94,11 +95,13 @@ def upsert_store(
     ignored there (zone maps replace hive dirs as the pruning
     structure). ``txn`` (app_id, version) rides through to the snapshot
     commit for idempotent replays; the swap backend has no fence and
-    rejects it loudly rather than silently dropping the guarantee."""
+    rejects it loudly rather than silently dropping the guarantee.
+    ``cdf`` sets the snapshot write-time change-file property when THIS
+    call creates the table (existing tables keep theirs)."""
     resolved = _resolve(path, fmt, default)
     if resolved == "snapshot":
         keys = [key] if isinstance(key, str) else list(key)
-        snap.upsert_snapshot(spark, source, path, keys, txn=txn)
+        snap.upsert_snapshot(spark, source, path, keys, txn=txn, cdf=cdf)
         return
     if txn is not None:
         raise ValueError(
@@ -117,12 +120,13 @@ def insert_ignore_store(
     fmt: str | None = None,
     default: str = "swap",
     txn: tuple[str, int] | None = None,
+    cdf: bool = True,
 ) -> None:
     """ON CONFLICT DO NOTHING through whichever backend owns ``path``."""
     resolved = _resolve(path, fmt, default)
     if resolved == "snapshot":
         keys = [key] if isinstance(key, str) else list(key)
-        snap.insert_ignore_snapshot(spark, source, path, keys, txn=txn)
+        snap.insert_ignore_snapshot(spark, source, path, keys, txn=txn, cdf=cdf)
         return
     if txn is not None:
         raise ValueError(
