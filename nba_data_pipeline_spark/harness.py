@@ -9984,6 +9984,75 @@ def q_snapshot_pipeline_gate(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+@q(
+    "agg_view_gate",
+    # the view after bootstrap + two incremental refreshes (an update
+    # wave, then a delete wave) must equal the one-shot aggregate over
+    # the source's FINAL state — incremental view maintenance as a
+    # full-value oracle
+    """SELECT o_custkey % 100 AS g,
+              ROUND(SUM(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+                             ELSE o_totalprice END), 2) AS sum_price,
+              CAST(COUNT(*) AS BIGINT) AS n_orders
+       FROM orders WHERE o_orderkey % 7 <> 0
+       GROUP BY o_custkey % 100""",
+)
+def q_agg_view_gate(spark, sf):
+    """Incrementally-maintained aggregate view (sinks/snapshot.py
+    refresh_agg_view): a per-customer-group rollup of the orders table
+    is bootstrapped, then maintained through an update wave (every
+    10th order re-priced) and a delete wave (every 7th order removed)
+    by folding ONLY the change feed — updates retract their pre-image,
+    deletes shrink groups, and the refresh position rides the view's
+    own txn watermark (a replayed refresh is a visible no-op,
+    exercised below). The final view must hash against the one-shot
+    GROUP BY over the final source state."""
+    import shutil
+    import tempfile
+
+    from .sinks.snapshot import (
+        delete_snapshot,
+        read_snapshot,
+        refresh_agg_view,
+        upsert_snapshot,
+        write_snapshot,
+    )
+
+    o = _t(spark, sf, "orders")
+    base = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 100).alias("g"),
+        F.col("o_totalprice").alias("price"),
+    )
+    root = tempfile.mkdtemp(prefix="agg_view_gate_")
+    src, dst = f"{root}/src", f"{root}/view"
+    specs = {"sum_price": ("sum", "price"), "n_orders": ("count_rows", "*")}
+    try:
+        write_snapshot(spark, base, src, key="o_orderkey")
+        refresh_agg_view(spark, src, dst, "g", specs)  # bootstrap
+        upsert_snapshot(
+            spark,
+            base.filter(F.col("o_orderkey") % 10 == 0)
+            .withColumn("price", F.col("price") * 2),
+            src, "o_orderkey",
+        )
+        refresh_agg_view(spark, src, dst, "g", specs)  # update wave
+        refresh_agg_view(spark, src, dst, "g", specs)  # replay: no-op
+        delete_snapshot(
+            spark,
+            o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
+            src, "o_orderkey",
+        )
+        refresh_agg_view(spark, src, dst, "g", specs)  # delete wave
+        return (
+            read_snapshot(spark, dst)
+            .select("g", F.round("sum_price", 2).alias("sum_price"), "n_orders")
+            .localCheckpoint()  # materialize before the temp dir dies
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # The driver's correctness gate samples the FIRST 50 entries of
 # queries() in insertion order (confirmed: CORRECTNESS_r05 keys ==
 # registry[:50]). Source order groups queries by module/topic, which
@@ -10037,24 +10106,23 @@ _DRIVER_WINDOW = [
     "snapshot_pipeline_gate",
     "bpe_merges", "bpe_encode_stats",
     "approx_aggregates", "streaming_replay_parity", "audio_windows",
-    "snapshot_merge_nocdf_gate",
+    "snapshot_merge_nocdf_gate", "agg_view_gate",
     # --- 14 r6-vintage stale greens (ceded from the r13 window) ---
     "dedup_rows", "eq_filter", "exists_probe", "fill_nulls",
     "in_filter", "insert_ignore", "notnull_filter",
     "range_join_buckets", "rank_in_group", "string_contains",
     "tpch_q5", "tpch_q12", "union_tagged", "zorder_key",
-    # --- 21 stalest r8-vintage greens (alphabetical head of the
-    # ledger's r8 block; lsh_quality_gate and length_bucketed_batches
-    # ceded their slots to the audio_windows conversion and the
-    # snapshot_merge_nocdf_gate twin — never-checked debt outranks a
-    # staleness refresh) ---
+    # --- 20 stalest r8-vintage greens (alphabetical head of the
+    # ledger's r8 block; lsh_quality_gate, length_bucketed_batches and
+    # lm_perplexity ceded slots to this round's new oracles
+    # (audio_windows, snapshot_merge_nocdf_gate, agg_view_gate) —
+    # never-checked debt outranks a staleness refresh) ---
     "ann_recall", "bm25_search", "compound_predicate",
     "connected_components", "cosine_neardup", "data_quality_suite",
     "decontaminate", "decontaminate_spans", "dedup_assign",
     "dsir_ratios", "dsir_select", "dup_key_check", "funnel_counts",
     "fuzzy_join", "gopher_gate", "grouping_sets", "lang_id_trigram",
-    "leakage_safe_split", "left_anti_delta",
-    "line_dedup", "lm_perplexity",
+    "leakage_safe_split", "left_anti_delta", "line_dedup",
 ]
 
 

@@ -1585,6 +1585,121 @@ def db_current(db_root: str) -> dict[str, int]:
     return dict(_load_manifest(db_root, cur)["tables"]) if cur else {}
 
 
+def refresh_agg_view(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    keys: str | Sequence[str],
+    specs: dict[str, tuple[str, str]],
+    view_id: str = "agg_view",
+    retries: int = 2,
+) -> int:
+    """Incrementally-maintained MATERIALIZED AGGREGATE VIEW: ``dst``
+    holds ``src.groupBy(keys).agg(specs)`` and each call advances it
+    by folding only the change feed since the last refresh — never
+    re-aggregating the source (the lakehouse form of incremental view
+    maintenance; at 100 TB the refresh cost is O(changed rows + touched
+    view files), not O(fact table)).
+
+    ``specs`` maps output column -> (kind, col) with RETRACTABLE kinds
+    only: ``sum``, ``count`` (non-null of col), ``count_rows``. An
+    update/delete in the feed contributes its pre-image NEGATED, so
+    groups shrink correctly and a group whose row count reaches zero
+    leaves the view. min/max are not retractable — use
+    ``fold_snapshot_state`` for append-only streams, or recompute.
+
+    Bookkeeping columns stored in the view: ``_n`` (group row count)
+    and ``_nn_<out>`` per sum column (non-null contribution count, so
+    a sum whose inputs all retract returns to NULL — true SUM-of-empty
+    semantics — instead of a misleading 0).
+
+    Exactly-once: the refresh commits with ``txn=(view_id,
+    src_version)`` — the consumer position IS the view's transaction
+    watermark (the ``mirror_snapshot`` design), so a crashed/replayed
+    refresh no-ops and a partial apply is impossible. The source must
+    retain the manifests back to the last refreshed version (vacuum no
+    deeper — same contract as mirror). Exact for integral sums;
+    floating-point sums carry the usual retraction rounding drift.
+
+    Returns the view version now current."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    for out, (kind, col) in specs.items():
+        if kind not in ("sum", "count", "count_rows"):
+            raise ValueError(
+                f"refresh_agg_view spec {out!r}: kind {kind!r} is not "
+                "retractable (supported: sum, count, count_rows); "
+                "min/max need fold_snapshot_state or a recompute"
+            )
+        if kind in ("sum", "count") and col == "*":
+            raise ValueError(f"spec {out!r}: {kind} needs a column, not '*'")
+    src_v = current_version(src_root)
+    if src_v == 0:
+        raise SnapshotVersionError(f"no snapshot committed at {src_root}")
+    last = txn_version(dst_root, view_id)
+    if last is not None and last >= src_v:
+        return current_version(dst_root)
+    sum_outs = [out for out, (kind, _) in specs.items() if kind == "sum"]
+
+    if last is None:
+        base = read_snapshot(spark, src_root, version=src_v)
+        aggs = []
+        for out, (kind, col) in specs.items():
+            if kind == "sum":
+                aggs.append(F.sum(col).alias(out))
+            elif kind == "count":
+                aggs.append(F.count(col).alias(out))
+            else:
+                aggs.append(F.count("*").alias(out))
+        for out in sum_outs:
+            aggs.append(F.count(specs[out][1]).alias(f"_nn_{out}"))
+        aggs.append(F.count("*").alias("_n"))
+        view = base.groupBy(*key_list).agg(*aggs)
+        return write_snapshot(
+            spark, view, dst_root, key=key_list, txn=(view_id, src_v)
+        )
+
+    feed = snapshot_changes(spark, src_root, last, src_v)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    contribs = []
+    for out, (kind, col) in specs.items():
+        if kind == "sum":
+            contribs.append(F.sum(F.col(col) * sign).alias(out))
+        elif kind == "count":
+            contribs.append(
+                F.sum(F.when(F.col(col).isNotNull(), sign).otherwise(F.lit(0)))
+                .cast("long").alias(out)
+            )
+        else:
+            contribs.append(F.sum(sign).cast("long").alias(out))
+    for out in sum_outs:
+        col = specs[out][1]
+        contribs.append(
+            F.sum(F.when(F.col(col).isNotNull(), sign).otherwise(F.lit(0)))
+            .cast("long").alias(f"_nn_{out}")
+        )
+    contribs.append(F.sum(sign).cast("long").alias("_n"))
+    delta = feed.groupBy(*key_list).agg(*contribs)
+
+    def combine(target, src, kk):
+        vals = [c for c in src.columns if c not in kk]
+        merged = target.select(src.columns).unionByName(src)
+        summed = merged.groupBy(*kk).agg(*[F.sum(c).alias(c) for c in vals])
+        # a sum whose non-null contributions all retracted is NULL
+        # (SUM over no rows), not the 0.0 the running total lands on
+        for out in sum_outs:
+            summed = summed.withColumn(
+                out, F.when(F.col(f"_nn_{out}") > 0, F.col(out))
+            )
+        return summed.filter(F.col("_n") > 0)
+
+    return _merge_commit(
+        spark, delta, dst_root, key_list, "agg_refresh", combine, retries,
+        txn=(view_id, src_v),
+    )
+
+
 def db_commit(
     db_root: str,
     table_versions: dict[str, int],

@@ -1558,3 +1558,86 @@ def test_mirror_converges_while_source_commits(spark, tmp_path):
     assert errs == []
     S.mirror_snapshot(spark, src, dst)  # final catch-up
     assert _rows(S.read_snapshot(spark, dst)) == _rows(S.read_snapshot(spark, src))
+
+
+# ---------------------------------------------------------------------------
+# incremental materialized aggregate view (refresh_agg_view)
+# ---------------------------------------------------------------------------
+
+def _view_rows(spark, dst):
+    df = S.read_snapshot(spark, dst)
+    pub = [c for c in df.columns if not c.startswith("_")]
+    return _rows(df.select(*pub))
+
+
+def _direct_agg(src_df):
+    return _rows(
+        src_df.groupBy("g").agg(
+            F.sum("x").alias("sx"),
+            F.count("x").alias("cx"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def test_refresh_agg_view_tracks_source_through_mutations(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    base = spark.range(0, 3000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("g"),
+        F.when(F.col("id") % 5 == 0, F.lit(None)).otherwise(F.col("id")).alias("x"),
+    )
+    S.write_snapshot(spark, base, src, key="k")
+    specs = {"sx": ("sum", "x"), "cx": ("count", "x"), "n": ("count_rows", "*")}
+    S.refresh_agg_view(spark, src, dst, "g", specs)
+    assert _view_rows(spark, dst) == _direct_agg(S.read_snapshot(spark, src))
+    # updates (move rows between groups implicitly via x change), inserts,
+    # deletes — including wiping group g=6 entirely
+    S.upsert_snapshot(
+        spark,
+        spark.createDataFrame([(1, 1, 999), (9000, 3, 50)], "k long, g long, x long"),
+        src, "k",
+    )
+    S.delete_snapshot(
+        spark, spark.range(0, 3000).filter(F.col("id") % 7 == 6)
+        .select(F.col("id").alias("k")), src, "k",
+    )
+    S.refresh_agg_view(spark, src, dst, "g", specs)
+    want = _direct_agg(S.read_snapshot(spark, src))
+    assert _view_rows(spark, dst) == want
+    assert not any(r[0] == 6 for r in _view_rows(spark, dst))  # group gone
+    # replayed refresh (same source version): visible no-op
+    v = S.current_version(dst)
+    S.refresh_agg_view(spark, src, dst, "g", specs)
+    assert S.current_version(dst) == v
+    assert _view_rows(spark, dst) == want
+
+
+def test_refresh_agg_view_sum_retracts_to_null(spark, tmp_path):
+    """When every non-null contribution of a group's sum retracts, the
+    stored sum must return to NULL (SUM over no rows), not 0."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    S.write_snapshot(
+        spark,
+        spark.createDataFrame(
+            [(1, 10, 5), (2, 10, None), (3, 20, 7)], "k long, g long, x long"
+        ),
+        src, key="k",
+    )
+    specs = {"sx": ("sum", "x"), "n": ("count_rows", "*")}
+    S.refresh_agg_view(spark, src, dst, "g", specs)
+    # retract the only non-null x of group 10 (k=1); k=2 (null x) stays
+    S.delete_snapshot(spark, spark.createDataFrame([(1,)], "k long"), src, "k")
+    S.refresh_agg_view(spark, src, dst, "g", specs)
+    got = {r.g: (r.sx, r.n) for r in S.read_snapshot(spark, dst).collect()}
+    assert got == {10: (None, 1), 20: (7, 1)}
+
+
+def test_refresh_agg_view_rejects_min_max(spark, tmp_path):
+    with pytest.raises(ValueError, match="retractable"):
+        S.refresh_agg_view(
+            spark, str(tmp_path / "s"), str(tmp_path / "d"), "g",
+            {"m": ("min", "x")},
+        )
