@@ -10053,6 +10053,84 @@ def q_agg_view_gate(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+@q(
+    "derived_view_gate",
+    # the maintained filtered-projection after an update wave (which
+    # moves rows across the filter boundary in BOTH directions) and a
+    # delete wave must equal the one-shot transform of the final state
+    # the maintained column is price*2: halving (the update wave) and
+    # doubling are EXACT in binary floating point, so the rounded
+    # output never lands on a 3-decimal tie where Spark's shortest-
+    # repr HALF_UP and DuckDB's binary rounding disagree
+    """SELECT o_orderkey,
+              o_custkey % 100 AS g,
+              ROUND(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 0.5
+                         ELSE o_totalprice END * 2, 2) AS price2x
+       FROM orders
+       WHERE o_orderkey % 7 <> 0
+         AND (CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 0.5
+                   ELSE o_totalprice END) > 100000""",
+)
+def q_derived_view_gate(spark, sf):
+    """Row-wise derived-table maintenance (sinks/snapshot.py
+    refresh_derived_snapshot): a filtered projection of orders
+    (price > 100k, 10% discount column) is bootstrapped, then
+    maintained through a re-pricing wave that HALVES every 10th
+    order's price — pushing rows across the filter boundary out of
+    the view — and a delete wave, by folding only the change feed in
+    one fenced commit per refresh (replay exercised). Must hash
+    against the one-shot SQL over the final source state."""
+    import shutil
+    import tempfile
+
+    from .sinks.snapshot import (
+        delete_snapshot,
+        read_snapshot,
+        refresh_derived_snapshot,
+        upsert_snapshot,
+        write_snapshot,
+    )
+
+    o = _t(spark, sf, "orders")
+    base = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 100).alias("g"),
+        F.col("o_totalprice").alias("price"),
+    )
+
+    def tf(df):
+        return df.filter(F.col("price") > 100_000).select(
+            "o_orderkey", "g", (F.col("price") * 2).alias("price2x")
+        )
+
+    root = tempfile.mkdtemp(prefix="derived_view_gate_")
+    src, dst = f"{root}/src", f"{root}/view"
+    try:
+        write_snapshot(spark, base, src, key="o_orderkey")
+        refresh_derived_snapshot(spark, src, dst, tf)  # bootstrap
+        upsert_snapshot(  # halve every 10th price: crosses the filter
+            spark,
+            base.filter(F.col("o_orderkey") % 10 == 0)
+            .withColumn("price", F.col("price") * 0.5),
+            src, "o_orderkey",
+        )
+        refresh_derived_snapshot(spark, src, dst, tf)
+        refresh_derived_snapshot(spark, src, dst, tf)  # replay: no-op
+        delete_snapshot(
+            spark,
+            o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
+            src, "o_orderkey",
+        )
+        refresh_derived_snapshot(spark, src, dst, tf)
+        return (
+            read_snapshot(spark, dst)
+            .withColumn("price2x", F.round("price2x", 2))
+            .localCheckpoint()  # materialize before the temp dir dies
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # The driver's correctness gate samples the FIRST 50 entries of
 # queries() in insertion order (confirmed: CORRECTNESS_r05 keys ==
 # registry[:50]). Source order groups queries by module/topic, which
@@ -10106,23 +10184,24 @@ _DRIVER_WINDOW = [
     "snapshot_pipeline_gate",
     "bpe_merges", "bpe_encode_stats",
     "approx_aggregates", "streaming_replay_parity", "audio_windows",
-    "snapshot_merge_nocdf_gate", "agg_view_gate",
+    "snapshot_merge_nocdf_gate", "agg_view_gate", "derived_view_gate",
     # --- 14 r6-vintage stale greens (ceded from the r13 window) ---
     "dedup_rows", "eq_filter", "exists_probe", "fill_nulls",
     "in_filter", "insert_ignore", "notnull_filter",
     "range_join_buckets", "rank_in_group", "string_contains",
     "tpch_q5", "tpch_q12", "union_tagged", "zorder_key",
-    # --- 20 stalest r8-vintage greens (alphabetical head of the
-    # ledger's r8 block; lsh_quality_gate, length_bucketed_batches and
-    # lm_perplexity ceded slots to this round's new oracles
-    # (audio_windows, snapshot_merge_nocdf_gate, agg_view_gate) —
-    # never-checked debt outranks a staleness refresh) ---
+    # --- 19 stalest r8-vintage greens (alphabetical head of the
+    # ledger's r8 block; lsh_quality_gate, length_bucketed_batches,
+    # lm_perplexity and line_dedup ceded slots to this round's new
+    # oracles (audio_windows, snapshot_merge_nocdf_gate, agg_view_gate,
+    # derived_view_gate) — never-checked debt outranks a staleness
+    # refresh) ---
     "ann_recall", "bm25_search", "compound_predicate",
     "connected_components", "cosine_neardup", "data_quality_suite",
     "decontaminate", "decontaminate_spans", "dedup_assign",
     "dsir_ratios", "dsir_select", "dup_key_check", "funnel_counts",
     "fuzzy_join", "gopher_gate", "grouping_sets", "lang_id_trigram",
-    "leakage_safe_split", "left_anti_delta", "line_dedup",
+    "leakage_safe_split", "left_anti_delta",
 ]
 
 

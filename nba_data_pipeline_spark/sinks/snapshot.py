@@ -1700,6 +1700,91 @@ def refresh_agg_view(
     )
 
 
+def refresh_derived_snapshot(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    transform,
+    view_id: str = "derived",
+    retries: int = 2,
+) -> int:
+    """Row-wise derived table maintained from the change feed: ``dst``
+    holds ``transform(src)`` for any per-row, KEY-PRESERVING transform
+    (filter / projection / enrichment — each output row derives from
+    exactly one input row and keeps the source's key columns). The
+    aggregate counterpart is ``refresh_agg_view``; identity transform
+    is ``mirror_snapshot``.
+
+    Each refresh processes ONLY the feed since the last one: changed
+    keys whose transformed post-image survives upsert; changed keys
+    whose post-image is filtered out — or that were deleted upstream —
+    leave the view. Both effects land in ONE fenced commit
+    (txn=(view_id, src_version)), so a crash/replay can never leave a
+    half-applied refresh. Source must retain manifests back to the
+    last refreshed version (the mirror contract).
+
+    At scale: refresh reads O(changed rows) from the feed and rewrites
+    O(touched view files) — never the fact table, never the whole
+    view."""
+    src_v = current_version(src_root)
+    if src_v == 0:
+        raise SnapshotVersionError(f"no snapshot committed at {src_root}")
+    keys = _load_manifest(src_root, src_v).get("key") or []
+    if not keys:
+        raise ValueError(
+            "refresh_derived_snapshot needs a KEYED source (the feed's "
+            "deletes/updates are applied by key); keyless sources can "
+            "only full-refresh via write_snapshot(transform(read))"
+        )
+    last = txn_version(dst_root, view_id)
+    if last is not None and last >= src_v:
+        return current_version(dst_root)
+    if last is None:
+        view = transform(read_snapshot(spark, src_root, version=src_v))
+        missing = [k for k in keys if k not in view.columns]
+        if missing:
+            raise ValueError(
+                f"transform dropped the source key column(s) {missing}; "
+                "derived maintenance applies feed deletes by key"
+            )
+        return write_snapshot(
+            spark, view, dst_root, key=keys, txn=(view_id, src_v)
+        )
+    feed = snapshot_changes(spark, src_root, last, src_v)
+    post = feed.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).drop("_change_type")
+    new_rows = transform(post)
+    changed_keys = feed.select(*keys).dropDuplicates(keys)
+    # one frame carries both effects: surviving rows, plus tombstones
+    # for changed keys with no surviving row (deleted upstream, or
+    # transformed out by the filter)
+    tomb = changed_keys.join(new_rows.select(*keys), keys, "left_anti")
+    src_frame = new_rows.withColumn("_tomb", F.lit(False)).unionByName(
+        tomb.select(
+            *keys,
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in new_rows.schema.fields
+                if f.name not in keys
+            ],
+            F.lit(True).alias("_tomb"),
+        ),
+        allowMissingColumns=False,
+    )
+
+    def combine(target, src, kk):
+        all_keys = src.select(*kk).dropDuplicates(kk)
+        kept = target.join(all_keys, kk, "left_anti")
+        survivors = src.filter(~F.col("_tomb")).drop("_tomb")
+        return kept.select(survivors.columns).unionByName(survivors)
+
+    return _merge_commit(
+        spark, src_frame, dst_root, keys, "derived_refresh", combine, retries,
+        txn=(view_id, src_v),
+    )
+
+
 def db_commit(
     db_root: str,
     table_versions: dict[str, int],

@@ -1641,3 +1641,58 @@ def test_refresh_agg_view_rejects_min_max(spark, tmp_path):
             spark, str(tmp_path / "s"), str(tmp_path / "d"), "g",
             {"m": ("min", "x")},
         )
+
+
+# ---------------------------------------------------------------------------
+# row-wise derived table maintenance (refresh_derived_snapshot)
+# ---------------------------------------------------------------------------
+
+def test_refresh_derived_snapshot_filter_project(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+
+    def tf(df):
+        return df.filter(F.col("v") % 2 == 0).select(
+            "k", "v", (F.col("v") * 10).alias("v10")
+        )
+
+    S.write_snapshot(spark, _table(spark, 2000), src, key="k")  # v = 2k, all even
+    S.refresh_derived_snapshot(spark, src, dst, tf)
+    assert S.read_snapshot(spark, dst).count() == 2000
+    # update k=1 to odd (leaves the filter), k=2 stays even with new
+    # value, insert k=9000 odd (never enters), k=9001 even (enters),
+    # delete k=3
+    S.upsert_snapshot(
+        spark,
+        spark.createDataFrame(
+            [(1, 7), (2, 100), (9000, 5), (9001, 8)], "k long, v long"
+        ),
+        src, "k",
+    )
+    S.delete_snapshot(spark, spark.createDataFrame([(3,)], "k long"), src, "k")
+    S.refresh_derived_snapshot(spark, src, dst, tf)
+    want = _rows(tf(S.read_snapshot(spark, src)))
+    got = _rows(S.read_snapshot(spark, dst))
+    assert got == want
+    gotmap = {r[0]: r for r in got}
+    assert 1 not in gotmap and 3 not in gotmap and 9000 not in gotmap
+    assert gotmap[2] == (2, 100, 1000) and gotmap[9001] == (9001, 8, 80)
+    # replayed refresh: visible no-op
+    v = S.current_version(dst)
+    S.refresh_derived_snapshot(spark, src, dst, tf)
+    assert S.current_version(dst) == v
+
+
+def test_refresh_derived_snapshot_guards(spark, tmp_path):
+    src = str(tmp_path / "src")
+    S.write_snapshot(spark, _table(spark, 10), src, key="k")
+    with pytest.raises(ValueError, match="key column"):
+        S.refresh_derived_snapshot(
+            spark, src, str(tmp_path / "d1"), lambda df: df.select("v")
+        )
+    keyless = str(tmp_path / "kless")
+    S.write_snapshot(spark, _table(spark, 10), keyless)
+    with pytest.raises(ValueError, match="KEYED source"):
+        S.refresh_derived_snapshot(
+            spark, keyless, str(tmp_path / "d2"), lambda df: df
+        )
