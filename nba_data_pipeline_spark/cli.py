@@ -347,6 +347,9 @@ def run(argv: Sequence[str], spark: SparkSession | None = None) -> None:
             args.seq_col,
             op_col=args.op_col,
             checkpoint_dir=args.checkpoint,
+            # bucketed hive state by default; --format snapshot gives
+            # the materialized state atomic commits + time travel + CDF
+            fmt=args.format or "swap",
         )
         q.awaitTermination()
         return

@@ -1585,6 +1585,92 @@ def db_current(db_root: str) -> dict[str, int]:
     return dict(_load_manifest(db_root, cur)["tables"]) if cur else {}
 
 
+def cdc_apply_snapshot(
+    spark: SparkSession,
+    changes: DataFrame,
+    root: str,
+    keys: str | Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+    retries: int = 2,
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Materialize a CDC log batch onto a SNAPSHOT table — the
+    transactional counterpart of ``operators/incremental.
+    cdc_apply_table`` (which buckets hive dirs): latest change per key
+    wins by ``seq_col``, ``op == 'D'`` persists as a TOMBSTONE so a
+    LATE lower-seq update for a deleted key still loses, and the state
+    row keeps its winning ``_seq``. Exact under out-of-order delivery
+    and at-least-once redelivery by construction (a replayed batch's
+    winners tie into the same values); ``txn`` adds the manifest fence
+    on top for corrupted-replay protection.
+
+    What the snapshot format adds over the bucketed variant: atomic
+    commits (no partition-swap windows), time travel over the
+    materialized state, CDF for downstream consumers, retention, and
+    concurrent snapshot-isolated readers. Cost per batch is O(batch +
+    touched files) — the key-stat prune plays the role the hive
+    buckets play in ``cdc_apply_table``.
+
+    Read the live view with ``read_cdc_state`` (drops tombstones and
+    bookkeeping columns). Same deterministic tie-break discipline as
+    ``cdc_apply``: seq desc, then op desc within a batch, then content
+    hash — a well-formed log never reaches the tie-break."""
+    from pyspark.sql import Window
+
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    payload = [
+        c for c in changes.columns if c not in (*key_list, seq_col, op_col)
+    ]
+    tie_hash = F.xxhash64(
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in payload]
+    )
+    w_batch = Window.partitionBy(*key_list).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc(), tie_hash.desc()
+    )
+    winners = (
+        changes.withColumn("_rn", F.row_number().over(w_batch))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *key_list,
+            *payload,
+            F.col(seq_col).cast("long").alias("_seq"),
+            (F.col(op_col) == F.lit("D")).alias("_deleted"),
+        )
+    )
+
+    def combine(target, src, kk):
+        pay = [c for c in src.columns if c not in (*kk, "_seq", "_deleted")]
+        h = F.xxhash64(
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in pay]
+        )
+        w = Window.partitionBy(*kk).orderBy(
+            F.col("_seq").desc(),
+            # ties prefer the tombstone-free row deterministically,
+            # then content hash — a well-formed log never ties
+            F.col("_deleted").asc(),
+            h.desc(),
+        )
+        return (
+            target.select(src.columns).unionByName(src)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    return _merge_commit(
+        spark, winners, root, key_list, "cdc_apply", combine, retries, txn=txn
+    )
+
+
+def read_cdc_state(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
+    """Live view of a ``cdc_apply_snapshot`` table: tombstones filtered,
+    bookkeeping columns dropped. ``version`` time-travels the
+    materialized state."""
+    df = read_snapshot(spark, root, version=version)
+    return df.filter(~F.col("_deleted")).drop("_seq", "_deleted")
+
+
 def refresh_agg_view(
     spark: SparkSession,
     src_root: str,

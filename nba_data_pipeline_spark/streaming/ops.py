@@ -1790,21 +1790,39 @@ def stream_cdc_apply(
     checkpoint_dir: str | None = None,
     available_now: bool = True,
     query_name: str = "stream_cdc_apply",
+    fmt: str = "swap",
 ):
-    """Continuously materialize a CDC stream into the bucket-partitioned
-    snapshot table (``operators/incremental.cdc_apply_table``): one
-    foreachBatch per micro-batch, O(batch + touched buckets) each —
-    latest-wins stays exact under out-of-order and at-least-once
-    delivery because every state row keeps its applied sequence and
-    deletes persist as tombstones. Read the live view with
-    ``incremental.read_cdc_snapshot``."""
+    """Continuously materialize a CDC stream: one foreachBatch per
+    micro-batch, latest-wins exact under out-of-order and
+    at-least-once delivery because every state row keeps its applied
+    sequence and deletes persist as tombstones. ``fmt`` picks the
+    state backend:
+
+    - ``"swap"`` (default): the bucket-partitioned hive table
+      (``operators/incremental.cdc_apply_table``), O(batch + touched
+      buckets) per batch; read with ``incremental.read_cdc_snapshot``.
+    - ``"snapshot"``: the manifest-committed table
+      (``sinks/snapshot.cdc_apply_snapshot``) — same semantics plus
+      atomic commits, time travel over the materialized state, CDF
+      and retention; read with ``snapshot.read_cdc_state``.
+    """
     from ..operators.incremental import cdc_apply_table
+    from ..sinks.snapshot import cdc_apply_snapshot
+
+    if fmt not in ("swap", "snapshot"):
+        raise ValueError(f"unknown cdc state format {fmt!r}")
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        cdc_apply_table(
-            batch_df.sparkSession, batch_df, path, keys, seq_col,
-            op_col=op_col, n_buckets=n_buckets,
-        )
+        if fmt == "snapshot":
+            cdc_apply_snapshot(
+                batch_df.sparkSession, batch_df, path, keys, seq_col,
+                op_col=op_col,
+            )
+        else:
+            cdc_apply_table(
+                batch_df.sparkSession, batch_df, path, keys, seq_col,
+                op_col=op_col, n_buckets=n_buckets,
+            )
 
     writer = stream_df.writeStream.foreachBatch(process).queryName(query_name)
     if checkpoint_dir:

@@ -1696,3 +1696,65 @@ def test_refresh_derived_snapshot_guards(spark, tmp_path):
         S.refresh_derived_snapshot(
             spark, keyless, str(tmp_path / "d2"), lambda df: df
         )
+
+
+# ---------------------------------------------------------------------------
+# CDC materialization on the snapshot format (cdc_apply_snapshot)
+# ---------------------------------------------------------------------------
+
+def test_cdc_apply_snapshot_out_of_order_and_replay(spark, tmp_path):
+    root = str(tmp_path / "t")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "k long, op string, seq long, v long"
+    )
+    # bootstrap state via the first batch (create-on-first-write)
+    S.cdc_apply_snapshot(
+        spark, mk([(1, "I", 1, 10), (2, "I", 1, 20), (3, "I", 1, 30)]),
+        root, "k", "seq",
+    )
+    # batch with LATER changes arrives first: update k=1, delete k=2
+    b_late = mk([(1, "U", 5, 111), (2, "D", 5, 0)])
+    S.cdc_apply_snapshot(spark, b_late, root, "k", "seq")
+    # out-of-order batch with LOWER seqs: must ALL lose (including the
+    # resurrection attempt against the tombstone)
+    S.cdc_apply_snapshot(
+        spark, mk([(1, "U", 3, 999), (2, "U", 4, 888), (4, "I", 2, 40)]),
+        root, "k", "seq",
+    )
+    got = {(r.k, r.v) for r in S.read_cdc_state(spark, root).collect()}
+    assert got == {(1, 111), (3, 30), (4, 40)}
+    # replayed batch: same seqs tie into the same values — no-op
+    v = S.current_version(root)
+    S.cdc_apply_snapshot(spark, b_late, root, "k", "seq")
+    got2 = {(r.k, r.v) for r in S.read_cdc_state(spark, root).collect()}
+    assert got2 == got
+    # tombstone is still fenced at seq 5; time travel sees old state
+    assert S.read_cdc_state(spark, root, version=1).count() == 3
+    assert S.read_snapshot(spark, root).filter("k = 2").collect()[0]._deleted
+    assert v == S.current_version(root) - 1  # replay committed one version
+
+
+def test_cdc_apply_snapshot_matches_bucketed_variant(spark, tmp_path):
+    """Same log through both CDC state backends -> identical live view."""
+    from nba_data_pipeline_spark.operators.incremental import (
+        cdc_apply_table,
+        read_cdc_snapshot,
+    )
+
+    log1 = spark.range(0, 500).select(
+        F.col("id").alias("k"), F.lit("I").alias("op"),
+        F.lit(1).cast("long").alias("seq"), (F.col("id") * 2).alias("v"),
+    )
+    log2 = spark.range(0, 500, 3).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 6 == 0, "D").otherwise("U").alias("op"),
+        F.lit(2).cast("long").alias("seq"), F.lit(-1).cast("long").alias("v"),
+    )
+    snap_root = str(tmp_path / "snap")
+    swap_root = str(tmp_path / "swap")
+    for log in (log1, log2):
+        S.cdc_apply_snapshot(spark, log, snap_root, "k", "seq")
+        cdc_apply_table(spark, log, swap_root, ["k"], "seq", n_buckets=8)
+    a = _rows(S.read_cdc_state(spark, snap_root))
+    b = _rows(read_cdc_snapshot(spark, swap_root).select("k", "v"))
+    assert a == b and len(a) > 0
