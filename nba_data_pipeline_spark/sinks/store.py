@@ -59,7 +59,8 @@ def _resolve(path: str, fmt: str | None, default: str) -> str:
         raise ValueError(
             f"table at {path} is on-disk format {on_disk!r} but "
             f"format={fmt!r} was requested; formats cannot be mixed "
-            "under one path (migrate via read + write to a new path)"
+            "under one path (migrate_to_snapshot copies a swap table "
+            "into a new snapshot root)"
         )
     return on_disk
 
@@ -109,6 +110,42 @@ def upsert_store(
             "has no transaction watermark"
         )
     writer.upsert_table(spark, source, path, key, partition_by)
+
+
+def migrate_to_snapshot(
+    spark: SparkSession,
+    swap_path: str,
+    snapshot_root: str,
+    key: str | Sequence[str],
+    sort_by: Sequence[str] = (),
+    stat_cols: Sequence[str] = (),
+    cdf: bool = True,
+) -> int:
+    """One-shot swap -> snapshot migration: heal any crashed partition
+    swaps, read the hive table, and commit it as version 1 of a fresh
+    key-sorted snapshot table (the original is left untouched; point
+    writers at the new root when ready). Refuses to overwrite an
+    existing table at the destination — a migration must never
+    silently replace live data."""
+    src_fmt = detect_format(swap_path)
+    if src_fmt != "swap":
+        raise ValueError(
+            f"migrate_to_snapshot source {swap_path} is "
+            f"{src_fmt or 'absent'}, expected a swap table"
+        )
+    if detect_format(snapshot_root) is not None:
+        raise ValueError(
+            f"migration destination {snapshot_root} already holds a "
+            f"{detect_format(snapshot_root)} table; pick a fresh root"
+        )
+    writer.heal_partition_swaps(swap_path)
+    df = writer.read_table(spark, swap_path, merge_schema=True)
+    # hive partition columns materialize as data columns in the
+    # snapshot (zone maps take over the pruning job)
+    return snap.write_snapshot(
+        spark, df, snapshot_root, key=key, sort_by=sort_by,
+        stat_cols=stat_cols, cdf=cdf,
+    )
 
 
 def insert_ignore_store(

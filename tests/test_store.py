@@ -119,3 +119,29 @@ def test_cli_format_swap_override(spark, tmp_path, team_game_log_df):
     # swap keeps the hive SEASON/SEASON_TYPE layout
     back = writer.read_table(spark, out)
     assert back.filter(F.col("SEASON") == "2024-25").count() == 2
+
+
+def test_migrate_to_snapshot(spark, tmp_path):
+    src = str(tmp_path / "swap")
+    dst = str(tmp_path / "snap")
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("part"),
+        (F.col("id") * 3).alias("v"),
+    )
+    writer.upsert_table(spark, df, src, "k", partition_by=("part",))
+    from nba_data_pipeline_spark.sinks.store import migrate_to_snapshot
+
+    v = migrate_to_snapshot(spark, src, dst, key="k")
+    assert v == 1 and detect_format(dst) == "snapshot"
+    got = read_store(spark, dst)
+    assert got.count() == 5000
+    assert set(got.columns) == {"k", "part", "v"}  # hive col materialized
+    # original untouched, destination collision refused
+    assert detect_format(src) == "swap"
+    with pytest.raises(ValueError, match="already holds"):
+        migrate_to_snapshot(spark, src, dst, key="k")
+    with pytest.raises(ValueError, match="expected a swap"):
+        migrate_to_snapshot(spark, dst, str(tmp_path / "x"), key="k")
+    # migrated table takes snapshot merges immediately
+    upsert_store(spark, spark.createDataFrame([(1, 1, -1)], "k long, part long, v long"), dst, "k")
+    assert read_store(spark, dst).filter("k = 1").collect()[0].v == -1
