@@ -1495,6 +1495,7 @@ def mirror_snapshot(
     dst_root: str,
     mirror_id: str = "mirror",
     retries: int = 2,
+    src_version: int | None = None,
 ) -> int:
     """Incremental table replication with end-to-end exactly-once: pull
     the change feed since the last mirrored SOURCE version and apply
@@ -1512,8 +1513,10 @@ def mirror_snapshot(
 
     Returns the replica version now current. The source must retain
     the last-mirrored version (vacuum no deeper than the slowest
-    mirror — the standard CDC retention contract)."""
-    src_v = current_version(src_root)
+    mirror — the standard CDC retention contract). ``src_version``
+    pins the replication target to a specific source version instead
+    of the moving tip (``mirror_db``'s consistent multi-table copy)."""
+    src_v = current_version(src_root) if src_version is None else src_version
     if src_v == 0:
         raise SnapshotVersionError(f"no snapshot committed at {src_root}")
     last = txn_version(dst_root, mirror_id)
@@ -1869,6 +1872,41 @@ def refresh_derived_snapshot(
         spark, src_frame, dst_root, keys, "derived_refresh", combine, retries,
         txn=(view_id, src_v),
     )
+
+
+def mirror_db(
+    spark: SparkSession,
+    src_db: str,
+    dst_db: str,
+    mirror_id: str = "mirror",
+) -> dict[str, int]:
+    """Replicate a whole DATABASE manifest: pin ONE consistent source
+    db version, incrementally mirror every member table AT EXACTLY the
+    version that db manifest pins (not the table's current tip — a
+    writer advancing a member mid-replication cannot tear the copy),
+    then db-commit the replica pins. Readers of the destination db see
+    the member tables move together or not at all, and each member
+    mirror is itself fenced/exactly-once (``mirror_snapshot``), so a
+    crash mid-way resumes without re-copying finished tables — the
+    final db_commit is what makes the new state visible.
+
+    Returns the replicated {table: replica_version} map. Source member
+    tables must retain the pinned versions until the mirror completes
+    (the usual CDC retention contract, now at db scope: vacuum members
+    with ``db_root=src_db``)."""
+    src_db_v = current_version(src_db)
+    if src_db_v == 0:
+        raise SnapshotVersionError(f"no db commit at {src_db}")
+    pinned = _load_manifest(src_db, src_db_v)["tables"]
+    replica_pins: dict[str, int] = {}
+    for table, tv in sorted(pinned.items()):
+        replica_pins[table] = mirror_snapshot(
+            spark, os.path.join(src_db, table),
+            os.path.join(dst_db, table), mirror_id,
+            src_version=tv,
+        )
+    db_commit(dst_db, replica_pins)
+    return replica_pins
 
 
 def db_commit(

@@ -1758,3 +1758,38 @@ def test_cdc_apply_snapshot_matches_bucketed_variant(spark, tmp_path):
     a = _rows(S.read_cdc_state(spark, snap_root))
     b = _rows(read_cdc_snapshot(spark, swap_root).select("k", "v"))
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# db-level replication (mirror_db)
+# ---------------------------------------------------------------------------
+
+def test_mirror_db_replicates_consistent_pins(spark, tmp_path):
+    """mirror_db copies every member table AT the source db manifest's
+    pinned version — a member advanced past its pin must NOT leak into
+    the replica — and the replica's db view is committed atomically."""
+    src_db = str(tmp_path / "src")
+    dst_db = str(tmp_path / "dst")
+    S.write_snapshot(spark, _table(spark, 100), f"{src_db}/a", key="k")
+    S.write_snapshot(spark, _table(spark, 200), f"{src_db}/b", key="k")
+    S.db_commit(src_db, {"a": 1, "b": 1})
+    # member 'a' advances PAST the db pin (uncommitted at db level)
+    S.upsert_snapshot(
+        spark, spark.createDataFrame([(1, -1)], "k long, v long"),
+        f"{src_db}/a", "k",
+    )
+    pins = S.mirror_db(spark, src_db, dst_db)
+    assert set(pins) == {"a", "b"}
+    assert S.db_read(spark, dst_db, "a").filter("v = -1").count() == 0  # pin!
+    assert S.db_read(spark, dst_db, "b").count() == 200
+    # advance the db, mirror incrementally: only the delta moves
+    S.db_commit(src_db, {"a": 2})
+    S.mirror_db(spark, src_db, dst_db)
+    assert S.db_read(spark, dst_db, "a").filter("v = -1").count() == 1
+    assert _rows(S.db_read(spark, dst_db, "a")) == _rows(
+        S.db_read(spark, src_db, "a")
+    )
+    # replayed db mirror: member fences no-op, pins unchanged
+    before = S.db_current(dst_db)
+    S.mirror_db(spark, src_db, dst_db)
+    assert S.db_current(dst_db) == before
