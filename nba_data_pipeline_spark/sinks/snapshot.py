@@ -1893,7 +1893,11 @@ def mirror_db(
     Returns the replicated {table: replica_version} map. Source member
     tables must retain the pinned versions until the mirror completes
     (the usual CDC retention contract, now at db scope: vacuum members
-    with ``db_root=src_db``)."""
+    with ``db_root=src_db``). Don't mix a db mirror with direct
+    per-member ``mirror_snapshot`` calls under the SAME mirror_id: a
+    member mirrored ahead of the db pin would fence the pinned
+    replication as already-applied and the db view would pick up the
+    newer state early."""
     src_db_v = current_version(src_db)
     if src_db_v == 0:
         raise SnapshotVersionError(f"no db commit at {src_db}")
@@ -1905,7 +1909,10 @@ def mirror_db(
             os.path.join(dst_db, table), mirror_id,
             src_version=tv,
         )
-    db_commit(dst_db, replica_pins)
+    # a replayed db mirror converges without version churn: only
+    # commit when the pins actually moved
+    if db_current(dst_db) != replica_pins:
+        db_commit(dst_db, replica_pins)
     return replica_pins
 
 

@@ -1789,7 +1789,10 @@ def test_mirror_db_replicates_consistent_pins(spark, tmp_path):
     assert _rows(S.db_read(spark, dst_db, "a")) == _rows(
         S.db_read(spark, src_db, "a")
     )
-    # replayed db mirror: member fences no-op, pins unchanged
+    # replayed db mirror: member fences no-op, pins unchanged, and NO
+    # new db version is committed (no churn on a cron-driven mirror)
     before = S.db_current(dst_db)
+    before_v = S.current_version(dst_db)
     S.mirror_db(spark, src_db, dst_db)
     assert S.db_current(dst_db) == before
+    assert S.current_version(dst_db) == before_v
