@@ -1796,3 +1796,63 @@ def test_mirror_db_replicates_consistent_pins(spark, tmp_path):
     S.mirror_db(spark, src_db, dst_db)
     assert S.db_current(dst_db) == before
     assert S.current_version(dst_db) == before_v
+
+
+def _mp_table_writer(args):
+    """Child-process body: its own SparkSession, N upserts on an
+    assigned key stripe through the optimistic-CAS merge loop."""
+    root, stripe, rounds = args
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    os.environ["SPARK_GRAFT_CPUS"] = "2"
+    os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = "2"
+    from nba_data_pipeline_spark.core.session import get_session
+    from nba_data_pipeline_spark.sinks import snapshot as SS
+
+    spark = get_session(f"mp_writer_{stripe}")
+    try:
+        for i in range(rounds):
+            batch = spark.createDataFrame(
+                [((stripe + 1) * 1000 + j, (i + 1) * 100 + stripe)
+                 for j in range(20)],
+                "k long, v long",
+            )
+            SS.upsert_snapshot(
+                spark, batch, root, "k", retries=30,
+                txn=(f"w{stripe}", i + 1),
+            )
+        return None
+    except Exception as e:  # noqa: BLE001
+        return f"writer{stripe}: {e}"
+    finally:
+        spark.stop()
+
+
+def test_multiprocess_table_writers_all_commit(spark, tmp_path):
+    """Fully independent PROCESSES (each with its OWN SparkSession)
+    racing copy-on-write merges on one snapshot table: the link-CAS +
+    retry loop must serialize them with no lost batches — every
+    stripe's final values present, txn watermarks all at their final
+    round, row count exact."""
+    import multiprocessing as mp
+
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 100), root, key="k")
+    stripes, rounds = 3, 3
+    with mp.get_context("spawn").Pool(stripes) as pool:
+        errs = [e for e in pool.map(
+            _mp_table_writer, [(root, s, rounds) for s in range(stripes)]
+        ) if e]
+    assert errs == []
+    got = S.read_snapshot(spark, root)
+    assert got.count() == 100 + stripes * 20
+    for s in range(stripes):
+        vals = {r.v for r in got.filter(
+            (F.col("k") >= (s + 1) * 1000) & (F.col("k") < (s + 1) * 1000 + 20)
+        ).collect()}
+        assert vals == {rounds * 100 + s}  # last round's values, none lost
+        assert S.txn_version(root, f"w{s}") == rounds
+    # every commit won a distinct version (1 create + stripes*rounds merges)
+    assert S.current_version(root) == 1 + stripes * rounds
