@@ -56,6 +56,7 @@ this module is that guarantee rebuilt for a distributed object store.
 from __future__ import annotations
 
 import contextlib
+import datetime
 import json
 import os
 import re
@@ -268,6 +269,29 @@ def _micros_timestamps(sess: SparkSession):
                     sess.conf.unset(key)
                 elif prev != "TIMESTAMP_MICROS":
                     sess.conf.set(key, prev)
+
+
+_UTC_ZONES = frozenset({"UTC", "Etc/UTC", "GMT", "Etc/GMT", "Z", "+00:00"})
+
+
+def _require_utc_session(spark: SparkSession) -> None:
+    """Timestamp zone-map stats are only sound on a UTC session.
+    ``_stat_value`` normalizes tz-aware parquet-footer bounds to naive
+    UTC, while Spark renders collected naive datetimes in
+    ``spark.sql.session.timeZone`` — the two are comparable only when
+    that zone IS UTC (the project session factory pins it,
+    core/session.py). Any other zone would skew min/max comparisons
+    and silently mis-prune files (row loss through key_between /
+    merge pruning), so fail loud at stat-staging time instead
+    (ADVICE r14, low)."""
+    tz = spark.conf.get("spark.sql.session.timeZone", "")
+    if tz not in _UTC_ZONES:
+        raise RuntimeError(
+            "snapshot timestamp stats require spark.sql.session.timeZone="
+            f"UTC (got {tz!r}): naive-vs-footer bound comparisons would "
+            "mis-prune files. Use core.session.get_spark() or pin the "
+            "session timezone to UTC."
+        )
 
 
 def _stat_value(v):
@@ -547,6 +571,8 @@ def read_snapshot(
         # stats are stat-encoded (datetime -> isoformat), so encode the
         # caller's bounds the same way before comparing — raw datetime
         # vs string once TypeError'd into "keep every file"
+        if isinstance(lo, datetime.datetime) and lo.tzinfo is None:
+            _require_utc_session(spark)
         lo_s, hi_s = _stat_value(lo), _stat_value(hi)
         if lo_s is not None and hi_s is not None:
             files = [f for f in files if _overlaps(f["stats"].get(col), lo_s, hi_s)]
@@ -619,6 +645,12 @@ def _batch_bounds(
         )
         for k in keys
     }
+    if any(
+        isinstance(row[f"_lo_{k}"], datetime.datetime)
+        and row[f"_lo_{k}"].tzinfo is None
+        for k in keys
+    ):
+        _require_utc_session(source.sparkSession)
     return bounds, row["_n"]
 
 
@@ -847,17 +879,20 @@ def _merge_commit(
         # entirely: the added data files ARE the feed (mode=add_only).
         # Tables created with cdf=False skip the sidecar and their
         # feeds use the endpoint-diff fallback.
+        # distinct name from the bool ``cdf`` parameter: rebinding it
+        # here would make a retry that falls back to the base==0 create
+        # path pass bool(dict)=True as the dial (ADVICE r14, low)
         if not touched:
-            cdf = {"mode": "add_only"}
+            cdf_info = {"mode": "add_only"}
         elif manifest.get("cdf_enabled", True):
             new_df = _read_files(spark, root, out_schema, [e["path"] for e in entries])
             old_df = _read_files(
                 spark, root, out_schema, [f["path"] for f in touched], renames
             )
             changes = _diff_changes(old_df, new_df, keys)
-            cdf = {"mode": "files", "files": _stage_cdf(changes, root)}
+            cdf_info = {"mode": "files", "files": _stage_cdf(changes, root)}
         else:
-            cdf = None
+            cdf_info = None
         new_manifest = {
             "op": op,
             "key": keys,
@@ -866,8 +901,8 @@ def _merge_commit(
             "files": carried + entries,
             "rows": sum(e["rows"] for e in carried) + sum(e["rows"] for e in entries),
         }
-        if cdf is not None:
-            new_manifest["cdf"] = cdf
+        if cdf_info is not None:
+            new_manifest["cdf"] = cdf_info
         if txn is not None:
             new_manifest["txns"] = {txn[0]: txn[1]}
         try:
@@ -1300,7 +1335,9 @@ def snapshot_changes(
     Classification: a surviving row delta whose key also appears on
     the other side is an update (pre/post image); otherwise a pure
     insert or delete. Keys come from the ``to`` manifest. Both
-    versions must still be retained (vacuum raises otherwise)."""
+    ENDPOINT versions must still be retained (vacuum raises
+    otherwise); a vacuumed intermediate (possible under db-pinned
+    retention) only drops the fast path back to the endpoint diff."""
     to_v = current_version(root) if to_version is None else to_version
     m_to = _load_manifest(root, to_v)
     schema = _schema_of(m_to)
@@ -1316,8 +1353,15 @@ def snapshot_changes(
     # overwrites; rollbacks; pre-upgrade manifests) drop the chain to
     # the endpoint-diff fallback below.
     if keys and to_v >= from_version:
-        chain = [_load_manifest(root, v) for v in range(from_version, to_v + 1)]
-        if all("cdf" in m for m in chain[1:]):
+        try:
+            chain = [_load_manifest(root, v) for v in range(from_version, to_v + 1)]
+        except SnapshotVersionError:
+            # db-pinned vacuum retains non-contiguous versions: an
+            # intermediate manifest between two retained endpoints may
+            # be gone. The endpoint diff below only needs the two
+            # retained ends (ADVICE r14, low).
+            chain = None
+        if chain is not None and all("cdf" in m for m in chain[1:]):
             return _changes_from_cdf(spark, root, chain, schema, keys)
     m_from = _load_manifest(root, from_version)
     from_paths = {f["path"] for f in m_from["files"]}
@@ -1407,8 +1451,13 @@ def _changes_from_cdf(
         if info.get("mode") == "add_only":
             prev_paths = {f["path"] for f in prev["files"]}
             added = sorted(f["path"] for f in m["files"] if f["path"] not in prev_paths)
+            # chain[-1]'s renames, NOT step i's: files appended at step
+            # i keep their physical column names, and a rename LATER in
+            # the window only records the alias in later manifests —
+            # reading with step i's map made the renamed column NULL
+            # for exactly those insert rows (ADVICE r14, medium)
             feed = (
-                _read_files(spark, root, schema, added, m.get("renames"))
+                _read_files(spark, root, schema, added, chain[-1].get("renames"))
                 .select(cols)
                 .withColumn("_change_type", F.lit("insert"))
             )

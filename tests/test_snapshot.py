@@ -1468,6 +1468,91 @@ def test_rename_then_cdf_feed_uses_current_names(spark, tmp_path):
                    (2, 4, "update_preimage"), (2, -2, "update_postimage")}
 
 
+def test_append_then_rename_cdf_feed_uses_current_names(spark, tmp_path):
+    """ADVICE r14 (medium): an add_only commit (NEW keys only) followed
+    by a rename inside the feed window must read those appended files
+    with the ENDPOINT's renames map — step i's map lacks the alias, so
+    the renamed column read back NULL for exactly the insert rows."""
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 100), root, key="k")
+    # pure append of brand-new keys -> cdf mode=add_only
+    S.upsert_snapshot(
+        spark,
+        spark.createDataFrame([(5001, 7), (5002, 8)], "k long, v long"),
+        root, "k",
+    )
+    assert S._load_manifest(root, 2)["cdf"] == {"mode": "add_only"}
+    S.rename_snapshot_column(root, "v", "value")
+    feed = S.snapshot_changes(spark, root, 1)
+    got = {(r.k, r.value, r._change_type) for r in feed.collect()}
+    assert got == {(5001, 7, "insert"), (5002, 8, "insert")}
+    # and the maintainers built on the feed see the value too
+    assert None not in {r.value for r in feed.collect()}
+
+
+def test_cdf_feed_survives_vacuumed_intermediate_manifest(spark, tmp_path):
+    """ADVICE r14 (low): db-pinned vacuum can retain non-contiguous
+    versions. A feed between two retained endpoints must fall back to
+    the endpoint diff when an intermediate manifest is gone, not raise
+    SnapshotVersionError out of the fast-path chain load."""
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 200), root, key="k")
+    S.upsert_snapshot(
+        spark, spark.createDataFrame([(1, -1)], "k long, v long"), root, "k"
+    )
+    S.upsert_snapshot(
+        spark, spark.createDataFrame([(2, -2)], "k long, v long"), root, "k"
+    )
+    # simulate the pinned-endpoints retention shape: v2's manifest gone
+    os.remove(S._manifest_path(root, 2))
+    feed = S.snapshot_changes(spark, root, 1, 3)
+    got = {(r.k, r.v, r._change_type) for r in feed.collect()}
+    assert got == {(1, 2, "update_preimage"), (1, -1, "update_postimage"),
+                   (2, 4, "update_preimage"), (2, -2, "update_postimage")}
+
+
+def test_non_utc_session_timestamp_stats_fail_loud(spark, tmp_path):
+    """ADVICE r14 (low): naive-vs-footer timestamp bound comparisons
+    are only sound on a UTC session; staging stats under another zone
+    must raise instead of silently mis-pruning."""
+    import datetime as _dt
+
+    root = str(tmp_path / "t")
+    rows = [(_dt.datetime(2024, 1, 1, 12, 0, i), i) for i in range(5)]
+    df = spark.createDataFrame(rows, "ts timestamp, v long")
+    S.upsert_snapshot(spark, df, root, "ts")  # create path: footer stats only
+    batch = spark.createDataFrame(
+        [(_dt.datetime(2024, 1, 1, 12, 0, 1), -1)], "ts timestamp, v long"
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        # merge path collects naive batch bounds -> must refuse to
+        # compare them against the UTC footer stats
+        with pytest.raises(RuntimeError, match="timeZone"):
+            S.upsert_snapshot(spark, batch, root, "ts")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    # UTC session: same merge goes through, and key_between reads prune
+    S.upsert_snapshot(spark, batch, root, "ts")
+    got = S.read_snapshot(
+        spark, root,
+        key_between=("ts", _dt.datetime(2024, 1, 1, 12, 0, 1),
+                     _dt.datetime(2024, 1, 1, 12, 0, 2)),
+    )
+    assert got.count() == 2
+    # non-UTC read with datetime bounds also fails loud
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(RuntimeError, match="timeZone"):
+            S.read_snapshot(
+                spark, root,
+                key_between=("ts", _dt.datetime(2024, 1, 1), _dt.datetime(2024, 1, 2)),
+            )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 # ---------------------------------------------------------------------------
 # multi-PROCESS concurrency (VERDICT r13 task #4)
 # ---------------------------------------------------------------------------
