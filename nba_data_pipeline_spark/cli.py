@@ -85,6 +85,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lm_ref", help="corpus_ingest: parquet to fit the frozen scoring LM")
     p.add_argument("--checkpoint", help="corpus_ingest: streaming checkpoint dir")
     p.add_argument(
+        "--app_id",
+        help="corpus_ingest: arm the snapshot txn fence — every state "
+        "table commits each micro-batch with txn=(app_id, epoch), so a "
+        "redelivered epoch is a visible no-op on every table; requires "
+        "--checkpoint (keep the two paired for the watermark's lifetime)",
+    )
+    p.add_argument(
         "--key",
         help="cdc_materialize: comma-separated snapshot key column(s)",
     )
@@ -313,7 +320,10 @@ def run(argv: Sequence[str], spark: SparkSession | None = None) -> None:
     if args.pipeline == "corpus_takedown":
         import os as _os
 
-        from .sinks.writer import table_exists
+        # store_exists sees BOTH backends — state tables default to the
+        # snapshot format now, which has no top-level parquet files for
+        # the swap-side table_exists to find
+        from .sinks.store import store_exists
         from .streaming.ops import takedown_batch
 
         ids = spark.read.parquet(*args.input.split(","))
@@ -325,11 +335,11 @@ def run(argv: Sequence[str], spark: SparkSession | None = None) -> None:
         removed = takedown_batch(
             ids,
             _os.path.join(args.output, "corpus"),
-            signature_path=sub["sigs"] if table_exists(sub["sigs"]) else None,
-            pairs_path=sub["pairs"] if table_exists(sub["pairs"]) else None,
-            scores_path=sub["scores"] if table_exists(sub["scores"]) else None,
-            stats_path=sub["stats"] if table_exists(sub["stats"]) else None,
-            hashes_path=sub["hashes"] if table_exists(sub["hashes"]) else None,
+            signature_path=sub["sigs"] if store_exists(sub["sigs"]) else None,
+            pairs_path=sub["pairs"] if store_exists(sub["pairs"]) else None,
+            scores_path=sub["scores"] if store_exists(sub["scores"]) else None,
+            stats_path=sub["stats"] if store_exists(sub["stats"]) else None,
+            hashes_path=sub["hashes"] if store_exists(sub["hashes"]) else None,
             corpus_partition_by=pcols,
         )
         print(" ".join(f"{k}={v}" for k, v in sorted(removed.items())))
@@ -381,6 +391,7 @@ def run(argv: Sequence[str], spark: SparkSession | None = None) -> None:
             hashes_path=paths["hashes"] if args.seen_state else None,
             stats_path=paths["stats"] if args.stats_key else None,
             stats_key=args.stats_key or "source",
+            app_id=args.app_id,
             **({"state_buckets": args.state_buckets} if args.state_buckets else {}),
         )
         q.awaitTermination()

@@ -472,6 +472,7 @@ def q_takedown_gate(spark, sf):
     import tempfile
 
     from .operators.text import fit_trigram_lm
+    from .sinks.store import read_store
     from .streaming.ops import (
         corpus_ingest_batch,
         seen_content_filter_batch,
@@ -492,7 +493,7 @@ def q_takedown_gate(spark, sf):
             hashes_path=p["hashes"], stats_path=p["stats"],
             num_perm=32, bands=16, threshold=0.4,
         )
-        corpus0 = spark.read.parquet(p["corpus"]).localCheckpoint(eager=True)
+        corpus0 = read_store(spark, p["corpus"]).localCheckpoint(eager=True)
         n0 = corpus0.count()
         victim = corpus0.select("source").orderBy("source").first().source
         doomed = corpus0.filter(F.col("source") == victim).select("doc_id")
@@ -502,15 +503,15 @@ def q_takedown_gate(spark, sf):
             pairs_path=p["pairs"], scores_path=p["scores"],
             stats_path=p["stats"], hashes_path=p["hashes"],
         )
-        corpus1 = spark.read.parquet(p["corpus"])
+        corpus1 = read_store(spark, p["corpus"])
         live_ids = corpus1.select("doc_id")
         corpus_ok = corpus1.count() == n0 - nd and corpus1.filter(
             F.col("source") == victim
         ).count() == 0
         orphans = (
-            spark.read.parquet(p["sigs"])
+            read_store(spark, p["sigs"])
             .join(live_ids, "doc_id", "left_anti").count()
-            + spark.read.parquet(p["scores"])
+            + read_store(spark, p["scores"])
             .join(live_ids, "doc_id", "left_anti").count()
         )
         stats_total = (
@@ -5887,8 +5888,10 @@ def q_streaming_replay_parity(spark, sf):
         near_dedup_batch(batches[1], s_multi, p_multi, **kw)
         near_dedup_batch(batches[2], s_multi, p_multi, **kw)
         near_dedup_batch(docs, s_one, p_one, **kw)
-        multi = spark.read.parquet(p_multi).select("id_a", "id_b", "est_jaccard")
-        single = spark.read.parquet(p_one).select("id_a", "id_b", "est_jaccard")
+        from .sinks.store import read_store
+
+        multi = read_store(spark, p_multi).select("id_a", "id_b", "est_jaccard")
+        single = read_store(spark, p_one).select("id_a", "id_b", "est_jaccard")
         joined = multi.withColumn("in_replayed", F.lit(True)).join(
             single.withColumn("in_single_shot", F.lit(True)),
             ["id_a", "id_b", "est_jaccard"],
@@ -5901,7 +5904,7 @@ def q_streaming_replay_parity(spark, sf):
                 F.lit(True),
             ).alias("ok")
         ).select(F.lit("all_pairs_in_both").alias("metric"), "ok")
-        sigs = spark.read.parquet(s_multi)
+        sigs = read_store(spark, s_multi)
         no_dupes = sigs.agg(
             (F.count("*") == F.countDistinct("doc_id")).alias("ok")
         ).select(F.lit("no_dup_signatures").alias("metric"), "ok")
@@ -6761,13 +6764,15 @@ def q_embedding_ingest_gate(spark, sf):
                 " as array<float>)"
             ).alias("embedding"),
         ).localCheckpoint()
+        from .sinks.store import read_store
+
         embedding_ingest_batch(b1, root, **kw)
         embedding_ingest_batch(b2, root, **kw)
-        pairs1 = spark.read.parquet(f"{root}/pairs").localCheckpoint()
-        labels1 = spark.read.parquet(f"{root}/components").localCheckpoint()
+        pairs1 = read_store(spark, f"{root}/pairs").localCheckpoint()
+        labels1 = read_store(spark, f"{root}/components").localCheckpoint()
         embedding_ingest_batch(b2, root, **kw)  # replay
-        pairs2 = spark.read.parquet(f"{root}/pairs").localCheckpoint()
-        labels2 = spark.read.parquet(f"{root}/components").localCheckpoint()
+        pairs2 = read_store(spark, f"{root}/pairs").localCheckpoint()
+        labels2 = read_store(spark, f"{root}/components").localCheckpoint()
         n_indexed = spark.read.parquet(f"{root}/ivf").count()
 
         planted = spark.range(10).select(
@@ -8082,7 +8087,9 @@ def q_streaming_replay_oracle(spark, sf):
         # redelivered micro-batch: must upsert the same keys, not dupe
         near_dedup_batch(batches[1], sig_p, pairs_p, **kw)
         near_dedup_batch(batches[2], sig_p, pairs_p, **kw)
-        out = spark.read.parquet(pairs_p).select("id_a", "id_b", "est_jaccard")
+        from .sinks.store import read_store
+
+        out = read_store(spark, pairs_p).select("id_a", "id_b", "est_jaccard")
         # materialize before the temp tables are deleted
         return out.localCheckpoint(eager=True)
     finally:

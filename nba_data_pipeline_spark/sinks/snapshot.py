@@ -791,6 +791,11 @@ def _merge_commit(
     ``materialize=False`` is for callers whose source is already
     checkpointed (mirror's CDF) — skips the redundant second write."""
     keys = [key] if isinstance(key, str) else list(key)
+    # fence BEFORE materializing: a replayed batch must be a visible
+    # no-op, and the cheap version of that skips even the one O(batch)
+    # source evaluation the checkpoint would pay
+    if _txn_already_applied(root, txn):
+        return current_version(root)
     # materialize the batch ONCE: the merge evaluates it three times
     # (bounds, exact prune, rewrite) and a non-deterministic source
     # recomputed between the prune and the rewrite could change keys

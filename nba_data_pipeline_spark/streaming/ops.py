@@ -70,6 +70,32 @@ def run_stream_dedup(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def _check_state_args(
+    state_buckets: int | None,
+    state_format: str | None,
+    txn: tuple[str, int] | None,
+) -> None:
+    """Shared argument contract of the persisted-state maintainers:
+    ``state_buckets`` selects the hive-bucketed SWAP layout (per-bucket
+    dirs beat manifest bookkeeping at billion-row state), which has no
+    transaction watermark — asking for snapshot semantics on top of it
+    must fail loud, not silently drop the guarantee."""
+    if state_buckets:
+        if state_format == "snapshot":
+            raise ValueError(
+                "state_buckets lays state out as hive bucket dirs (swap "
+                "format); snapshot state is flat and prunes via zone "
+                "maps — drop state_buckets or state_format='snapshot'"
+            )
+        if txn is not None:
+            raise ValueError(
+                "txn fencing requires the snapshot backend; bucketed "
+                "swap state has no transaction watermark (the additive "
+                "fold family carries its own bucket-granular epoch "
+                "fence instead)"
+            )
+
+
 def near_dedup_batch(
     batch_df: DataFrame,
     signature_path: str,
@@ -83,6 +109,8 @@ def near_dedup_batch(
     hash: str = "xxhash64",
     state_buckets: int | None = None,
     return_pairs: bool = False,
+    state_format: str | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> DataFrame | None:
     """One continuous-ingest near-dedup step (the foreachBatch body of
     ``stream_near_dedup``, exposed for cron-style batch ingest and for
@@ -125,17 +153,34 @@ def near_dedup_batch(
     (the pair join drops the bucket column).
     ``sinks.writer.choose_state_buckets`` encodes the measured sizing
     rule as the documented default.
+
+    FLAT state (no ``state_buckets``) lives on SNAPSHOT tables by
+    default (sticky: an existing swap table keeps its format, and
+    ``state_format`` forces either): atomic manifest commits replace
+    the partition-swap machinery, and ``txn=(app_id, version)`` makes
+    a replayed foreachBatch a visible no-op on BOTH tables — the
+    exactly-once contract the reference gets from Postgres ON CONFLICT
+    (reference database/db_client.py:69-90). The write order is pairs
+    then signatures, so a crash between the two commits replays as:
+    pairs fence no-op, signatures apply — and the pair generation on
+    that replay still sees the pre-batch corpus (signatures were never
+    merged), reproducing identical pairs. State tables are created
+    ``cdf=False``: they are derived, rebuildable, and have no
+    change-feed consumers, so the write-time sidecar would be pure
+    merge tax (the measured ~1.7x merge dial at sf0.1).
     """
     from ..operators.dedup import incremental_minhash_pairs, minhash_signatures
-    from ..sinks.writer import table_exists, upsert_table
+    from ..sinks.store import read_store, store_exists, upsert_store
+    from ..sinks.writer import upsert_table
 
+    _check_state_args(state_buckets, state_format, txn)
     spark = batch_df.sparkSession
     sigs = minhash_signatures(
         batch_df, id_col, text_col, num_perm=num_perm, shingle_n=shingle_n,
         hash=hash,
     ).localCheckpoint()  # eager: feeds the pair join AND the table merge
-    if table_exists(signature_path):
-        corpus = spark.read.parquet(signature_path).drop("bucket")
+    if store_exists(signature_path):
+        corpus = read_store(spark, signature_path).drop("bucket")
     else:  # first batch: empty corpus, new-vs-new pairs still form
         corpus = spark.createDataFrame([], sigs.schema)
     pairs = incremental_minhash_pairs(
@@ -168,11 +213,17 @@ def near_dedup_batch(
             partition_by=["bucket"], buckets=state_buckets,
         )
         return out_pairs
-    upsert_table(spark, pairs, pairs_path, key=("id_a", "id_b"))
+    upsert_store(
+        spark, pairs, pairs_path, key=("id_a", "id_b"),
+        fmt=state_format, default="snapshot", txn=txn, cdf=False,
+    )
     # minhash_signatures aliases the id column to doc_id, so the
     # signature-table merge key is the literal "doc_id" regardless of
     # the caller's id_col
-    upsert_table(spark, sigs, signature_path, key="doc_id")
+    upsert_store(
+        spark, sigs, signature_path, key="doc_id",
+        fmt=state_format, default="snapshot", txn=txn, cdf=False,
+    )
     return out_pairs
 
 
@@ -187,9 +238,12 @@ def image_dedup_batch(
     decode: str = "real",
     state_buckets: int | None = None,
     return_pairs: bool = False,
+    state_format: str | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> DataFrame | None:
     """One continuous-ingest IMAGE near-dedup step — the media-modality
-    twin of ``near_dedup_batch`` (same idempotency contract, usable as
+    twin of ``near_dedup_batch`` (same idempotency contract — including
+    the snapshot-default flat state + ``txn`` replay fence — usable as
     a foreachBatch body or cron-style batch ingest):
 
     1. ``image_dhash`` fingerprints for the batch only (payload bytes
@@ -209,8 +263,10 @@ def image_dedup_batch(
     state rebuild."""
     from ..operators.dedup import incremental_simhash_pairs
     from ..operators.multimodal import image_dhash
-    from ..sinks.writer import table_exists, upsert_table
+    from ..sinks.store import read_store, store_exists, upsert_store
+    from ..sinks.writer import upsert_table
 
+    _check_state_args(state_buckets, state_format, txn)
     spark = batch_df.sparkSession
     hashes = (
         image_dhash(batch_df, id_col, payload_col, decode=decode)
@@ -218,8 +274,8 @@ def image_dedup_batch(
         .select("doc_id", F.col("dhash").alias("sh"))
         .localCheckpoint()  # eager: feeds the pair join AND the merge
     )
-    if table_exists(hash_path):
-        corpus = spark.read.parquet(hash_path).drop("bucket")
+    if store_exists(hash_path):
+        corpus = read_store(spark, hash_path).drop("bucket")
     else:
         corpus = spark.createDataFrame([], hashes.schema)
     pairs = incremental_simhash_pairs(
@@ -254,8 +310,14 @@ def image_dedup_batch(
             partition_by=["bucket"], buckets=state_buckets,
         )
         return out_pairs
-    upsert_table(spark, pairs, pairs_path, key=("id_a", "id_b"))
-    upsert_table(spark, hashes, hash_path, key="doc_id")
+    upsert_store(
+        spark, pairs, pairs_path, key=("id_a", "id_b"),
+        fmt=state_format, default="snapshot", txn=txn, cdf=False,
+    )
+    upsert_store(
+        spark, hashes, hash_path, key="doc_id",
+        fmt=state_format, default="snapshot", txn=txn, cdf=False,
+    )
     return out_pairs
 
 
@@ -273,6 +335,7 @@ def stream_near_dedup(
     available_now: bool = True,
     query_name: str = "stream_near_dedup",
     state_buckets: int | None = None,
+    app_id: str | None = None,
 ):
     """Continuous-ingest NEAR-dedup as a Structured Streaming query:
     ``near_dedup_batch`` per micro-batch via foreachBatch. At 100 TB
@@ -281,13 +344,27 @@ def stream_near_dedup(
     and stops (cron-style incremental ingest, like the reference CLI).
     ``state_buckets`` bounds the per-batch state MERGE to touched
     buckets (see near_dedup_batch) — pass it for billion-row state.
-    """
+
+    ``app_id`` arms the snapshot txn fence: each micro-batch commits
+    the signature/pairs state with ``txn=(app_id, epoch_id)``, so a
+    redelivered epoch (foreachBatch is at-least-once) is a visible
+    no-op on both tables instead of merely converging. Requires a
+    durable ``checkpoint_dir`` — same contract and failure mode as
+    ``stream_upsert_snapshot`` (a fresh checkpoint restarts epochs at
+    0 and the stale watermark would silently fence real data)."""
+    if app_id is not None and not checkpoint_dir:
+        raise ValueError(
+            "app_id (txn fencing) requires a durable checkpoint_dir: "
+            "without one every run restarts epoch_id at 0 and the "
+            "prior watermark silently drops each new batch as a replay"
+        )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         near_dedup_batch(
             batch_df, signature_path, pairs_path, id_col, text_col,
             num_perm, bands, threshold, shingle_n,
             state_buckets=state_buckets,
+            txn=(app_id, int(epoch_id)) if app_id is not None else None,
         )
 
     writer = stream_df.writeStream.foreachBatch(process).queryName(query_name)
@@ -305,6 +382,8 @@ def quality_score_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     state_buckets: int | None = None,
+    state_format: str | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> None:
     """One continuous-ingest quality-scoring step: score the batch
     under a FITTED trigram LM (``text.fit_trigram_lm`` — fit once on a
@@ -315,10 +394,14 @@ def quality_score_batch(
     replay-idempotent — same contract as ``near_dedup_batch``, and the
     same ``state_buckets`` option bounds the merge's write volume to
     the touched buckets once the score table outgrows whole-rewrites
-    (see the near_dedup_batch docstring for the crossover)."""
+    (see the near_dedup_batch docstring for the crossover). Flat state
+    defaults to a SNAPSHOT table (sticky on existing swap tables);
+    ``txn`` fences redelivered batches into visible no-ops."""
     from ..operators.text import trigram_lm_scores
+    from ..sinks.store import upsert_store
     from ..sinks.writer import upsert_table
 
+    _check_state_args(state_buckets, state_format, txn)
     scored = trigram_lm_scores(batch_df, lm, id_col, text_col)
     if state_buckets:
         scored = scored.withColumn(
@@ -329,7 +412,10 @@ def quality_score_batch(
             partition_by=["bucket"], buckets=state_buckets,
         )
         return
-    upsert_table(batch_df.sparkSession, scored, scores_path, key=id_col)
+    upsert_store(
+        batch_df.sparkSession, scored, scores_path, key=id_col,
+        fmt=state_format, default="snapshot", txn=txn, cdf=False,
+    )
 
 
 def stream_quality_scores(
@@ -341,15 +427,27 @@ def stream_quality_scores(
     checkpoint_dir: str | None = None,
     available_now: bool = True,
     query_name: str = "stream_quality_scores",
+    app_id: str | None = None,
 ):
     """CCNet-style quality scoring as a Structured Streaming query:
     ``quality_score_batch`` per micro-batch via foreachBatch. The LM
     never refits in-stream (training-data pipelines freeze the
     reference model and version it with the corpus snapshot); per-batch
-    cost is one explode + broadcast join over the batch only."""
+    cost is one explode + broadcast join over the batch only.
+    ``app_id`` arms the snapshot txn fence per epoch (same
+    durable-checkpoint contract as ``stream_near_dedup``)."""
+    if app_id is not None and not checkpoint_dir:
+        raise ValueError(
+            "app_id (txn fencing) requires a durable checkpoint_dir: "
+            "without one every run restarts epoch_id at 0 and the "
+            "prior watermark silently drops each new batch as a replay"
+        )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        quality_score_batch(batch_df, lm, scores_path, id_col, text_col)
+        quality_score_batch(
+            batch_df, lm, scores_path, id_col, text_col,
+            txn=(app_id, int(epoch_id)) if app_id is not None else None,
+        )
 
     writer = stream_df.writeStream.foreachBatch(process).queryName(query_name)
     if checkpoint_dir:
@@ -870,6 +968,8 @@ def embedding_ingest_batch(
     with_pq: bool = False,
     pq_m: int = 8,
     pq_k: int = 16,
+    state_format: str | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> None:
     """One full continuous-ingest step for the EMBEDDING modality — the
     ``corpus_ingest_batch`` analogue, gluing the ANN-state stages in
@@ -889,9 +989,16 @@ def embedding_ingest_batch(
        labeling (``update_component_state`` — WAL-journaled).
 
     State lives entirely in the tables; a restart is cold with zero
-    rebuild — the same contract as the text-side ingest."""
+    rebuild — the same contract as the text-side ingest. Flat PAIR and
+    COMPONENT state defaults to snapshot tables with the ``txn`` replay
+    fence (see near_dedup_batch); the IVF corpus and PQ code tables
+    keep their list-/bucket-partitioned swap layouts — their partition
+    pruning IS the query speedup, and their replays are idempotent by
+    deterministic assignment."""
+    from ..sinks.store import upsert_store
     from ..sinks.writer import table_exists, upsert_table
 
+    _check_state_args(state_buckets, state_format, txn)
     spark = batch_df.sparkSession
     ivf_path = os.path.join(index_root, "ivf")
     pairs = None
@@ -913,19 +1020,24 @@ def embedding_ingest_batch(
             state_buckets=state_buckets or 64,
         )
     if pairs_path is not None:
-        bucketed = pairs
-        pby: list = []
         if state_buckets:
             bucketed = pairs.withColumn(
                 "bucket", F.pmod(F.xxhash64("id_a", "id_b"), F.lit(state_buckets))
             )
-            pby = ["bucket"]
-        upsert_table(
-            spark, bucketed, pairs_path, key=("id_a", "id_b"),
-            partition_by=pby, buckets=state_buckets,
-        )
+            upsert_table(
+                spark, bucketed, pairs_path, key=("id_a", "id_b"),
+                partition_by=["bucket"], buckets=state_buckets,
+            )
+        else:
+            upsert_store(
+                spark, pairs, pairs_path, key=("id_a", "id_b"),
+                fmt=state_format, default="snapshot", txn=txn, cdf=False,
+            )
     if components_path is not None:
-        update_component_state(pairs, components_path, state_buckets=state_buckets)
+        update_component_state(
+            pairs, components_path, state_buckets=state_buckets,
+            state_format=state_format, txn=txn,
+        )
 
 
 PQ_META = "_pq_codebooks.json"
@@ -1266,11 +1378,17 @@ def rebuild_component_labels(
     whole-dir replace for flat tables and per-leaf for bucketed ones —
     here every bucket changes by definition, so the rewrite is
     whole-table either way. A stale ``_changes_journal`` from a crashed
-    incremental merge is superseded by the rebuild and removed."""
+    incremental merge is superseded by the rebuild and removed.
+
+    Snapshot-format tables (flat-state default) rebuild as one
+    overwrite commit — atomic, time-travel keeps the pre-rebuild
+    labeling until vacuum, no journal to heal."""
     import os
     import shutil
 
     from ..operators.dedup import connected_components
+    from ..sinks import snapshot as _snap
+    from ..sinks.store import is_snapshot_table, read_store, store_exists
     from ..sinks.writer import (
         _rewrite,
         _rewrite_partitions,
@@ -1281,6 +1399,22 @@ def rebuild_component_labels(
         write_table,
     )
 
+    if is_snapshot_table(labels_path) or is_snapshot_table(pairs_path):
+        if state_buckets:
+            raise ValueError(
+                "snapshot-format label/pair tables are flat; "
+                "state_buckets is a swap-layout concept"
+            )
+        if not store_exists(pairs_path):
+            if os.path.exists(labels_path):
+                shutil.rmtree(labels_path)
+            return
+        pairs = read_store(spark, pairs_path)
+        labels = connected_components(pairs, id_a=id_a, id_b=id_b)
+        # cdf=False like every state table: derived, rebuildable, no
+        # change-feed consumers — skip the write-time sidecar tax
+        _snap.write_snapshot(spark, labels, labels_path, key="doc_id", cdf=False)
+        return
     pby = ["bucket"] if state_buckets else []
     check_partition_layout(labels_path, pby, state_buckets)
     heal_needed = os.path.join(labels_path, "_changes_journal")
@@ -1326,6 +1460,8 @@ def update_component_state(
     new_pairs: DataFrame,
     labels_path: str,
     state_buckets: int | None = None,
+    state_format: str | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> None:
     """Maintain a persisted dedup-cluster labeling (doc_id ->
     component_id) under continuous ingest: fold one batch of near-dup
@@ -1367,15 +1503,57 @@ def update_component_state(
     (labels are arbitrary representatives, not live ids); run
     ``rebuild_component_labels`` over the pair table when
     representative liveness matters. ``state_buckets`` default: see
-    ``sinks.writer.choose_state_buckets`` (measured crossover rule)."""
+    ``sinks.writer.choose_state_buckets`` (measured crossover rule).
+
+    FLAT state defaults to a SNAPSHOT table (sticky on existing swap
+    tables): the manifest commit is all-or-nothing, so the
+    write-ahead journal below — which exists only because the bucketed
+    swap merge commits one bucket dir at a time — is unnecessary
+    there, and ``txn=(app_id, version)`` turns a redelivered batch
+    into a visible no-op before ``incremental_components`` would even
+    compute an empty delta."""
     import os
     import shutil
 
     from ..operators.dedup import connected_components, incremental_components
+    from ..sinks.store import detect_format, read_store, upsert_store
     from ..sinks.writer import read_table, table_exists, upsert_table, write_table
     from ..sinks.writer import check_partition_layout, write_layout_meta
 
+    _check_state_args(state_buckets, state_format, txn)
     spark = new_pairs.sparkSession
+    fmt = detect_format(labels_path) or state_format or (
+        "swap" if state_buckets else "snapshot"
+    )
+    if fmt == "snapshot":
+        if state_buckets:
+            raise ValueError(
+                f"labels table at {labels_path} is a snapshot table; "
+                "state_buckets is a swap-layout concept"
+            )
+        if txn is not None:
+            from ..sinks.snapshot import txn_version
+
+            applied = txn_version(labels_path, txn[0])
+            if applied is not None and applied >= txn[1]:
+                return  # fenced replay: skip the label read + delta
+        if detect_format(labels_path) is None:
+            labels = connected_components(new_pairs)
+            upsert_store(
+                spark, labels, labels_path, key="doc_id",
+                fmt="snapshot", txn=txn, cdf=False,
+            )
+            return
+        labels = read_store(spark, labels_path)
+        changed = incremental_components(labels, new_pairs, changed_only=True)
+        # one atomic manifest commit — no journal needed; an empty
+        # delta still commits when fenced so the watermark advances
+        # (a later replay then skips the label read + delta compute)
+        upsert_store(
+            spark, changed.select("doc_id", "component_id"), labels_path,
+            key="doc_id", fmt="snapshot", txn=txn, cdf=False,
+        )
+        return
     pby = ["bucket"] if state_buckets else []
     check_partition_layout(labels_path, pby, state_buckets)
 
@@ -1449,6 +1627,8 @@ def corpus_ingest_batch(
     stats_buckets: int | None = None,
     batch_id: int | None = None,
     components_path: str | None = None,
+    state_format: str | None = None,
+    txn: tuple[str, int] | None = None,
     **near_dedup_kwargs,
 ) -> None:
     """One full continuous-ingest corpus step — the composed foreachBatch
@@ -1485,9 +1665,18 @@ def corpus_ingest_batch(
     in-stream — cluster collapse is a batch decision over the pair
     table (``dedup_assign``), because eager in-stream dropping makes
     survivor choice order-dependent across redeliveries.
+
+    ``state_format``/``txn`` ride through to every flat state MERGE
+    (signatures, pairs, component labels, scores, the corpus table
+    itself): with ``txn=(app_id, epoch)`` each table independently
+    fences the replayed epoch, so a crash anywhere in the chain
+    replays with the already-committed tables as visible no-ops and
+    only the remaining tables applying (per-table exactly-once — the
+    reference's Postgres ON CONFLICT contract across the whole
+    composition).
     """
     from ..operators.text import gopher_rules
-    from ..sinks.writer import upsert_table
+    from ..sinks.store import upsert_store
 
     if pii_types:
         from ..operators.pii import redact_pii
@@ -1506,7 +1695,8 @@ def corpus_ingest_batch(
     )
     batch_pairs = near_dedup_batch(
         gated, signature_path, pairs_path, id_col, text_col,
-        return_pairs=components_path is not None, **near_dedup_kwargs,
+        return_pairs=components_path is not None,
+        state_format=state_format, txn=txn, **near_dedup_kwargs,
     )
     if components_path is not None:
         # live dedup-cluster labels maintained per batch from the same
@@ -1516,14 +1706,19 @@ def corpus_ingest_batch(
         update_component_state(
             batch_pairs, components_path,
             state_buckets=near_dedup_kwargs.get("state_buckets"),
+            state_format=state_format, txn=txn,
         )
     quality_score_batch(
         gated, lm, scores_path, id_col, text_col,
         # one knob lays out both merge-state tables; the signature
         # table picks it up through near_dedup_kwargs
         state_buckets=near_dedup_kwargs.get("state_buckets"),
+        state_format=state_format, txn=txn,
     )
-    upsert_table(batch_df.sparkSession, gated, corpus_path, key=id_col)
+    upsert_store(
+        batch_df.sparkSession, gated, corpus_path, key=id_col,
+        fmt=state_format, default="snapshot", txn=txn,
+    )
     if seen_state:
         record_ingested_content(gated, bloom_path, hashes_path, text_col)
     if stats_path is not None and stats_key in gated.columns:
@@ -1621,13 +1816,17 @@ def reconcile_ingest_stats(
     ``fold_ingest_stats``'s documented crash-divergence window — the
     corpus table is the source of truth, so a reconcile always
     converges the rollup exactly, whatever the crash history. Schedule
-    it like a compaction (off-peak, occasionally), not per batch."""
-    from ..sinks.writer import _rewrite, heal_partition_swaps, read_table
+    it like a compaction (off-peak, occasionally), not per batch.
+    Reads the corpus through the store facade (snapshot corpora read
+    at their committed version; swap corpora heal first)."""
+    from ..sinks.store import is_snapshot_table, read_store
+    from ..sinks.writer import _rewrite, heal_partition_swaps
 
-    heal_partition_swaps(corpus_path)
+    if not is_snapshot_table(corpus_path):
+        heal_partition_swaps(corpus_path)
     heal_partition_swaps(stats_path)
     fresh = (
-        read_table(spark, corpus_path, merge_schema=True)
+        read_store(spark, corpus_path, merge_schema=True)
         .withColumn("_chars", F.length(text_col).cast("long"))
         .groupBy(stats_key)
         .agg(
@@ -1660,13 +1859,26 @@ def stream_corpus_ingest(
     stats_key: str = "source",
     stats_buckets: int | None = None,
     components_path: str | None = None,
+    app_id: str | None = None,
     **near_dedup_kwargs,
 ):
     """The whole training-corpus ingest as ONE Structured Streaming
     query: gate -> near-dedup -> score -> corpus MERGE per micro-batch.
     State lives in the four parquet tables (restart is cold, zero
     streaming-state rebuild); per-batch cost is O(batch) against
-    broadcast/banded state, never a corpus rescan."""
+    broadcast/banded state, never a corpus rescan.
+
+    ``app_id`` arms the per-table snapshot txn fence across the whole
+    composition — every table commits with ``txn=(app_id, epoch_id)``,
+    so a redelivered epoch no-ops table by table (the crash-anywhere
+    replay contract of ``corpus_ingest_batch``). Requires a durable
+    ``checkpoint_dir``, same as ``stream_upsert_snapshot``."""
+    if app_id is not None and not checkpoint_dir:
+        raise ValueError(
+            "app_id (txn fencing) requires a durable checkpoint_dir: "
+            "without one every run restarts epoch_id at 0 and the "
+            "prior watermark silently drops each new batch as a replay"
+        )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         corpus_ingest_batch(
@@ -1676,6 +1888,7 @@ def stream_corpus_ingest(
             stats_path=stats_path, stats_key=stats_key,
             stats_buckets=stats_buckets, batch_id=int(epoch_id),
             components_path=components_path,
+            txn=(app_id, int(epoch_id)) if app_id is not None else None,
             **near_dedup_kwargs,
         )
 
@@ -1732,21 +1945,27 @@ def classifier_score_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_features: int = 1024,
+    state_format: str | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> None:
     """One continuous-ingest LEARNED-quality-scoring step: score the
     batch under a FROZEN classifier (``quality_model.fit_quality_classifier``
     — fit once on the labeled sample, weights broadcast every batch)
     and MERGE into the persisted score table keyed on the id. Pure
     function of (document, frozen weights) -> replay-idempotent, the
-    same contract as ``quality_score_batch`` (the n-gram LM variant).
+    same contract as ``quality_score_batch`` (the n-gram LM variant) —
+    including the snapshot default + ``txn`` fence.
     """
     from ..operators.quality_model import quality_model_scores
-    from ..sinks.writer import upsert_table
+    from ..sinks.store import upsert_store
 
     scored = quality_model_scores(
         batch_df, weights, intercept, id_col, text_col, n_features
     ).select(id_col, "quality_logit", "quality_prob")
-    upsert_table(batch_df.sparkSession, scored, scores_path, key=id_col)
+    upsert_store(
+        batch_df.sparkSession, scored, scores_path, key=id_col,
+        fmt=state_format, default="snapshot", txn=txn, cdf=False,
+    )
 
 
 def stream_classifier_scores(
@@ -1896,7 +2115,16 @@ def takedown_batch(
 
     Returns ``{table: rows_removed}``. Idempotent: a second run with
     the same ids removes nothing.
+
+    FORMAT DISPATCH: every table is removed through its own backend —
+    snapshot tables (the flat-state default since the state
+    maintainers moved onto the format) take ``delete_snapshot``'s
+    pruned copy-on-write commit (O(touched files), atomic, time-travel
+    keeps the pre-takedown version until vacuum); swap tables keep the
+    partition-scoped rewrite below.
     """
+    from ..sinks import snapshot as _snap
+    from ..sinks.store import is_snapshot_table
     from ..sinks.writer import (
         _rewrite,
         _rewrite_partitions,
@@ -1912,15 +2140,29 @@ def takedown_batch(
     spark = ids_df.sparkSession
     ids = ids_df.select(id_col).distinct().localCheckpoint()
     removed: dict[str, int] = {}
+
+    def _local(uri: str) -> str:
+        p = uri.split("://", 1)[-1] if "://" in uri else uri
+        return p[5:] if p.startswith("file:") else p
+
+    if is_snapshot_table(corpus_path):
+        corpus = _snap.read_snapshot(spark, corpus_path)
+        doomed = corpus.join(ids, id_col, "left_semi").localCheckpoint()
+        removed["corpus"] = doomed.count()
+        if removed["corpus"]:
+            _snap.delete_snapshot(spark, ids, corpus_path, id_col)
+        survivors = _snap.read_snapshot(spark, corpus_path)
+        return _takedown_rest(
+            spark, ids, doomed, survivors, removed,
+            signature_path, pairs_path, scores_path, stats_path,
+            hashes_path, id_col, text_col, stats_key,
+            extra_id_tables, extra_pair_tables,
+        )
     # heal BEFORE any layout inference or read: a partition leaf stuck
     # mid-swap reads as absent (its rows would survive the takedown
     # invisibly), and an orphaned .swap-old dir must never be mistaken
     # for layout (hive_partition_cols skips dot-dirs, heal removes them)
     heal_partition_swaps(corpus_path)
-
-    def _local(uri: str) -> str:
-        p = uri.split("://", 1)[-1] if "://" in uri else uri
-        return p[5:] if p.startswith("file:") else p
 
     corpus_pcols = list(corpus_partition_by) or hive_partition_cols(corpus_path)
     corpus = read_table(spark, corpus_path, merge_schema=True)
@@ -1976,6 +2218,53 @@ def takedown_batch(
         survivors = read_table(spark, corpus_path, merge_schema=True)
     else:
         survivors = spark.createDataFrame([], corpus.schema)
+    return _takedown_rest(
+        spark, ids, doomed, survivors, removed,
+        signature_path, pairs_path, scores_path, stats_path,
+        hashes_path, id_col, text_col, stats_key,
+        extra_id_tables, extra_pair_tables,
+    )
+
+
+def _takedown_rest(
+    spark,
+    ids: DataFrame,
+    doomed: DataFrame,
+    survivors: DataFrame,
+    removed: dict,
+    signature_path: str | None,
+    pairs_path: str | None,
+    scores_path: str | None,
+    stats_path: str | None,
+    hashes_path: str | None,
+    id_col: str,
+    text_col: str,
+    stats_key: str,
+    extra_id_tables: dict | None,
+    extra_pair_tables: dict | None,
+) -> dict:
+    """Everything after the corpus step of ``takedown_batch``, shared
+    by the swap- and snapshot-corpus entry paths: each derived state
+    table dispatches on ITS OWN on-disk format (a mixed estate —
+    snapshot signatures beside a bucketed seen-hash table — is the
+    normal shape after the flat-state default moved to snapshot)."""
+    from ..sinks import snapshot as _snap
+    from ..sinks.store import is_snapshot_table
+    from ..sinks.writer import (
+        _rewrite,
+        _rewrite_partitions,
+        heal_partition_swaps,
+        hive_partition_cols,
+        read_table,
+        table_exists,
+    )
+
+    import os as _os
+    import shutil as _shutil
+
+    def _local(uri: str) -> str:
+        p = uri.split("://", 1)[-1] if "://" in uri else uri
+        return p[5:] if p.startswith("file:") else p
 
     def _scoped_drop(path: str, pcols: list, split, label: str) -> None:
         """Shared partition-scoped row removal: ``split(t)`` returns
@@ -2035,6 +2324,14 @@ def takedown_batch(
     def _drop_by_id(path: str, key: str, label: str, pcols=None) -> None:
         if path is None:
             return
+        if is_snapshot_table(path):
+            t = _snap.read_snapshot(spark, path)
+            doom_keys = ids.withColumnRenamed(id_col, key)
+            n = t.join(F.broadcast(doom_keys), key, "left_semi").count()
+            removed[label] = n
+            if n:
+                _snap.delete_snapshot(spark, doom_keys, path, key)
+            return
         heal_partition_swaps(path)
         if not table_exists(path):
             return
@@ -2077,6 +2374,14 @@ def takedown_batch(
 
     def _drop_pairs(path: str, label: str, pcols=None) -> None:
         if path is None:
+            return
+        if is_snapshot_table(path):
+            t = _snap.read_snapshot(spark, path)
+            matched = _pair_split(t)[0].select("id_a", "id_b").localCheckpoint()
+            n = matched.count()
+            removed[label] = n
+            if n:
+                _snap.delete_snapshot(spark, matched, path, ("id_a", "id_b"))
             return
         heal_partition_swaps(path)
         if not table_exists(path):

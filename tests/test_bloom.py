@@ -4,6 +4,8 @@ shape (the 100-TB contract: probe never shuffles, history never
 re-scanned)."""
 
 import pytest
+
+from nba_data_pipeline_spark.sinks.store import read_store as _rs
 from pyspark.sql import functions as F
 
 from nba_data_pipeline_spark.operators.bloom import (
@@ -144,12 +146,12 @@ def test_ingest_with_bloom_drops_replayed_content(spark, tmp_path):
         )
 
     ingest([(1, good)])
-    assert {r.doc_id for r in spark.read.parquet(paths["corpus"]).collect()} == {1}
+    assert {r.doc_id for r in _rs(spark, paths["corpus"]).collect()} == {1}
     # same content under a new id is dropped BEFORE gating/signatures;
     # new content flows through
     ingest([(77, good), (2, other)])
-    assert {r.doc_id for r in spark.read.parquet(paths["corpus"]).collect()} == {1, 2}
-    assert {r.doc_id for r in spark.read.parquet(paths["sigs"]).collect()} == {1, 2}
+    assert {r.doc_id for r in _rs(spark, paths["corpus"]).collect()} == {1, 2}
+    assert {r.doc_id for r in _rs(spark, paths["sigs"]).collect()} == {1, 2}
 
 
 def test_bloom_meta_sidecar_guards_parameter_mismatch(spark, tmp_path):

@@ -2,6 +2,8 @@
 
 import pytest
 
+from nba_data_pipeline_spark.sinks.store import read_store as _rs
+
 from nba_data_pipeline_spark.cli import parse_args, run
 
 
@@ -228,9 +230,9 @@ def test_cli_corpus_ingest_streams_to_four_tables(spark, tmp_path):
          "--gate_min_tokens", "10"],
         spark=spark,
     )
-    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    corpus = _rs(spark, os.path.join(out, "corpus"))
     assert {r.doc_id for r in corpus.collect()} == {1}  # runt gated out
-    assert spark.read.parquet(os.path.join(out, "scores")).count() == 1
+    assert _rs(spark, os.path.join(out, "scores")).count() == 1
 
     import pytest as _p
     with _p.raises(SystemExit, match="lm_ref"):
@@ -258,7 +260,7 @@ def test_cli_corpus_ingest_pii_scrub(spark, tmp_path):
          "--gate_min_tokens", "10", "--pii_scrub", "email"],
         spark=spark,
     )
-    text = spark.read.parquet(os.path.join(out, "corpus")).collect()[0].text
+    text = _rs(spark, os.path.join(out, "corpus")).collect()[0].text
     assert "[EMAIL]" in text and "fox@den.example" not in text
 
 
@@ -309,7 +311,7 @@ def test_cli_corpus_ingest_seen_state(spark, tmp_path):
          "--checkpoint", str(tmp_path / "c1"), *common], spark=spark)
     run(["corpus_ingest", "--input", src2,
          "--checkpoint", str(tmp_path / "c2"), *common], spark=spark)
-    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    corpus = _rs(spark, os.path.join(out, "corpus"))
     # the replayed content never re-ingests; state tables exist on disk
     assert {r.doc_id for r in corpus.collect()} == {1, 2}
     assert spark.read.parquet(os.path.join(out, "bloom")).count() > 0
@@ -369,6 +371,6 @@ def test_cli_corpus_takedown(spark, tmp_path):
     spark.createDataFrame([(2,)], "doc_id long").coalesce(1).write.parquet(ids)
     run(["corpus_takedown", "--input", ids, "--output", out], spark=spark)
     assert {r.doc_id for r in
-            spark.read.parquet(os.path.join(out, "corpus")).collect()} == {1}
+            _rs(spark, os.path.join(out, "corpus")).collect()} == {1}
     assert {r.doc_id for r in
-            spark.read.parquet(os.path.join(out, "sigs")).collect()} == {1}
+            _rs(spark, os.path.join(out, "sigs")).collect()} == {1}

@@ -4,6 +4,7 @@ import datetime as dt
 
 from pyspark.sql import functions as F, types as T
 
+from nba_data_pipeline_spark.sinks.store import read_store as _rs
 from nba_data_pipeline_spark.streaming.ops import (
     enrich_stream,
     run_stream_dedup,
@@ -100,9 +101,9 @@ def test_stream_near_dedup_two_batches(spark, tmp_path):
         [(1, base), (2, base.replace("kappa", "lambda"))], schema
     ).coalesce(1).write.mode("append").parquet(src)
     run_pass()
-    pairs1 = {(r.id_a, r.id_b) for r in spark.read.parquet(pair_p).collect()}
+    pairs1 = {(r.id_a, r.id_b) for r in _rs(spark, pair_p).collect()}
     assert pairs1 == {(1, 2)}  # new-new emitted once on the first batch
-    assert spark.read.parquet(sig_p).count() == 2
+    assert _rs(spark, sig_p).count() == 2
 
     # batch 2: one dup of batch 1, one unrelated doc
     spark.createDataFrame(
@@ -110,17 +111,17 @@ def test_stream_near_dedup_two_batches(spark, tmp_path):
         schema,
     ).coalesce(1).write.mode("append").parquet(src)
     run_pass()
-    pairs2 = {(r.id_a, r.id_b) for r in spark.read.parquet(pair_p).collect()}
+    pairs2 = {(r.id_a, r.id_b) for r in _rs(spark, pair_p).collect()}
     assert pairs2 == {(1, 2), (1, 10), (2, 10)}
-    assert spark.read.parquet(sig_p).count() == 4
+    assert _rs(spark, sig_p).count() == 4
 
     # direct redelivery of batch 2 (crash-replay of one micro-batch):
     # same tables afterwards, no duplicate pairs or signatures
     batch2 = spark.createDataFrame([(10, base), (11, "unrelated")], schema)
     near_dedup_batch(batch2, sig_p, pair_p, num_perm=32, bands=16, threshold=0.3)
-    pairs3 = {(r.id_a, r.id_b) for r in spark.read.parquet(pair_p).collect()}
+    pairs3 = {(r.id_a, r.id_b) for r in _rs(spark, pair_p).collect()}
     assert pairs3 == pairs2
-    assert spark.read.parquet(sig_p).count() == 4
+    assert _rs(spark, sig_p).count() == 4
 
     # fresh-checkpoint full reprocess (disaster recovery): every doc
     # counts as new again, yet the canonical sink converges to the
@@ -129,9 +130,9 @@ def test_stream_near_dedup_two_batches(spark, tmp_path):
 
     shutil.rmtree(ckpt)
     run_pass()
-    pairs4 = {(r.id_a, r.id_b) for r in spark.read.parquet(pair_p).collect()}
+    pairs4 = {(r.id_a, r.id_b) for r in _rs(spark, pair_p).collect()}
     assert pairs4 == pairs2
-    assert spark.read.parquet(sig_p).count() == 4
+    assert _rs(spark, sig_p).count() == 4
 
 
 def test_streaming_replay_parity_flags(spark):
@@ -183,13 +184,13 @@ def test_near_dedup_batch_md5_matches_single_shot(spark, tmp_path):
         near_dedup_batch(docs.filter(F.col("doc_id") % 3 == i), multi_s, multi_p, **kw)
     near_dedup_batch(docs, one_s, one_p, **kw)
     key = lambda r: (r.id_a, r.id_b, r.est_jaccard)
-    multi = sorted(map(key, spark.read.parquet(multi_p).collect()))
-    single = sorted(map(key, spark.read.parquet(one_p).collect()))
+    multi = sorted(map(key, _rs(spark, multi_p).collect()))
+    single = sorted(map(key, _rs(spark, one_p).collect()))
     assert multi == single and len(multi) > 0
     # signature tables agree too (same portable sigs whichever ingest)
-    cols = spark.read.parquet(one_s).columns
-    ms = sorted(map(tuple, spark.read.parquet(multi_s).select(*cols).collect()))
-    os_ = sorted(map(tuple, spark.read.parquet(one_s).collect()))
+    cols = _rs(spark, one_s).columns
+    ms = sorted(map(tuple, _rs(spark, multi_s).select(*cols).collect()))
+    os_ = sorted(map(tuple, _rs(spark, one_s).collect()))
     assert ms == os_
 
 
@@ -220,7 +221,7 @@ def test_stream_quality_scores_replay_idempotent(spark, tmp_path):
     quality_score_batch(b2, lm, scores_path)
     quality_score_batch(b1, lm, scores_path)  # redelivery
 
-    table = {r.doc_id: r for r in spark.read.parquet(scores_path).collect()}
+    table = {r.doc_id: r for r in _rs(spark, scores_path).collect()}
     assert set(table) == {1, 2, 3}
     direct = {
         r.doc_id: r
@@ -252,7 +253,7 @@ def test_stream_quality_scores_streaming_query(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"),
     )
     q.awaitTermination(60)
-    got = {r.doc_id: r.avg_nll_e6 for r in spark.read.parquet(
+    got = {r.doc_id: r.avg_nll_e6 for r in _rs(spark,
         str(tmp_path / "scores")).collect()}
     assert set(got) == {10, 11} and got[10] < got[11]
 
@@ -290,26 +291,26 @@ def test_stream_corpus_ingest_composed_pipeline(spark, tmp_path):
     spark.createDataFrame([(1, good), (2, "tiny doc")], schema).coalesce(1)\
         .write.mode("append").parquet(src)
     run_pass()
-    assert {r.doc_id for r in spark.read.parquet(paths["corpus"]).collect()} == {1}
-    assert spark.read.parquet(paths["sigs"]).count() == 1
-    assert {r.doc_id for r in spark.read.parquet(paths["scores"]).collect()} == {1}
+    assert {r.doc_id for r in _rs(spark, paths["corpus"]).collect()} == {1}
+    assert _rs(spark, paths["sigs"]).count() == 1
+    assert {r.doc_id for r in _rs(spark, paths["scores"]).collect()} == {1}
 
     # batch 2: a near-dup of doc 1 -> pair recorded, both kept in corpus
     spark.createDataFrame([(10, good.replace("today", "tonight"))], schema).coalesce(1)\
         .write.mode("append").parquet(src)
     run_pass()
-    assert {r.doc_id for r in spark.read.parquet(paths["corpus"]).collect()} == {1, 10}
-    pairs = {(r.id_a, r.id_b) for r in spark.read.parquet(paths["pairs"]).collect()}
+    assert {r.doc_id for r in _rs(spark, paths["corpus"]).collect()} == {1, 10}
+    pairs = {(r.id_a, r.id_b) for r in _rs(spark, paths["pairs"]).collect()}
     assert (1, 10) in pairs
 
     # crash-replay of batch 2: all four tables unchanged
-    before = {k: spark.read.parquet(p).count() for k, p in paths.items()}
+    before = {k: _rs(spark, p).count() for k, p in paths.items()}
     corpus_ingest_batch(
         spark.createDataFrame([(10, good.replace("today", "tonight"))], schema),
         lm, paths["corpus"], paths["sigs"], paths["pairs"], paths["scores"],
         num_perm=32, bands=16, threshold=0.3,
     )
-    after = {k: spark.read.parquet(p).count() for k, p in paths.items()}
+    after = {k: _rs(spark, p).count() for k, p in paths.items()}
     assert after == before
 
 
@@ -384,7 +385,7 @@ def test_stream_classifier_scores_replay_idempotent(spark, tmp_path):
     classifier_score_batch(b1, weights, b, scores_path, n_features=256)
     classifier_score_batch(b2, weights, b, scores_path, n_features=256)
     classifier_score_batch(b1, weights, b, scores_path, n_features=256)  # redelivery
-    table = {r.doc_id: r.quality_prob for r in spark.read.parquet(scores_path).collect()}
+    table = {r.doc_id: r.quality_prob for r in _rs(spark, scores_path).collect()}
     assert set(table) == {100, 101, 102}
     direct = {r.doc_id: r.quality_prob for r in quality_model_scores(
         b1.unionByName(b2), weights, b, n_features=256).collect()}
@@ -400,7 +401,7 @@ def test_stream_classifier_scores_replay_idempotent(spark, tmp_path):
     q = stream_classifier_scores(stream, weights, b, scores_path, n_features=256,
                                  query_name="clf_stream_t")
     q.awaitTermination()
-    assert spark.read.parquet(scores_path).count() == 3  # still converged
+    assert _rs(spark, scores_path).count() == 3  # still converged
 
 
 def test_image_dedup_batch_replay_idempotent(spark, tmp_path):
@@ -435,13 +436,13 @@ def test_image_dedup_batch_replay_idempotent(spark, tmp_path):
     image_dedup_batch(b2, h_m, p_m)  # redelivery
     image_dedup_batch(df, h_1, p_1)  # single shot
     key = lambda r: (r.id_a, r.id_b, r.hamming)
-    multi = sorted(map(key, spark.read.parquet(p_m).collect()))
-    single = sorted(map(key, spark.read.parquet(p_1).collect()))
+    multi = sorted(map(key, _rs(spark, p_m).collect()))
+    single = sorted(map(key, _rs(spark, p_1).collect()))
     assert multi == single
     got_pairs = {(a, b) for a, b, _ in multi}
     assert (1, 2) in got_pairs and (1, 4) in got_pairs
     assert not any(3 in p for p in got_pairs)
-    assert spark.read.parquet(h_m).count() == 4
+    assert _rs(spark, h_m).count() == 4
 
 
 def test_ingest_stats_fold_matches_full_recompute(spark, tmp_path):
@@ -477,7 +478,7 @@ def test_ingest_stats_fold_matches_full_recompute(spark, tmp_path):
     stats = {r.source: (r.n_docs, r.sum_chars, r.min_chars, r.max_chars)
              for r in spark.read.parquet(paths["stats"]).collect()}
     full = {r.source: (r.n_docs, r.sum_chars, r.min_chars, r.max_chars)
-            for r in spark.read.parquet(paths["corpus"])
+            for r in _rs(spark, paths["corpus"])
             .withColumn("_c", F.length("text").cast("long"))
             .groupBy("source")
             .agg(F.count("*").alias("n_docs"), F.sum("_c").alias("sum_chars"),
@@ -504,9 +505,9 @@ def test_ingest_stats_bucketed_matches_flat(spark, tmp_path):
         fold_ingest_stats(b, flat_p)
         fold_ingest_stats(b, bucket_p, n_buckets=8)
     cols = ["source", "n_docs", "sum_chars", "min_chars", "max_chars"]
-    flat = {tuple(r) for r in spark.read.parquet(flat_p).select(cols).collect()}
+    flat = {tuple(r) for r in _rs(spark, flat_p).select(cols).collect()}
     bucketed = {tuple(r) for r in
-                spark.read.parquet(bucket_p).select(cols).collect()}
+                _rs(spark, bucket_p).select(cols).collect()}
     assert flat == bucketed and len(flat) == 23
 
 
@@ -548,9 +549,9 @@ def test_takedown_batch_full_state_consistency(spark, tmp_path):
     # doc 3 SHARES doc 1's exact content (same hash, different id)
     ingest([(1, good, "web"), (2, near, "web"), (3, good, "books"),
             (4, other, "books")])
-    assert {r.doc_id for r in spark.read.parquet(paths["corpus"]).collect()} \
+    assert {r.doc_id for r in _rs(spark, paths["corpus"]).collect()} \
         == {1, 2, 3, 4}
-    pairs0 = spark.read.parquet(paths["pairs"]).count()
+    pairs0 = _rs(spark, paths["pairs"]).count()
     assert pairs0 >= 1  # (1,2) near-dup at least
 
     removed = takedown_batch(
@@ -564,7 +565,7 @@ def test_takedown_batch_full_state_consistency(spark, tmp_path):
     # doc 3's content survives via doc 1 -> its hash must NOT be removed;
     # doc 2's content is gone -> exactly one hash removed
     assert removed["hashes"] == 1
-    assert {r.doc_id for r in spark.read.parquet(paths["corpus"]).collect()} == {1, 4}
+    assert {r.doc_id for r in _rs(spark, paths["corpus"]).collect()} == {1, 4}
     # seen filter: doc 2's content re-ingests, doc 1's is still seen
     replay = spark.createDataFrame([(92, near, "web"), (91, good, "web")], schema)
     out = seen_content_filter_batch(replay, paths["bloom"], paths["hashes"])
@@ -611,7 +612,7 @@ def test_takedown_extends_to_image_state(spark, tmp_path):
     )
     h_p, ip_p = str(tmp_path / "ih"), str(tmp_path / "ip")
     image_dedup_batch(imgs, h_p, ip_p)
-    assert spark.read.parquet(ip_p).count() >= 1  # (1,2) near-dup
+    assert _rs(spark, ip_p).count() >= 1  # (1,2) near-dup
 
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType()),
@@ -635,8 +636,8 @@ def test_takedown_extends_to_image_state(spark, tmp_path):
     )
     assert removed["image_hashes"] == 1
     assert removed["image_pairs"] >= 1
-    assert {r.doc_id for r in spark.read.parquet(h_p).collect()} == {1, 3}
-    ip = spark.read.parquet(ip_p)
+    assert {r.doc_id for r in _rs(spark, h_p).collect()} == {1, 3}
+    ip = _rs(spark, ip_p)
     assert ip.filter("id_a = 2 OR id_b = 2").count() == 0
 
 
@@ -723,7 +724,7 @@ def test_takedown_extra_tables_accept_partition_cols(spark, tmp_path):
     assert any(d.startswith("part=") for d in os.listdir(extra_p))
     assert any(d.startswith("part=") for d in os.listdir(pairs_p))
     assert spark.read.parquet(extra_p).count() == 8
-    assert spark.read.parquet(pairs_p).count() == 1
+    assert _rs(spark, pairs_p).count() == 1
 
 
 def test_reconcile_ingest_stats_repairs_divergence(spark, tmp_path):
@@ -830,7 +831,7 @@ def test_bucketed_state_ingest_and_scoped_takedown(spark, tmp_path):
     near_dedup_batch(b1, sig_p, pairs_p, state_buckets=8, threshold=0.2)
     quality_score_batch(b1, lm, scores_p, state_buckets=8)
     assert any(d.startswith("bucket=") for d in os.listdir(sig_p))
-    assert {r.doc_id for r in spark.read.parquet(sig_p).collect()} == set(range(20))
+    assert {r.doc_id for r in _rs(spark, sig_p).collect()} == set(range(20))
 
     def inodes(base, bucket):
         d = os.path.join(base, f"bucket={bucket}")
@@ -856,13 +857,13 @@ def test_bucketed_state_ingest_and_scoped_takedown(spark, tmp_path):
     assert untouched, "fixture must leave at least one bucket untouched"
     for b in untouched:
         assert inodes(sig_p, b) == before[b]
-    assert spark.read.parquet(sig_p).count() == 30
+    assert _rs(spark, sig_p).count() == 30
     quality_score_batch(b2, lm, scores_p, state_buckets=8)
 
     # replay batch 2: byte-idempotent state (row-level, not file-level)
     near_dedup_batch(b2, sig_p, pairs_p, state_buckets=8, threshold=0.2)
-    assert spark.read.parquet(sig_p).count() == 30
-    sig_rows = spark.read.parquet(sig_p).select("doc_id", "bucket").distinct().count()
+    assert _rs(spark, sig_p).count() == 30
+    sig_rows = _rs(spark, sig_p).select("doc_id", "bucket").distinct().count()
     assert sig_rows == 30
 
     # takedown prunes bucketed state via auto-detected layout
@@ -883,8 +884,8 @@ def test_bucketed_state_ingest_and_scoped_takedown(spark, tmp_path):
     for b in range(8):
         if b not in doom_buckets and before_td[b] is not None:
             assert inodes(sig_p, b) == before_td[b]
-    assert spark.read.parquet(sig_p).filter("doc_id IN (5, 25)").count() == 0
-    assert spark.read.parquet(scores_p).filter("doc_id IN (5, 25)").count() == 0
+    assert _rs(spark, sig_p).filter("doc_id IN (5, 25)").count() == 0
+    assert _rs(spark, scores_p).filter("doc_id IN (5, 25)").count() == 0
 
 
 def test_layout_guard_rejects_flat_or_remoduled_merge(spark, tmp_path):
@@ -916,7 +917,7 @@ def test_layout_guard_rejects_flat_or_remoduled_merge(spark, tmp_path):
     with pytest.raises(ValueError, match="bucket-count mismatch"):
         near_dedup_batch(b, sig_p, pairs_p, state_buckets=16, threshold=0.2)
     # the guard refused BEFORE touching disk: the original layout reads back
-    assert spark.read.parquet(sig_p).select("doc_id").distinct().count() == 12
+    assert _rs(spark, sig_p).select("doc_id").distinct().count() == 12
 
     scores_p = str(tmp_path / "scores")
     quality_score_batch(b, lm, scores_p)  # flat table
@@ -1055,7 +1056,7 @@ def test_takedown_dooms_entire_unpartitioned_corpus(spark, tmp_path):
     assert removed["signatures"] == 10
     # emptied tables are absent under the table_exists contract
     assert not table_exists(corpus_p) or spark.read.parquet(corpus_p).count() == 0
-    assert not table_exists(sig_p) or spark.read.parquet(sig_p).count() == 0
+    assert not table_exists(sig_p) or _rs(spark, sig_p).count() == 0
     # idempotent: the replay removes nothing and still doesn't crash
     removed2 = takedown_batch(
         b.select("doc_id"), corpus_p, signature_path=sig_p, pairs_path=pairs_p
@@ -1106,7 +1107,7 @@ def test_takedown_keeps_null_keyed_rows(spark, tmp_path):
     scores = spark.read.parquet(scores_p)
     assert scores.count() == 2  # doc 2 AND the NULL-keyed row survive
     assert scores.filter(F.col("doc_id").isNull()).count() == 1
-    pairs = spark.read.parquet(pairs_p)
+    pairs = _rs(spark, pairs_p)
     # (1,2) doomed via id_a=1; (NULL,2) and (NULL,NULL) survive
     assert removed["pairs"] == 1
     assert pairs.count() == 2
@@ -1294,7 +1295,7 @@ def test_corpus_ingest_maintains_component_state(spark, tmp_path):
 
     labels = {
         r.doc_id: r.component_id
-        for r in spark.read.parquet(p["components"]).collect()
+        for r in _rs(spark, p["components"]).collect()
     }
     assert labels[1] == 1 and labels[2] == 1 and labels[10] == 1
     # doc 11 has no near-dup pair, so it never enters the pair graph —
@@ -1999,11 +2000,11 @@ def test_embedding_ingest_composed_pipeline(spark, tmp_path):
     embedding_ingest_batch(b1, root, **kw)
     embedding_ingest_batch(b2, root, **kw)
     pairs_after = {
-        (r.id_a, r.id_b) for r in spark.read.parquet(pairs_p).collect()
+        (r.id_a, r.id_b) for r in _rs(spark, pairs_p).collect()
     }
     labels_after = {
         (r.doc_id, r.component_id)
-        for r in spark.read.parquet(comp_p).collect()
+        for r in _rs(spark, comp_p).collect()
     }
     # every planted (i, i+5000) pair found through the persisted blocking
     planted = {(i, i + 5000) for i in range(10)}
@@ -2015,10 +2016,10 @@ def test_embedding_ingest_composed_pipeline(spark, tmp_path):
     # replay: no state drift
     embedding_ingest_batch(b2, root, **kw)
     assert {
-        (r.id_a, r.id_b) for r in spark.read.parquet(pairs_p).collect()
+        (r.id_a, r.id_b) for r in _rs(spark, pairs_p).collect()
     } == pairs_after
     assert {
-        (r.doc_id, r.component_id) for r in spark.read.parquet(comp_p).collect()
+        (r.doc_id, r.component_id) for r in _rs(spark, comp_p).collect()
     } == labels_after
     # both index tables complete
     assert spark.read.parquet(f"{root}/ivf").count() == n + 10
