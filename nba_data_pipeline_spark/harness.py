@@ -10000,7 +10000,11 @@ def q_snapshot_pipeline_gate(spark, sf):
     """SELECT o_custkey % 100 AS g,
               ROUND(SUM(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
                              ELSE o_totalprice END), 2) AS sum_price,
-              CAST(COUNT(*) AS BIGINT) AS n_orders
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              ROUND(MIN(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+                             ELSE o_totalprice END), 2) AS min_price,
+              ROUND(MAX(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+                             ELSE o_totalprice END), 2) AS max_price
        FROM orders WHERE o_orderkey % 7 <> 0
        GROUP BY o_custkey % 100""",
 )
@@ -10012,8 +10016,12 @@ def q_agg_view_gate(spark, sf):
     by folding ONLY the change feed — updates retract their pre-image,
     deletes shrink groups, and the refresh position rides the view's
     own txn watermark (a replayed refresh is a visible no-op,
-    exercised below). The final view must hash against the one-shot
-    GROUP BY over the final source state."""
+    exercised below). min/max ride the touched-group-recompute path
+    (VERDICT r14 task #5): the update wave retracts pre-images that
+    WERE group minima (doubling moves them up), and the delete wave
+    removes rows holding group extremes — both force per-group
+    recomputes whose results must hash against the one-shot GROUP BY
+    over the final source state, together with the folded sum/count."""
     import shutil
     import tempfile
 
@@ -10033,7 +10041,10 @@ def q_agg_view_gate(spark, sf):
     )
     root = tempfile.mkdtemp(prefix="agg_view_gate_")
     src, dst = f"{root}/src", f"{root}/view"
-    specs = {"sum_price": ("sum", "price"), "n_orders": ("count_rows", "*")}
+    specs = {
+        "sum_price": ("sum", "price"), "n_orders": ("count_rows", "*"),
+        "min_price": ("min", "price"), "max_price": ("max", "price"),
+    }
     try:
         write_snapshot(spark, base, src, key="o_orderkey")
         refresh_agg_view(spark, src, dst, "g", specs)  # bootstrap
@@ -10053,7 +10064,11 @@ def q_agg_view_gate(spark, sf):
         refresh_agg_view(spark, src, dst, "g", specs)  # delete wave
         return (
             read_snapshot(spark, dst)
-            .select("g", F.round("sum_price", 2).alias("sum_price"), "n_orders")
+            .select(
+                "g", F.round("sum_price", 2).alias("sum_price"), "n_orders",
+                F.round("min_price", 2).alias("min_price"),
+                F.round("max_price", 2).alias("max_price"),
+            )
             .localCheckpoint()  # materialize before the temp dir dies
         )
     finally:

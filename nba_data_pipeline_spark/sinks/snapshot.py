@@ -1744,12 +1744,18 @@ def refresh_agg_view(
     maintenance; at 100 TB the refresh cost is O(changed rows + touched
     view files), not O(fact table)).
 
-    ``specs`` maps output column -> (kind, col) with RETRACTABLE kinds
-    only: ``sum``, ``count`` (non-null of col), ``count_rows``. An
+    ``specs`` maps output column -> (kind, col): the RETRACTABLE kinds
+    ``sum``, ``count`` (non-null of col), ``count_rows`` — an
     update/delete in the feed contributes its pre-image NEGATED, so
     groups shrink correctly and a group whose row count reaches zero
-    leaves the view. min/max are not retractable — use
-    ``fold_snapshot_state`` for append-only streams, or recompute.
+    leaves the view — plus ``min``/``max`` via TOUCHED-GROUP
+    RECOMPUTE: inserts fold monotonically (new min = least(old,
+    batch min)); a retraction that ties-or-beats a group's current
+    extreme marks ONLY that group dirty, and dirty groups re-aggregate
+    from the source's current version (key-pruned read + semi-join —
+    O(dirty groups' rows), never O(fact table) when the source's zone
+    maps cover the group key). Every other group still folds from the
+    feed alone.
 
     Bookkeeping columns stored in the view: ``_n`` (group row count)
     and ``_nn_<out>`` per sum column (non-null contribution count, so
@@ -1767,13 +1773,12 @@ def refresh_agg_view(
     Returns the view version now current."""
     key_list = [keys] if isinstance(keys, str) else list(keys)
     for out, (kind, col) in specs.items():
-        if kind not in ("sum", "count", "count_rows"):
+        if kind not in ("sum", "count", "count_rows", "min", "max"):
             raise ValueError(
                 f"refresh_agg_view spec {out!r}: kind {kind!r} is not "
-                "retractable (supported: sum, count, count_rows); "
-                "min/max need fold_snapshot_state or a recompute"
+                "supported (sum, count, count_rows, min, max)"
             )
-        if kind in ("sum", "count") and col == "*":
+        if kind in ("sum", "count", "min", "max") and col == "*":
             raise ValueError(f"spec {out!r}: {kind} needs a column, not '*'")
     src_v = current_version(src_root)
     if src_v == 0:
@@ -1782,21 +1787,33 @@ def refresh_agg_view(
     if last is not None and last >= src_v:
         return current_version(dst_root)
     sum_outs = [out for out, (kind, _) in specs.items() if kind == "sum"]
+    ext_outs = {
+        out: (kind, col)
+        for out, (kind, col) in specs.items()
+        if kind in ("min", "max")
+    }
 
-    if last is None:
-        base = read_snapshot(spark, src_root, version=src_v)
+    def _full_aggs():
         aggs = []
         for out, (kind, col) in specs.items():
             if kind == "sum":
                 aggs.append(F.sum(col).alias(out))
             elif kind == "count":
                 aggs.append(F.count(col).alias(out))
+            elif kind == "min":
+                aggs.append(F.min(col).alias(out))
+            elif kind == "max":
+                aggs.append(F.max(col).alias(out))
             else:
                 aggs.append(F.count("*").alias(out))
         for out in sum_outs:
             aggs.append(F.count(specs[out][1]).alias(f"_nn_{out}"))
         aggs.append(F.count("*").alias("_n"))
-        view = base.groupBy(*key_list).agg(*aggs)
+        return aggs
+
+    if last is None:
+        base = read_snapshot(spark, src_root, version=src_v)
+        view = base.groupBy(*key_list).agg(*_full_aggs())
         return write_snapshot(
             spark, view, dst_root, key=key_list, txn=(view_id, src_v)
         )
@@ -1814,6 +1831,13 @@ def refresh_agg_view(
                 F.sum(F.when(F.col(col).isNotNull(), sign).otherwise(F.lit(0)))
                 .cast("long").alias(out)
             )
+        elif kind in ("min", "max"):
+            agg = F.min if kind == "min" else F.max
+            # inserted values fold monotonically through `out` itself;
+            # retracted values ride in `_retr_<out>` and only matter
+            # when they tie-or-beat the group's folded extreme
+            contribs.append(agg(F.when(sign > 0, F.col(col))).alias(out))
+            contribs.append(agg(F.when(sign < 0, F.col(col))).alias(f"_retr_{out}"))
         else:
             contribs.append(F.sum(sign).cast("long").alias(out))
     for out in sum_outs:
@@ -1826,16 +1850,76 @@ def refresh_agg_view(
     delta = feed.groupBy(*key_list).agg(*contribs)
 
     def combine(target, src, kk):
+        retr_cols = [f"_retr_{out}" for out in ext_outs]
         vals = [c for c in src.columns if c not in kk]
         merged = target.select(src.columns).unionByName(src)
-        summed = merged.groupBy(*kk).agg(*[F.sum(c).alias(c) for c in vals])
+        folds = []
+        for c in vals:
+            base = c[len("_retr_"):] if c.startswith("_retr_") else c
+            if base in ext_outs:
+                folds.append(
+                    (F.min(c) if ext_outs[base][0] == "min" else F.max(c)).alias(c)
+                )
+            else:
+                folds.append(F.sum(c).alias(c))
+        summed = merged.groupBy(*kk).agg(*folds)
         # a sum whose non-null contributions all retracted is NULL
         # (SUM over no rows), not the 0.0 the running total lands on
         for out in sum_outs:
             summed = summed.withColumn(
                 out, F.when(F.col(f"_nn_{out}") > 0, F.col(out))
             )
-        return summed.filter(F.col("_n") > 0)
+        summed = summed.filter(F.col("_n") > 0)
+        if not ext_outs:
+            return summed
+        # dirty iff some retraction ties-or-beats the folded extreme:
+        # only then can the TRUE extreme differ from the monotone fold
+        # (coalesce: a NULL comparison must read as clean, never drop
+        # the group from both branches)
+        dirty_pred = F.lit(False)
+        for out, (kind, _) in ext_outs.items():
+            hit = F.col(f"_retr_{out}").isNotNull() & (
+                (F.col(f"_retr_{out}") <= F.col(out))
+                if kind == "min"
+                else (F.col(f"_retr_{out}") >= F.col(out))
+            )
+            dirty_pred = dirty_pred | F.coalesce(hit, F.lit(False))
+        summed = summed.localCheckpoint(eager=True)  # branches twice below
+        clean = summed.filter(~dirty_pred).drop(*retr_cols)
+        dirty_keys = summed.filter(dirty_pred).select(*kk)
+        if dirty_keys.isEmpty():
+            return clean
+        # touched-group recompute: read the source's CURRENT version
+        # pruned to the dirty keys' range (zone maps skip the rest of
+        # the fact table when they cover the group key), then exact
+        # semi-join — O(dirty groups' rows)
+        dirty_keys = dirty_keys.localCheckpoint(eager=True)
+        b = dirty_keys.agg(
+            F.min(kk[0]).alias("_lo"), F.max(kk[0]).alias("_hi"),
+            F.sum(F.col(kk[0]).isNull().cast("int")).alias("_nulls"),
+        ).collect()[0]
+        kb = None
+        if b["_lo"] is not None and not b["_nulls"]:
+            # only prune when no dirty group has a NULL key — the
+            # between filter would silently drop NULL-keyed rows
+            kb = (kk[0], b["_lo"], b["_hi"])
+        src_rows = read_snapshot(spark, src_root, version=src_v, key_between=kb)
+        # null-safe semi-join: a NULL-keyed group is a real group to
+        # groupBy, and plain equality would drop its rows here
+        cond = None
+        for k in kk:
+            e = src_rows[k].eqNullSafe(dirty_keys[k])
+            cond = e if cond is None else (cond & e)
+        recomputed = (
+            src_rows.join(F.broadcast(dirty_keys), cond, "left_semi")
+            .groupBy(*kk)
+            .agg(*_full_aggs())
+        )
+        for out in sum_outs:  # NULL-sum parity with the initial build
+            recomputed = recomputed.withColumn(
+                out, F.when(F.col(f"_nn_{out}") > 0, F.col(out))
+            )
+        return clean.unionByName(recomputed.select(clean.columns))
 
     return _merge_commit(
         spark, delta, dst_root, key_list, "agg_refresh", combine, retries,

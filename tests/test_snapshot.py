@@ -1720,12 +1720,83 @@ def test_refresh_agg_view_sum_retracts_to_null(spark, tmp_path):
     assert got == {10: (None, 1), 20: (7, 1)}
 
 
-def test_refresh_agg_view_rejects_min_max(spark, tmp_path):
-    with pytest.raises(ValueError, match="retractable"):
+def test_refresh_agg_view_rejects_unknown_kind(spark, tmp_path):
+    with pytest.raises(ValueError, match="not\\s+supported"):
         S.refresh_agg_view(
             spark, str(tmp_path / "s"), str(tmp_path / "d"), "g",
-            {"m": ("min", "x")},
+            {"m": ("avg", "x")},
         )
+
+
+def test_refresh_agg_view_min_max_touched_group_recompute(spark, tmp_path):
+    """min/max maintenance (VERDICT r14 task #5): inserts fold
+    monotonically; a retraction hitting a group's current extreme
+    recomputes ONLY that group from the source. Waves: insert-only
+    (pure fold), delete-of-min (recompute), delete-of-tied-min (value
+    survives), update moving the max, group wipe, NULL column values."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    rows = [
+        # g=1: x in {1, 1, 5} (tied min); g=2: {10, 20}; g=3: {None, 7}
+        (1, 1, 1), (2, 1, 1), (3, 1, 5),
+        (4, 2, 10), (5, 2, 20),
+        (6, 3, None), (7, 3, 7),
+    ]
+    S.write_snapshot(
+        spark, spark.createDataFrame(rows, "k long, g long, x long"), src, key="k"
+    )
+    specs = {
+        "mn": ("min", "x"), "mx": ("max", "x"),
+        "sx": ("sum", "x"), "n": ("count_rows", "*"),
+    }
+
+    def want():
+        return _rows(
+            S.read_snapshot(spark, src).groupBy("g").agg(
+                F.min("x").alias("mn"), F.max("x").alias("mx"),
+                F.sum("x").alias("sx"), F.count("*").alias("n"),
+            )
+        )
+
+    S.refresh_agg_view(spark, src, dst, "g", specs)
+    assert _view_rows(spark, dst) == want()
+    # wave 1: insert-only — the fold path, no recompute needed
+    S.upsert_snapshot(
+        spark, spark.createDataFrame([(8, 2, 5), (9, 4, 42)], "k long, g long, x long"),
+        src, "k",
+    )
+    S.refresh_agg_view(spark, src, dst, "g", specs)
+    assert _view_rows(spark, dst) == want()
+    # wave 2: delete one of g=1's tied minima (min must SURVIVE via the
+    # recompute), delete g=2's max (max must drop to 10 vs the new 5)
+    S.delete_snapshot(
+        spark, spark.createDataFrame([(1,), (5,)], "k long"), src, "k"
+    )
+    S.refresh_agg_view(spark, src, dst, "g", specs)
+    got = {r[0]: r for r in _view_rows(spark, dst)}
+    assert got[1][1] == 1  # tied min survives the retraction
+    assert got[2][2] == 10  # max recomputed past the deleted 20
+    assert _view_rows(spark, dst) == want()
+    # wave 3: update that moves a max (preimage retracted + postimage)
+    S.upsert_snapshot(
+        spark, spark.createDataFrame([(3, 1, 2)], "k long, g long, x long"),
+        src, "k",
+    )
+    S.refresh_agg_view(spark, src, dst, "g", specs)
+    assert _view_rows(spark, dst) == want()
+    # wave 4: wipe a whole group + retract the non-null x of g=3
+    S.delete_snapshot(
+        spark, spark.createDataFrame([(9,), (7,)], "k long"), src, "k"
+    )
+    S.refresh_agg_view(spark, src, dst, "g", specs)
+    assert _view_rows(spark, dst) == want()
+    got = {r[0]: r for r in _view_rows(spark, dst)}
+    assert 4 not in got                      # wiped group left the view
+    assert got[3][1] is None and got[3][2] is None  # all-NULL extremes
+    # replay: visible no-op
+    v = S.current_version(dst)
+    S.refresh_agg_view(spark, src, dst, "g", specs)
+    assert S.current_version(dst) == v
 
 
 # ---------------------------------------------------------------------------
