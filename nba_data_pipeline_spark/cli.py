@@ -154,6 +154,19 @@ def build_parser() -> argparse.ArgumentParser:
         "bucketed ingest state). An existing table's on-disk format "
         "always wins; requesting the other format raises.",
     )
+    p.add_argument(
+        "--no-cdf",
+        dest="cdf",
+        action="store_false",
+        help="create snapshot output tables WITHOUT the write-time "
+        "change-data feed: each merge skips the sidecar diff (measured "
+        "~1.7x faster merges at sf0.1: 2.5s vs 4.2s) and a later "
+        "snapshot_changes falls back to the endpoint diff. Use for "
+        "bulk backfills with no downstream delta consumers; the "
+        "property is set at table CREATION and inherits after. "
+        "Default: CDF on (Postgres-parity change semantics).",
+    )
+    p.set_defaults(cdf=True)
     p.add_argument("--min_quality", type=float, default=0.25)
     p.add_argument("--pack_capacity", type=int, default=2048)
     p.add_argument("--shards", type=int, default=256)
@@ -495,6 +508,7 @@ def run(argv: Sequence[str], spark: SparkSession | None = None) -> None:
             partition_by=partition,
             fmt=args.format,
             default="snapshot",
+            cdf=args.cdf,
         )
 
 

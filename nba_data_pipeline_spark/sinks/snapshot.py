@@ -540,10 +540,16 @@ def write_snapshot(
     manifest["renames"] = {}
     manifest["dropped"] = []
     if manifest["op"] == "create":
-        # every row is an insert; an overwrite intentionally carries NO
-        # cdf info (its logical delta vs the prior contents is unknown
-        # without reading them — CDF across it uses the diff fallback)
+        # every row is an insert
         manifest["cdf"] = {"mode": "add_only"}
+    else:
+        # an overwrite's logical delta vs the prior contents is unknown
+        # without reading them — record that fact explicitly (pinned
+        # behavior, VERDICT r14 task #7): a change feed spanning this
+        # commit always takes the endpoint diff, whose cost is reading
+        # the two ENDPOINT versions' changed files (never the
+        # intermediate states), and snapshot_changes documents it
+        manifest["cdf"] = {"mode": "full_rewrite"}
     if txn is not None:
         manifest["txns"] = {txn[0]: txn[1]}
     return _commit(root, manifest, expected_version)
@@ -1353,10 +1359,12 @@ def snapshot_changes(
     # so the extra cost was O(touched)), ``add_only`` for pure appends,
     # an empty list for physical-only rewrites — the feed reads only
     # O(changed rows), never O(table). A spread merge's CDF is then the
-    # same cost as a point merge's. Commits without write-time info
+    # same cost as a point merge's. Overwrites record mode=full_rewrite
+    # (their logical delta was never known at write time) and PIN the
+    # endpoint-diff: old-vs-new materializes from the two endpoint
+    # versions' changed files. Commits without write-time info
     # (delete_where_range, which drops files WITHOUT reading them;
-    # overwrites; rollbacks; pre-upgrade manifests) drop the chain to
-    # the endpoint-diff fallback below.
+    # rollbacks; pre-upgrade manifests) drop the chain the same way.
     if keys and to_v >= from_version:
         try:
             chain = [_load_manifest(root, v) for v in range(from_version, to_v + 1)]
@@ -1365,6 +1373,15 @@ def snapshot_changes(
             # intermediate manifest between two retained endpoints may
             # be gone. The endpoint diff below only needs the two
             # retained ends (ADVICE r14, low).
+            chain = None
+        if chain is not None and any(
+            m.get("cdf", {}).get("mode") == "full_rewrite" for m in chain[1:]
+        ):
+            # PINNED BEHAVIOR (VERDICT r14 task #7): an overwrite inside
+            # the window has no write-time delta — materialize old-vs-new
+            # via the endpoint diff below. Cost: read the changed files
+            # of the two ENDPOINT versions (after an overwrite that is
+            # both versions in full), never the intermediates.
             chain = None
         if chain is not None and all("cdf" in m for m in chain[1:]):
             return _changes_from_cdf(spark, root, chain, schema, keys)

@@ -51,6 +51,47 @@ def test_cli_team_game_log_end_to_end(spark, tmp_path, team_game_log_df):
         spark=spark,
     )
     assert read_store(spark, out).count() == 2
+    # default creation: CDF on (Postgres-parity change semantics)
+    from nba_data_pipeline_spark.sinks import snapshot as S
+
+    assert S._load_manifest(out, 1).get("cdf_enabled", True) is True
+
+
+def test_cli_no_cdf_flag_creates_table_without_sidecars(
+    spark, tmp_path, team_game_log_df
+):
+    """VERDICT r14 task #4: --no-cdf surfaces the measured merge-tax
+    dial — the created snapshot table records cdf_enabled=False and
+    merges skip the write-time sidecar (feeds use the endpoint diff)."""
+    raw = str(tmp_path / "raw")
+    out = str(tmp_path / "out")
+    team_game_log_df.write.parquet(raw)
+    run(
+        ["team_game_log", "--season", "2024-25", "--season_type", "Regular Season",
+         "--input", raw, "--output", out, "--no-cdf"],
+        spark=spark,
+    )
+    from nba_data_pipeline_spark.sinks import snapshot as S
+    from nba_data_pipeline_spark.sinks.store import is_snapshot_table
+
+    assert is_snapshot_table(out)
+    assert S._load_manifest(out, 1)["cdf_enabled"] is False
+
+
+def test_migrate_to_snapshot_defaults_cdf_off(spark, tmp_path):
+    """A v1 bootstrap has no delta consumers — migration creates the
+    snapshot table with cdf_enabled=False unless asked otherwise."""
+    from nba_data_pipeline_spark.sinks import snapshot as S
+    from nba_data_pipeline_spark.sinks.store import migrate_to_snapshot
+    from nba_data_pipeline_spark.sinks.writer import write_table
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_table(spark.range(100).selectExpr("id as k", "id*2 as v"), src)
+    migrate_to_snapshot(spark, src, dst, key="k")
+    assert S._load_manifest(dst, 1)["cdf_enabled"] is False
+    dst2 = str(tmp_path / "dst2")
+    migrate_to_snapshot(spark, src, dst2, key="k", cdf=True)
+    assert S._load_manifest(dst2, 1)["cdf_enabled"] is True
 
 
 def test_cli_multi_season_input_scopes_by_game_id(spark, tmp_path):

@@ -1511,6 +1511,39 @@ def test_cdf_feed_survives_vacuumed_intermediate_manifest(spark, tmp_path):
                    (2, 4, "update_preimage"), (2, -2, "update_postimage")}
 
 
+def test_cdf_across_overwrite_pins_endpoint_diff(spark, tmp_path):
+    """VERDICT r14 task #7 (pinned behavior): an overwrite records
+    mode=full_rewrite — a feed spanning it materializes old-vs-new via
+    the endpoint diff (correct keyed deltas, intermediates invisible)
+    instead of trusting absent write-time info."""
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 100), root, key="k")          # v1
+    S.upsert_snapshot(
+        spark, spark.createDataFrame([(1, -1)], "k long, v long"), root, "k"
+    )                                                                    # v2 (sidecar)
+    # overwrite: drop k=0..9, re-value k=10..99, add k=500
+    new = (
+        spark.range(10, 100).selectExpr("id as k", "id * 3 as v")
+        .unionByName(spark.createDataFrame([(500, 9)], "k long, v long"))
+    )
+    S.write_snapshot(spark, new, root, key="k")                          # v3
+    assert S._load_manifest(root, 3)["cdf"] == {"mode": "full_rewrite"}
+    S.upsert_snapshot(
+        spark, spark.createDataFrame([(500, 10)], "k long, v long"), root, "k"
+    )                                                                    # v4
+    feed = S.snapshot_changes(spark, root, 1, 4)
+    got = {(r.k, r.v, r._change_type) for r in feed.collect()}
+    # endpoint semantics: v1 -> v4 keyed diff (k=1's v2 value -1 and
+    # k=500's intermediate value 9 are invisible)
+    assert (0, 0, "delete") in got and (1, 2, "delete") in got
+    assert (1, -1, "delete") not in got  # intermediate state invisible
+    assert (20, 40, "update_preimage") in got
+    assert (20, 60, "update_postimage") in got
+    assert (500, 10, "insert") in got and (500, 9, "insert") not in got
+    deletes = {k for (k, _, t) in got if t == "delete"}
+    assert deletes == set(range(10))
+
+
 def test_non_utc_session_timestamp_stats_fail_loud(spark, tmp_path):
     """ADVICE r14 (low): naive-vs-footer timestamp bound comparisons
     are only sound on a UTC session; staging stats under another zone

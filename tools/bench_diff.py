@@ -13,9 +13,15 @@ measured +-39% drift on sub-second fixed-cost-dominated queries in
 this environment (COVERAGE.md r10), so a sub-second SLOWER row is
 noise unless the plan changed (tools/plan_audit.py settles that).
 
+Basis guard (VERDICT r14 task #6): artifacts stamped with a `basis`
+field ("idle-floors-min-of-3" vs "unattended-..." vs
+"in-session-single-run") only compare when the bases match — a driver
+overwrite of BENCH_full must not masquerade as idle floors. Pass
+--force to compare anyway (the mismatch is still printed).
+
 Usage:
     python tools/bench_diff.py BENCH_r10.json BENCH_r11.json
-    python tools/bench_diff.py BENCH_r10.json /tmp/bench_local.out
+    python tools/bench_diff.py BENCH_r10.json /tmp/bench_local.out [--force]
 """
 
 from __future__ import annotations
@@ -57,9 +63,36 @@ def load_floors(path: str) -> tuple[str, dict[str, float]]:
     raise SystemExit(f"{path}: no floors/queries map found")
 
 
+def _basis(path: str) -> str | None:
+    raw = open(path).read()
+    try:
+        doc = json.loads(raw)
+        if isinstance(doc, dict):
+            if isinstance(doc.get("basis"), str):
+                return doc["basis"]
+            parsed = doc.get("parsed")
+            if isinstance(parsed, dict) and isinstance(parsed.get("basis"), str):
+                return parsed["basis"]
+            raw = doc.get("tail", raw) if isinstance(doc.get("tail"), str) else raw
+    except json.JSONDecodeError:
+        pass
+    m = re.search(r'"basis":\s*"([^"]+)"', raw)
+    return m.group(1) if m else None
+
+
 def main() -> None:
-    if len(sys.argv) != 3:
+    argv = [a for a in sys.argv[1:] if a != "--force"]
+    force = "--force" in sys.argv[1:]
+    if len(argv) != 2:
         raise SystemExit(__doc__)
+    sys.argv = [sys.argv[0], *argv]
+    b1, b2 = _basis(sys.argv[1]), _basis(sys.argv[2])
+    if b1 and b2 and b1 != b2:
+        msg = (f"basis mismatch: {sys.argv[1]}={b1!r} vs {sys.argv[2]}={b2!r} "
+               "— these numbers were measured differently")
+        if not force:
+            raise SystemExit(msg + " (pass --force to compare anyway)")
+        print(f"WARNING: {msg} (--force given)")
     (k1, old), (k2, new) = load_floors(sys.argv[1]), load_floors(sys.argv[2])
     common = sorted(set(old) & set(new))
     only_old = sorted(set(old) - set(new))
