@@ -10243,6 +10243,137 @@ def q_cdc_snapshot_gate(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+@q(
+    "state_txn_fence_gate",
+    # constant-verdict oracle: flat ingest state lands on snapshot
+    # tables and the txn fence makes a redelivered epoch a VISIBLE
+    # no-op — zero version churn, state byte-identical to single-shot
+    """SELECT 'formats_snapshot' AS metric, TRUE AS ok
+       UNION ALL SELECT 'pairs_match_single_shot', TRUE
+       UNION ALL SELECT 'sigs_match_single_shot', TRUE
+       UNION ALL SELECT 'versions_stable_on_replay', TRUE
+       ORDER BY metric""",
+)
+def q_state_txn_fence_gate(spark, sf):
+    """The LLM-pipeline state layer on the snapshot format (VERDICT
+    r14 task #1): near_dedup_batch's flat signature/pairs state
+    defaults to manifest-committed snapshot tables, and a redelivered
+    micro-batch carrying its txn=(app_id, epoch) advances NEITHER
+    table's version — the fence, not convergence, makes the replay a
+    no-op (the reference's Postgres ON CONFLICT idempotent-re-run
+    primitive, database/db_client.py:69-90). Verified against a
+    single-shot ingest of the same documents: same pair rows, same
+    signature rows, zero version churn on the replay."""
+    import shutil
+    import tempfile
+
+    from .sinks.snapshot import current_version
+    from .sinks.store import detect_format, read_store
+    from .streaming.ops import near_dedup_batch
+
+    docs = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", "text")
+    )
+    root = tempfile.mkdtemp(prefix="state_fence_gate_")
+    try:
+        s_m, p_m = f"{root}/sig_m", f"{root}/pair_m"
+        s_1, p_1 = f"{root}/sig_1", f"{root}/pair_1"
+        kw = dict(num_perm=32, bands=16, threshold=0.3)
+        b1 = docs.filter(F.col("doc_id") % 2 == 0)
+        b2 = docs.filter(F.col("doc_id") % 2 == 1)
+        near_dedup_batch(b1, s_m, p_m, txn=("gate", 1), **kw)
+        near_dedup_batch(b2, s_m, p_m, txn=("gate", 2), **kw)
+        v_s, v_p = current_version(s_m), current_version(p_m)
+        near_dedup_batch(b2, s_m, p_m, txn=("gate", 2), **kw)  # replay
+        near_dedup_batch(docs, s_1, p_1, **kw)  # single shot
+        fmt_ok = (
+            detect_format(s_m) == "snapshot" and detect_format(p_m) == "snapshot"
+        )
+        stable = current_version(s_m) == v_s and current_version(p_m) == v_p
+        cols = ["id_a", "id_b", "est_jaccard"]
+        pm = read_store(spark, p_m).select(cols)
+        p1 = read_store(spark, p_1).select(cols)
+        pairs_ok = (
+            pm.exceptAll(p1).isEmpty() and p1.exceptAll(pm).isEmpty()
+        )
+        sm = read_store(spark, s_m)
+        s1 = read_store(spark, s_1).select(sm.columns)
+        sigs_ok = sm.exceptAll(s1).isEmpty() and s1.exceptAll(sm).isEmpty()
+        rows = [
+            ("formats_snapshot", bool(fmt_ok)),
+            ("pairs_match_single_shot", bool(pairs_ok)),
+            ("sigs_match_single_shot", bool(sigs_ok)),
+            ("versions_stable_on_replay", bool(stable)),
+        ]
+        return spark.createDataFrame(rows, "metric string, ok boolean").orderBy(
+            "metric"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
+    "cdf_overwrite_gate",
+    # the endpoint-diff feed across an overwrite commit: deletes carry
+    # the from-version pre-image, updates carry (pre, post), and the
+    # intermediate merge between the endpoints is invisible
+    """SELECT o_orderkey AS k, ROUND(o_totalprice, 2) AS price,
+              'delete' AS change
+       FROM orders WHERE o_orderkey % 7 = 0
+       UNION ALL
+       SELECT o_orderkey, ROUND(o_totalprice, 2), 'update_preimage'
+       FROM orders WHERE o_orderkey % 7 <> 0
+       UNION ALL
+       SELECT o_orderkey, ROUND(o_totalprice * 2, 2), 'update_postimage'
+       FROM orders WHERE o_orderkey % 7 <> 0""",
+)
+def q_cdf_overwrite_gate(spark, sf):
+    """Change feed across an overwrite (VERDICT r14 task #7, pinned):
+    the overwrite records mode=full_rewrite and a feed spanning it
+    materializes old-vs-new via the ENDPOINT diff — the from-version
+    pre-images drive deletes/update_preimages, the overwritten state
+    drives the postimages, and a merge BETWEEN the endpoints (every
+    10th order re-priced at v2, then overwritten to the same final
+    value) is invisible. Full-value oracle: the keyed diff computed
+    directly over the orders table."""
+    import shutil
+    import tempfile
+
+    from .sinks.snapshot import snapshot_changes, upsert_snapshot, write_snapshot
+
+    o = _t(spark, sf, "orders")
+    base = o.select("o_orderkey", F.col("o_totalprice").alias("price"))
+    root = tempfile.mkdtemp(prefix="cdf_overwrite_gate_")
+    t = f"{root}/t"
+    try:
+        write_snapshot(spark, base, t, key="o_orderkey")        # v1
+        upsert_snapshot(                                        # v2 (invisible)
+            spark,
+            base.filter(F.col("o_orderkey") % 10 == 0)
+            .withColumn("price", F.col("price") * 2),
+            t, "o_orderkey",
+        )
+        write_snapshot(                                         # v3: overwrite
+            spark,
+            base.filter(F.col("o_orderkey") % 7 != 0)
+            .withColumn("price", F.col("price") * 2),
+            t, key="o_orderkey",
+        )
+        feed = snapshot_changes(spark, t, 1, 3)
+        return (
+            feed.select(
+                F.col("o_orderkey").alias("k"),
+                F.round("price", 2).alias("price"),
+                F.col("_change_type").alias("change"),
+            )
+            .localCheckpoint()  # materialize before the temp dir dies
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # The driver's correctness gate samples the FIRST 50 entries of
 # queries() in insertion order (confirmed: CORRECTNESS_r05 keys ==
 # registry[:50]). Source order groups queries by module/topic, which
@@ -10282,6 +10413,16 @@ def q_cdc_snapshot_gate(spark, sf):
 # embedding_ingest_gate run 27-45s each at sf0.01,
 # streaming_replay_parity ~20s.
 _DRIVER_WINDOW = [
+    # r15 rotation (VERDICT r14 tasks #2/#3; ledger re-run via
+    # tools/window_ledger.py at rotation time: 252 ever-green, 0
+    # never-checked oracles, stale head = the 26-query r8 block, 7
+    # rows-only twins never driver-touched). Window = 6 family reps +
+    # 2 NEW r15 gates + 5 oracles this round's code CHANGED (state on
+    # snapshot / min-max agg view / takedown estate) + 4 r14-new
+    # back-to-back confirmations + the 7 rows-only twins (first-ever
+    # driver rows — after this lands the whole registry has been
+    # driver-touched) + all 26 r8-vintage stale greens (oldest green
+    # rises to r10).
     # §2 family representatives (multi-round green, retained)
     "merge_upsert",        # S5/S7 sink family
     "asof_join",           # J6/asof family
@@ -10289,31 +10430,29 @@ _DRIVER_WINDOW = [
     "lineup_validation",   # O2-O6 lineup family (flagship stateful op)
     "minhash_pairs_portable",      # dedup family flagship
     "corpus_pipeline_relational",  # composed end-to-end pipeline
-    # --- the LAST 2 never-driver-checked oracle-backed queries ---
-    "pq_state_gate", "embedding_ingest_gate",
-    # --- new/converted oracles this round (would otherwise become
-    # next round's never-checked debt) ---
-    "snapshot_pipeline_gate",
-    "bpe_merges", "bpe_encode_stats",
-    "approx_aggregates", "streaming_replay_parity", "audio_windows",
-    "snapshot_merge_nocdf_gate", "agg_view_gate", "derived_view_gate",
-    "cdc_snapshot_gate",
-    # --- 14 r6-vintage stale greens (ceded from the r13 window) ---
-    "dedup_rows", "eq_filter", "exists_probe", "fill_nulls",
-    "in_filter", "insert_ignore", "notnull_filter",
-    "range_join_buckets", "rank_in_group", "string_contains",
-    "tpch_q5", "tpch_q12", "union_tagged", "zorder_key",
-    # --- 18 stalest r8-vintage greens (alphabetical head of the
-    # ledger's r8 block; five r8 refreshes ceded slots to this round's
-    # new oracles — audio_windows, snapshot_merge_nocdf_gate,
-    # agg_view_gate, derived_view_gate, cdc_snapshot_gate — because
-    # never-checked debt outranks a staleness refresh) ---
-    "ann_recall", "bm25_search", "compound_predicate",
-    "connected_components", "cosine_neardup", "data_quality_suite",
-    "decontaminate", "decontaminate_spans", "dedup_assign",
-    "dsir_ratios", "dsir_select", "dup_key_check", "funnel_counts",
-    "fuzzy_join", "gopher_gate", "grouping_sets", "lang_id_trigram",
-    "left_anti_delta",
+    # --- NEW r15 oracles (never-checked debt stays 0) ---
+    "state_txn_fence_gate", "cdf_overwrite_gate",
+    # --- oracles whose code paths r15 changed: state maintainers on
+    # snapshot (replay gates, takedown, embedding ingest) and the
+    # min/max agg-view extension ---
+    "agg_view_gate", "takedown_gate", "streaming_replay_parity",
+    "streaming_replay_oracle", "embedding_ingest_gate",
+    # --- r14-new oracles: back-to-back confirmation ---
+    "snapshot_pipeline_gate", "cdc_snapshot_gate", "derived_view_gate",
+    "snapshot_merge_nocdf_gate",
+    # --- the 7 rows-only bench twins: first driver rows ever ---
+    "bpe_pack", "corpus_pipeline", "lineup_tracking_bulk",
+    "lineups_declarative_bulk", "minhash_lsh_pairs", "simhash_pairs",
+    "winnow_pairs_fast",
+    # --- the full 26-query r8-vintage stale cohort ---
+    "leakage_safe_split", "length_bucketed_batches", "line_dedup",
+    "lm_perplexity", "lsh_quality_gate", "ngram_jaccard",
+    "pack_sequences", "ppl_buckets", "pq_recall", "profile_entropy",
+    "quality_classifier_gate", "rerank_topk", "semdedup_gate",
+    "session_window_agg", "sessionize", "simhash_pairs_portable",
+    "stamp_literals", "table_diff", "temperature_mixture", "top_paths",
+    "tpch_q1", "tpch_q17", "tpch_q21", "tpch_q3", "winnow_pairs",
+    "winnow_spans",
 ]
 
 
