@@ -200,6 +200,60 @@ def test_state_args_guards(spark, tmp_path):
         )
 
 
+def test_stream_near_dedup_app_id_end_to_end(spark, tmp_path):
+    """stream_near_dedup with app_id: epochs commit with
+    txn=(app_id, epoch_id) against snapshot state; a manual redelivery
+    of an already-committed epoch's batch (the foreachBatch
+    at-least-once shape) is fenced — zero version churn."""
+    from pyspark.sql import types as T
+
+    from nba_data_pipeline_spark.streaming.ops import (
+        near_dedup_batch,
+        stream_near_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    sig_p, pair_p = str(tmp_path / "sigs"), str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    b1 = [(1, BASE), (2, BASE.replace("kappa", "lambda"))]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def run_pass():
+        q = stream_near_dedup(
+            spark.readStream.schema(schema).parquet(src),
+            sig_p, pair_p, num_perm=32, bands=16, threshold=0.3,
+            checkpoint_dir=ckpt, app_id="ingest",
+        )
+        q.awaitTermination()
+
+    run_pass()
+    assert store.detect_format(sig_p) == "snapshot"
+    assert {(r.id_a, r.id_b) for r in read_store(spark, pair_p).collect()} == {(1, 2)}
+    v_s, v_p = S.current_version(sig_p), S.current_version(pair_p)
+    # the txn watermark records epoch 0 under the stream's app_id
+    assert S.txn_version(sig_p, "ingest") == 0
+    # redelivery of epoch 0's batch (what foreachBatch does after a
+    # crash between the sink write and the checkpoint commit): fenced
+    near_dedup_batch(
+        spark.createDataFrame(b1, schema), sig_p, pair_p,
+        num_perm=32, bands=16, threshold=0.3, txn=("ingest", 0),
+    )
+    assert (S.current_version(sig_p), S.current_version(pair_p)) == (v_s, v_p)
+    # genuinely new data advances: next epoch applies normally
+    spark.createDataFrame([(10, BASE)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_pass()
+    assert read_store(spark, sig_p).count() == 3
+    assert {(r.id_a, r.id_b) for r in read_store(spark, pair_p).collect()} == {
+        (1, 2), (1, 10), (2, 10)
+    }
+    assert S.txn_version(sig_p, "ingest") == 1
+
+
 def test_takedown_across_snapshot_state_estate(spark, tmp_path):
     """takedown_batch dispatches per-table: snapshot corpus + snapshot
     sigs/pairs/scores remove through delete_snapshot (atomic COW),
