@@ -378,8 +378,22 @@ def _stage_files(
     token = secrets.token_hex(8)
     stage = os.path.join(root, f".stage-{token}")
     if sort_by:
-        nparts = target_files or df.sparkSession.sparkContext.defaultParallelism
-        df = df.repartitionByRange(max(1, nparts), *sort_by).sortWithinPartitions(*sort_by)
+        if target_files:
+            df = df.repartitionByRange(
+                max(1, target_files), *sort_by
+            ).sortWithinPartitions(*sort_by)
+        else:
+            # no explicit width (the create path): let AQE size the
+            # range shuffle by VOLUME instead of pinning
+            # defaultParallelism partitions. Pinning wrote a 10-row
+            # bootstrap as 10 one-row files, and the merge's
+            # self-tuning granularity (rows/files) then inherited
+            # 1 row/file FOREVER — every later batch emitted
+            # batch_rows files and the manifest grew linearly with
+            # epochs (measured: 30 ingest epochs -> 300 files, merge
+            # latency 5s -> 16s). AQE coalesces the same shuffle to
+            # size-appropriate partitions at every scale.
+            df = df.repartitionByRange(*sort_by).sortWithinPartitions(*sort_by)
     elif target_files:
         df = df.repartition(target_files)
     # Spark's default INT96 timestamps carry NO parquet min/max stats —
@@ -502,13 +516,18 @@ def write_snapshot(
     txn: tuple[str, int] | None = None,
     stat_cols: Sequence[str] = (),
     cdf: bool = True,
+    target_files: int | None = None,
 ) -> int:
     """Create the table or replace its contents (op=``overwrite``).
     ``key`` columns get footer stats in the manifest so later merges
     can prune; ``sort_by`` lays files out with disjoint key ranges.
     ``stat_cols`` adds zone-map stats for NON-key columns (e.g. an
     event-time column on a time-sorted table), so ``read_snapshot``'s
-    ``key_between`` can skip files on those too.
+    ``key_between`` can skip files on those too. ``target_files``
+    pins the file count; default lets AQE size the key-sorted write
+    by volume (a tiny bootstrap lands in one file instead of
+    defaultParallelism one-row files — the degenerate granularity
+    that made every later merge emit batch-rows files).
 
     ``cdf`` is the write-time change-data-files table property
     (Delta's enableChangeDataFeed): on (default), every keyed merge
@@ -524,7 +543,8 @@ def write_snapshot(
     keys = [key] if isinstance(key, str) else list(key)
     sort_by = list(sort_by) or keys
     entries = _stage_files(
-        df, root, list(dict.fromkeys(keys + list(stat_cols))), sort_by=sort_by
+        df, root, list(dict.fromkeys(keys + list(stat_cols))),
+        sort_by=sort_by, target_files=target_files,
     )
     manifest = {
         "op": "create" if current_version(root) == 0 else "overwrite",

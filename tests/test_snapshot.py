@@ -89,7 +89,7 @@ def test_straggler_batch_prunes_untouched_files(spark, tmp_path):
     exact (join-based) pruning keeps every non-hit file carried by
     reference — same path, same inode, zero data movement."""
     root = str(tmp_path / "t")
-    S.write_snapshot(spark, _table(spark, 100000), root, key="k")
+    S.write_snapshot(spark, _table(spark, 100000), root, key="k", target_files=8)
     m1 = S._load_manifest(root, 1)
     assert len(m1["files"]) >= 3  # need middle files to prove pruning
     inodes1 = {
@@ -129,7 +129,7 @@ def test_composite_key_prunes_on_either_column(spark, tmp_path):
 
 def test_key_between_read_prunes_and_matches_filter(spark, tmp_path):
     root = str(tmp_path / "t")
-    S.write_snapshot(spark, _table(spark, 50000), root, key="k")
+    S.write_snapshot(spark, _table(spark, 50000), root, key="k", target_files=8)
     m = S._load_manifest(root, 1)
     survivors = [f for f in m["files"] if S._overlaps(f["stats"].get("k"), 100, 120)]
     assert len(survivors) < len(m["files"])  # manifest stats actually prune
@@ -190,7 +190,7 @@ def test_time_travel_and_rollback_preserve_history(spark, tmp_path):
 
 def test_compact_preserves_rows(spark, tmp_path):
     root = str(tmp_path / "t")
-    S.write_snapshot(spark, _table(spark, 1000), root, key="k")
+    S.write_snapshot(spark, _table(spark, 1000), root, key="k", target_files=6)
     for lo in (0, 10, 20):  # accrete small commits
         src = spark.range(lo, lo + 5).select(
             F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
@@ -634,7 +634,8 @@ def test_stat_cols_zone_map_on_non_key_column(spark, tmp_path):
         F.col("id").alias("k"), (F.col("id") * 10).alias("ts"),
         F.lit(0).cast("long").alias("v"),
     )
-    S.write_snapshot(spark, df, root, key="k", sort_by=["ts"], stat_cols=["ts"])
+    S.write_snapshot(spark, df, root, key="k", sort_by=["ts"], stat_cols=["ts"],
+                     target_files=8)
     m = S._load_manifest(root, 1)
     assert m["stat_cols"] == ["ts"]
     pruned = [f for f in m["files"] if S._overlaps(f["stats"].get("ts"), 0, 5000)]
@@ -816,7 +817,8 @@ def test_delete_where_range_drops_whole_files_without_reading(
         F.col("id").alias("k"), (F.col("id") * 10).alias("ts"),
         F.lit(0).cast("long").alias("v"),
     )
-    S.write_snapshot(spark, df, root, key="k", sort_by=["ts"], stat_cols=["ts"])
+    S.write_snapshot(spark, df, root, key="k", sort_by=["ts"], stat_cols=["ts"],
+                     target_files=8)
     m1 = S._load_manifest(root, 1)
     n_files = len(m1["files"])
     assert n_files >= 4
@@ -1031,7 +1033,8 @@ def test_datetime_key_between_actually_prunes(spark, tmp_path):
         (F.lit("2024-01-01 00:00:00").cast("timestamp")
          + F.make_interval(secs=F.col("id"))).alias("ts"),
     )
-    S.write_snapshot(spark, df, root, key="k", sort_by=["ts"], stat_cols=["ts"])
+    S.write_snapshot(spark, df, root, key="k", sort_by=["ts"], stat_cols=["ts"],
+                     target_files=8)
     m = S._load_manifest(root, 1)
     lo = dt.datetime(2024, 1, 1, 0, 10, 0)
     hi = dt.datetime(2024, 1, 1, 0, 20, 0)
@@ -1062,7 +1065,8 @@ def test_timestamp_stats_naive_and_boundary_equality(spark, tmp_path):
         (F.lit("2024-01-01 00:00:00").cast("timestamp")
          + F.make_interval(secs=F.col("id"))).alias("ts"),
     )
-    S.write_snapshot(spark, df, root, key="k", sort_by=["ts"], stat_cols=["ts"])
+    S.write_snapshot(spark, df, root, key="k", sort_by=["ts"], stat_cols=["ts"],
+                     target_files=8)
     m = S._load_manifest(root, 1)
     assert len(m["files"]) > 1
     for f in m["files"]:
@@ -1096,7 +1100,7 @@ def test_timestamp_keyed_upsert_boundary_no_duplicates(spark, tmp_path):
          + F.make_interval(secs=F.col("id"))).alias("ts"),
         F.lit(1).alias("v"),
     )
-    S.write_snapshot(spark, base, root, key="ts", sort_by=["ts"])
+    S.write_snapshot(spark, base, root, key="ts", sort_by=["ts"], target_files=8)
     m = S._load_manifest(root, 1)
     boundary = sorted(f["stats"]["ts"]["min"] for f in m["files"])[1]
     hit = dt.datetime.fromisoformat(boundary)
