@@ -168,6 +168,15 @@ def near_dedup_batch(
     ``cdf=False``: they are derived, rebuildable, and have no
     change-feed consumers, so the write-time sidecar would be pure
     merge tax (the measured ~1.7x merge dial at sf0.1).
+
+    SINGLE LOGICAL WRITER per state root: the snapshot CAS makes
+    concurrent writers safe (no corruption, both commits land or
+    retry), but two batches ingested CONCURRENTLY each read the
+    pre-batch corpus, so pairs BETWEEN the two batches' documents
+    never form — exactly why the streaming wrapper serializes batches
+    through one foreachBatch query. Parallelize ingest by sharding
+    the DOCUMENT space across state roots, never by racing writers on
+    one root.
     """
     from ..operators.dedup import incremental_minhash_pairs, minhash_signatures
     from ..sinks.store import read_store, store_exists, upsert_store
