@@ -206,6 +206,35 @@ def test_compact_preserves_rows(spark, tmp_path):
     assert got.count() == 1000 and got.filter("v = -1").count() == 15
 
 
+def test_compact_heals_degenerate_granularity(spark, tmp_path):
+    """Legacy escape hatch: a table bootstrapped as one-row files (the
+    pre-AQE-staging layout, here pinned via target_files) makes every
+    merge inherit 1 row/file and emit batch-rows files; one
+    compact_snapshot resets the granularity and later merges emit
+    sanely few files again."""
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 64), root, key="k", target_files=64)
+    assert len(S._load_manifest(root, 1)["files"]) >= 32  # degenerate
+    S.upsert_snapshot(
+        spark, spark.range(1000, 1032).selectExpr("id as k", "id as v"),
+        root, "k",
+    )
+    degenerate_emit = len(S._load_manifest(root, 2)["files"]) - len(
+        S._load_manifest(root, 1)["files"]
+    )
+    assert degenerate_emit >= 16  # inherits ~1 row/file
+    S.compact_snapshot(spark, root, target_rows_per_file=1000)
+    n_compacted = len(S._load_manifest(root, S.current_version(root))["files"])
+    assert n_compacted <= 2
+    S.upsert_snapshot(
+        spark, spark.range(2000, 2032).selectExpr("id as k", "id as v"),
+        root, "k",
+    )
+    m = S._load_manifest(root, S.current_version(root))
+    assert len(m["files"]) <= n_compacted + 2  # healed granularity
+    assert S.read_snapshot(spark, root).count() == 128
+
+
 def test_vacuum_reclaims_and_expires(spark, tmp_path):
     root = str(tmp_path / "t")
     S.write_snapshot(spark, _table(spark, 500), root, key="k")
