@@ -99,9 +99,21 @@ HEADLINE = [
 ]
 
 
+def _loadavg() -> list[float] | None:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        return None
+
+
 def main() -> None:
     from nba_data_pipeline_spark.core.session import get_session
     from nba_data_pipeline_spark import harness
+
+    # sampled before this process does any Spark work: the 1-min value
+    # here is other tenants' load, not ours
+    load_start = _loadavg()
+    load_floors = None
 
     spark = get_session("bench")
     qs = harness.queries()
@@ -180,6 +192,8 @@ def main() -> None:
         budget = float(os.environ.get("SPARK_GRAFT_FLOOR_BUDGET", "1500"))
         t_floor0 = time.time()
         spark.stop()
+        time.sleep(2)  # let our own in-session load drain from the 1-min avg
+        load_floors = _loadavg()
         for name in HEADLINE:
             if time.time() - t_floor0 > budget:
                 floor_errors["__budget__"] = (
@@ -220,10 +234,25 @@ def main() -> None:
     # on a quiet host; anything else self-describes from what actually
     # ran. tools/bench_diff.py refuses to compare mismatched bases
     # without --force.
+    # Idle evidence (VERDICT r15 "Next round" #1): the committed floors
+    # must carry the host-load context they were taken under, so a
+    # round-over-round diff can tell "code regressed" from "host was
+    # busy". loadavg_start is sampled before this process did any work;
+    # loadavg_floors at the floor-phase start (our own in-session runs
+    # are finished and the session stopped by then). If BOTH 1-min
+    # samples are below IDLE_LOAD1 the run self-describes as idle
+    # floors; SPARK_GRAFT_BENCH_BASIS still overrides for attended runs.
+    IDLE_LOAD1 = float(os.environ.get("SPARK_GRAFT_IDLE_LOAD1", "3.0"))
+    idle = (
+        load_start is not None
+        and load_floors is not None
+        and load_start[0] < IDLE_LOAD1
+        and load_floors[0] < IDLE_LOAD1
+    )
     basis = os.environ.get("SPARK_GRAFT_BENCH_BASIS")
     if not basis:
         if floors and not floor_errors:
-            basis = "unattended-floors-min-of-3"
+            basis = "idle-floors-min-of-3" if idle else "unattended-floors-min-of-3"
         elif floors:
             basis = "unattended-floors-partial"
         else:
@@ -239,6 +268,9 @@ def main() -> None:
         "floor_errors": floor_errors,
         "floor_runs_per_query": floor_runs,
         "basis": basis,
+        "loadavg_start": load_start,
+        "loadavg_floors": load_floors,
+        "idle_load1_threshold": IDLE_LOAD1,
         "sf": sf,
     }
     full_path = os.path.join(
@@ -267,6 +299,10 @@ def main() -> None:
                 "queries": compact_q,
                 "n_errors": len(errors) + len(floor_errors),
                 "basis": basis,
+                "load1": [
+                    load_start[0] if load_start else None,
+                    load_floors[0] if load_floors else None,
+                ],
                 "sf": sf,
                 "full": "BENCH_full.json",
             },
