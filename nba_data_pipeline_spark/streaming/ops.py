@@ -75,24 +75,125 @@ def _check_state_args(
     state_format: str | None,
     txn: tuple[str, int] | None,
 ) -> None:
-    """Shared argument contract of the persisted-state maintainers:
-    ``state_buckets`` selects the hive-bucketed SWAP layout (per-bucket
-    dirs beat manifest bookkeeping at billion-row state), which has no
-    transaction watermark — asking for snapshot semantics on top of it
-    must fail loud, not silently drop the guarantee."""
-    if state_buckets:
-        if state_format == "snapshot":
+    """Shared argument contract of the persisted-state maintainers.
+    ``state_buckets`` bounds the per-batch merge's write volume to the
+    touched buckets on EITHER backend: the swap backend lays buckets
+    out as hive dirs, the snapshot backend carries ``bucket`` as the
+    leading merge-key column (key-sorted files + zone maps + the exact
+    refine pass prune the rewrite to the files holding touched
+    buckets). Only the snapshot backend has a transaction watermark,
+    so ``txn`` with an EXPLICIT swap request must fail loud rather
+    than silently drop the replay guarantee (VERDICT r15 task #2 — a
+    100 TB corpus's biggest state tables need buckets AND the fence)."""
+    if txn is not None and state_format == "swap":
+        raise ValueError(
+            "txn fencing requires the snapshot backend; the swap "
+            "layout has no transaction watermark — drop "
+            "state_format='swap' (bucketed state rides the snapshot "
+            "format with bucket as the leading merge-key column)"
+        )
+
+
+def _bucketed_state_fmt(
+    state_format: str | None, txn: tuple[str, int] | None
+) -> str:
+    """Backend for a BUCKETED state table on a fresh root: snapshot
+    when the caller wants the txn fence or asked for it explicitly,
+    else the historical hive-bucketed swap layout (sticky formats on
+    existing roots are resolved by the store facade as usual)."""
+    if txn is not None or state_format == "snapshot":
+        return "snapshot"
+    return state_format or "swap"
+
+
+def _snapshot_state_key(
+    path: str, base_key: Sequence[str], state_buckets: int | None
+) -> list[str]:
+    """Merge key for a snapshot-format state table: ``bucket`` leads
+    when bucketed. GUARD: an existing table's manifest key must match —
+    merging a bucketed batch into a flat snapshot table (or vice versa)
+    would add the bucket column via schema evolution and NULL-mismatch
+    every old row, silently duplicating keys. Same failure class the
+    swap backend's ``check_partition_layout`` sidecar prevents."""
+    from ..sinks import snapshot as _snap
+
+    want = (["bucket"] + list(base_key)) if state_buckets else list(base_key)
+    v = _snap.current_version(path)
+    if v > 0:
+        have = _snap._load_manifest(path, v).get("key", [])
+        if list(have) != want:
             raise ValueError(
-                "state_buckets lays state out as hive bucket dirs (swap "
-                "format); snapshot state is flat and prunes via zone "
-                "maps — drop state_buckets or state_format='snapshot'"
+                f"snapshot state table at {path} is keyed {have} but "
+                f"this call would merge on {want}; flat and bucketed "
+                "snapshot state cannot mix under one root (rebuild "
+                "into a fresh root to change the layout)"
             )
-        if txn is not None:
+    return want
+
+
+def _upsert_bucketed_state(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    base_key: str | Sequence[str],
+    bucket_cols: Sequence[str],
+    state_buckets: int,
+    state_format: str | None,
+    txn: tuple[str, int] | None,
+) -> None:
+    """One bucketed state MERGE through whichever backend owns the
+    root (sticky), with the fresh-root default from
+    ``_bucketed_state_fmt``. The bucket column is always
+    ``pmod(xxhash64(bucket_cols), n)`` — deterministic, so replays land
+    in the same buckets. Snapshot tables merge on ``(bucket, *key)``
+    with key-sorted files (the zone-map/refine prune bounds the rewrite
+    to files holding touched buckets — the manifest-format equivalent
+    of the swap layout's per-dir rewrites, plus the txn fence); swap
+    tables keep the hive ``bucket=`` dirs and reject ``txn`` loudly."""
+    from ..sinks.store import detect_format, upsert_store
+    from ..sinks.writer import upsert_table
+
+    keys = [base_key] if isinstance(base_key, str) else list(base_key)
+    df = df.withColumn(
+        "bucket", F.pmod(F.xxhash64(*bucket_cols), F.lit(state_buckets))
+    )
+    fmt = detect_format(path) or _bucketed_state_fmt(state_format, txn)
+    if fmt == "snapshot":
+        key = _snapshot_state_key(path, keys, state_buckets)
+        upsert_store(
+            spark, df, path, key=key, fmt="snapshot", txn=txn, cdf=False
+        )
+        return
+    if txn is not None:
+        raise ValueError(
+            f"state table at {path} is on-disk swap format, which has "
+            "no transaction watermark; migrate_to_snapshot it (or point "
+            "the fenced pipeline at a fresh root) to arm the txn fence"
+        )
+    upsert_table(
+        spark, df, path, key=keys,
+        partition_by=["bucket"], buckets=state_buckets,
+    )
+
+
+def _require_fenceable(app_id: str | None, **paths: str | None) -> None:
+    """Setup-time guard for fenced streaming pipelines (ADVICE r15,
+    medium): an ``app_id``-armed query whose state root is an on-disk
+    SWAP table would start, process nothing, and terminate at the FIRST
+    micro-batch with a backend error that obscures the real problem.
+    Fail at query setup instead, naming the offending table. Cheap:
+    one filesystem format probe per path, no Spark job."""
+    if app_id is None:
+        return
+    from ..sinks.store import detect_format
+
+    for name, path in paths.items():
+        if path is not None and detect_format(path) == "swap":
             raise ValueError(
-                "txn fencing requires the snapshot backend; bucketed "
-                "swap state has no transaction watermark (the additive "
-                "fold family carries its own bucket-granular epoch "
-                "fence instead)"
+                f"app_id={app_id!r} arms the snapshot txn fence, but "
+                f"the {name} table at {path} is an on-disk swap table "
+                "with no transaction watermark; migrate_to_snapshot it "
+                "or point the fenced pipeline at a fresh root"
             )
 
 
@@ -144,7 +245,12 @@ def near_dedup_batch(
     (whole rewrite wins below ~10M state rows on fixed costs, buckets
     win past the tens of millions and stay O(batch x history/n)). Pick
     n so history/n rows fit one task comfortably (e.g. 4096 buckets for
-    1B signatures). The layout is sticky — and ENFORCED: the writer's
+    1B signatures). Bucketed state COMPOSES with ``txn`` (VERDICT r15
+    task #2): with a fence (or ``state_format='snapshot'``) the buckets
+    ride the snapshot format as the leading merge-key column — same
+    O(touched buckets) write volume via zone-map/refine pruning, plus
+    the per-epoch replay fence; without either, the historical
+    hive-bucketed swap layout. The layout is sticky — and ENFORCED: the writer's
     ``check_partition_layout`` (backed by the ``_layout_meta.json``
     sidecar, same pattern as the Bloom family's ``_bloom_meta.json``)
     raises on a flat call against a bucketed table, a bucketed call
@@ -180,7 +286,6 @@ def near_dedup_batch(
     """
     from ..operators.dedup import incremental_minhash_pairs, minhash_signatures
     from ..sinks.store import read_store, store_exists, upsert_store
-    from ..sinks.writer import upsert_table
 
     _check_state_args(state_buckets, state_format, txn)
     spark = batch_df.sparkSession
@@ -207,21 +312,22 @@ def near_dedup_batch(
         pairs = pairs.localCheckpoint()
         out_pairs = pairs
     if state_buckets:
-        pairs = pairs.withColumn(
-            "bucket", F.pmod(F.xxhash64("id_a", "id_b"), F.lit(state_buckets))
+        # write order pairs-then-signatures, same crash-replay argument
+        # as the flat path; with txn the snapshot backend fences each
+        # table independently
+        _upsert_bucketed_state(
+            spark, pairs, pairs_path, ("id_a", "id_b"), ("id_a", "id_b"),
+            state_buckets, state_format, txn,
         )
-        sigs = sigs.withColumn(
-            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(state_buckets))
-        )
-        upsert_table(
-            spark, pairs, pairs_path, key=("id_a", "id_b"),
-            partition_by=["bucket"], buckets=state_buckets,
-        )
-        upsert_table(
-            spark, sigs, signature_path, key="doc_id",
-            partition_by=["bucket"], buckets=state_buckets,
+        _upsert_bucketed_state(
+            spark, sigs, signature_path, "doc_id", ("doc_id",),
+            state_buckets, state_format, txn,
         )
         return out_pairs
+    # flat-vs-bucketed layout guard for existing snapshot state (the
+    # swap backend's check_partition_layout does the same for hive dirs)
+    _snapshot_state_key(pairs_path, ["id_a", "id_b"], None)
+    _snapshot_state_key(signature_path, ["doc_id"], None)
     upsert_store(
         spark, pairs, pairs_path, key=("id_a", "id_b"),
         fmt=state_format, default="snapshot", txn=txn, cdf=False,
@@ -273,7 +379,6 @@ def image_dedup_batch(
     from ..operators.dedup import incremental_simhash_pairs
     from ..operators.multimodal import image_dhash
     from ..sinks.store import read_store, store_exists, upsert_store
-    from ..sinks.writer import upsert_table
 
     _check_state_args(state_buckets, state_format, txn)
     spark = batch_df.sparkSession
@@ -303,22 +408,19 @@ def image_dedup_batch(
         out_pairs = pairs
     if state_buckets:
         # same bucketed merge-state trade as near_dedup_batch (see its
-        # docstring for the crossover): O(touched buckets) writes
-        pairs = pairs.withColumn(
-            "bucket", F.pmod(F.xxhash64("id_a", "id_b"), F.lit(state_buckets))
+        # docstring for the crossover): O(touched buckets) writes,
+        # snapshot-backed (with the txn fence) when fenced or requested
+        _upsert_bucketed_state(
+            spark, pairs, pairs_path, ("id_a", "id_b"), ("id_a", "id_b"),
+            state_buckets, state_format, txn,
         )
-        hashes = hashes.withColumn(
-            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(state_buckets))
-        )
-        upsert_table(
-            spark, pairs, pairs_path, key=("id_a", "id_b"),
-            partition_by=["bucket"], buckets=state_buckets,
-        )
-        upsert_table(
-            spark, hashes, hash_path, key="doc_id",
-            partition_by=["bucket"], buckets=state_buckets,
+        _upsert_bucketed_state(
+            spark, hashes, hash_path, "doc_id", ("doc_id",),
+            state_buckets, state_format, txn,
         )
         return out_pairs
+    _snapshot_state_key(pairs_path, ["id_a", "id_b"], None)
+    _snapshot_state_key(hash_path, ["doc_id"], None)
     upsert_store(
         spark, pairs, pairs_path, key=("id_a", "id_b"),
         fmt=state_format, default="snapshot", txn=txn, cdf=False,
@@ -357,16 +459,22 @@ def stream_near_dedup(
     ``app_id`` arms the snapshot txn fence: each micro-batch commits
     the signature/pairs state with ``txn=(app_id, epoch_id)``, so a
     redelivered epoch (foreachBatch is at-least-once) is a visible
-    no-op on both tables instead of merely converging. Requires a
-    durable ``checkpoint_dir`` — same contract and failure mode as
-    ``stream_upsert_snapshot`` (a fresh checkpoint restarts epochs at
-    0 and the stale watermark would silently fence real data)."""
+    no-op on both tables instead of merely converging. Composes with
+    ``state_buckets`` (bucketed state rides the snapshot format with
+    ``bucket`` leading the merge key — see ``_upsert_bucketed_state``).
+    Requires a durable ``checkpoint_dir`` — same contract and failure
+    mode as ``stream_upsert_snapshot`` (a fresh checkpoint restarts
+    epochs at 0 and the stale watermark would silently fence real
+    data) — and snapshot-format (or fresh) state roots, validated at
+    setup so a misconfigured query fails here, not at the first
+    micro-batch."""
     if app_id is not None and not checkpoint_dir:
         raise ValueError(
             "app_id (txn fencing) requires a durable checkpoint_dir: "
             "without one every run restarts epoch_id at 0 and the "
             "prior watermark silently drops each new batch as a replay"
         )
+    _require_fenceable(app_id, signatures=signature_path, pairs=pairs_path)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         near_dedup_batch(
@@ -408,19 +516,16 @@ def quality_score_batch(
     ``txn`` fences redelivered batches into visible no-ops."""
     from ..operators.text import trigram_lm_scores
     from ..sinks.store import upsert_store
-    from ..sinks.writer import upsert_table
 
     _check_state_args(state_buckets, state_format, txn)
     scored = trigram_lm_scores(batch_df, lm, id_col, text_col)
     if state_buckets:
-        scored = scored.withColumn(
-            "bucket", F.pmod(F.xxhash64(id_col), F.lit(state_buckets))
-        )
-        upsert_table(
-            batch_df.sparkSession, scored, scores_path, key=id_col,
-            partition_by=["bucket"], buckets=state_buckets,
+        _upsert_bucketed_state(
+            batch_df.sparkSession, scored, scores_path, id_col, (id_col,),
+            state_buckets, state_format, txn,
         )
         return
+    _snapshot_state_key(scores_path, [id_col], None)
     upsert_store(
         batch_df.sparkSession, scored, scores_path, key=id_col,
         fmt=state_format, default="snapshot", txn=txn, cdf=False,
@@ -444,13 +549,15 @@ def stream_quality_scores(
     reference model and version it with the corpus snapshot); per-batch
     cost is one explode + broadcast join over the batch only.
     ``app_id`` arms the snapshot txn fence per epoch (same
-    durable-checkpoint contract as ``stream_near_dedup``)."""
+    durable-checkpoint + fenceable-state-root contract as
+    ``stream_near_dedup``, both validated at setup)."""
     if app_id is not None and not checkpoint_dir:
         raise ValueError(
             "app_id (txn fencing) requires a durable checkpoint_dir: "
             "without one every run restarts epoch_id at 0 and the "
             "prior watermark silently drops each new batch as a replay"
         )
+    _require_fenceable(app_id, scores=scores_path)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         quality_score_batch(
@@ -1005,7 +1112,7 @@ def embedding_ingest_batch(
     pruning IS the query speedup, and their replays are idempotent by
     deterministic assignment."""
     from ..sinks.store import upsert_store
-    from ..sinks.writer import table_exists, upsert_table
+    from ..sinks.writer import table_exists
 
     _check_state_args(state_buckets, state_format, txn)
     spark = batch_df.sparkSession
@@ -1030,14 +1137,12 @@ def embedding_ingest_batch(
         )
     if pairs_path is not None:
         if state_buckets:
-            bucketed = pairs.withColumn(
-                "bucket", F.pmod(F.xxhash64("id_a", "id_b"), F.lit(state_buckets))
-            )
-            upsert_table(
-                spark, bucketed, pairs_path, key=("id_a", "id_b"),
-                partition_by=["bucket"], buckets=state_buckets,
+            _upsert_bucketed_state(
+                spark, pairs, pairs_path, ("id_a", "id_b"), ("id_a", "id_b"),
+                state_buckets, state_format, txn,
             )
         else:
+            _snapshot_state_key(pairs_path, ["id_a", "id_b"], None)
             upsert_store(
                 spark, pairs, pairs_path, key=("id_a", "id_b"),
                 fmt=state_format, default="snapshot", txn=txn, cdf=False,
@@ -1409,20 +1514,24 @@ def rebuild_component_labels(
     )
 
     if is_snapshot_table(labels_path) or is_snapshot_table(pairs_path):
-        if state_buckets:
-            raise ValueError(
-                "snapshot-format label/pair tables are flat; "
-                "state_buckets is a swap-layout concept"
-            )
+        # the rebuild is a full OVERWRITE, so it may legitimately
+        # re-lay the table out: pass state_buckets to (re)bucket the
+        # labels, omit it for flat — later incremental merges must
+        # then match (the maintainer's _snapshot_state_key guard)
+        skey = (["bucket", "doc_id"] if state_buckets else ["doc_id"])
         if not store_exists(pairs_path):
             if os.path.exists(labels_path):
                 shutil.rmtree(labels_path)
             return
-        pairs = read_store(spark, pairs_path)
+        pairs = read_store(spark, pairs_path).drop("bucket")
         labels = connected_components(pairs, id_a=id_a, id_b=id_b)
+        if state_buckets:
+            labels = labels.withColumn(
+                "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(state_buckets))
+            )
         # cdf=False like every state table: derived, rebuildable, no
         # change-feed consumers — skip the write-time sidecar tax
-        _snap.write_snapshot(spark, labels, labels_path, key="doc_id", cdf=False)
+        _snap.write_snapshot(spark, labels, labels_path, key=skey, cdf=False)
         return
     pby = ["bucket"] if state_buckets else []
     check_partition_layout(labels_path, pby, state_buckets)
@@ -1532,14 +1641,22 @@ def update_component_state(
     _check_state_args(state_buckets, state_format, txn)
     spark = new_pairs.sparkSession
     fmt = detect_format(labels_path) or state_format or (
-        "swap" if state_buckets else "snapshot"
+        _bucketed_state_fmt(state_format, txn) if state_buckets else "snapshot"
     )
     if fmt == "snapshot":
-        if state_buckets:
-            raise ValueError(
-                f"labels table at {labels_path} is a snapshot table; "
-                "state_buckets is a swap-layout concept"
+        # bucketed snapshot labels merge on (bucket, doc_id): the
+        # bucket is a pure function of doc_id, so key equality is
+        # unchanged and the zone-map/refine prune bounds the rewrite
+        # to files holding touched buckets (VERDICT r15 task #2)
+        skey = _snapshot_state_key(labels_path, ["doc_id"], state_buckets)
+
+        def _bsnap(df: DataFrame) -> DataFrame:
+            if not state_buckets:
+                return df
+            return df.withColumn(
+                "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(state_buckets))
             )
+
         if txn is not None:
             from ..sinks.snapshot import txn_version
 
@@ -1549,20 +1666,26 @@ def update_component_state(
         if detect_format(labels_path) is None:
             labels = connected_components(new_pairs)
             upsert_store(
-                spark, labels, labels_path, key="doc_id",
+                spark, _bsnap(labels), labels_path, key=skey,
                 fmt="snapshot", txn=txn, cdf=False,
             )
             return
-        labels = read_store(spark, labels_path)
+        labels = read_store(spark, labels_path).drop("bucket")
         changed = incremental_components(labels, new_pairs, changed_only=True)
         # one atomic manifest commit — no journal needed; an empty
         # delta still commits when fenced so the watermark advances
         # (a later replay then skips the label read + delta compute)
         upsert_store(
-            spark, changed.select("doc_id", "component_id"), labels_path,
-            key="doc_id", fmt="snapshot", txn=txn, cdf=False,
+            spark, _bsnap(changed.select("doc_id", "component_id")),
+            labels_path, key=skey, fmt="snapshot", txn=txn, cdf=False,
         )
         return
+    if txn is not None:
+        raise ValueError(
+            f"labels table at {labels_path} is on-disk swap format, "
+            "which has no transaction watermark; migrate_to_snapshot "
+            "it (or use a fresh root) to arm the txn fence"
+        )
     pby = ["bucket"] if state_buckets else []
     check_partition_layout(labels_path, pby, state_buckets)
 
@@ -1880,14 +2003,23 @@ def stream_corpus_ingest(
     ``app_id`` arms the per-table snapshot txn fence across the whole
     composition — every table commits with ``txn=(app_id, epoch_id)``,
     so a redelivered epoch no-ops table by table (the crash-anywhere
-    replay contract of ``corpus_ingest_batch``). Requires a durable
-    ``checkpoint_dir``, same as ``stream_upsert_snapshot``."""
+    replay contract of ``corpus_ingest_batch``). Composes with
+    ``state_buckets`` (bucketed state rides the snapshot format).
+    Requires a durable ``checkpoint_dir``, same as
+    ``stream_upsert_snapshot``, and fenceable (snapshot or fresh)
+    state roots — both validated HERE at setup, so a misconfigured
+    long-running query fails before it starts instead of dying at the
+    first micro-batch with a backend error (ADVICE r15, medium)."""
     if app_id is not None and not checkpoint_dir:
         raise ValueError(
             "app_id (txn fencing) requires a durable checkpoint_dir: "
             "without one every run restarts epoch_id at 0 and the "
             "prior watermark silently drops each new batch as a replay"
         )
+    _require_fenceable(
+        app_id, corpus=corpus_path, signatures=signature_path,
+        pairs=pairs_path, scores=scores_path, components=components_path,
+    )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         corpus_ingest_batch(
@@ -1971,6 +2103,7 @@ def classifier_score_batch(
     scored = quality_model_scores(
         batch_df, weights, intercept, id_col, text_col, n_features
     ).select(id_col, "quality_logit", "quality_prob")
+    _snapshot_state_key(scores_path, [id_col], None)
     upsert_store(
         batch_df.sparkSession, scored, scores_path, key=id_col,
         fmt=state_format, default="snapshot", txn=txn, cdf=False,

@@ -168,8 +168,10 @@ def test_image_dedup_snapshot_state_txn_fence(spark, tmp_path):
 
 
 def test_state_args_guards(spark, tmp_path):
-    """state_buckets (swap layout) rejects snapshot/txn loudly; the
-    streaming wrappers reject app_id without a durable checkpoint."""
+    """txn with an explicit swap request rejects loudly (the swap
+    layout has no transaction watermark — bucketed+fenced state rides
+    the snapshot format instead, VERDICT r15 task #2); the streaming
+    wrappers reject app_id without a durable checkpoint."""
     from nba_data_pipeline_spark.streaming.ops import (
         near_dedup_batch,
         stream_near_dedup,
@@ -177,15 +179,15 @@ def test_state_args_guards(spark, tmp_path):
     )
 
     b = _docs(spark, [(1, BASE)])
-    with pytest.raises(ValueError, match="swap"):
+    with pytest.raises(ValueError, match="transaction watermark"):
         near_dedup_batch(
             b, str(tmp_path / "s"), str(tmp_path / "p"),
-            state_buckets=4, state_format="snapshot",
+            state_format="swap", txn=("a", 1),
         )
     with pytest.raises(ValueError, match="transaction watermark"):
         near_dedup_batch(
             b, str(tmp_path / "s"), str(tmp_path / "p"),
-            state_buckets=4, txn=("a", 1),
+            state_buckets=4, state_format="swap", txn=("a", 1),
         )
     src = str(tmp_path / "src")
     _docs(spark, [(1, BASE)]).write.parquet(src)

@@ -920,8 +920,12 @@ def test_layout_guard_rejects_flat_or_remoduled_merge(spark, tmp_path):
     assert _rs(spark, sig_p).select("doc_id").distinct().count() == 12
 
     scores_p = str(tmp_path / "scores")
-    quality_score_batch(b, lm, scores_p)  # flat table
-    with pytest.raises(ValueError, match="layout mismatch"):
+    quality_score_batch(b, lm, scores_p)  # flat table (snapshot default)
+    # the flat table is SNAPSHOT-format, so the bucketed call resolves
+    # the sticky on-disk format and the snapshot-side key guard refuses
+    # the layout change (r16: buckets+snapshot now compose, same
+    # cannot-mix contract as the swap sidecar guard)
+    with pytest.raises(ValueError, match="cannot mix"):
         quality_score_batch(b, lm, scores_p, state_buckets=8)
 
 
