@@ -392,7 +392,27 @@ def _stage_files(
             # batch_rows files and the manifest grew linearly with
             # epochs (measured: 30 ingest epochs -> 300 files, merge
             # latency 5s -> 16s). AQE coalesces the same shuffle to
-            # size-appropriate partitions at every scale.
+            # size-appropriate partitions at every scale — which means
+            # the fix DEPENDS on AQE coalescing: with it disabled the
+            # bare repartitionByRange falls back to
+            # spark.sql.shuffle.partitions and silently reproduces the
+            # degenerate bootstrap granularity, so assert the session
+            # conf here like the UTC guard (ADVICE r15, low)
+            sess = df.sparkSession
+            aqe_on = all(
+                sess.conf.get(c, "true").lower() == "true"
+                for c in (
+                    "spark.sql.adaptive.enabled",
+                    "spark.sql.adaptive.coalescePartitions.enabled",
+                )
+            )
+            if not aqe_on:
+                raise RuntimeError(
+                    "snapshot create-path file sizing requires AQE "
+                    "partition coalescing (spark.sql.adaptive.enabled "
+                    "and spark.sql.adaptive.coalescePartitions.enabled)"
+                    "; enable them or pass target_files= explicitly"
+                )
             df = df.repartitionByRange(*sort_by).sortWithinPartitions(*sort_by)
     elif target_files:
         df = df.repartition(target_files)
@@ -515,7 +535,7 @@ def write_snapshot(
     expected_version: int | None = None,
     txn: tuple[str, int] | None = None,
     stat_cols: Sequence[str] = (),
-    cdf: bool = True,
+    cdf: bool | None = None,
     target_files: int | None = None,
 ) -> int:
     """Create the table or replace its contents (op=``overwrite``).
@@ -537,9 +557,18 @@ def write_snapshot(
     small sizes, amortizing at scale where the rewrite dominates).
     Off, merges skip the sidecar and the feed falls back to the
     endpoint-diff (O(changed files) read at CDF time). The property
-    inherits across commits; pass it on any overwrite to flip it."""
+    INHERITS across commits — an overwrite with ``cdf`` unset keeps
+    the parent manifest's setting (ADVICE r15, low: a plain overwrite
+    on a ``cdf=False`` table must not silently re-enable the ~1.7x
+    merge sidecar tax); pass an explicit True/False to flip it. A
+    create with ``cdf`` unset defaults on."""
     if _txn_already_applied(root, txn):
         return current_version(root)
+    prior = current_version(root)
+    if cdf is None:
+        cdf = True if prior == 0 else bool(
+            _load_manifest(root, prior).get("cdf_enabled", True)
+        )
     keys = [key] if isinstance(key, str) else list(key)
     sort_by = list(sort_by) or keys
     entries = _stage_files(
@@ -547,7 +576,7 @@ def write_snapshot(
         sort_by=sort_by, target_files=target_files,
     )
     manifest = {
-        "op": "create" if current_version(root) == 0 else "overwrite",
+        "op": "create" if prior == 0 else "overwrite",
         "key": keys,
         "stat_cols": list(stat_cols),
         "schema": df.schema.json(),
@@ -1024,10 +1053,18 @@ def delete_where_range(
     with the filter; a file provably outside carries by reference.
     Files without stats on ``col`` rewrite (safe). The superseded
     version stays readable until vacuum — retention is reversible
-    until then. Range deletes record NO write-time CDF (doomed files
-    are dropped without being read — writing change rows would destroy
-    the O(boundary-files) property), so a change feed spanning one
-    falls back to the endpoint diff."""
+    until then. Range deletes record a LAZY write-time CDF
+    (``mode=delete_range``: the doomed bounds + the dropped and
+    rewritten file lists — pure manifest metadata, the doomed files
+    are still never read at commit time, preserving the
+    O(boundary-files) property); a change feed spanning the commit
+    synthesizes the delete pre-images FROM those references at feed
+    time — every row of a dropped file, plus the in-range rows of the
+    rewritten ones — cost O(dropped + boundary files), read exactly
+    when a consumer asks (VERDICT r15 task #5). The referenced files
+    belong to the superseded version, so they live exactly as long as
+    it does; once vacuum takes it, the chain falls back to the
+    endpoint diff like any other vacuumed intermediate."""
     for attempt in range(retries + 1):
         if _txn_already_applied(root, txn):
             return current_version(root)
@@ -1073,6 +1110,17 @@ def delete_where_range(
             "rows": sum(e["rows"] for e in carried)
             + sum(e["rows"] for e in entries),
         }
+        if stats_usable:
+            # lazy CDF: record WHAT was deleted (bounds + superseded
+            # file refs), not the rows — the feed reads them on demand
+            new_manifest["cdf"] = {
+                "mode": "delete_range",
+                "col": col,
+                "lo": lo_s,
+                "hi": hi_s,
+                "dropped": [f["path"] for f in dropped],
+                "rewritten": [f["path"] for f in straddling],
+            }
         if txn is not None:
             new_manifest["txns"] = {txn[0]: txn[1]}
         try:
@@ -1382,9 +1430,11 @@ def snapshot_changes(
     # same cost as a point merge's. Overwrites record mode=full_rewrite
     # (their logical delta was never known at write time) and PIN the
     # endpoint-diff: old-vs-new materializes from the two endpoint
-    # versions' changed files. Commits without write-time info
-    # (delete_where_range, which drops files WITHOUT reading them;
-    # rollbacks; pre-upgrade manifests) drop the chain the same way.
+    # versions' changed files. delete_where_range records a LAZY
+    # mode=delete_range block (bounds + superseded file refs — the
+    # feed reads them on demand, so commit time stays O(boundary
+    # files)). Commits without write-time info (rollbacks;
+    # pre-upgrade manifests) drop the chain the same way.
     if keys and to_v >= from_version:
         try:
             chain = [_load_manifest(root, v) for v in range(from_version, to_v + 1)]
@@ -1503,6 +1553,49 @@ def _changes_from_cdf(
                 .select(cols)
                 .withColumn("_change_type", F.lit("insert"))
             )
+        elif info.get("mode") == "delete_range":
+            # lazy range-delete feed (VERDICT r15 task #5): synthesize
+            # the delete pre-images from the SUPERSEDED version's files
+            # — every row of a fully-dropped file, plus the in-range
+            # rows of the rewritten boundary files. Cost O(dropped +
+            # boundary files), paid at feed time, never at commit time;
+            # the refs live exactly as long as the superseded manifest
+            # (vacuuming it already drops the chain to the endpoint
+            # diff via the manifest load above).
+            dcol = info["col"]
+            if dcol not in cols:  # renamed after the delete: map forward
+                for cur, olds in (chain[-1].get("renames") or {}).items():
+                    if dcol in olds:
+                        dcol = cur
+                        break
+            dtypes = {f.name: f.dataType for f in schema.fields}
+            parts = []
+            if info.get("dropped"):
+                parts.append(
+                    _read_files(
+                        spark, root, schema, info["dropped"],
+                        chain[-1].get("renames"),
+                    ).select(cols)
+                )
+            if info.get("rewritten"):
+                # bounds are stat-encoded (datetime -> isoformat); cast
+                # back through the column's own type before comparing
+                lo_b = F.lit(info["lo"]).cast(dtypes[dcol])
+                hi_b = F.lit(info["hi"]).cast(dtypes[dcol])
+                parts.append(
+                    _read_files(
+                        spark, root, schema, info["rewritten"],
+                        chain[-1].get("renames"),
+                    )
+                    .filter(F.col(dcol).between(lo_b, hi_b))
+                    .select(cols)
+                )
+            if not parts:
+                continue  # nothing was in range: nothing logical
+            feed = parts[0]
+            for p in parts[1:]:
+                feed = feed.unionByName(p)
+            feed = feed.withColumn("_change_type", F.lit("delete"))
         else:
             rels = [e["path"] for e in info.get("files", [])]
             if not rels:
@@ -1886,6 +1979,14 @@ def refresh_agg_view(
     contribs.append(F.sum(sign).cast("long").alias("_n"))
     delta = feed.groupBy(*key_list).agg(*contribs)
 
+    # frames persisted inside combine, released AFTER the commit:
+    # combine runs inside _merge_commit's CAS retry loop, and eager
+    # localCheckpoints there accumulated truncated-lineage blocks for
+    # the session's lifetime, one set per conflict retry (ADVICE r15,
+    # low). persist() keeps lineage, so unpersisting in the finally —
+    # after the staged files are committed — is always safe.
+    _held: list[DataFrame] = []
+
     def combine(target, src, kk):
         retr_cols = [f"_retr_{out}" for out in ext_outs]
         vals = [c for c in src.columns if c not in kk]
@@ -1921,7 +2022,8 @@ def refresh_agg_view(
                 else (F.col(f"_retr_{out}") >= F.col(out))
             )
             dirty_pred = dirty_pred | F.coalesce(hit, F.lit(False))
-        summed = summed.localCheckpoint(eager=True)  # branches twice below
+        summed = summed.persist()  # branches twice below
+        _held.append(summed)
         clean = summed.filter(~dirty_pred).drop(*retr_cols)
         dirty_keys = summed.filter(dirty_pred).select(*kk)
         if dirty_keys.isEmpty():
@@ -1930,7 +2032,8 @@ def refresh_agg_view(
         # pruned to the dirty keys' range (zone maps skip the rest of
         # the fact table when they cover the group key), then exact
         # semi-join — O(dirty groups' rows)
-        dirty_keys = dirty_keys.localCheckpoint(eager=True)
+        dirty_keys = dirty_keys.persist()
+        _held.append(dirty_keys)
         b = dirty_keys.agg(
             F.min(kk[0]).alias("_lo"), F.max(kk[0]).alias("_hi"),
             F.sum(F.col(kk[0]).isNull().cast("int")).alias("_nulls"),
@@ -1958,10 +2061,14 @@ def refresh_agg_view(
             )
         return clean.unionByName(recomputed.select(clean.columns))
 
-    return _merge_commit(
-        spark, delta, dst_root, key_list, "agg_refresh", combine, retries,
-        txn=(view_id, src_v),
-    )
+    try:
+        return _merge_commit(
+            spark, delta, dst_root, key_list, "agg_refresh", combine, retries,
+            txn=(view_id, src_v),
+        )
+    finally:
+        for cached in _held:
+            cached.unpersist()
 
 
 def refresh_derived_snapshot(
