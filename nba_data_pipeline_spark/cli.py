@@ -121,11 +121,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--state_buckets", type=int,
-        help="corpus_ingest: lay the signature/pairs/scores merge-state "
-        "tables out in pmod(xxhash64(key), N) hive buckets so a batch "
-        "merge rewrites only touched buckets instead of the whole table "
-        "(use once state outgrows whole-rewrites; keep the value stable "
-        "for a given output dir)",
+        help="corpus_ingest: bound each batch's state-table merge to "
+        "pmod(xxhash64(key), N) buckets instead of the whole table (use "
+        "once state outgrows whole-rewrites; keep the value stable for a "
+        "given output dir). Composes with --app_id: fenced bucketed "
+        "state rides the snapshot format with bucket leading the merge "
+        "key; without --app_id fresh roots use hive bucket dirs",
     )
     p.add_argument(
         "--partition_by",

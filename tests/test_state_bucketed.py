@@ -284,3 +284,42 @@ def test_quality_scores_bucketed_snapshot_fenced(spark, tmp_path):
     assert {
         r.doc_id: r.avg_nll_e6 for r in read_store(spark, scores_p).collect()
     } == rows
+
+
+def test_corpus_ingest_batch_bucketed_txn_composition(spark, tmp_path):
+    """The EXACT shape ADVICE r15 (medium) flagged as broken: the
+    composed ingest with state_buckets AND txn together. Every
+    bucketed state table (signatures, pairs, scores, component labels)
+    lands on the snapshot format keyed bucket-first, the flat corpus
+    table fences as before, and a full epoch redelivery leaves every
+    version untouched."""
+    from nba_data_pipeline_spark.operators.text import fit_trigram_lm
+    from nba_data_pipeline_spark.streaming.ops import corpus_ingest_batch
+
+    docs = _docs(spark, [(i, f"{BASE} doc {i}") for i in range(6)])
+    lm = fit_trigram_lm(docs, "text")
+    p = {
+        k: str(tmp_path / k)
+        for k in ("corpus", "sigs", "pairs", "scores", "components")
+    }
+    gate = dict(stopwords=("alpha", "beta"), min_tokens=3)
+    kw = dict(
+        gate_kwargs=gate, num_perm=16, bands=8, threshold=0.3,
+        state_buckets=4, components_path=p["components"],
+    )
+    corpus_ingest_batch(
+        docs, lm, p["corpus"], p["sigs"], p["pairs"], p["scores"],
+        txn=("ingest", 1), **kw,
+    )
+    for k in ("sigs", "pairs", "scores", "components"):
+        assert store.detect_format(p[k]) == "snapshot", k
+        key = S._load_manifest(p[k], S.current_version(p[k]))["key"]
+        assert key[0] == "bucket", (k, key)
+    assert store.detect_format(p["corpus"]) == "snapshot"
+    versions = {k: S.current_version(v) for k, v in p.items()}
+    corpus_ingest_batch(  # full redelivery of the same epoch
+        docs, lm, p["corpus"], p["sigs"], p["pairs"], p["scores"],
+        txn=("ingest", 1), **kw,
+    )
+    assert {k: S.current_version(v) for k, v in p.items()} == versions
+    assert read_store(spark, p["corpus"]).count() == 6
