@@ -1216,20 +1216,42 @@ def drop_snapshot_column(root: str, col: str) -> int:
 def rollback_snapshot(root: str, to_version: int) -> int:
     """RESTORE: commit a NEW version whose file list is ``to_version``'s
     — history is preserved (the bad versions stay readable until
-    vacuum), unlike a destructive reset."""
+    vacuum), unlike a destructive reset. The restored version carries
+    the TARGET's read metadata explicitly (``renames`` alias map,
+    ``dropped`` set, ``cdf_enabled``): ``_commit``'s property
+    inheritance pulls from the PARENT — the version being rolled
+    AWAY FROM — whose name history and CDF property are exactly what
+    the rollback should discard.
+
+    Change feed: the commit records a lazy ``mode=file_diff`` block —
+    the file paths entering and leaving the table, a pure set diff over
+    the two manifests — so a feed spanning the rollback materializes
+    its logical delta from exactly the changed files at read time
+    instead of dropping the whole chain to the endpoint diff."""
+    base = current_version(root)
     manifest = _load_manifest(root, to_version)
-    return _commit(
-        root,
-        {
-            "op": "rollback",
-            "key": manifest.get("key", []),
-            "stat_cols": manifest.get("stat_cols", []),
-            "schema": manifest["schema"],
-            "files": manifest["files"],
-            "rows": manifest["rows"],
-        },
-        None,
-    )
+    new_manifest = {
+        "op": "rollback",
+        "key": manifest.get("key", []),
+        "stat_cols": manifest.get("stat_cols", []),
+        "schema": manifest["schema"],
+        "files": manifest["files"],
+        "rows": manifest["rows"],
+        "renames": manifest.get("renames", {}),
+        "dropped": manifest.get("dropped", []),
+    }
+    if "cdf_enabled" in manifest:
+        new_manifest["cdf_enabled"] = manifest["cdf_enabled"]
+    if base > 0:
+        pre = _load_manifest(root, base)
+        pre_paths = {f["path"] for f in pre["files"]}
+        to_paths = {f["path"] for f in manifest["files"]}
+        new_manifest["cdf"] = {
+            "mode": "file_diff",
+            "removed": sorted(pre_paths - to_paths),
+            "added": sorted(to_paths - pre_paths),
+        }
+    return _commit(root, new_manifest, None)
 
 
 def compact_snapshot(
@@ -1433,8 +1455,9 @@ def snapshot_changes(
     # versions' changed files. delete_where_range records a LAZY
     # mode=delete_range block (bounds + superseded file refs — the
     # feed reads them on demand, so commit time stays O(boundary
-    # files)). Commits without write-time info (rollbacks;
-    # pre-upgrade manifests) drop the chain the same way.
+    # files)); rollbacks record a lazy mode=file_diff block (the
+    # manifest set-diff of entering/leaving files). Commits without
+    # write-time info (pre-upgrade manifests) drop the chain.
     if keys and to_v >= from_version:
         try:
             chain = [_load_manifest(root, v) for v in range(from_version, to_v + 1)]
@@ -1553,6 +1576,23 @@ def _changes_from_cdf(
                 .select(cols)
                 .withColumn("_change_type", F.lit("insert"))
             )
+        elif info.get("mode") == "file_diff":
+            # lazy rollback feed: the commit recorded WHICH files
+            # entered/left the table (a manifest set diff); materialize
+            # the logical delta from exactly those files at read time.
+            # _diff_changes cancels physically-moved rows, so a
+            # rollback that restores identical content nets to nothing.
+            if not info.get("removed") and not info.get("added"):
+                continue
+            old_rows = _read_files(
+                spark, root, schema, info.get("removed", []),
+                chain[-1].get("renames"),
+            ).select(cols)
+            new_rows = _read_files(
+                spark, root, schema, info.get("added", []),
+                chain[-1].get("renames"),
+            ).select(cols)
+            feed = _diff_changes(old_rows, new_rows, keys)
         elif info.get("mode") == "delete_range":
             # lazy range-delete feed (VERDICT r15 task #5): synthesize
             # the delete pre-images from the SUPERSEDED version's files

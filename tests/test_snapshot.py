@@ -188,6 +188,41 @@ def test_time_travel_and_rollback_preserve_history(spark, tmp_path):
     ]
 
 
+def test_rollback_restores_target_metadata_and_feeds_lazily(spark, tmp_path):
+    """A rollback carries the TARGET version's renames/cdf_enabled
+    (not the rolled-away parent's, which _commit would otherwise
+    inherit) and records a lazy mode=file_diff CDF block, so a feed
+    spanning it stays on the fast chain: rolling v2's upsert back
+    nets the inverse changes, and a window that starts and ends at
+    identical content nets to zero rows."""
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 100), root, key="k", cdf=False)
+    src = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    S.upsert_snapshot(spark, src, root, "k")                     # v2
+    S.rename_snapshot_column(root, "v", "val")                   # v3
+    v4 = S.rollback_snapshot(root, 2)                            # v4: pre-rename
+    m4 = S._load_manifest(root, v4)
+    assert m4.get("renames", {}) == {}        # target v2 had no renames
+    assert m4.get("cdf_enabled") is False     # property restored, not default
+    assert m4["cdf"]["mode"] == "file_diff"
+    assert "v" in S.read_snapshot(spark, root).columns
+    # feed across the rollback (3 -> 4) = the inverse of the rename's
+    # nothing + ... use 2 -> 4 (rename is metadata-only, rollback to 2
+    # restores identical content): nets to ZERO rows on the fast chain
+    assert S.snapshot_changes(spark, root, 2, 4).count() == 0
+    # feed 1 -> 4: exactly v2's upsert changes (rollback target == v2)
+    feed = S.snapshot_changes(spark, root, 1, 4)
+    byt = {r["_change_type"] for r in feed.select("_change_type").collect()}
+    assert feed.count() == 20 and byt == {"update_preimage", "update_postimage"}
+    # rolling back ACROSS the upsert inverts it: feed 2 -> 5 restores v1
+    v5 = S.rollback_snapshot(root, 1)
+    inv = S.snapshot_changes(spark, root, 2, v5)
+    assert inv.filter("_change_type = 'update_postimage'").filter("v = -1").count() == 0
+    assert inv.filter("_change_type = 'update_preimage'").filter("v = -1").count() == 10
+
+
 def test_compact_preserves_rows(spark, tmp_path):
     root = str(tmp_path / "t")
     S.write_snapshot(spark, _table(spark, 1000), root, key="k", target_files=6)
