@@ -131,6 +131,25 @@ def _snapshot_state_key(
     return want
 
 
+def _snapshot_bucket_mod(path: str) -> int | None:
+    """Recorded hash modulus of a bucketed snapshot state table (the
+    same ``_layout_meta.json`` sidecar the swap layout uses — readers
+    ignore underscore files, and the manifest key records the COLUMN
+    but not the modulus). None for legacy/flat tables."""
+    import json
+
+    from ..sinks.writer import LAYOUT_META
+
+    meta = os.path.join(path, LAYOUT_META)
+    if not os.path.exists(meta):
+        return None
+    try:
+        with open(meta) as fh:
+            return json.load(fh).get("buckets")
+    except (OSError, ValueError):
+        return None
+
+
 def _upsert_bucketed_state(
     spark: SparkSession,
     df: DataFrame,
@@ -160,9 +179,25 @@ def _upsert_bucketed_state(
     fmt = detect_format(path) or _bucketed_state_fmt(state_format, txn)
     if fmt == "snapshot":
         key = _snapshot_state_key(path, keys, state_buckets)
+        # the modulus is part of the layout: keys hashed with a
+        # different n land in different (bucket, key) tuples and the
+        # merge silently duplicates them — pin it like the swap
+        # backend's check_partition_layout does
+        recorded = _snapshot_bucket_mod(path)
+        if recorded is not None and recorded != state_buckets:
+            raise ValueError(
+                f"bucket-count mismatch for snapshot state table "
+                f"{path!r}: created with state_buckets={recorded}, "
+                f"called with {state_buckets}; the modulus is part of "
+                "the layout (rebuild into a fresh root to change it)"
+            )
         upsert_store(
             spark, df, path, key=key, fmt="snapshot", txn=txn, cdf=False
         )
+        from ..sinks.writer import write_layout_meta
+
+        if recorded is None:
+            write_layout_meta(path, [], state_buckets)
         return
     if txn is not None:
         raise ValueError(
@@ -1532,6 +1567,13 @@ def rebuild_component_labels(
         # cdf=False like every state table: derived, rebuildable, no
         # change-feed consumers — skip the write-time sidecar tax
         _snap.write_snapshot(spark, labels, labels_path, key=skey, cdf=False)
+        # the rebuild owns the layout: refresh the modulus sidecar to
+        # whatever was just written (or drop it on a flat rebuild)
+        meta = os.path.join(labels_path, "_layout_meta.json")
+        if state_buckets:
+            write_layout_meta(labels_path, [], state_buckets)
+        elif os.path.exists(meta):
+            os.unlink(meta)
         return
     pby = ["bucket"] if state_buckets else []
     check_partition_layout(labels_path, pby, state_buckets)
@@ -1649,6 +1691,16 @@ def update_component_state(
         # unchanged and the zone-map/refine prune bounds the rewrite
         # to files holding touched buckets (VERDICT r15 task #2)
         skey = _snapshot_state_key(labels_path, ["doc_id"], state_buckets)
+        if state_buckets:
+            recorded = _snapshot_bucket_mod(labels_path)
+            if recorded is not None and recorded != state_buckets:
+                raise ValueError(
+                    f"bucket-count mismatch for snapshot labels table "
+                    f"{labels_path!r}: created with "
+                    f"state_buckets={recorded}, called with "
+                    f"{state_buckets} (rebuild_component_labels "
+                    "re-lays the table out)"
+                )
 
         def _bsnap(df: DataFrame) -> DataFrame:
             if not state_buckets:
@@ -1669,6 +1721,8 @@ def update_component_state(
                 spark, _bsnap(labels), labels_path, key=skey,
                 fmt="snapshot", txn=txn, cdf=False,
             )
+            if state_buckets:
+                write_layout_meta(labels_path, [], state_buckets)
             return
         labels = read_store(spark, labels_path).drop("bucket")
         changed = incremental_components(labels, new_pairs, changed_only=True)
@@ -1679,6 +1733,8 @@ def update_component_state(
             spark, _bsnap(changed.select("doc_id", "component_id")),
             labels_path, key=skey, fmt="snapshot", txn=txn, cdf=False,
         )
+        if state_buckets and _snapshot_bucket_mod(labels_path) is None:
+            write_layout_meta(labels_path, [], state_buckets)  # legacy heal
         return
     if txn is not None:
         raise ValueError(
@@ -2463,6 +2519,29 @@ def _takedown_rest(
 
         return split
 
+    def _bucketed_doom(path: str, doomed_keys: DataFrame, key_cols):
+        """(doomed frame, delete key) for a snapshot state table:
+        bucket-led tables get the bucket DERIVED onto the doomed frame
+        (it is a pure hash of the key), so the delete prunes on tight
+        per-file bucket ranges and the rewrite keeps the (bucket, key)
+        sort — without it a takedown both touched every file whose
+        wide doc_id range covered a doomed id and unsorted the
+        rewritten files. Legacy tables without the modulus sidecar
+        fall back to the unbucketed delete (correct, just unpruned)."""
+        m = _snap._load_manifest(path, _snap.current_version(path))
+        key_list = list(key_cols) if not isinstance(key_cols, str) else [key_cols]
+        if m.get("key") != ["bucket"] + key_list:
+            return doomed_keys, key_cols
+        mod = _snapshot_bucket_mod(path)
+        if mod is None:
+            return doomed_keys, key_cols
+        return (
+            doomed_keys.withColumn(
+                "bucket", F.pmod(F.xxhash64(*key_list), F.lit(mod))
+            ),
+            tuple(["bucket"] + key_list),
+        )
+
     def _drop_by_id(path: str, key: str, label: str, pcols=None) -> None:
         if path is None:
             return
@@ -2472,7 +2551,8 @@ def _takedown_rest(
             n = t.join(F.broadcast(doom_keys), key, "left_semi").count()
             removed[label] = n
             if n:
-                _snap.delete_snapshot(spark, doom_keys, path, key)
+                doom_keys, del_key = _bucketed_doom(path, doom_keys, key)
+                _snap.delete_snapshot(spark, doom_keys, path, del_key)
             return
         heal_partition_swaps(path)
         if not table_exists(path):
@@ -2523,7 +2603,8 @@ def _takedown_rest(
             n = matched.count()
             removed[label] = n
             if n:
-                _snap.delete_snapshot(spark, matched, path, ("id_a", "id_b"))
+                matched, del_key = _bucketed_doom(path, matched, ("id_a", "id_b"))
+                _snap.delete_snapshot(spark, matched, path, del_key)
             return
         heal_partition_swaps(path)
         if not table_exists(path):

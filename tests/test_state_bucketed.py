@@ -323,3 +323,65 @@ def test_corpus_ingest_batch_bucketed_txn_composition(spark, tmp_path):
     )
     assert {k: S.current_version(v) for k, v in p.items()} == versions
     assert read_store(spark, p["corpus"]).count() == 6
+
+
+def test_bucketed_snapshot_modulus_is_pinned(spark, tmp_path):
+    """The hash modulus is part of the layout: the sidecar records it
+    at create, and a call with a different state_buckets refuses —
+    keys hashed with a different n land in different (bucket, key)
+    tuples and the merge would silently duplicate them."""
+    import json
+    import os
+
+    from nba_data_pipeline_spark.streaming.ops import near_dedup_batch
+
+    sig_p, pair_p = str(tmp_path / "sigs"), str(tmp_path / "pairs")
+    b = _docs(spark, [(1, BASE)])
+    near_dedup_batch(b, sig_p, pair_p, state_buckets=4, txn=("a", 1), **KW)
+    with open(os.path.join(sig_p, "_layout_meta.json")) as fh:
+        assert json.load(fh)["buckets"] == 4
+    with pytest.raises(ValueError, match="bucket-count mismatch"):
+        near_dedup_batch(
+            _docs(spark, [(2, BASE)]), sig_p, pair_p,
+            state_buckets=8, txn=("a", 2), **KW,
+        )
+
+
+def test_takedown_on_bucketed_snapshot_state_prunes_and_keeps_layout(
+    spark, tmp_path
+):
+    """takedown_batch over a bucketed-snapshot estate: the doomed frame
+    gets the bucket DERIVED from the recorded modulus, so the delete
+    merges on the table's own (bucket, key) — rows land removed, the
+    manifest key survives, and the NEXT fenced merge still matches the
+    layout (proof the rewrite kept the bucket-led key)."""
+    from nba_data_pipeline_spark.streaming.ops import (
+        near_dedup_batch,
+        takedown_batch,
+    )
+
+    corpus_p = str(tmp_path / "corpus")
+    sig_p, pair_p = str(tmp_path / "sigs"), str(tmp_path / "pairs")
+    docs = _docs(
+        spark, [(1, BASE), (2, BASE.replace("kappa", "lambda")), (10, BASE)]
+    )
+    store.upsert_store(spark, docs, corpus_p, key="doc_id", default="snapshot")
+    near_dedup_batch(docs, sig_p, pair_p, state_buckets=4, txn=("t", 1), **KW)
+    assert read_store(spark, pair_p).count() == 3  # (1,2),(1,10),(2,10)
+    out = takedown_batch(
+        spark.createDataFrame([(10,)], "doc_id long"),
+        corpus_p, signature_path=sig_p, pairs_path=pair_p,
+    )
+    assert out["signatures"] == 1 and out["pairs"] == 2
+    assert read_store(spark, sig_p).count() == 2
+    assert {(r.id_a, r.id_b) for r in read_store(spark, pair_p).collect()} == {
+        (1, 2)
+    }
+    for p, key in ((sig_p, ["bucket", "doc_id"]), (pair_p, ["bucket", "id_a", "id_b"])):
+        assert S._load_manifest(p, S.current_version(p))["key"] == key, p
+    # the estate still merges under the fence after the takedown
+    near_dedup_batch(
+        _docs(spark, [(20, "entirely new words in this one")]),
+        sig_p, pair_p, state_buckets=4, txn=("t", 2), **KW,
+    )
+    assert read_store(spark, sig_p).count() == 3
