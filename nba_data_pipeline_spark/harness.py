@@ -10462,6 +10462,71 @@ def q_cdf_overwrite_gate(spark, sf):
 
 
 @q(
+    "cdf_rollback_gate",
+    # the feed across a rollback is the exact INVERSE of the commit it
+    # rolls away: v2 re-priced every 10th order, v3 restored v1, so the
+    # 2->3 window carries (2x -> original) updates for those keys and
+    # nothing else
+    """SELECT o_orderkey AS k, ROUND(o_totalprice * 2, 2) AS price,
+              'update_preimage' AS change
+       FROM orders WHERE o_orderkey % 10 = 0
+       UNION ALL
+       SELECT o_orderkey, ROUND(o_totalprice, 2), 'update_postimage'
+       FROM orders WHERE o_orderkey % 10 = 0""",
+)
+def q_cdf_rollback_gate(spark, sf):
+    """Change feed across a ROLLBACK: rollback_snapshot records a lazy
+    ``mode=file_diff`` CDF block (the manifest set-diff of files
+    entering and leaving the table — pure metadata at commit time),
+    and a feed spanning it materializes the logical delta from exactly
+    those files: rolling away a merge emits its inverse updates, and a
+    window that starts and ends at identical content nets to zero.
+    Also pins the restored-metadata contract: the rolled-back version
+    carries the TARGET's cdf_enabled/renames, not the rolled-away
+    parent's."""
+    import shutil
+    import tempfile
+
+    from .sinks.snapshot import (
+        _load_manifest,
+        rollback_snapshot,
+        snapshot_changes,
+        upsert_snapshot,
+        write_snapshot,
+    )
+
+    o = _t(spark, sf, "orders")
+    base = o.select("o_orderkey", F.col("o_totalprice").alias("price"))
+    root = tempfile.mkdtemp(prefix="cdf_rollback_gate_")
+    t = f"{root}/t"
+    try:
+        write_snapshot(spark, base, t, key="o_orderkey", cdf=False)  # v1
+        upsert_snapshot(                                             # v2
+            spark,
+            base.filter(F.col("o_orderkey") % 10 == 0)
+            .withColumn("price", F.col("price") * 2),
+            t, "o_orderkey",
+        )
+        v3 = rollback_snapshot(t, 1)
+        m3 = _load_manifest(t, v3)
+        assert m3["cdf"]["mode"] == "file_diff", m3["cdf"]
+        assert m3.get("cdf_enabled") is False  # target property restored
+        # identical endpoints net to zero on the fast chain
+        assert snapshot_changes(spark, t, 1, v3).isEmpty()
+        feed = snapshot_changes(spark, t, 2, v3)
+        return (
+            feed.select(
+                F.col("o_orderkey").alias("k"),
+                F.round("price", 2).alias("price"),
+                F.col("_change_type").alias("change"),
+            )
+            .localCheckpoint()  # materialize before the temp dir dies
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
     "cdf_delete_range_gate",
     # full-value oracle for the feed across a RETENTION delete
     # (VERDICT r15 task #5): every key in the doomed range nets to a
