@@ -5841,15 +5841,20 @@ def q_minhash(spark, sf):
 
 @q(
     "streaming_replay_parity",
-    # constant-verdict oracle (approx_error_gate pattern — the pair
-    # VALUES are engine minhashes, so the oracle pins the verdicts):
-    # replayed-ingest pairs == single-shot pairs row-for-row, the
-    # redelivered batch upserted rather than duplicated signatures,
-    # and a PLANTED exact duplicate guarantees the pair set is
-    # non-trivial at every scale
-    """SELECT 'all_pairs_in_both' AS metric, TRUE AS ok
-       UNION ALL SELECT 'no_dup_signatures', TRUE
-       UNION ALL SELECT 'planted_pair_found', TRUE ORDER BY metric""",
+    # value-bearing oracle (VERDICT r15 task #6 — the pair VALUES are
+    # engine minhashes so the equality checks stay verdicts, but the
+    # signature rowcount is a REAL quantity the hash binds: one row per
+    # ingested document plus the planted duplicate, computed from the
+    # documents table): replayed-ingest pairs == single-shot pairs
+    # row-for-row, the redelivered batch upserted rather than
+    # duplicated signatures, and the planted exact duplicate keeps the
+    # pair set non-trivial at every scale
+    """SELECT 'all_pairs_in_both' AS metric, CAST(1 AS BIGINT) AS value
+       UNION ALL SELECT 'no_dup_signatures', 1
+       UNION ALL SELECT 'planted_pair_found', 1
+       UNION ALL SELECT 'sig_rows',
+           (SELECT COUNT(*) + 1 FROM documents WHERE doc_id < 600)
+       ORDER BY metric""",
 )
 def q_streaming_replay_parity(spark, sf):
     """Replay-equivalence gate for the continuous-ingest near-dedup
@@ -5902,12 +5907,12 @@ def q_streaming_replay_parity(spark, sf):
                 F.min(F.col("in_replayed").isNotNull()
                       & F.col("in_single_shot").isNotNull()),
                 F.lit(True),
-            ).alias("ok")
-        ).select(F.lit("all_pairs_in_both").alias("metric"), "ok")
+            ).cast("long").alias("value")
+        ).select(F.lit("all_pairs_in_both").alias("metric"), "value")
         sigs = read_store(spark, s_multi)
         no_dupes = sigs.agg(
-            (F.count("*") == F.countDistinct("doc_id")).alias("ok")
-        ).select(F.lit("no_dup_signatures").alias("metric"), "ok")
+            (F.count("*") == F.countDistinct("doc_id")).cast("long").alias("value")
+        ).select(F.lit("no_dup_signatures").alias("metric"), "value")
         plant_hit = joined.agg(
             (
                 F.sum(
@@ -5918,10 +5923,16 @@ def q_streaming_replay_parity(spark, sf):
                     ).cast("int")
                 )
                 >= 1
-            ).alias("ok")
-        ).select(F.lit("planted_pair_found").alias("metric"), "ok")
+            ).cast("long").alias("value")
+        ).select(F.lit("planted_pair_found").alias("metric"), "value")
+        # one row per ingested document + the planted copy: a real
+        # quantity the oracle hash binds (VERDICT r15 task #6)
+        sig_rows = sigs.agg(F.count("*").alias("value")).select(
+            F.lit("sig_rows").alias("metric"), "value"
+        )
         return (
             all_in_both.unionByName(no_dupes).unionByName(plant_hit)
+            .unionByName(sig_rows)
             .orderBy("metric")
             # materialize before the temp tables are deleted — the
             # returned frame must survive the rmtree below
