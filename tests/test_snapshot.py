@@ -1800,6 +1800,39 @@ def test_refresh_agg_view_tracks_source_through_mutations(spark, tmp_path):
     assert _view_rows(spark, dst) == want
 
 
+def test_refresh_agg_view_across_retention_delete(spark, tmp_path):
+    """An agg view refreshed across a delete_where_range on its source:
+    the range-delete's lazy mode=delete_range feed keeps the refresh on
+    the fast chain, its synthesized delete pre-images retract sums and
+    counts, and a min/max whose extreme was in the doomed range goes
+    through the dirty-group recompute — the view lands exactly where a
+    from-scratch aggregation of the surviving source does."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    base = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("g"),
+        F.col("id").alias("x"),
+    )
+    S.write_snapshot(spark, base, src, key="k")
+    specs = {
+        "sx": ("sum", "x"), "n": ("count_rows", "*"),
+        "mn": ("min", "x"), "mx": ("max", "x"),
+    }
+    S.refresh_agg_view(spark, src, dst, "g", specs)
+    # retention: drop k in [1500, 1999] — every group loses its max
+    S.delete_where_range(spark, src, "k", 1500, 1999)
+    assert S._load_manifest(src, 2)["cdf"]["mode"] == "delete_range"
+    S.refresh_agg_view(spark, src, dst, "g", specs)
+    want = _rows(
+        S.read_snapshot(spark, src).groupBy("g").agg(
+            F.sum("x").alias("sx"), F.count("*").alias("n"),
+            F.min("x").alias("mn"), F.max("x").alias("mx"),
+        )
+    )
+    assert _view_rows(spark, dst) == want
+
+
 def test_refresh_agg_view_sum_retracts_to_null(spark, tmp_path):
     """When every non-null contribution of a group's sum retracts, the
     stored sum must return to NULL (SUM over no rows), not 0."""
