@@ -10645,46 +10645,40 @@ def q_cdf_delete_range_gate(spark, sf):
 # embedding_ingest_gate run 27-45s each at sf0.01,
 # streaming_replay_parity ~20s.
 _DRIVER_WINDOW = [
-    # r15 rotation (VERDICT r14 tasks #2/#3; ledger re-run via
-    # tools/window_ledger.py at rotation time: 252 ever-green, 0
-    # never-checked oracles, stale head = the 26-query r8 block, 7
-    # rows-only twins never driver-touched). Window = 6 family reps +
-    # 2 NEW r15 gates + 5 oracles this round's code CHANGED (state on
-    # snapshot / min-max agg view / takedown estate) + 4 r14-new
-    # back-to-back confirmations + the 7 rows-only twins (first-ever
-    # driver rows — after this lands the whole registry has been
-    # driver-touched) + all 26 r8-vintage stale greens (oldest green
-    # rises to r10).
-    # §2 family representatives (multi-round green, retained)
-    "merge_upsert",        # S5/S7 sink family
-    "asof_join",           # J6/asof family
-    "stint_rollup_stats",  # A1 rollup family
-    "lineup_validation",   # O2-O6 lineup family (flagship stateful op)
-    "minhash_pairs_portable",      # dedup family flagship
-    "corpus_pipeline_relational",  # composed end-to-end pipeline
-    # --- NEW r15 oracles (never-checked debt stays 0) ---
-    "state_txn_fence_gate", "cdf_overwrite_gate",
-    # --- oracles whose code paths r15 changed: state maintainers on
-    # snapshot (replay gates, takedown, embedding ingest) and the
-    # min/max agg-view extension ---
-    "agg_view_gate", "takedown_gate", "streaming_replay_parity",
-    "streaming_replay_oracle", "embedding_ingest_gate",
-    # --- r14-new oracles: back-to-back confirmation ---
-    "snapshot_pipeline_gate", "cdc_snapshot_gate", "derived_view_gate",
-    "snapshot_merge_nocdf_gate",
-    # --- the 7 rows-only bench twins: first driver rows ever ---
-    "bpe_pack", "corpus_pipeline", "lineup_tracking_bulk",
-    "lineups_declarative_bulk", "minhash_lsh_pairs", "simhash_pairs",
-    "winnow_pairs_fast",
-    # --- the full 26-query r8-vintage stale cohort ---
-    "leakage_safe_split", "length_bucketed_batches", "line_dedup",
-    "lm_perplexity", "lsh_quality_gate", "ngram_jaccard",
-    "pack_sequences", "ppl_buckets", "pq_recall", "profile_entropy",
-    "quality_classifier_gate", "rerank_topk", "semdedup_gate",
-    "session_window_agg", "sessionize", "simhash_pairs_portable",
-    "stamp_literals", "table_diff", "temperature_mixture", "top_paths",
-    "tpch_q1", "tpch_q17", "tpch_q21", "tpch_q3", "winnow_pairs",
-    "winnow_spans",
+    # r16 rotation (VERDICT r15 tasks #3/#4; ledger re-run via
+    # tools/window_ledger.py at rotation time: 254 ever-green, 3
+    # never-checked oracles — all three NEW this round — and the
+    # 44-query r10-vintage stale head). POLICY WINDOW: the entire
+    # 24-query changed-path set from `window_ledger.py --changed
+    # 71991f8..HEAD` (every oracle whose code path this round's
+    # snapshot.py / streaming/ops.py / harness-gate edits reach) +
+    # 26 of the 44 r10-stale queries. The 18 deferred r10 queries
+    # (simple column-transform / sampling shapes) were ALL re-run
+    # locally against their DuckDB oracles at sf0.01 this round —
+    # 44/44 OK, artifact tools/r10_cohort_check_r16.txt — and are
+    # first in line for r17; reasons recorded in COVERAGE.md.
+    # --- the 24-query changed-path set (3 new gates lead) ---
+    "state_txn_fence_bucketed_gate", "cdf_delete_range_gate",
+    "cdf_rollback_gate",
+    "state_txn_fence_gate", "streaming_replay_parity",
+    "streaming_replay_oracle", "component_state_gate",
+    "takedown_gate", "embedding_ingest_gate", "bm25_state_gate",
+    "ivf_state_gate", "pq_state_gate",
+    "agg_view_gate", "derived_view_gate", "cdc_snapshot_gate",
+    "cdf_overwrite_gate", "snapshot_changes_gate", "snapshot_fold_gate",
+    "snapshot_merge_gate", "snapshot_merge_nocdf_gate",
+    "snapshot_mirror_gate", "snapshot_pipeline_gate",
+    "snapshot_retention_gate", "snapshot_time_travel",
+    # --- 26 of the 44-query r10-vintage stale cohort (composite
+    # gates, media/streaming families, S2 resultset decode, TPC-H) ---
+    "audio_pipeline_gate", "batch_ann", "event_transitions",
+    "global_ordinals", "hard_negatives", "image_channel_stats",
+    "incremental_agg_table", "incremental_neardup", "incremental_winnow",
+    "jl_distortion_gate", "lsh_ann_topk", "media_pipeline_gate",
+    "mjpeg_codec_gate", "ngram_jaccard_pruned", "resultset_decode",
+    "retrieval_metrics", "rolling_window_agg", "seen_content_delta",
+    "streaming_hh_gate", "tfidf_top_terms", "tpch_q2", "tpch_q9",
+    "tpch_q11", "tpch_q16", "tpch_q20", "train_val_test_split",
 ]
 
 
