@@ -136,10 +136,10 @@ def test_stream_near_dedup_two_batches(spark, tmp_path):
 
 
 def test_streaming_replay_parity_flags(spark):
-    """The replay-parity harness query (now a constant-verdict oracle,
-    r14 conversion): all three metrics — every pair in both ingests,
-    no duplicated signatures after redelivery, planted duplicate
-    found — must come back True."""
+    """The replay-parity harness query (value-bearing since r16, task
+    #6): every pair in both ingests, no duplicated signatures after
+    redelivery, planted duplicate found — and the signature rowcount
+    binds a real quantity (one row per ingested doc + the plant)."""
     import os
 
     import pytest as _pytest
@@ -151,12 +151,14 @@ def test_streaming_replay_parity_flags(spark):
     rows = harness.queries()["streaming_replay_parity"](
         spark, "/root/testdata/sf0.001"
     ).collect()
-    got = {r.metric: r.ok for r in rows}
+    got = {r.metric: r.value for r in rows}
+    sig_rows = got.pop("sig_rows")
     assert got == {
-        "all_pairs_in_both": True,
-        "no_dup_signatures": True,
-        "planted_pair_found": True,
+        "all_pairs_in_both": 1,
+        "no_dup_signatures": 1,
+        "planted_pair_found": 1,
     }
+    assert sig_rows == 501  # 500 docs under doc_id<600 at sf0.001 + plant
 
 
 def test_near_dedup_batch_md5_matches_single_shot(spark, tmp_path):
