@@ -1386,6 +1386,15 @@ def vacuum_snapshot(
             referenced.add(os.path.basename(f["path"]))
         for f in m.get("cdf", {}).get("files", []):
             referenced.add(os.path.basename(f["path"]))
+        # NOTE on lazy CDF blocks (delete_range / rollback file_diff):
+        # their file refs need no retention entry here. A block at
+        # commit i is only consulted by a chain that loaded manifest
+        # i-1, and every ref is listed in manifest i-1's (or i's own)
+        # ``files`` — so the refs live exactly as long as they are
+        # reachable, and sweeping them exactly when the predecessor
+        # manifest goes is correct, not a leak. _changes_from_cdf
+        # still degrades cleanly (SnapshotVersionError -> endpoint
+        # diff) if refs vanish through external damage.
     data_dir = os.path.join(root, "data")
     dropped_files = 0
     if os.path.isdir(data_dir):
@@ -1477,7 +1486,13 @@ def snapshot_changes(
             # both versions in full), never the intermediates.
             chain = None
         if chain is not None and all("cdf" in m for m in chain[1:]):
-            return _changes_from_cdf(spark, root, chain, schema, keys)
+            try:
+                return _changes_from_cdf(spark, root, chain, schema, keys)
+            except SnapshotVersionError:
+                # a lazy CDF block's file refs were vacuumed before the
+                # retention fix (or removed externally): the endpoint
+                # diff below still answers from the two retained ends
+                pass
     m_from = _load_manifest(root, from_version)
     from_paths = {f["path"] for f in m_from["files"]}
     to_paths = {f["path"] for f in m_to["files"]}
@@ -1554,8 +1569,21 @@ def _changes_from_cdf(
     the value-at-to is the LAST step's insert/post image (absent if
     the last event is a delete); the two sides then cancel rows that
     ended where they started and classify like any other diff. Cost:
-    one window + one classify over O(changed rows)."""
+    one window + one classify over O(changed rows).
+
+    Raises SnapshotVersionError when a LAZY block's file refs are gone
+    (vacuumed pre-retention-fix or removed externally) — checked here,
+    at plan-build time, so the caller can fall back to the endpoint
+    diff instead of the feed dying with FileNotFound mid-execution."""
     from pyspark.sql.types import StringType, StructField
+
+    def _require_refs(rels, ctx: str) -> None:
+        for rel in rels:
+            if not os.path.exists(os.path.join(root, rel)):
+                raise SnapshotVersionError(
+                    f"lazy CDF ref {rel} for {ctx} at {root} no longer "
+                    "exists (vacuumed); fall back to the endpoint diff"
+                )
 
     cols = [f.name for f in schema.fields]
     cdf_schema = StructType(schema.fields + [StructField("_change_type", StringType(), False)])
@@ -1584,6 +1612,10 @@ def _changes_from_cdf(
             # rollback that restores identical content nets to nothing.
             if not info.get("removed") and not info.get("added"):
                 continue
+            _require_refs(
+                list(info.get("removed", [])) + list(info.get("added", [])),
+                "file_diff",
+            )
             old_rows = _read_files(
                 spark, root, schema, info.get("removed", []),
                 chain[-1].get("renames"),
@@ -1609,6 +1641,10 @@ def _changes_from_cdf(
                         dcol = cur
                         break
             dtypes = {f.name: f.dataType for f in schema.fields}
+            _require_refs(
+                list(info.get("dropped", [])) + list(info.get("rewritten", [])),
+                "delete_range",
+            )
             parts = []
             if info.get("dropped"):
                 parts.append(

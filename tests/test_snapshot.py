@@ -223,6 +223,30 @@ def test_rollback_restores_target_metadata_and_feeds_lazily(spark, tmp_path):
     assert inv.filter("_change_type = 'update_preimage'").filter("v = -1").count() == 10
 
 
+def test_delete_range_feed_vs_vacuum_lifetimes(spark, tmp_path):
+    """The lazy delete_range block's refs live exactly as long as they
+    are reachable: while the superseded manifest is retained the feed
+    crosses the delete on the fast chain; once vacuum takes it, a
+    window STARTING there raises the documented endpoint error and a
+    window starting at the delete commit itself never consults the
+    block."""
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark, _table(spark, 1000), root, key="k", target_files=8)
+    S.delete_where_range(spark, root, "k", 0, 249)               # v2 (lazy block)
+    src = spark.range(250, 260).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    S.upsert_snapshot(spark, src, root, "k")                     # v3
+    feed = S.snapshot_changes(spark, root, 1, 3)
+    assert feed.filter("_change_type = 'delete'").count() == 250
+    S.vacuum_snapshot(root, keep_last=2, min_age_seconds=0)      # drops v1
+    # the delete commit's own window still answers (block unconsulted)
+    assert S.snapshot_changes(spark, root, 2, 3).count() == 20
+    # a window whose FROM endpoint was vacuumed raises cleanly
+    with pytest.raises(S.SnapshotVersionError):
+        S.snapshot_changes(spark, root, 1, 3).count()
+
+
 def test_compact_preserves_rows(spark, tmp_path):
     root = str(tmp_path / "t")
     S.write_snapshot(spark, _table(spark, 1000), root, key="k", target_files=6)
