@@ -51,6 +51,10 @@ PIPELINES = (
     # (corpus, signatures, pairs, scores, seen-hashes with
     # shared-content protection, stats with affected-key recompute)
     "corpus_takedown",
+    # snapshot-table maintenance (the OPTIMIZE / VACUUM / RESTORE ops
+    # surface of the table format): --op history | compact | vacuum |
+    # rollback | delete_range | changes against --input <table root>
+    "snapshot_admin",
 )
 
 SEASON_TYPES = ("Regular Season", "Playoffs", "Pre Season", "IST")
@@ -80,7 +84,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="stats.nba.com team id or franchise name (e.g. GoldenStateWarriors)",
     )
     p.add_argument("--input", required=True, help="input parquet path(s), comma-separated")
-    p.add_argument("--output", required=True, help="output table path")
+    p.add_argument(
+        "--output",
+        help="output table path (required for every pipeline except "
+        "snapshot_admin ops that mutate --input in place; "
+        "snapshot_admin --op changes writes the feed here)",
+    )
     p.add_argument("--benchmark", help="corpus: eval-set parquet for decontamination")
     p.add_argument("--lm_ref", help="corpus_ingest: parquet to fit the frozen scoring LM")
     p.add_argument("--checkpoint", help="corpus_ingest: streaming checkpoint dir")
@@ -118,6 +127,48 @@ def build_parser() -> argparse.ArgumentParser:
         help="corpus_ingest: drop batch rows whose CONTENT was already "
         "ingested under any id (Bloom pre-filter + partition-pruned exact "
         "check; state lives under <output>/bloom and <output>/hashes)",
+    )
+    p.add_argument(
+        "--op",
+        choices=("history", "compact", "vacuum", "rollback",
+                 "delete_range", "changes"),
+        help="snapshot_admin: which maintenance operation to run "
+        "against the snapshot table at --input",
+    )
+    p.add_argument(
+        "--to_version", type=int,
+        help="snapshot_admin: rollback target / changes window end "
+        "(changes default: current)",
+    )
+    p.add_argument(
+        "--from_version", type=int,
+        help="snapshot_admin changes: window start (feed covers "
+        "(from_version, to_version])",
+    )
+    p.add_argument(
+        "--keep_last", type=int, default=2,
+        help="snapshot_admin vacuum: retained trailing versions "
+        "(default 2)",
+    )
+    p.add_argument(
+        "--min_age", type=float, default=600.0,
+        help="snapshot_admin vacuum: concurrent-writer grace period "
+        "in seconds for unreferenced files (default 600)",
+    )
+    p.add_argument(
+        "--target_rows", type=int,
+        help="snapshot_admin compact: target rows per output file",
+    )
+    p.add_argument(
+        "--range_col",
+        help="snapshot_admin delete_range: the column the doomed "
+        "range is over (e.g. an event-time column for retention)",
+    )
+    p.add_argument(
+        "--lo", help="snapshot_admin delete_range: inclusive lower bound"
+    )
+    p.add_argument(
+        "--hi", help="snapshot_admin delete_range: inclusive upper bound"
     )
     p.add_argument(
         "--state_buckets", type=int,
@@ -199,6 +250,37 @@ def _pii_types(args: argparse.Namespace) -> list[str] | None:
 def parse_args(argv: Sequence[str]) -> argparse.Namespace:
     args = build_parser().parse_args(list(argv))
     _pii_types(args)  # validate type names pre-Spark (fails loudly)
+    if args.pipeline == "snapshot_admin":
+        if args.op is None:
+            raise SystemExit("snapshot_admin requires --op")
+        for flag in ("season", "season_type", "game_id", "player_id",
+                     "team_id"):
+            if getattr(args, flag) is not None:
+                raise SystemExit(f"--{flag} does not apply to snapshot_admin")
+        if args.op == "rollback" and args.to_version is None:
+            raise SystemExit("rollback requires --to_version")
+        if args.op == "compact" and args.target_rows is None:
+            raise SystemExit("compact requires --target_rows")
+        if args.op == "delete_range" and (
+            args.range_col is None or args.lo is None or args.hi is None
+        ):
+            raise SystemExit("delete_range requires --range_col, --lo, --hi")
+        if args.op == "changes":
+            if args.from_version is None:
+                raise SystemExit("changes requires --from_version")
+            if args.output is None:
+                raise SystemExit(
+                    "changes requires --output (the feed lands there as "
+                    "parquet)"
+                )
+        args.seasons = []
+        return args
+    for flag in ("op", "to_version", "from_version", "target_rows",
+                 "range_col", "lo", "hi"):
+        if getattr(args, flag) is not None:
+            raise SystemExit(f"--{flag} only applies to snapshot_admin")
+    if args.output is None:
+        raise SystemExit("--output is required")
     if args.seen_state and args.pipeline != "corpus_ingest":
         raise SystemExit("--seen_state only applies to corpus_ingest")
     if args.state_buckets and args.pipeline != "corpus_ingest":
@@ -305,6 +387,63 @@ def parse_args(argv: Sequence[str]) -> argparse.Namespace:
     return args
 
 
+def _coerce_bound(v: str):
+    """CLI range bounds arrive as strings; coerce numerics (int, then
+    float) so delete_where_range compares them natively against the
+    column; anything else stays a string (string columns, ISO dates —
+    the stat encoding compares those lexicographically anyway)."""
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            continue
+    return v
+
+
+def _run_snapshot_admin(spark: SparkSession, args: argparse.Namespace) -> None:
+    """The table format's maintenance surface (OPTIMIZE / VACUUM /
+    RESTORE / retention / feed export), one op per invocation against
+    the snapshot root at --input. Prints ONE JSON line so cron wrappers
+    can parse the outcome."""
+    import json as _json
+
+    from .sinks import snapshot as S
+
+    root = args.input
+    if args.op == "history":
+        out = {"op": "history", "history": S.snapshot_history(root)}
+    elif args.op == "compact":
+        v = S.compact_snapshot(
+            spark, root, target_rows_per_file=args.target_rows
+        )
+        out = {"op": "compact", "version": v}
+    elif args.op == "vacuum":
+        stats = S.vacuum_snapshot(
+            root, keep_last=args.keep_last, min_age_seconds=args.min_age
+        )
+        out = {"op": "vacuum", **stats}
+    elif args.op == "rollback":
+        v = S.rollback_snapshot(root, args.to_version)
+        out = {"op": "rollback", "restored": args.to_version, "version": v}
+    elif args.op == "delete_range":
+        v = S.delete_where_range(
+            spark, root, args.range_col,
+            _coerce_bound(args.lo), _coerce_bound(args.hi),
+        )
+        out = {"op": "delete_range", "version": v}
+    else:  # changes
+        feed = S.snapshot_changes(
+            spark, root, args.from_version, args.to_version
+        )
+        feed.write.mode("overwrite").parquet(args.output)
+        out = {
+            "op": "changes",
+            "rows": spark.read.parquet(args.output).count(),
+            "output": args.output,
+        }
+    print(_json.dumps(out))
+
+
 def run(argv: Sequence[str], spark: SparkSession | None = None) -> None:
     from .functions.gameid import season_from_game_id, season_type_from_game_id  # noqa: F401
     from .operators.incremental import delta_filter
@@ -316,6 +455,9 @@ def run(argv: Sequence[str], spark: SparkSession | None = None) -> None:
         from .core.session import get_session
 
         spark = get_session(f"cli-{args.pipeline}")
+    if args.pipeline == "snapshot_admin":
+        _run_snapshot_admin(spark, args)
+        return
     if args.pipeline == "corpus_release":
         from .plans.corpus_pipeline import release_corpus
 

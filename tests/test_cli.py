@@ -415,3 +415,78 @@ def test_cli_corpus_takedown(spark, tmp_path):
             _rs(spark, os.path.join(out, "corpus")).collect()} == {1}
     assert {r.doc_id for r in
             _rs(spark, os.path.join(out, "sigs")).collect()} == {1}
+
+
+def test_cli_snapshot_admin_validation():
+    import pytest as _pytest
+
+    from nba_data_pipeline_spark.cli import parse_args
+
+    with _pytest.raises(SystemExit, match="requires --op"):
+        parse_args(["snapshot_admin", "--input", "/t"])
+    with _pytest.raises(SystemExit, match="requires --to_version"):
+        parse_args(["snapshot_admin", "--input", "/t", "--op", "rollback"])
+    with _pytest.raises(SystemExit, match="requires --target_rows"):
+        parse_args(["snapshot_admin", "--input", "/t", "--op", "compact"])
+    with _pytest.raises(SystemExit, match="range_col"):
+        parse_args(["snapshot_admin", "--input", "/t", "--op", "delete_range"])
+    with _pytest.raises(SystemExit, match="requires --from_version"):
+        parse_args(["snapshot_admin", "--input", "/t", "--op", "changes"])
+    with _pytest.raises(SystemExit, match="only applies to snapshot_admin"):
+        parse_args(["team_game_log", "--input", "/t", "--output", "/o",
+                    "--season", "2024-25", "--season_type", "Regular Season",
+                    "--op", "vacuum"])
+    # every non-admin pipeline still demands --output
+    with _pytest.raises(SystemExit, match="--output is required"):
+        parse_args(["team_game_log", "--input", "/t",
+                    "--season", "2024-25", "--season_type", "Regular Season"])
+    # history mutates nothing and needs no output
+    args = parse_args(["snapshot_admin", "--input", "/t", "--op", "history"])
+    assert args.op == "history" and args.output is None
+
+
+def test_cli_snapshot_admin_ops_end_to_end(spark, tmp_path, capsys):
+    """The maintenance surface against a real snapshot table: compact
+    consolidates files, delete_range expires a key range (recording the
+    lazy feed block), rollback restores, vacuum reclaims, changes
+    exports the feed as parquet — each printing one parseable JSON
+    line."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.cli import run
+    from nba_data_pipeline_spark.sinks import snapshot as S
+
+    t = str(tmp_path / "t")
+    base = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    S.write_snapshot(spark, base, t, key="k", target_files=16)
+
+    def admin(*argv):
+        run(["snapshot_admin", "--input", t, *argv], spark=spark)
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    hist = admin("--op", "history")
+    assert [h["op"] for h in hist["history"]] == ["create"]
+    out = admin("--op", "delete_range", "--range_col", "k",
+                "--lo", "1500", "--hi", "1999")
+    assert out["version"] == 2
+    assert S._load_manifest(t, 2)["cdf"]["mode"] == "delete_range"
+    assert S.read_snapshot(spark, t).count() == 1500
+    out = admin("--op", "compact", "--target_rows", "2000")
+    assert out["version"] == 3
+    assert len(S._load_manifest(t, 3)["files"]) == 1
+    out = admin("--op", "rollback", "--to_version", "1")
+    assert out["version"] == 4 and S.read_snapshot(spark, t).count() == 2000
+    feed_dir = str(tmp_path / "feed")
+    out = admin("--op", "changes", "--from_version", "1",
+                "--to_version", "4", "--output", feed_dir)
+    assert out["rows"] == 0  # v4 restored v1: identical endpoints net to zero
+    out = admin("--op", "changes", "--from_version", "2",
+                "--to_version", "3", "--output", feed_dir)
+    assert out["rows"] == 0  # compaction is physical-only
+    out = admin("--op", "vacuum", "--keep_last", "2", "--min_age", "0")
+    assert out["manifests_removed"] >= 1
+    assert S.read_snapshot(spark, t).count() == 2000
