@@ -86,6 +86,51 @@ def require_temporal(df: DataFrame, col: str) -> None:
         )
 
 
+def spread_by_key(
+    df: DataFrame,
+    *key_cols: str,
+    target: int | None = None,
+    always: bool = False,
+) -> DataFrame:
+    """Hash-repartition ``df`` on ``key_cols`` BEFORE CPU-heavy per-row
+    fan-out (gram/token explodes, per-row hashing) so the map side runs
+    at cluster parallelism.
+
+    Why before and not after the explode (guide §2.3/§2.5/§8): the
+    input rows are the COMPACT form — a document row explodes into
+    hundreds of gram rows, each carrying key+position+hash bytes — so
+    exchanging documents moves ~30x fewer bytes than exchanging gram
+    rows, at any scale. It also fixes the unsplittable-small-input case
+    (a single parquet row group scans as ONE task; every downstream
+    expression runs single-threaded until the first exchange).
+
+    Two modes:
+
+    - ``always=True``: unconditional. For pipelines whose next keyed
+      operator (window/aggregate on ``key_cols``) would otherwise
+      exchange the EXPLODED rows — the repartition replaces that
+      exchange with a strictly cheaper one, so it is right at every
+      scale.
+    - default (conditional): no-op when the input already has >=
+      ``target`` partitions. For pipelines that materialize a
+      checkpoint after the fan-out (losing partitioning, so downstream
+      re-exchanges regardless) the repartition only pays for itself
+      when the map side is starved for parallelism — i.e. small or
+      unsplittable inputs; at 100 TB the scan is already wide and this
+      is a no-op.
+
+    ``target`` defaults to the session's default parallelism. The
+    explicit partition count keeps AQE from coalescing the tiny
+    local-mode exchange back to one partition, which would serialize
+    the fan-out again."""
+    sc = df.sparkSession.sparkContext
+    goal = max(target or sc.defaultParallelism, 1)
+    cur = df.rdd.getNumPartitions()
+    if not always and cur >= goal:
+        return df
+    return df.repartition(max(goal, cur), *key_cols)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _TS_COLS.get(name, ()):

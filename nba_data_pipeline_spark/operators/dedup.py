@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..core.data import spread_by_key
 from .text import exploded_shingles, normalized_text, tokens, word_shingles
 
 # 2^31-1: universal-hash field small enough that a*h stays < 2^62,
@@ -121,10 +122,17 @@ def ngram_jaccard_pairs(
             f"threshold must be in (0, 1], got {threshold}: the postings "
             "join cannot emit zero-overlap pairs"
         )
+    # spread the compact doc rows on the dedup-key prefix before the
+    # shingle fan-out (guide §2.3/§8): the (block, doc, shingle-hash)
+    # dropDuplicates below then runs with NO exchange of the exploded
+    # rows — the one shuffle carries 1x text bytes instead of ~n x
+    # hashed-shingle rows — and the fan-out runs at full parallelism
+    # even off a one-task scan
+    src = spread_by_key(
+        df.withColumn("_did", F.col(id_col)), *block_cols, "_did", always=True
+    )
     ex = (
-        exploded_shingles(
-            df.withColumn("_did", F.col(id_col)), [*block_cols, "_did"], text_col, n, "_s"
-        )
+        exploded_shingles(src, [*block_cols, "_did"], text_col, n, "_s")
         .select(*block_cols, F.col("_did").alias("doc_id"), F.xxhash64("_s").alias("_h"))
         .dropDuplicates([*block_cols, "doc_id", "_h"])
     )
@@ -417,7 +425,13 @@ def minhash_signatures(
         shingle_h = F.pmod(_gram_hash("md5", "_s"), F.lit(MERSENNE_PRIME))
     else:
         raise ValueError(f"unknown shingle hash {hash!r}: use 'md5' or 'xxhash64'")
-    exploded = exploded_shingles(df, [id_col], text_col, shingle_n, "_s").select(
+    # spread the doc rows before the shingle fan-out (guide §2.3/§8):
+    # the signature groupBy below then aggregates in place with no
+    # exchange of exploded rows, and the hash fan-out runs at full
+    # parallelism even off a one-task scan
+    exploded = exploded_shingles(
+        spread_by_key(df, id_col, always=True), [id_col], text_col, shingle_n, "_s"
+    ).select(
         F.col(id_col).alias("doc_id"), shingle_h.alias("_h")
     )
     aggs = [
@@ -583,8 +597,12 @@ def minhash_lsh_pairs(
     shingle_h = (
         F.xxhash64("_s") if hash == "xxhash64" else _gram_hash(hash, "_s")
     )
+    # conditional spread (no-op on already-wide inputs): the shared
+    # checkpoint below erases partitioning, so this buys nothing at
+    # cluster scale — but off a one-task scan it parallelizes the
+    # shingle+hash fan-out and the checkpoint materialization 32x
     ex = (
-        exploded_shingles(df, [id_col], text_col, shingle_n, "_s")
+        exploded_shingles(spread_by_key(df, id_col), [id_col], text_col, shingle_n, "_s")
         .select(F.col(id_col).alias("doc_id"), shingle_h.alias("_h"))
         .localCheckpoint(eager=False)
     )
@@ -938,19 +956,34 @@ def simhash_df(
     fingerprint is 60-bit; band blocking and Hamming verification are
     unchanged, just marginally less discriminative in the top band."""
     if hash == "xxhash64":
-        tok_h = F.xxhash64("_t")
+        # xxhash64(NULL) is the seed, not NULL — guard so the padding
+        # row from explode_outer (zero-token docs, below) stays NULL
+        # and drops out of every aggregate
+        tok_h = F.when(F.col("_t").isNotNull(), F.xxhash64("_t"))
     elif hash == "md5":
         tok_h = F.conv(F.substring(F.md5("_t"), 1, 15), 16, 10).cast("long")
     else:
         raise ValueError(f"unknown token hash {hash!r}: use 'md5' or 'xxhash64'")
-    tok = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("_t")
+    # spread the compact doc rows before the token fan-out (guide
+    # §2.3/§8: exchange 1x text bytes, not per-token rows; also fixes
+    # the one-task-scan case) — the groupBy below then runs without a
+    # second exchange. explode_outer keeps zero-token docs as one
+    # NULL-token row, so the aggregate sees EVERY doc and the previous
+    # second-scan + left-join backfill for empty docs is gone: count/
+    # sum skip the NULL hash, n = 0, every vote fails, sh = 0 — the
+    # same contract as the single-expression ``simhash``.
+    tok = spread_by_key(
+        df.select(F.col(id_col).alias("doc_id"), text_col),
+        "doc_id",
+        always=True,
+    ).select(
+        "doc_id", F.explode_outer(tokens(text_col)).alias("_t")
     ).select("doc_id", tok_h.alias("_h"))
     # the +1/-1 vote sum equals 2*(set-bit count) - n_tokens, so
     # aggregate the plain bit sums (cheap shift-and expressions, no
-    # conditional) plus one count: vote > 0  <=>  2*c_b > n
+    # conditional) plus one token count: vote > 0  <=>  2*c_b > n
     votes = tok.groupBy("doc_id").agg(
-        F.count("*").alias("_n"),
+        F.count("_h").alias("_n"),
         *[
             F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(f"c{b}")
             for b in range(bits)
@@ -964,16 +997,7 @@ def simhash_df(
                 F.lit(0).cast("long")
             )
         )
-    fingerprints = votes.select("doc_id", fp.alias("sh"))
-    # zero-token docs emit no exploded rows and would vanish from the
-    # aggregate; join back with fingerprint 0 so the contract matches
-    # the single-expression ``simhash`` (empty text -> sh = 0) and
-    # empty docs still dedup against each other
-    return (
-        df.select(F.col(id_col).alias("doc_id"))
-        .join(fingerprints, "doc_id", "left")
-        .select("doc_id", F.coalesce("sh", F.lit(0).cast("long")).alias("sh"))
-    )
+    return votes.select("doc_id", fp.alias("sh"))
 
 
 def simhash_near_pairs(
@@ -1381,28 +1405,42 @@ def winnow_fingerprints(
     checks; "xxhash64" swaps in the JVM-native hash for production runs
     where no cross-engine comparison is needed — same fingerprint
     SEMANTICS (winnowing guarantees hold for any uniform hash),
-    different values, measurably cheaper per gram."""
+    different values, measurably cheaper per gram.
+
+    Shape (r16 optimization, guide §2.3/§2.4/§8): the DOCUMENT rows are
+    hash-repartitioned on the id BEFORE the gram fan-out, so (a) the
+    per-gram hash chain runs at cluster parallelism even when the scan
+    is one unsplittable task, and (b) the one exchange carries compact
+    document rows (~1x text bytes) instead of exploded gram rows
+    (~30x), and the window + dedup then run with ZERO further
+    exchanges (both key on the id / an id-prefixed tuple). Grams come
+    from ``explode(sequence(1, n))`` + ``substr`` in the projection —
+    straight-line codegen; the previous array-``transform`` lambda was
+    interpreted per element, and needed a checkpoint to keep the
+    normalization regex from being re-inlined into the lambda. With no
+    lambda there is nothing to re-inline and the checkpoint (an extra
+    materialization per run) is gone."""
     t = F.col("_t")
     n = F.length(t) - (k - 1)
-    grams = F.when(
-        n >= 1,
-        F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(k))),
-    ).otherwise(F.array().cast("array<string>"))
-    norm = df.select(
-        F.col(id_col), normalized_text(text_col).alias("_t")
-    ).localCheckpoint(eager=False)
+    norm = spread_by_key(
+        df.select(F.col(id_col), normalized_text(text_col).alias("_t")),
+        id_col,
+        always=True,
+    )
     h = (
-        norm.select(F.col(id_col), F.posexplode(grams).alias("_i", "_g"))
+        norm.filter(n >= 1)
+        .select(F.col(id_col), "_t", F.explode(F.sequence(F.lit(1), n)).alias("_i"))
         .select(
             F.col(id_col),
             "_i",
-            _gram_hash(hash).alias("_hv"),
+            _gram_hash(hash, t.substr(F.col("_i"), F.lit(k))).alias("_hv"),
         )
     )
-    # sliding windows via ONE window-function pass (a single shuffle
-    # keyed on the doc id): the frame [CURRENT, w-1 FOLLOWING] is the
-    # winnowing window anchored at this gram, and min(struct(hash,
-    # -pos)) picks its rightmost minimal hash in the same aggregate
+    # sliding windows via ONE window-function pass (keyed on the doc
+    # id, already the partitioning — no exchange): the frame [CURRENT,
+    # w-1 FOLLOWING] is the winnowing window anchored at this gram, and
+    # min(struct(hash, -pos)) picks its rightmost minimal hash in the
+    # same aggregate
     frame = (
         Window.partitionBy(id_col).orderBy("_i").rowsBetween(0, w - 1)
     )
@@ -1416,7 +1454,7 @@ def winnow_fingerprints(
     )
     return win.select(
         F.col(id_col),
-        (-F.col("_sel.nj") + 1).cast("long").alias("pos"),
+        (-F.col("_sel.nj")).cast("long").alias("pos"),
         F.col("_sel.h").alias("fp"),
     ).dropDuplicates([id_col, "pos", "fp"])
 
@@ -1456,9 +1494,14 @@ def winnow_match_pairs(
     shared_fps). Position columns survive to the join inputs, so a
     caller can extend this to localize the overlapping span."""
     distinct = fps.select(F.col(id_col).alias("_id"), "fp").dropDuplicates(["_id", "fp"])
+    # checkpoint BEFORE the prune (r16): the doc-count and hot-fp
+    # aggregates inside _prune_hot_fps are extra consumers of this
+    # frame — checkpointing after the prune made each of them re-derive
+    # the whole fingerprint pipeline; here every consumer (nd, hot,
+    # anti-join probe, both join sides) reads the one materialization
+    distinct = distinct.localCheckpoint(eager=False)
     if max_df_frac is not None:
         distinct = _prune_hot_fps(distinct, max_df_frac, "_id")
-    distinct = distinct.localCheckpoint(eager=False)  # feeds both join sides
     a = distinct.select(F.col("_id").alias("id_a"), "fp")
     b = distinct.select(F.col("_id").alias("id_b"), "fp")
     return (
