@@ -835,6 +835,7 @@ def _merge_commit(
     txn: tuple[str, int] | None = None,
     materialize: bool = True,
     cdf: bool = True,
+    key_local: bool = False,
 ) -> int:
     """Shared copy-on-write merge loop: prune → rewrite touched files →
     commit carried+new with CAS; on SnapshotConflict recompute against
@@ -844,7 +845,14 @@ def _merge_commit(
     skipped entirely (the exactly-once contract a foreachBatch sink
     needs under Structured Streaming's at-least-once replays).
     ``materialize=False`` is for callers whose source is already
-    checkpointed (mirror's CDF) — skips the redundant second write."""
+    checkpointed (mirror's CDF) — skips the redundant second write.
+    ``key_local=True`` declares that ``combine`` only changes rows
+    whose key tuple appears in the batch (upsert/insert-ignore/delete
+    all qualify); the write-time CDF diff then runs over the batch-key
+    slice only instead of a full old-vs-new table diff — identical
+    change rows, O(batch) cost. Leave False for combines that can
+    touch rows outside the batch's keys (aggregating folds that drop
+    groups, view refreshes)."""
     keys = [key] if isinstance(key, str) else list(key)
     # fence BEFORE materializing: a replayed batch must be a visible
     # no-op, and the cheap version of that skips even the one O(batch)
@@ -856,8 +864,12 @@ def _merge_commit(
     # recomputed between the prune and the rewrite could change keys
     # after the prune decided which files can be carried — the same
     # reason Delta materializes MERGE sources. O(batch) local write.
+    # LAZY checkpoint (r16): the very next thing the merge does is the
+    # _batch_bounds collect, whose first action materializes the
+    # checkpoint — same once-only guarantee, one fewer Spark job per
+    # merge than an eager checkpoint followed by the bounds action.
     if materialize:
-        source = source.localCheckpoint(eager=True)
+        source = source.localCheckpoint(eager=False)
     for attempt in range(retries + 1):
         if _txn_already_applied(root, txn):
             return current_version(root)
@@ -882,6 +894,34 @@ def _merge_commit(
         _guard_retired_names(source, manifest)
         renames = manifest.get("renames")
         bounds, batch_rows = _batch_bounds(source, keys)
+        # empty-batch fast path (r16): a replayed/caught-up delta merge
+        # has nothing to add or rewrite — staging an empty parquet dir
+        # and re-reading it is two wasted jobs per idempotent re-run.
+        # Only when the batch cannot evolve the schema (exact field
+        # match); the general path handles everything else.
+        if (
+            batch_rows == 0
+            and op != "delete"
+            and source.schema == _schema_of(manifest)
+        ):
+            noop = {
+                "op": op,
+                "key": keys,
+                "stat_cols": manifest.get("stat_cols", []),
+                "schema": manifest["schema"],
+                "files": manifest["files"],
+                "rows": manifest["rows"],
+            }
+            if manifest.get("cdf_enabled", True):
+                noop["cdf"] = {"mode": "files", "files": []}
+            if txn is not None:
+                noop["txns"] = {txn[0]: txn[1]}
+            try:
+                return _commit(root, noop, base)
+            except SnapshotConflict:
+                if attempt == retries:
+                    raise
+                continue
         touched, carried = _split_by_overlap(manifest["files"], keys, bounds)
         touched, freed = _refine_touched(source, keys, touched)
         carried = carried + freed
@@ -903,7 +943,8 @@ def _merge_commit(
             if op == "delete":
                 # doomed may be keys-only; never let align graft its
                 # columns (or column order) onto the table schema
-                merged = combine(target, source, keys)
+                src = source
+                merged = combine(target, src, keys)
             else:
                 target, src = _align_evolve(target, source)
                 merged = combine(target, src, keys)
@@ -945,11 +986,51 @@ def _merge_commit(
         if not touched:
             cdf_info = {"mode": "add_only"}
         elif manifest.get("cdf_enabled", True):
-            new_df = _read_files(spark, root, out_schema, [e["path"] for e in entries])
-            old_df = _read_files(
-                spark, root, out_schema, [f["path"] for f in touched], renames
-            )
-            changes = _diff_changes(old_df, new_df, keys)
+            if key_local:
+                # r16 (guide §2.3 "shuffle fewer bytes"): the combine is
+                # KEY-LOCAL — rows whose key tuple is absent from the
+                # batch pass through unchanged, so they cancel in the
+                # old-vs-new multiset diff and never needed to enter it.
+                # Diff only the batch-key slice: old side = touched rows
+                # matching a batch key (semi join, broadcast-sized),
+                # new side = the combine replayed over that slice. This
+                # is O(batch + matched rows) instead of re-reading the
+                # staged files AND the touched files for a full-width
+                # diff of the whole rewrite (~2 extra table scans + a
+                # full-table group-by per merge). NULL batch keys: joins
+                # never match NULLs, so a NULL-keyed target row is
+                # untouched by a key-local combine (cancels, both
+                # formulations) while NULL-keyed source rows enter the
+                # new side via the replayed combine exactly as they
+                # entered the merge.
+                src_keys = src.select(*keys).dropDuplicates(keys)
+                old_local = target.join(F.broadcast(src_keys), on=keys, how="left_semi")
+                out_cols = [f.name for f in out_schema.fields]
+                if op == "delete":
+                    # every matched row is a delete: N_local is empty,
+                    # no union/group-by/window needed at all
+                    changes = old_local.select(*out_cols).withColumn(
+                        "_change_type", F.lit("delete")
+                    )
+                else:
+                    if op == "upsert":
+                        # combine(old_local, src) = src exactly (every
+                        # old_local key is a batch key, so the anti-join
+                        # side is empty) — skip replaying it
+                        new_local = src
+                    else:
+                        new_local = combine(old_local, src, keys)
+                    changes = _diff_changes(
+                        old_local.select(*out_cols), new_local.select(*out_cols), keys
+                    )
+            else:
+                new_df = _read_files(
+                    spark, root, out_schema, [e["path"] for e in entries]
+                )
+                old_df = _read_files(
+                    spark, root, out_schema, [f["path"] for f in touched], renames
+                )
+                changes = _diff_changes(old_df, new_df, keys)
             cdf_info = {"mode": "files", "files": _stage_cdf(changes, root)}
         else:
             cdf_info = None
@@ -995,7 +1076,7 @@ def upsert_snapshot(
     property."""
     return _merge_commit(
         spark, source, root, key, "upsert", merge_upsert, retries, txn=txn,
-        cdf=cdf,
+        cdf=cdf, key_local=True,
     )
 
 
@@ -1012,7 +1093,7 @@ def insert_ignore_snapshot(
     ``upsert_snapshot`` (create-time only)."""
     return _merge_commit(
         spark, source, root, key, "insert_ignore", insert_ignore, retries,
-        txn=txn, cdf=cdf,
+        txn=txn, cdf=cdf, key_local=True,
     )
 
 
@@ -1030,7 +1111,8 @@ def delete_snapshot(
         return target.join(src.select(*keys).dropDuplicates(keys), on=keys, how="left_anti")
 
     return _merge_commit(
-        spark, doomed, root, key, "delete", combine, retries, txn=txn
+        spark, doomed, root, key, "delete", combine, retries, txn=txn,
+        key_local=True,
     )
 
 
@@ -1527,8 +1609,14 @@ def _diff_changes(old_df: DataFrame, new_df: DataFrame, keys) -> DataFrame:
         old_df.select(*cols).withColumn("_side", F.lit(-1))
         .unionByName(new_df.select(*cols).withColumn("_side", F.lit(1)))
     )
+    # one exchange, not two (r16): hash-partition on the KEY columns up
+    # front — the full-row groupBy is clustering-satisfied by the key
+    # subset, and the key window below inherits the same partitioning,
+    # so neither re-shuffles. (Grouping by all columns would partition
+    # by the full row and force a second exchange for the window.)
     d = (
-        tagged.groupBy(*cols)
+        tagged.repartition(*[F.col(k) for k in keys])
+        .groupBy(*cols)
         .agg(F.sum("_side").alias("_d"))
         .filter(F.col("_d") != 0)
     )
