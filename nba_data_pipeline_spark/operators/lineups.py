@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..core.data import spread_by_key
 from ..functions.timeops import clock_to_seconds, seconds_to_tenths
 from ..operators.rollup import explode_stints
 
@@ -460,6 +461,15 @@ def _track_on(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in events.schema.fields]
         + [f"{c} long" for c in LINEUP_COLS]
     )
+    # pin the cogroup exchanges at an explicit width (r16, guide §4):
+    # AQE's partition coalescing sizes shuffles by BYTES, and a few MB
+    # of events coalesce to one partition — which serializes the
+    # per-game Python scan onto a single worker (measured 3.5s -> 1.3s
+    # at the 200-game bench grain). An explicit numPartitions opts the
+    # exchange out of coalescing; the per-game Python cost is what the
+    # byte-sizing heuristic cannot see.
+    events = spread_by_key(events, "GAME_ID", always=True)
+    side = spread_by_key(side, "GAME_ID", always=True)
     return (
         events.groupBy("GAME_ID")
         .cogroup(side.groupBy("GAME_ID"))
