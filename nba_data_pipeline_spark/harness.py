@@ -27,7 +27,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .core.data import load_table, ts_micros
+from .core.data import load_table, spread_by_key, ts_micros
 from .functions.gameid import season_from_game_id, season_type_from_game_id
 from .functions.ids import add_id, fill_nulls, stamp
 from .functions.timeops import clock_to_seconds
@@ -910,12 +910,18 @@ def q_tpch_q1(spark, sf):
        ORDER BY revenue DESC, l_orderkey LIMIT 10""",
 )
 def q_tpch_q3(spark, sf):
+    """Plan shape (r16, guide §3.1): lineitem streams; the
+    segment-filtered customer*orders slice broadcasts (auto-broadcast
+    built the hash relation over LINEITEM — the biggest table — because
+    raw size estimates ignore the filters)."""
     c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-01-01")
     li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    co = o.join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey")).select(
+        "o_orderkey", "o_orderdate"
+    )
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(F.broadcast(co), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -949,20 +955,38 @@ def q_tpch_q3(spark, sf):
        GROUP BY n_name""",
 )
 def q_tpch_q5(spark, sf):
-    c = _t(spark, sf, "customer")
+    """Plan shape (r16, guide §3.1): the FACT table must be the
+    streamed side. Auto-broadcast picked sides by raw size estimates
+    and ended up building a hash relation over lineitem-scale rows;
+    here the date-filtered orders*customer slice and the
+    supplier-nation-region dim chain are pre-joined (both
+    broadcast-tiny) and lineitem streams through two broadcast probes
+    into the final 1-exchange aggregate — zero fact shuffles."""
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
     o = _t(spark, sf, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_custkey")
+    co = o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey")).select(
+        "o_orderkey", "c_nationkey"
     )
-    li = _t(spark, sf, "lineitem")
-    s = _t(spark, sf, "supplier")
-    n = F.broadcast(_t(spark, sf, "nation"))
-    r = F.broadcast(_t(spark, sf, "region").filter(F.col("r_name") == "ASIA"))
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    sn = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(s, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
-        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        li.join(F.broadcast(co), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(sn),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
         .groupBy("n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -1300,16 +1324,26 @@ def q_tpch_q2(spark, sf):
     subquery reformulates to an aggregate-then-equijoin on
     (part, min_cost) — no per-part probing; the dim chain broadcasts.
     Unit cost ROUNDs before the MIN so the equality join key is a
-    stable decimal in both engines."""
-    li = _t(spark, sf, "lineitem")
-    cost = (
-        li.groupBy("l_partkey", "l_suppkey")
-        .agg(
-            F.min(F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4)).alias(
-                "unit_cost"
-            )
-        )
+    stable decimal in both engines.
+
+    Plan shape (r16, guide §2.4/§3.1): lineitem is projected to the 3
+    needed columns and hash-repartitioned ONCE on l_partkey; the
+    (part, supplier) cost aggregate, the per-part minimum, and the
+    cost-vs-minimum join are all clustered on that key, so the whole
+    query carries exactly one exchange of fact rows (it also
+    parallelizes the single-row-group scan's downstream work). part /
+    supplier-nation-region broadcast; the final sort is a
+    TakeOrderedAndProject."""
+    li = spread_by_key(
+        _t(spark, sf, "lineitem").select(
+            "l_partkey",
+            "l_suppkey",
+            F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4).alias("_uc"),
+        ),
+        "l_partkey",
+        always=True,
     )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(F.min("_uc").alias("unit_cost"))
     eur = (
         _t(spark, sf, "supplier")
         .join(
@@ -1325,18 +1359,22 @@ def q_tpch_q2(spark, sf):
     pc = cost.join(F.broadcast(eur.select("s_suppkey")), cost["l_suppkey"] == F.col("s_suppkey")).drop(
         "s_suppkey"
     )
-    mn = pc.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    mn = (
+        pc.groupBy("l_partkey")
+        .agg(F.min("unit_cost").alias("min_cost"))
+        .select(F.col("l_partkey").alias("_mn_partkey"), "min_cost")
+    )
     parts = _t(spark, sf, "part").filter(
         (F.col("p_size") < 20) & (F.col("p_type") == "ECONOMY")
     )
     return (
-        parts.join(pc, parts["p_partkey"] == pc["l_partkey"])
-        .join(
+        pc.join(
             mn,
-            (mn["l_partkey"] == pc["l_partkey"])
-            & (pc["unit_cost"] == mn["min_cost"]),
+            (F.col("_mn_partkey") == F.col("l_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
         )
-        .join(F.broadcast(eur), pc["l_suppkey"] == eur["s_suppkey"])
+        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
         .orderBy(
             F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
