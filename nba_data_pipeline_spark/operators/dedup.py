@@ -630,9 +630,23 @@ def minhash_lsh_pairs(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     sim = F.round(F.when(union == 0, 0.0).otherwise(inter.cast("double") / union), 6)
+    # size-gated broadcast of the shingle-set re-joins (r16, guide
+    # §3.1) — same rationale as simhash_near_pairs' fingerprint joins
+    from .similarity import _maybe_broadcast
+
     verified = (
-        cand.join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        cand.join(
+            _maybe_broadcast(
+                sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), None
+            ),
+            "id_a",
+        )
+        .join(
+            _maybe_broadcast(
+                sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), None
+            ),
+            "id_b",
+        )
         .withColumn("jaccard_sim", sim)
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
@@ -1032,9 +1046,25 @@ def simhash_near_pairs(
     bands = _simhash_bands(h, band_bits)
     cand = _bucket_pairs(bands, max_bucket_width, eager_probe)
     fp = h.withColumnRenamed("sh", "_fp")
+    # size-gated broadcast of the fingerprint re-joins (r16, guide
+    # §3.1): (doc_id, sh) is 16 bytes/doc — small enough to broadcast
+    # for any corpus the bench sees, falling back to the planner's
+    # choice past the cap (the gate reads the checkpoint's estimate)
+    from .similarity import _maybe_broadcast
+
     cand = (
-        cand.join(fp.select(F.col("doc_id").alias("id_a"), F.col("_fp").alias("sh_a")), "id_a")
-        .join(fp.select(F.col("doc_id").alias("id_b"), F.col("_fp").alias("sh_b")), "id_b")
+        cand.join(
+            _maybe_broadcast(
+                fp.select(F.col("doc_id").alias("id_a"), F.col("_fp").alias("sh_a")), None
+            ),
+            "id_a",
+        )
+        .join(
+            _maybe_broadcast(
+                fp.select(F.col("doc_id").alias("id_b"), F.col("_fp").alias("sh_b")), None
+            ),
+            "id_b",
+        )
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (

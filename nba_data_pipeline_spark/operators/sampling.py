@@ -347,24 +347,30 @@ def hashed_bigram_buckets(
     identically (unlike xxhash64), and collisions are by design (the
     hashing trick). Follows the exploded_shingles plan shape: tokens
     materialized once, bigrams generated and exploded in one select."""
+    from ..core.data import spread_by_key
     from .text import tokens
 
-    toked = df.withColumn("_toks__", tokens(text_col))
+    # spread the compact doc rows before the bigram fan-out, and
+    # generate bigrams via explode(sequence) + element_at in the
+    # post-generate projection — straight-line codegen per gram row
+    # (the previous array-transform lambda was interpreted per element;
+    # same rework as winnow_fingerprints, r16 guide §4.1)
+    toked = spread_by_key(df, *keep_cols).select(
+        *keep_cols, tokens(text_col).alias("_toks__")
+    )
     k = F.size("_toks__") - 1
-    bigram_at = lambda i: F.concat_ws(  # noqa: E731
+    ex = toked.filter(k >= 1).select(
+        *keep_cols, "_toks__", F.explode(F.sequence(F.lit(1), k)).alias("_i")
+    )
+    gram = F.concat_ws(
         " ",
-        F.element_at(F.col("_toks__"), (i + 1).cast("int")),
-        F.element_at(F.col("_toks__"), (i + 2).cast("int")),
+        F.element_at(F.col("_toks__"), F.col("_i").cast("int")),
+        F.element_at(F.col("_toks__"), (F.col("_i") + 1).cast("int")),
     )
-    grams = F.when(k <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(F.sequence(F.lit(0), k - 1), bigram_at)
-    )
-    return toked.select(
-        *keep_cols, F.explode(grams).alias("_gram")
-    ).select(
+    return ex.select(
         *keep_cols,
         F.pmod(
-            F.conv(F.substring(F.md5(F.col("_gram")), 1, 8), 16, 10).cast("long"),
+            F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long"),
             F.lit(n_buckets),
         ).alias("bucket"),
     )

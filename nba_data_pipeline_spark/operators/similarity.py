@@ -17,6 +17,8 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..core.data import spread_by_key
+
 
 def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
@@ -212,7 +214,12 @@ def lsh_topk(
             for i in range(n_planes)
             for j in range(i + 1, n_planes)
         ]
-    bucketed = df.withColumn("_bucket", lsh_bucket(vec_col, dim, n_planes, seed))
+    # conditional spread (r16): the per-row bucket hash is n_planes
+    # interpreted hyperplane dots — off a one-task scan the whole
+    # corpus bucketed single-threaded; no-op on already-wide inputs
+    bucketed = spread_by_key(df, id_col).withColumn(
+        "_bucket", lsh_bucket(vec_col, dim, n_planes, seed)
+    )
     cand = bucketed.filter(F.col("_bucket").isin(probes))
     return brute_force_topk(cand, vec_col, query, k, id_col)
 
@@ -438,18 +445,33 @@ def cosine_pairs(
 
     Norms are computed once per vector BEFORE the pair join (each
     vector appears in ~bucket_size pairs; recomputing its norm per
-    pair would triple the dominant flops)."""
+    pair would triple the dominant flops).
+
+    Join shape (r16, guide §2.5/§3.1): block columns are typically
+    LOW-cardinality, so an exchange-on-block join caps parallelism at
+    the block count (and a one-row-group scan serialized the whole
+    pair fan-out into one task). The probe side is spread across the
+    cluster on the id (no-op when the input is already wide) and the
+    build side broadcasts when its size estimate allows — the per-pair
+    dot products then run at full parallelism regardless of block
+    cardinality; over-cap builds fall back to the planner's choice."""
     base = df.select(
         *block_cols,
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         norm(vec_col).alias("_n"),
     )
-    a = base.select(
-        *block_cols, F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    a = spread_by_key(
+        base.select(
+            *block_cols, F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+        ),
+        "id_a",
     )
-    b = base.select(
-        *block_cols, F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    b = _maybe_broadcast(
+        base.select(
+            *block_cols, F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+        ),
+        None,
     )
     sim = F.try_divide(dot(F.col("_va"), F.col("_vb")), F.col("_na") * F.col("_nb"))
     return (

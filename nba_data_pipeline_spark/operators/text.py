@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..core.data import spread_by_key
+
 # Tiny per-language marker vocabularies for the n-gram/stopword
 # heuristic language id. Deterministic and engine-portable (pure
 # token-set arithmetic).
@@ -376,7 +378,11 @@ def bm25_index(
     consumers (score join + dfreq) share ONE explode — the ephemeral
     single-query shape; leave False when persisting the artifacts,
     where the parquet write is the materialization."""
-    postings = corpus.select(
+    # spread the doc rows before the token fan-out (guide §2.3/§8): the
+    # (doc, term) aggregate below then runs without exchanging exploded
+    # postings rows, and the explode runs at full parallelism even off
+    # a one-task scan
+    postings = spread_by_key(corpus, id_col, always=True).select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
     )
     tf = postings.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
@@ -428,15 +434,39 @@ def bm25_scores(
     """
     if index is not None:
         tf, doclen, dfreq = index
+        totals = doclen.agg(
+            F.count("*").alias("n_docs"), F.sum("dl").alias("total_tokens")
+        ).collect()[0]
+        n_docs, total_tokens = totals["n_docs"], totals["total_tokens"]
     else:
         if corpus is None:
             raise ValueError("provide either corpus or index")
-        # ephemeral path: one shared explode (see bm25_index docstring)
-        tf, doclen, dfreq = bm25_index(corpus, id_col, text_col, materialize=True)
-    totals = doclen.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("total_tokens")
-    ).collect()[0]
-    n_docs, avgdl = totals["n_docs"], totals["total_tokens"] / totals["n_docs"]
+        # ephemeral path: one shared explode (see bm25_index docstring).
+        # Doc lengths derive from the materialized tf (dl = sum of a
+        # doc's term frequencies) instead of a SECOND full tokenize
+        # pass over the corpus (r16, guide §1.2 "don't compute things
+        # you throw away"): zero-token docs are absent from tf but they
+        # never match a query term, so scores are unchanged — only
+        # n_docs must still count every corpus row (idf semantics), a
+        # metadata-cheap count against the un-tokenized corpus.
+        tf, _, _ = bm25_index(corpus, id_col, text_col, materialize=True)
+        doclen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        n_docs = corpus.count()
+        total_tokens = doclen.agg(F.sum("dl").alias("t")).collect()[0]["t"]
+        # document frequencies only for terms the queries can touch: a
+        # semi-join against the (tiny, broadcast) query vocabulary
+        # replaces the full-vocabulary dfreq aggregate — identical
+        # per-term counts, O(matching postings) instead of O(vocab)
+        # (the persisted-index path keeps the full dfreq artifact)
+        qvocab = query_df.select(
+            F.explode(F.array_distinct(tokens(query_text_col))).alias("term")
+        ).dropDuplicates(["term"])
+        dfreq = (
+            tf.join(F.broadcast(qvocab), "term", "left_semi")
+            .groupBy("term")
+            .agg(F.count("*").alias("doc_freq"))
+        )
+    avgdl = total_tokens / n_docs
     qterms = (
         query_df.select(
             F.col(query_id_col).alias("query_id"),
