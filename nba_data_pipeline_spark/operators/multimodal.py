@@ -41,6 +41,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..core.data import spread_by_key
+
+
+def _spread_payload(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Input shaping shared by every media kernel (r16, guide §4.1):
+    project to exactly the two columns the kernel reads (mapInPandas is
+    opaque — Spark would otherwise ship, and read, every column) and
+    conditionally spread narrow inputs across the cluster on the id.
+    No exchange precedes a mapInPandas, so a one-task scan otherwise
+    serializes the whole Python stage; on already-wide inputs (the
+    100 TB case) this is a no-op."""
+    return spread_by_key(df.select(id_col, payload_col), id_col)
+
+
 MEDIA_META = T.StructType(
     [
         T.StructField("media_type", T.StringType(), False),  # image|audio|video
@@ -852,7 +866,7 @@ def extract_image_features(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(kernel, schema=IMAGE_FEATURES_SCHEMA)
+    return _spread_payload(df, id_col, payload_col).mapInPandas(kernel, schema=IMAGE_FEATURES_SCHEMA)
 
 
 def _avi_mjpeg_frames(data: bytes) -> list[bytes]:
@@ -951,7 +965,7 @@ def sample_frames(
                 {"doc_id": out_ids, "frame_idx": out_idx, "frame_sha256": out_sha}
             )
 
-    return df.select(id_col, payload_col).mapInPandas(kernel, schema=schema)
+    return _spread_payload(df, id_col, payload_col).mapInPandas(kernel, schema=schema)
 
 
 def _wav_pcm(data: bytes):
@@ -1094,7 +1108,7 @@ def resample_audio(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return _spread_payload(df, id_col, payload_col).mapInPandas(
         kernel, schema=RESAMPLED_AUDIO_SCHEMA
     )
 
@@ -1208,7 +1222,7 @@ def audio_spectrogram(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return _spread_payload(df, id_col, payload_col).mapInPandas(
         kernel, schema=AUDIO_SPECTROGRAM_SCHEMA
     )
 
@@ -1269,7 +1283,7 @@ def extract_audio_windows(
                 {"doc_id": ids, "window_idx": idxs, "n_samples": ns, "rms": rms}
             )
 
-    return df.select(id_col, payload_col).mapInPandas(kernel, schema=AUDIO_WINDOWS_SCHEMA)
+    return _spread_payload(df, id_col, payload_col).mapInPandas(kernel, schema=AUDIO_WINDOWS_SCHEMA)
 
 
 def _luma_matrix(payload: bytes):
@@ -1445,7 +1459,7 @@ def augment_images(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return _spread_payload(df, id_col, payload_col).mapInPandas(
         kernel, schema=AUGMENTED_IMAGE_SCHEMA
     )
 
@@ -1509,7 +1523,7 @@ def image_channel_stats(
                 frame[c] = pd.array([o[i] for o in out], dtype="Int64")
             yield pd.DataFrame(frame)
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return _spread_payload(df, id_col, payload_col).mapInPandas(
         kernel, schema=IMAGE_CHANNEL_STATS_SCHEMA
     )
 
@@ -1575,7 +1589,7 @@ def image_dhash(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(kernel, schema=DHASH_SCHEMA)
+    return _spread_payload(df, id_col, payload_col).mapInPandas(kernel, schema=DHASH_SCHEMA)
 
 
 def dhash_near_pairs(
@@ -1660,7 +1674,7 @@ def audio_ahash(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(kernel, schema=DHASH_SCHEMA)
+    return _spread_payload(df, id_col, payload_col).mapInPandas(kernel, schema=DHASH_SCHEMA)
 
 
 def frame_overlap_pairs(
@@ -1849,4 +1863,4 @@ def resize_images(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(kernel, schema=RESIZED_IMAGE_SCHEMA)
+    return _spread_payload(df, id_col, payload_col).mapInPandas(kernel, schema=RESIZED_IMAGE_SCHEMA)
