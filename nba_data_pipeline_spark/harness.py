@@ -3428,7 +3428,9 @@ def q_heavy_hitters(spark, sf):
     from .operators.text import tokens
 
     docs = _t(spark, sf, "documents")
-    tok = docs.select("lang", F.explode(tokens("text")).alias("token"))
+    from .operators.text import exploded_tokens
+
+    tok = exploded_tokens(docs, ["lang"], "text", "token")
     out = heavy_hitters(tok, ["lang"], "token", min_share=0.02)
     return out.select("lang", "token", F.col("n").cast("long"), "share_e6")
 
@@ -3450,7 +3452,9 @@ def q_cms_bounds_gate(spark, sf):
     from .operators.text import tokens
 
     docs = _t(spark, sf, "documents")
-    tok = docs.select("lang", F.explode(tokens("text")).alias("token")).localCheckpoint(
+    from .operators.text import exploded_tokens
+
+    tok = exploded_tokens(docs, ["lang"], "text", "token").localCheckpoint(
         eager=False
     )
     import math

@@ -34,10 +34,10 @@ def word_freq_table(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus -> (word, freq): the single corpus-wide aggregate all
     subsequent merge rounds run on. Lower-cased whitespace tokens, one
     shuffle keyed on the word."""
-    from .text import tokens
+    from .text import exploded_tokens, tokens
 
     return (
-        df.select(F.explode(tokens(text_col)).alias("word"))
+        exploded_tokens(df, [], text_col, "word")
         .select(F.lower("word").alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("freq"))

@@ -969,13 +969,17 @@ def simhash_df(
     never vote and stay 0 in the fingerprint, so the effective
     fingerprint is 60-bit; band blocking and Hamming verification are
     unchanged, just marginally less discriminative in the top band."""
+    # the NULL/empty guard below serves two purposes: xxhash64(NULL)
+    # is the seed (not NULL), and the raw split of blank text yields
+    # one "" element — both must stay NULL-hash padding rows that drop
+    # out of every aggregate (md5("")/md5(NULL) would otherwise vote)
+    _real_tok = F.col("_t").isNotNull() & (F.col("_t") != "")
     if hash == "xxhash64":
-        # xxhash64(NULL) is the seed, not NULL — guard so the padding
-        # row from explode_outer (zero-token docs, below) stays NULL
-        # and drops out of every aggregate
-        tok_h = F.when(F.col("_t").isNotNull(), F.xxhash64("_t"))
+        tok_h = F.when(_real_tok, F.xxhash64("_t"))
     elif hash == "md5":
-        tok_h = F.conv(F.substring(F.md5("_t"), 1, 15), 16, 10).cast("long")
+        tok_h = F.when(
+            _real_tok, F.conv(F.substring(F.md5("_t"), 1, 15), 16, 10).cast("long")
+        )
     else:
         raise ValueError(f"unknown token hash {hash!r}: use 'md5' or 'xxhash64'")
     # spread the compact doc rows before the token fan-out (guide
@@ -986,12 +990,17 @@ def simhash_df(
     # second-scan + left-join backfill for empty docs is gone: count/
     # sum skip the NULL hash, n = 0, every vote fails, sh = 0 — the
     # same contract as the single-expression ``simhash``.
+    # raw split + relational guard instead of the tokens() HOF filter
+    # (interpreted per element — measured 2.0s -> 1.3s on this pass);
+    # explode_outer keeps NULL-text docs, the "" element keeps
+    # blank-text docs, both as NULL-hash rows
     tok = spread_by_key(
         df.select(F.col(id_col).alias("doc_id"), text_col),
         "doc_id",
         always=True,
     ).select(
-        "doc_id", F.explode_outer(tokens(text_col)).alias("_t")
+        "doc_id",
+        F.explode_outer(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_t"),
     ).select("doc_id", tok_h.alias("_h"))
     # the +1/-1 vote sum equals 2*(set-bit count) - n_tokens, so
     # aggregate the plain bit sums (cheap shift-and expressions, no

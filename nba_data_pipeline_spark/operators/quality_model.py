@@ -35,10 +35,12 @@ def hashed_token_features(
 ) -> DataFrame:
     """(doc_id, bucket, cnt) hashed unigram counts — the sparse feature
     map shared by fit and score (same hash => train/serve parity)."""
-    from .text import tokens
+    from .text import exploded_tokens, tokens
 
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("_tok"))
+        exploded_tokens(
+            df.select(F.col(id_col).alias("doc_id"), text_col), ["doc_id"], text_col, "_tok"
+        )
         .select(
             "doc_id",
             F.pmod(

@@ -843,7 +843,7 @@ def bm25_ingest_batch(
     two-batch-ingested index's top-k against the full-corpus SQL.
     """
     from ..operators.incremental import fold_aggregate_state_table
-    from ..operators.text import token_count, tokens
+    from ..operators.text import exploded_tokens, token_count, tokens
     from ..sinks.writer import table_exists, upsert_table
 
     spark = batch_df.sparkSession
@@ -859,9 +859,7 @@ def bm25_ingest_batch(
     batch = batch.localCheckpoint()  # feeds postings + doclen
     if batch.isEmpty():
         return  # full redelivery: nothing new, nothing double-counted
-    postings = batch.select(
-        "doc_id", F.explode(tokens("_text")).alias("term")
-    )
+    postings = exploded_tokens(batch, ["doc_id"], "_text", "term")
     tf = (
         postings.groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
