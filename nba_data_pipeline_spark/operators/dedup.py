@@ -434,10 +434,12 @@ def minhash_signatures(
     ).select(
         F.col(id_col).alias("doc_id"), shingle_h.alias("_h")
     )
+    # SQL-string aggregates (r16): the Column-API loop cost ~6 py4j
+    # round trips per permutation per call — parsing a string per
+    # aggregate is milliseconds, identical plan. a, b < 2^31 and
+    # _h < 2^31, so a*x+b < 2^62: no long overflow under ANSI.
     aggs = [
-        F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_PRIME))).alias(
-            f"sig{i}"
-        )
+        F.expr(f"min(pmod(_h * {a}L + {b}L, {MERSENNE_PRIME}L))").alias(f"sig{i}")
         for i, (a, b) in enumerate(_perm_params(num_perm, seed))
     ]
     return exploded.groupBy("doc_id").agg(*aggs)
@@ -450,26 +452,20 @@ def band_buckets(sig_df: DataFrame, num_perm: int, bands: int) -> DataFrame:
     Shared by the self-join LSH (``minhash_lsh_pairs``) and the
     signature-table incremental path (``incremental_minhash_pairs``)."""
     rows_per_band = num_perm // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"sig{i * rows_per_band + j}").cast("string")
-                            for j in range(rows_per_band)
-                        ],
-                    )
-                ).alias("bucket"),
-            )
-            for i in range(bands)
-        ]
+    # one parsed expression instead of ~10 py4j calls per band (r16)
+    structs = ", ".join(
+        "struct({i} AS band, xxhash64(concat_ws(',', {cols})) AS bucket)".format(
+            i=i,
+            cols=", ".join(
+                f"CAST(sig{i * rows_per_band + j} AS STRING)"
+                for j in range(rows_per_band)
+            ),
+        )
+        for i in range(bands)
     )
-    return sig_df.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    return sig_df.selectExpr(
+        "doc_id", f"explode(array({structs})) AS bb"
+    ).selectExpr("doc_id", "bb.band AS band", "bb.bucket AS bucket")
 
 
 def incremental_minhash_pairs(
@@ -606,15 +602,15 @@ def minhash_lsh_pairs(
         .select(F.col(id_col).alias("doc_id"), shingle_h.alias("_h"))
         .localCheckpoint(eager=False)
     )
+    # SQL-string aggregates — see minhash_signatures for the py4j
+    # rationale; same expressions, same plan
     aggs = [
-        F.min(
-            F.pmod(F.col("_hp") * F.lit(a) + F.lit(b), F.lit(MERSENNE_PRIME))
-        ).alias(f"sig{i}")
+        F.expr(f"min(pmod(_hp * {a}L + {b}L, {MERSENNE_PRIME}L))").alias(f"sig{i}")
         for i, (a, b) in enumerate(_perm_params(num_perm, seed))
     ]
-    sig = ex.withColumn("_hp", F.pmod(F.col("_h"), F.lit(MERSENNE_PRIME))).groupBy(
-        "doc_id"
-    ).agg(*aggs)
+    sig = ex.selectExpr(
+        "doc_id", f"pmod(_h, {MERSENNE_PRIME}L) AS _hp"
+    ).groupBy("doc_id").agg(*aggs)
     # Materialize the banded frame and shingle sets once: each feeds
     # multiple plan branches (width agg + join + self-join; id_a + id_b
     # sides) and Catalyst does not dedupe common subplans — without
@@ -969,58 +965,55 @@ def simhash_df(
     never vote and stay 0 in the fingerprint, so the effective
     fingerprint is 60-bit; band blocking and Hamming verification are
     unchanged, just marginally less discriminative in the top band."""
-    # the NULL/empty guard below serves two purposes: xxhash64(NULL)
-    # is the seed (not NULL), and the raw split of blank text yields
-    # one "" element — both must stay NULL-hash padding rows that drop
-    # out of every aggregate (md5("")/md5(NULL) would otherwise vote)
-    _real_tok = F.col("_t").isNotNull() & (F.col("_t") != "")
+    # The NULL/empty guard serves two purposes: xxhash64(NULL) is the
+    # seed (not NULL), and the raw split of blank text yields one ""
+    # element — both must stay NULL-hash padding rows that drop out of
+    # every aggregate (md5("")/md5(NULL) would otherwise vote).
     if hash == "xxhash64":
-        tok_h = F.when(_real_tok, F.xxhash64("_t"))
+        hsql = "CASE WHEN _t IS NOT NULL AND _t <> '' THEN xxhash64(_t) END"
     elif hash == "md5":
-        tok_h = F.when(
-            _real_tok, F.conv(F.substring(F.md5("_t"), 1, 15), 16, 10).cast("long")
+        hsql = (
+            "CASE WHEN _t IS NOT NULL AND _t <> '' THEN "
+            "CAST(conv(substring(md5(_t), 1, 15), 16, 10) AS BIGINT) END"
         )
     else:
         raise ValueError(f"unknown token hash {hash!r}: use 'md5' or 'xxhash64'")
-    # spread the compact doc rows before the token fan-out (guide
-    # §2.3/§8: exchange 1x text bytes, not per-token rows; also fixes
-    # the one-task-scan case) — the groupBy below then runs without a
-    # second exchange. explode_outer keeps zero-token docs as one
-    # NULL-token row, so the aggregate sees EVERY doc and the previous
-    # second-scan + left-join backfill for empty docs is gone: count/
-    # sum skip the NULL hash, n = 0, every vote fails, sh = 0 — the
-    # same contract as the single-expression ``simhash``.
-    # raw split + relational guard instead of the tokens() HOF filter
-    # (interpreted per element — measured 2.0s -> 1.3s on this pass);
-    # explode_outer keeps NULL-text docs, the "" element keeps
-    # blank-text docs, both as NULL-hash rows
+    # Shape notes (r16):
+    # - spread the compact doc rows before the token fan-out (guide
+    #   §2.3/§8: exchange 1x text bytes, not per-token rows; also fixes
+    #   the one-task-scan case) — the vote aggregate below then needs
+    #   no second exchange;
+    # - raw split + relational guard instead of the tokens() HOF filter
+    #   (interpreted per element — measured 2.0s -> 1.3s on this pass);
+    #   explode_outer keeps NULL-text docs, the "" element keeps
+    #   blank-text docs, both as NULL-hash rows, so the aggregate sees
+    #   EVERY doc (count/sum skip the NULL hash, n = 0, every vote
+    #   fails, sh = 0 — same contract as the single-expression
+    #   ``simhash``; the old second-scan + left-join backfill is gone);
+    # - the whole vote-and-assemble step is ONE aggregate expression
+    #   built as a SQL string: the previous Column-API loop (65 agg
+    #   columns + a 64-way XOR chain) issued ~500 py4j round trips and
+    #   re-analyzed the wide plan per DataFrame op — ~1s of DRIVER time
+    #   per call; one parsed expression is milliseconds, identical
+    #   analyzed plan. (Identical sum/count subexpressions are
+    #   deduplicated by the aggregate planner.)
     tok = spread_by_key(
         df.select(F.col(id_col).alias("doc_id"), text_col),
         "doc_id",
         always=True,
-    ).select(
-        "doc_id",
-        F.explode_outer(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_t"),
-    ).select("doc_id", tok_h.alias("_h"))
-    # the +1/-1 vote sum equals 2*(set-bit count) - n_tokens, so
-    # aggregate the plain bit sums (cheap shift-and expressions, no
-    # conditional) plus one token count: vote > 0  <=>  2*c_b > n
-    votes = tok.groupBy("doc_id").agg(
-        F.count("_h").alias("_n"),
-        *[
-            F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(f"c{b}")
-            for b in range(bits)
-        ],
-    )
+    ).selectExpr(
+        "doc_id", f"explode_outer(split(trim(`{text_col}`), '\\\\s+')) AS _t"
+    ).selectExpr("doc_id", f"{hsql} AS _h")
     weights = [(1 << b) if b < 63 else -(1 << 63) for b in range(bits)]
-    fp = F.lit(0).cast("long")
-    for b, w in enumerate(weights):
-        fp = fp.bitwiseXOR(
-            F.when(F.col(f"c{b}") * 2 > F.col("_n"), F.lit(w).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return votes.select("doc_id", fp.alias("sh"))
+    # long.min has no SQL literal (unary minus over 2^63 overflows the
+    # parser); spell it as -(2^63-1) - 1
+    lit = lambda w: f"{w}L" if w >= 0 else "(-9223372036854775807L - 1L)"  # noqa: E731
+    fp_sql = " ^ ".join(
+        f"(CASE WHEN sum(shiftright(_h, {b}) & 1) * 2 > count(_h) "
+        f"THEN {lit(w)} ELSE 0L END)"
+        for b, w in enumerate(weights)
+    )
+    return tok.groupBy("doc_id").agg(F.expr(fp_sql).alias("sh"))
 
 
 def simhash_near_pairs(
@@ -1200,22 +1193,15 @@ def _simhash_bands(fps: DataFrame, band_bits: int) -> DataFrame:
     pair within Hamming distance (64/band_bits - 1) must agree on at
     least one band)."""
     nbands = 64 // band_bits
-    return fps.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright(F.col("sh"), i * band_bits)
-                        .bitwiseAND(F.lit((1 << band_bits) - 1))
-                        .alias("bucket"),
-                    )
-                    for i in range(nbands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    mask = (1 << band_bits) - 1
+    # one parsed expression instead of ~8 py4j calls per band (r16)
+    structs = ", ".join(
+        f"struct({i} AS band, shiftright(sh, {i * band_bits}) & {mask}L AS bucket)"
+        for i in range(nbands)
+    )
+    return fps.selectExpr(
+        "doc_id", f"explode(array({structs})) AS bb"
+    ).selectExpr("doc_id", "bb.band AS band", "bb.bucket AS bucket")
 
 
 # ---------------------------------------------------------------------------

@@ -473,8 +473,23 @@ def bm25_scores(
         # metadata-cheap count against the un-tokenized corpus.
         tf, _, _ = bm25_index(corpus, id_col, text_col, materialize=True)
         doclen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-        n_docs = corpus.count()
-        total_tokens = doclen.agg(F.sum("dl").alias("t")).collect()[0]["t"]
+        # one action for both corpus stats: total tokens from the
+        # materialized tf, n_docs (EVERY corpus row, including
+        # zero-token docs — the idf semantics) from the un-tokenized
+        # corpus, union'd so a single collect runs both branches
+        stats = {
+            r["k"]: r["v"]
+            for r in doclen.agg(
+                F.lit("tok").alias("k"), F.sum("dl").cast("long").alias("v")
+            )
+            .unionByName(
+                corpus.agg(
+                    F.lit("docs").alias("k"), F.count("*").cast("long").alias("v")
+                )
+            )
+            .collect()
+        }
+        n_docs, total_tokens = stats["docs"], stats["tok"]
         # document frequencies only for terms the queries can touch: a
         # semi-join against the (tiny, broadcast) query vocabulary
         # replaces the full-vocabulary dfreq aggregate — identical
