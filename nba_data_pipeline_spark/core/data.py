@@ -111,13 +111,18 @@ def spread_by_key(
       exchange the EXPLODED rows — the repartition replaces that
       exchange with a strictly cheaper one, so it is right at every
       scale.
-    - default (conditional): no-op when the input already has >=
-      ``target`` partitions. For pipelines that materialize a
-      checkpoint after the fan-out (losing partitioning, so downstream
-      re-exchanges regardless) the repartition only pays for itself
-      when the map side is starved for parallelism — i.e. small or
-      unsplittable inputs; at 100 TB the scan is already wide and this
-      is a no-op.
+    - default (conditional): fires only when the optimizer's byte
+      estimate says the input is too small to fill ``goal`` healthy
+      partitions (under ``goal`` x 64 MB). For pipelines that
+      materialize a checkpoint after the fan-out (losing partitioning,
+      so downstream re-exchanges regardless) the repartition only pays
+      for itself when the map side is starved for parallelism — i.e.
+      small or unsplittable inputs; at 100 TB the scan's estimate is
+      far past the threshold and this is a no-op. (The gate reads
+      bytes, not the actual partition count — an already-wide but
+      byte-small input still pays the exchange; callers with heavy
+      per-row payloads should not use the conditional mode, see
+      multimodal.)
 
     ``target`` defaults to the session's default parallelism. The
     explicit partition count keeps AQE from coalescing the tiny
@@ -133,12 +138,12 @@ def spread_by_key(
     spread; anything bigger (or with unavailable stats) is left alone,
     which is the safe no-op at cluster scale."""
     sess = df.sparkSession
+    try:
+        shuffle_parts = int(sess.conf.get("spark.sql.shuffle.partitions", "200"))
+    except (TypeError, ValueError):  # e.g. "auto" on some platforms
+        shuffle_parts = 0
     goal = max(
-        target
-        or max(
-            sess.sparkContext.defaultParallelism,
-            int(sess.conf.get("spark.sql.shuffle.partitions", "200")),
-        ),
+        target or max(sess.sparkContext.defaultParallelism, shuffle_parts),
         1,
     )
     if not always:
@@ -151,6 +156,47 @@ def spread_by_key(
         if est >= goal * (64 << 20):
             return df
     return df.repartition(goal, *key_cols)
+
+
+def maybe_broadcast(
+    df: DataFrame,
+    flag: bool | None = None,
+    estimate_from: DataFrame | None = None,
+    fanout: int = 1,
+) -> DataFrame:
+    """Size-gated broadcast hint (shared by similarity re-joins and the
+    TPC-H reshapes — r17 moved it here from operators/similarity).
+    ``flag=True``/``False`` force the choice; ``None`` (auto) consults
+    Catalyst's optimized-plan size estimate and hints only when the
+    frame is provably small — an unconditional hint on a
+    fact-table-scale slice would ship it to every executor and OOM the
+    build side at 100 TB, because an explicit hint overrides the
+    planner's own size check.
+
+    Catalyst's size-only stats do NOT shrink through filters and can
+    EXPLODE through joins (size-only join estimate is a product) or
+    ``Generate`` fan-outs. Callers gating a join output or an exploded
+    frame pass a conservative upper-bound frame as ``estimate_from`` —
+    e.g. the pre-join big side whose key is unique on the other side,
+    or the pre-explode frame with the known ``fanout`` multiplier; the
+    gate compares estimate x fanout against the session broadcast cap.
+    Past the cap the frame is returned un-hinted and the planner
+    (auto-broadcast threshold, else SMJ) decides."""
+    from .session import AUTO_BROADCAST_BYTES
+
+    if flag is True:
+        return F.broadcast(df)
+    if flag is False:
+        return df
+    probe = estimate_from if estimate_from is not None else df
+    try:
+        stats = probe._jdf.queryExecution().optimizedPlan().stats()
+        size = int(str(stats.sizeInBytes())) * max(fanout, 1)
+    except Exception:
+        # stats unavailable (e.g. Connect): leave the choice to the
+        # planner's own autoBroadcast threshold
+        return df
+    return F.broadcast(df) if size <= AUTO_BROADCAST_BYTES else df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -15,8 +15,15 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# shuffle width follows the core count (r17, VERDICT r16 #4): a pinned
+# literal left the 8-core bench run with 32-wide exchanges — 4 tasks of
+# pure scheduling overhead per core. Explicit override wins; the local
+# default is exactly the parallelism the driver granted us, so
+# spread_by_key / window exchanges scale with SPARK_GRAFT_CPUS.
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get(
+    "SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_CPUS
+)
 
 # single source of truth for "small enough to force-broadcast": the
 # session's autoBroadcastJoinThreshold AND the explicit-hint size gates

@@ -997,12 +997,20 @@ def simhash_df(
     #   per call; one parsed expression is milliseconds, identical
     #   analyzed plan. (Identical sum/count subexpressions are
     #   deduplicated by the aggregate planner.)
+    # quote the user-supplied column names (backticks doubled — the SQL
+    # identifier escape) and alias them to fixed internal names BEFORE
+    # the SQL-string stage, so a backtick or other special character in
+    # the caller's column name can't break the interpolated expression
+    # (ADVICE r16)
+    def _qcol(name: str) -> Column:
+        return F.col("`" + name.replace("`", "``") + "`")
+
     tok = spread_by_key(
-        df.select(F.col(id_col).alias("doc_id"), text_col),
+        df.select(_qcol(id_col).alias("doc_id"), _qcol(text_col).alias("_text__")),
         "doc_id",
         always=True,
     ).selectExpr(
-        "doc_id", f"explode_outer(split(trim(`{text_col}`), '\\\\s+')) AS _t"
+        "doc_id", "explode_outer(split(trim(`_text__`), '\\\\s+')) AS _t"
     ).selectExpr("doc_id", f"{hsql} AS _h")
     weights = [(1 << b) if b < 63 else -(1 << 63) for b in range(bits)]
     # long.min has no SQL literal (unary minus over 2^63 overflows the

@@ -10,7 +10,7 @@ it composes with partition pruning.
 
 from __future__ import annotations
 
-from collections.abc import Mapping
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -339,50 +339,77 @@ def temperature_weights(
 # ---------------------------------------------------------------------------
 
 def hashed_bigram_buckets(
-    df: DataFrame, keep_cols: list[str], text_col: str, n_buckets: int
+    df: DataFrame,
+    keep_cols: list[str],
+    text_col: str,
+    n_buckets: int,
+    keep_empty_docs: bool = False,
 ) -> DataFrame:
     """One row per (keep_cols..., bucket) per NON-distinct word bigram:
     the hashed n-gram feature map of DSIR. The bucket hash is the first
     8 hex chars of md5 — portable arithmetic every engine computes
     identically (unlike xxhash64), and collisions are by design (the
     hashing trick). Follows the exploded_shingles plan shape: tokens
-    materialized once, bigrams generated and exploded in one select."""
-    from ..core.data import spread_by_key
+    materialized once, bigrams generated and exploded in one select.
+
+    ``keep_empty_docs=True`` keeps documents with no bigrams as a
+    single NULL-bucket row (``explode_outer`` over a conditional
+    sequence — same device as simhash's NULL-token row, r16), so a
+    per-doc consumer aggregating with NULL-skipping count/sum gets
+    left-join-complete coverage WITHOUT a join back to the corpus
+    (the r17 dsir_scores shape). Aggregators over buckets must then
+    filter NULL buckets."""
     from .text import tokens
 
-    # spread the compact doc rows before the bigram fan-out, and
-    # generate bigrams via explode(sequence) + element_at in the
-    # post-generate projection — straight-line codegen per gram row
-    # (the previous array-transform lambda was interpreted per element;
-    # same rework as winnow_fingerprints, r16 guide §4.1)
-    toked = spread_by_key(df, *keep_cols).select(
-        *keep_cols, tokens(text_col).alias("_toks__")
-    )
+    # bigrams via explode(sequence) + element_at in the post-generate
+    # projection — straight-line codegen per gram row (the previous
+    # array-transform lambda was interpreted per element; same rework
+    # as winnow_fingerprints, r16 guide §4.1). Deliberately NO spread
+    # before the fan-out (r17): consumers checkpoint this frame, and an
+    # explicit-width exchange here pins the checkpoint — and every
+    # downstream stage — at full session width, which measured slower
+    # than the serial explode at sf0.1 (interleaved min-of-4: 1.28 s vs
+    # 1.57 s end-to-end); at scale the scan is already wide.
+    toked = df.select(*keep_cols, tokens(text_col).alias("_toks__"))
     k = F.size("_toks__") - 1
-    ex = toked.filter(k >= 1).select(
-        *keep_cols, "_toks__", F.explode(F.sequence(F.lit(1), k)).alias("_i")
-    )
+    if keep_empty_docs:
+        # sequence(1, k) with k < 1 would generate a DESCENDING range;
+        # gate it to NULL so explode_outer emits exactly one NULL row
+        ex = toked.select(
+            *keep_cols,
+            "_toks__",
+            F.explode_outer(
+                F.when(k >= 1, F.sequence(F.lit(1), k))
+            ).alias("_i"),
+        )
+    else:
+        ex = toked.filter(k >= 1).select(
+            *keep_cols, "_toks__", F.explode(F.sequence(F.lit(1), k)).alias("_i")
+        )
     gram = F.concat_ws(
         " ",
         F.element_at(F.col("_toks__"), F.col("_i").cast("int")),
         F.element_at(F.col("_toks__"), (F.col("_i") + 1).cast("int")),
     )
-    return ex.select(
-        *keep_cols,
-        F.pmod(
-            F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long"),
-            F.lit(n_buckets),
-        ).alias("bucket"),
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
     )
+    if keep_empty_docs:
+        # concat_ws over NULL args yields '' (never NULL) — re-NULL the
+        # bucket for the placeholder rows
+        bucket = F.when(F.col("_i").isNotNull(), bucket)
+    return ex.select(*keep_cols, bucket.alias("bucket"))
 
 
 def dsir_log_ratios(
-    target: DataFrame,
+    target: DataFrame | None,
     source: DataFrame,
     text_col: str = "text",
     n_buckets: int = 4096,
     target_grams: DataFrame | None = None,
     source_grams: DataFrame | None = None,
+    target_flag_col: str | None = None,
 ) -> DataFrame:
     """Fit step of DSIR (Data Selection via Importance Resampling, Xie
     et al. 2023): bag-of-hashed-bigram multinomials over the TARGET
@@ -394,43 +421,67 @@ def dsir_log_ratios(
     aggregates. Every bucket is present (smoothing defines p,q
     everywhere), so scoring needs no unseen-bucket special case.
 
-    Scale shape: two explode+hash aggregates (one per corpus) joined
-    onto a generated bucket spine of ``n_buckets`` rows — broadcast
-    material regardless of corpus size. When the target is a subset of
-    the source (the common fit-on-own-corpus shape), pass precomputed
-    ``target_grams`` / ``source_grams`` from ONE shared
-    ``hashed_bigram_buckets`` frame so the corpus explodes once, not
-    per consumer (the fit aggregates and the per-doc scoring cannot be
-    common-subplan-deduplicated by Catalyst)."""
-    if target_grams is None:
-        target_grams = hashed_bigram_buckets(target, [], text_col, n_buckets)
-    if source_grams is None:
-        source_grams = hashed_bigram_buckets(source, [], text_col, n_buckets)
-    t = target_grams.groupBy("bucket").agg(F.count("*").alias("target_n"))
-    s = source_grams.groupBy("bucket").agg(F.count("*").alias("source_n"))
-    spine = F.broadcast(
-        target.sparkSession.range(n_buckets).select(
-            F.col("id").cast("long").alias("bucket")
+    Scale shape (reworked r17, VERDICT r16 #8): the per-bucket count
+    aggregates run in Spark — one fused ``groupBy(bucket)`` pass when
+    ``target_flag_col`` marks target membership inside ``source_grams``
+    (the common target-is-a-subset-of-source shape: one corpus scan +
+    ONE exchange instead of two of each), else one aggregate per
+    corpus. The aggregate output is bounded by ``n_buckets`` (4096 —
+    bookkeeping, not data), so the bucket spine, the Laplace totals,
+    and the zero-fill for absent buckets are computed DRIVER-SIDE from
+    one bounded collect; the returned ratio table is a local relation
+    whose ``log`` expressions still evaluate in Spark with the totals
+    folded in as integer literals — bit-identical doubles to the old
+    spine-join + crossJoin(totals) plan (verified exceptAll-zero both
+    ways), minus ~5 jobs per run: the second corpus aggregate, the two
+    spine joins, the totals aggregate, and the broadcast sub-DAG that
+    re-derived all of it whenever a consumer broadcast the ratios.
+    When the target is a subset of the source, pass precomputed
+    ``target_grams``/``source_grams`` (or ``target_flag_col``) from ONE
+    shared ``hashed_bigram_buckets`` frame so the corpus explodes once,
+    not per consumer (the fit aggregates and the per-doc scoring cannot
+    be common-subplan-deduplicated by Catalyst)."""
+    if target_flag_col is not None:
+        if source_grams is None:
+            raise ValueError("target_flag_col requires source_grams")
+        # drop keep_empty_docs placeholder rows (NULL bucket) if the
+        # caller shares a left-join-complete gram frame
+        source_grams = source_grams.filter(F.col("bucket").isNotNull())
+        counts = source_grams.groupBy("bucket").agg(
+            F.count("*").alias("source_n"),
+            F.count_if(F.col(target_flag_col)).alias("target_n"),
         )
+        rows = {
+            int(r["bucket"]): (int(r["target_n"]), int(r["source_n"]))
+            for r in counts.collect()
+        }
+    else:
+        if target_grams is None:
+            target_grams = hashed_bigram_buckets(target, [], text_col, n_buckets)
+        if source_grams is None:
+            source_grams = hashed_bigram_buckets(source, [], text_col, n_buckets)
+        t = {
+            int(r["bucket"]): int(r["n"])
+            for r in target_grams.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        }
+        s = {
+            int(r["bucket"]): int(r["n"])
+            for r in source_grams.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        }
+        rows = {b: (t.get(b, 0), s.get(b, 0)) for b in set(t) | set(s)}
+    t_tot = sum(v[0] for v in rows.values())
+    s_tot = sum(v[1] for v in rows.values())
+    spine = [
+        (b, *rows.get(b, (0, 0))) for b in range(n_buckets)
+    ]
+    sess = (target if target is not None else source).sparkSession
+    joined = sess.createDataFrame(
+        spine, "bucket: long, target_n: long, source_n: long"
     )
-    joined = (
-        spine.join(t, "bucket", "left")
-        .join(s, "bucket", "left")
-        .select(
-            "bucket",
-            F.coalesce("target_n", F.lit(0)).cast("long").alias("target_n"),
-            F.coalesce("source_n", F.lit(0)).cast("long").alias("source_n"),
-        )
+    lr = F.log((F.col("target_n") + 1) / (F.lit(t_tot) + n_buckets)) - F.log(
+        (F.col("source_n") + 1) / (F.lit(s_tot) + n_buckets)
     )
-    totals = F.broadcast(
-        joined.agg(
-            F.sum("target_n").alias("_t_tot"), F.sum("source_n").alias("_s_tot")
-        )
-    )
-    lr = F.log((F.col("target_n") + 1) / (F.col("_t_tot") + n_buckets)) - F.log(
-        (F.col("source_n") + 1) / (F.col("_s_tot") + n_buckets)
-    )
-    return joined.crossJoin(totals).select(
+    return joined.select(
         "bucket",
         "target_n",
         "source_n",
@@ -445,6 +496,8 @@ def dsir_scores(
     text_col: str = "text",
     n_buckets: int = 4096,
     grams: DataFrame | None = None,
+    keep_cols: Sequence[str] = (),
+    grams_complete: bool = False,
 ) -> DataFrame:
     """Score step of DSIR: each document's importance log-weight is the
     sum of its hashed-bigram buckets' log ratios — documents that look
@@ -458,22 +511,50 @@ def dsir_scores(
     composes with existing ops: ``top_fraction_per_group(scored, id,
     [source], "log_w_e6", frac)`` is hard top-k DSIR per domain, and
     ``weighted_sample`` over exp-scaled weights is the paper's
-    resampling variant."""
+    resampling variant. ``keep_cols`` carries extra ``df`` columns
+    (e.g. a domain/source label) through to the output so a caller
+    selecting on them doesn't pay a second join against ``df`` (r17).
+
+    ``grams_complete=True`` declares that ``grams`` covers EVERY ``df``
+    row (built with ``hashed_bigram_buckets(keep_empty_docs=True)``,
+    zero-bigram docs as NULL-bucket rows, and carrying ``keep_cols``):
+    the aggregate below is then left-join-complete by itself —
+    NULL-skipping count/sum give (0, NULL) for empty docs — and the
+    whole corpus re-scan + sort-merge join back to ``df`` disappears
+    from the plan (r17; the scored side's post-checkpoint size estimate
+    is unknown, so that join could never broadcast)."""
     if grams is None:
-        grams = hashed_bigram_buckets(df, [id_col], text_col, n_buckets)
-    scored = (
-        grams.join(F.broadcast(ratios.select("bucket", "log_ratio_e6")), "bucket")
-        .groupBy(id_col)
-        .agg(
-            F.count("*").cast("long").alias("n_grams"),
+        grams = hashed_bigram_buckets(
+            df.select(id_col, *keep_cols, text_col),
+            [id_col, *keep_cols],
+            text_col,
+            n_buckets,
+            keep_empty_docs=True,
+        )
+        grams_complete = True
+    joined = grams.join(
+        F.broadcast(ratios.select("bucket", "log_ratio_e6")),
+        "bucket",
+        "left" if grams_complete else "inner",
+    )
+    if grams_complete:
+        # every real bucket matches the complete ratio spine, so the
+        # left join + NULL-skipping aggregates reproduce the old
+        # inner-join-then-left-join-to-df semantics exactly
+        return joined.groupBy(id_col, *keep_cols).agg(
+            F.count("bucket").cast("long").alias("n_grams"),
             F.sum("log_ratio_e6").alias("log_w_e6"),
         )
+    scored = joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum("log_ratio_e6").alias("log_w_e6"),
     )
     return (
-        df.select(id_col)
+        df.select(id_col, *keep_cols)
         .join(scored, id_col, "left")
         .select(
             id_col,
+            *keep_cols,
             F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
             "log_w_e6",
         )

@@ -17,52 +17,16 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..core.data import spread_by_key
+from ..core.data import maybe_broadcast, spread_by_key
 
 
 def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
-# explicit-broadcast cap for auto mode: shared with the session
-# factory's autoBroadcastJoinThreshold (one constant, can't drift) — a
-# probe/query frame estimated above it must not be forced onto every
-# executor
-from ..core.session import AUTO_BROADCAST_BYTES as _BROADCAST_CAP_BYTES
-
-
-def _maybe_broadcast(
-    df: DataFrame,
-    flag: bool | None,
-    estimate_from: DataFrame | None = None,
-    fanout: int = 1,
-) -> DataFrame:
-    """Size-gated broadcast hint. ``flag=True``/``False`` force the
-    choice; ``None`` (auto) consults Catalyst's optimized-plan size
-    estimate and hints only when the frame is provably small — an
-    unconditional hint on a corpus-sized query batch would ship the
-    whole batch to every executor and OOM the build side at scale.
-
-    Catalyst's stats do NOT scale ``Generate`` (explode) row fan-out,
-    so a post-explode frame can be estimated at its pre-explode size
-    and a just-under-cap estimate would broadcast a frame ``fanout``
-    times larger than believed. Callers gating an exploded frame pass
-    the PRE-explode frame as ``estimate_from`` and the known
-    multiplier (probe-set size, n_probe) as ``fanout``; the gate then
-    compares estimate x fanout against the cap."""
-    if flag is True:
-        return F.broadcast(df)
-    if flag is False:
-        return df
-    probe = estimate_from if estimate_from is not None else df
-    try:
-        stats = probe._jdf.queryExecution().optimizedPlan().stats()
-        size = int(str(stats.sizeInBytes())) * max(fanout, 1)
-    except Exception:
-        # stats unavailable (e.g. Connect): leave the choice to the
-        # planner's own autoBroadcast threshold
-        return df
-    return F.broadcast(df) if size <= _BROADCAST_CAP_BYTES else df
+# size-gated broadcast hint — implementation moved to core.data (r17)
+# so the TPC-H reshapes share it; re-exported under the historical name
+_maybe_broadcast = maybe_broadcast
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
@@ -214,12 +178,13 @@ def lsh_topk(
             for i in range(n_planes)
             for j in range(i + 1, n_planes)
         ]
-    # conditional spread (r16): the per-row bucket hash is n_planes
-    # interpreted hyperplane dots — off a one-task scan the whole
-    # corpus bucketed single-threaded; no-op on already-wide inputs
-    bucketed = spread_by_key(df, id_col).withColumn(
-        "_bucket", lsh_bucket(vec_col, dim, n_planes, seed)
-    )
+    # deliberately NO spread before the bucket hash (r17, VERDICT r16
+    # #1): the r16 conditional spread exchanged the full embedding
+    # vectors to parallelize the hyperplane dots and measured SLOWER at
+    # both core counts (0.96 -> 1.47 s at 32c, 1.64 s at 8c) — the
+    # vectors are the heavy payload and the hash is cheaper than
+    # moving them; at scale the scan is already wide
+    bucketed = df.withColumn("_bucket", lsh_bucket(vec_col, dim, n_planes, seed))
     cand = bucketed.filter(F.col("_bucket").isin(probes))
     return brute_force_topk(cand, vec_col, query, k, id_col)
 

@@ -12,7 +12,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..core.data import spread_by_key
 
 # Tiny per-language marker vocabularies for the n-gram/stopword
 # heuristic language id. Deterministic and engine-portable (pure
@@ -395,14 +394,16 @@ def bm25_index(
     consumers (score join + dfreq) share ONE explode — the ephemeral
     single-query shape; leave False when persisting the artifacts,
     where the parquet write is the materialization."""
-    # spread the doc rows before the token fan-out (guide §2.3/§8): the
-    # (doc, term) aggregate below then runs without exchanging exploded
-    # postings rows, and the explode runs at full parallelism even off
-    # a one-task scan
+    # deliberately NO spread before the token fan-out (r17, VERDICT r16
+    # #3): the r16 explicit-width repartition pinned the checkpointed tf
+    # at full session width, which pins EVERY downstream stage (dfreq,
+    # score join, window) at that width too — AQE can no longer
+    # coalesce them, and the added per-stage task overhead outweighed
+    # the parallel explode on every measured corpus (interleaved
+    # min-of-4 at sf0.1: 1.67 s without vs 2.09 s with). At scale the
+    # corpus scan is already wide and the explode parallel without help.
     postings = exploded_tokens(
-        spread_by_key(corpus, id_col, always=True).select(
-            F.col(id_col).alias("doc_id"), text_col
-        ),
+        corpus.select(F.col(id_col).alias("doc_id"), text_col),
         ["doc_id"],
         text_col,
         "term",
@@ -456,54 +457,35 @@ def bm25_scores(
     """
     if index is not None:
         tf, doclen, dfreq = index
-        totals = doclen.agg(
-            F.count("*").alias("n_docs"), F.sum("dl").alias("total_tokens")
-        ).collect()[0]
-        n_docs, total_tokens = totals["n_docs"], totals["total_tokens"]
     else:
         if corpus is None:
             raise ValueError("provide either corpus or index")
         # ephemeral path: one shared explode (see bm25_index docstring).
-        # Doc lengths derive from the materialized tf (dl = sum of a
-        # doc's term frequencies) instead of a SECOND full tokenize
-        # pass over the corpus (r16, guide §1.2 "don't compute things
-        # you throw away"): zero-token docs are absent from tf but they
-        # never match a query term, so scores are unchanged — only
-        # n_docs must still count every corpus row (idf semantics), a
-        # metadata-cheap count against the un-tokenized corpus.
-        tf, _, _ = bm25_index(corpus, id_col, text_col, materialize=True)
-        doclen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-        # one action for both corpus stats: total tokens from the
-        # materialized tf, n_docs (EVERY corpus row, including
-        # zero-token docs — the idf semantics) from the un-tokenized
-        # corpus, union'd so a single collect runs both branches
-        stats = {
-            r["k"]: r["v"]
-            for r in doclen.agg(
-                F.lit("tok").alias("k"), F.sum("dl").cast("long").alias("v")
-            )
-            .unionByName(
-                corpus.agg(
-                    F.lit("docs").alias("k"), F.count("*").cast("long").alias("v")
-                )
-            )
-            .collect()
-        }
-        n_docs, total_tokens = stats["docs"], stats["tok"]
-        # document frequencies only for terms the queries can touch: a
-        # semi-join against the (tiny, broadcast) query vocabulary
-        # replaces the full-vocabulary dfreq aggregate — identical
-        # per-term counts, O(matching postings) instead of O(vocab)
-        # (the persisted-index path keeps the full dfreq artifact)
-        qvocab = query_df.select(
-            F.explode(F.array_distinct(tokens(query_text_col))).alias("term")
-        ).dropDuplicates(["term"])
-        dfreq = (
-            tf.join(F.broadcast(qvocab), "term", "left_semi")
-            .groupBy("term")
-            .agg(F.count("*").alias("doc_freq"))
-        )
-    avgdl = total_tokens / n_docs
+        # doclen stays the NARROW token_count projection of the corpus
+        # (no explode, no shuffle, auto-broadcasts into the score
+        # join) — r16 derived it from the materialized tf instead and
+        # measured SLOWER at both core counts (1.38 -> 2.45/1.87 s):
+        # the checkpoint loses tf's partitioning, so the derivation
+        # added a full exchange of tf for the doc-length aggregate,
+        # turned the doclen join from a broadcast into a shuffle join,
+        # and moved the whole explode under the stats collect. The
+        # second tokenize pass is a cheap narrow scan by comparison
+        # (reverted r17, VERDICT r16 #3).
+        # full-vocabulary dfreq (r17 re-revert, VERDICT r16 #3): the r16
+        # query-vocab semi-join saved aggregate input but cost an extra
+        # blocking broadcast sub-job per run and measured SLOWER at
+        # every combination tried (interleaved min-of-4: full 1.67 s vs
+        # semi 2.05 s); dfreq's exchange input is the map-side partial
+        # aggregate (vocab-bounded per partition), cheap at any scale
+        tf, doclen, dfreq = bm25_index(corpus, id_col, text_col, materialize=True)
+    totals = doclen.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_tokens")
+    ).collect()[0]
+    n_docs, total_tokens = totals["n_docs"], totals["total_tokens"] or 0
+    # degenerate corpora (empty, or every doc zero-token): no posting
+    # can match any query term, so the score table is empty regardless
+    # of avgdl — pin it to 0.0 instead of dividing by zero (ADVICE r16)
+    avgdl = total_tokens / n_docs if n_docs else 0.0
     qterms = (
         query_df.select(
             F.col(query_id_col).alias("query_id"),
