@@ -378,7 +378,16 @@ def _stage_files(
     token = secrets.token_hex(8)
     stage = os.path.join(root, f".stage-{token}")
     if sort_by:
-        if target_files:
+        if target_files == 1:
+            # single-file output: a range partitioner over one
+            # partition is the identity, but repartitionByRange still
+            # pays a full sampling pass over the input to compute
+            # boundaries it won't use — an extra evaluation of the
+            # merge per stage write. A plain 1-partition shuffle +
+            # in-partition sort writes the identical sorted file with
+            # one evaluation (r17; point merges hit this constantly).
+            df = df.repartition(1).sortWithinPartitions(*sort_by)
+        elif target_files:
             df = df.repartitionByRange(
                 max(1, target_files), *sort_by
             ).sortWithinPartitions(*sort_by)
@@ -897,12 +906,25 @@ def _merge_commit(
         # empty-batch fast path (r16): a replayed/caught-up delta merge
         # has nothing to add or rewrite — staging an empty parquet dir
         # and re-reading it is two wasted jobs per idempotent re-run.
-        # Only when the batch cannot evolve the schema (exact field
-        # match); the general path handles everything else.
+        # Only when the batch cannot evolve the schema: same column
+        # name->type mapping, compared up to NULLABILITY and COLUMN
+        # ORDER (r17 — strict StructType equality never fired after the
+        # table's first real merge: a merge commit stores the combined
+        # frame's schema, which is all-nullable from the parquet-read
+        # union and key-first from the upsert combine, while a fresh
+        # pipeline batch carries non-null fields in pipeline order.
+        # Zero rows can neither add/retype columns nor violate
+        # nullability, and the general path keeps the TARGET's column
+        # order for an empty batch anyway, so carrying the manifest
+        # unchanged is identical). The general path handles real
+        # evolution.
+        def _col_set(schema):
+            return sorted((f.name, f.dataType.simpleString()) for f in schema.fields)
+
         if (
             batch_rows == 0
             and op != "delete"
-            and source.schema == _schema_of(manifest)
+            and _col_set(source.schema) == _col_set(_schema_of(manifest))
         ):
             noop = {
                 "op": op,
