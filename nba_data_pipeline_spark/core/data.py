@@ -158,6 +158,20 @@ def spread_by_key(
     return df.repartition(goal, *key_cols)
 
 
+def lazy_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=False)`` — the shared-materialization
+    device for frames feeding multiple plan branches — unless
+    ``SPARK_GRAFT_EXPLAIN_NOCKPT=1`` (read per call): a checkpoint
+    truncates ``explain`` at ``Scan ExistingRDD``, hiding the upstream
+    pipeline, so plan-evidence captures (tools/capture_plans.py) set
+    the flag to see the full operator tree. NEVER set it for real
+    runs — without the checkpoint each consumer re-derives the
+    pipeline (r17, VERDICT r16 #6)."""
+    if os.environ.get("SPARK_GRAFT_EXPLAIN_NOCKPT") == "1":
+        return df
+    return df.localCheckpoint(eager=False)
+
+
 def maybe_broadcast(
     df: DataFrame,
     flag: bool | None = None,

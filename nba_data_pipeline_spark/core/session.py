@@ -15,15 +15,23 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-# shuffle width follows the core count (r17, VERDICT r16 #4): a pinned
-# literal left the 8-core bench run with 32-wide exchanges — 4 tasks of
-# pure scheduling overhead per core. Explicit override wins; the local
-# default is exactly the parallelism the driver granted us, so
-# spread_by_key / window exchanges scale with SPARK_GRAFT_CPUS.
-DEFAULT_SHUFFLE_PARTITIONS = os.environ.get(
-    "SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_CPUS
-)
+def _cpus() -> str:
+    """Core count from the environment, read PER CALL (r17): the old
+    import-time module constant froze whatever the env said at first
+    import, which silently ignored e.g. tests/conftest.py's
+    ``setdefault("SPARK_GRAFT_CPUS", "4")`` — the whole suite ran
+    local[32] on row-count-10 fixtures, pure task-launch overhead."""
+    return os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _shuffle_partitions() -> str:
+    """Shuffle width follows the core count (r17, VERDICT r16 #4): a
+    pinned literal left the 8-core bench run with 32-wide exchanges —
+    4 tasks of pure scheduling overhead per core. Explicit override
+    wins; the local default is exactly the parallelism the driver
+    granted, so spread_by_key / window exchanges scale with
+    SPARK_GRAFT_CPUS."""
+    return os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", _cpus())
 
 # single source of truth for "small enough to force-broadcast": the
 # session's autoBroadcastJoinThreshold AND the explicit-hint size gates
@@ -39,9 +47,9 @@ def get_session(app_name: str = "nba_data_pipeline_spark", **extra_conf: str) ->
     semantics), so tests share one JVM.
     """
     builder = (
-        SparkSession.builder.master(f"local[{DEFAULT_CPUS}]")
+        SparkSession.builder.master(f"local[{_cpus()}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.shuffle.partitions", _shuffle_partitions())
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

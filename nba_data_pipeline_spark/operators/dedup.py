@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..core.data import spread_by_key
+from ..core.data import lazy_checkpoint, spread_by_key
 from .text import exploded_shingles, normalized_text, tokens, word_shingles
 
 # 2^31-1: universal-hash field small enough that a*h stays < 2^62,
@@ -147,7 +147,7 @@ def ngram_jaccard_pairs(
         # stop-list is tiny (only over-threshold shingles) -> AQE
         # broadcasts the anti join
         ex = ex.join(stop, [*block_cols, "_h"], "left_anti")
-    ex = ex.localCheckpoint(eager=False)  # feeds sizes + both join sides
+    ex = ex.transform(lazy_checkpoint)  # feeds sizes + both join sides
     sizes = ex.groupBy(*block_cols, "doc_id").agg(F.count("*").alias("_sz"))
     inter = (
         ex.select(*block_cols, F.col("doc_id").alias("id_a"), "_h")
@@ -213,7 +213,7 @@ def incremental_ngram_pairs(
             F.xxhash64("_s").alias("_h"),
         )
         .dropDuplicates([*block_cols, "doc_id", "_h"])
-        .localCheckpoint(eager=False)  # feeds sizes + both join sides
+        .transform(lazy_checkpoint)  # feeds sizes + both join sides
     )
     sizes = ex.groupBy(*block_cols, "doc_id").agg(F.count("*").alias("_sz"))
     left = ex.filter(F.col("_new") == 1).select(
@@ -499,7 +499,7 @@ def incremental_minhash_pairs(
     appears once and pairs carry a single, consistent other_is_new.
     """
     corpus_only = corpus_sigs.join(new_sigs.select("doc_id"), "doc_id", "left_anti")
-    new_b = band_buckets(new_sigs, num_perm, bands).localCheckpoint(eager=False)
+    new_b = band_buckets(new_sigs, num_perm, bands).transform(lazy_checkpoint)
     old_b = band_buckets(corpus_only, num_perm, bands)
     all_b = new_b.withColumn("_new", F.lit(1)).unionByName(
         old_b.withColumn("_new", F.lit(0))
@@ -600,7 +600,7 @@ def minhash_lsh_pairs(
     ex = (
         exploded_shingles(spread_by_key(df, id_col), [id_col], text_col, shingle_n, "_s")
         .select(F.col(id_col).alias("doc_id"), shingle_h.alias("_h"))
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     # SQL-string aggregates — see minhash_signatures for the py4j
     # rationale; same expressions, same plan
@@ -616,12 +616,12 @@ def minhash_lsh_pairs(
     # sides) and Catalyst does not dedupe common subplans — without
     # this the signature pipeline recomputes per branch (10 scans
     # observed in the un-checkpointed plan).
-    banded = band_buckets(sig, num_perm, bands).localCheckpoint(eager=False)
+    banded = band_buckets(sig, num_perm, bands).transform(lazy_checkpoint)
     cand = _bucket_pairs(banded, max_bucket_width, eager_probe)
     sh = (
         ex.groupBy("doc_id")
         .agg(F.collect_set("_h").alias("sh"))
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -1052,7 +1052,7 @@ def simhash_near_pairs(
     unconditionally (one extra tiny aggregate + join in the plan)."""
     # one materialization of the fingerprints feeds banding (4 plan
     # branches in _bucket_pairs) and the two fingerprint re-joins
-    h = simhash_df(df, id_col, text_col, hash=hash).localCheckpoint(eager=False)
+    h = simhash_df(df, id_col, text_col, hash=hash).transform(lazy_checkpoint)
     bands = _simhash_bands(h, band_bits)
     cand = _bucket_pairs(bands, max_bucket_width, eager_probe)
     fp = h.withColumnRenamed("sh", "_fp")
@@ -1127,7 +1127,7 @@ def incremental_simhash_pairs(
         .unionByName(
             _simhash_bands(corpus_only, band_bits).withColumn("_new", F.lit(0))
         )
-        .localCheckpoint(eager=False)  # feeds widths + both join sides
+        .transform(lazy_checkpoint)  # feeds widths + both join sides
     )
     if max_bucket_width is None:
         sized = all_b.withColumn("_bw", F.lit(0))
@@ -1136,7 +1136,7 @@ def incremental_simhash_pairs(
         widths = all_b.groupBy("band", "bucket").agg(F.count("*").alias("_bw"))
         sized = all_b.join(widths, ["band", "bucket"])
         cap = max_bucket_width
-    sized = sized.localCheckpoint(eager=False)  # cold pair sides + hot star branch
+    sized = sized.transform(lazy_checkpoint)  # cold pair sides + hot star branch
     cold = sized.filter(F.col("_bw") <= cap)
     cand_cold = (
         cold.filter(F.col("_new") == 1)
@@ -1532,7 +1532,17 @@ def winnow_match_pairs(
     # frame — checkpointing after the prune made each of them re-derive
     # the whole fingerprint pipeline; here every consumer (nd, hot,
     # anti-join probe, both join sides) reads the one materialization
-    distinct = distinct.localCheckpoint(eager=False)
+    distinct = distinct.transform(lazy_checkpoint)
+    # ONE exchange on the join key (r17, VERDICT r16 #9): the
+    # checkpoint erased partitioning, so the hot-fp aggregate and BOTH
+    # postings join sides would each re-exchange these rows by fp.
+    # Repartitioning the materialized frame once makes the aggregate
+    # clustering-satisfied and the self-join co-partitioned — the same
+    # rows cross the wire once instead of twice (the broadcast anti
+    # join in between preserves the partitioning). Strictly fewer
+    # bytes at any scale (always-mode reasoning: downstream WOULD
+    # exchange these exact rows on this exact key).
+    distinct = spread_by_key(distinct, "fp", always=True)
     if max_df_frac is not None:
         distinct = _prune_hot_fps(distinct, max_df_frac, "_id")
     a = distinct.select(F.col("_id").alias("id_a"), "fp")
@@ -1574,7 +1584,7 @@ def winnow_overlap_spans(
             "_id",
         ).select(F.col("_id").alias(id_col), "fp")
         fps = fps.join(keep, [id_col, "fp"], "left_semi")
-    fps = fps.localCheckpoint(eager=False)  # feeds both join sides
+    fps = fps.transform(lazy_checkpoint)  # feeds both join sides
     a = fps.select(F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"), "fp")
     b = fps.select(F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b"), "fp")
     matches = a.join(b, "fp").filter(F.col("id_a") < F.col("id_b"))

@@ -7,6 +7,7 @@ import inspect
 import pytest
 from pyspark.sql import functions as F
 
+from nba_data_pipeline_spark.core import session as core_session
 from nba_data_pipeline_spark.operators import dedup, similarity
 from nba_data_pipeline_spark.operators.similarity import _maybe_broadcast
 
@@ -38,7 +39,7 @@ def test_auto_hints_small_frame(tiny):
 
 
 def test_auto_skips_frame_over_cap(tiny, monkeypatch):
-    monkeypatch.setattr(similarity, "_BROADCAST_CAP_BYTES", 0)
+    monkeypatch.setattr(core_session, "AUTO_BROADCAST_BYTES", 0)
     out = _maybe_broadcast(tiny, None)
     assert "ResolvedHint" not in out._jdf.queryExecution().optimizedPlan().toString()
 
@@ -90,7 +91,7 @@ def test_fanout_scales_auto_gate(tiny, monkeypatch):
     est = int(
         str(tiny._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     )
-    monkeypatch.setattr(similarity, "_BROADCAST_CAP_BYTES", est * 10)
+    monkeypatch.setattr(core_session, "AUTO_BROADCAST_BYTES", est * 10)
     hinted = tiny.alias("a").join(
         _maybe_broadcast(tiny.alias("b"), None, estimate_from=tiny, fanout=1), "id"
     )
@@ -115,7 +116,7 @@ def test_lsh_batch_topk_gates_on_probe_fanout(spark, monkeypatch):
         )
     )
     # 79x fan-out at n_planes=12/bits=2: cap at 4x the query estimate
-    monkeypatch.setattr(similarity, "_BROADCAST_CAP_BYTES", qb_est * 4)
+    monkeypatch.setattr(core_session, "AUTO_BROADCAST_BYTES", qb_est * 4)
     out = similarity.lsh_batch_topk(
         queries, df, "embedding", "vec_id", "vec_id",
         dim=4, k=3, n_planes=12, multiprobe_bits=2,

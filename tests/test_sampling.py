@@ -355,3 +355,54 @@ def test_length_bucketed_batches_bounds_padding(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
     with _p.raises(ValueError):
         length_bucketed_batches(df, "id", "length", 0)
+
+
+def test_dsir_complete_grams_match_legacy_join_semantics(spark):
+    """r17: grams built with keep_empty_docs + grams_complete scoring
+    must reproduce the inner-join + left-join-to-corpus semantics
+    exactly, including zero-bigram docs as (0, NULL)."""
+    from pyspark.sql import functions as F
+
+    from nba_data_pipeline_spark.operators.sampling import (
+        dsir_log_ratios,
+        dsir_scores,
+        hashed_bigram_buckets,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "a"),
+            (2, "single", "a"),          # one token -> zero bigrams
+            (3, "", "b"),                # empty text
+            (4, "alpha beta beta gamma", "b"),
+            (5, None, "b"),              # NULL text
+        ],
+        "doc_id long, text string, src string",
+    )
+    grams = hashed_bigram_buckets(
+        docs, ["doc_id", "src"], "text", 64, keep_empty_docs=True
+    )
+    # every doc represented exactly >= 1 row; empty docs as NULL bucket
+    per_doc = {r["doc_id"]: r["n"] for r in grams.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert set(per_doc) == {1, 2, 3, 4, 5}
+    nulls = {r["doc_id"] for r in grams.filter(F.col("bucket").isNull()).collect()}
+    assert nulls == {2, 3, 5}
+
+    ratios = dsir_log_ratios(docs.filter("doc_id = 1"), docs, text_col="text", n_buckets=64)
+    got = dsir_scores(
+        docs, ratios, grams=grams.select("doc_id", "src", "bucket"),
+        keep_cols=["src"], grams_complete=True, n_buckets=64,
+    )
+    legacy_grams = hashed_bigram_buckets(docs, ["doc_id", "src"], "text", 64)
+    legacy_sc = (
+        legacy_grams.join(F.broadcast(ratios.select("bucket", "log_ratio_e6")), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_grams"), F.sum("log_ratio_e6").alias("log_w_e6"))
+    )
+    legacy = (
+        docs.select("doc_id", "src")
+        .join(legacy_sc, "doc_id", "left")
+        .select("doc_id", "src", F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"), "log_w_e6")
+    )
+    assert got.exceptAll(legacy).count() == 0
+    assert legacy.exceptAll(got).count() == 0

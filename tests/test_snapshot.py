@@ -2170,3 +2170,61 @@ def test_multiprocess_table_writers_all_commit(spark, tmp_path):
         assert S.txn_version(root, f"w{s}") == rounds
     # every commit won a distinct version (1 create + stripes*rounds merges)
     assert S.current_version(root) == 1 + stripes * rounds
+
+
+def test_empty_batch_fast_path_fires_across_schema_drift(spark, tmp_path, monkeypatch):
+    """r17: the empty-batch fast path must fire even though a merged
+    table's manifest schema is all-nullable and key-first while a fresh
+    pipeline batch carries non-null fields in pipeline order — the r16
+    strict StructType equality never matched after the first real
+    merge, so every idempotent replay staged an empty parquet dir."""
+    import nba_data_pipeline_spark.sinks.snapshot as snap
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    base = spark.range(10).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    snap.write_snapshot(spark, base, root, key=["id"])
+    # one real merge: manifest schema becomes the combined frame's
+    extra = spark.range(10, 14).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    snap.upsert_snapshot(spark, extra, root, key="id")
+    v_before = snap.current_version(root)
+    files_before = snap._load_manifest(root, v_before)["files"]
+
+    staged = []
+    orig_stage = snap._stage_files
+    monkeypatch.setattr(
+        snap, "_stage_files", lambda *a, **k: staged.append(1) or orig_stage(*a, **k)
+    )
+    # empty batch, pipeline-style schema: non-null id (range output),
+    # different column order than the manifest's
+    empty = (
+        spark.range(0).select((F.col("id") * 2).alias("v"), F.col("id"))
+        .select("v", "id")
+    )
+    v_after = snap.upsert_snapshot(spark, empty, root, key="id")
+    assert staged == [], "empty replay staged files — fast path did not fire"
+    assert v_after == v_before + 1
+    man = snap._load_manifest(root, v_after)
+    assert man["files"] == files_before  # carried verbatim
+    got = sorted(map(tuple, snap.read_snapshot(spark, root).collect()))
+    assert got == [(i, i * 2) for i in range(14)]
+
+
+def test_empty_batch_schema_drift_still_blocks_real_evolution(spark, tmp_path, monkeypatch):
+    """A zero-row batch with a NEW column must still take the general
+    path (schema evolution is real even with no rows)."""
+    import nba_data_pipeline_spark.sinks.snapshot as snap
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    snap.write_snapshot(
+        spark, spark.range(5).select(F.col("id"), (F.col("id") * 2).alias("v")),
+        root, key=["id"],
+    )
+    empty_extra = spark.range(0).select(
+        F.col("id"), (F.col("id") * 2).alias("v"), F.lit("x").alias("w")
+    )
+    snap.upsert_snapshot(spark, empty_extra, root, key="id")
+    assert "w" in snap.read_snapshot(spark, root).columns
