@@ -1533,16 +1533,13 @@ def winnow_match_pairs(
     # the whole fingerprint pipeline; here every consumer (nd, hot,
     # anti-join probe, both join sides) reads the one materialization
     distinct = distinct.transform(lazy_checkpoint)
-    # ONE exchange on the join key (r17, VERDICT r16 #9): the
-    # checkpoint erased partitioning, so the hot-fp aggregate and BOTH
-    # postings join sides would each re-exchange these rows by fp.
-    # Repartitioning the materialized frame once makes the aggregate
-    # clustering-satisfied and the self-join co-partitioned — the same
-    # rows cross the wire once instead of twice (the broadcast anti
-    # join in between preserves the partitioning). Strictly fewer
-    # bytes at any scale (always-mode reasoning: downstream WOULD
-    # exchange these exact rows on this exact key).
-    distinct = spread_by_key(distinct, "fp", always=True)
+    # NO fp repartition here (r17 A/B, interleaved min-of-4: with the
+    # spread 2.15 s, without 1.46 s): the postings self-join's sides
+    # are asymmetric consumers — the planner broadcasts one side and
+    # the hot-fp aggregate runs map-side partial first, so a forced
+    # exchange of the materialized frame ADDS a shuffle instead of
+    # replacing one (unlike the pre-fan-out spreads upstream, whose
+    # exchange substitutes for a wider one on exploded rows).
     if max_df_frac is not None:
         distinct = _prune_hot_fps(distinct, max_df_frac, "_id")
     a = distinct.select(F.col("_id").alias("id_a"), "fp")
