@@ -52,6 +52,7 @@ def test_entry_smoke(spark):
     assert df.schema.fields
 
 
+@pytest.mark.slow  # r17: >18s; deselected by the default profile (driver budget), still run via -m slow at round close
 def test_oracle_type_parity(spark):
     """Round-5 lesson (tpch_q12): rows+schema matched but the driver's
     value hash diverged because DuckDB widened SUM(INTEGER) to HUGEINT

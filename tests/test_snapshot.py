@@ -2144,6 +2144,7 @@ def _mp_table_writer(args):
         spark.stop()
 
 
+@pytest.mark.slow  # r17: >18s; deselected by the default profile (driver budget), still run via -m slow at round close
 def test_multiprocess_table_writers_all_commit(spark, tmp_path):
     """Fully independent PROCESSES (each with its OWN SparkSession)
     racing copy-on-write merges on one snapshot table: the link-CAS +

@@ -11,6 +11,8 @@ from nba_data_pipeline_spark.streaming.ops import (
     stream_dedup,
 )
 
+import pytest
+
 SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -1120,6 +1122,7 @@ def test_takedown_keeps_null_keyed_rows(spark, tmp_path):
     assert pairs.filter(F.col("id_a").isNull()).count() == 2
 
 
+@pytest.mark.slow  # r17: >18s; deselected by the default profile (driver budget), still run via -m slow at round close
 def test_ingest_stats_epoch_fence_exact_under_redelivery(spark, tmp_path):
     """stats_buckets + batch_id (forwarded from the streaming epoch)
     make the additive stats fold exact under redelivery: replaying the
@@ -1496,6 +1499,7 @@ def test_bucketed_merge_crash_between_leaf_renames_no_row_loss(spark, tmp_path):
         assert got == want, (crash_at, sorted(set(want) - set(got)))
 
 
+@pytest.mark.slow  # r17: >18s; deselected by the default profile (driver budget), still run via -m slow at round close
 def test_component_state_crash_mid_swap_replay_converges(spark, tmp_path):
     """VERDICT r12 task #3: injected kill mid-upsert inside
     update_component_state with state_buckets set — the replayed batch
@@ -1929,6 +1933,7 @@ def test_bm25_index_ingest_takedown_exactness(spark, tmp_path):
     assert got2 == want2
 
 
+@pytest.mark.slow  # r17: >18s; deselected by the default profile (driver budget), still run via -m slow at round close
 def test_pq_ingest_replay_and_takedown(spark, tmp_path):
     """Persisted PQ codes: frozen-codebook append, replay idempotent
     (dfreq-free family — codes identical), generic takedown composes,
@@ -1973,6 +1978,7 @@ def test_pq_ingest_replay_and_takedown(spark, tmp_path):
     assert spark.read.parquet(f"{idx}/codes").count() == n - 5
 
 
+@pytest.mark.slow  # r17: >18s; deselected by the default profile (driver budget), still run via -m slow at round close
 def test_embedding_ingest_composed_pipeline(spark, tmp_path):
     """embedding_ingest_batch composes the ANN-state stages: planted
     perturbed duplicates arriving in batch 2 must pair with their
